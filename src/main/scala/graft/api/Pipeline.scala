@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's pipeline model, re-expressing the reference's declarative
+  * API (cherry: `src/cherry_etl/config.py:234-239` `Pipeline(provider,
+  * query, writer, steps)`; loop at `pipeline.py:102-126`) Spark-first:
+  *
+  *   - a micro-batch is `Map[String, DataFrame]` (≙ `Dict[str, pa.Table]`,
+  *     `pipeline.py:30-33`) — but the DataFrames are LAZY plans, so a whole
+  *     pipeline composes into one Catalyst plan per output table and
+  *     executes only at the sink. The reference's `deepcopy` isolation
+  *     (`pipeline.py:36`) is unnecessary: plans are immutable.
+  *   - steps are pure bundle→bundle functions (≙ `StepKind` dispatch,
+  *     `pipeline.py:41-75`);
+  *   - sinks write each table, anchor table LAST (`writers/clickhouse.py:
+  *     167-186`) so the resume pattern (P5) can treat a present anchor row
+  *     as proof the rest of the batch landed.
+  *
+  * At scale: because steps compose lazily, Catalyst sees through the whole
+  * pipeline — filters migrate to the scan, columns prune through every
+  * step, and the only materialization points are the sink writes.
+  */
+final case class Pipeline(source: Source, steps: Seq[Step], sink: Sink)
+
+object Pipeline {
+  type Tables = Map[String, DataFrame]
+
+  /** Sequential fold of steps over the bundle (≙ `process_steps`,
+    * cherry `pipeline.py:30-77`). Pure plan composition — no execution.
+    */
+  def processSteps(spark: SparkSession, tables: Tables, steps: Seq[Step]): Tables =
+    steps.foldLeft(tables)((t, s) => s(spark, t))
+
+  /** Union-all of N batches (≙ `merge_data`, cherry `pipeline.py:80-99`):
+    * asserts identical key sets, then `unionByName` per table.
+    */
+  def merge(batches: Seq[Tables]): Tables = {
+    require(batches.nonEmpty, "merge of zero batches")
+    val keys = batches.head.keySet
+    batches.tail.foreach { b =>
+      require(b.keySet == keys,
+        s"batch table sets differ: ${b.keySet.toSeq.sorted} vs ${keys.toSeq.sorted}")
+    }
+    keys.map(k => k -> batches.map(_(k)).reduce(_.unionByName(_))).toMap
+  }
+
+  /** The driver loop (≙ `run_pipeline`, cherry `pipeline.py:102-126`).
+    * Bounded sources iterate micro-batches; each batch flows through the
+    * step fold and lands in the sink. Spark note: there is no to_thread /
+    * prefetch machinery here because each batch is a lazy plan — the actual
+    * fetch∥transform∥write overlap happens inside Spark's scheduler when
+    * the sink action runs.
+    */
+  def run(spark: SparkSession, pipeline: Pipeline): Unit =
+    pipeline.source.batches(spark).foreach { batch =>
+      pipeline.sink.push(processSteps(spark, batch, pipeline.steps))
+    }
+}
+
+/** A bounded micro-batch source (≙ `start_stream`, cherry `pipeline.py:106,
+  * 110-113`). Implementations yield lazy bundles; filters/projections stay
+  * in the plan so the parquet scan prunes (the Spark analog of the
+  * provider's server-side pushdown, SURVEY §2.1).
+  */
+trait Source {
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]]
+}
+
+/** Whole-directory, single-batch source over the fixture layout. */
+final case class ParquetSource(dir: String, tables: Seq[String]) extends Source {
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+    Iterator.single(graft.sources.Tables.bundle(spark, dir, tables))
+}
+
+/** Block-range slicer (≙ EVM Query from_block/to_block, cherry
+  * `examples/erc20_custom.py:98-137`): emits one bundle per `step`-sized
+  * slice of `rangeColumn`. Each slice's range predicate is pushed to the
+  * scan — on a partitioned lake this is partition pruning, so a 100 TB
+  * table costs only the slice actually read.
+  */
+final case class BlockRangeSource(dir: String, tables: Seq[String],
+                                  rangeColumn: String, fromValue: Long,
+                                  toValue: Long, step: Long) extends Source {
+  require(step > 0, "step must be positive")
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+    (fromValue until toValue by step).iterator.map { lo =>
+      val hi = math.min(lo + step, toValue)
+      graft.sources.Tables.bundle(spark, dir, tables).map { case (name, df) =>
+        name -> (if (df.columns.contains(rangeColumn))
+          df.filter(df(rangeColumn) >= lo && df(rangeColumn) < hi)
+        else df)
+      }
+    }
+}
+
+/** A sink (≙ `DataWriter.push_data`, cherry `writers/base.py:9-15`). */
+trait Sink {
+  def push(tables: Map[String, DataFrame]): Unit
+}

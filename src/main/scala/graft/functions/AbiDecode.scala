@@ -1,0 +1,243 @@
+package graft.functions
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Solidity ABI event decoding, implemented from the public ABI spec
+  * (docs.soliditylang.org/en/latest/abi-spec.html). Spark-native analog of
+  * the reference's Rust `evm_decode_events` kernel (cherry:
+  * `steps/evm_decode_events.py:9-35`, signature→schema at line 26).
+  *
+  * Type mapping follows SURVEY.md §1.3's widen-on-ingest convention:
+  * uint≤32 / int≤64 → LongType; uint40–64 → DECIMAL(20,0);
+  * anything wider → canonical 32-byte BinaryType word (u256 canon, or raw
+  * two's-complement word for int>64); address → 20-byte binary;
+  * bytesN/bytes → binary; string → string; T[] / T[k] → array.
+  * Indexed dynamic params are keccak hashes per the ABI spec → 32-byte
+  * binary, never decoded.
+  */
+object Abi {
+  sealed trait AbiType { def canonical: String }
+  case class AUInt(bits: Int) extends AbiType { def canonical = s"uint$bits" }
+  case class AInt(bits: Int) extends AbiType { def canonical = s"int$bits" }
+  case object AAddress extends AbiType { def canonical = "address" }
+  case object ABool extends AbiType { def canonical = "bool" }
+  case class AFixedBytes(n: Int) extends AbiType { def canonical = s"bytes$n" }
+  case object ABytes extends AbiType { def canonical = "bytes" }
+  case object AString extends AbiType { def canonical = "string" }
+  case class AArray(elem: AbiType, size: Option[Int]) extends AbiType {
+    def canonical = elem.canonical + size.fold("[]")(n => s"[$n]")
+  }
+
+  case class Param(name: String, tpe: AbiType, indexed: Boolean)
+  case class EventSig(name: String, params: Seq[Param]) {
+    def canonical: String =
+      s"$name(${params.map(_.tpe.canonical).mkString(",")})"
+    def schema: StructType = StructType(params.map { p =>
+      val dt =
+        if (p.indexed && isDynamic(p.tpe)) BinaryType // keccak hash word
+        else sparkType(p.tpe)
+      StructField(p.name, dt, nullable = true)
+    })
+  }
+
+  def isDynamic(t: AbiType): Boolean = t match {
+    case ABytes | AString        => true
+    case AArray(_, None)         => true
+    case AArray(e, Some(_))      => isDynamic(e)
+    case _                       => false
+  }
+
+  def sparkType(t: AbiType): DataType = t match {
+    case AUInt(b) if b <= 32  => LongType
+    case AUInt(b) if b <= 64  => DecimalType(20, 0)
+    case AUInt(_)             => BinaryType // u256 canon (32-byte BE)
+    case AInt(b) if b <= 64   => LongType
+    case AInt(_)              => BinaryType // raw two's-complement word
+    case AAddress             => BinaryType // 20 bytes
+    case ABool                => BooleanType
+    case AFixedBytes(_)       => BinaryType
+    case ABytes               => BinaryType
+    case AString              => StringType
+    case AArray(e, _)         => ArrayType(sparkType(e), containsNull = false)
+  }
+
+  /** Parse "Transfer(address indexed from, address to, uint256 v)". */
+  def parseEvent(signature: String): EventSig = {
+    val open = signature.indexOf('(')
+    require(open > 0 && signature.trim.endsWith(")"),
+      s"malformed event signature: $signature")
+    val name = signature.substring(0, open).trim
+    val body = signature.trim.substring(open + 1).dropRight(1).trim
+    val params =
+      if (body.isEmpty) Seq.empty
+      else splitTopLevel(body).zipWithIndex.map { case (p, i) =>
+        val toks = p.trim.split("\\s+").toSeq
+        val tpe = parseType(toks.head)
+        val indexed = toks.contains("indexed")
+        val pname = toks.filterNot(t => t == "indexed" || t == toks.head)
+          .lastOption.getOrElse(s"param$i")
+        Param(pname, tpe, indexed)
+      }
+    EventSig(name, params)
+  }
+
+  /** Split on commas not nested inside () or []. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  private val ArrayRe = "^(.*)\\[(\\d*)\\]$".r
+
+  def parseType(t: String): AbiType = t match {
+    case ArrayRe(elem, sz) =>
+      AArray(parseType(elem), if (sz.isEmpty) None else Some(sz.toInt))
+    case "address" => AAddress
+    case "bool"    => ABool
+    case "bytes"   => ABytes
+    case "string"  => AString
+    case "uint"    => AUInt(256)
+    case "int"     => AInt(256)
+    case u if u.startsWith("uint") => AUInt(u.drop(4).toInt)
+    case s if s.startsWith("int")  => AInt(s.drop(3).toInt)
+    case b if b.startsWith("bytes") => AFixedBytes(b.drop(5).toInt)
+    case other => throw new IllegalArgumentException(s"unsupported ABI type: $other")
+  }
+
+  // ---- word-level decoding -------------------------------------------------
+
+  private def word(data: Array[Byte], off: Int): Array[Byte] = {
+    require(off + 32 <= data.length, s"ABI data truncated at offset $off")
+    java.util.Arrays.copyOfRange(data, off, off + 32)
+  }
+
+  private def wordToLong(w: Array[Byte], signed: Boolean): Long = {
+    val v = new BigInteger(if (signed) w else (Array(0.toByte) ++ w))
+    v.longValueExact()
+  }
+
+  /** Decode one static value located at `off` in `data` → catalyst value. */
+  private def decodeStatic(t: AbiType, data: Array[Byte], off: Int): Any = t match {
+    case AUInt(b) if b <= 32  => wordToLong(word(data, off), signed = false)
+    case AUInt(b) if b <= 64  =>
+      Decimal(new java.math.BigDecimal(new BigInteger(1, word(data, off))), 20, 0)
+    case AUInt(_)             => word(data, off)
+    case AInt(b) if b <= 64   => wordToLong(word(data, off), signed = true)
+    case AInt(_)              => word(data, off)
+    case AAddress             => java.util.Arrays.copyOfRange(word(data, off), 12, 32)
+    case ABool                => word(data, off)(31) != 0
+    case AFixedBytes(n)       => java.util.Arrays.copyOfRange(data, off, off + n)
+    case AArray(e, Some(n)) if !isDynamic(e) =>
+      new GenericArrayData((0 until n).map(i => decodeStatic(e, data, off + i * staticSize(e))).toArray)
+    case other => throw new IllegalArgumentException(s"not a static type: $other")
+  }
+
+  private def staticSize(t: AbiType): Int = t match {
+    case AArray(e, Some(n)) if !isDynamic(e) => n * staticSize(e)
+    case _ => 32
+  }
+
+  /** Decode a head-encoded value (static in place, dynamic via offset into
+    * the enclosing `base` frame) — ABI spec head/tail encoding.
+    */
+  private def decodeHead(t: AbiType, data: Array[Byte], headOff: Int, base: Int): Any =
+    if (!isDynamic(t)) decodeStatic(t, data, headOff)
+    else {
+      val off = base + wordToLong(word(data, headOff), signed = false).toInt
+      t match {
+        case AString =>
+          val len = wordToLong(word(data, off), signed = false).toInt
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(data, off + 32, off + 32 + len))
+        case ABytes =>
+          val len = wordToLong(word(data, off), signed = false).toInt
+          java.util.Arrays.copyOfRange(data, off + 32, off + 32 + len)
+        case AArray(e, sz) =>
+          val (n, elemBase) = sz match {
+            case Some(k) => (k, off)          // fixed-size array of dynamics
+            case None    =>
+              (wordToLong(word(data, off), signed = false).toInt, off + 32)
+          }
+          val elems = (0 until n).map { i =>
+            if (isDynamic(e)) decodeHead(e, data, elemBase + i * 32, elemBase)
+            else decodeStatic(e, data, elemBase + i * staticSize(e))
+          }
+          new GenericArrayData(elems.toArray)
+        case other => throw new IllegalArgumentException(s"unexpected dynamic: $other")
+      }
+    }
+
+  /** Full event decode: indexed params from topics (in order), the rest from
+    * the data section. Returns catalyst values aligned with EventSig.schema.
+    */
+  def decodeEvent(sig: EventSig, topics: Array[Array[Byte]], data: Array[Byte]): Array[Any] = {
+    val out = new Array[Any](sig.params.length)
+    var topicIdx = 0
+    var headOff = 0
+    sig.params.zipWithIndex.foreach { case (p, i) =>
+      if (p.indexed) {
+        val t = if (topicIdx < topics.length) topics(topicIdx) else null
+        topicIdx += 1
+        out(i) =
+          if (t == null) null
+          else if (isDynamic(p.tpe)) t // keccak hash of the value
+          else decodeStatic(p.tpe, t, 0)
+      } else {
+        out(i) = decodeHead(p.tpe, data, headOff, 0)
+        headOff += staticSize(p.tpe)
+      }
+    }
+    out
+  }
+}
+
+/** evm_decode_event('Sig(...)', topic1, topic2, topic3, data) → struct.
+  * `allowFail=true` → null struct on malformed input (the reference's
+  * `allow_decode_fail`, cherry `config.py:128-135`).
+  */
+case class EvmDecodeEvent(signature: String, allowFail: Boolean,
+                          children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4,
+    "evm_decode_event expects (topic1, topic2, topic3, data)")
+
+  @transient private lazy val sig = Abi.parseEvent(signature)
+
+  override def dataType: DataType = sig.schema
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val topics = children.take(3)
+      .map(c => c.eval(input).asInstanceOf[Array[Byte]])
+      .takeWhile(_ != null).toArray
+    val data = children(3).eval(input).asInstanceOf[Array[Byte]]
+    try {
+      new GenericInternalRow(
+        Abi.decodeEvent(sig, topics, if (data == null) Array.emptyByteArray else data))
+    } catch {
+      case e: Exception if allowFail => null
+    }
+  }
+  override def prettyName: String = "evm_decode_event"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EvmDecodeEvent =
+    copy(children = newChildren)
+}

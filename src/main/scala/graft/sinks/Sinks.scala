@@ -1,0 +1,64 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, max}
+
+import graft.api.Sink
+
+/** Sinks (SURVEY.md §2.6). Common semantics preserved from the reference:
+  * (a) anchor-table ordering — all non-anchor tables first, anchor LAST
+  * (cherry `writers/clickhouse.py:167-186`, `writers/delta_lake.py:34-54`,
+  * `writers/pyarrow_dataset.py:39-56`) so the resume pattern (P5) can treat
+  * a present anchor row as proof the whole batch landed;
+  * (b) first-write auto-creation from the arriving schema;
+  * (c) append-mode micro-batch pushes.
+  */
+
+/** Parquet dataset sink (≙ cherry W5 `writers/pyarrow_dataset.py:13-56`):
+  * hive partitioning, max-rows-per-file knob, append per batch. At scale
+  * each table write is its own Spark job; partition columns give consumers
+  * static + dynamic partition pruning.
+  */
+final case class ParquetSink(baseDir: String,
+                             partitionBy: Map[String, Seq[String]] = Map.empty,
+                             anchorTable: Option[String] = None,
+                             maxRecordsPerFile: Long = 1048576L) extends Sink {
+  def push(tables: Map[String, DataFrame]): Unit = {
+    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
+    (rest.toSeq ++ anchor.toSeq).foreach { case (name, df) =>
+      val w = df.write.mode("append")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      partitionBy.get(name).filter(_.nonEmpty)
+        .fold(w)(cols => w.partitionBy(cols: _*))
+        .parquet(s"$baseDir/$name")
+    }
+  }
+}
+
+/** Session-catalog table sink (≙ cherry W1 DuckDB `writers/duckdb.py:17-52`:
+  * CREATE TABLE AS on first push, INSERT INTO after — here saveAsTable
+  * append does both). JDBC/warehouse sinks share this shape.
+  */
+final case class CatalogSink(tablePrefix: String = "",
+                             anchorTable: Option[String] = None) extends Sink {
+  def push(tables: Map[String, DataFrame]): Unit = {
+    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
+    (rest.toSeq ++ anchor.toSeq).foreach { case (name, df) =>
+      df.write.mode("append").saveAsTable(tablePrefix + name)
+    }
+  }
+}
+
+object Resume {
+  /** The crash-resume watermark (cherry P5, `examples/erc20_custom.py:41-50`:
+    * `SELECT MAX(block_number) FROM transfers` at startup → next from_block).
+    * Returns None when the sink is empty/absent. At-least-once + idempotent
+    * overlap: restart from watermark+1, anchor-last ordering guarantees no
+    * table is ahead of the anchor.
+    */
+  def maxWatermark(df: => DataFrame, column: String): Option[Long] =
+    try {
+      val r = df.agg(max(col(column))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch { case _: Exception => None }
+}

@@ -1,0 +1,201 @@
+package graft.functions
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{GraftFunctions => F}
+
+/** Golden-vector tests mirroring the reference's
+  * `tests/test_steps.py` (base58 vs the python `base58` lib semantics,
+  * Anchor discriminator vectors at test_steps.py:161-163) plus public
+  * Keccak/ABI known-answer vectors.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def hexStr(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // --- keccak256 (public known-answer vectors) -----------------------------
+
+  test("keccak256 known vectors") {
+    assert(hexStr(Keccak.hash256(Array.emptyByteArray)) ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(hexStr(Keccak.hash256("abc".getBytes("UTF-8"))) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    // rate-boundary input (136 bytes = exactly one block before padding)
+    assert(hexStr(Keccak.hash256(Array.fill[Byte](136)(0x61))).length == 64)
+  }
+
+  test("evm_topic0 canonicalizes human signatures (erc20_custom.py:115)") {
+    val transfer = "Transfer(address indexed from, address indexed to, uint256 amount)"
+    assert(Abi.parseEvent(transfer).canonical == "Transfer(address,address,uint256)")
+    assert(hexStr(Keccak.topic0(transfer)) ==
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(hexStr(Keccak.topic0("Approval(address indexed owner, address indexed spender, uint256 value)")) ==
+      "8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925")
+  }
+
+  // --- base58 (cherry tests/test_steps.py:12-27 oracle semantics) ----------
+
+  test("base58 golden vectors") {
+    assert(Base58.encode("asd".getBytes) == "ZjVd")
+    assert(Base58.encode("qwe".getBytes) == "f7WC")
+    assert(Base58.encode("Hello World!".getBytes) == "2NEpo7TZRRrLZSi2U")
+    assert(Base58.encode(Array[Byte](0, 0, 0x28, 0x7f, 0xb4.toByte, 0xcd.toByte)) == "11233QC4")
+    assert(Base58.encode(Array.emptyByteArray) == "")
+    assert(Base58.encode(Array.tabulate[Byte](32)(_.toByte)) ==
+      "1thX6LZfHDZZKUs92febYZhYRcXddmzfzF2NvTkPNE")
+  }
+
+  test("base58 round-trip property (seeded random, incl. leading zeros)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      if (bytes.nonEmpty && rnd.nextBoolean()) bytes(0) = 0 // exercise '1' rule
+      assert(Base58.decode(Base58.encode(bytes)).sameElements(bytes))
+    }
+  }
+
+  test("base58 decode rejects non-alphabet chars (0, O, I, l)") {
+    assert(Base58.decode("0OIl") == null)
+  }
+
+  test("base58 expressions work in a plan and in SQL") {
+    import spark.implicits._
+    F.register(spark)
+    val df = Seq("asd", "qwe").toDF("s")
+      .select(F.base58_encode(col("s").cast("binary")).as("e"))
+    assert(df.as[String].collect().toSeq == Seq("ZjVd", "f7WC"))
+    val viaSql = spark.sql("SELECT base58_decode(base58_encode(CAST('asd' AS BINARY))) AS b")
+      .head().getAs[Array[Byte]]("b")
+    assert(new String(viaSql) == "asd")
+  }
+
+  // --- anchor discriminator (cherry utils.py:5-12, golden at :161-163) -----
+
+  test("svm_anchor_discriminator golden vectors") {
+    import spark.implicits._
+    val got = Seq("swap_v2", "swap").toDF("name")
+      .select(F.svm_anchor_discriminator_hex(col("name")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("2b04ed0b1ac91e62", "f8c69e91e17587c8"))
+  }
+
+  // --- hex_lower (cherry steps/hex_encode.py — lowercase + 0x prefix) ------
+
+  test("hex_lower is lowercase and optionally prefixed") {
+    import spark.implicits._
+    val df = Seq(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte)).toDF("b")
+    assert(df.select(F.hex_lower(col("b")).as("h")).as[String].head() == "0xdeadbeef")
+    assert(df.select(F.hex_lower(col("b"), prefixed = false).as("h")).as[String].head() == "deadbeef")
+  }
+
+  // --- u256 ------------------------------------------------------------------
+
+  test("u256 string round-trip and decimal overflow → null") {
+    import spark.implicits._
+    val big = BigInteger.valueOf(2).pow(255).toString
+    val df = Seq("0", "1", "1000000000000000000", big).toDF("s")
+      .select(col("s"), F.u256_from_string(col("s")).as("b"))
+      .select(col("s"), F.u256_to_string(col("b")).as("rt"),
+              F.u256_to_decimal(col("b")).as("d"))
+    val rows = df.collect()
+    rows.foreach { r => assert(r.getString(0) == r.getString(1)) }
+    assert(rows.last.isNullAt(2), "2^255 exceeds DECIMAL(38) → null")
+    assert(rows(2).getDecimal(2).toBigInteger == new BigInteger("1000000000000000000"))
+  }
+
+  test("u256 canonical width is 32 zero-padded bytes (byte-order comparable)") {
+    import spark.implicits._
+    val b = Seq("5").toDF("s").select(F.u256_from_string(col("s")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(b.length == 32 && b(31) == 5 && b.take(31).forall(_ == 0))
+  }
+
+  // --- ABI event decode ------------------------------------------------------
+
+  private def word(v: BigInteger): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val raw = v.toByteArray.dropWhile(_ == 0)
+    System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+    out
+  }
+  private def addrTopic(fill: Byte): Array[Byte] = {
+    val out = new Array[Byte](32)
+    java.util.Arrays.fill(out, 12, 32, fill)
+    out
+  }
+
+  test("evm_decode_event decodes an ERC20 Transfer") {
+    import spark.implicits._
+    val amount = new BigInteger("10").pow(18)
+    val df = Seq((addrTopic(0x11), addrTopic(0x22), null: Array[Byte], word(amount)))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event(
+        "Transfer(address indexed from, address indexed to, uint256 amount)",
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.from", "d.to", "d.amount")
+    val r = df.head()
+    assert(r.getAs[Array[Byte]]("from").forall(_ == 0x11) &&
+      r.getAs[Array[Byte]]("from").length == 20)
+    assert(r.getAs[Array[Byte]]("to").forall(_ == 0x22))
+    assert(new BigInteger(1, r.getAs[Array[Byte]]("amount")) == amount)
+  }
+
+  test("evm_decode_event handles dynamic types (string head/tail)") {
+    import spark.implicits._
+    // LogNote(string note, uint8 v): head = [offset=0x40][v=7], tail = len+payload
+    val data = word(BigInteger.valueOf(0x40)) ++ word(BigInteger.valueOf(7)) ++
+      word(BigInteger.valueOf(2)) ++ ("hi".getBytes("UTF-8") ++ new Array[Byte](30))
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte], data))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event("LogNote(string note, uint8 v)",
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.note", "d.v")
+    assert(df.head() == Row("hi", 7L))
+  }
+
+  test("evm_decode_event allowFail yields null struct on garbage") {
+    import spark.implicits._
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte],
+        Array[Byte](1, 2, 3)))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event(
+        "Transfer(address indexed from, address indexed to, uint256 amount)",
+        col("t1"), col("t2"), col("t3"), col("data"), allowFail = true).as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  // --- Borsh instruction decode ----------------------------------------------
+
+  test("svm_decode_instruction decodes scalars, strings and fixed bytes") {
+    import spark.implicits._
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Array[Byte](0xf8.toByte, 0xc6.toByte)) // discriminator
+    bb.putLong(123456789L)                        // amount: u64
+    bb.put(1.toByte)                              // flag: bool
+    bb.putInt(2); bb.put("yo".getBytes("UTF-8"))  // memo: string
+    bb.put(Array[Byte](9, 8, 7, 6))               // tag: [u8;4]
+    val data = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val df = Seq(data).toDF("data")
+      .select(F.svm_decode_instruction("f8c6",
+        "amount:u64, flag:bool, memo:string, tag:[u8;4]", col("data")).as("d"))
+      .select("d.amount", "d.flag", "d.memo", "d.tag")
+    val r = df.head()
+    assert(r.getDecimal(0).longValueExact() == 123456789L)
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "yo")
+    assert(r.getAs[Array[Byte]]("tag").toSeq == Seq[Byte](9, 8, 7, 6))
+  }
+
+  test("svm_decode_instruction discriminator mismatch → null with allowFail") {
+    import spark.implicits._
+    val df = Seq(Array[Byte](0, 0, 1)).toDF("data")
+      .select(F.svm_decode_instruction("f8c6", "amount:u64", col("data"),
+        allowFail = true).as("d"))
+    assert(df.head().isNullAt(0))
+  }
+}

@@ -1,70 +1,46 @@
 #!/usr/bin/env python3
-"""Local replay of the driver's t2 oracle gate (test tooling only — the
-Scala library has no python dependency). Usage:
-    python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
-Compares each <outDir>/<name> parquet (written by graft.Verify) against the
-DuckDB result of <outDir>/oracle_sql.json[name], with columns sorted by
-name and rows sorted, values canonicalized.
+"""Local pre-flight for the driver's t2 gate: run each oracle SQL in DuckDB
+over the fixture parquet, compare to the Spark dump in outDir (columns
+sorted by name, values hashed row-wise). Usage:
+  python3 tools/selfcheck.py <sfDir> <outDir>
 """
-import sys, json, math, os
-from decimal import Decimal
-import duckdb
+import json, sys, glob
+import duckdb, pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, Decimal):
-        return format(v.normalize(), "f")
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    return str(v)
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
 
-
-def fetch(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return [cols[i] for i in order], sorted(out)
-
-
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    fails = 0
-    for name in sorted(oracle):
-        res_dir = os.path.join(out_dir, name)
-        if not os.path.isdir(res_dir):
-            print(f"FAIL {name}: no spark output")
-            fails += 1
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = canon(con.execute(sql).fetchdf())
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        got = canon(duckdb.query(f"SELECT * FROM read_parquet({files!r})").fetchdf())
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}"); fails += 1
             continue
-        gcols, got = fetch(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-        wcols, want = fetch(con, oracle[name])
-        if gcols != wcols:
-            print(f"FAIL {name}: columns {gcols} != {wcols}")
-            fails += 1
-        elif got != want:
-            diff = [(a, b) for a, b in zip(got, want) if a != b][:3]
-            print(f"FAIL {name}: {len(got)} vs {len(want)} rows; first diffs: {diff}")
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1
+            continue
+        # stringify for robust compare (timestamps, decimals)
+        ws = want.astype(str); gs = got.astype(str)
+        if not ws.equals(gs):
+            diff = (ws != gs).any(axis=1)
+            print(f"FAIL {name}: {diff.sum()} differing rows; first:\n"
+                  f"  want {ws[diff].head(2).to_dict('records')}\n"
+                  f"  got  {gs[diff].head(2).to_dict('records')}")
             fails += 1
         else:
             print(f"OK   {name} ({len(got)} rows)")
-    print(f"{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
-    return 1 if fails else 0
-
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    except Exception as e:
+        print(f"ERR  {name}: {e}"); fails += 1
+sys.exit(1 if fails else 0)
