@@ -5,11 +5,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     sql.ParityQueries.queries("q02_join_fact_dim")(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (parity Q1-Q15)
+    * plus the training-data-pipeline extensions (x16-x26).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    sql.ParityQueries.queries
+    sql.ParityQueries.queries ++ sql.ExtensionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    sql.ParityQueries.oracle
+    sql.ParityQueries.oracle ++ sql.ExtensionQueries.oracle
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextOps.{charShingles, hash60, wordShingles}
+
+/** Deduplication operators for training-data pipelines, each built as the
+  * plan a 1000-executor cluster wants:
+  *
+  *   - exact: hash-groupBy (one shuffle on the content hash);
+  *   - n-gram Jaccard: shingle-explode + equi-join on the shingle (shuffle
+  *     keyed by shingle — never the O(n²) cross join);
+  *   - MinHash+LSH: shingle→minhash→band→bucket self-join (the shuffle key
+  *     is the band signature, so only colliding docs ever meet);
+  *   - SimHash: per-bit sign aggregation → 60-bit code, pairs by Hamming
+  *     distance within blocking keys.
+  *
+  * All hashes are md5-derived (TextOps cross-engine contract) so every
+  * operator has an exact DuckDB oracle.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest id per content hash. Returns the kept
+    * rows' ids. One hash-shuffle; at 100 TB this is the canonical
+    * "dedup by md5(text)" job.
+    */
+  def exact(docs: DataFrame, idCol: String, contentCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(contentCol)).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Exploded distinct-shingle table: (id, s). The base relation for the
+    * join-based similarity ops below.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, shingles: Column): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles).as("s"))
+
+  /** All-pairs n-gram Jaccard ≥ threshold, via shingle equi-join (never a
+    * cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Emits
+    * (i, j, jaccard_bp) with i < j. Jaccard is a ratio of exact ints →
+    * deterministic across engines.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
+                        threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, shingles)
+    val n = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(n.as("na"), col("i") === col("na.id"))
+      .join(n.as("nb"), col("j") === col("nb.id"))
+      .withColumn("jaccard_bp", TextOps.bp(col("c"), col("na.n") + col("nb.n") - col("c")))
+      .filter(col("jaccard_bp") >= math.floor(threshold * 10000).toLong)
+      .select(col("i"), col("j"), col("jaccard_bp"))
+  }
+
+  /** MinHash band signatures: `numHashes` min-hashes (hash h of shingle s =
+    * md5(h||'|'||s)), grouped into bands of `bandRows`, each band signature
+    * the in-order concat of its row mins. Emits (id, band, sig).
+    */
+  def minhashBands(docs: DataFrame, idCol: String, shingles: Column,
+                   numHashes: Int, bandRows: Int): DataFrame =
+    shingleTable(docs, idCol, shingles)
+      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
+      .groupBy(col("id"), col("h"))
+      .agg(min(md5(concat(col("h"), lit("|"), col("s")))).as("m"))
+      .withColumn("band", (col("h") / bandRows).cast(IntegerType))
+      .groupBy(col("id"), col("band"))
+      // collect_list order is nondeterministic → sort by h before concat
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("h"), col("m")))),
+        x => x.getField("m"))).as("sig"))
+
+  /** LSH candidate pairs: docs sharing ≥1 band signature, with the count of
+    * matching bands. The self-join shuffles on (band, sig) — only true
+    * collisions co-locate, which is the whole point of LSH at scale.
+    * P(candidate | jaccard J) = 1-(1-J^bandRows)^numBands.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, shingles: Column,
+                           numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    val bands = minhashBands(docs, idCol, shingles, numHashes, bandRows)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("bands"))
+  }
+
+  /** 60-bit SimHash over whitespace tokens (term frequency = natural word
+    * multiplicity): per bit, sum ±1 by the bit of each token's hash60; the
+    * sign vector packs into one BIGINT. Two shuffles (doc×bit agg, doc agg),
+    * both partial-agg friendly.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("hash", hash60(col("w")))
+      .select(col("id"), col("hash"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(when(expr("(hash >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The pair
+    * enumeration here is a range-partitioned self-join; at real scale you'd
+    * block by rotated-code prefixes (each doc emits K rotations, join on
+    * prefix) — the hook is `blockExpr`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val codes = simhash(docs, idCol, textCol)
+    codes.as("a").join(codes.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast(LongType).as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]
+    * column. Brute-force all-pairs (exact baseline); `VectorOps.lshBuckets`
+    * is the scale path. cos emitted in basis points (floor semantics).
+    */
+  def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos",
+        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+  }
+}

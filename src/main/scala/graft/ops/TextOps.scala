@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, fingerprinting, language ID. All are narrow
+  * per-row transformations (no shuffle) built on codegen'd built-ins, so a
+  * 100 TB documents table processes as one fused scan stage.
+  *
+  * Cross-engine determinism contract (shared by the DuckDB oracles):
+  *   - hashes derive from md5 hex strings — identical on any engine;
+  *   - `hash60` = first 15 md5 hex chars as a 60-bit BIGINT
+  *     (DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`);
+  *   - ratios are emitted as basis points via `floor(x*10000)` — floor of a
+  *     bit-identical IEEE double is bit-identical, unlike `round(x, n)`
+  *     whose half-up vs half-even tie rule differs across engines.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash (cross-engine reproducible, see above). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Ratio → basis points as BIGINT: floor(10000 * num / den). */
+  def bp(num: Column, den: Column): Column =
+    floor(num.cast(DoubleType) * 10000d / den.cast(DoubleType)).cast(LongType)
+
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct word n-gram shingles (whitespace tokenization). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = split(c, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - lit(n)),
+        k => concat_ws(" ", (0 until n).map(o => element_at(w, k + lit(o + 1))): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Token counts: whitespace tokens, alpha runs, and a BPE-ish segmentation
+    * (letter runs | digit runs | single other non-space chars).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("ws_tokens", size(split(col(textCol), " ")).cast(LongType))
+      .withColumn("alpha_tokens",
+        expr(s"size(regexp_extract_all($textCol, '[a-z]+', 0))").cast(LongType))
+      .withColumn("bpe_tokens",
+        expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast(LongType))
+
+  /** Quality-scoring signals (basis points): average word length ×100,
+    * stopword ratio, alpha-char ratio — the length/punct/stopword heuristics
+    * of C4/Gopher-style corpus filters, shuffle-free.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+      : DataFrame = {
+    val words = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_words", size(words).cast(LongType))
+      .withColumn("avg_word_len_bp",
+        bp(length(col(textCol)) - size(words) + lit(1), size(words)))
+      .withColumn("stop_ratio_bp",
+        bp(size(filter(words, w => array_contains(stopArr, w))), size(words)))
+      .withColumn("alpha_ratio_bp",
+        bp(length(regexp_replace(col(textCol), "[^a-z]", "")), length(col(textCol))))
+  }
+
+  /** Bottom-k sketch fingerprint: the k lexicographically-smallest md5'd
+    * char-8gram shingles, concatenated. Two near-identical documents share
+    * most smallest-hashes, so equal fingerprints ≈ high Jaccard; the sketch
+    * is O(1) per doc and groupBy-able at any scale (vs O(n²) pair compare).
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", k: Int = 4): DataFrame =
+    docs.withColumn("fp",
+      concat_ws("",
+        slice(array_sort(transform(charShingles(col(textCol), 8), s => md5(s))),
+          1, k)))
+
+  /** Character-trigram-profile language ID — the classic n-gram heuristic
+    * (Cavnar & Trenkle '94 shape): score = |profile ∩ doc trigrams| /
+    * |doc trigrams| per language, predict the argmax. Profiles here are
+    * compact built-in stop-trigram sets; real deployments would broadcast a
+    * trained profile table instead (same plan shape: no shuffle, the profile
+    * is a plan-time literal).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ón ", " qu"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "nt ", "ent", " et", "et "),
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "ch ", "sch", "und"),
+    "zh" -> Seq("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"))
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tri = charShingles(col(textCol), 3)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      val profArr = array(prof.map(lit): _*)
+      struct(
+        size(filter(tri, t => array_contains(profArr, t))).cast(LongType).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits, lang) — array_max over structs compares field-wise,
+    // so ties break deterministically on the lexicographically-largest lang.
+    docs.withColumn("__scores", array(scored: _*))
+      .withColumn("pred_lang", array_max(col("__scores")).getField("lang"))
+      .withColumn("pred_hits", array_max(col("__scores")).getField("hits"))
+      .drop("__scores")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Numeric determinism: every dot product is a LEFT FOLD in double —
+  * `aggregate(zip_with(a,b,*), 0.0, +)` — which both Spark and DuckDB
+  * (`list_reduce`) evaluate in index order, so results are bit-identical
+  * IEEE doubles and the oracles can compare ranks and floored values
+  * exactly. Spark's SIMD-friendly alternative (higher-order functions are
+  * codegen'd) keeps this in whole-stage codegen.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. The corpus side of the join is the big side; the
+    * query side should be small — Spark broadcasts it, so the "scan corpus ×
+    * broadcast queries" plan reads the 100 TB side exactly once with no
+    * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
+    * doubles → fully deterministic.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    // norms precomputed per side: one dot per pair instead of three.
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"),
+        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
+    * dim i): the low bit of hash60(md5("j_i")) — the same value any engine
+    * computes as `('0x'||substr(md5(j||'_'||i),1,15))::BIGINT & 1`.
+    * Plan-time constant per (j,i).
+    */
+  private[ops] def signComponent(j: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1 else -1
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign(Σᵢ w(j,i)·eᵢ) with
+    * w ∈ {±1} from `signComponent`. For unit-ish vectors, P(bit match) =
+    * 1 − θ/π (SimHash/Charikar). The signed sums are left folds → exact.
+    */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
+    val planeBits = (0 until numPlanes).map { j =>
+      val signs = array((0 until dim).map(i => lit(signComponent(j, i).toDouble)): _*)
+      val proj = aggregate(
+        zip_with(vecCol, signs, (x, s) => x.cast(DoubleType) * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket
+    * candidates. The join shuffles on the bucket id — at 100 TB the corpus
+    * partitions by bucket once and every query probes one partition. Recall
+    * < 1.0 by construction (approximate); raise numPlanes ↓bucket size,
+    * multiple tables ↑recall.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, numPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"),
+        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, TextOps, VectorOps}
+import graft.sources.Tables
+
+/** Training-data-pipeline extension operators (BASELINE.json north star),
+  * wired over the `documents` / `embeddings` fixtures with exact DuckDB
+  * oracles. Determinism rests on the TextOps cross-engine contract:
+  * md5-derived hashes, left-fold double sums, floor-based basis points.
+  *
+  * Thresholds were calibrated on the fixtures (sf0.01): word-3gram Jaccard
+  * near-dups at 0.99 vs 0.025 background → threshold 0.5; simhash planted
+  * pairs at hamming ≤3 vs median 19; max embedding cosine 0.51 vs p99 0.29
+  * → near-dup threshold 0.45.
+  */
+object ExtensionQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // x16 — token counting (whitespace, alpha runs, BPE-ish segmentation).
+    "x16_text_tokens" -> { (s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"))
+        .select("doc_id", "ws_tokens", "alpha_tokens", "bpe_tokens")
+        .orderBy("doc_id")
+    },
+
+    // x17 — quality-score signals (C4/Gopher-style filters), basis points.
+    "x17_text_quality" -> { (s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "avg_word_len_bp", "stop_ratio_bp",
+          "alpha_ratio_bp")
+        .orderBy("doc_id")
+    },
+
+    // x18 — char-trigram-profile language ID (n-gram heuristic).
+    "x18_lang_id" -> { (s, dir) =>
+      TextOps.langId(t(s, dir, "documents"))
+        .select("doc_id", "pred_lang", "pred_hits")
+        .orderBy("doc_id")
+    },
+
+    // x19 — bottom-k sketch document fingerprint.
+    "x19_fingerprint" -> { (s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
+    // x20 — exact dedup by content hash (keep min doc_id per md5(text)).
+    "x20_dedup_exact" -> { (s, dir) =>
+      DedupOps.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // x21 — n-gram Jaccard near-dup pairs via shingle equi-join (no cross
+    // join anywhere: the shuffle key is the shingle).
+    "x21_dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      DedupOps.ngramJaccardPairs(d, "doc_id",
+          TextOps.wordShingles(col("text"), 3), 0.5)
+        .orderBy("i", "j")
+    },
+
+    // x22 — MinHash+LSH candidate pairs (16 hashes, 4 bands × 4 rows:
+    // P(candidate) = 1-(1-J^4)^4 → J=0.99 caught, J=0.1 ~4e-4).
+    "x22_dedup_minhash_lsh" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      DedupOps.minhashLshCandidates(d, "doc_id",
+          TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
+        .orderBy("i", "j")
+    },
+
+    // x23 — SimHash near-dup pairs (60-bit code, hamming ≤ 3).
+    "x23_dedup_simhash" -> { (s, dir) =>
+      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("i", "j")
+    },
+
+    // x24 — embedding-cosine near-dup pairs (brute-force exact baseline).
+    "x24_dedup_embedding" -> { (s, dir) =>
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 0.45)
+        .orderBy("i", "j")
+    },
+
+    // x25 — exact ANN baseline: brute-force cosine top-5 for 20 query
+    // vectors (corpus scanned once, queries broadcast).
+    "x25_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorOps.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5)
+        .orderBy("qid", "nid")
+    },
+
+    // x26 — LSH-bucketed ANN (8 random hyperplanes → 256 buckets); the
+    // scale path: corpus partitions by bucket, queries probe one bucket.
+    "x26_ann_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorOps.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5, dim = 64, numPlanes = 8)
+        .orderBy("qid", "nid")
+    }
+  )
+
+  // DuckDB oracle SQL. Shared fragments --------------------------------------
+
+  /** Left-fold dot product of two 64-dim list<float> cols, as DuckDB SQL —
+    * bit-identical to VectorOps.dot (aggregate starts at 0.0; 0.0+x == x).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1,65), k -> $a[k::INT]::DOUBLE * $b[k::INT]::DOUBLE), (x,y) -> x+y)"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private val word3gramShingles =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          range(1, greatest(len(w)-2,0)+1),
+      |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+      |        FROM w)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x16_text_tokens" ->
+      """SELECT doc_id,
+        | len(string_split(text,' '))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text,'[a-z]+'))::BIGINT AS alpha_tokens,
+        | len(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x17_text_quality" ->
+      """SELECT doc_id,
+        | len(string_split(text,' '))::BIGINT AS n_words,
+        | floor((len(text) - len(string_split(text,' ')) + 1)::DOUBLE * 10000 / len(string_split(text,' '))::DOUBLE)::BIGINT AS avg_word_len_bp,
+        | floor(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','in'], x)))::DOUBLE * 10000 / len(string_split(text,' '))::DOUBLE)::BIGINT AS stop_ratio_bp,
+        | floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000 / len(text)::DOUBLE)::BIGINT AS alpha_ratio_bp
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x18_lang_id" -> {
+      // struct list_max ≙ Spark array_max: field-order comparison, ties
+      // break on the lexicographically-largest lang.
+      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+        val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
+        s"struct_pack(hits := len(list_filter(tri, x -> list_contains($arr, x)))::BIGINT, lang := '$lang')"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(1, greatest(len(text)-2,0)+1), i -> substr(text,i::INT,3))) tri
+         |  FROM documents),
+         | s AS (SELECT doc_id, list_max([$profs]) m FROM t)
+         | SELECT doc_id, m.lang AS pred_lang, m.hits AS pred_hits
+         | FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "x19_fingerprint" ->
+      """SELECT doc_id,
+        | array_to_string(list_sort(list_transform(list_distinct(
+        |   list_transform(range(1, greatest(len(text)-7,0)+1), i -> substr(text,i::INT,8))),
+        |   s -> md5(s)))[1:4], '') AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x20_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+
+    "x21_dedup_ngram_jaccard" ->
+      s"""$word3gramShingles,
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         | SELECT i, j,
+         |   floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE)::BIGINT AS jaccard_bp
+         | FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         | WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000
+         | ORDER BY i, j""".stripMargin,
+
+    "x22_dedup_minhash_lsh" ->
+      s"""$word3gramShingles,
+         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+         |   FROM mh GROUP BY doc_id, band)
+         | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
+         | FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    "x23_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) word FROM documents),
+        | h AS (SELECT doc_id, ('0x' || substr(md5(word),1,15))::BIGINT hash FROM w),
+        | bits AS (SELECT doc_id, b,
+        |     SUM(CASE WHEN ((hash >> b::INT) & 1) = 1 THEN 1 ELSE -1 END) s
+        |   FROM h CROSS JOIN (SELECT unnest(range(0,60)) b) GROUP BY doc_id, b),
+        | sim AS (SELECT doc_id,
+        |     SUM(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) sh
+        |   FROM bits GROUP BY doc_id)
+        | SELECT a.doc_id i, b.doc_id j, bit_count(xor(a.sh, b.sh))::BIGINT AS ham
+        | FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY i, j""".stripMargin,
+
+    "x24_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+         | p AS (SELECT a.vec_id i, b.vec_id j,
+         |     ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) cos
+         |   FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         | SELECT i, j, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM p WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
+
+    "x25_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+         | s AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         | r AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x26_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm,
+         |   list_reduce(list_transform(range(0,8), j ->
+         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
+         |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+         |       (x,y) -> x+y) > 0
+         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+         |  FROM embeddings),
+         | s AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM v c JOIN v q ON q.bucket = c.bucket AND q.vec_id < 20
+         |     AND q.vec_id <> c.vec_id),
+         | r AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin
+  )
+}

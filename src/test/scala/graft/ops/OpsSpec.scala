@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Unit specs for the training-data-pipeline operators (dedup, similarity,
+  * text analysis) on tiny in-memory tables with hand-checkable answers.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content with unique words here"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content hash") {
+    val kept = DedupOps.exact(docs, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L))
+  }
+
+  test("ngram jaccard finds near and exact dup pairs, skips unrelated") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH candidates cover the true near-dup pairs") {
+    val cands = DedupOps.minhashLshCandidates(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)) && cands.contains((0L, 1L)))
+    assert(!cands.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs collide, near-dups are close, rest far") {
+    val codes = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(0L) == codes(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(codes(0L), codes(1L)) < ham(codes(0L), codes(2L)))
+  }
+
+  test("cosine is exact on hand-checkable vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(1f, 2f, 2f)),
+      (Array(3f, 4f, 0f), Array(4f, 3f, 0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect().toSeq
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+    assert(math.abs(got(2) - 24.0 / 25.0) < 1e-15)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val top = VectorOps.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .select("nid", "rk").as[(Long, Long)].collect().toSeq
+    assert(top == Seq((3L, 1L), (1L, 2L))) // exact match first, then closest
+  }
+
+  test("LSH top-k is a subset of brute-force with matching ranks per bucket") {
+    val vecs = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat)
+    }.toDF("vec_id", "embedding")
+    val lsh = VectorOps.lshTopK(vecs.filter($"vec_id" < 3), vecs, "vec_id",
+        "embedding", 3, dim = 8, numPlanes = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(vecs.filter($"vec_id" < 3), vecs,
+        "vec_id", "embedding", 39)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(brute))
+  }
+
+  test("langId picks the right profile for natural-language snippets") {
+    val snippets = Seq(
+      (1L, "the king and the queen of the north are riding"),
+      (2L, "la casa de la abuela que tiene la puerta grande"),
+      (3L, "die kinder und der hund schwimmen in dem see")).toDF("doc_id", "text")
+    val got = TextOps.langId(snippets).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de")
+  }
+
+  test("fingerprint: exact dups share fp, distinct content differs") {
+    val fps = TextOps.fingerprint(docs).select("doc_id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+    assert(fps(0L).length == 4 * 32)
+  }
+
+  test("tokenCounts and qualityScore on a known sentence") {
+    val one = Seq((0L, "the cat sat on a mat 42 times!")).toDF("doc_id", "text")
+    val t = TextOps.tokenCounts(one).head()
+    assert(t.getAs[Long]("ws_tokens") == 8)
+    assert(t.getAs[Long]("alpha_tokens") == 7)   // 'the cat sat on a mat times'
+    assert(t.getAs[Long]("bpe_tokens") == 9)     // + '42' + '!'
+    val q = TextOps.qualityScore(one).head()
+    assert(q.getAs[Long]("n_words") == 8)
+    assert(q.getAs[Long]("stop_ratio_bp") == 2500) // 'the', 'a' of 8
+  }
+}

@@ -1,0 +1,142 @@
+package graft.steps
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.api.{ParquetSource, Pipeline}
+import graft.sinks.{ParquetSink, Resume}
+
+/** Step-library specs mirroring the reference's `tests/test_steps.py`
+  * golden style: tiny 2-row tables, exact expected outputs.
+  */
+class StepsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bundle(dfs: (String, DataFrame)*): Map[String, DataFrame] = dfs.toMap
+
+  test("Cast: strict cast and try_cast null-on-failure (test_steps.py:30-77)") {
+    val t = Seq(("1", "x"), ("2", "3")).toDF("a", "b")
+    val strict = Steps.Cast("t", Map("a" -> LongType))(spark, bundle("t" -> t))("t")
+    assert(strict.schema("a").dataType == LongType)
+    assert(strict.select("a").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val tryc = Steps.Cast("t", Map("b" -> LongType), allowCastFail = true)(
+      spark, bundle("t" -> t))("t")
+    assert(tryc.select("b").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet == Set(None, Some(3L)))
+    intercept[Exception] {
+      Steps.Cast("t", Map("b" -> LongType))(spark, bundle("t" -> t))("t")
+        .collect() // strict cast of 'x' must throw (ANSI)
+    }
+  }
+
+  test("CastByType rewrites every matching column across tables") {
+    val t1 = Seq((1, 2L)).toDF("a", "b")
+    val t2 = Seq((3, "s")).toDF("c", "d")
+    val out = Steps.CastByType(IntegerType, DoubleType)(
+      spark, bundle("t1" -> t1, "t2" -> t2))
+    assert(out("t1").schema("a").dataType == DoubleType)
+    assert(out("t1").schema("b").dataType == LongType)
+    assert(out("t2").schema("c").dataType == DoubleType)
+    assert(out("t2").schema("d").dataType == StringType)
+  }
+
+  test("HexEncode: all binary cols → lowercase 0x-prefixed (test_steps.py:88-108)") {
+    val t = Seq((Array[Byte](0xde.toByte, 0xad.toByte), "keep"))
+      .toDF("bin", "s")
+    val out = Steps.HexEncode()(spark, bundle("t" -> t))("t")
+    assert(out.select("bin").as[String].head() == "0xdead")
+    assert(out.select("s").as[String].head() == "keep")
+    val bare = Steps.HexEncode(prefixed = false)(spark, bundle("t" -> t))("t")
+    assert(bare.select("bin").as[String].head() == "dead")
+  }
+
+  test("Base58Encode step matches golden vectors (test_steps.py:12-27)") {
+    val t = Seq(Tuple1("asd".getBytes)).toDF("bin")
+    val out = Steps.Base58Encode()(spark, bundle("t" -> t))("t")
+    assert(out.select("bin").as[String].head() == "ZjVd")
+  }
+
+  test("SetChainId drops then appends constant chain_id (test_steps.py:131-158)") {
+    val t = Seq((1, 999L)).toDF("a", "chain_id")
+    val out = Steps.SetChainId(10L)(spark, bundle("t" -> t))("t")
+    assert(out.select("chain_id").as[Long].head() == 10L)
+    assert(out.columns.count(_ == "chain_id") == 1)
+  }
+
+  test("EvmValidateBlockData flags broken hash chains") {
+    val blocks = Seq(
+      (1L, "h1", "h0"), (2L, "h2", "h1"), (3L, "h3", "WRONG"))
+      .toDF("block_number", "hash", "parent_hash")
+    val out = Steps.EvmValidateBlockData()(spark, bundle("blocks" -> blocks))("blocks")
+    val valid = out.select("block_number", "valid").as[(Long, Boolean)]
+      .collect().toMap
+    assert(valid(1L) && valid(2L) && !valid(3L))
+  }
+
+  test("EvmDecodeEvents decodes a Transfer log table (hstack keeps inputs)") {
+    def topic(fill: Byte): Array[Byte] = {
+      val out = new Array[Byte](32)
+      java.util.Arrays.fill(out, 12, 32, fill); out
+    }
+    val amountWord = {
+      val w = new Array[Byte](32); w(31) = 42; w
+    }
+    val logs = Seq((7L, topic(0x11), topic(0x22), null: Array[Byte], amountWord))
+      .toDF("log_index", "topic1", "topic2", "topic3", "data")
+    val out = Steps.EvmDecodeEvents(
+      "Transfer(address indexed from, address indexed to, uint256 amount)",
+      inputTable = "logs", hstack = true)(spark, bundle("logs" -> logs))
+    val d = out("decoded_logs")
+    assert(d.columns.toSeq ==
+      Seq("from", "to", "amount", "log_index", "topic1", "topic2", "topic3", "data"))
+    val r = d.head()
+    assert(r.getAs[Array[Byte]]("from").last == 0x11)
+    assert(new java.math.BigInteger(1, r.getAs[Array[Byte]]("amount")).intValue == 42)
+    assert(r.getAs[Long]("log_index") == 7L)
+  }
+
+  test("Sql step registers views and binds outputs (datafusion_step.py analog)") {
+    val t = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val out = Steps.Sql(Map("doubled" -> "SELECT k * 2 AS k2 FROM t"))(
+      spark, bundle("t" -> t))
+    assert(out("doubled").select("k2").as[Int].collect().sorted.toSeq == Seq(2, 4))
+    assert(out.contains("t"))
+  }
+
+  test("pipeline end-to-end: source → steps → anchor-last sink → resume") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val src = Seq((1L, Array[Byte](0x0a)), (2L, Array[Byte](0x0b)))
+      .toDF("block_number", "payload")
+    src.write.mode("overwrite").parquet(s"$dir/in/blocks.parquet")
+
+    val pipeline = Pipeline(
+      source = ParquetSource(s"$dir/in", Seq("blocks")),
+      steps = Seq(Steps.SetChainId(1L), Steps.HexEncode()),
+      sink = ParquetSink(s"$dir/out", anchorTable = Some("blocks")))
+    Pipeline.run(spark, pipeline)
+
+    val out = spark.read.parquet(s"$dir/out/blocks")
+    assert(out.count() == 2)
+    assert(out.select("payload").as[String].collect().toSet == Set("0x0a", "0x0b"))
+    assert(out.select("chain_id").as[Long].collect().toSet == Set(1L))
+    // resume watermark (cherry P5: SELECT MAX(block_number) at startup)
+    assert(Resume.maxWatermark(
+      spark.read.parquet(s"$dir/out/blocks"), "block_number").contains(2L))
+    assert(Resume.maxWatermark(
+      spark.read.parquet(s"$dir/missing"), "block_number").isEmpty)
+  }
+
+  test("Pipeline.merge unions batches per table and checks key sets") {
+    val b1 = bundle("t" -> Seq(1).toDF("a"))
+    val b2 = bundle("t" -> Seq(2).toDF("a"))
+    val merged = Pipeline.merge(Seq(b1, b2))
+    assert(merged("t").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      Pipeline.merge(Seq(b1, bundle("other" -> Seq(1).toDF("a"))))
+    }
+  }
+}
