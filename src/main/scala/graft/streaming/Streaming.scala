@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.api.{Sink, Step}
+
+/** Structured Streaming surface (SURVEY §2.7). The reference's streaming
+  * model is ordered micro-batch replay with no watermarks or stateful
+  * operators (cherry `pipeline.py:110-126`); parity therefore only needs
+  * the bounded batch loop. The ops here are the ENGINE CAPABILITIES layer:
+  * event-time windows, watermarked late-data policy, and keyed state, all
+  * on Spark's native streaming operators so state lives in the
+  * checkpointed state store (RocksDB at scale) — not in driver memory.
+  */
+object Streaming {
+
+  /** Run the SAME Step pipeline per micro-batch via foreachBatch — the
+    * single-sourced batch/stream code path (SURVEY §7.3 risk 5): each
+    * micro-batch DataFrame becomes a one-table bundle, flows through the
+    * identical step fold, and lands in the batch Sink. Delivery is
+    * at-least-once (foreachBatch re-runs a failed batch) — pair with the
+    * idempotent resume pattern (sinks/Resume) exactly like the reference.
+    */
+  def pipelineWriter(stream: DataFrame, tableName: String, steps: Seq[Step],
+                     sink: Sink, checkpointDir: String): DataStreamWriter[_] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[_], batchId: Long) =>
+        val spark = batch.sparkSession
+        val tables = Map(tableName -> batch.toDF())
+        sink.push(graft.api.Pipeline.processSteps(spark, tables, steps))
+      }
+
+  /** Tumbling event-time window aggregation with a watermark: the streaming
+    * analog of the batch Q14 date_trunc query. Late rows beyond `lateness`
+    * are dropped (the reference cannot have late data — block order is
+    * total — so any watermark is a strict capability superset).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     lateness: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("window.start").as("ws") +: col("window.end").as("we") +:
+        keyCols.map(col)) :+ col("cnt"): _*)
+
+  /** Sliding-window variant (overlapping windows every `slide`). */
+  def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
+                    slide: String, lateness: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("window.start").as("ws") +: col("window.end").as("we") +:
+        keyCols.map(col)) :+ col("cnt"): _*)
+
+  /** Session windows: gap-based grouping per key (session closes after
+    * `gap` of event-time silence).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+                    lateness: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("session_window.start").as("ws") +:
+        col("session_window.end").as("we") +: keyCols.map(col)) :+ col("cnt"): _*)
+
+  /** Streaming exact dedup on key columns within the watermark horizon —
+    * the streaming face of DedupOps.exact. State is per-key in the state
+    * store and expires with the watermark, so memory is bounded at scale.
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, lateness: String,
+                     keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Keyed running state via mapGroupsWithState: per-key event count and
+    * last-seen timestamp. The typed-state escape hatch for custom semantics
+    * the windowed operators can't express (cherry has no analog — declared
+    * capability). `evictAfter` turns on processing-time timeout eviction;
+    * note a timeout-bearing query keeps scheduling batches to fire timeouts
+    * even with no new data, so leave it None for replay/testing.
+    */
+  final case class KeyCount(key: String, count: Long, lastSeenMs: Long)
+
+  def runningCounts(events: Dataset[(String, Long)],
+                    evictAfter: Option[String] = None): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[KeyCount]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(KeyCount(key, 0L, 0L))
+            val batch = rows.toSeq
+            val next = KeyCount(key, prev.count + batch.size,
+              math.max(prev.lastSeenMs, batch.map(_._2).max))
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Start a memory-sink query for tests/inspection; production sinks go
+    * through `pipelineWriter`.
+    */
+  def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append)
+      : StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

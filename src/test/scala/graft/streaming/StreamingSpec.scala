@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.steps.Steps
+
+/** Structured Streaming capability specs: watermarked windows, streaming
+  * dedup, keyed state, and the foreachBatch single-source pipeline path.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window counts with watermark (streaming analog of Q14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.tumblingCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "10 minutes", "5 minutes",
+      "event_type")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      // advance watermark past the first window to emit it
+      input.addData((ts(30), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("ws", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(10), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "5 minutes", "1 minute", "user")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "u1"), (ts(3), "u1"), (ts(20), "u1"))
+      q.processAllAvailable()
+      input.addData((ts(45), "u1")) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sessions").select("ws", "cnt")
+        .as[(Timestamp, Long)].collect().toSet
+      assert(rows.contains((ts(1), 2L))) // one session for minutes 1-3
+      assert(rows.contains((ts(20), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeat keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = Streaming.streamingDedup(
+      input.toDF().toDF("ts", "event_id"), "ts", "10 minutes", "event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 101L))
+      q.processAllAvailable()
+      input.addData((ts(4), 100L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(100L, 101L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = Streaming.runningCounts(input.toDS())
+    val q = counts.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("a", 10L), ("a", 20L), ("b", 5L))
+      q.processAllAvailable()
+      input.addData(("a", 30L))
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .groupBy("key").agg(max("count").as("count"))
+        .as[(String, Long)].collect().toMap
+      assert(last("a") == 3L && last("b") == 1L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch runs the batch step pipeline per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val sink = graft.sinks.ParquetSink(s"$dir/out")
+    val q = Streaming.pipelineWriter(
+        input.toDF().toDF("block_number", "payload"), "blocks",
+        Seq(Steps.SetChainId(7L), Steps.HexEncode()), sink, s"$dir/ckpt")
+      .start()
+    try {
+      input.addData((1L, Array[Byte](0x0a)))
+      q.processAllAvailable()
+      input.addData((2L, Array[Byte](0x0b)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/blocks")
+      assert(out.count() == 2)
+      assert(out.select("payload").as[String].collect().toSet == Set("0x0a", "0x0b"))
+      assert(out.select("chain_id").as[Long].collect().toSet == Set(7L))
+    } finally q.stop()
+  }
+}
