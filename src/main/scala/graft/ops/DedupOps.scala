@@ -62,18 +62,26 @@ object DedupOps {
   /** MinHash band signatures: `numHashes` min-hashes (hash h of shingle s =
     * md5(h||'|'||s)), grouped into bands of `bandRows`, each band signature
     * the in-order concat of its row mins. Emits (id, band, sig).
+    *
+    * Plan shape: ONE aggregation with numHashes min() columns over the
+    * exploded shingle table — codegen'd md5, map-side partial mins, no
+    * numHashes× row blowup; bands explode only the tiny per-doc signature
+    * array afterwards.
     */
   def minhashBands(docs: DataFrame, idCol: String, shingles: Column,
-                   numHashes: Int, bandRows: Int): DataFrame =
-    shingleTable(docs, idCol, shingles)
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
-      .groupBy(col("id"), col("h"))
-      .agg(min(md5(concat(col("h"), lit("|"), col("s")))).as("m"))
-      .withColumn("band", (col("h") / bandRows).cast(IntegerType))
-      .groupBy(col("id"), col("band"))
-      // collect_list order is nondeterministic → sort by h before concat
-      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("h"), col("m")))),
-        x => x.getField("m"))).as("sig"))
+                   numHashes: Int, bandRows: Int): DataFrame = {
+    val mins = (0 until numHashes).map(h =>
+      min(md5(concat(lit(h), lit("|"), col("s")))).as(s"m$h"))
+    val sigs = shingleTable(docs, idCol, shingles)
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until bandRows).map(r => col(s"m${b * bandRows + r}")): _*).as("sig"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** LSH candidate pairs: docs sharing ≥1 band signature, with the count of
     * matching bands. The self-join shuffles on (band, sig) — only true

@@ -16,9 +16,14 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd left-fold dot product (graft.functions.FloatVecDot) — same
+    * bit-exact semantics as `aggregate(zip_with(a,b,*), 0.0, +)` but ~50×
+    * faster in pair joins (HOFs are CodegenFallback).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -66,10 +71,10 @@ object VectorOps {
     */
   def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
     val planeBits = (0 until numPlanes).map { j =>
-      val signs = array((0 until dim).map(i => lit(signComponent(j, i).toDouble)): _*)
-      val proj = aggregate(
-        zip_with(vecCol, signs, (x, s) => x.cast(DoubleType) * s),
-        lit(0.0), (acc, v) => acc + v)
+      // ±1 in float is exact, so x·(±1f) ≡ ±x — bit-identical to the
+      // oracle's CASE-negation form; dot() keeps the loop codegen'd.
+      val signs = array((0 until dim).map(i => lit(signComponent(j, i).toFloat)): _*)
+      val proj = dot(vecCol, signs)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     planeBits.reduce(_ + _)
