@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test hook: apply a SparkSessionExtensions' injected functions to a
+    * registry (`registerFunctions` is private[sql]).
+    */
+  def applyFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                     reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }
