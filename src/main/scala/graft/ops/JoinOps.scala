@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in set: temporal as-of join and a
+  * salting utility for skewed keys. The reference has neither (SURVEY §2.4
+  * declares their absence) — these are engine capabilities for the
+  * time-series/training-data workloads.
+  */
+object JoinOps {
+
+  /** Backward as-of join: for every left row, the single most recent right
+    * row with `right.tsCol <= left.tsCol` (inclusive), per join key —
+    * semantics of DuckDB/kdb ASOF JOIN, pandas merge_asof.
+    *
+    * Plan shape (the 100 TB-safe one): UNION the two sides tagged by
+    * origin, ONE shuffle on the key, and a running `last(ignoreNulls)`
+    * window ordered by (ts, side) picks the prevailing right payload for
+    * each left row. No range-join explosion, no per-key collect; cost is
+    * one shuffle + one sort, both streaming-friendly. Right rows should be
+    * unique per (key, ts) — with duplicates the surviving payload is the
+    * window-order last, which ties non-deterministically; dedupe upstream.
+    *
+    * Output: all left columns plus the right payload columns (null when no
+    * right row precedes the left row).
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val restCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
+    val payload = struct(payloadCols.map(col): _*)
+    val r = right.select(
+      (col(keyCol) +: col(tsCol) +:
+        payload.as("__r") +: lit(0).as("__side") +:
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(keyCol) +: col(tsCol) +:
+        lit(null).cast(r.schema("__r").dataType).as("__r") +:
+        lit(1).as("__side") +:
+        restCols.map(col)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  /** Skew-salted inner equi-join: replicate the (small) right side
+    * `salts`× and scatter left rows across the replicas, so one hot key
+    * spreads over `salts` reducers instead of melting a single task. The
+    * left scatter uses a caller-provided deterministic expression (e.g. a
+    * row id column) — never rand(), which breaks retry idempotence.
+    * Semantically identical to `left.join(right, keyCol)`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 scatterExpr: Column, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("__salt", pmod(xxhash64(scatterExpr), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+}

@@ -2,8 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{DedupOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -104,6 +105,74 @@ object ExtensionQueries {
       VectorOps.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id",
           "embedding", 5, dim = 64, numPlanes = 8)
         .orderBy("qid", "nid")
+    },
+
+    // x27 — backward as-of join (union+window plan, JoinOps): for each
+    // purchase, the user's most recent click at-or-before it.
+    "x27_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts"))
+      JoinOps.asOfJoinBackward(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+        .orderBy("event_id")
+    },
+
+    // x28 — running windowed aggregation + lag over event time.
+    "x28_window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value").cast(DecimalType(38, 6))).over(wf), 4)
+            .cast(DecimalType(38, 4)).as("run_total"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy("event_id")
+    },
+
+    // x29 — corpus dedup statistics (exact counts → oracle-able summary).
+    "x29_dedup_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("n_docs"), col("n_unique"),
+          TextOps.bp(col("n_docs") - col("n_unique"), col("n_docs")).as("dup_ratio_bp"))
+    },
+
+    // x30 — CUBE grouping sets over the corpus dimensions.
+    "x30_cube" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
+    // x31 — full outer join of per-nation aggregates.
+    "x31_full_outer" -> { (s, dir) =>
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sc = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("s_cnt"))
+      cc.join(sc, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("k"),
+          col("c_cnt"), col("s_cnt"))
+        .orderBy("k")
+    },
+
+    // x32 — EXCEPT set op (users who errored but never purchased).
+    "x32_except" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "error").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy("user_id")
     }
   )
 
@@ -234,6 +303,48 @@ object ExtensionQueries {
          | r AS (SELECT qid, nid, cos,
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
-         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin
+         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x27_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) click_id
+        |   FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        | p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        | SELECT p.event_id, p.user_id, c.click_id,
+        |   epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        | FROM p ASOF LEFT JOIN clicks c
+        |   ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin,
+
+    "x28_window_running" ->
+      """SELECT event_id, user_id,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4)
+        |   AS DECIMAL(38,4)) AS run_total,
+        | lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events ORDER BY event_id""".stripMargin,
+
+    "x29_dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        | floor((count(*) - count(DISTINCT md5(text)))::DOUBLE * 10000
+        |   / count(*)::DOUBLE)::BIGINT AS dup_ratio_bp
+        | FROM documents""".stripMargin,
+
+    "x30_cube" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        | GROUP BY CUBE(lang, source)
+        | ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "x31_full_outer" ->
+      """WITH cc AS (SELECT c_nationkey, count(*) c_cnt FROM customer GROUP BY 1),
+        | sc AS (SELECT s_nationkey, count(*) s_cnt FROM supplier GROUP BY 1)
+        | SELECT coalesce(cc.c_nationkey, sc.s_nationkey) AS k, cc.c_cnt, sc.s_cnt
+        | FROM cc FULL OUTER JOIN sc ON cc.c_nationkey = sc.s_nationkey
+        | ORDER BY k""".stripMargin,
+
+    "x32_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type = 'purchase'
+        | ORDER BY user_id""".stripMargin
   )
 }
