@@ -179,6 +179,43 @@ object Steps {
     }
   }
 
+  // --- T14 GLACIERS_EVENTS analog (cherry config.py:137-142 — declared but
+  //     never dispatched): decode logs against a MULTI-signature ABI set ---
+
+  /** Decode `inputTable` against several event signatures at once: each log
+    * routes to the signature whose topic0 (keccak of the canonical form)
+    * matches, decodes with that ABI, and the per-signature results union by
+    * name (missing columns null — signatures rarely share fields). Adds
+    * `event_name`. Spark-first shape: per-signature filtered decode plans
+    * unioned — each branch's topic0 filter sits on the scan, and the union
+    * is plan-level (no data copied).
+    */
+  final case class EvmDecodeMultiEvents(signatures: Seq[String],
+                                        allowDecodeFail: Boolean = true,
+                                        inputTable: String = "logs",
+                                        outputTable: String = "decoded_logs")
+      extends Step {
+    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
+      val in = tables(inputTable)
+      def topic(n: String): Column =
+        if (in.columns.contains(n)) col(n) else lit(null).cast(BinaryType)
+      val branches = signatures.map { sig =>
+        val parsed = graft.functions.Abi.parseEvent(sig)
+        val t0 = graft.functions.Keccak.topic0(sig)
+        val decoded = in.filter(col("topic0") === lit(t0))
+          .withColumn("__d", F.evm_decode_event(
+            sig, topic("topic1"), topic("topic2"), topic("topic3"),
+            col("data"), allowDecodeFail))
+        decoded.select(
+          (lit(parsed.name).as("event_name") +:
+            parsed.schema.fieldNames.map(f => col(s"__d.$f")).toSeq) ++
+            in.columns.map(col): _*)
+      }
+      val out = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+      tables + (outputTable -> out)
+    }
+  }
+
   // --- T12 EVM_VALIDATE_BLOCK_DATA (declared-but-undispatched in cherry,
   //     config.py:120-125; semantics: block-hash chain continuity) ----------
 

@@ -99,6 +99,50 @@ class StepsSpec extends SparkSpec {
     assert(r.getAs[Long]("log_index") == 7L)
   }
 
+  test("EvmDecodeMultiEvents routes logs by topic0 across an ABI set (T14)") {
+    import graft.functions.Keccak
+    def topic(fill: Byte): Array[Byte] = {
+      val out = new Array[Byte](32)
+      java.util.Arrays.fill(out, 12, 32, fill); out
+    }
+    def word(v: Long): Array[Byte] = {
+      val w = new Array[Byte](32); w(31) = v.toByte; w
+    }
+    val transferSig = "Transfer(address indexed from, address indexed to, uint256 amount)"
+    val approvalSig = "Approval(address indexed owner, address indexed spender, uint256 value)"
+    val logs = Seq(
+      (1L, Keccak.topic0(transferSig), topic(0x11), topic(0x22), word(7)),
+      (2L, Keccak.topic0(approvalSig), topic(0x33), topic(0x44), word(9)),
+      (3L, Array.fill[Byte](32)(0x5a), topic(0x55), null, word(1)) // unknown
+    ).toDF("log_index", "topic0", "topic1", "topic2", "data")
+    val out = Steps.EvmDecodeMultiEvents(Seq(transferSig, approvalSig))(
+      spark, bundle("logs" -> logs))("decoded_logs")
+    val rows = out.orderBy("log_index")
+      .select("event_name", "log_index").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("Transfer", 1L), ("Approval", 2L))) // unknown dropped
+    // per-signature fields present, cross-signature fields null
+    val r1 = out.filter($"log_index" === 1L).head()
+    assert(new java.math.BigInteger(1, r1.getAs[Array[Byte]]("amount")).intValue == 7)
+    assert(r1.isNullAt(r1.fieldIndex("value")))
+    val r2 = out.filter($"log_index" === 2L).head()
+    assert(new java.math.BigInteger(1, r2.getAs[Array[Byte]]("value")).intValue == 9)
+    assert(r2.getAs[Array[Byte]]("owner").last == 0x33)
+  }
+
+  test("BlockRangeSource slices the range into per-batch pushdown filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    (0L until 100L).map(i => (i, i * 2)).toDF("block_number", "v")
+      .write.mode("overwrite").parquet(s"$dir/blocks.parquet")
+    val src = graft.api.BlockRangeSource(dir, Seq("blocks"), "block_number",
+      fromValue = 0L, toValue = 100L, step = 30L)
+    val batches = src.batches(spark).toSeq
+    assert(batches.size == 4) // 0-30, 30-60, 60-90, 90-100
+    assert(batches.map(_("blocks").count()).sum == 100L)
+    assert(batches.head("blocks").agg(max("block_number")).head().getLong(0) == 29L)
+    val merged = graft.api.Pipeline.merge(batches)
+    assert(merged("blocks").count() == 100L)
+  }
+
   test("Sql step registers views and binds outputs (datafusion_step.py analog)") {
     val t = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val out = Steps.Sql(Map("doubled" -> "SELECT k * 2 AS k2 FROM t"))(
