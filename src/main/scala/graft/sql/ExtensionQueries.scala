@@ -173,6 +173,35 @@ object ExtensionQueries {
       ev.filter(col("event_type") === "error").select(col("user_id"))
         .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
         .orderBy("user_id")
+    },
+
+    // x33 — approximate aggregates (HLL distinct, quantile sketch). Sketch
+    // algorithms differ across engines → rows-only gate, exact-checked by
+    // spec against true values' error bounds instead.
+    "x33_approx_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("apx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("apx_median_price"))
+    },
+
+    // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
+    // near-dup removal (drop the higher id of each Jaccard≥0.5 pair) →
+    // kept document ids. The composition a training-data pipeline runs,
+    // end-to-end in one lazy plan.
+    "x34_corpus_curation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val quality = TextOps.qualityScore(docs)
+        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "text")
+      val exactKept = DedupOps.exact(quality, "doc_id", "text")
+      val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
+      val nearDupDrop = DedupOps.ngramJaccardPairs(survivors, "doc_id",
+          TextOps.wordShingles(col("text"), 3), 0.5)
+        .select(col("j").as("doc_id")).distinct()
+      exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     }
   )
 
@@ -345,6 +374,31 @@ object ExtensionQueries {
       """SELECT user_id FROM events WHERE event_type = 'error'
         | EXCEPT
         | SELECT user_id FROM events WHERE event_type = 'purchase'
-        | ORDER BY user_id""".stripMargin
+        | ORDER BY user_id""".stripMargin,
+
+    // x33 intentionally has NO oracle: HLL/quantile sketches are
+    // engine-specific (driver records the rows-only check).
+
+    "x34_corpus_curation" ->
+      """WITH q AS (SELECT doc_id, text FROM documents
+        |   WHERE len(string_split(text,' ')) >= 20
+        |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
+        |           / len(text)::DOUBLE) >= 7000),
+        | k1 AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
+        | s AS (SELECT q.doc_id, q.text FROM q JOIN k1 USING (doc_id)),
+        | w AS (SELECT doc_id, string_split(text,' ') w FROM s),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-2,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+        |        FROM w),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+        |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | dropd AS (SELECT DISTINCT j AS doc_id FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000)
+        | SELECT doc_id FROM k1
+        | EXCEPT SELECT doc_id FROM dropd
+        | ORDER BY doc_id""".stripMargin
   )
 }
