@@ -36,7 +36,9 @@ import graft.functions.Keccak
   *     .option("fromBlock", 0).option("toBlock", 10000)
   *     .option("logsPerBlock", 3).option("numPartitions", 8).load()
   */
-class ChainSource extends TableProvider {
+class ChainSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graftchain"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChainSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -110,6 +110,23 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream inner join: each side buffers only within
+    * its watermark, and the time-bound condition lets the state store evict
+    * — without it a stream-stream join buffers forever. Joins left rows to
+    * right rows with the same key within [-window, +window] event time.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: String, rightTs: String, lateness: String,
+                       window: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"))
+      .drop(r(keyCol))
+  }
+
   /** Start a memory-sink query for tests/inspection; production sinks go
     * through `pipelineWriter`.
     */

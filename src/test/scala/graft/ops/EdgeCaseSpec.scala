@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate-input behavior: empty tables, empty strings, single rows —
+  * the shapes a 100 TB pipeline inevitably hits in some partition.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val one = Seq((1L, "solo")).toDF("doc_id", "text")
+
+  test("dedup ops return empty (not error) on empty input") {
+    assert(DedupOps.exact(empty, "doc_id", "text").count() == 0)
+    assert(DedupOps.ngramJaccardPairs(empty, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 0)
+    assert(DedupOps.minhashLshCandidates(empty, "doc_id",
+      TextOps.wordShingles(col("text"), 3)).count() == 0)
+    assert(DedupOps.simhashPairs(empty, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("single doc yields no pairs, still fingerprints and scores") {
+    assert(DedupOps.ngramJaccardPairs(one, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 0)
+    assert(DedupOps.simhashPairs(one, "doc_id", "text", 60).count() == 0)
+    // "solo" is 4 chars → zero 8-gram shingles → empty (non-null) fp
+    assert(TextOps.fingerprint(one).select("fp").head().getString(0).isEmpty)
+    val q = TextOps.qualityScore(one).head()
+    assert(q.getAs[Long]("n_words") == 1)
+  }
+
+  test("shingles of short/empty strings are empty arrays, not errors") {
+    val df = Seq("", "ab", "abcdefgh").toDF("s")
+      .select(size(TextOps.charShingles(col("s"), 8)).as("n8"),
+        size(TextOps.wordShingles(col("s"), 3)).as("w3"))
+    assert(df.as[(Int, Int)].collect().toSeq ==
+      Seq((0, 0), (0, 0), (1, 0)))
+  }
+
+  test("ANN with empty corpus/queries returns empty") {
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(VectorOps.bruteForceTopK(noVecs, vecs, "vec_id", "embedding", 5).count() == 0)
+    assert(VectorOps.bruteForceTopK(vecs, noVecs, "vec_id", "embedding", 5).count() == 0)
+  }
+
+  test("asOfJoin with empty right keeps all left rows with null payload") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "k", "t")
+    val right = Seq.empty[(String, Long, Int)].toDF("k", "t", "p")
+    val got = JoinOps.asOfJoinBackward(left, right, "k", "t", Seq("p"))
+    assert(got.count() == 1 && got.head().isNullAt(got.head().fieldIndex("p")))
+  }
+}

@@ -94,6 +94,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches keys within the time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val joined = Streaming.streamStreamJoin(
+      buys.toDF().toDF("bts", "user"), clicks.toDF().toDF("cts", "user"),
+      "user", "bts", "cts", lateness = "1 minute", window = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(1), "u1"), (ts(40), "u1"), (ts(2), "u2"))
+      buys.addData((ts(5), "u1"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").select("bts", "cts")
+        .as[(Timestamp, Timestamp)].collect().toSet
+      assert(rows == Set((ts(5), ts(1)))) // ts(40) outside +-10min, u2 no buy
+    } finally q.stop()
+  }
+
   test("foreachBatch runs the batch step pipeline per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
