@@ -100,18 +100,22 @@ object DedupOps {
 
   /** 60-bit SimHash over whitespace tokens (term frequency = natural word
     * multiplicity): per bit, sum ±1 by the bit of each token's hash60; the
-    * sign vector packs into one BIGINT. Two shuffles (doc×bit agg, doc agg),
-    * both partial-agg friendly.
+    * sign vector packs into one BIGINT. ONE shuffle: the 60 per-bit signed
+    * sums are 60 aggregation columns of a single groupBy (map-side partial
+    * agg), not a 60× row explosion — at 100 TB that's 60 longs of agg state
+    * per doc instead of 60 extra shuffled rows per token.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(hash >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val packed = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("hash", hash60(col("w")))
-      .select(col("id"), col("hash"), explode(sequence(lit(0), lit(59))).as("b"))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(when(expr("(hash >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
       .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The pair
     * enumeration here is a range-partitioned self-join; at real scale you'd

@@ -80,6 +80,46 @@ object VectorOps {
     planeBits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to the cell of
+    * their nearest centroid (argmax cosine, rank-1); each query probes its
+    * `nProbe` nearest cells and ranks exact cosine inside them. Centroids
+    * here are the `numCentroids` lowest-id corpus vectors — deterministic
+    * seeding (IVF minus the k-means refinement), so both the partitioning
+    * and the DuckDB oracle are exact; at scale the centroids come from a
+    * separate k-means job and this assignment/probe plan is unchanged.
+    *
+    * Scale shape: centroids broadcast (tiny), corpus shuffles ONCE on its
+    * cell id (and would be written bucketed-by-cell for reuse), queries
+    * probe nProbe/numCentroids of the data instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 8,
+              nProbe: Int = 2): DataFrame = {
+    val cent = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    def withCell(df: DataFrame, id: String, v: String, n: String,
+                 probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("ccos", dot(col(v), col("cv")) / (col(n) * col("cn")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= probes)
+        .select(col(id), col(v), col(n), col("cid").as("cell"))
+    }
+    val c = withCell(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn")), "nid", "nv", "nn", 1)
+    val q = withCell(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")), "qid", "qv", "qn", nProbe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"),
+        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+  }
+
   /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates. The join shuffles on the bucket id — at 100 TB the corpus
     * partitions by bucket once and every query probes one partition. Recall

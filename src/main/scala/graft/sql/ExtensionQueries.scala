@@ -107,6 +107,16 @@ object ExtensionQueries {
         .orderBy("qid", "nid")
     },
 
+    // x35 — IVF ANN (8 deterministic seed centroids, 2-probe): the other
+    // classic scale path next to LSH (x26). Corpus shuffles once on its
+    // cell id; queries probe 2/8 of the data.
+    "x35_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorOps.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5, numCentroids = 8, nProbe = 2)
+        .orderBy("qid", "nid")
+    },
+
     // x27 — backward as-of join (union+window plan, JoinOps): for each
     // purchase, the user's most recent click at-or-before it.
     "x27_asof_join" -> { (s, dir) =>
@@ -329,6 +339,25 @@ object ExtensionQueries {
          |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
          |   FROM v c JOIN v q ON q.bucket = c.bucket AND q.vec_id < 20
          |     AND q.vec_id <> c.vec_id),
+         | r AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x35_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
+         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+         |   FROM v CROSS JOIN cent),
+         | ranked AS (SELECT id, vec, nrm, cid,
+         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+         |   FROM ca),
+         | c AS (SELECT id nid, vec nv, nrm nn, cid cell FROM ranked WHERE crk = 1),
+         | q AS (SELECT id qid, vec qv, nrm qn, cid cell FROM ranked
+         |   WHERE crk <= 2 AND id < 20),
+         | s AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
+         |   FROM c JOIN q USING (cell) WHERE qid <> nid),
          | r AS (SELECT qid, nid, cos,
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp

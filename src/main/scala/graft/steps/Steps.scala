@@ -179,6 +179,22 @@ object Steps {
     }
   }
 
+  /** T3 SVM_DECODE_LOGS (cherry `steps/svm_decode_logs.py:10-41`): decode
+    * Borsh-encoded log payloads — exactly the instruction path with no
+    * discriminator (the reference reuses the instruction schema-gen with a
+    * dummy discriminator, `svm_decode_logs.py:26-34`; here the empty
+    * discriminator means "skip 0 prefix bytes").
+    */
+  final case class SvmDecodeLogs(fieldSpec: String,
+                                 allowDecodeFail: Boolean = false,
+                                 inputTable: String = "logs",
+                                 outputTable: String = "decoded_logs",
+                                 hstack: Boolean = false) extends Step {
+    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
+      SvmDecodeInstructions("", fieldSpec, allowDecodeFail, inputTable,
+        outputTable, hstack)(spark, tables)
+  }
+
   // --- T14 GLACIERS_EVENTS analog (cherry config.py:137-142 — declared but
   //     never dispatched): decode logs against a MULTI-signature ABI set ---
 

@@ -84,6 +84,22 @@ class OpsSpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.subsetOf(brute))
   }
 
+  test("IVF top-k: rank-1 probe finds same-cell neighbors, subset of brute") {
+    val vecs = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat)
+    }.toDF("vec_id", "embedding")
+    val ivf = VectorOps.ivfTopK(vecs.filter($"vec_id" < 3), vecs, "vec_id",
+        "embedding", 3, numCentroids = 4, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(vecs.filter($"vec_id" < 3), vecs,
+        "vec_id", "embedding", 39)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty && ivf.subsetOf(brute))
+    // a query always probes its own cell, so its exact-duplicate region
+    // (here: itself excluded, but its nearest same-cell vec) is reachable.
+    assert(ivf.map(_._1) == Set(0L, 1L, 2L))
+  }
+
   test("langId picks the right profile for natural-language snippets") {
     val snippets = Seq(
       (1L, "the king and the queen of the north are riding"),

@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WarehouseDdl specs (cherry W2 `writers/clickhouse.py:11-85,112-148`
+  * analog): schema → DDL generation, type-map edges, unknown-type rejection.
+  */
+class DdlSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("block_number", LongType, nullable = false),
+    StructField("hash", BinaryType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("amount", DecimalType(38, 0), nullable = true),
+    StructField("topics", ArrayType(BinaryType, containsNull = false), nullable = true),
+    StructField("meta", MapType(StringType, LongType, valueContainsNull = true), nullable = true),
+    StructField("pos", StructType(Seq(
+      StructField("tx", IntegerType, nullable = true),
+      StructField("log", IntegerType, nullable = false))), nullable = true)
+  ))
+
+  test("ClickHouse DDL: engine, ORDER BY key stays non-Nullable, codecs") {
+    val ddl = WarehouseDdl.createTable("logs", schema,
+      orderBy = Seq("block_number"),
+      codecs = Map("hash" -> "ZSTD(3)"))
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS `logs`"))
+    assert(ddl.contains("`block_number` Int64")) // ORDER BY col: no Nullable
+    assert(!ddl.contains("Nullable(Int64),\n  `hash`"))
+    assert(ddl.contains("`hash` Nullable(String) CODEC(ZSTD(3))"))
+    assert(ddl.contains("`ts` Nullable(DateTime64(6))"))
+    assert(ddl.contains("`amount` Nullable(Decimal(38, 0))"))
+    assert(ddl.contains("`topics` Array(String)"))
+    assert(ddl.contains("`meta` Map(String, Nullable(Int64))"))
+    assert(ddl.contains("`pos` Tuple(tx Nullable(Int32), log Int32)"))
+    assert(ddl.contains("ENGINE = MergeTree()"))
+    assert(ddl.contains("ORDER BY (block_number)"))
+  }
+
+  test("ClickHouse DDL: no ORDER BY → ORDER BY tuple(); unknown type raises") {
+    val ddl = WarehouseDdl.createTable("t",
+      StructType(Seq(StructField("a", IntegerType))))
+    assert(ddl.contains("ORDER BY tuple()"))
+    intercept[IllegalArgumentException] {
+      WarehouseDdl.chType(CalendarIntervalType)
+    }
+  }
+
+  test("ANSI DDL: NOT NULL carried, quoting, decimal precision") {
+    val ddl = WarehouseDdl.createTableAnsi("transfers", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(20, 4), nullable = true),
+      StructField("raw", BinaryType, nullable = true))))
+    assert(ddl.contains("\"id\" BIGINT NOT NULL"))
+    assert(ddl.contains("\"price\" DECIMAL(20, 4)"))
+    assert(ddl.contains("\"raw\" BLOB"))
+  }
+}

@@ -99,6 +99,16 @@ class StepsSpec extends SparkSpec {
     assert(r.getAs[Long]("log_index") == 7L)
   }
 
+  test("SvmDecodeLogs: Borsh decode with no discriminator (svm_decode_logs.py)") {
+    // Borsh LE payload: amount u64 = 5000, flag bool = true.
+    val payload = Array[Byte](0x88.toByte, 0x13, 0, 0, 0, 0, 0, 0, 1)
+    val logs = Seq(Tuple1(payload)).toDF("data")
+    val out = Steps.SvmDecodeLogs("amount:u64, flag:bool")(
+      spark, bundle("logs" -> logs))("decoded_logs").head()
+    assert(out.getDecimal(0).longValueExact() == 5000L)
+    assert(out.getBoolean(1))
+  }
+
   test("EvmDecodeMultiEvents routes logs by topic0 across an ABI set (T14)") {
     import graft.functions.Keccak
     def topic(fill: Byte): Array[Byte] = {
