@@ -45,16 +45,18 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
                         threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, shingles)
-    val n = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // |A| rides along with every exploded shingle row (one extra long per
+    // row) so the pair aggregation picks it up with first() — no separate
+    // per-doc count aggregate and no two count-attach joins afterwards.
+    val sh = docs.select(col(idCol).as("id"), shingles.as("__arr"))
+      .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
+        explode(col("__arr")).as("s"))
+    sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(n.as("na"), col("i") === col("na.id"))
-      .join(n.as("nb"), col("j") === col("nb.id"))
-      .withColumn("jaccard_bp", TextOps.bp(col("c"), col("na.n") + col("nb.n") - col("c")))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("an"),
+        first(col("b.n")).as("bn"))
+      .withColumn("jaccard_bp", TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
       .filter(col("jaccard_bp") >= math.floor(threshold * 10000).toLong)
       .select(col("i"), col("j"), col("jaccard_bp"))
   }
@@ -91,10 +93,19 @@ object DedupOps {
   def minhashLshCandidates(docs: DataFrame, idCol: String, shingles: Column,
                            numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
     val bands = minhashBands(docs, idCol, shingles, numHashes, bandRows)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+    // Bucket-group instead of self-join: the minhash aggregation pipeline
+    // runs ONCE (a self-join evaluates its input plan twice), and pair
+    // enumeration happens inside each (band, sig) bucket — which LSH keeps
+    // tiny by construction, so the nested expansion is O(bucket²) over
+    // buckets of a handful of near-identical docs.
+    bands.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, k) ->
+          |  transform(slice(ids, k + 2, size(ids)), y -> struct(x AS i, y AS j))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("bands"))
   }
 

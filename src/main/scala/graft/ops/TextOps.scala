@@ -84,6 +84,34 @@ object TextOps {
       bridge(graft.functions.Md5BottomK(
         expr0(charShingles(col(textCol), 8)), k)))
 
+  /** PII redaction patterns (C4/Dolma-style corpus scrubbing), applied in
+    * order: emails first (their local parts would otherwise feed the phone
+    * pattern), then dotted IPv4, then international-format phone numbers.
+    * Patterns stay in the RE2-compatible subset (no lookaround/backrefs) so
+    * the DuckDB oracle runs them verbatim.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9][0-9 -]{6,}[0-9]", "<PHONE>"))
+
+  /** Redact PII spans in `textCol` → `red` plus per-category match counts
+    * (counted on the ORIGINAL text, redacted sequentially — so an email
+    * whose domain looks like an IP counts once under each pattern but is
+    * consumed by the first rewrite). Narrow and shuffle-free: at 100 TB
+    * this fuses into the scan stage like every other TextOps signal.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (cat, pat, _)) =>
+      // lit(pat), not expr-embedded: SQL string literals eat backslashes.
+      df.withColumn(s"n_$cat", regexp_count(col(textCol), lit(pat)).cast(LongType))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    counted.withColumn("red", redacted)
+  }
+
   /** Character-trigram-profile language ID — the classic n-gram heuristic
     * (Cavnar & Trenkle '94 shape): score = |profile ∩ doc trigrams| /
     * |doc trigrams| per language, predict the argmax. Profiles here are

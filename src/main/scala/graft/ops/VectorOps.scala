@@ -120,6 +120,45 @@ object VectorOps {
         floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
   }
 
+  /** Lloyd's k-means refinement for IVF centroids — the "separate k-means
+    * job" `ivfTopK`'s doc refers to. Driver-iterated (the MLlib shape):
+    * centroids are k×dim floats, so they live on the driver between
+    * iterations and enter each assignment job as plan-time literals — per
+    * iteration the corpus is scanned ONCE, assignment is a codegen'd
+    * argmin over k dot products (no join), and the centroid update is one
+    * partial-agg shuffle of (cell, dim) sums. Seeds = the k lowest-id
+    * vectors, matching ivfTopK's deterministic seeding. Empty cells keep
+    * their previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[Array[Float]] = {
+    var cent: Array[Array[Float]] = corpus.filter(col(idCol) < k)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      // argmin ||x−c||² = argmin (|c|² − 2·x·c); |c|² folds on the driver.
+      val dists = cent.zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x.toDouble * x.toDouble).sum
+        val cArr = array(c.map(lit): _*)
+        struct((lit(cn2) - dot(col(vecCol), cArr) * 2).as("d"), lit(i).as("cid"))
+      }
+      val sums = corpus
+        .withColumn("cell", array_min(array(dists: _*)).getField("cid"))
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cent = cent.indices.map { ci =>
+        byCell.get(ci).map { rows =>
+          rows.sortBy(_.getInt(1))
+            .map(r => (r.getDouble(2) / r.getLong(3)).toFloat).toArray
+        }.getOrElse(cent(ci))
+      }.toArray
+    }
+    cent
+  }
+
   /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates. The join shuffles on the bucket id — at 100 TB the corpus
     * partitions by bucket once and every query probes one partition. Recall

@@ -117,6 +117,21 @@ object ExtensionQueries {
         .orderBy("qid", "nid")
     },
 
+    // x36 — PII redaction (C4/Dolma-style corpus scrubbing). The fixtures
+    // carry no real PII, so the query plants deterministic email/IP/phone
+    // spans derived from doc_id, then redacts — both engines synthesize and
+    // scrub the identical string.
+    "x36_pii_redact" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        lit("mail u"), col("doc_id").cast("string"),
+        lit("@ex.com on 10.0.0."), (col("doc_id") % 200).cast("string"),
+        lit(" call +1-555-000-"), col("doc_id").cast("string"),
+        lit(" "), substring(col("text"), 1, 40)))
+      TextOps.redactPii(planted)
+        .select("doc_id", "red", "n_email", "n_ip", "n_phone")
+        .orderBy("doc_id")
+    },
+
     // x27 — backward as-of join (union+window plan, JoinOps): for each
     // purchase, the user's most recent click at-or-before it.
     "x27_asof_join" -> { (s, dir) =>
@@ -362,6 +377,24 @@ object ExtensionQueries {
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x36_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |     'mail u' || doc_id || '@ex.com on 10.0.0.' || (doc_id % 200)
+        |       || ' call +1-555-000-' || doc_id || ' ' || substr(text, 1, 40) AS text
+        |   FROM documents)
+        | SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(text,
+        |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |       '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS red,
+        |   length(regexp_extract_all(text,
+        |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |   length(regexp_extract_all(text,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
+        |   length(regexp_extract_all(text,
+        |       '\+[0-9][0-9 -]{6,}[0-9]'))::BIGINT AS n_phone
+        | FROM p ORDER BY doc_id""".stripMargin,
 
     "x27_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts, max(event_id) click_id

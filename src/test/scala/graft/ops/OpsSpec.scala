@@ -100,6 +100,37 @@ class OpsSpec extends SparkSpec {
     assert(ivf.map(_._1) == Set(0L, 1L, 2L))
   }
 
+  test("redactPii scrubs emails, IPs, phones in order and counts matches") {
+    val docs = Seq(
+      (1L, "reach bob.smith+x@corp.example.org or 192.168.0.12 or +44 20-7946-0958 ok"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).orderBy("doc_id")
+      .select("red", "n_email", "n_ip", "n_phone")
+      .collect()
+    assert(r(0).getString(0) == "reach <EMAIL> or <IP> or <PHONE> ok")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((1L, 1L, 1L)))
+    assert(r(1).getString(0) == "no pii here at all")
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((0L, 0L, 0L)))
+  }
+
+  test("kmeansCentroids converges to the blob means of separated clusters") {
+    // three tight blobs around distinct corners of a 4-cube
+    val centers = Seq(
+      Array(0f, 0f, 0f, 0f), Array(10f, 10f, 0f, 0f), Array(0f, 0f, 10f, 10f))
+    val pts = (0L until 30L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.zipWithIndex.map { case (v, d) =>
+        v + 0.1f * (((i * 7 + d) % 5).toInt - 2) })
+    }.toDF("vec_id", "embedding")
+    val trained = VectorOps.kmeansCentroids(pts, "vec_id", "embedding", 3, 4)
+    // every blob mean is ~a trained centroid (seeds are 3 pts of blob 0/1/2)
+    centers.foreach { c =>
+      val best = trained.map(t =>
+        t.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      assert(best < 1.0, s"no centroid near ${c.mkString(",")}")
+    }
+  }
+
   test("langId picks the right profile for natural-language snippets") {
     val snippets = Seq(
       (1L, "the king and the queen of the north are riding"),
