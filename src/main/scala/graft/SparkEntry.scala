@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The corpus-curation composite exercises the engine end-to-end: quality
+    * scoring → exact dedup → n-gram near-dup removal in one lazy plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    sql.ParityQueries.queries("q02_join_fact_dim")(spark, "/root/testdata/sf0.001")
+    sql.ExtensionQueries.queries("x34_corpus_curation")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2 (parity Q1-Q15)
     * plus the training-data-pipeline extensions (x16-x26).
     */
