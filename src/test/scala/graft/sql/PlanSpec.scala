@@ -1,0 +1,52 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates for the declared queries — the properties
+  * that decide whether these plans survive a 100 TB scale-up: filters and
+  * column pruning must reach the parquet scan, dimension-sized join sides
+  * must broadcast (no shuffle of the fact side), and top-k must plan as
+  * TakeOrderedAndProject (never a global sort of the full relation).
+  * Asserted on explain text so the checks hold across AQE wrapping.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+                   name: String): String =
+    queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: predicate pushdown + column pruning reach the lineitem scan") {
+    val p = plan(ParityQueries.queries, "q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    // (the PushedFilters list is elided in toString past ~100 chars; the
+    // returnflag equality shows in the post-scan Filter instead)
+    assert(p.contains("= N)"), p)
+    // projection pruning: price/discount/tax never leave the reader
+    assert(!p.contains("l_extendedprice"), "scan reads pruned column")
+  }
+
+  test("q02: dimension side of the fact join broadcasts") {
+    val p = plan(ParityQueries.queries, "q02_join_fact_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(ParityQueries.queries, "q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x25: ANN scans the corpus once with the query side broadcast") {
+    val p = plan(ExtensionQueries.queries, "x25_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x22: LSH candidates build one minhash pipeline (no duplicate agg)") {
+    val p = plan(ExtensionQueries.queries, "x22_dedup_minhash_lsh")
+    // the band aggregation appears once: bucket-group plan, not a self-join
+    // that would evaluate the 16-column min() pipeline on both branches
+    val aggCount = "partial_min".r.findAllIn(p).length
+    assert(aggCount <= 16, s"minhash agg duplicated: $aggCount partial mins")
+  }
+}
