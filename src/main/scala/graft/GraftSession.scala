@@ -63,9 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * provides.
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int =
-                sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession.Builder =
+                sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -76,6 +76,10 @@ object GraftSession {
       // read as long, Tables.load rebuilds the timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce small shuffles to the advisory size instead of keeping
+      // one tiny partition per core — the production posture Spark's own
+      // docs recommend; at 100 TB partitions are data-sized either way.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
