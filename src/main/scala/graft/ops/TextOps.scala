@@ -84,6 +84,25 @@ object TextOps {
       bridge(graft.functions.Md5BottomK(
         expr0(charShingles(col(textCol), 8)), k)))
 
+  /** Repetition signals (the Gopher-style repetition filters): fraction of
+    * duplicate words and duplicate word-bigrams, in basis points. High
+    * values flag boilerplate / looped generations. Narrow and shuffle-free;
+    * the bigram set reuses the WordNGrams single-eval kernel.
+    */
+  def repetitionScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    val nBigrams = nWords - 1
+    docs
+      .withColumn("n_words", nWords.cast(LongType))
+      .withColumn("dup_word_bp",
+        bp(nWords - size(array_distinct(words)), nWords))
+      .withColumn("dup_bigram_bp",
+        when(nBigrams > 0,
+          bp(nBigrams - size(wordShingles(col(textCol), 2)), nBigrams))
+          .otherwise(lit(0L)))
+  }
+
   /** PII redaction patterns (C4/Dolma-style corpus scrubbing), applied in
     * order: emails first (their local parts would otherwise feed the phone
     * pattern), then dotted IPv4, then international-format phone numbers.

@@ -117,6 +117,14 @@ object ExtensionQueries {
         .orderBy("qid", "nid")
     },
 
+    // x37 — repetition signals (Gopher-style filters): duplicate-word and
+    // duplicate-bigram fractions in basis points.
+    "x37_text_repetition" -> { (s, dir) =>
+      TextOps.repetitionScore(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "dup_word_bp", "dup_bigram_bp")
+        .orderBy("doc_id")
+    },
+
     // x36 — PII redaction (C4/Dolma-style corpus scrubbing). The fixtures
     // carry no real PII, so the query plants deterministic email/IP/phone
     // spans derived from doc_id, then redacts — both engines synthesize and
@@ -377,6 +385,18 @@ object ExtensionQueries {
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x37_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents)
+        | SELECT doc_id, len(w)::BIGINT AS n_words,
+        |   floor((len(w) - len(list_distinct(w)))::DOUBLE * 10000
+        |     / len(w)::DOUBLE)::BIGINT AS dup_word_bp,
+        |   CASE WHEN len(w) > 1 THEN
+        |     floor(((len(w) - 1) - len(list_distinct(list_transform(
+        |         range(1, len(w)), k -> w[k::INT] || ' ' || w[k::INT + 1]))))::DOUBLE
+        |       * 10000 / (len(w) - 1)::DOUBLE)::BIGINT
+        |   ELSE 0 END AS dup_bigram_bp
+        | FROM w ORDER BY doc_id""".stripMargin,
 
     "x36_pii_redact" ->
       """WITH p AS (SELECT doc_id,

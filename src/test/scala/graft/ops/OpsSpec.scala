@@ -100,6 +100,19 @@ class OpsSpec extends SparkSpec {
     assert(ivf.map(_._1) == Set(0L, 1L, 2L))
   }
 
+  test("repetitionScore: duplicate word and bigram fractions in bp") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // 5 words, 2 uniq → dup 3/5; 4 bigrams, 2 uniq
+      (2L, "all words fresh here"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.repetitionScore(docs).orderBy("doc_id")
+      .select("n_words", "dup_word_bp", "dup_bigram_bp")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r(0) == ((5L, 6000L, 5000L)))
+    assert(r(1) == ((4L, 0L, 0L)))
+    assert(r(2) == ((1L, 0L, 0L)))
+  }
+
   test("redactPii scrubs emails, IPs, phones in order and counts matches") {
     val docs = Seq(
       (1L, "reach bob.smith+x@corp.example.org or 192.168.0.12 or +44 20-7946-0958 ok"),
