@@ -50,6 +50,35 @@ object JoinOps {
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** Keyed interval (range) join: pairs where `left.key = right.key` and
+    * `right.ts ∈ [left.ts, left.ts + maxGapMicros]`.
+    *
+    * Plan shape: both sides bucket by `floor(ts / maxGap)`; a window of
+    * width maxGap spans at most two buckets, so each left row probes
+    * exactly the buckets {b, b+1} (a 2× explode of the left side) and the
+    * join shuffles on (key, bucket) — bounded fan-out per reducer, never a
+    * key-only join whose hot-key groups explode quadratically, never a
+    * cross join. The exact range predicate filters inside the join.
+    *
+    * Non-key/ts column names must be disjoint across the two sides
+    * (project before joining).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   maxGapMicros: Long): DataFrame = {
+    require(maxGapMicros > 0, "maxGapMicros must be positive")
+    val lUs = unix_micros(col(leftTsCol))
+    val rUs = unix_micros(col(rightTsCol))
+    val l = left
+      .withColumn("__probe", explode(array(lit(0L), lit(1L))))
+      .withColumn("__b", floor(lUs / maxGapMicros) + col("__probe"))
+      .drop("__probe")
+    val r = right.withColumn("__b", floor(rUs / maxGapMicros))
+    l.join(r, Seq(keyCol, "__b"))
+      .filter(rUs >= lUs && rUs <= lUs + maxGapMicros)
+      .drop("__b")
+  }
+
   /** Skew-salted inner equi-join: replicate the (small) right side
     * `salts`× and scatter left rows across the replicas, so one hot key
     * spreads over `salts` reducers instead of melting a single task. The

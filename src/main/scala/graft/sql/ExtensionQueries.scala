@@ -117,6 +117,19 @@ object ExtensionQueries {
         .orderBy("qid", "nid")
     },
 
+    // x38 — keyed interval join (bucketed range-join plan): clicks within
+    // one hour AFTER each purchase, counted per purchase.
+    "x38_interval_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+      JoinOps.intervalJoin(p, c, "user_id", "pts", "cts", 3600L * 1000000L)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_clicks"))
+        .orderBy("pid")
+    },
+
     // x37 — repetition signals (Gopher-style filters): duplicate-word and
     // duplicate-bigram fractions in basis points.
     "x37_text_repetition" -> { (s, dir) =>
@@ -385,6 +398,16 @@ object ExtensionQueries {
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x38_interval_join" ->
+      """WITH p AS (SELECT event_id pid, user_id, ts pts FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id cid, user_id, ts cts FROM events
+        |   WHERE event_type = 'click')
+        | SELECT pid, count(*)::BIGINT AS n_clicks
+        | FROM p JOIN c USING (user_id)
+        | WHERE cts >= pts AND cts <= pts + INTERVAL 1 HOUR
+        | GROUP BY pid ORDER BY pid""".stripMargin,
 
     "x37_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents)

@@ -38,6 +38,25 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin equals the naive range-predicate join on random data") {
+    val rnd = new scala.util.Random(11)
+    val ls = (1L to 100L).map(i => (i, s"k${rnd.nextInt(4)}", rnd.nextInt(5000).toLong))
+    val rs = (1L to 300L).map(i => (i + 1000L, s"k${rnd.nextInt(4)}", rnd.nextInt(5000).toLong))
+    val gap = 500L
+    val left = ls.toDF("pid", "k", "lus")
+      .select(col("pid"), col("k"), timestamp_micros(col("lus")).as("lts"))
+    val right = rs.toDF("rid", "k", "rus")
+      .select(col("rid"), col("k"), timestamp_micros(col("rus")).as("rts"))
+    val got = JoinOps.intervalJoin(left, right, "k", "lts", "rts", gap)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (pid, lk, lus) <- ls
+      (rid, rk, rus) <- rs
+      if lk == rk && rus >= lus && rus <= lus + gap
+    } yield (pid, rid)).toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("saltedJoin is semantically identical to a plain equi-join") {
     val left = (1 to 500).map(i => (i, s"k${i % 3}")).toDF("id", "key")
     val right = Seq(("k0", "x"), ("k1", "y"), ("k2", "z"), ("k9", "w"))
