@@ -79,7 +79,8 @@ private class ChainTable(props: Map[String, String]) extends Table with Supports
   override def name(): String = "graft_chain"
   override def schema(): StructType = ChainSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChainScanBuilder(props ++ options.asScala)
 }
@@ -116,24 +117,69 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
+    private val blocksPerBatch = props.getOrElse("blocksPerBatch", "100").toLong
+
+    private def slice(lo0: Long, hi: Long): Array[InputPartition] = {
+      val span = math.max(hi - lo0, 0L)
+      val step = math.max(1L, (span + numPartitions - 1) / numPartitions)
+      (lo0 until hi by step).map { lo =>
+        ChainPartition(lo, math.min(lo + step, hi), logsPerBlock,
+          topic0Filter, requiredCols): InputPartition
+      }.toArray
+    }
+    private val readerFactory: PartitionReaderFactory =
+      (partition: InputPartition) =>
+        new ChainReader(partition.asInstanceOf[ChainPartition])
+
     override def readSchema(): StructType =
       StructType(requiredCols.map(c => ChainSource.schema(c)))
     override def toBatch: Batch = this
     override def description(): String =
       s"graft_chain [$fromBlock,$toBlock) topic0=${topic0Filter.isDefined} cols=${requiredCols.mkString(",")}"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val span = math.max(toBlock - fromBlock, 0L)
-      val step = math.max(1L, (span + numPartitions - 1) / numPartitions)
-      (fromBlock until toBlock by step).map { lo =>
-        ChainPartition(lo, math.min(lo + step, toBlock), logsPerBlock,
-          topic0Filter, requiredCols): InputPartition
-      }.toArray
-    }
-    override def createReaderFactory(): PartitionReaderFactory =
-      (partition: InputPartition) =>
-        new ChainReader(partition.asInstanceOf[ChainPartition])
+    override def planInputPartitions(): Array[InputPartition] =
+      slice(fromBlock, toBlock)
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+    /** Streaming analog of the reference's paced pull loop (cherry
+      * `pipeline.py:110-113`): offsets are block numbers; each trigger
+      * admits at most `blocksPerBatch` blocks, and the stream goes idle at
+      * the (bounded, synthetic) chain head — a live connector would keep
+      * advancing `latestOffset` as blocks arrive. Pushdown state (range,
+      * topic0, pruned columns) carries into every micro-batch's partitions.
+      */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+          with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+        import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+        override def initialOffset(): Offset = ChainOffset(fromBlock)
+        // admission-controlled pacing: each trigger admits blocksPerBatch
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+          ChainOffset(math.min(toBlock,
+            start.asInstanceOf[ChainOffset].block + blocksPerBatch))
+        override def latestOffset(): Offset =
+          throw new UnsupportedOperationException(
+            "paced source: use latestOffset(start, limit)")
+        override def reportLatestOffset(): Offset = ChainOffset(toBlock)
+        override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+        override def deserializeOffset(json: String): Offset =
+          ChainOffset(json.toLong)
+        override def planInputPartitions(start: Offset, end: Offset)
+            : Array[InputPartition] =
+          slice(start.asInstanceOf[ChainOffset].block,
+            end.asInstanceOf[ChainOffset].block)
+        override def createReaderFactory(): PartitionReaderFactory = readerFactory
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+      }
   }
+}
+
+/** Block-number stream offset (JSON = the number). */
+private[sources] case class ChainOffset(block: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = block.toString
 }
 
 private case class ChainPartition(fromBlock: Long, toBlock: Long,

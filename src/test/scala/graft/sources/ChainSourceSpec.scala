@@ -59,4 +59,21 @@ class ChainSourceSpec extends SparkSpec {
   test("deterministic topic0 pool matches keccak of the event signatures") {
     assert(ChainSource.topic0Pool(1).sameElements(Keccak.topic0("Event1()")))
   }
+
+  test("micro-batch stream pages the chain in blocksPerBatch-paced batches") {
+    val q = spark.readStream.format(classOf[ChainSource].getName)
+      .option("fromBlock", "0").option("toBlock", "50")
+      .option("blocksPerBatch", "20").option("logsPerBlock", "2")
+      .option("numPartitions", "2")
+      .load()
+      .writeStream.format("memory").queryName("chain_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      // 50 blocks × 2 logs, admitted 20 blocks per trigger → ≥3 batches
+      assert(spark.table("chain_stream").count() == 100)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
