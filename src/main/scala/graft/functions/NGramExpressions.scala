@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,20 +15,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_distinct(transform(sequence(...), i -> substr/concat...))` runs an
   * interpreted lambda per element (HOFs are CodegenFallback) — hundreds of
   * expression-tree evals per document. These evaluate one tight Scala loop
-  * per row instead (~10× on shingle-heavy plans). Output element SETS are
+  * per row, and `doGenCode` emits a static call so the surrounding stage
+  * stays inside whole-stage codegen (a CodegenFallback expression would
+  * demote the entire stage to interpreted rows). Output element SETS are
   * identical to the HOF form (first-occurrence distinct order; consumers
   * either sort, min, or join — order-insensitive).
   */
 
 /** Distinct character n-grams of a string: charShingles(text, n). */
-case class CharNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "n must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    CharNGrams.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNGrams.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val s = input.toString
     if (s.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new mutable.LinkedHashSet[String]
@@ -41,8 +51,6 @@ case class CharNGrams(child: Expression, n: Int)
       new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
     }
   }
-  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
-    copy(child = newChild)
 }
 
 /** Bottom-k sketch: the k lexicographically-smallest md5 hex digests of the
@@ -51,14 +59,23 @@ case class CharNGrams(child: Expression, n: Int)
   * full row k-hundred times). Hex form matches Spark's `md5()` builtin and
   * DuckDB's `md5()` exactly.
   */
-case class Md5BottomK(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class Md5BottomK(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "k must be positive")
   override def dataType: DataType = StringType
   override def prettyName: String = "md5_bottom_k"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    Md5BottomK.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5BottomK.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Md5BottomK =
+    copy(child = newChild)
+}
+
+object Md5BottomK {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              k: Int): UTF8String = {
     val digests = new Array[String](arr.numElements())
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
@@ -78,21 +95,27 @@ case class Md5BottomK(child: Expression, k: Int)
     java.util.Arrays.sort(digests, java.util.Comparator.naturalOrder[String])
     UTF8String.fromString(digests.take(k).mkString)
   }
-  override protected def withNewChildInternal(newChild: Expression): Md5BottomK =
-    copy(child = newChild)
 }
 
 /** Distinct word n-grams (single-space joined) of a whitespace-tokenized
   * string: wordShingles(text, n). Tokenization matches `split(text, ' ')`.
   */
-case class WordNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "n must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new mutable.LinkedHashSet[String]
@@ -113,6 +136,4 @@ case class WordNGrams(child: Expression, n: Int)
       new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
     }
   }
-  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
-    copy(child = newChild)
 }

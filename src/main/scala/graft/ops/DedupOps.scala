@@ -50,7 +50,12 @@ object DedupOps {
     // per-doc count aggregate and no two count-attach joins afterwards.
     val sh = docs.select(col(idCol).as("id"), shingles.as("__arr"))
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
-        explode(col("__arr")).as("s"))
+        explode(col("__arr")).as("__s"))
+      // join key = md5-derived 60-bit hash of the shingle, not the raw
+      // string: 8-byte shuffle/compare keys. hash60 is the cross-engine
+      // contract hash, so the oracle applies the identical mapping and
+      // any (astronomically rare) collision hits both engines alike.
+      .select(col("id"), col("n"), hash60(col("__s")).as("s"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
