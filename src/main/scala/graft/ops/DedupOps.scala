@@ -52,9 +52,9 @@ object DedupOps {
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
         explode(col("__arr")).as("__s"))
       // join key = md5-derived 60-bit hash of the shingle, not the raw
-      // string: 8-byte shuffle/compare keys. hash60 is the cross-engine
-      // contract hash, so the oracle applies the identical mapping and
-      // any (astronomically rare) collision hits both engines alike.
+      // string: 8-byte shuffle/compare keys. The oracle joins raw shingle
+      // strings — intersection counts agree absent 60-bit collisions
+      // (~1e-7 at fixture scale; a collision would fail the gate loudly).
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
