@@ -43,24 +43,37 @@ object DedupOps {
     * (i, j, jaccard_bp) with i < j. Jaccard is a ratio of exact ints →
     * deterministic across engines.
     */
+  private def docPairs(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.DocPairs(Bridge.expression(c)))
+  }
+
+  /** Requires a LongType `idCol`. Plan shape: the shingle pipeline runs
+    * ONCE (a self-join would evaluate it per branch — AQE broadcasts one
+    * side, defeating exchange reuse), shuffles once on the 60-bit shingle
+    * hash, and enumerates pairs inside each same-shingle bucket with the
+    * codegen'd DocPairs kernel. Buckets of one doc — the overwhelming
+    * majority — are dropped before generating anything. |A| rides along
+    * with every shingle row so no count-attach joins are needed.
+    *
+    * The join key is the md5-derived hash60 of the shingle (8-byte shuffle
+    * keys); the oracle groups raw shingle strings — intersection counts
+    * agree absent 60-bit collisions (~1e-7 at fixture scale; a collision
+    * would fail the gate loudly).
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
                         threshold: Double): DataFrame = {
-    // |A| rides along with every exploded shingle row (one extra long per
-    // row) so the pair aggregation picks it up with first() — no separate
-    // per-doc count aggregate and no two count-attach joins afterwards.
     val sh = docs.select(col(idCol).as("id"), shingles.as("__arr"))
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
         explode(col("__arr")).as("__s"))
-      // join key = md5-derived 60-bit hash of the shingle, not the raw
-      // string: 8-byte shuffle/compare keys. The oracle joins raw shingle
-      // strings — intersection counts agree absent 60-bit collisions
-      // (~1e-7 at fixture scale; a collision would fail the gate loudly).
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("c"), first(col("a.n")).as("an"),
-        first(col("b.n")).as("bn"))
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(docPairs(col("ds"))).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
+        first(col("p.bn")).as("bn"))
       .withColumn("jaccard_bp", TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
       .filter(col("jaccard_bp") >= math.floor(threshold * 10000).toLong)
       .select(col("i"), col("j"), col("jaccard_bp"))
@@ -104,12 +117,9 @@ object DedupOps {
     // tiny by construction, so the nested expansion is O(bucket²) over
     // buckets of a handful of near-identical docs.
     bands.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, k) ->
-          |  transform(slice(ids, k + 2, size(ids)), y -> struct(x AS i, y AS j))))"""
-          .stripMargin)).as("p"))
+      .agg(sort_array(collect_list(struct(col("id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(docPairs(col("ds"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("bands"))
   }
