@@ -2,9 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{DedupOps, JoinOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -115,6 +115,16 @@ object ExtensionQueries {
       VectorOps.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id",
           "embedding", 5, numCentroids = 8, nProbe = 2)
         .orderBy("qid", "nid")
+    },
+
+    // x39 — fixed-interval resample + forward gap-fill (TimeOps): hourly
+    // per-user max(value), densified over each user's active span.
+    "x39_resample_fill" -> { (s, dir) =>
+      TimeOps.resampleFill(t(s, dir, "events"), "user_id", "ts", "value",
+          3600L * 1000000L)
+        .select(col("user_id"), col("b"),
+          floor(col("fv") * 10000).cast(LongType).as("v_bp"))
+        .orderBy("user_id", "b")
     },
 
     // x38 — keyed interval join (bucketed range-join plan): clicks within
@@ -398,6 +408,20 @@ object ExtensionQueries {
          |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x39_resample_fill" ->
+      """WITH e AS (SELECT user_id, floor(epoch_us(ts) / 3600000000)::BIGINT b,
+        |     max(value) v
+        |   FROM events GROUP BY 1, 2),
+        | r AS (SELECT user_id, min(b) mn, max(b) mx FROM e GROUP BY user_id),
+        | g AS (SELECT user_id, unnest(range(mn, mx + 1)) b FROM r),
+        | f AS (SELECT g.user_id, g.b, e.v FROM g LEFT JOIN e USING (user_id, b)),
+        | filled AS (SELECT user_id, b,
+        |     last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) fv
+        |   FROM f)
+        | SELECT user_id, b, floor(fv * 10000)::BIGINT AS v_bp
+        | FROM filled ORDER BY user_id, b""".stripMargin,
 
     "x38_interval_join" ->
       """WITH p AS (SELECT event_id pid, user_id, ts pts FROM events

@@ -100,6 +100,25 @@ class OpsSpec extends SparkSpec {
     assert(ivf.map(_._1) == Set(0L, 1L, 2L))
   }
 
+  test("resampleFill densifies buckets and forward-fills gaps per key") {
+    // key a: events in buckets 0 and 3 (gap at 1, 2); key b: single bucket
+    val ev = Seq(
+      ("a", 100L, 1.0), ("a", 500L, 2.0),     // bucket 0 (interval 1000µs)
+      ("a", 3100L, 9.0),                      // bucket 3
+      ("b", 7500L, 4.0))                      // bucket 7
+      .toDF("k", "us", "value")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = TimeOps.resampleFill(ev, "k", "ts", "value", 1000L)
+      .orderBy("k", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 2.0),   // max of bucket 0
+      ("a", 1L, 2.0),   // gap: carried forward
+      ("a", 2L, 2.0),
+      ("a", 3L, 9.0),
+      ("b", 7L, 4.0)))
+  }
+
   test("repetitionScore: duplicate word and bigram fractions in bp") {
     val docs = Seq(
       (1L, "a b a b a"),     // 5 words, 2 uniq → dup 3/5; 4 bigrams, 2 uniq
