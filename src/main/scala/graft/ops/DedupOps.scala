@@ -143,17 +143,37 @@ object DedupOps {
       .select(col("id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The pair
-    * enumeration here is a range-partitioned self-join; at real scale you'd
-    * block by rotated-code prefixes (each doc emits K rotations, join on
-    * prefix) — the hook is `blockExpr`.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming — EXACT, via
+    * Hamming-chunk blocking (pigeonhole): the 60-bit code splits into
+    * maxHamming+1 disjoint chunks, and any pair within the distance bound
+    * differs in ≤ maxHamming chunks, so at least one chunk matches exactly.
+    * Each doc emits one row per chunk; candidates meet in (chunk, value)
+    * buckets (the shuffle key), the exact bit_count filters inside. The
+    * all-pairs cross join this replaces touches n²/2 pairs; blocking
+    * touches only bucket collisions — the 100 TB plan, same result set.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, "maxHamming in [0, 60)")
+    val chunks = maxHamming + 1
     val codes = simhash(docs, idCol, textCol)
-    codes.as("a").join(codes.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast(LongType).as("ham"))
+    val chunkStructs = (0 until chunks).map { k =>
+      val lo = k * 60 / chunks
+      val width = (k + 1) * 60 / chunks - lo
+      struct(lit(k).as("ck"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }
+    codes
+      .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
+      .groupBy(col("c.ck"), col("c.cv"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(docPairs(col("ds"))).as("p"))
+      // a pair sharing several chunks surfaces once per shared chunk → dedupe
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(first(col("p.an")).as("ca"), first(col("p.bn")).as("cb"))
+      .select(col("i"), col("j"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast(LongType).as("ham"))
       .filter(col("ham") <= maxHamming)
   }
 
