@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * result stays in whole-stage codegen, as does this via the static call.
   *
   * Quadratic by construction — identical cardinality to the equivalent
-  * self-join; at 100 TB the caller bounds bucket sizes (drop or split
-  * stop-shingle buckets, which carry no dedup signal anyway).
+  * self-join. Callers in DedupOps bound bucket sizes (`maxBucket` filter
+  * before this expression evaluates); as a backstop, `compute` checks the
+  * pair count in Long arithmetic and fails loudly — never allocates a
+  * negative/overflowed array — if an unbounded caller feeds it a bucket
+  * over 65,535 docs (the largest whose pair count fits an array).
   */
 case class DocPairs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -37,6 +40,12 @@ case class DocPairs(child: Expression) extends UnaryExpression {
 object DocPairs {
   def compute(arr: ArrayData): GenericArrayData = {
     val m = arr.numElements()
+    val pairs = m.toLong * (m - 1L) / 2L
+    if (pairs > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"doc_pairs: bucket of $m rows yields $pairs pairs (exceeds array " +
+          "capacity); cap bucket sizes upstream (DedupOps maxBucket)")
+    }
     val ids = new Array[Long](m)
     val ns = new Array[Long](m)
     var x = 0
@@ -46,7 +55,7 @@ object DocPairs {
       ns(x) = row.getLong(1)
       x += 1
     }
-    val out = new Array[Any](m * (m - 1) / 2)
+    val out = new Array[Any](pairs.toInt)
     var idx = 0
     var a = 0
     while (a < m) {

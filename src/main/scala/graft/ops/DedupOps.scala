@@ -23,6 +23,17 @@ import TextOps.{charShingles, hash60, wordShingles}
   */
 object DedupOps {
 
+  /** Default cap on pair-enumeration bucket sizes. A bucket (same-shingle /
+    * same-band / same-chunk docs) over this size is dropped before pair
+    * enumeration: `DocPairs` is O(bucket²), and on a real crawl corpus hot
+    * stop-shingle buckets ("in the the…") are guaranteed — they carry no
+    * dedup signal (a shingle shared by thousands of docs discriminates
+    * nothing) and would otherwise dominate the plan. 2000 docs → ≤2M pairs
+    * (≈64 MB) per bucket, the worst row the pair stage can produce. Fixture
+    * corpora (≤500 docs) never hit the cap, so oracle results are exact.
+    */
+  val DefaultMaxBucket: Int = 2000
+
   /** Exact dedup: keep the lowest id per content hash. Returns the kept
     * rows' ids. One hash-shuffle; at 100 TB this is the canonical
     * "dedup by md5(text)" job.
@@ -62,14 +73,15 @@ object DedupOps {
     * would fail the gate loudly).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles.as("__arr"))
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
         explode(col("__arr")).as("__s"))
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(docPairs(col("ds"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
@@ -109,16 +121,19 @@ object DedupOps {
     * P(candidate | jaccard J) = 1-(1-J^bandRows)^numBands.
     */
   def minhashLshCandidates(docs: DataFrame, idCol: String, shingles: Column,
-                           numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+                           numHashes: Int = 16, bandRows: Int = 4,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = minhashBands(docs, idCol, shingles, numHashes, bandRows)
     // Bucket-group instead of self-join: the minhash aggregation pipeline
     // runs ONCE (a self-join evaluates its input plan twice), and pair
     // enumeration happens inside each (band, sig) bucket — which LSH keeps
     // tiny by construction, so the nested expansion is O(bucket²) over
-    // buckets of a handful of near-identical docs.
+    // buckets of a handful of near-identical docs. A bucket over maxBucket
+    // (an exact-duplicate cluster that exact-dedup should have removed
+    // first) is dropped rather than pair-exploded.
     bands.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(struct(col("id"), lit(0L)))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(docPairs(col("ds"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("bands"))
@@ -151,23 +166,41 @@ object DedupOps {
     * buckets (the shuffle key), the exact bit_count filters inside. The
     * all-pairs cross join this replaces touches n²/2 pairs; blocking
     * touches only bucket collisions — the 100 TB plan, same result set.
+    *
+    * maxHamming ≥ 60 is the degenerate "every pair" contract (a 60-bit code
+    * can't differ in more than 60 bits): blocking is skipped and all docs
+    * share one bucket. Buckets over `maxBucket` are dropped before pair
+    * enumeration (identical-code clusters an exact-dedup pass should have
+    * collapsed first).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60, "maxHamming in [0, 60)")
-    val chunks = maxHamming + 1
+                   maxHamming: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
     val codes = simhash(docs, idCol, textCol)
-    val chunkStructs = (0 until chunks).map { k =>
-      val lo = k * 60 / chunks
-      val width = (k + 1) * 60 / chunks - lo
-      struct(lit(k).as("ck"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
-    }
-    codes
-      .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
-      .groupBy(col("c.ck"), col("c.cv"))
+    val keyed =
+      if (maxHamming >= 60) {
+        // Degenerate: a 60-bit pair can differ in at most 60 bits, so every
+        // pair qualifies and no chunk can discriminate — one global bucket
+        // (the all-pairs plan the blocking would otherwise approximate).
+        codes.select(col("id"), col("simhash"),
+          lit(0).as("ck"), lit(0L).as("cv"))
+      } else {
+        val chunks = maxHamming + 1
+        val chunkStructs = (0 until chunks).map { k =>
+          val lo = k * 60 / chunks
+          val width = (k + 1) * 60 / chunks - lo
+          struct(lit(k).as("ck"),
+            shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+        }
+        codes
+          .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
+          .select(col("id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+      }
+    keyed
+      .groupBy(col("ck"), col("cv"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(docPairs(col("ds"))).as("p"))
       // a pair sharing several chunks surfaces once per shared chunk → dedupe
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))

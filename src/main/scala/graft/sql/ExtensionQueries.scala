@@ -188,8 +188,8 @@ object ExtensionQueries {
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          round(sum(col("value").cast(DecimalType(38, 6))).over(wf), 4)
-            .cast(DecimalType(38, 4)).as("run_total"),
+          (round(sum(col("value").cast(DecimalType(38, 6))).over(wf), 4) * 10000)
+            .cast(LongType).as("run_total_e4"),
           lag(col("event_type"), 1).over(w).as("prev_type"))
         .orderBy("event_id")
     },
@@ -477,7 +477,7 @@ object ExtensionQueries {
       """SELECT event_id, user_id,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER
         |   (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4)
-        |   AS DECIMAL(38,4)) AS run_total,
+        |   * 10000 AS BIGINT) AS run_total_e4,
         | lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events ORDER BY event_id""".stripMargin,
 

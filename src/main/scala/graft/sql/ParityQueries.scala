@@ -13,9 +13,12 @@ import graft.sources.Tables
   * paired DuckDB oracle SQL is hash-compared by the driver (columns sorted
   * by name), so column NAMES and TYPES are pinned on both sides:
   *   - every aggregate / computed column is aliased identically;
-  *   - SUM/AVG over doubles go through DECIMAL(38,6) then ROUND(..,4) then
-  *     an explicit CAST to DECIMAL(38,4) (double summation order is
-  *     nondeterministic across engines; decimal summation is exact);
+  *   - SUM/AVG over doubles go through DECIMAL(38,6), ROUND(..,4), then
+  *     scale to a BIGINT of 1e-4 units (`*_e4`): decimal summation is exact
+  *     (double order-dependence eliminated) and the integer output avoids
+  *     the driver hasher's per-engine decimal canonicalization (DuckDB
+  *     fetchdf yields float64, Spark parquet yields Decimal — equal values,
+  *     different hashes);
   *   - COUNT/ROW_NUMBER pinned to BIGINT (Spark row_number is INT);
   *   - every query has a total ORDER BY over a unique key set;
   *   - NULL ordering is explicit (Spark ASC default = NULLS FIRST, DuckDB
@@ -31,9 +34,12 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact decimal summation of a double column, rounded and type-pinned. */
+  /** Exact decimal summation of a double column, rounded to 4 places and
+    * emitted as a BIGINT of 1e-4 units (exact: scale-4 decimal × 10000 is
+    * an integer).
+    */
   private def money(c: Column): Column =
-    round(sum(c.cast(DecimalType(38, 6))), 4).cast(DecimalType(38, 4))
+    (round(sum(c.cast(DecimalType(38, 6))), 4) * 10000).cast(LongType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 — scan + filter + project (inventory S3/S4/S6): both predicates
@@ -107,7 +113,7 @@ object ParityQueries {
     "q07_groupby_having" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), money(col("l_extendedprice")).as("rev"))
+        .agg(count(lit(1)).as("cnt"), money(col("l_extendedprice")).as("rev_e4"))
         .filter(col("cnt") > 10)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -169,7 +175,7 @@ object ParityQueries {
       t(s, dir, "events")
         .groupBy(to_date(date_trunc("day", col("ts"))).as("d"),
                  col("event_type"))
-        .agg(count(lit(1)).as("cnt"), money(col("value")).as("total"))
+        .agg(count(lit(1)).as("cnt"), money(col("value")).as("total_e4"))
         .orderBy(col("d"), col("event_type"))
     },
 
@@ -214,7 +220,7 @@ object ParityQueries {
         | ORDER BY c_custkey""".stripMargin,
     "q07_groupby_having" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DECIMAL(38,4)) AS rev
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) * 10000 AS BIGINT) AS rev_e4
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | HAVING COUNT(*) > 10 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q08_global_minmax" ->
@@ -241,7 +247,7 @@ object ParityQueries {
     "q14_date_trunc_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
         | COUNT(*) AS cnt,
-        | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DECIMAL(38,4)) AS total
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) * 10000 AS BIGINT) AS total_e4
         | FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
     "q15_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

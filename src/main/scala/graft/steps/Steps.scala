@@ -232,31 +232,75 @@ object Steps {
     }
   }
 
+  object EvmDecodeMultiEvents {
+    /** Glaciers-style ABI-database loader (cherry `config.py:137-142`
+      * `abi_db_path`): a text file with one canonical event signature per
+      * line; blank lines and `#` comments skipped. Driver-side config IO —
+      * the signature set becomes plan-time constants (topic0 filters on the
+      * scan), never per-row work.
+      */
+    def fromAbiDb(path: String,
+                  allowDecodeFail: Boolean = true,
+                  inputTable: String = "logs",
+                  outputTable: String = "decoded_logs"): EvmDecodeMultiEvents = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      val sigs =
+        try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+        finally src.close()
+      require(sigs.nonEmpty, s"ABI db at $path contains no signatures")
+      EvmDecodeMultiEvents(sigs, allowDecodeFail, inputTable, outputTable)
+    }
+  }
+
   // --- T12 EVM_VALIDATE_BLOCK_DATA (declared-but-undispatched in cherry,
   //     config.py:120-125; semantics: block-hash chain continuity) ----------
 
   /** Append `valid` to the blocks table: hash-chain continuity via a lag
-    * window over block_number (prev.hash == this.parent_hash). Scale note:
-    * a single ordered window over the whole chain would serialize; partition
-    * by a block-range bucket so the check parallelizes, at the cost of not
-    * checking the (rare) bucket-boundary links — pass bucketSize <= 0 for
-    * the exact single-partition check on bounded slices.
+    * window over block_number (prev.hash == this.parent_hash).
+    *
+    * Scale: the DEFAULT is bucketed — blocks partition by
+    * floor(number/bucketSize) so the window parallelizes across the chain
+    * (a single global `Window.orderBy` serializes the whole table through
+    * one task). Bucket-boundary links stay exact: each bucket's last
+    * possible block is replicated as a carrier row into the next bucket, so
+    * the first real row there still sees its predecessor's hash. On a
+    * gapless chain this is bit-identical to the global window; if the block
+    * right before a bucket boundary is missing, the boundary row reports
+    * valid=true (no predecessor visible) where the global window would
+    * compare against an older block and report false. Pass bucketSize <= 0
+    * for the exact single-partition check on bounded slices.
     */
   final case class EvmValidateBlockData(blocksTable: String = "blocks",
                                         numberCol: String = "block_number",
                                         hashCol: String = "hash",
                                         parentHashCol: String = "parent_hash",
-                                        bucketSize: Long = 0L) extends Step {
+                                        bucketSize: Long = 1000000L) extends Step {
     def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
       tables.map {
         case (name, df) if name == blocksTable =>
-          val w =
-            if (bucketSize > 0)
-              Window.partitionBy(floor(col(numberCol) / bucketSize)).orderBy(col(numberCol))
-            else Window.orderBy(col(numberCol))
-          val prevHash = lag(col(hashCol), 1).over(w)
-          name -> df.withColumn("valid",
-            prevHash.isNull || prevHash === col(parentHashCol))
+          val out =
+            if (bucketSize > 0) {
+              val slim = df.select(col(numberCol), col(hashCol), col(parentHashCol))
+              val own = df.withColumn("__b", floor(col(numberCol) / bucketSize))
+                .withColumn("__carrier", lit(false))
+              // last possible block of each bucket rides into the next one
+              val carriers = slim
+                .filter((col(numberCol) + 1) % bucketSize === 0)
+                .withColumn("__b", floor(col(numberCol) / bucketSize) + 1)
+                .withColumn("__carrier", lit(true))
+              val w = Window.partitionBy(col("__b")).orderBy(col(numberCol))
+              val prevHash = lag(col(hashCol), 1).over(w)
+              own.unionByName(carriers, allowMissingColumns = true)
+                .withColumn("valid",
+                  prevHash.isNull || prevHash === col(parentHashCol))
+                .filter(!col("__carrier"))
+                .drop("__b", "__carrier")
+            } else {
+              val prevHash = lag(col(hashCol), 1).over(Window.orderBy(col(numberCol)))
+              df.withColumn("valid",
+                prevHash.isNull || prevHash === col(parentHashCol))
+            }
+          name -> out
         case kv => kv
       }
   }

@@ -37,6 +37,15 @@ class FunctionsSpec extends SparkSpec {
       "8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925")
   }
 
+  test("DocPairs overflow guard rejects buckets whose pair count exceeds Int") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val big = new GenericArrayData(Array.tabulate[Any](70000)(i =>
+      new GenericInternalRow(Array[Any](i.toLong, 0L))))
+    val err = intercept[IllegalArgumentException](DocPairs.compute(big))
+    assert(err.getMessage.contains("cap bucket sizes"))
+  }
+
   // --- base58 (cherry tests/test_steps.py:12-27 oracle semantics) ----------
 
   test("base58 golden vectors") {

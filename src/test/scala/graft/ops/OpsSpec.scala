@@ -181,6 +181,32 @@ class OpsSpec extends SparkSpec {
     assert(fps(0L).length == 4 * 32)
   }
 
+  test("maxBucket cap drops hot-shingle buckets, keeps under-cap pairs") {
+    // 10 docs share two hot shingles ("hot one two", "one two three") →
+    // buckets of 10; docs 100/101 are genuine near-dups via size-2 buckets.
+    val hot = (0L until 10L).map(i => (i, s"hot one two three u$i v$i w$i"))
+    val corpus = (hot ++ Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta gamma delta zeta"))).toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val capped = DedupOps.ngramJaccardPairs(corpus, "doc_id", sh, 0.1,
+        maxBucket = 5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val uncapped = DedupOps.ngramJaccardPairs(corpus, "doc_id", sh, 0.1)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // hot buckets carried every 0-9 pair; the under-cap pair is unchanged
+    assert(capped == Set((100L, 101L)))
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((100L, 101L)))
+  }
+
+  test("simhashPairs maxHamming >= 60 is the all-pairs degenerate contract") {
+    val three = Seq((1L, "aa bb cc"), (2L, "totally other words"),
+      (3L, "unrelated third document")).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(three, "doc_id", "text", 60)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("tokenCounts and qualityScore on a known sentence") {
     val one = Seq((0L, "the cat sat on a mat 42 times!")).toDF("doc_id", "text")
     val t = TextOps.tokenCounts(one).head()

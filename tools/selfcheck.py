@@ -6,6 +6,8 @@ sorted by name, values hashed row-wise). Usage:
 """
 import json, sys, glob
 import duckdb, pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -23,8 +25,12 @@ fails = 0
 for name, sql in sorted(oracle.items()):
     try:
         want = canon(con.execute(sql).fetchdf())
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = canon(duckdb.query(f"SELECT * FROM read_parquet({files!r})").fetchdf())
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        # Read the Spark side via pyarrow (NOT DuckDB): the driver's hasher
+        # reads parquet with pyarrow, so decimal/timestamp canonicalization
+        # differences between engines must be visible here too. Reading both
+        # sides through DuckDB hid the r1 DECIMAL hash-mismatch (q07/q14/x28).
+        got = canon(pa.concat_tables([pq.read_table(f) for f in files]).to_pandas())
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}"); fails += 1
             continue
