@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * anything wider → canonical 32-byte BinaryType word (u256 canon, or raw
   * two's-complement word for int>64); address → 20-byte binary;
   * bytesN/bytes → binary; string → string; T[] / T[k] → array.
-  * Indexed dynamic params are keccak hashes per the ABI spec → 32-byte
-  * binary, never decoded.
+  * Indexed params that are not value types (dynamic types and static
+  * composites alike, e.g. `uint256[2]`) are keccak hashes per the ABI spec
+  * → 32-byte binary, never decoded.
   */
 object Abi {
   sealed trait AbiType { def canonical: String }
@@ -41,7 +42,7 @@ object Abi {
       s"$name(${params.map(_.tpe.canonical).mkString(",")})"
     def schema: StructType = StructType(params.map { p =>
       val dt =
-        if (p.indexed && isDynamic(p.tpe)) BinaryType // keccak hash word
+        if (p.indexed && isTopicHashed(p.tpe)) BinaryType // keccak hash word
         else sparkType(p.tpe)
       StructField(p.name, dt, nullable = true)
     })
@@ -52,6 +53,18 @@ object Abi {
     case AArray(_, None)         => true
     case AArray(e, Some(_))      => isDynamic(e)
     case _                       => false
+  }
+
+  /** Per the ABI spec, an INDEXED event param is stored directly in its
+    * topic only for value types (uintN/intN/address/bool/bytesN); every
+    * other type — dynamic ones AND static composites like `uint256[2]` —
+    * is stored as keccak256 of its encoding ("Indexed event parameters
+    * that are not value types … are hashed"). `isDynamic` alone would
+    * wrongly try to word-decode an indexed static array.
+    */
+  def isTopicHashed(t: AbiType): Boolean = t match {
+    case AUInt(_) | AInt(_) | AAddress | ABool | AFixedBytes(_) => false
+    case _                                                      => true
   }
 
   def sparkType(t: AbiType): DataType = t match {
@@ -199,7 +212,7 @@ object Abi {
         topicIdx += 1
         out(i) =
           if (t == null) null
-          else if (isDynamic(p.tpe)) t // keccak hash of the value
+          else if (isTopicHashed(p.tpe)) t // keccak hash of the value
           else decodeStatic(p.tpe, t, 0)
       } else {
         out(i) = decodeHead(p.tpe, data, headOff, 0)

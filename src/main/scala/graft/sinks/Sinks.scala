@@ -1,9 +1,37 @@
 package graft.sinks
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, max}
 
 import graft.api.Sink
+
+/** The reference's writer concurrency contract
+  * (`writers/clickhouse.py:167-186`): every non-anchor table writes
+  * CONCURRENTLY (each `df.write` is its own Spark job — concurrent submission
+  * lets the scheduler overlap their stages), and the anchor table writes
+  * strictly AFTER all of them complete, so a present anchor row proves the
+  * whole batch landed (resume pattern P5). Any failed table write propagates
+  * before the anchor is attempted.
+  */
+private[sinks] object AnchorLast {
+  // Daemon cached pool: write jobs block their thread on the Spark action,
+  // so the pool sizes itself to the batch's table count.
+  private lazy val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-sink-write"); t.setDaemon(true); t
+    }))
+
+  def push(tables: Map[String, DataFrame], anchorTable: Option[String])
+          (write: (String, DataFrame) => Unit): Unit = {
+    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
+    val inFlight = rest.toSeq.map { case (n, df) => Future(write(n, df))(ec) }
+    inFlight.foreach(Await.result(_, Duration.Inf))
+    anchor.foreach { case (n, df) => write(n, df) }
+  }
+}
 
 /** Sinks (SURVEY.md §2.6). Common semantics preserved from the reference:
   * (a) anchor-table ordering — all non-anchor tables first, anchor LAST
@@ -23,16 +51,14 @@ final case class ParquetSink(baseDir: String,
                              partitionBy: Map[String, Seq[String]] = Map.empty,
                              anchorTable: Option[String] = None,
                              maxRecordsPerFile: Long = 1048576L) extends Sink {
-  def push(tables: Map[String, DataFrame]): Unit = {
-    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
-    (rest.toSeq ++ anchor.toSeq).foreach { case (name, df) =>
+  def push(tables: Map[String, DataFrame]): Unit =
+    AnchorLast.push(tables, anchorTable) { (name, df) =>
       val w = df.write.mode("append")
         .option("maxRecordsPerFile", maxRecordsPerFile)
       partitionBy.get(name).filter(_.nonEmpty)
         .fold(w)(cols => w.partitionBy(cols: _*))
         .parquet(s"$baseDir/$name")
     }
-  }
 }
 
 /** Session-catalog table sink (≙ cherry W1 DuckDB `writers/duckdb.py:17-52`:
@@ -41,12 +67,10 @@ final case class ParquetSink(baseDir: String,
   */
 final case class CatalogSink(tablePrefix: String = "",
                              anchorTable: Option[String] = None) extends Sink {
-  def push(tables: Map[String, DataFrame]): Unit = {
-    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
-    (rest.toSeq ++ anchor.toSeq).foreach { case (name, df) =>
+  def push(tables: Map[String, DataFrame]): Unit =
+    AnchorLast.push(tables, anchorTable) { (name, df) =>
       df.write.mode("append").saveAsTable(tablePrefix + name)
     }
-  }
 }
 
 object Resume {

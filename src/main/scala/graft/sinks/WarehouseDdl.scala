@@ -112,10 +112,8 @@ final case class JdbcSink(url: String,
                           properties: Properties = new Properties(),
                           tablePrefix: String = "",
                           anchorTable: Option[String] = None) extends Sink {
-  def push(tables: Map[String, DataFrame]): Unit = {
-    val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
-    (rest.toSeq ++ anchor.toSeq).foreach { case (name, df) =>
+  def push(tables: Map[String, DataFrame]): Unit =
+    AnchorLast.push(tables, anchorTable) { (name, df) =>
       df.write.mode("append").jdbc(url, tablePrefix + name, properties)
     }
-  }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -22,9 +22,14 @@ import graft.functions.Keccak
   * deterministic synthetic chain so the PUSHDOWN PLUMBING — the part that
   * matters at 100 TB — is real and testable:
   *
-  *   - `SupportsPushDownFilters`: block-range predicates and `topic0 =`
-  *     equality are consumed by the source (≙ `LogRequest.topic0`,
-  *     `Query.from_block/to_block`) and never re-evaluated by Spark;
+  *   - `SupportsPushDownFilters`: block-range predicates plus `=`/`IN`
+  *     constraints on the table's request columns (`topic0`/`address` for
+  *     logs ≙ `LogRequest`, `erc20_custom.py:103-120`; `program_id`/
+  *     `discriminator` for instructions ≙ `InstructionRequest`,
+  *     `jup_swap.py:115-122`) are consumed by the source. OR-of-requests
+  *     semantics are honored: an `Or` tree over supported constraints
+  *     becomes a list of alternative requests, matching how cherry sends
+  *     multiple LogRequests whose results union server-side;
   *   - `SupportsPushDownRequiredColumns`: column pruning reaches row
   *     generation (≙ the field-selection structs, S6);
   *   - block-range slicing into `numPartitions` InputPartitions (≙ the
@@ -33,6 +38,7 @@ import graft.functions.Keccak
   *
   * Usage:
   *   spark.read.format("graft.sources.ChainSource")
+  *     .option("table", "logs")              // or "instructions" (SVM, S9)
   *     .option("fromBlock", 0).option("toBlock", 10000)
   *     .option("logsPerBlock", 3).option("numPartitions", 8).load()
   */
@@ -40,44 +46,146 @@ class ChainSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graftchain"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChainSource.schema
+    ChainSource.schemaFor(options.getOrDefault("table", "logs"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new ChainTable(properties.asScala.toMap)
 }
 
 object ChainSource {
-  val schema: StructType = StructType(Seq(
+  /** EVM logs table (≙ cherry LogRequest plane). */
+  val logsSchema: StructType = StructType(Seq(
     StructField("block_number", LongType, nullable = false),
     StructField("log_index", LongType, nullable = false),
+    StructField("address", BinaryType, nullable = false),
     StructField("topic0", BinaryType, nullable = false),
     StructField("topic1", BinaryType, nullable = false),
     StructField("data", BinaryType, nullable = false)))
+
+  /** SVM instructions table (≙ cherry InstructionRequest plane,
+    * jup_swap.py:115-122: filter by program_id + discriminator bytes).
+    * `discriminator` is the 8-byte Anchor prefix of `data`, exposed as its
+    * own column so the equality/IN pushdown mirrors the provider's
+    * server-side discriminator matching.
+    */
+  val instructionsSchema: StructType = StructType(Seq(
+    StructField("block_slot", LongType, nullable = false),
+    StructField("instruction_index", LongType, nullable = false),
+    StructField("program_id", BinaryType, nullable = false),
+    StructField("discriminator", BinaryType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  def schemaFor(table: String): StructType = table match {
+    case "logs"         => logsSchema
+    case "instructions" => instructionsSchema
+    case other => throw new IllegalArgumentException(s"unknown chain table $other")
+  }
+
+  /** Request-pushable (server-side filterable) columns per table. */
+  def pushableColumns(table: String): Set[String] = table match {
+    case "logs"         => Set("topic0", "address")
+    case "instructions" => Set("program_id", "discriminator")
+    case _              => Set.empty
+  }
 
   /** Three deterministic synthetic event types. */
   val topic0Pool: IndexedSeq[Array[Byte]] =
     (0 until 3).map(i => Keccak.topic0(s"Event$i()"))
 
-  private[sources] def logRow(block: Long, logIdx: Long,
-                              cols: Array[String]): InternalRow = {
-    val t0 = topic0Pool(((block + logIdx) % 3).toInt)
-    val values = cols.map {
-      case "block_number" => block
-      case "log_index"    => logIdx
-      case "topic0"       => t0
-      case "topic1"       =>
-        val a = new Array[Byte](32); a(31) = ((block * 7 + logIdx) % 127).toByte; a
-      case "data"         =>
-        val d = new Array[Byte](32); d(31) = ((block + logIdx) % 100).toByte; d
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+  /** Five deterministic contract addresses (20 bytes). */
+  val addressPool: IndexedSeq[Array[Byte]] =
+    (0 until 5).map { i => val a = new Array[Byte](20); a(19) = (i + 1).toByte; a }
+
+  /** Three deterministic program ids (32 bytes). */
+  val programIdPool: IndexedSeq[Array[Byte]] =
+    (0 until 3).map { i => val p = new Array[Byte](32); p(31) = (i + 1).toByte; p }
+
+  /** Two deterministic Anchor-style discriminators (8 bytes). */
+  val discriminatorPool: IndexedSeq[Array[Byte]] =
+    (0 until 2).map { i => Array[Byte](1, 2, 3, 4, 5, 6, 7, (i + 1).toByte) }
+
+  /** Little-endian u64 (the Borsh payload of a synthetic instruction). */
+  private def u64le(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** The value of a request-pushable column at (block, idx) — used both for
+    * server-side matching and for row generation, so the pushed filter and
+    * the emitted data can never disagree.
+    */
+  private[sources] def colValue(table: String, name: String, block: Long,
+                                idx: Long): Array[Byte] = (table, name) match {
+    case ("logs", "topic0")  => topic0Pool(((block + idx) % 3).toInt)
+    case ("logs", "address") => addressPool((block % 5).toInt)
+    case ("instructions", "program_id") =>
+      programIdPool(((block + idx) % 3).toInt)
+    case ("instructions", "discriminator") =>
+      discriminatorPool((idx % 2).toInt)
+    case _ => throw new IllegalArgumentException(s"$table.$name not pushable")
+  }
+
+  private[sources] def row(table: String, block: Long, idx: Long,
+                           cols: Array[String]): InternalRow = {
+    val values: Array[Any] = table match {
+      case "logs" => cols.map[Any] {
+        case "block_number" => block
+        case "log_index"    => idx
+        case "address"      => colValue(table, "address", block, idx)
+        case "topic0"       => colValue(table, "topic0", block, idx)
+        case "topic1"       =>
+          val a = new Array[Byte](32); a(31) = ((block * 7 + idx) % 127).toByte; a
+        case "data"         =>
+          val d = new Array[Byte](32); d(31) = ((block + idx) % 100).toByte; d
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      case "instructions" => cols.map[Any] {
+        case "block_slot"        => block
+        case "instruction_index" => idx
+        case "program_id"        => colValue(table, "program_id", block, idx)
+        case "discriminator"     => colValue(table, "discriminator", block, idx)
+        // Anchor-shaped payload: 8-byte discriminator ++ Borsh u64 amount
+        case "data" =>
+          colValue(table, "discriminator", block, idx) ++ u64le(block * 100 + idx)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    new GenericInternalRow(values)
   }
 }
 
+/** One provider request: a conjunction of `col ∈ values` constraints over
+  * the table's pushable columns (absent column = unconstrained). A pushed
+  * filter expands to a LIST of these, OR'd — cherry's repeated
+  * LogRequest/InstructionRequest semantics.
+  */
+private[sources] case class ChainReq(cs: Map[String, Set[Seq[Byte]]]) {
+  /** Conjunction of two requests; None when a column's value sets are
+    * disjoint (the request can never match).
+    */
+  def and(other: ChainReq): Option[ChainReq] = {
+    val merged = (cs.keySet ++ other.cs.keySet).map { k =>
+      k -> ((cs.get(k), other.cs.get(k)) match {
+        case (Some(a), Some(b)) => a intersect b
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => Set.empty[Seq[Byte]] // unreachable
+      })
+    }.toMap
+    if (merged.values.exists(_.isEmpty)) None else Some(ChainReq(merged))
+  }
+  def matches(value: String => Seq[Byte]): Boolean =
+    cs.forall { case (k, set) => set.contains(value(k)) }
+  def describe: String =
+    cs.toSeq.sortBy(_._1).map { case (k, vs) => s"$k:${vs.size}" }.mkString("{", ",", "}")
+}
+
 private class ChainTable(props: Map[String, String]) extends Table with SupportsRead {
-  override def name(): String = "graft_chain"
-  override def schema(): StructType = ChainSource.schema
+  private val table = props.getOrElse("table", "logs")
+  override def name(): String = s"graft_chain_$table"
+  override def schema(): StructType = ChainSource.schemaFor(table)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -88,25 +196,61 @@ private class ChainTable(props: Map[String, String]) extends Table with Supports
 private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
+  private val table = props.getOrElse("table", "logs")
+  private val blockCol = if (table == "instructions") "block_slot" else "block_number"
+  private val pushable = ChainSource.pushableColumns(table)
+
   private var fromBlock = props.getOrElse("fromBlock", "0").toLong
   private var toBlock = props.getOrElse("toBlock", "1000").toLong // exclusive
   private val logsPerBlock = props.getOrElse("logsPerBlock", "3").toInt
   private val numPartitions = props.getOrElse("numPartitions", "4").toInt
-  private var topic0Filter: Option[Seq[Byte]] = None
+  // OR'd request list; a single unconstrained request = "match everything"
+  private var requests: Seq[ChainReq] = Seq(ChainReq(Map.empty))
   private var pushed: Array[Filter] = Array.empty
-  private var requiredCols: Array[String] = ChainSource.schema.fieldNames
+  private var requiredCols: Array[String] = ChainSource.schemaFor(table).fieldNames
 
-  /** Consume block-range and topic0 predicates (≙ provider query DSL);
-    * everything else stays with Spark as a residual.
+  private def asBytes(v: Any): Option[Seq[Byte]] = v match {
+    case a: Array[Byte] => Some(a.toSeq)
+    case _              => None
+  }
+
+  /** A filter tree → list of alternative requests (OR semantics), or None
+    * if any leaf is not a pushable `=`/`IN` constraint.
+    */
+  private def parseReq(f: Filter): Option[Seq[ChainReq]] = f match {
+    case EqualTo(c, v) if pushable(c) =>
+      asBytes(v).map(b => Seq(ChainReq(Map(c -> Set(b)))))
+    case In(c, vs) if pushable(c) =>
+      val bs = vs.toSeq.map(asBytes)
+      if (bs.nonEmpty && bs.forall(_.isDefined))
+        Some(Seq(ChainReq(Map(c -> bs.flatten.toSet))))
+      else None
+    case Or(l, r) =>
+      for { a <- parseReq(l); b <- parseReq(r) } yield a ++ b
+    case And(l, r) =>
+      for { a <- parseReq(l); b <- parseReq(r) }
+        yield for { x <- a; y <- b; m <- x.and(y) } yield m
+    case _ => None
+  }
+
+  /** Consume block-range predicates and request-column constraints
+    * (≙ provider query DSL); everything else stays with Spark as a
+    * residual. Multiple accepted filters AND together; each may itself be
+    * an OR-of-requests, which distributes across the current request list.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
-      case GreaterThanOrEqual("block_number", v: Long) => fromBlock = math.max(fromBlock, v); true
-      case GreaterThan("block_number", v: Long)        => fromBlock = math.max(fromBlock, v + 1); true
-      case LessThan("block_number", v: Long)           => toBlock = math.min(toBlock, v); true
-      case LessThanOrEqual("block_number", v: Long)    => toBlock = math.min(toBlock, v + 1); true
-      case EqualTo("topic0", v: Array[Byte])           => topic0Filter = Some(v.toSeq); true
-      case _                                           => false
+      case GreaterThanOrEqual(c, v: Long) if c == blockCol => fromBlock = math.max(fromBlock, v); true
+      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, v + 1); true
+      case LessThan(c, v: Long) if c == blockCol           => toBlock = math.min(toBlock, v); true
+      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, v + 1); true
+      case f =>
+        parseReq(f) match {
+          case Some(alts) =>
+            requests = for { r <- requests; a <- alts; m <- r.and(a) } yield m
+            true
+          case None => false
+        }
     }
     pushed = accepted
     residual
@@ -123,8 +267,8 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
       val span = math.max(hi - lo0, 0L)
       val step = math.max(1L, (span + numPartitions - 1) / numPartitions)
       (lo0 until hi by step).map { lo =>
-        ChainPartition(lo, math.min(lo + step, hi), logsPerBlock,
-          topic0Filter, requiredCols): InputPartition
+        ChainPartition(table, lo, math.min(lo + step, hi), logsPerBlock,
+          requests, requiredCols): InputPartition
       }.toArray
     }
     private val readerFactory: PartitionReaderFactory =
@@ -132,10 +276,14 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
         new ChainReader(partition.asInstanceOf[ChainPartition])
 
     override def readSchema(): StructType =
-      StructType(requiredCols.map(c => ChainSource.schema(c)))
+      StructType(requiredCols.map(c => ChainSource.schemaFor(table)(c)))
     override def toBatch: Batch = this
-    override def description(): String =
-      s"graft_chain [$fromBlock,$toBlock) topic0=${topic0Filter.isDefined} cols=${requiredCols.mkString(",")}"
+    override def description(): String = {
+      val reqDesc =
+        if (requests == Seq(ChainReq(Map.empty))) "all"
+        else requests.map(_.describe).mkString("|")
+      s"graft_chain_$table [$fromBlock,$toBlock) reqs=$reqDesc cols=${requiredCols.mkString(",")}"
+    }
 
     override def planInputPartitions(): Array[InputPartition] =
       slice(fromBlock, toBlock)
@@ -146,7 +294,7 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
       * admits at most `blocksPerBatch` blocks, and the stream goes idle at
       * the (bounded, synthetic) chain head — a live connector would keep
       * advancing `latestOffset` as blocks arrive. Pushdown state (range,
-      * topic0, pruned columns) carries into every micro-batch's partitions.
+      * requests, pruned columns) carries into every micro-batch's partitions.
       */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -182,28 +330,30 @@ private[sources] case class ChainOffset(block: Long)
   override def json(): String = block.toString
 }
 
-private case class ChainPartition(fromBlock: Long, toBlock: Long,
-                                  logsPerBlock: Int, topic0: Option[Seq[Byte]],
+private case class ChainPartition(table: String, fromBlock: Long, toBlock: Long,
+                                  logsPerBlock: Int, requests: Seq[ChainReq],
                                   cols: Array[String]) extends InputPartition
 
 private class ChainReader(p: ChainPartition) extends PartitionReader[InternalRow] {
   private var block = p.fromBlock
   private var logIdx = -1L
   private var row: InternalRow = _
+  private val unconstrained = p.requests == Seq(ChainReq(Map.empty))
 
   override def next(): Boolean = {
     while (block < p.toBlock) {
       logIdx += 1
       if (logIdx >= p.logsPerBlock) { logIdx = 0; block += 1 }
       if (block < p.toBlock) {
-        // server-side topic0 predicate: skip non-matching logs at the source
-        val matches = p.topic0 match {
-          case Some(t) =>
-            ChainSource.topic0Pool(((block + logIdx) % 3).toInt).toSeq == t
-          case None => true
+        // server-side request matching: a row is emitted iff ANY pushed
+        // request matches it (OR-of-requests), evaluated at the source
+        val matches = unconstrained || {
+          val value = (c: String) =>
+            ChainSource.colValue(p.table, c, block, logIdx).toSeq
+          p.requests.exists(_.matches(value))
         }
         if (matches) {
-          row = ChainSource.logRow(block, logIdx, p.cols)
+          row = ChainSource.row(p.table, block, logIdx, p.cols)
           return true
         }
       }

@@ -167,6 +167,32 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head() == Row("hi", 7L))
   }
 
+  test("indexed non-value types decode as 32-byte topic hashes (ABI spec)") {
+    import spark.implicits._
+    // Indexed static array uint256[2]: its topic is keccak256 of the
+    // encoding, NOT an in-place word — decoding it as an array would read
+    // past the 32-byte topic ("ABI data truncated") or yield garbage.
+    val sig = "Ev(uint256[2] indexed pair, uint64 v)"
+    val parsed = Abi.parseEvent(sig)
+    assert(parsed.schema("pair").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val hashTopic = Array.fill[Byte](32)(0x7f)
+    val df = Seq((hashTopic, null: Array[Byte], null: Array[Byte],
+        word(BigInteger.valueOf(9))))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event(sig,
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.pair", "d.v")
+    val r = df.head()
+    assert(r.getAs[Array[Byte]]("pair").sameElements(hashTopic))
+    assert(r.getAs[java.math.BigDecimal]("v").longValueExact() == 9L)
+    // a NON-indexed static array still decodes in place from data
+    val sig2 = "Ev2(uint32[2] pair)"
+    assert(Abi.parseEvent(sig2).schema("pair").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+  }
+
   test("evm_decode_event allowFail yields null struct on garbage") {
     import spark.implicits._
     val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte],

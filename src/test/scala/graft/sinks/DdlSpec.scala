@@ -55,4 +55,39 @@ class DdlSpec extends AnyFunSuite {
     assert(ddl.contains("\"price\" DECIMAL(20, 4)"))
     assert(ddl.contains("\"raw\" BLOB"))
   }
+
+  test("AnchorLast writes non-anchor tables concurrently, anchor strictly after") {
+    import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+    val events = new ConcurrentLinkedQueue[String]()
+    val bothStarted = new CountDownLatch(2)
+    // three tables, anchor = "blocks"; the two non-anchor writes each block
+    // until BOTH have started — only possible if they run concurrently.
+    val tables = Map[String, org.apache.spark.sql.DataFrame](
+      "a" -> null, "b" -> null, "blocks" -> null)
+    AnchorLast.push(tables, Some("blocks")) { (name, _) =>
+      if (name != "blocks") {
+        bothStarted.countDown()
+        assert(bothStarted.await(10, TimeUnit.SECONDS),
+          "non-anchor writes did not overlap (sequential writer?)")
+      }
+      events.add(name)
+    }
+    val order = events.toArray(Array.empty[String]).toSeq
+    assert(order.size == 3)
+    assert(order.last == "blocks", s"anchor not last: $order")
+  }
+
+  test("AnchorLast never writes the anchor when a table write fails") {
+    val written = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val err = intercept[RuntimeException] {
+      AnchorLast.push(
+        Map[String, org.apache.spark.sql.DataFrame]("a" -> null, "blocks" -> null),
+        Some("blocks")) { (name, _) =>
+        if (name == "a") throw new RuntimeException("boom")
+        written.add(name)
+      }
+    }
+    assert(err.getMessage == "boom")
+    assert(!written.contains("blocks"))
+  }
 }

@@ -47,7 +47,64 @@ class ChainSourceSpec extends SparkSpec {
       .filter(col("topic0") === lit(t0))
     // (block + logIdx) % 3 == 0 → exactly one log per block
     assert(df.count() == 300)
-    assert(scanOf(df).scan.description().contains("topic0=true"))
+    assert(scanOf(df).scan.description().contains("topic0:1"))
+  }
+
+  test("topic0 IN-list pushdown generates only matching rows at the source") {
+    val df = read("fromBlock" -> "0", "toBlock" -> "300", "logsPerBlock" -> "3")
+      .filter(col("topic0").isin(ChainSource.topic0Pool(0),
+        ChainSource.topic0Pool(2)))
+    // per block: logIdx with (block+logIdx)%3 ∈ {0,2} → exactly 2 of 3 logs
+    assert(df.count() == 600)
+    // the IN set reached the source (description) AND was consumed there:
+    // no Spark-side Filter remains in the physical plan
+    assert(scanOf(df).scan.description().contains("topic0:2"),
+      scanOf(df).scan.description())
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty, s"residual filter left: $filters")
+    // and the source really generated only matching rows: total partition
+    // row count == result count (nothing was filtered after the scan)
+    assert(scanOf(df).inputRDD.mapPartitions(
+      it => Iterator(it.size)).collect().sum == 600)
+  }
+
+  test("OR-of-requests pushdown (cherry's repeated LogRequest semantics)") {
+    val t1 = ChainSource.topic0Pool(1)
+    val addr2 = ChainSource.addressPool(2)
+    val df = read("fromBlock" -> "0", "toBlock" -> "300", "logsPerBlock" -> "3")
+      .filter(col("topic0") === lit(t1) || col("address") === lit(addr2))
+    // request A: (block+idx)%3==1 → 1 log/block = 300 rows
+    // request B: block%5==2 → 60 blocks × 3 logs = 180 rows
+    // overlap: block%5==2 AND (block+idx)%3==1 → 60 rows
+    assert(df.count() == 300 + 180 - 60)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("topic0:1") && desc.contains("address:1"), desc)
+    assert(df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, "OR tree was not fully consumed by the source")
+  }
+
+  test("SVM instructions table: program_id + discriminator pushdown, e2e decode") {
+    import graft.steps.Steps
+    val pid = ChainSource.programIdPool(0)
+    val disc = ChainSource.discriminatorPool(0)
+    val df = read("table" -> "instructions", "fromBlock" -> "0",
+        "toBlock" -> "30", "logsPerBlock" -> "2")
+      .filter(col("program_id") === lit(pid) && col("discriminator") === lit(disc))
+    // disc 0 → idx==0; pid 0 → (block+0)%3==0 → blocks 0,3,…,27 = 10 rows
+    assert(df.count() == 10)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("program_id:1") && desc.contains("discriminator:1"), desc)
+    // e2e: Anchor-shaped payload decodes via the Borsh step (jup_swap.py:115-151)
+    val discHex = disc.map("%02x".format(_)).mkString
+    val decoded = Steps.SvmDecodeInstructions(discHex, "amount:u64",
+        inputTable = "instructions", hstack = true)(
+        spark, Map("instructions" -> df))("decoded_instructions")
+    val amounts = decoded.select(col("amount").cast("long"), col("block_slot"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(amounts(3L) == 300L && amounts(27L) == 2700L)
   }
 
   test("column pruning reaches row generation") {

@@ -77,6 +77,66 @@ class StepsSpec extends SparkSpec {
     assert(valid(1L) && valid(2L) && !valid(3L))
   }
 
+  test("EvmValidateBlockData default is bucketed (parallel window), exact at boundaries") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // chain of 25 blocks with one break exactly AT a bucket boundary (20):
+    // the boundary link is only checked if the carrier row crosses buckets.
+    val blocks = (0L until 25L).map { n =>
+      val parent = if (n == 20L) "WRONG" else s"h${n - 1}"
+      (n, s"h$n", parent)
+    }.toDF("block_number", "hash", "parent_hash")
+    val out = Steps.EvmValidateBlockData(bucketSize = 10L)(
+      spark, bundle("blocks" -> blocks))("blocks")
+    val valid = out.select("block_number", "valid").as[(Long, Boolean)]
+      .collect().toMap
+    assert(valid.size == 25)
+    assert(!valid(20L))
+    assert((0L until 25L).filter(_ != 20L).forall(valid))
+    // the window is partitioned — never a global Window.orderBy
+    val w = out.queryExecution.optimizedPlan
+      .collectFirst { case w: logical.Window => w }.get
+    assert(w.partitionSpec.nonEmpty, "default plan used a global window")
+  }
+
+  test("EvmValidateBlockData bucketSize<=0 is the global exact opt-in") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val blocks = Seq((1L, "h1", "h0"), (5L, "h5", "h4"))
+      .toDF("block_number", "hash", "parent_hash")
+    val out = Steps.EvmValidateBlockData(bucketSize = 0L)(
+      spark, bundle("blocks" -> blocks))("blocks")
+    // gap 1→5: global window compares h5's parent (h4) against h1 → invalid
+    val valid = out.select("block_number", "valid").as[(Long, Boolean)]
+      .collect().toMap
+    assert(valid(1L) && !valid(5L))
+    val w = out.queryExecution.optimizedPlan
+      .collectFirst { case w: logical.Window => w }.get
+    assert(w.partitionSpec.isEmpty)
+  }
+
+  test("EvmDecodeMultiEvents.fromAbiDb loads a glaciers-style signature db file") {
+    import graft.functions.Keccak
+    val transferSig = "Transfer(address indexed from, address indexed to, uint256 amount)"
+    val approvalSig = "Approval(address indexed owner, address indexed spender, uint256 value)"
+    val db = java.nio.file.Files.createTempFile("abidb", ".txt")
+    java.nio.file.Files.writeString(db,
+      s"# erc20 core events\n$transferSig\n\n$approvalSig\n")
+    def topic(fill: Byte): Array[Byte] = {
+      val out = new Array[Byte](32)
+      java.util.Arrays.fill(out, 12, 32, fill); out
+    }
+    val word7 = { val w = new Array[Byte](32); w(31) = 7; w }
+    val logs = Seq(
+      (1L, Keccak.topic0(transferSig), topic(0x11), topic(0x22), word7),
+      (2L, Keccak.topic0(approvalSig), topic(0x33), topic(0x44), word7)
+    ).toDF("log_index", "topic0", "topic1", "topic2", "data")
+    val step = Steps.EvmDecodeMultiEvents.fromAbiDb(db.toString)
+    assert(step.signatures == Seq(transferSig, approvalSig))
+    val out = step(spark, bundle("logs" -> logs))("decoded_logs")
+    val names = out.orderBy("log_index").select("event_name")
+      .as[String].collect().toSeq
+    assert(names == Seq("Transfer", "Approval"))
+  }
+
   test("EvmDecodeEvents decodes a Transfer log table (hstack keeps inputs)") {
     def topic(fill: Byte): Array[Byte] = {
       val out = new Array[Byte](32)
