@@ -15,6 +15,11 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Reclaim the previous queries' shuffle/broadcast state before timing:
+      // Spark's ContextCleaner only releases it on GC, and on a large heap
+      // GC may not fire for many queries — execution memory silently fills
+      // and later aggregations spill (observed: x22 1.4s → 16s run-to-run).
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation (projections, sorts, windows) —
       // count() would let Catalyst prune everything but the row count.

@@ -76,10 +76,12 @@ object GraftSession {
       // read as long, Tables.load rebuilds the timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // coalesce small shuffles to the advisory size instead of keeping
-      // one tiny partition per core — the production posture Spark's own
-      // docs recommend; at 100 TB partitions are data-sized either way.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Spark-default AQE coalescing (parallelismFirst=true): never shrink a
+      // post-shuffle stage below the cluster's parallelism. Round 1 set this
+      // to false, which coalesced every small-SF shuffle to ONE partition and
+      // serialized the compute-heavy pair/kernel stages (x21-x24) through a
+      // single task; at 100 TB partitions are data-sized either way, so the
+      // default is both the local and the cluster posture.
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

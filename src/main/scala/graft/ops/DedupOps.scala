@@ -54,9 +54,16 @@ object DedupOps {
     * (i, j, jaccard_bp) with i < j. Jaccard is a ratio of exact ints →
     * deterministic across engines.
     */
-  private def docPairs(c: Column): Column = {
+  private def docPairs(c: Column, minRatioBp: Long = 0L): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(graft.functions.DocPairs(Bridge.expression(c)))
+    Bridge.column(graft.functions.DocPairs(Bridge.expression(c), minRatioBp))
+  }
+
+  private def simhashChunkPairs(ds: Column, ck: Column, chunks: Int,
+                                maxHamming: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SimhashChunkPairs(
+      Bridge.expression(ds), Bridge.expression(ck), chunks, maxHamming))
   }
 
   /** Requires a LongType `idCol`. Plan shape: the shingle pipeline runs
@@ -82,7 +89,10 @@ object DedupOps {
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(docPairs(col("ds"))).as("p"))
+      // length filter (exact): jaccard ≤ min/max of the two shingle counts,
+      // so under-ratio pairs are pruned before they ever hit the shuffle
+      .select(explode(docPairs(col("ds"),
+        math.floor(threshold * 10000).toLong)).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
         first(col("p.bn")).as("bn"))
@@ -197,17 +207,18 @@ object DedupOps {
           .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
           .select(col("id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
       }
+    val chunks = if (maxHamming >= 60) 1 else maxHamming + 1
+    // ONE shuffle total: the canonical-chunk kernel emits each qualifying
+    // pair exactly once (from the first chunk the codes agree on) with the
+    // Hamming filter applied in-kernel, so no per-pair dedup aggregation —
+    // the naive plan's second shuffle — is needed.
     keyed
       .groupBy(col("ck"), col("cv"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(docPairs(col("ds"))).as("p"))
-      // a pair sharing several chunks surfaces once per shared chunk → dedupe
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(first(col("p.an")).as("ca"), first(col("p.bn")).as("cb"))
-      .select(col("i"), col("j"),
-        bit_count(col("ca").bitwiseXOR(col("cb"))).cast(LongType).as("ham"))
-      .filter(col("ham") <= maxHamming)
+      .select(explode(
+        simhashChunkPairs(col("ds"), col("ck"), chunks, maxHamming)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.ham").as("ham"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]

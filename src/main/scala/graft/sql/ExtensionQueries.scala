@@ -21,18 +21,30 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The documents/embeddings fixtures arrive as ONE small parquet file —
+    * a single scan task — while at production scale the same corpus arrives
+    * in thousands of partitions. Spread the raw rows round-robin so the
+    * per-row kernels (md5 shingles, minhashes, regex chains, vector dots)
+    * use every core: without this the whole first stage of each dedup/text
+    * query serializes through one task. The shuffle moves only the tiny
+    * fixture (a few MB); on a real multi-file corpus it is unnecessary and
+    * a caller would drop it.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // x16 — token counting (whitespace, alpha runs, BPE-ish segmentation).
     "x16_text_tokens" -> { (s, dir) =>
-      TextOps.tokenCounts(t(s, dir, "documents"))
+      TextOps.tokenCounts(spread(t(s, dir, "documents")))
         .select("doc_id", "ws_tokens", "alpha_tokens", "bpe_tokens")
         .orderBy("doc_id")
     },
 
     // x17 — quality-score signals (C4/Gopher-style filters), basis points.
     "x17_text_quality" -> { (s, dir) =>
-      TextOps.qualityScore(t(s, dir, "documents"))
+      TextOps.qualityScore(spread(t(s, dir, "documents")))
         .select("doc_id", "n_words", "avg_word_len_bp", "stop_ratio_bp",
           "alpha_ratio_bp")
         .orderBy("doc_id")
@@ -40,14 +52,14 @@ object ExtensionQueries {
 
     // x18 — char-trigram-profile language ID (n-gram heuristic).
     "x18_lang_id" -> { (s, dir) =>
-      TextOps.langId(t(s, dir, "documents"))
+      TextOps.langId(spread(t(s, dir, "documents")))
         .select("doc_id", "pred_lang", "pred_hits")
         .orderBy("doc_id")
     },
 
     // x19 — bottom-k sketch document fingerprint.
     "x19_fingerprint" -> { (s, dir) =>
-      TextOps.fingerprint(t(s, dir, "documents"))
+      TextOps.fingerprint(spread(t(s, dir, "documents")))
         .select("doc_id", "fp")
         .orderBy("doc_id")
     },
@@ -61,7 +73,7 @@ object ExtensionQueries {
     // x21 — n-gram Jaccard near-dup pairs via shingle equi-join (no cross
     // join anywhere: the shuffle key is the shingle).
     "x21_dedup_ngram_jaccard" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"))
       DedupOps.ngramJaccardPairs(d, "doc_id",
           TextOps.wordShingles(col("text"), 3), 0.5)
         .orderBy("i", "j")
@@ -70,7 +82,7 @@ object ExtensionQueries {
     // x22 — MinHash+LSH candidate pairs (16 hashes, 4 bands × 4 rows:
     // P(candidate) = 1-(1-J^4)^4 → J=0.99 caught, J=0.1 ~4e-4).
     "x22_dedup_minhash_lsh" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"))
       DedupOps.minhashLshCandidates(d, "doc_id",
           TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
         .orderBy("i", "j")
@@ -78,13 +90,13 @@ object ExtensionQueries {
 
     // x23 — SimHash near-dup pairs (60-bit code, hamming ≤ 3).
     "x23_dedup_simhash" -> { (s, dir) =>
-      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      DedupOps.simhashPairs(spread(t(s, dir, "documents")), "doc_id", "text", 3)
         .orderBy("i", "j")
     },
 
     // x24 — embedding-cosine near-dup pairs (brute-force exact baseline).
     "x24_dedup_embedding" -> { (s, dir) =>
-      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), "vec_id",
+      DedupOps.embeddingNearDup(spread(t(s, dir, "embeddings")), "vec_id",
           "embedding", 0.45)
         .orderBy("i", "j")
     },
@@ -92,7 +104,7 @@ object ExtensionQueries {
     // x25 — exact ANN baseline: brute-force cosine top-5 for 20 query
     // vectors (corpus scanned once, queries broadcast).
     "x25_ann_topk" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = spread(t(s, dir, "embeddings"))
       VectorOps.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id",
           "embedding", 5)
         .orderBy("qid", "nid")
@@ -101,7 +113,7 @@ object ExtensionQueries {
     // x26 — LSH-bucketed ANN (8 random hyperplanes → 256 buckets); the
     // scale path: corpus partitions by bucket, queries probe one bucket.
     "x26_ann_lsh" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = spread(t(s, dir, "embeddings"))
       VectorOps.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id",
           "embedding", 5, dim = 64, numPlanes = 8)
         .orderBy("qid", "nid")
@@ -111,7 +123,7 @@ object ExtensionQueries {
     // classic scale path next to LSH (x26). Corpus shuffles once on its
     // cell id; queries probe 2/8 of the data.
     "x35_ann_ivf" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = spread(t(s, dir, "embeddings"))
       VectorOps.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id",
           "embedding", 5, numCentroids = 8, nProbe = 2)
         .orderBy("qid", "nid")
@@ -143,7 +155,7 @@ object ExtensionQueries {
     // x37 — repetition signals (Gopher-style filters): duplicate-word and
     // duplicate-bigram fractions in basis points.
     "x37_text_repetition" -> { (s, dir) =>
-      TextOps.repetitionScore(t(s, dir, "documents"))
+      TextOps.repetitionScore(spread(t(s, dir, "documents")))
         .select("doc_id", "n_words", "dup_word_bp", "dup_bigram_bp")
         .orderBy("doc_id")
     },
@@ -153,7 +165,7 @@ object ExtensionQueries {
     // spans derived from doc_id, then redacts — both engines synthesize and
     // scrub the identical string.
     "x36_pii_redact" -> { (s, dir) =>
-      val planted = t(s, dir, "documents").withColumn("text", concat(
+      val planted = spread(t(s, dir, "documents")).withColumn("text", concat(
         lit("mail u"), col("doc_id").cast("string"),
         lit("@ex.com on 10.0.0."), (col("doc_id") % 200).cast("string"),
         lit(" call +1-555-000-"), col("doc_id").cast("string"),
@@ -247,7 +259,7 @@ object ExtensionQueries {
     // kept document ids. The composition a training-data pipeline runs,
     // end-to-end in one lazy plan.
     "x34_corpus_curation" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val quality = TextOps.qualityScore(docs)
         .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
         .select("doc_id", "text")

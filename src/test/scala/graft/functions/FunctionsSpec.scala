@@ -42,8 +42,49 @@ class FunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val big = new GenericArrayData(Array.tabulate[Any](70000)(i =>
       new GenericInternalRow(Array[Any](i.toLong, 0L))))
-    val err = intercept[IllegalArgumentException](DocPairs.compute(big))
+    val err = intercept[IllegalArgumentException](DocPairs.compute(big, 0L))
     assert(err.getMessage.contains("cap bucket sizes"))
+  }
+
+  test("DocPairs length filter prunes exactly the under-ratio pairs") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // sizes 10, 20, 100: at ratio 0.5 only (10,20) qualifies
+    val bucket = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1L, 10L)),
+      new GenericInternalRow(Array[Any](2L, 20L)),
+      new GenericInternalRow(Array[Any](3L, 100L))))
+    assert(DocPairs.compute(bucket, 0L).numElements() == 3)
+    val filtered = DocPairs.compute(bucket, 5000L)
+    assert(filtered.numElements() == 1)
+    assert(filtered.getStruct(0, 4).getLong(0) == 1L &&
+      filtered.getStruct(0, 4).getLong(2) == 2L)
+  }
+
+  test("SimhashChunkPairs emits each pair once, from its first agreeing chunk") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // maxHamming=3 → 4 chunks of 15 bits. Codes: a=0, b differs in bit 0
+    // (chunk 0), c differs from a in bits 20,35,50 (chunks 1,2,3).
+    val a = 0L
+    val b = 1L
+    val c = (1L << 20) | (1L << 35) | (1L << 50)
+    def bucket(rows: (Long, Long)*) = new GenericArrayData(
+      rows.map { case (id, code) =>
+        new GenericInternalRow(Array[Any](id, code)): Any }.toArray)
+    // (a,b) agree first on chunk 1 (xor touches only chunk 0)
+    val inChunk0 = SimhashChunkPairs.compute(bucket(1L -> a, 2L -> b), 0, 4, 3)
+    assert(inChunk0.numElements() == 0)
+    val inChunk1 = SimhashChunkPairs.compute(bucket(1L -> a, 2L -> b), 1, 4, 3)
+    assert(inChunk1.numElements() == 1)
+    assert(inChunk1.getStruct(0, 3).getLong(2) == 1L) // ham
+    // (a,c) agree only on chunk 0 → emitted there, ham=3
+    val ac = SimhashChunkPairs.compute(bucket(1L -> a, 3L -> c), 0, 4, 3)
+    assert(ac.numElements() == 1 && ac.getStruct(0, 3).getLong(2) == 3L)
+    // over-distance pair never emitted (5 bits differ > maxHamming 3)
+    val far = (1L << 1) | (1L << 2) | (1L << 3) | (1L << 4) | (1L << 5)
+    assert(SimhashChunkPairs.compute(bucket(1L -> a, 2L -> far), 0, 4, 3)
+      .numElements() == 0)
   }
 
   // --- base58 (cherry tests/test_steps.py:12-27 oracle semantics) ----------
