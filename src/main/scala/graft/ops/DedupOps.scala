@@ -221,6 +221,47 @@ object DedupOps {
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.ham").as("ham"))
   }
 
+  /** Connected components over an undirected near-dup pair list (i, j):
+    * every doc that appears in a pair gets its component id = the minimum
+    * doc id reachable through the pair graph. This is the step that turns
+    * PAIRS into dedup CLUSTERS ("keep one per component") — without it a
+    * chain A~B, B~C keeps B twice or drops both.
+    *
+    * Plan: iterative min-label propagation — per round one join of the
+    * label table with the (symmetrized) edge list and a min-aggregation,
+    * `localCheckpoint` between rounds so the lineage stays flat. Rounds
+    * needed = graph diameter; near-dup components are small and dense
+    * (diameter 1–3), and `maxIter` bounds pathological chains. The same
+    * loop shape as the k-means trainer: a driver-bounded iteration of
+    * fully distributed steps (the only driver data is the convergence
+    * count).
+    */
+  def connectedComponents(pairs: DataFrame, iCol: String = "i",
+                          jCol: String = "j", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // each node pulls the smallest label among its neighbours
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    labels.select(col("id"), col("comp"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]
     * column. Brute-force all-pairs (exact baseline); `VectorOps.lshBuckets`
     * is the scale path. cos emitted in basis points (floor semantics).

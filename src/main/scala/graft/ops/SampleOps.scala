@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling and dataset splitting for corpus pipelines.
+  *
+  * Everything keys off the md5-derived `hash60` of the row's id rendered as
+  * a decimal string — reproducible across runs, engines (exact DuckDB
+  * oracle), partitionings, and cluster sizes, unlike `rand()`-based
+  * sampling which is none of those. Narrow, shuffle-free, fuses into the
+  * scan: the idiomatic way to carve train/val/test or a 1% dev slice out
+  * of a 100 TB corpus is exactly this hash-mod predicate, pushed as close
+  * to the source as possible.
+  */
+object SampleOps {
+
+  /** 60-bit md5 hash of the id's decimal rendering (TextOps contract). */
+  private def idHash(idCol: Column): Column =
+    TextOps.hash60(idCol.cast("string"))
+
+  /** Keep ~rateBp/10000 of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, rateBp: Int): DataFrame =
+    df.filter(idHash(col(idCol)) % 10000 < rateBp)
+
+  /** Assign every row a split label by hash bucket: the first `cuts` entry
+    * (label, upToBp) whose bound exceeds the row's hash-mod-10000 wins.
+    * E.g. Seq(("train", 8000), ("val", 9000), ("test", 10000)) = 80/10/10.
+    * Deterministic and stable under corpus growth: a row's split never
+    * changes when other rows are added or removed.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 10000,
+      "cuts must cover the full [0,10000) hash range")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cut bounds must be ascending")
+    val h = idHash(col(idCol)) % 10000
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upTo), rest) => when(h < upTo, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic per-key downsampling: keep at most `k` rows per key,
+    * chosen by id-hash order (not arrival order — reproducible under any
+    * partitioning). The domain-balancing primitive of corpus curation:
+    * "at most N pages per domain". One shuffle on the key; rank is a
+    * standard windowed top-k per key.
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -159,6 +159,42 @@ object VectorOps {
     cent
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop near-
+    * duplicates WITHIN each cluster — pairwise work becomes O(Σ cell²)
+    * instead of O(n²), and each cell's pairs co-locate after one shuffle
+    * on the cell id. Returns the KEPT ids (the lowest id of every
+    * cosine-≥-threshold pair survives, matching exact-dedup's keep-min
+    * rule).
+    *
+    * Centroids are the `numCentroids` lowest-id vectors (ivfTopK's
+    * deterministic seeding) so the oracle is exact; at scale the centroids
+    * come from `kmeansCentroids` and the plan is unchanged. Cross-cell
+    * near-dups are missed by construction — that is SemDeDup's documented
+    * approximation, bounded by cluster quality.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val cent = vecs.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    val cells = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    vecs.select(col(idCol).as("id"))
+      .join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
   /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates. The join shuffles on the bucket id — at 100 TB the corpus
     * partitions by bucket once and every query probes one partition. Recall

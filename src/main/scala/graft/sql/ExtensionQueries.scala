@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{DedupOps, JoinOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, SampleOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -252,6 +252,36 @@ object ExtensionQueries {
         approx_count_distinct(col("l_suppkey")).as("apx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("apx_median_price"))
+    },
+
+    // x40 — near-dup CLUSTERS: connected components over the Jaccard pair
+    // graph (pairs → clusters is what "keep one per duplicate group"
+    // actually needs; A~B, B~C must collapse to one component).
+    "x40_dedup_clusters" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pairs = DedupOps.ngramJaccardPairs(d, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      DedupOps.connectedComponents(pairs, "i", "j")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+
+    // x41 — deterministic train/val/test split by id hash (80/10/10):
+    // reproducible across runs/engines/partitionings, stable under corpus
+    // growth — the hash-mod idiom every large corpus pipeline uses.
+    "x41_hash_split" -> { (s, dir) =>
+      SampleOps.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq(("train", 8000), ("val", 9000), ("test", 10000)))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // x42 — semantic dedup (SemDeDup): cluster embeddings to 8 seed cells,
+    // drop the higher id of every within-cell cosine ≥ 0.45 pair.
+    "x42_semantic_dedup" -> { (s, dir) =>
+      VectorOps.semanticDedup(spread(t(s, dir, "embeddings")), "vec_id",
+          "embedding", numCentroids = 8, threshold = 0.45)
+        .orderBy("vec_id")
     },
 
     // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
@@ -519,6 +549,51 @@ object ExtensionQueries {
 
     // x33 intentionally has NO oracle: HLL/quantile sketches are
     // engine-specific (driver records the rows-only check).
+
+    "x40_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-2,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+        |        FROM w),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+        |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT i, j FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        | reach AS (SELECT a, b FROM e
+        |   UNION
+        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        | SELECT a AS doc_id, least(a, min(b)) AS component
+        | FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "x41_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val'
+        |      ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS h
+        |   FROM documents)
+        | ORDER BY doc_id""".stripMargin,
+
+    "x42_semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
+         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+         |   FROM v CROSS JOIN cent),
+         | ranked AS (SELECT id, vec, nrm, cid,
+         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+         |   FROM ca),
+         | cells AS (SELECT id, vec, nrm, cid cell FROM ranked WHERE crk = 1),
+         | dropped AS (SELECT DISTINCT b.id FROM cells a JOIN cells b
+         |   ON a.cell = b.cell AND a.id < b.id
+         |   WHERE ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm) >= 0.45)
+         | SELECT vec_id FROM embeddings
+         | WHERE vec_id NOT IN (SELECT id FROM dropped)
+         | ORDER BY vec_id""".stripMargin,
 
     "x34_corpus_curation" ->
       """WITH q AS (SELECT doc_id, text FROM documents

@@ -207,6 +207,58 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("connectedComponents collapses pair chains into min-id components") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val comps = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain exercises multi-round propagation
+    val chain = (1L until 8L).map(k => (k, k + 1)).toDF("i", "j")
+    val c2 = DedupOps.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(c2.forall(_._2 == 1L) && c2.length == 8)
+    assert(DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("i", "j")).count() == 0)
+  }
+
+  test("hashSplit covers every row deterministically; topKPerKey bounds keys") {
+    val rows = (0L until 200L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
+    val split = SampleOps.hashSplit(rows, "id",
+      Seq(("train", 8000), ("val", 9000), ("test", 10000)))
+    val byLabel = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == 200)
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel("train") > byLabel.getOrElse("test", 0L)) // ~80 vs ~10
+    // deterministic: same assignment on re-run
+    val again = SampleOps.hashSplit(rows, "id",
+      Seq(("train", 8000), ("val", 9000), ("test", 10000)))
+    assert(split.select("id", "split").except(again.select("id", "split")).count() == 0)
+    val capped = SampleOps.topKPerKey(rows, "key", "id", 10)
+    val perKey = capped.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(perKey.values.forall(_ == 10))
+    // sampling keeps roughly rate and is a subset of the input
+    val s5 = SampleOps.hashSample(rows, "id", 5000)
+    assert(s5.count() > 60 && s5.count() < 140)
+  }
+
+  test("semanticDedup drops the higher id of each within-cell near-dup") {
+    // 8 seed centroids (ids 0-7) spread on distinct axes; ids 20,21 are
+    // near-duplicates of centroid 0's direction; 30 is its own direction.
+    def axis(d: Int, scale: Float = 1f) =
+      Array.tabulate(8)(i => if (i == d) scale else 0f)
+    val vecs = ((0 until 8).map(d => (d.toLong, axis(d))) ++ Seq(
+      (20L, axis(0, 2f)), (21L, axis(0, 3f)),
+      (30L, Array.tabulate(8)(i => if (i < 2) 1f else 0f)))).toDF("vec_id", "embedding")
+    val kept = VectorOps.semanticDedup(vecs, "vec_id", "embedding",
+        numCentroids = 8, threshold = 0.9)
+      .as[Long].collect().toSet
+    // 0, 20, 21 share cell 0 with cosine 1.0 → only 0 survives of the trio
+    assert(!kept.contains(20L) && !kept.contains(21L))
+    assert(kept.contains(0L) && kept.contains(30L))
+    assert((1 until 8).forall(d => kept.contains(d.toLong)))
+  }
+
   test("tokenCounts and qualityScore on a known sentence") {
     val one = Seq((0L, "the cat sat on a mat 42 times!")).toDF("doc_id", "text")
     val t = TextOps.tokenCounts(one).head()

@@ -56,6 +56,31 @@ class DdlSpec extends AnyFunSuite {
     assert(ddl.contains("\"raw\" BLOB"))
   }
 
+  test("DeltaSink wiring reaches the delta format writer (jar-gated)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // no delta jars on this classpath: the push must fail INSIDE Spark's
+    // data-source lookup for "delta" — proving the sink wired the write
+    // correctly, not short-circuiting earlier.
+    val err = intercept[Exception] {
+      DeltaSink("/tmp/graft-delta-test").push(Map("t" -> df))
+    }
+    assert(err.getMessage.toLowerCase.contains("delta"), err.getMessage)
+  }
+
+  test("IcebergSink wiring reaches the catalog append (jar-gated)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // no iceberg catalog configured: the failure names the target table,
+    // proving writeTo(prefix + name) is reached with the right identifier.
+    val err = intercept[Exception] {
+      IcebergSink("nosuchcatalog.db.").push(Map("t" -> df))
+    }
+    assert(err.getMessage.contains("nosuchcatalog"), err.getMessage)
+  }
+
   test("AnchorLast writes non-anchor tables concurrently, anchor strictly after") {
     import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
     val events = new ConcurrentLinkedQueue[String]()
