@@ -73,6 +73,18 @@ final case class ParquetSource(dir: String, tables: Seq[String]) extends Source 
     Iterator.single(graft.sources.Tables.bundle(spark, dir, tables))
 }
 
+/** CSV source (≙ cherry S10, the example-level `read_csv` that loads
+  * reference dimension tables, `jup_swap.py:196-197`): header + inferred
+  * schema, one table per path, single batch.
+  */
+final case class CsvSource(paths: Map[String, String]) extends Source {
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+    Iterator.single(paths.map { case (name, p) =>
+      name -> spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(p)
+    })
+}
+
 /** Block-range slicer (≙ EVM Query from_block/to_block, cherry
   * `examples/erc20_custom.py:98-137`): emits one bundle per `step`-sized
   * slice of `rangeColumn`. Each slice's range predicate is pushed to the

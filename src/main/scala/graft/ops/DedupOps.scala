@@ -221,6 +221,29 @@ object DedupOps {
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.ham").as("ham"))
   }
 
+  /** Benchmark decontamination hits — the n-gram overlap check every
+    * serious training pipeline runs against its eval benchmarks (cf. the
+    * GPT-3 appendix-C / Dolma decontamination recipes): for each corpus
+    * doc, the number of distinct shingles it shares with the benchmark
+    * corpus (0-hit docs are absent; a threshold on n_hits drives the
+    * drop decision).
+    *
+    * Scale shape: benchmark suites are tiny next to the corpus → their
+    * distinct shingle set BROADCASTS; the corpus is scanned once and the
+    * only shuffle is the per-doc hit count (map-side combinable). Never
+    * a corpus-side shuffle on the shingle key.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, shingles: Column,
+                        bench: DataFrame, benchShingles: Column): DataFrame = {
+    val corpusSh = shingleTable(docs, idCol, shingles)
+    val benchSh = bench.select(explode(benchShingles).as("s")).distinct()
+    corpusSh.select(col("id"), col("s"))
+      .join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
   /** Connected components over an undirected near-dup pair list (i, j):
     * every doc that appears in a pair gets its component id = the minimum
     * doc id reachable through the pair graph. This is the step that turns

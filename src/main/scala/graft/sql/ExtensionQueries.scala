@@ -284,6 +284,17 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // x43 — benchmark decontamination: distinct 3-gram overlap between each
+    // corpus doc and a (stand-in) benchmark set, docs 0-2. The benchmark
+    // shingle set broadcasts; the corpus never shuffles on the shingle key.
+    "x43_decontaminate" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val sh = TextOps.wordShingles(col("text"), 3)
+      DedupOps.contaminationHits(d.filter(col("doc_id") >= 3), "doc_id", sh,
+          d.filter(col("doc_id") < 3), sh)
+        .orderBy("doc_id")
+    },
+
     // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
     // near-dup removal (drop the higher id of each Jaccard≥0.5 pair) →
     // kept document ids. The composition a training-data pipeline runs,
@@ -568,6 +579,13 @@ object ExtensionQueries {
         |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         | SELECT a AS doc_id, least(a, min(b)) AS component
         | FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "x43_decontaminate" ->
+      s"""$word3gramShingles,
+         | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 3)
+         | SELECT sh.doc_id, count(DISTINCT sh.s)::BIGINT AS n_hits
+         | FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 3
+         | GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
 
     "x41_hash_split" ->
       """SELECT doc_id,

@@ -259,6 +259,18 @@ class OpsSpec extends SparkSpec {
     assert((1 until 8).forall(d => kept.contains(d.toLong)))
   }
 
+  test("contaminationHits counts distinct shared shingles vs the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),         // shares 2 bench shingles
+      (11L, "alpha beta gamma other words"),   // shares 1
+      (12L, "nothing in common here at all")).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val hits = DedupOps.contaminationHits(corpus, "doc_id", sh, bench, sh)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(10L -> 2L, 11L -> 1L)) // doc 12 absent (0 hits)
+  }
+
   test("tokenCounts and qualityScore on a known sentence") {
     val one = Seq((0L, "the cat sat on a mat 42 times!")).toDF("doc_id", "text")
     val t = TextOps.tokenCounts(one).head()

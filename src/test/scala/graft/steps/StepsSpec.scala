@@ -213,6 +213,21 @@ class StepsSpec extends SparkSpec {
     assert(merged("blocks").count() == 100L)
   }
 
+  test("CsvSource loads header CSVs into the bundle (S10, jup_swap.py:196)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/tokens.csv"),
+      "mint,symbol,decimals\nSo111,SOL,9\nEPjFW,USDC,6\n")
+    val src = graft.api.CsvSource(Map("tokens" -> s"$dir/tokens.csv"))
+    val bundleOut = src.batches(spark).next()
+    val rows = bundleOut("tokens").orderBy("symbol")
+      .as[(String, String, Int)].collect().toSeq
+    assert(rows == Seq(("So111", "SOL", 9), ("EPjFW", "USDC", 6)))
+    // composes with the step fold like any other source
+    val stepped = Pipeline.processSteps(spark, bundleOut,
+      Seq(Steps.SetChainId(101L)))
+    assert(stepped("tokens").select("chain_id").as[Long].head() == 101L)
+  }
+
   test("Sql step registers views and binds outputs (datafusion_step.py analog)") {
     val t = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val out = Steps.Sql(Map("doubled" -> "SELECT k * 2 AS k2 FROM t"))(
