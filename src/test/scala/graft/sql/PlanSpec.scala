@@ -49,4 +49,31 @@ class PlanSpec extends SparkSpec {
     val aggCount = "partial_min".r.findAllIn(p).length
     assert(aggCount <= 16, s"minhash agg duplicated: $aggCount partial mins")
   }
+
+  test("x23: simhash pairs is a one-shuffle plan (no per-pair dedup agg)") {
+    val p = plan(ExtensionQueries.queries, "x23_dedup_simhash")
+    // two hash exchanges: the per-doc simhash bit-sum aggregation and the
+    // chunk-bucket collect. The canonical-chunk kernel removed the third —
+    // the old per-pair groupBy(i,j) dedup shuffle.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+    assert(p.contains("simhash_chunk_pairs"), p)
+  }
+
+  test("x43: benchmark shingle set broadcasts; corpus never shuffles on shingles") {
+    val p = plan(ExtensionQueries.queries, "x43_decontaminate")
+    // a broadcast join on the shingle value (never a sort-merge join, which
+    // would shuffle the whole corpus's shingles); any hashpartitioning on s
+    // belongs to the tiny benchmark side's distinct()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
+  }
+
+  test("x42: semantic dedup broadcasts centroids, joins pairs on the cell id") {
+    val p = plan(ExtensionQueries.queries, "x42_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the within-cell pair join is an equi-join on cell (+ id inequality),
+    // never a full cartesian of the corpus with itself
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+  }
 }
