@@ -296,9 +296,10 @@ object ExtensionQueries {
     },
 
     // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
-    // near-dup removal (drop the higher id of each Jaccard≥0.5 pair) →
-    // kept document ids. The composition a training-data pipeline runs,
-    // end-to-end in one lazy plan.
+    // near-dup pairs → TRANSITIVE closure (connected components) → keep the
+    // lowest id per duplicate group. The composition a training-data
+    // pipeline actually runs: pair-based dropping alone mishandles chains
+    // (A~B, B~C without A~C must still collapse to one survivor).
     "x34_corpus_curation" -> { (s, dir) =>
       val docs = spread(t(s, dir, "documents"))
       val quality = TextOps.qualityScore(docs)
@@ -306,9 +307,11 @@ object ExtensionQueries {
         .select("doc_id", "text")
       val exactKept = DedupOps.exact(quality, "doc_id", "text")
       val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
-      val nearDupDrop = DedupOps.ngramJaccardPairs(survivors, "doc_id",
+      val pairs = DedupOps.ngramJaccardPairs(survivors, "doc_id",
           TextOps.wordShingles(col("text"), 3), 0.5)
-        .select(col("j").as("doc_id")).distinct()
+      val nearDupDrop = DedupOps.connectedComponents(pairs)
+        .filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"))
       exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     }
@@ -614,7 +617,7 @@ object ExtensionQueries {
          | ORDER BY vec_id""".stripMargin,
 
     "x34_corpus_curation" ->
-      """WITH q AS (SELECT doc_id, text FROM documents
+      """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
         |   WHERE len(string_split(text,' ')) >= 20
         |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
         |           / len(text)::DOUBLE) >= 7000),
@@ -628,9 +631,15 @@ object ExtensionQueries {
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | dropd AS (SELECT DISTINCT j AS doc_id FROM inter
+        | p AS (SELECT i, j FROM inter
         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000)
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        | reach AS (SELECT a, b FROM e
+        |   UNION
+        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
+        |   HAVING least(a, min(b)) < a)
         | SELECT doc_id FROM k1
         | EXCEPT SELECT doc_id FROM dropd
         | ORDER BY doc_id""".stripMargin
