@@ -85,6 +85,14 @@ final case class CsvSource(paths: Map[String, String]) extends Source {
     })
 }
 
+/** JSONL source: newline-delimited JSON with inferred schema, one table
+  * per path — the arrival format of most web-scale text corpora.
+  */
+final case class JsonlSource(paths: Map[String, String]) extends Source {
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+    Iterator.single(paths.map { case (name, p) => name -> spark.read.json(p) })
+}
+
 /** Block-range slicer (≙ EVM Query from_block/to_block, cherry
   * `examples/erc20_custom.py:98-137`): emits one bundle per `step`-sized
   * slice of `rangeColumn`. Each slice's range predicate is pushed to the

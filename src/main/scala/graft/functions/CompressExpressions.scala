@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed byte length of a string — the kernel behind the
+  * compression-ratio quality signal (Gopher §A.1.1 uses exactly this:
+  * highly compressible text is boilerplate/repetition, incompressible text
+  * is noise). One Deflater per eval, fixed level for reproducibility
+  * within a JVM; zlib output can differ across zlib builds, so this signal
+  * is spec-gated (no cross-engine oracle) by design.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateLen.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  def compute(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

@@ -43,6 +43,37 @@ object SampleOps {
     df.withColumn("split", label)
   }
 
+  /** Token-budget shard packing: assign rows (in `idCol` order) to
+    * contiguous training shards of ~`budget` tokens — sequence-packing's
+    * first stage. shard = floor(tokens_before_this_row / budget).
+    *
+    * Scale shape — a distributed prefix sum, NOT a global ordered window
+    * (which would serialize 100 TB through one task):
+    *   1. per-bucket running sums (windows partitioned by floor(id/bucket),
+    *      fully parallel);
+    *   2. prefix offsets over the per-bucket TOTALS — a global window, but
+    *      over one row per bucket (bounded metadata, like T12's buckets);
+    *   3. broadcast the tiny offset table back onto the rows.
+    */
+  def packShards(df: DataFrame, idCol: String, tokensCol: String,
+                 budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = df.withColumn("__b", floor(col(idCol) / bucketSize))
+      .withColumn("__run", sum(col(tokensCol)).over(wIn))
+    val wPre = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRun.groupBy(col("__b")).agg(max(col("__run")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wPre), lit(0L)))
+      .select(col("__b"), col("__off"))
+    withRun.join(broadcast(offsets), Seq("__b"))
+      .withColumn("shard",
+        floor((col("__off") + col("__run") - col(tokensCol)) / budget).cast(LongType))
+      .drop("__b", "__run", "__off")
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

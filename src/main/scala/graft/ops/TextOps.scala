@@ -103,6 +103,29 @@ object TextOps {
           .otherwise(lit(0L)))
   }
 
+  /** Compression-ratio quality signal (Gopher §A.1.1): DEFLATE-compressed
+    * length over raw byte length, in basis points. Very low ratios flag
+    * boilerplate/repetition, very high ratios flag noise. Narrow and
+    * shuffle-free; spec-gated rather than oracle-gated (zlib output is not
+    * guaranteed identical across engines/builds).
+    */
+  def compressionRatio(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("deflate_bp",
+      bp(bridge(graft.functions.DeflateLen(expr0(col(textCol)))),
+        length(col(textCol)).cast(LongType)))
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens, ties
+    * broken on the token. Explode → partial-agg count (map-side combine
+    * collapses each partition's counts before the shuffle) → top-k
+    * (TakeOrderedAndProject, never a global sort).
+    */
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+
   /** PII redaction patterns (C4/Dolma-style corpus scrubbing), applied in
     * order: emails first (their local parts would otherwise feed the phone
     * pattern), then dotted IPv4, then international-format phone numbers.

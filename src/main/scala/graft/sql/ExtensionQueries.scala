@@ -284,6 +284,24 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // x44 — token-budget shard packing (sequence packing stage 1): docs in
+    // id order fill contiguous ~10k-token shards; distributed prefix sum,
+    // never a global ordered window over the corpus.
+    "x44_shard_pack" -> { (s, dir) =>
+      val toks = TextOps.tokenCounts(spread(t(s, dir, "documents")))
+        .select(col("doc_id"), col("ws_tokens"))
+      SampleOps.packShards(toks, "doc_id", "ws_tokens", budget = 10000L,
+          bucketSize = 100L)
+        .select(col("doc_id"), col("shard"))
+        .orderBy("doc_id")
+    },
+
+    // x45 — corpus vocabulary: top-25 whitespace tokens by frequency
+    // (vocab building / BPE seeding): map-side-combined count + top-k.
+    "x45_vocab_topk" -> { (s, dir) =>
+      TextOps.vocabTopK(spread(t(s, dir, "documents")), 25)
+    },
+
     // x43 — benchmark decontamination: distinct 3-gram overlap between each
     // corpus doc and a (stand-in) benchmark set, docs 0-2. The benchmark
     // shingle set broadcasts; the corpus never shuffles on the shingle key.
@@ -589,6 +607,20 @@ object ExtensionQueries {
          | SELECT sh.doc_id, count(DISTINCT sh.s)::BIGINT AS n_hits
          | FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 3
          | GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x44_shard_pack" ->
+      """WITH tk AS (SELECT doc_id, len(string_split(text,' '))::BIGINT tok
+        |   FROM documents),
+        | r AS (SELECT doc_id, tok,
+        |     SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) run
+        |   FROM tk)
+        | SELECT doc_id, floor((run - tok)::DOUBLE / 10000)::BIGINT AS shard
+        | FROM r ORDER BY doc_id""".stripMargin,
+
+    "x45_vocab_topk" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) word FROM documents)
+        | SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word
+        | ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
 
     "x41_hash_split" ->
       """SELECT doc_id,

@@ -271,6 +271,39 @@ class OpsSpec extends SparkSpec {
     assert(hits == Map(10L -> 2L, 11L -> 1L)) // doc 12 absent (0 hits)
   }
 
+  test("packShards equals the naive global running-sum assignment") {
+    // ids with gaps across several buckets; budget 10 tokens
+    val rows = Seq((0L, 4L), (1L, 4L), (7L, 5L), (12L, 3L), (25L, 9L),
+      (31L, 2L), (40L, 8L)).toDF("id", "tok")
+    val got = SampleOps.packShards(rows, "id", "tok", budget = 10L,
+        bucketSize = 10L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    // naive: cumulative-before = 0,4,8,13,16,25,27 → /10 → 0,0,0,1,1,2,2
+    assert(got == Map(0L -> 0L, 1L -> 0L, 7L -> 0L, 12L -> 1L, 25L -> 1L,
+      31L -> 2L, 40L -> 2L))
+  }
+
+  test("compressionRatio: repetitive text compresses far below noisy text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "qx7 zj2 wf9 bk4 vm1 hc8 ts5 rd3 ln6 gp0 yw2 eu9 oa4 ix1 df7")
+    ).toDF("doc_id", "text")
+    val r = TextOps.compressionRatio(docs).select("doc_id", "deflate_bp")
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) < r(2L), s"repetitive not more compressible: $r")
+    assert(r.values.forall(v => v > 0 && v < 20000))
+    // deterministic across evaluations
+    val again = TextOps.compressionRatio(docs).select("doc_id", "deflate_bp")
+      .as[(Long, Long)].collect().toMap
+    assert(r == again)
+  }
+
+  test("vocabTopK ranks by count with token tiebreak") {
+    val docs = Seq((1L, "a b b c c c z"), (2L, "a c")).toDF("doc_id", "text")
+    val top = TextOps.vocabTopK(docs, 3).as[(String, Long)].collect().toSeq
+    assert(top == Seq(("c", 4L), ("a", 2L), ("b", 2L)))
+  }
+
   test("tokenCounts and qualityScore on a known sentence") {
     val one = Seq((0L, "the cat sat on a mat 42 times!")).toDF("doc_id", "text")
     val t = TextOps.tokenCounts(one).head()

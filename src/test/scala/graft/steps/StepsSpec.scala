@@ -228,6 +228,19 @@ class StepsSpec extends SparkSpec {
     assert(stepped("tokens").select("chain_id").as[Long].head() == 101L)
   }
 
+  test("JsonlSource loads newline-delimited JSON into the bundle") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |""".stripMargin)
+    val bundleOut = graft.api.JsonlSource(Map("docs" -> s"$dir/docs.jsonl"))
+      .batches(spark).next()
+    val rows = bundleOut("docs").orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "hello world"), (2L, "second doc")))
+  }
+
   test("Sql step registers views and binds outputs (datafusion_step.py analog)") {
     val t = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val out = Steps.Sql(Map("doubled" -> "SELECT k * 2 AS k2 FROM t"))(
