@@ -266,8 +266,17 @@ object DedupOps {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // Convergence probe: min-label propagation only ever DECREASES labels,
+    // so the exact decimal sum of labels is strictly monotone — comparing
+    // sums (one plain aggregation) detects a fixpoint without the
+    // old-vs-new join a changed-row count would need.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var it = 0
-    var done = false
+    var done = labels.isEmpty
     while (!done && it < maxIter) {
       // each node pulls the smallest label among its neighbours
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
@@ -276,10 +285,10 @@ object DedupOps {
         .select(labels("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") < col("o.comp")).count()
+      val nextSum = labelSum(next)
       labels = next
-      done = changed == 0
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     labels.select(col("id"), col("comp"))
