@@ -272,6 +272,35 @@ class StepsSpec extends SparkSpec {
       spark.read.parquet(s"$dir/missing"), "block_number").isEmpty)
   }
 
+  test("runPipelined prefetches batch N+1 while batch N writes (S1 overlap)") {
+    val fetchTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val writeWindows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val src = new graft.api.Source {
+      def batches(s: org.apache.spark.sql.SparkSession) =
+        Iterator.tabulate(2) { i =>
+          fetchTimes.add(System.nanoTime())
+          Map("t" -> Seq((i.toLong, s"batch$i")).toDF("id", "v"))
+        }
+    }
+    val sink = new graft.api.Sink {
+      def push(tables: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+        val t0 = System.nanoTime()
+        tables.values.foreach(_.count())
+        Thread.sleep(500)
+        writeWindows.add((t0, System.nanoTime()))
+      }
+    }
+    graft.api.Pipeline.runPipelined(spark,
+      Pipeline(src, Seq(Steps.SetChainId(1L)), sink))
+    val fetches = fetchTimes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    val writes = writeWindows.toArray(Array.empty[(Long, Long)])
+    assert(fetches.length == 2 && writes.length == 2)
+    // batch 2 was fetched BEFORE batch 1's write finished (the overlap),
+    // and writes stayed strictly ordered
+    assert(fetches(1) < writes(0)._2, "no prefetch overlap")
+    assert(writes(0)._2 <= writes(1)._1, "writes overlapped")
+  }
+
   test("Pipeline.merge unions batches per table and checks key sets") {
     val b1 = bundle("t" -> Seq(1).toDF("a"))
     val b2 = bundle("t" -> Seq(2).toDF("a"))
