@@ -126,6 +126,27 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Sliding-window token chunking — split each document into fixed-size
+    * token windows with `overlap` tokens of context carry-over (the
+    * context-window splitting step before tokenization/packing). Chunk k
+    * covers words [k·step, k·step+chunkSize) with step = chunkSize−overlap;
+    * every word starts a chunk's fresh region exactly once. Narrow explode:
+    * the only row growth is the ~n/step chunks per doc, no shuffle.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, chunkSize: Int, overlap: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          floor((size(col("__w")) - 1) / step).cast(IntegerType))))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        array_join(slice(col("__w"), col("chunk_idx") * step + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** PII redaction patterns (C4/Dolma-style corpus scrubbing), applied in
     * order: emails first (their local parts would otherwise feed the phone
     * pattern), then dotted IPv4, then international-format phone numbers.

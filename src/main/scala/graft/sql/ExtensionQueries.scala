@@ -302,6 +302,14 @@ object ExtensionQueries {
       TextOps.vocabTopK(spread(t(s, dir, "documents")), 25)
     },
 
+    // x46 — sliding-window chunking: 20-token chunks, 4-token overlap
+    // (context-window splitting before tokenization/packing).
+    "x46_chunk_windows" -> { (s, dir) =>
+      TextOps.chunkTokens(spread(t(s, dir, "documents")), "doc_id",
+          chunkSize = 20, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // x43 — benchmark decontamination: distinct 3-gram overlap between each
     // corpus doc and a (stand-in) benchmark set, docs 0-2. The benchmark
     // shingle set broadcasts; the corpus never shuffles on the shingle key.
@@ -621,6 +629,14 @@ object ExtensionQueries {
       """WITH w AS (SELECT unnest(string_split(text,' ')) word FROM documents)
         | SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word
         | ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    "x46_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | c AS (SELECT doc_id, w,
+        |     unnest(range(0, ((len(w)-1)//16)+1)) s FROM w)
+        | SELECT doc_id, s::BIGINT AS chunk_idx,
+        |   array_to_string(w[(s*16+1)::INT:(s*16+20)::INT], ' ') AS chunk_text
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "x41_hash_split" ->
       """SELECT doc_id,

@@ -298,6 +298,17 @@ class OpsSpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("chunkTokens slides fixed windows with overlap, truncating the tail") {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(doc, "doc_id", chunkSize = 4, overlap = 1)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().toSeq
+    // step 3: starts 0,3,6,9 → windows of 4 words, last truncated
+    assert(chunks == Seq(
+      (0L, "w1 w2 w3 w4"), (1L, "w4 w5 w6 w7"),
+      (2L, "w7 w8 w9 w10"), (3L, "w10")))
+  }
+
   test("vocabTopK ranks by count with token tiebreak") {
     val docs = Seq((1L, "a b b c c c z"), (2L, "a c")).toDF("doc_id", "text")
     val top = TextOps.vocabTopK(docs, 3).as[(String, Long)].collect().toSeq
