@@ -91,6 +91,39 @@ object GraftProperties extends Properties("graft") {
       got == expect
   }
 
+  property("SimhashChunkPairs over all buckets equals the naive pair scan") = forAll(
+    Gen.chooseNum(0, 6).flatMap(h => Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, (1L << 60) - 1)).map(cs => (h, cs)))))
+  { case (maxHamming, codes0) =>
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val codes = codes0.distinct.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val chunks = maxHamming + 1
+    // emulate the operator: group docs by every (chunk, value) key, run the
+    // kernel per bucket, union the emissions
+    def chunkVal(code: Long, k: Int): Long = {
+      val lo = k * 60 / chunks
+      val width = (k + 1) * 60 / chunks - lo
+      (code >> lo) & ((1L << width) - 1)
+    }
+    val emitted = (for {
+      k <- 0 until chunks
+      (_, bucket) <- codes.groupBy { case (_, c) => chunkVal(c, k) }.toSeq
+      if bucket.size > 1
+      arr = new GenericArrayData(bucket.sortBy(_._1).map { case (id, c) =>
+        new GenericInternalRow(Array[Any](id, c)): Any }.toArray)
+      pairs = SimhashChunkPairs.compute(arr, k, chunks, maxHamming)
+      i <- 0 until pairs.numElements()
+    } yield {
+      val r = pairs.getStruct(i, 3)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }).toSeq
+    val naive = for {
+      (i, ci) <- codes; (j, cj) <- codes if i < j
+      ham = java.lang.Long.bitCount(ci ^ cj) if ham <= maxHamming
+    } yield (i, j, ham.toLong)
+    emitted.sorted == naive.sorted // exactly once each, same distances
+  }
+
   property("Borsh u64/string/fixed-bytes round-trip") = forAll(
     Gen.chooseNum(0L, Long.MaxValue), Gen.alphaNumStr.map(_.take(20))) { (v, s) =>
     val sBytes = s.getBytes("UTF-8")

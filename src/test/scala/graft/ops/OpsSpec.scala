@@ -283,6 +283,24 @@ class OpsSpec extends SparkSpec {
       31L -> 2L, 40L -> 2L))
   }
 
+  test("packShards matches the naive assignment on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val ids = Seq.fill(80 + rnd.nextInt(60))(rnd.nextInt(5000).toLong)
+        .distinct.sorted
+      val rows = ids.map(id => (id, 1L + rnd.nextInt(20).toLong))
+      val naive = {
+        var cum = 0L
+        rows.map { case (id, tok) => val s = cum / 25L; cum += tok; id -> s }
+          .toMap
+      }
+      val got = SampleOps.packShards(rows.toDF("id", "tok"), "id", "tok",
+          budget = 25L, bucketSize = 64L)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"trial $trial diverged from naive")
+    }
+  }
+
   test("compressionRatio: repetitive text compresses far below noisy text") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
