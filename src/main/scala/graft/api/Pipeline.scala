@@ -85,12 +85,19 @@ object Pipeline {
         Some(stepped)
       }
     var current = prepare()
-    while (current.isDefined) {
-      val nextF = Future(prepare())(prefetchEc)
-      pipeline.sink.push(current.get)
-      current.get.values.foreach(_.unpersist())
-      current = Await.result(nextF, Duration.Inf)
-    }
+    try {
+      while (current.isDefined) {
+        val nextF = Future(prepare())(prefetchEc)
+        try pipeline.sink.push(current.get)
+        finally {
+          // never leak cached batches: release the written batch, and if
+          // the write failed, also drain + release the in-flight prefetch
+          current.get.values.foreach(_.unpersist())
+          current = scala.util.Try(Await.result(nextF, Duration.Inf))
+            .getOrElse(None)
+        }
+      }
+    } finally current.foreach(_.values.foreach(_.unpersist()))
   }
 }
 

@@ -86,6 +86,11 @@ object DedupOps {
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
         explode(col("__arr")).as("__s"))
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
+    // Hot-bucket cap semantics: a dropped bucket's shingle contributes to
+    // NEITHER pair's intersection count but still counts in an/bn, so the
+    // reported jaccard_bp for a pair sharing a dropped shingle is a LOWER
+    // BOUND — conservative for dedup (may keep a borderline near-dup,
+    // never manufactures a false duplicate).
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
@@ -178,14 +183,22 @@ object DedupOps {
     * touches only bucket collisions — the 100 TB plan, same result set.
     *
     * maxHamming ≥ 60 is the degenerate "every pair" contract (a 60-bit code
-    * can't differ in more than 60 bits): blocking is skipped and all docs
-    * share one bucket. Buckets over `maxBucket` are dropped before pair
-    * enumeration (identical-code clusters an exact-dedup pass should have
-    * collapsed first).
+    * can't differ in more than 60 bits): blocking is skipped, all docs share
+    * one bucket, and `maxBucket` is NOT applied (the caller asked for all
+    * pairs; the DocPairs-style kernels fail loudly past array capacity
+    * rather than silently returning nothing).
+    *
+    * `maxBucket` (default 65,535 here — unlike shingle buckets, simhash
+    * chunk buckets are 1/2^width corpus slices, not signal-free stop
+    * shingles) drops oversized buckets before pair enumeration. CAVEAT: a
+    * dropped bucket loses the pairs whose FIRST agreeing chunk it was, even
+    * if they co-occur in a later surviving bucket; if corpus/2^(60/chunks)
+    * approaches the cap, use a wider code or Manku-style multi-block
+    * combinations rather than raising the cap.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = 65535): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val codes = simhash(docs, idCol, textCol)
     val keyed =
@@ -212,10 +225,13 @@ object DedupOps {
     // pair exactly once (from the first chunk the codes agree on) with the
     // Hamming filter applied in-kernel, so no per-pair dedup aggregation —
     // the naive plan's second shuffle — is needed.
+    val sizeOk =
+      if (chunks == 1) size(col("ds")) > 1 // all-pairs mode: no cap
+      else size(col("ds")) > 1 && size(col("ds")) <= maxBucket
     keyed
       .groupBy(col("ck"), col("cv"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .filter(sizeOk)
       .select(explode(
         simhashChunkPairs(col("ds"), col("ck"), chunks, maxHamming)).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.ham").as("ham"))

@@ -59,16 +59,20 @@ object SampleOps {
                  budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
-    val wIn = Window.partitionBy(col("__b")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRun = df.withColumn("__b", floor(col(idCol) / bucketSize))
-      .withColumn("__run", sum(col(tokensCol)).over(wIn))
+    val withB = df.withColumn("__b", floor(col(idCol) / bucketSize))
+    // per-bucket totals come from a plain partial-agg over the source (NOT
+    // from the running-sum window output — that would evaluate the window
+    // subtree twice, once for the offsets and once for the probe side)
     val wPre = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withRun.groupBy(col("__b")).agg(max(col("__run")).as("__t"))
+    val offsets = withB.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(wPre), lit(0L)))
       .select(col("__b"), col("__off"))
-    withRun.join(broadcast(offsets), Seq("__b"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__run", sum(col(tokensCol)).over(wIn))
       .withColumn("shard",
         floor((col("__off") + col("__run") - col(tokensCol)) / budget).cast(LongType))
       .drop("__b", "__run", "__off")

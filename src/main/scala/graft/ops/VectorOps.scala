@@ -95,9 +95,7 @@ object VectorOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCentroids: Int = 8,
               nProbe: Int = 2): DataFrame = {
-    val cent = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        norm(col(vecCol)).as("cn"))
+    val cent = seedCentroids(corpus, idCol, vecCol, numCentroids)
     def withCell(df: DataFrame, id: String, v: String, n: String,
                  probes: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
@@ -132,8 +130,8 @@ object VectorOps {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): Array[Array[Float]] = {
-    var cent: Array[Array[Float]] = corpus.filter(col(idCol) < k)
-      .orderBy(col(idCol)).select(col(vecCol)).collect()
+    var cent: Array[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
       // argmin ||x−c||² = argmin (|c|² − 2·x·c); |c|² folds on the driver.
@@ -159,6 +157,17 @@ object VectorOps {
     cent
   }
 
+  /** Deterministic seed centroids: the `numCentroids` LOWEST-id vectors —
+    * a TakeOrderedAndProject over the corpus, correct for any id domain
+    * (a `filter(id < k)` would silently select nothing when ids don't
+    * start at zero).
+    */
+  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            numCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then drop near-
     * duplicates WITHIN each cluster — pairwise work becomes O(Σ cell²)
@@ -175,9 +184,7 @@ object VectorOps {
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val cent = vecs.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        norm(col(vecCol)).as("cn"))
+    val cent = seedCentroids(vecs, idCol, vecCol, numCentroids)
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
     val cells = vecs
       .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))

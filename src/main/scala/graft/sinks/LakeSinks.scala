@@ -48,9 +48,16 @@ final case class IcebergSink(tablePrefix: String,
   def push(tables: Map[String, DataFrame]): Unit =
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       val target = tablePrefix + name
+      // a missing table surfaces as the catalog's NoSuchTableException OR
+      // as the analyzer's TABLE_OR_VIEW_NOT_FOUND AnalysisException,
+      // depending on where resolution fails — treat both as first-push
       try df.writeTo(target).append()
       catch {
         case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+          df.writeTo(target).create()
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass != null &&
+              e.getErrorClass.contains("TABLE_OR_VIEW_NOT_FOUND") =>
           df.writeTo(target).create()
       }
     }

@@ -205,6 +205,24 @@ class OpsSpec extends SparkSpec {
     val pairs = DedupOps.simhashPairs(three, "doc_id", "text", 60)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the all-pairs contract ignores maxBucket: a cap below the corpus size
+    // must not silently return an empty result
+    val capped = DedupOps.simhashPairs(three, "doc_id", "text", 60,
+      maxBucket = 2)
+    assert(capped.count() == 3)
+  }
+
+  test("semanticDedup and ivfTopK seed centroids for any id domain") {
+    // ids start at 1000 — filter(id < numCentroids) would select nothing
+    def axis(d: Int, scale: Float = 1f) =
+      Array.tabulate(8)(i => if (i == d) scale else 0f)
+    val vecs = ((0 until 8).map(d => (1000L + d, axis(d))) ++ Seq(
+      (2000L, axis(0, 2f)))).toDF("vec_id", "embedding")
+    val kept = VectorOps.semanticDedup(vecs, "vec_id", "embedding",
+        numCentroids = 8, threshold = 0.9)
+      .as[Long].collect().toSet
+    assert(!kept.contains(2000L), "dedup silently skipped (empty centroids?)")
+    assert(kept.contains(1000L))
   }
 
   test("connectedComponents collapses pair chains into min-id components") {
