@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5_bottom_k"),
       info("md5_bottom_k", "md5_bottom_k(arr, k) - k smallest md5 digests, concat"),
       (es: Seq[Expression]) => Md5BottomK(es.head, foldToInt(es(1)))))
+    ext.injectFunction((FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(str) - DEFLATE-compressed byte length"),
+      (es: Seq[Expression]) => DeflateLen(es.head)))
   }
 
   private def foldToInt(e: Expression): Int = e.eval(null) match {

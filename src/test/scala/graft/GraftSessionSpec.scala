@@ -20,7 +20,8 @@ class GraftSessionSpec extends AnyFunSuite {
       ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
     for (name <- Seq("base58_encode", "base58_decode", "keccak256",
         "u256_to_decimal", "u256_to_string", "u256_from_string",
-        "float_vec_dot", "char_ngrams", "word_ngrams", "md5_bottom_k")) {
+        "float_vec_dot", "char_ngrams", "word_ngrams", "md5_bottom_k",
+        "deflate_len")) {
       assert(registered.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name missing from extension registry")
