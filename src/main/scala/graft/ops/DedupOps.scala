@@ -276,7 +276,8 @@ object DedupOps {
     * count).
     */
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
-                          jCol: String = "j", maxIter: Int = 20): DataFrame = {
+                          jCol: String = "j", maxIter: Int = 20,
+                          requireConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
       .localCheckpoint()
@@ -306,6 +307,14 @@ object DedupOps {
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
+    }
+    // a silent stop at maxIter would return WRONG components (labels still
+    // propagating); fail loudly unless the caller opted into partial labels
+    if (!done && requireConvergence) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter or pass " +
+          "requireConvergence = false for partial labels")
     }
     labels.select(col("id"), col("comp"))
   }

@@ -237,6 +237,14 @@ class OpsSpec extends SparkSpec {
     assert(c2.forall(_._2 == 1L) && c2.length == 8)
     assert(DedupOps.connectedComponents(
       Seq.empty[(Long, Long)].toDF("i", "j")).count() == 0)
+    // unconverged at maxIter must fail loudly, not return partial labels
+    val long = (1L until 12L).map(k => (k, k + 1)).toDF("i", "j")
+    val err = intercept[IllegalStateException](
+      DedupOps.connectedComponents(long, maxIter = 2))
+    assert(err.getMessage.contains("did not converge"))
+    // ... unless partial labels were explicitly requested
+    assert(DedupOps.connectedComponents(long, maxIter = 2,
+      requireConvergence = false).count() == 12)
   }
 
   test("hashSplit covers every row deterministically; topKPerKey bounds keys") {
@@ -343,6 +351,25 @@ class OpsSpec extends SparkSpec {
     assert(chunks == Seq(
       (0L, "w1 w2 w3 w4"), (1L, "w4 w5 w6 w7"),
       (2L, "w7 w8 w9 w10"), (3L, "w10")))
+  }
+
+  test("chunkTokens fresh regions reassemble the original document") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(100))
+      val chunkSize = 2 + rnd.nextInt(10)
+      val overlap = rnd.nextInt(chunkSize - 1 max 1)
+      val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkTokens(doc, "doc_id", chunkSize, overlap)
+        .orderBy("chunk_idx").select("chunk_idx", "chunk_text")
+        .as[(Long, String)].collect().toSeq
+      // dropping each non-first chunk's overlap prefix rebuilds the doc
+      val reassembled = chunks.flatMap { case (k, text) =>
+        val ws = text.split(" ").toSeq
+        if (k == 0) ws else ws.drop(overlap)
+      }
+      assert(reassembled == words, s"trial $trial lost/duplicated words")
+    }
   }
 
   test("vocabTopK ranks by count with token tiebreak") {
