@@ -204,8 +204,26 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
   private var toBlock = props.getOrElse("toBlock", "1000").toLong // exclusive
   private val logsPerBlock = props.getOrElse("logsPerBlock", "3").toInt
   private val numPartitions = props.getOrElse("numPartitions", "4").toInt
+
+  /** Request constraints can ALSO arrive as reader options —
+    * `filter.<col>` = comma-separated hex values (≙ cherry's provider
+    * QUERY config, where LogRequest filters are declared up front rather
+    * than as DataFrame predicates). This is the only pushdown channel on
+    * the STREAMING path: Spark's V2 filter pushdown applies to batch scans
+    * only, so a `.filter(...)` on a readStream is evaluated post-scan
+    * (still correct, just not server-side).
+    */
+  private val optionReq: ChainReq = ChainReq(
+    ChainSource.pushableColumns(table).flatMap { c =>
+      props.get(s"filter.$c").map { v =>
+        c -> v.split(",").map(h =>
+          h.trim.grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq: Seq[Byte])
+          .toSet
+      }
+    }.toMap)
+
   // OR'd request list; a single unconstrained request = "match everything"
-  private var requests: Seq[ChainReq] = Seq(ChainReq(Map.empty))
+  private var requests: Seq[ChainReq] = Seq(optionReq)
   private var pushed: Array[Filter] = Array.empty
   private var requiredCols: Array[String] = ChainSource.schemaFor(table).fieldNames
 

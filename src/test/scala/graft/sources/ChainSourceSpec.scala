@@ -117,6 +117,40 @@ class ChainSourceSpec extends SparkSpec {
     assert(ChainSource.topic0Pool(1).sameElements(Keccak.topic0("Event1()")))
   }
 
+  test("option-declared request filters reach the source in every micro-batch") {
+    // Spark's V2 filter pushdown is batch-only, so streaming requests are
+    // declared as reader options (cherry's provider-query style): the
+    // source must then generate ONLY matching rows in each batch.
+    val t0Hex = ChainSource.topic0Pool(0).map("%02x".format(_)).mkString
+    val q = spark.readStream.format(classOf[ChainSource].getName)
+      .option("fromBlock", "0").option("toBlock", "60")
+      .option("blocksPerBatch", "20").option("logsPerBlock", "3")
+      .option("filter.topic0", t0Hex)
+      .load()
+      .writeStream.format("memory").queryName("chain_pushdown_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      // (block+idx)%3==0 → exactly 1 of 3 logs per block, across 3 batches
+      assert(spark.table("chain_pushdown_stream").count() == 60)
+      // server-side: each batch's INPUT row count equals its output count
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      assert(inputRows == 60, s"source emitted $inputRows rows, not 60")
+    } finally q.stop()
+  }
+
+  test("option-declared filters compose with batch pushdown (AND semantics)") {
+    val t0Hex = ChainSource.topic0Pool(0).map("%02x".format(_)).mkString
+    val addr2 = ChainSource.addressPool(2)
+    val df = read("fromBlock" -> "0", "toBlock" -> "300", "logsPerBlock" -> "3",
+        "filter.topic0" -> t0Hex)
+      .filter(col("address") === lit(addr2))
+    // topic0 pool 0 (1/block) AND block%5==2 (60 blocks) → 60 rows
+    assert(df.count() == 60)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("topic0:1") && desc.contains("address:1"), desc)
+  }
+
   test("micro-batch stream pages the chain in blocksPerBatch-paced batches") {
     val q = spark.readStream.format(classOf[ChainSource].getName)
       .option("fromBlock", "0").option("toBlock", "50")
