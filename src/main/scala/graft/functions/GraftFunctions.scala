@@ -90,5 +90,7 @@ object GraftFunctions {
       es => U256ToString(es.head), "built-in")
     reg.createOrReplaceTempFunction("u256_from_string",
       es => U256FromString(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deflate_len",
+      es => DeflateLen(es.head), "built-in")
   }
 }
