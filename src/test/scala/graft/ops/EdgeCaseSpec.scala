@@ -47,6 +47,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(VectorOps.bruteForceTopK(vecs, noVecs, "vec_id", "embedding", 5).count() == 0)
   }
 
+  test("sampling/chunking/decontamination ops handle empty input") {
+    assert(SampleOps.hashSample(empty, "doc_id", 5000).count() == 0)
+    assert(SampleOps.packShards(
+      empty.withColumnRenamed("text", "tok")
+        .withColumn("tok", lit(1L)), "doc_id", "tok", 10L).count() == 0)
+    assert(TextOps.chunkTokens(empty, "doc_id", 8, 2).count() == 0)
+    val sh = TextOps.wordShingles(col("text"), 3)
+    assert(DedupOps.contaminationHits(one, "doc_id", sh, empty, sh).count() == 0)
+    assert(TextOps.vocabTopK(empty, 5).count() == 0)
+  }
+
+  test("chunkTokens emits one chunk for a short doc (never zero rows)") {
+    val got = TextOps.chunkTokens(one, "doc_id", chunkSize = 8, overlap = 2)
+      .select("chunk_idx", "chunk_text").head()
+    assert(got.getLong(0) == 0L && got.getString(1) == "solo")
+  }
+
   test("asOfJoin with empty right keeps all left rows with null payload") {
     val left = Seq((1L, "k", 10L)).toDF("id", "k", "t")
     val right = Seq.empty[(String, Long, Int)].toDF("k", "t", "p")
