@@ -83,22 +83,26 @@ object DocPairs {
   }
 }
 
-/** SimHash pair enumeration inside a (chunk, value) blocking bucket,
-  * emitting each qualifying pair EXACTLY ONCE across all buckets — the
-  * canonical-chunk rule: a pair (whose codes agree on ≥1 of the
-  * `chunks` disjoint bit ranges whenever its Hamming distance ≤
-  * chunks−1) is emitted only from the bucket of the FIRST chunk the two
-  * codes agree on. That makes the pair stream globally distinct, so the
-  * downstream per-pair dedup shuffle the naive plan needs disappears —
-  * the whole operator becomes scan → one shuffle → kernel → result.
+/** SimHash pair enumeration inside a blocking bucket, emitting each
+  * qualifying pair EXACTLY ONCE across all buckets.
   *
-  * The Hamming filter runs inside the kernel too (bit_count of the xor),
-  * so only final result rows ever leave the bucket.
+  * Blocking scheme (Manku/Jain/Das Sarma, WWW'07 generalized): the 60-bit
+  * code splits into `chunks` disjoint ranges; by pigeonhole any pair with
+  * Hamming distance ≤ maxHamming agrees on ≥ A = chunks − maxHamming of
+  * them, so blocking keys are the concatenated values of every A-subset
+  * ("combo") of chunks. `chunks = maxHamming+1` (A = 1, combos = single
+  * chunks) is the cheap default; LARGER `chunks` trades more rows per doc
+  * (C(chunks, A) combos) for exponentially smaller buckets — the knob that
+  * keeps buckets tiny on a 100-billion-doc corpus.
+  *
+  * Canonical-combo rule: a pair is emitted only from the FIRST combo (in
+  * enumeration order) whose chunks all agree — the pair stream is globally
+  * distinct, so no per-pair dedup shuffle exists. The Hamming filter runs
+  * in-kernel; only final result rows leave the bucket.
   *
   * Input: array<struct<id: long, code: long>> (sorted by id) + the
-  * bucket's chunk index. Output: array<struct<i, j, ham>>.
-  * `chunks == 1` is the degenerate all-pairs mode (maxHamming ≥ 60):
-  * every pair within distance is emitted from the single bucket.
+  * bucket's combo index. Output: array<struct<i, j, ham>>.
+  * `chunks == 1` is the degenerate all-pairs mode (maxHamming ≥ 60).
   */
 case class SimhashChunkPairs(left: Expression, right: Expression,
                              chunks: Int, maxHamming: Int)
@@ -121,7 +125,34 @@ case class SimhashChunkPairs(left: Expression, right: Expression,
 }
 
 object SimhashChunkPairs {
-  def compute(arr: ArrayData, ck: Int, chunks: Int, maxHamming: Int): GenericArrayData = {
+  /** Per-chunk bit masks over the 60-bit code. */
+  def chunkMasks(chunks: Int): Array[Long] = {
+    val masks = new Array[Long](chunks)
+    var k = 0
+    while (k < chunks) {
+      val lo = k * 60 / chunks
+      val width = (k + 1) * 60 / chunks - lo
+      masks(k) = ((1L << width) - 1L) << lo
+      k += 1
+    }
+    masks
+  }
+
+  /** All A-subsets of chunk indices (A = chunks − maxHamming, min 1), in a
+    * fixed lexicographic enumeration shared by key construction and the
+    * canonical-combo rule.
+    */
+  def combos(chunks: Int, maxHamming: Int): Array[Array[Int]] = {
+    val a = math.max(chunks - maxHamming, 1)
+    def rec(from: Int, left: Int): List[List[Int]] =
+      if (left == 0) List(Nil)
+      else (from to chunks - left).toList.flatMap(i =>
+        rec(i + 1, left - 1).map(i :: _))
+    rec(0, a).map(_.toArray).toArray
+  }
+
+  def compute(arr: ArrayData, comboIdx: Int, chunks: Int,
+              maxHamming: Int): GenericArrayData = {
     val m = arr.numElements()
     val ids = new Array[Long](m)
     val codes = new Array[Long](m)
@@ -132,15 +163,10 @@ object SimhashChunkPairs {
       codes(x) = row.getLong(1)
       x += 1
     }
-    // chunk masks over the 60-bit code (same split as the blocking keys)
-    val masks = new Array[Long](chunks)
-    var k = 0
-    while (k < chunks) {
-      val lo = k * 60 / chunks
-      val width = (k + 1) * 60 / chunks - lo
-      masks(k) = ((1L << width) - 1L) << lo
-      k += 1
-    }
+    // a combo agrees iff xor & comboMask == 0 — precompute each combo's
+    // union-of-chunks mask once per bucket
+    val masks = chunkMasks(chunks)
+    val comboMasks = combos(chunks, maxHamming).map(_.map(masks).reduce(_ | _))
     val out = new ArrayBuffer[Any]()
     var a = 0
     while (a < m) {
@@ -150,13 +176,13 @@ object SimhashChunkPairs {
         val ham = java.lang.Long.bitCount(xor)
         if (ham <= maxHamming) {
           var first = -1
-          var c = 0
-          while (first < 0 && c < chunks) {
-            if ((xor & masks(c)) == 0L) first = c
-            c += 1
+          var q = 0
+          while (first < 0 && q < comboMasks.length) {
+            if ((xor & comboMasks(q)) == 0L) first = q
+            q += 1
           }
           // chunks == 1: degenerate all-pairs bucket — emit unconditionally
-          if (chunks == 1 || first == ck) {
+          if (chunks == 1 || first == comboIdx) {
             out += (new GenericInternalRow(
               Array[Any](ids(a), ids(b), ham.toLong)): InternalRow)
           }

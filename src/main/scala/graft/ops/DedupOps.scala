@@ -191,36 +191,56 @@ object DedupOps {
     * `maxBucket` (default 65,535 here — unlike shingle buckets, simhash
     * chunk buckets are 1/2^width corpus slices, not signal-free stop
     * shingles) drops oversized buckets before pair enumeration. CAVEAT: a
-    * dropped bucket loses the pairs whose FIRST agreeing chunk it was, even
-    * if they co-occur in a later surviving bucket; if corpus/2^(60/chunks)
-    * approaches the cap, use a wider code or Manku-style multi-block
-    * combinations rather than raising the cap.
+    * dropped bucket loses the pairs whose FIRST agreeing combo it was, even
+    * if they co-occur in a later surviving bucket.
+    *
+    * `blockingChunks` is the Manku-style scale knob (WWW'07): with the
+    * default (maxHamming+1 chunks, agree-on-1 blocking) bucket sizes are
+    * corpus/2^(60/(maxHamming+1)). Raising it to C blocks on every
+    * (C−maxHamming)-subset of chunks: C(C, C−maxHamming) rows per doc, but
+    * keys carry (C−maxHamming)·60/C bits — e.g. maxHamming=3, C=7 → 35
+    * rows/doc and ~34-bit keys, buckets stay tiny even at 10^11 docs.
+    * Result set is EXACT for any valid setting (pigeonhole: ham ≤
+    * maxHamming leaves ≥ C−maxHamming chunks untouched).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int,
-                   maxBucket: Int = 65535): DataFrame = {
+                   maxBucket: Int = 65535,
+                   blockingChunks: Int = 0): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
+    val chunks =
+      if (maxHamming >= 60) 1
+      else if (blockingChunks > 0) blockingChunks
+      else maxHamming + 1
+    require(chunks == 1 || (chunks > maxHamming && chunks <= 60),
+      s"blockingChunks must be in (maxHamming, 60], got $chunks")
     val codes = simhash(docs, idCol, textCol)
     val keyed =
-      if (maxHamming >= 60) {
+      if (chunks == 1) {
         // Degenerate: a 60-bit pair can differ in at most 60 bits, so every
         // pair qualifies and no chunk can discriminate — one global bucket
         // (the all-pairs plan the blocking would otherwise approximate).
         codes.select(col("id"), col("simhash"),
           lit(0).as("ck"), lit(0L).as("cv"))
       } else {
-        val chunks = maxHamming + 1
-        val chunkStructs = (0 until chunks).map { k =>
-          val lo = k * 60 / chunks
-          val width = (k + 1) * 60 / chunks - lo
-          struct(lit(k).as("ck"),
-            shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
-        }
+        // one blocking row per A-subset combo of chunks (A=1 by default →
+        // plain per-chunk blocking); the combo's key packs its chunk
+        // values into one long
+        import graft.functions.SimhashChunkPairs
+        val comboStructs = SimhashChunkPairs.combos(chunks, maxHamming)
+          .zipWithIndex.map { case (ks, q) =>
+            val cv = ks.foldLeft(lit(0L)) { (acc, k) =>
+              val lo = k * 60 / chunks
+              val width = (k + 1) * 60 / chunks - lo
+              shiftleft(acc, width).bitwiseOR(
+                shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)))
+            }
+            struct(lit(q).as("ck"), cv.as("cv"))
+          }
         codes
-          .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
+          .select(col("id"), col("simhash"), explode(array(comboStructs.toSeq: _*)).as("c"))
           .select(col("id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
       }
-    val chunks = if (maxHamming >= 60) 1 else maxHamming + 1
     // ONE shuffle total: the canonical-chunk kernel emits each qualifying
     // pair exactly once (from the first chunk the codes agree on) with the
     // Hamming filter applied in-kernel, so no per-pair dedup aggregation —

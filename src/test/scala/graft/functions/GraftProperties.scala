@@ -92,26 +92,31 @@ object GraftProperties extends Properties("graft") {
   }
 
   property("SimhashChunkPairs over all buckets equals the naive pair scan") = forAll(
-    Gen.chooseNum(0, 6).flatMap(h => Gen.chooseNum(2, 12).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(0L, (1L << 60) - 1)).map(cs => (h, cs)))))
-  { case (maxHamming, codes0) =>
+    Gen.chooseNum(0, 6).flatMap(h =>
+      Gen.chooseNum(h + 1, math.min(h + 4, 10)).flatMap(chunks =>
+        Gen.chooseNum(2, 12).flatMap(n =>
+          Gen.listOfN(n, Gen.chooseNum(0L, (1L << 60) - 1))
+            .map(cs => (h, chunks, cs))))))
+  { case (maxHamming, chunks, codes0) =>
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     val codes = codes0.distinct.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-    val chunks = maxHamming + 1
-    // emulate the operator: group docs by every (chunk, value) key, run the
-    // kernel per bucket, union the emissions
-    def chunkVal(code: Long, k: Int): Long = {
-      val lo = k * 60 / chunks
-      val width = (k + 1) * 60 / chunks - lo
-      (code >> lo) & ((1L << width) - 1)
-    }
+    // emulate the operator: group docs by every (combo, packed value) key,
+    // run the kernel per bucket, union the emissions — covers BOTH the
+    // default agree-on-1 blocking and Manku combo blocking (chunks > h+1)
+    val combos = SimhashChunkPairs.combos(chunks, maxHamming)
+    def comboVal(code: Long, ks: Array[Int]): Long =
+      ks.foldLeft(0L) { (acc, k) =>
+        val lo = k * 60 / chunks
+        val width = (k + 1) * 60 / chunks - lo
+        (acc << width) | ((code >> lo) & ((1L << width) - 1))
+      }
     val emitted = (for {
-      k <- 0 until chunks
-      (_, bucket) <- codes.groupBy { case (_, c) => chunkVal(c, k) }.toSeq
+      (ks, q) <- combos.zipWithIndex.toSeq
+      (_, bucket) <- codes.groupBy { case (_, c) => comboVal(c, ks) }.toSeq
       if bucket.size > 1
       arr = new GenericArrayData(bucket.sortBy(_._1).map { case (id, c) =>
         new GenericInternalRow(Array[Any](id, c)): Any }.toArray)
-      pairs = SimhashChunkPairs.compute(arr, k, chunks, maxHamming)
+      pairs = SimhashChunkPairs.compute(arr, q, chunks, maxHamming)
       i <- 0 until pairs.numElements()
     } yield {
       val r = pairs.getStruct(i, 3)

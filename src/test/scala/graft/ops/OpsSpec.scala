@@ -181,6 +181,20 @@ class OpsSpec extends SparkSpec {
     assert(fps(0L).length == 4 * 32)
   }
 
+  test("simhashPairs Manku combo blocking returns the identical pair set") {
+    // 3 groups of 4 identical docs (ham 0 within a group) + near variants
+    val corpus = (0L until 12L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog variant${i % 3}"))
+      .toDF("doc_id", "text")
+    val default = DedupOps.simhashPairs(corpus, "doc_id", "text", 3)
+      .select("i", "j", "ham").as[(Long, Long, Long)].collect().toSet
+    val combo = DedupOps.simhashPairs(corpus, "doc_id", "text", 3,
+        blockingChunks = 7)
+      .select("i", "j", "ham").as[(Long, Long, Long)].collect().toSet
+    assert(combo == default, "combo blocking changed the exact result set")
+    assert(default.nonEmpty, "corpus produced no near-dup pairs to compare")
+  }
+
   test("maxBucket cap drops hot-shingle buckets, keeps under-cap pairs") {
     // 10 docs share two hot shingles ("hot one two", "one two three") →
     // buckets of 10; docs 100/101 are genuine near-dups via size-2 buckets.
