@@ -94,8 +94,31 @@ object VectorOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCentroids: Int = 8,
-              nProbe: Int = 2): DataFrame = {
-    val cent = seedCentroids(corpus, idCol, vecCol, numCentroids)
+              nProbe: Int = 2): DataFrame =
+    ivfTopKAgainst(queries, corpus, idCol, vecCol, k,
+      seedCentroids(corpus, idCol, vecCol, numCentroids), nProbe)
+
+  /** IVF against externally trained centroids (the production path: a
+    * `kmeansCentroids` job owns the codebook, this op only assigns and
+    * probes). Centroid vectors enter as plan-time data — broadcast, never
+    * shuffled.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: Seq[Array[Float]],
+                           nProbe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cid", "cv")
+      .withColumn("cn", norm(col("cv")))
+    ivfTopKAgainst(queries, corpus, idCol, vecCol, k, cent, nProbe)
+  }
+
+  private def ivfTopKAgainst(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             cent: DataFrame, nProbe: Int): DataFrame = {
     def withCell(df: DataFrame, id: String, v: String, n: String,
                  probes: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))

@@ -163,6 +163,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans-trained IVF finds the brute-force nearest neighbour") {
+    // 3 well-separated blobs; train centroids, then IVF against them
+    val pts = (0L until 60L).map { i =>
+      val blob = (i % 3).toInt
+      i -> Array.tabulate(8) { d =>
+        (if (d == blob * 2) 10f else 0f) + 0.1f * (((i * 13 + d) % 7).toInt - 3)
+      }
+    }.toDF("vec_id", "embedding")
+    val trained = VectorOps.kmeansCentroids(pts, "vec_id", "embedding", 3, 5)
+    val queries = pts.filter($"vec_id" < 6)
+    val ivf = VectorOps.ivfTopKWithCentroids(queries, pts, "vec_id",
+        "embedding", k = 1, centroids = trained.toSeq, nProbe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val brute = VectorOps.bruteForceTopK(queries, pts, "vec_id", "embedding", 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    // with clean blobs and trained centroids, 1-probe IVF recalls the
+    // exact top-1 for every query
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
   test("langId picks the right profile for natural-language snippets") {
     val snippets = Seq(
       (1L, "the king and the queen of the north are riding"),
