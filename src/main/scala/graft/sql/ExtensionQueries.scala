@@ -223,6 +223,17 @@ object ExtensionQueries {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
     },
 
+    // x47 — explicit GROUPING SETS (the third grouping-sets form next to
+    // CUBE x30 and ROLLUP q13): per-lang and per-source marginals plus the
+    // grand total, in one expand + partial agg.
+    "x47_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
     // x31 — full outer join of per-nation aggregates.
     "x31_full_outer" -> { (s, dir) =>
       val cc = t(s, dir, "customer").groupBy(col("c_nationkey"))
@@ -572,6 +583,11 @@ object ExtensionQueries {
     "x30_cube" ->
       """SELECT lang, source, count(*) AS cnt FROM documents
         | GROUP BY CUBE(lang, source)
+        | ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "x47_grouping_sets" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        | GROUP BY GROUPING SETS ((lang), (source), ())
         | ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     "x31_full_outer" ->

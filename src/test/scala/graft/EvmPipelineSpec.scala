@@ -79,4 +79,47 @@ class EvmPipelineSpec extends SparkSpec {
     assert(Resume.maxWatermark(
       spark.read.parquet(s"$dir/out/blocks"), "block_number").contains(101L))
   }
+
+  test("svm pipeline: program_id+discriminator pushdown, Borsh decode, base58, sink") {
+    // the jup_swap.py shape end-to-end: DSv2 instructions source with
+    // server-side program/discriminator filtering → Borsh-decode the
+    // Anchor payload → base58-encode the program id → sink
+    import graft.sources.ChainSource
+    val dir = Files.createTempDirectory("graft-svm").toString
+    val pid = ChainSource.programIdPool(0)
+    val disc = ChainSource.discriminatorPool(0)
+    val discHex = disc.map("%02x".format(_)).mkString
+
+    val src = new graft.api.Source {
+      def batches(s: org.apache.spark.sql.SparkSession) = Iterator.single(Map(
+        "instructions" -> s.read.format(classOf[ChainSource].getName)
+          .option("table", "instructions")
+          .option("fromBlock", "0").option("toBlock", "30")
+          .option("logsPerBlock", "2")
+          .option("filter.program_id", pid.map("%02x".format(_)).mkString)
+          .option("filter.discriminator", discHex)
+          .load()))
+    }
+    val pipeline = Pipeline(
+      source = src,
+      steps = Seq(
+        Steps.SvmDecodeInstructions(discHex, "amount:u64",
+          inputTable = "instructions", outputTable = "swaps", hstack = true),
+        Steps.Fn((_, t) => t + ("swaps" -> t("swaps")
+          .select("block_slot", "instruction_index", "program_id", "amount"))),
+        Steps.Base58Encode(tables = Some(Seq("swaps"))),
+        Steps.SetChainId(101L)),
+      sink = ParquetSink(s"$dir/out"))
+    Pipeline.run(spark, pipeline)
+
+    val swaps = spark.read.parquet(s"$dir/out/swaps").orderBy("block_slot")
+    // disc 0 → idx 0; pid 0 → block%3==0 → blocks 0,3,…,27
+    assert(swaps.count() == 10)
+    val r = swaps.filter($"block_slot" === 27L).head()
+    assert(r.getDecimal(r.fieldIndex("amount")).longValueExact() == 2700L)
+    // base58 of the 32-byte program id (leading zeros → leading '1's)
+    val b58 = r.getString(r.fieldIndex("program_id"))
+    assert(b58.startsWith("1") && b58.nonEmpty)
+    assert(r.getLong(r.fieldIndex("chain_id")) == 101L)
+  }
 }
