@@ -301,8 +301,14 @@ object DedupOps {
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // Seed with the first propagation round fused into initialization:
+    // comp0(v) = min(v, min neighbour) from ONE aggregation over the
+    // symmetric edge list (every node appears on the `a` side), instead of
+    // a distinct + identity labels + a full join round. Same fixpoint,
+    // one fewer iteration of join+checkpoint+probe.
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
+      .select(col("a").as("id"), col("comp")).localCheckpoint()
     // Convergence probe: min-label propagation only ever DECREASES labels,
     // so the exact decimal sum of labels is strictly monotone — comparing
     // sums (one plain aggregation) detects a fixpoint without the

@@ -78,6 +78,25 @@ object SampleOps {
       .drop("__b", "__run", "__off")
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates (basis
+    * points), e.g. Map("en" -> 5000) with default 1000 = keep 50% of
+    * English rows, 10% of everything else. The rebalancing primitive of
+    * corpus curation ("downsample the head language, keep the tail").
+    * Same hash-mod predicate as [[hashSample]] — narrow, shuffle-free,
+    * reproducible, and a row's fate never changes when rates for OTHER
+    * strata change.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates must be in [0, 10000] basis points")
+    val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
+      case ((stratum, bp), rest) =>
+        when(col(strataCol) === stratum, lit(bp)).otherwise(rest)
+    }
+    df.filter(idHash(col(idCol)) % 10000 < rate)
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

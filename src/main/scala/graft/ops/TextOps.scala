@@ -126,6 +126,72 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Per-document salient terms: the `k` terms with the highest
+    * tf·(N/df) score — TF-IDF's ranking with the logarithm replaced by the
+    * raw inverse document frequency, so the score stays in EXACT integer
+    * arithmetic (`floor(tf·10000·N/df)` basis points) and is reproducible
+    * bit-for-bit across engines (log on doubles is libm-dependent; ranking
+    * by tf·N/df is order-equivalent to tf·exp-idf for per-doc top-k use).
+    *
+    * Scale shape: one explode + (doc,term) count with map-side combine, a
+    * term-keyed df aggregation joined back on the term key, and a per-doc
+    * top-k window. No broadcast of corpus-sized state; N is a scalar agg.
+    */
+  def termSalience(docs: DataFrame, idCol: String, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val tf = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "w").crossJoin(broadcast(n))
+      .withColumn("salience_bp",
+        floor(col("tf") * 10000L * col("n_docs") / col("df")).cast(LongType))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("salience_bp").desc, col("w"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("w").as("term"), col("tf"), col("df"),
+        col("salience_bp"), col("__rk").cast(LongType).as("rank"))
+  }
+
+  /** Corpus collocations: top-`k` word bigrams by document-level PMI —
+    * score_bp = floor(10000·df(xy)·N / (df(x)·df(y))), where df counts
+    * DISTINCT documents containing the bigram/word (document co-occurrence
+    * PMI: exact integer arithmetic, no logs, engine-portable). `minDf`
+    * suppresses one-off bigrams whose ratio would otherwise dominate.
+    *
+    * Scale shape: two map-side-combined distinct-doc counts (bigrams and
+    * words), two equi-joins of the bigram table against the word-count
+    * table on the word key, then TakeOrderedAndProject top-k. The word
+    * table is vocabulary-sized (≪ corpus); nothing broadcasts corpus-scale
+    * state.
+    */
+  def bigramPmi(docs: DataFrame, idCol: String, k: Int, minDf: Long,
+                textCol: String = "text"): DataFrame = {
+    val bigDf = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("df_xy"))
+      .filter(col("df_xy") >= minDf)
+    val wordDf = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df_w"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    bigDf
+      .withColumn("x", split(col("bg"), " ").getItem(0))
+      .withColumn("y", split(col("bg"), " ").getItem(1))
+      .join(wordDf.select(col("w").as("x"), col("df_w").as("df_x")), "x")
+      .join(wordDf.select(col("w").as("y"), col("df_w").as("df_y")), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bp",
+        floor(col("df_xy") * 10000L * col("n_docs") / (col("df_x") * col("df_y")))
+          .cast(LongType))
+      .select(col("bg").as("bigram"), col("df_xy"), col("df_x"), col("df_y"),
+        col("pmi_bp"))
+      .orderBy(col("pmi_bp").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Sliding-window token chunking — split each document into fixed-size
     * token windows with `overlap` tokens of context carry-over (the
     * context-window splitting step before tokenization/packing). Chunk k

@@ -37,4 +37,31 @@ object TimeOps {
       .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
       .select(col(keyCol), col("b"), col("fv"))
   }
+
+  /** Gap-based sessionization: events of one key belong to the same session
+    * while consecutive gaps stay ≤ `gapMicros`; a larger gap opens a new
+    * session. Emits `session_idx` (1-based per key, in time order) — the
+    * classic lag-flag + running-sum plan.
+    *
+    * Scale shape: a single shuffle on the key; both windows share the same
+    * (key, order) partitioning so Spark plans ONE Exchange + ONE Sort and
+    * evaluates lag and the running sum in the same window stage. Gaps are
+    * compared in epoch MICROSECONDS (`unix_micros`) — integer math that is
+    * engine-portable (nanosecond timestamps truncate identically).
+    *
+    * Ordering ties on ts break by `idCol` so the running sum is
+    * deterministic under any partitioning.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val order = Seq(col(tsCol), col(idCol))
+    val wLag = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(wLag)
+    val newSession = when(prev.isNull || us - prev > gapMicros, 1L)
+      .otherwise(0L)
+    df.withColumn("session_idx", sum(newSession).over(wRun))
+  }
 }

@@ -332,6 +332,90 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // x48 — gap-based sessionization: 30-minute inactivity closes a user's
+    // session. Single key shuffle; lag + running sum share one window sort.
+    "x48_sessionize" -> { (s, dir) =>
+      TimeOps.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapMicros = 1800L * 1000000L)
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // x49 — pivot (priority × status order counts): Spark's pivot relational
+    // operator with explicit value list (no extra distinct-values scan);
+    // one expand + partial agg, same shape as CUBE.
+    "x49_pivot" -> { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    // x50 — EXACT per-group percentiles (p50/p90/p99 of extended price) via
+    // explicit rank selection: position = ceil(p·n) in pure integer math,
+    // value picked where row_number hits it — engine-portable, no
+    // interpolation arithmetic. Scale note: exact selection needs a per-
+    // group sort (3 groups here ⇒ 3 fat partitions); at corpus scale the
+    // engine's scale path for low-cardinality groups is the sketch-based
+    // percentile_approx (x33) — this query is the exact-answer contract.
+    "x50_percentile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val cents = (p: org.apache.spark.sql.Column) =>
+        floor(p * 100).cast(LongType)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          cents(min(when(col("rn") === (col("n") + 1).divide(2).cast(LongType),
+            col("l_extendedprice")))).as("p50_c"),
+          cents(min(when(col("rn") === (col("n") * 9 + 9).divide(10).cast(LongType),
+            col("l_extendedprice")))).as("p90_c"),
+          cents(min(when(col("rn") === (col("n") * 99 + 99).divide(100).cast(LongType),
+            col("l_extendedprice")))).as("p99_c"))
+        .orderBy("l_returnflag")
+    },
+
+    // x51 — per-doc salient terms (TF-IDF ranking in exact integer
+    // arithmetic): top-3 terms per document by tf·10000·N/df.
+    "x51_term_salience" -> { (s, dir) =>
+      TextOps.termSalience(spread(t(s, dir, "documents")), "doc_id", 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // x52 — per-domain cap ("at most 20 pages per source"), id-hash order:
+    // the domain-balancing primitive, deterministic under any partitioning.
+    "x52_domain_cap" -> { (s, dir) =>
+      SampleOps.topKPerKey(t(s, dir, "documents"), "source", "doc_id", 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // x53 — corpus collocations: top-25 bigrams by document-level PMI
+    // (exact integer score, min document frequency 5).
+    "x53_bigram_pmi" -> { (s, dir) =>
+      TextOps.bigramPmi(spread(t(s, dir, "documents")), "doc_id",
+        k = 25, minDf = 5L)
+    },
+
+    // x54 — stratified sampling: per-language keep rates (en 80%, zh 20%,
+    // default 50%) by id hash — narrow, shuffle-free, stable as the corpus
+    // grows.
+    "x54_stratified_sample" -> { (s, dir) =>
+      SampleOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 8000, "zh" -> 2000), defaultBp = 5000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
     // near-dup pairs → TRANSITIVE closure (connected components) → keep the
     // lowest id per duplicate group. The composition a training-data
@@ -339,10 +423,18 @@ object ExtensionQueries {
     // (A~B, B~C without A~C must still collapse to one survivor).
     "x34_corpus_curation" -> { (s, dir) =>
       val docs = spread(t(s, dir, "documents"))
+      // The quality subtree (regex-heavy) and the exact-dedup survivor set
+      // each feed MULTIPLE downstream branches; localCheckpoint materializes
+      // them once instead of re-evaluating the pipeline per branch (at
+      // cluster scale the same role is played by a checkpoint/stage cache —
+      // the data is the post-filter survivor set, far smaller than the
+      // corpus).
       val quality = TextOps.qualityScore(docs)
         .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
         .select("doc_id", "text")
+        .localCheckpoint()
       val exactKept = DedupOps.exact(quality, "doc_id", "text")
+        .localCheckpoint()
       val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
       val pairs = DedupOps.ngramJaccardPairs(survivors, "doc_id",
           TextOps.wordShingles(col("text"), 3), 0.5)
@@ -602,6 +694,83 @@ object ExtensionQueries {
         | EXCEPT
         | SELECT user_id FROM events WHERE event_type = 'purchase'
         | ORDER BY user_id""".stripMargin,
+
+    "x48_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) u,
+        |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) p
+        |   FROM events)
+        | SELECT user_id, event_id,
+        |   sum(CASE WHEN p IS NULL OR u - p > 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |     AS session_idx
+        | FROM o ORDER BY user_id, event_id""".stripMargin,
+
+    "x49_pivot" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS cnt_o,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS cnt_f,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS cnt_p
+        | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x50_percentile" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |     row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |     count(*) OVER (PARTITION BY l_returnflag) n
+        |   FROM lineitem)
+        | SELECT l_returnflag,
+        |   floor(min(CASE WHEN rn = (n+1)//2 THEN l_extendedprice END)*100)::BIGINT AS p50_c,
+        |   floor(min(CASE WHEN rn = (9*n+9)//10 THEN l_extendedprice END)*100)::BIGINT AS p90_c,
+        |   floor(min(CASE WHEN rn = (99*n+99)//100 THEN l_extendedprice END)*100)::BIGINT AS p99_c
+        | FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x51_term_salience" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
+        | tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY 1, 2),
+        | df AS (SELECT w, count(*) df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) n_docs FROM documents),
+        | s AS (SELECT doc_id, w, tf, df, (tf*10000*n_docs)//df sal
+        |   FROM tf JOIN df USING (w) CROSS JOIN n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY sal DESC, w) rk FROM s)
+        | SELECT doc_id, w AS term, tf::BIGINT AS tf, df::BIGINT AS df,
+        |   sal::BIGINT AS salience_bp, rk::BIGINT AS rank
+        | FROM r WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x52_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |     PARTITION BY source
+        |     ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) rk
+        |   FROM documents)
+        | SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    "x53_bigram_pmi" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(w)-1,0)+1),
+        |     k -> w[k::INT] || ' ' || w[k::INT+1]))) bg FROM w),
+        | bdf AS (SELECT bg, count(*) df_xy FROM bg GROUP BY 1
+        |   HAVING count(*) >= 5),
+        | wt AS (SELECT doc_id, unnest(list_distinct(w)) w FROM w),
+        | wdf AS (SELECT w, count(*) df_w FROM wt GROUP BY 1),
+        | n AS (SELECT count(*) n_docs FROM documents),
+        | s AS (SELECT bg, df_xy,
+        |     wx.df_w df_x, wy.df_w df_y,
+        |     (df_xy*10000*n_docs)//(wx.df_w*wy.df_w) pmi
+        |   FROM bdf
+        |   JOIN wdf wx ON wx.w = string_split(bg,' ')[1]
+        |   JOIN wdf wy ON wy.w = string_split(bg,' ')[2]
+        |   CROSS JOIN n)
+        | SELECT bg AS bigram, df_xy::BIGINT AS df_xy, df_x::BIGINT AS df_x,
+        |   df_y::BIGINT AS df_y, pmi::BIGINT AS pmi_bp
+        | FROM s ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin,
+
+    "x54_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 <
+        |   CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 2000
+        |        ELSE 5000 END
+        | ORDER BY doc_id""".stripMargin,
 
     // x33 intentionally has NO oracle: HLL/quantile sketches are
     // engine-specific (driver records the rows-only check).
