@@ -78,6 +78,42 @@ object SampleOps {
       .drop("__b", "__run", "__off")
   }
 
+  /** Contiguous 0-based global row index in `orderCols` order (which must
+    * be a total order — add a unique tiebreak column). The stable-sample-
+    * indexing primitive ("example 73_412_911 of the training set") that
+    * `monotonically_increasing_id` (non-contiguous) and a global
+    * row_number window (serializes the corpus through ONE task's sort)
+    * both fail to provide at scale.
+    *
+    * Plan — the distributed prefix-sum shape shared with [[packShards]]:
+    * range-repartition on the order columns (global order ACROSS partition
+    * ids, Spark's own sampled range exchange), localCheckpoint so the
+    * offsets branch and the probe branch share one materialization, count
+    * per partition, prefix-sum those counts with a global window over ONE
+    * ROW PER PARTITION (bounded metadata), broadcast the offsets back, and
+    * rank within partitions.
+    */
+  def globalRowIndex(df: DataFrame, orderCols: Seq[Column],
+                     idxCol: String = "idx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "need at least one order column")
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val p = df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = p.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    p.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idxCol,
+        (col("__off") + row_number().over(wIn) - 1).cast(LongType))
+      .drop("__pid", "__off")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (basis
     * points), e.g. Map("en" -> 5000) with default 1000 = keep 50% of
     * English rows, 10% of everything else. The rebalancing primitive of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{DedupOps, JoinOps, SampleOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -356,32 +356,37 @@ object ExtensionQueries {
     },
 
     // x50 — EXACT per-group percentiles (p50/p90/p99 of extended price) via
-    // explicit rank selection: position = ceil(p·n) in pure integer math,
-    // value picked where row_number hits it — engine-portable, no
-    // interpolation arithmetic. Scale note: exact selection needs a per-
-    // group sort (3 groups here ⇒ 3 fat partitions); at corpus scale the
-    // engine's scale path for low-cardinality groups is the sketch-based
-    // percentile_approx (x33) — this query is the exact-answer contract.
+    // StatOps.exactQuantiles: two-pass histogram selection with position =
+    // ceil(p·n) in pure integer math — engine-portable, no interpolation,
+    // and scale-correct (a window/row_number plan would sort each group
+    // through one task; the histogram plan only sorts the target buckets).
     "x50_percentile" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"))
-      val wn = Window.partitionBy(col("l_returnflag"))
-      val cents = (p: org.apache.spark.sql.Column) =>
-        floor(p * 100).cast(LongType)
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          cents(min(when(col("rn") === (col("n") + 1).divide(2).cast(LongType),
-            col("l_extendedprice")))).as("p50_c"),
-          cents(min(when(col("rn") === (col("n") * 9 + 9).divide(10).cast(LongType),
-            col("l_extendedprice")))).as("p90_c"),
-          cents(min(when(col("rn") === (col("n") * 99 + 99).divide(100).cast(LongType),
-            col("l_extendedprice")))).as("p99_c"))
+      StatOps.exactQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice",
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .select(col("l_returnflag"),
+          floor(col("p50") * 100).cast(LongType).as("p50_c"),
+          floor(col("p90") * 100).cast(LongType).as("p90_c"),
+          floor(col("p99") * 100).cast(LongType).as("p99_c"))
         .orderBy("l_returnflag")
+    },
+
+    // x55 — contiguous 0-based global row index in (n_chars desc, doc_id)
+    // order: distributed prefix sum over a range repartition — never a
+    // global row_number window.
+    "x55_row_index" -> { (s, dir) =>
+      SampleOps.globalRowIndex(t(s, dir, "documents"),
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("idx"))
+        .orderBy("doc_id")
+    },
+
+    // x56 — ANALYZE-style numeric column profile: one scan, one row per
+    // column (count / nulls / exact distinct / min / max).
+    "x56_profile" -> { (s, dir) =>
+      StatOps.profile(t(s, dir, "lineitem"),
+          Seq("l_discount", "l_extendedprice", "l_quantity"))
+        .orderBy("col_name")
     },
 
     // x51 — per-doc salient terms (TF-IDF ranking in exact integer
@@ -764,6 +769,19 @@ object ExtensionQueries {
         | SELECT bg AS bigram, df_xy::BIGINT AS df_xy, df_x::BIGINT AS df_x,
         |   df_y::BIGINT AS df_y, pmi::BIGINT AS pmi_bp
         | FROM s ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin,
+
+    "x55_row_index" ->
+      """SELECT doc_id,
+        |   (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)::BIGINT AS idx
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x56_profile" -> Seq("l_discount", "l_extendedprice", "l_quantity").map { c =>
+      s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n,
+         | (count(*) - count($c))::BIGINT AS n_null,
+         | count(DISTINCT $c)::BIGINT AS n_distinct,
+         | min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+         | FROM lineitem""".stripMargin
+    }.mkString("", " UNION ALL ", " ORDER BY col_name"),
 
     "x54_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** StatOps (two-pass exact quantiles, column profile) and the global row
+  * index — checked against naive single-machine references.
+  */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactQuantiles matches naive rank selection on every group") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 1000 - 200)
+    }
+    val df = rows.toDF("k", "v")
+    val qs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p99", 99L, 100L))
+    val got = StatOps.exactQuantiles(df, "k", "v", qs, buckets = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val n = sorted.length.toLong
+      def pick(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+      assert(got(g) == ((pick(1, 4), pick(1, 2), pick(99, 100))),
+        s"group $g mismatch")
+    }
+  }
+
+  test("exactQuantiles handles ties, single-value groups, and p100") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0))
+      .toDF("k", "v")
+    val got = StatOps.exactQuantiles(df, "k", "v",
+        Seq(("p50", 1L, 2L), ("p100", 1L, 1L)), buckets = 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got("a") == ((5.0, 5.0)))
+    assert(got("b") == ((1.0, 1.0)))
+  }
+
+  test("exactQuantiles ignores nulls") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("k", "v")
+    val got = StatOps.exactQuantiles(df, "k", "v", Seq(("p100", 1L, 1L)))
+      .collect().head.getDouble(1)
+    assert(got == 3.0)
+  }
+
+  test("profile reports counts, nulls, distincts, bounds per column") {
+    val df = Seq((Some(1.0), 10L), (Some(2.0), 10L), (None, 20L))
+      .toDF("a", "b")
+    val got = StatOps.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("a") == ((2L, 1L, 2L, 1.0, 2.0)))
+    assert(got("b") == ((3L, 0L, 2L, 10.0, 20.0)))
+  }
+
+  test("globalRowIndex is contiguous, 0-based, and order-correct") {
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0L until 1000L).toList).map(i => (i, i % 17))
+    val df = rows.toDF("id", "grp").repartition(7)
+    val got = SampleOps.globalRowIndex(df, Seq(col("id")))
+      .select("id", "idx").as[(Long, Long)].collect().toMap
+    // ids are 0..999 and the order column is id, so idx must equal id
+    assert(got.size == 1000)
+    assert(got.forall { case (id, idx) => id == idx })
+  }
+
+  test("globalRowIndex respects descending order with tiebreaks") {
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 5L), (4L, 9L)).toDF("id", "score")
+    val got = SampleOps.globalRowIndex(df,
+        Seq(col("score").desc, col("id")))
+      .select("id", "idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 0L, 4L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+}
