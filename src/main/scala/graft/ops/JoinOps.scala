@@ -50,6 +50,40 @@ object JoinOps {
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** Forward as-of join: for every left row, the single EARLIEST right row
+    * with `right.tsCol >= left.tsCol` (inclusive), per join key — the
+    * "next event after" direction (next purchase after a click, next fill
+    * after an order). Mirror image of [[asOfJoinBackward]], same plan
+    * shape: one key shuffle, a `first(ignoreNulls)` window over the
+    * FOLLOWING frame, no range-join explosion. Right rows should be unique
+    * per (key, ts); dedupe upstream.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val restCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
+    val payload = struct(payloadCols.map(col): _*)
+    val r = right.select(
+      (col(keyCol) +: col(tsCol) +:
+        payload.as("__r") +: lit(1).as("__side") +:
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(keyCol) +: col(tsCol) +:
+        lit(null).cast(r.schema("__r").dataType).as("__r") +:
+        lit(0).as("__side") +:
+        restCols.map(col)): _*)
+    // left rows sort BEFORE right rows at equal ts (side 0 < 1) so an
+    // exactly-coincident right row is visible to the left row's frame
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r.unionByName(l)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
   /** Keyed interval (range) join: pairs where `left.key = right.key` and
     * `right.ts ∈ [left.ts, left.ts + maxGapMicros]`.
     *
