@@ -5,10 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated name-prefix filter for local
+    // iteration (driver always runs the full set with 2 args).
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = GraftSession.getOrCreate()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -8,29 +8,37 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 /** Distributed order statistics and dataset profiling.
   *
   * The exact-quantile plan is the 100 TB answer to "what is the p99": a
-  * histogram pass that needs only map-side-combinable counts, a driver-side
-  * bucket search over BOUNDED metadata (one count per populated bucket), and
-  * a selection pass that sorts only the rows of the target buckets — never
-  * a full per-group sort of the corpus (a window/row_number plan ships every
-  * row of a group through one task's sort; fine for small groups, fatal for
-  * "percentile over the whole corpus").
+  * histogram pass that needs only map-side-combinable counts, a DISTRIBUTED
+  * cumulative-rank bucket search (a window over each group's ≤`buckets`
+  * populated-bucket rows — bounded metadata per group, never collected to
+  * the driver, so group cardinality is unbounded), and a selection pass that
+  * sorts only the rows of the target buckets — never a full per-group sort
+  * of the corpus (a window/row_number plan ships every row of a group
+  * through one task's sort; fine for small groups, fatal for "percentile
+  * over the whole corpus").
   */
 object StatOps {
 
-  /** Exact per-group quantiles by two-pass histogram selection.
+  /** Exact per-group quantiles by three-pass histogram selection.
     *
     * Quantile spec: (name, num, den) picks the value at 1-based rank
     * `ceil(num·n/den)` — p50 = (\"p50\", 1, 2), p99 = (\"p99\", 99, 100) —
     * the same exact-integer position contract as rank-selection SQL, so
     * results are reproducible bit-for-bit across engines.
     *
-    * Plan: (1) per-group min/max (tiny agg); (2) per-(group, bucket) counts
-    * over `buckets` linear bins (map-side combine; driver receives ≤
-    * groups×buckets longs — bounded metadata, not data); (3) rows of the
-    * target buckets only are ranked with a window and the target ranks
-    * picked. Skewed value distributions degrade gracefully: a hot bucket
-    * means pass 3 sorts more rows, never wrong answers. NaNs are not
-    * supported (they have no place on the quantile axis); nulls are ignored.
+    * Plan — three scans of the input, all cluster-side: (1) per-group
+    * min/max/count (tiny agg, checkpointed so downstream consumers don't
+    * rescan); (2) per-(group, bucket) counts over `buckets` linear bins
+    * (map-side combine), then the target bucket of each quantile found with
+    * a cumulative-sum window over the (group, bucket) rows — each group
+    * contributes ≤ `buckets` metadata rows and groups spread across the
+    * cluster, so "p99 per domain over 10^8 domains" never lands on the
+    * driver; (3) rows of the target buckets only are ranked with a window
+    * and the target ranks picked. Skewed value distributions degrade
+    * gracefully: a hot bucket means pass 3 sorts more rows, never wrong
+    * answers. NaNs are rejected loudly (they have no place on the quantile
+    * axis — a NaN would silently land in bucket 0 and shift upper
+    * quantiles); nulls are ignored.
     *
     * Returns one row per group: groupCol, then one DoubleType column per
     * quantile name.
@@ -49,12 +57,18 @@ object StatOps {
         col(valueCol).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
 
-    // Pass 1: per-group bounds (one row per group).
+    // Pass 1: per-group bounds (one row per group, stays in the cluster).
+    // max() propagates NaN, so guarding `hi` alone fails the job loudly on
+    // any NaN input instead of silently corrupting bucket assignment.
+    // localCheckpoint: bounds feeds three consumers (histogram, targets,
+    // selection) — without it each consumer would rescan the input.
     val bounds = v.groupBy("g")
-      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-    val boundRows = bounds.collect().map { r =>
-      r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))
-    }.toMap
+      .agg(min("v").as("lo"), max("v").as("__hi0"), count(lit(1)).as("n"))
+      .withColumn("hi", when(isnan(col("__hi0")), raise_error(lit(
+          s"exactQuantiles: NaN in value column '$valueCol' (unsupported)")))
+        .otherwise(col("__hi0")))
+      .drop("__hi0")
+      .localCheckpoint()
 
     // Bucket id of a value, given group bounds (clamped; degenerate
     // lo == hi collapses to bucket 0). Must be IDENTICAL in pass 2 and 3.
@@ -63,44 +77,38 @@ object StatOps {
         floor((col("v") - lo) / (hi - lo + lit(Double.MinPositiveValue))
           * buckets).cast(LongType), lit(0L)), lit(buckets - 1L))
 
-    val boundsDf = broadcast(
-      boundRows.toSeq.map { case (g, (lo, hi, _)) => (g, lo, hi) }
-        .toDF("g", "lo", "hi"))
-
     // Pass 2: histogram — counts per (group, bucket), map-side combined.
-    val hist = v.join(boundsDf, "g")
+    val hist = v.join(bounds.select("g", "lo", "hi"), "g")
       .groupBy(col("g"), bucketCol(col("lo"), col("hi")).as("b"))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
 
-    // Driver-side bucket search: for each group and quantile, walk the
-    // cumulative histogram to the bucket holding the target rank.
-    val targets: Seq[(String, Long, String, Long)] = // (g, bucket, qname, rankInBucket)
-      boundRows.toSeq.flatMap { case (g, (_, _, n)) =>
-        quantiles.map { case (qname, num, den) =>
-          val rank = (num * n + den - 1) / den // ceil(num·n/den), ≥ 1
-          var cum = 0L
-          var b = 0L
-          var found = -1L
-          while (found < 0 && b < buckets) {
-            val c = hist.getOrElse((g, b), 0L)
-            if (cum + c >= rank) found = b else { cum += c; b += 1 }
-          }
-          require(found >= 0, s"rank $rank not found for group $g (histogram inconsistent)")
-          (g, found, qname, rank - cum)
-        }
-      }
-    val targetDf = broadcast(targets.toDF("tg", "tb", "qname", "rk"))
+    // Distributed bucket search: cumulative counts via a window over each
+    // group's populated buckets (≤ `buckets` rows per group — bounded
+    // metadata, partitioned across the cluster by group). The target bucket
+    // of rank r is the unique bucket with prev_cum < r ≤ cum.
+    val wb = Window.partitionBy(col("g")).orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("prev", col("cum") - col("c"))
+    val qdf = broadcast(quantiles.toDF("qname", "qnum", "qden"))
+    // rank = ceil(num·n/den) in pure long arithmetic (`div`, not `/`: the
+    // double quotient loses exactness past 2^53).
+    val targets = cum.join(bounds.select("g", "n"), "g")
+      .crossJoin(qdf)
+      .withColumn("rank", expr("(qnum * n + qden - 1) div qden"))
+      .filter(col("rank") > col("prev") && col("rank") <= col("cum"))
+      .select(col("g").as("tg"), col("b").as("tb"), col("qname"),
+        (col("rank") - col("prev")).as("rk"))
+      .localCheckpoint() // groups×quantiles rows; consumed twice below
 
     // Pass 3: rank only the target buckets' rows; pick the target ranks.
     val w = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
-    val picked = v.join(boundsDf, "g")
+    val picked = v.join(bounds.select("g", "lo", "hi"), "g")
       .withColumn("b", bucketCol(col("lo"), col("hi")))
-      .join(targetDf.select(col("tg").as("g"), col("tb").as("b")).distinct(),
+      .join(targets.select(col("tg").as("g"), col("tb").as("b")).distinct(),
         Seq("g", "b"), "left_semi")
       .withColumn("rn", row_number().over(w))
-      .join(targetDf, col("rn") === col("rk") &&
+      .join(targets, col("rn") === col("rk") &&
         col("g") === col("tg") && col("b") === col("tb"))
       .select(col("g"), col("qname"), col("v"))
 

@@ -145,8 +145,13 @@ object TextOps {
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "w").crossJoin(broadcast(n))
-      .withColumn("salience_bp",
-        floor(col("tf") * 10000L * col("n_docs") / col("df")).cast(LongType))
+      // Integral `div`, not `/`: Spark's `/` widens to double, and past 2^53
+      // (tf·10000·N at ~1e9 docs) floor(double quotient) diverges from true
+      // integer floor division — `div` keeps the score in long arithmetic
+      // end-to-end, matching engines that use integer `//`. The long product
+      // itself overflows when tf·n_docs exceeds ~9.2e14 (e.g. tf > ~920 at
+      // 1e9 docs) — beyond that, rescale the basis-point factor.
+      .withColumn("salience_bp", expr("tf * 10000 * n_docs div df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("salience_bp").desc, col("w"))
     scored.withColumn("__rk", row_number().over(w))
@@ -183,9 +188,10 @@ object TextOps {
       .join(wordDf.select(col("w").as("x"), col("df_w").as("df_x")), "x")
       .join(wordDf.select(col("w").as("y"), col("df_w").as("df_y")), "y")
       .crossJoin(broadcast(n))
-      .withColumn("pmi_bp",
-        floor(col("df_xy") * 10000L * col("n_docs") / (col("df_x") * col("df_y")))
-          .cast(LongType))
+      // Integral `div` for the same reason as termSalience: long arithmetic
+      // end-to-end (doubles lose integer exactness past 2^53); overflows only
+      // when df_xy·n_docs exceeds ~9.2e14.
+      .withColumn("pmi_bp", expr("df_xy * 10000 * n_docs div (df_x * df_y)"))
       .select(col("bg").as("bigram"), col("df_xy"), col("df_x"), col("df_y"),
         col("pmi_bp"))
       .orderBy(col("pmi_bp").desc, col("bigram"))

@@ -30,8 +30,14 @@ object ExtensionQueries {
     * fixture (a few MB); on a real multi-file corpus it is unnecessary and
     * a caller would drop it.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Guard: only pay the shuffle when the input is actually under-split
+    // (the single-file fixture case). A production corpus already arriving
+    // in >= p/2 partitions passes through untouched, so callers copying
+    // these query definitions don't inherit a gratuitous repartition.
+    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -254,15 +260,30 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
-    // x33 — approximate aggregates (HLL distinct, quantile sketch). Sketch
-    // algorithms differ across engines → rows-only gate, exact-checked by
-    // spec against true values' error bounds instead.
+    // x33 — approximate aggregates (HLL distinct, quantile sketch). Raw
+    // sketch values differ across engines, so the oracle-able contract is:
+    // exact values (cross-engine comparable) + in-query error-bound checks
+    // on the sketches emitted as 0/1 longs (the oracle asserts 1). The
+    // bound check stays in integer arithmetic (|apx−exact|·100 ≤ exact·5,
+    // i.e. 5% relative error; HLL rsd=0.02 and a 1000-bucket KLL-style
+    // percentile sketch sit comfortably inside it, deterministically —
+    // both sketches are hash-based, not randomized).
     "x33_approx_stats" -> { (s, dir) =>
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("apx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("apx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("apx_median_price"))
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("__as"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("__am"),
+          expr("percentile(l_extendedprice, 0.5)").as("__em"))
+        .select(col("exact_parts"), col("exact_supps"),
+          (abs(col("__ap") - col("exact_parts")) * lit(100L) <=
+            col("exact_parts") * lit(5L)).cast("long").as("parts_ok"),
+          (abs(col("__as") - col("exact_supps")) * lit(100L) <=
+            col("exact_supps") * lit(5L)).cast("long").as("supps_ok"),
+          (abs(col("__am") - col("__em")) <= col("__em") * lit(0.05))
+            .cast("long").as("median_ok"))
     },
 
     // x40 — near-dup CLUSTERS: connected components over the Jaccard pair
@@ -790,8 +811,14 @@ object ExtensionQueries {
         |        ELSE 5000 END
         | ORDER BY doc_id""".stripMargin,
 
-    // x33 intentionally has NO oracle: HLL/quantile sketches are
-    // engine-specific (driver records the rows-only check).
+    // x33: the sketch values themselves are engine-specific, so the query
+    // emits exact values plus in-query error-bound flags; the oracle checks
+    // the exact values and asserts the flags are 1.
+    "x33_approx_stats" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |   count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+        |   1::BIGINT AS parts_ok, 1::BIGINT AS supps_ok, 1::BIGINT AS median_ok
+        | FROM lineitem""".stripMargin,
 
     "x40_dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),

@@ -117,13 +117,17 @@ object Streaming {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTs: String, rightTs: String, lateness: String,
-                       window: String): DataFrame = {
+                       window: java.time.Duration): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // Typed DayTimeIntervalType literal — a string-built `INTERVAL $window`
+    // expr() would make the join condition a SQL-injection surface for
+    // config-sourced window values.
+    val w = lit(window)
     l.join(r,
       l(keyCol) === r(keyCol) &&
-        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"))
+        r(rightTs) >= l(leftTs) - w &&
+        r(rightTs) <= l(leftTs) + w)
       .drop(r(keyCol))
   }
 

@@ -1,8 +1,9 @@
 package graft
 
 /** Driver-contract smoke spec: `SparkEntry.entry` must return rows on the
-  * sf0.001 fixtures, and every declared query must have either an oracle or
-  * a documented exemption (x33's sketches are engine-specific by design).
+  * sf0.001 fixtures, and every declared query must have an oracle (x33's
+  * raw sketches are engine-specific, so its query emits exact values plus
+  * in-query error-bound flags, which ARE oracle-able).
   */
 class EntrySpec extends SparkSpec {
 
@@ -10,9 +11,9 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
-  test("every query has an oracle except the declared sketch exemption") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("x33_approx_stats"), s"unexpected: $noOracle")
+    assert(noOracle.isEmpty, s"query without oracle: $noOracle")
     val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(danglingOracle.isEmpty, s"oracle without query: $danglingOracle")
   }

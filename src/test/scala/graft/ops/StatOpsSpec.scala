@@ -48,6 +48,31 @@ class StatOpsSpec extends SparkSpec {
     assert(got == 3.0)
   }
 
+  test("exactQuantiles scales to 10k groups without driver collection") {
+    // The bucket search is a distributed window over (group, bucket) — no
+    // per-group state ever lands on the driver, so high group cardinality
+    // must just work. 10k groups x 5 values each; p50 = 3rd value = g*5+2.
+    val df = spark.range(50000)
+      .select((col("id") % 10000).cast("string").as("k"),
+        ((col("id") % 10000) * 5 + expr("id div 10000")).cast("double").as("v"))
+    val got = StatOps.exactQuantiles(df, "k", "v",
+        Seq(("p50", 1L, 2L)), buckets = 8)
+    assert(got.count() == 10000)
+    val sample = got.filter(col("k").isin("0", "123", "9999"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sample == Map("0" -> 2.0, "123" -> 617.0, "9999" -> 49997.0))
+  }
+
+  test("exactQuantiles rejects NaN input loudly") {
+    val df = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("k", "v")
+    val e = intercept[Exception] {
+      StatOps.exactQuantiles(df, "k", "v", Seq(("p50", 1L, 2L))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NaN")), s"unexpected: $e")
+  }
+
   test("profile reports counts, nulls, distincts, bounds per column") {
     val df = Seq((Some(1.0), 10L), (Some(2.0), 10L), (None, 20L))
       .toDF("a", "b")

@@ -100,7 +100,8 @@ class StreamingSpec extends SparkSpec {
     val buys = MemoryStream[(Timestamp, String)]
     val joined = Streaming.streamStreamJoin(
       buys.toDF().toDF("bts", "user"), clicks.toDF().toDF("cts", "user"),
-      "user", "bts", "cts", lateness = "1 minute", window = "10 minutes")
+      "user", "bts", "cts", lateness = "1 minute",
+      window = java.time.Duration.ofMinutes(10))
     val q = joined.writeStream.format("memory").queryName("ssjoin")
       .outputMode(OutputMode.Append).start()
     try {
