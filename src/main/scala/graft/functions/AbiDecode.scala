@@ -18,10 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * uint≤32 / int≤64 → LongType; uint40–64 → DECIMAL(20,0);
   * anything wider → canonical 32-byte BinaryType word (u256 canon, or raw
   * two's-complement word for int>64); address → 20-byte binary;
-  * bytesN/bytes → binary; string → string; T[] / T[k] → array.
-  * Indexed params that are not value types (dynamic types and static
-  * composites alike, e.g. `uint256[2]`) are keccak hashes per the ABI spec
-  * → 32-byte binary, never decoded.
+  * bytesN/bytes → binary; string → string; T[] / T[k] → array;
+  * `(T1,T2,…)` tuple (Solidity struct param) → Spark struct with
+  * positional fields f0, f1, ….
+  * Indexed params that are not value types (dynamic types, static
+  * composites like `uint256[2]`, and tuples) are keccak hashes per the ABI
+  * spec → 32-byte binary, never decoded.
   */
 object Abi {
   sealed trait AbiType { def canonical: String }
@@ -34,6 +36,15 @@ object Abi {
   case object AString extends AbiType { def canonical = "string" }
   case class AArray(elem: AbiType, size: Option[Int]) extends AbiType {
     def canonical = elem.canonical + size.fold("[]")(n => s"[$n]")
+  }
+  /** Solidity struct param: `(address,uint256)` — decodes to a Spark struct
+    * with positional fields f0, f1, … (event signatures carry no member
+    * names). Static iff every member is static (ABI spec §"Formal
+    * Specification of the Encoding": a tuple is encoded head/tail like a
+    * fixed-size array of its members).
+    */
+  case class ATuple(members: Seq[AbiType]) extends AbiType {
+    def canonical = members.map(_.canonical).mkString("(", ",", ")")
   }
 
   case class Param(name: String, tpe: AbiType, indexed: Boolean)
@@ -52,6 +63,7 @@ object Abi {
     case ABytes | AString        => true
     case AArray(_, None)         => true
     case AArray(e, Some(_))      => isDynamic(e)
+    case ATuple(ms)              => ms.exists(isDynamic)
     case _                       => false
   }
 
@@ -79,6 +91,8 @@ object Abi {
     case ABytes               => BinaryType
     case AString              => StringType
     case AArray(e, _)         => ArrayType(sparkType(e), containsNull = false)
+    case ATuple(ms)           => StructType(ms.zipWithIndex.map { case (m, i) =>
+      StructField(s"f$i", sparkType(m), nullable = true) })
   }
 
   /** Parse "Transfer(address indexed from, address to, uint256 v)". */
@@ -90,11 +104,35 @@ object Abi {
     val body = signature.trim.substring(open + 1).dropRight(1).trim
     val params =
       if (body.isEmpty) Seq.empty
-      else splitTopLevel(body).zipWithIndex.map { case (p, i) =>
-        val toks = p.trim.split("\\s+").toSeq
-        val tpe = parseType(toks.head)
+      else splitTopLevel(body).zipWithIndex.map { case (p0, i) =>
+        val p = p0.trim
+        // A tuple type may contain spaces ("(address, uint256) pos"), so the
+        // type prefix runs through the matching ')' plus any array suffix;
+        // a simple whitespace split would shear it apart.
+        val (typeStr, rest) =
+          if (p.startsWith("(")) {
+            var depth = 0; var j = 0; var end = -1
+            while (j < p.length && end < 0) {
+              p.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = j
+                case _ =>
+              }
+              j += 1
+            }
+            require(end > 0, s"unbalanced tuple type in: $p")
+            var k = end + 1
+            while (k < p.length && (p.charAt(k) == '[' || p.charAt(k) == ']' ||
+              p.charAt(k).isDigit)) k += 1
+            (p.substring(0, k), p.substring(k))
+          } else {
+            val sp = p.indexWhere(_.isWhitespace)
+            if (sp < 0) (p, "") else (p.substring(0, sp), p.substring(sp))
+          }
+        val toks = rest.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val tpe = parseType(typeStr.replaceAll("\\s+", ""))
         val indexed = toks.contains("indexed")
-        val pname = toks.filterNot(t => t == "indexed" || t == toks.head)
+        val pname = toks.filterNot(_ == "indexed")
           .lastOption.getOrElse(s"param$i")
         Param(pname, tpe, indexed)
       }
@@ -125,6 +163,10 @@ object Abi {
   def parseType(t: String): AbiType = t match {
     case ArrayRe(elem, sz) =>
       AArray(parseType(elem), if (sz.isEmpty) None else Some(sz.toInt))
+    case tup if tup.startsWith("(") && tup.endsWith(")") =>
+      val inner = tup.substring(1, tup.length - 1).trim
+      ATuple(if (inner.isEmpty) Seq.empty
+             else splitTopLevel(inner).map(s => parseType(s.trim)))
     case "address" => AAddress
     case "bool"    => ABool
     case "bytes"   => ABytes
@@ -162,11 +204,21 @@ object Abi {
     case AFixedBytes(n)       => java.util.Arrays.copyOfRange(data, off, off + n)
     case AArray(e, Some(n)) if !isDynamic(e) =>
       new GenericArrayData((0 until n).map(i => decodeStatic(e, data, off + i * staticSize(e))).toArray)
+    case tp @ ATuple(ms) if !isDynamic(tp) =>
+      // static tuple: members in place at sequential offsets
+      var o = off
+      new GenericInternalRow(ms.map { m =>
+        val v = decodeStatic(m, data, o); o += staticSize(m); v
+      }.toArray)
     case other => throw new IllegalArgumentException(s"not a static type: $other")
   }
 
+  /** Head size of a type: 32 for dynamics (the offset word) and word-sized
+    * values, the summed member sizes for static composites.
+    */
   private def staticSize(t: AbiType): Int = t match {
-    case AArray(e, Some(n)) if !isDynamic(e) => n * staticSize(e)
+    case AArray(e, Some(n)) if !isDynamic(e)  => n * staticSize(e)
+    case tp @ ATuple(ms) if !isDynamic(tp)    => ms.map(staticSize).sum
     case _ => 32
   }
 
@@ -195,6 +247,13 @@ object Abi {
             else decodeStatic(e, data, elemBase + i * staticSize(e))
           }
           new GenericArrayData(elems.toArray)
+        case ATuple(ms) =>
+          // dynamic tuple: a fresh head/tail frame starts at `off`; member
+          // offsets are relative to that frame base (ABI spec head/tail).
+          var ho = off
+          new GenericInternalRow(ms.map { m =>
+            val v = decodeHead(m, data, ho, off); ho += staticSize(m); v
+          }.toArray)
         case other => throw new IllegalArgumentException(s"unexpected dynamic: $other")
       }
     }

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with a typed metadata struct, processed by
   * partition-batched decoders.
   *
-  * The DECODE KERNELS ARE STUBS — this container ships no image/audio
-  * codecs, so `StubDecoders` computes deterministic fakes from the bytes.
-  * Everything around them is the real Spark plumbing a production decoder
-  * drops into: schema contract, mapPartitions batching (one decoder init
-  * per partition, not per row — the same shape as mapInPandas batches),
-  * and partition sizing so a 100 TB binary column streams through
-  * fixed-size executor batches instead of materializing.
+  * The IMAGE kernel is a REAL decode: `javax.imageio` ships PNG/GIF/BMP/
+  * JPEG readers with the JDK, so no external codec is needed. AUDIO and
+  * VIDEO kernels remain loudly-declared stubs (the container has no
+  * sound/video codecs; `javax.sound` covers WAV only) — `StubDecoders`
+  * computes deterministic fakes from the bytes. Everything around them is
+  * the real Spark plumbing a production decoder drops into: schema
+  * contract, mapPartitions batching (one decoder init per partition, not
+  * per row — the same shape as mapInPandas batches), and partition sizing
+  * so a 100 TB binary column streams through fixed-size executor batches
+  * instead of materializing.
   */
 object MultimodalOps {
 
@@ -32,23 +35,56 @@ object MultimodalOps {
     StructField("n_channels", IntegerType),
     StructField("mean_luma", DoubleType)))
 
-  /** ====== STUB DECODERS ======
-    * Deterministic fakes standing in for real codecs (no image/audio libs
+  /** Real JDK image decode. Returns null for payloads that are not a
+    * decodable image (truncated, unknown format) — production behavior is
+    * "feature columns null, row kept", never a fake value.
+    */
+  object JdkImageDecoder {
+    final case class ImageFeatures(width: Int, height: Int, nChannels: Int,
+                                   meanLuma: Double)
+
+    /** Decode width/height/channels and mean luma (Rec.601 weights) from
+      * the payload. Luma is sampled on a ≤64×64 pixel grid so a
+      * 100-megapixel image costs the same as a thumbnail — the feature is
+      * a quality signal, not a pixel-exact statistic.
+      */
+    def imageFeatures(payload: Array[Byte]): ImageFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var sum = 0.0
+        var cnt = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            cnt += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        ImageFeatures(w, h, img.getColorModel.getNumComponents,
+          if (cnt == 0) 0.0 else sum / cnt / 255.0)
+      }
+    }
+  }
+
+  /** ====== STUB DECODERS (audio/video only) ======
+    * Deterministic fakes standing in for real codecs (no sound/video libs
     * in this container). Each consumes the payload bytes and produces
     * plausible, reproducible values; swap the body for an actual decoder
-    * (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+    * (e.g. JavaCV) without touching the plumbing.
     */
   object StubDecoders {
-    /** STUB: pretend-decode an image header from raw bytes. */
-    def imageFeatures(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 64 + math.abs(h % 1024)
-      val height = 64 + math.abs((h >> 10) % 1024)
-      val channels = 1 + math.abs(h % 3)
-      val luma = (math.abs(h) % 256) / 255.0
-      (width, height, channels, luma)
-    }
-
     /** STUB: pretend-resample audio → fixed-rate frame count. */
     def audioFrameCount(payload: Array[Byte], targetRate: Int): Long =
       payload.length.toLong * targetRate / 44100L
@@ -67,25 +103,31 @@ object MultimodalOps {
       length(col(payloadCol)).cast(LongType).as("byte_len"),
       md5(col(payloadCol)).as("content_hash")))
 
-  /** Partition-batched image feature extraction. mapPartitions (not a
-    * per-row UDF) so a real decoder initializes once per partition and
-    * processes a streaming iterator — the JVM analog of a mapInPandas
-    * batch loop, and the right shape for heavyweight codec state.
+  /** Partition-batched image feature extraction — REAL decode via
+    * `javax.imageio`. mapPartitions (not a per-row UDF) so decoder setup
+    * runs once per partition and rows stream through as an iterator — the
+    * JVM analog of a mapInPandas batch loop, and the right shape for
+    * heavyweight codec state. Null or undecodable payloads yield null
+    * feature columns (row kept, never a fabricated value).
     */
   def extractImageFeatures(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ imageFeatureSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // real decoder init would happen HERE, once per partition
+      // per-partition decoder init: disable ImageIO's disk-backed cache so
+      // decoding stays in-memory on executors (no /tmp churn per image)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (w, h, c, luma) =
-          if (payload == null) (0, 0, 0, 0.0)
-          else StubDecoders.imageFeatures(payload)
+        val f = if (payload == null) null
+                else JdkImageDecoder.imageFeatures(payload)
         // Seq[Any], not Seq(...): Scala would numerically widen the Ints
         // to Double alongside luma and break the row encoder.
-        Row.fromSeq(r.toSeq ++ Seq[Any](w, h, c, luma))
+        val feats =
+          if (f == null) Seq[Any](null, null, null, null)
+          else Seq[Any](f.width, f.height, f.nChannels, f.meanLuma)
+        Row.fromSeq(r.toSeq ++ feats)
       }
     }(enc)
   }

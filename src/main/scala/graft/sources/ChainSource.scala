@@ -182,6 +182,49 @@ private[sources] case class ChainReq(cs: Map[String, Set[Seq[Byte]]]) {
     cs.toSeq.sortBy(_._1).map { case (k, vs) => s"$k:${vs.size}" }.mkString("{", ",", "}")
 }
 
+/** Filter-tree → request-list parsing shared by the chain providers
+  * (synthetic `ChainSource` and file-backed `ParquetChainSource`).
+  */
+private[sources] object ReqPushdown {
+  def asBytes(v: Any): Option[Seq[Byte]] = v match {
+    case a: Array[Byte] => Some(a.toSeq)
+    case _              => None
+  }
+
+  /** A filter tree → list of alternative requests (OR semantics), or None
+    * if any leaf is not a pushable `=`/`IN` constraint.
+    */
+  def parseReq(f: Filter, pushable: Set[String]): Option[Seq[ChainReq]] = f match {
+    case EqualTo(c, v) if pushable(c) =>
+      asBytes(v).map(b => Seq(ChainReq(Map(c -> Set(b)))))
+    case In(c, vs) if pushable(c) =>
+      val bs = vs.toSeq.map(asBytes)
+      if (bs.nonEmpty && bs.forall(_.isDefined))
+        Some(Seq(ChainReq(Map(c -> bs.flatten.toSet))))
+      else None
+    case Or(l, r) =>
+      for { a <- parseReq(l, pushable); b <- parseReq(r, pushable) } yield a ++ b
+    case And(l, r) =>
+      for { a <- parseReq(l, pushable); b <- parseReq(r, pushable) }
+        yield for { x <- a; y <- b; m <- x.and(y) } yield m
+    case _ => None
+  }
+
+  /** `filter.<col>` reader options (comma-separated hex values) → one
+    * conjunctive request — the provider-QUERY-config channel, and the only
+    * pushdown channel on the streaming path (V2 filter pushdown is
+    * batch-only).
+    */
+  def optionReq(pushable: Set[String], props: Map[String, String]): ChainReq =
+    ChainReq(pushable.flatMap { c =>
+      props.get(s"filter.$c").map { v =>
+        c -> v.split(",").map(h =>
+          h.trim.grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq: Seq[Byte])
+          .toSet
+      }
+    }.toMap)
+}
+
 private class ChainTable(props: Map[String, String]) extends Table with SupportsRead {
   private val table = props.getOrElse("table", "logs")
   override def name(): String = s"graft_chain_$table"
@@ -213,43 +256,15 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
     * only, so a `.filter(...)` on a readStream is evaluated post-scan
     * (still correct, just not server-side).
     */
-  private val optionReq: ChainReq = ChainReq(
-    ChainSource.pushableColumns(table).flatMap { c =>
-      props.get(s"filter.$c").map { v =>
-        c -> v.split(",").map(h =>
-          h.trim.grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq: Seq[Byte])
-          .toSet
-      }
-    }.toMap)
+  private val optionReq: ChainReq = ReqPushdown.optionReq(pushable, props)
 
   // OR'd request list; a single unconstrained request = "match everything"
   private var requests: Seq[ChainReq] = Seq(optionReq)
   private var pushed: Array[Filter] = Array.empty
   private var requiredCols: Array[String] = ChainSource.schemaFor(table).fieldNames
 
-  private def asBytes(v: Any): Option[Seq[Byte]] = v match {
-    case a: Array[Byte] => Some(a.toSeq)
-    case _              => None
-  }
-
-  /** A filter tree → list of alternative requests (OR semantics), or None
-    * if any leaf is not a pushable `=`/`IN` constraint.
-    */
-  private def parseReq(f: Filter): Option[Seq[ChainReq]] = f match {
-    case EqualTo(c, v) if pushable(c) =>
-      asBytes(v).map(b => Seq(ChainReq(Map(c -> Set(b)))))
-    case In(c, vs) if pushable(c) =>
-      val bs = vs.toSeq.map(asBytes)
-      if (bs.nonEmpty && bs.forall(_.isDefined))
-        Some(Seq(ChainReq(Map(c -> bs.flatten.toSet))))
-      else None
-    case Or(l, r) =>
-      for { a <- parseReq(l); b <- parseReq(r) } yield a ++ b
-    case And(l, r) =>
-      for { a <- parseReq(l); b <- parseReq(r) }
-        yield for { x <- a; y <- b; m <- x.and(y) } yield m
-    case _ => None
-  }
+  private def parseReq(f: Filter): Option[Seq[ChainReq]] =
+    ReqPushdown.parseReq(f, pushable)
 
   /** Consume block-range predicates and request-column constraints
     * (≙ provider query DSL); everything else stays with Spark as a

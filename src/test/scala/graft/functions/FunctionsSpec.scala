@@ -234,6 +234,54 @@ class FunctionsSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType, containsNull = false))
   }
 
+  test("evm_decode_event decodes a static (address,uint256) tuple param") {
+    import spark.implicits._
+    // Deposit((address, uint256) pos, uint64 tail): static tuple → members
+    // in place at sequential word offsets, then the tail param.
+    val sig = "Deposit((address, uint256) pos, uint64 tail)"
+    assert(Abi.parseEvent(sig).canonical == "Deposit((address,uint256),uint64)")
+    val data = addrTopic(0x5a) ++ word(BigInteger.valueOf(77)) ++
+      word(BigInteger.valueOf(3))
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte], data))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event(sig,
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.pos.f0", "d.pos.f1", "d.tail")
+    val r = df.head()
+    assert(r.getAs[Array[Byte]]("f0").length == 20 &&
+      r.getAs[Array[Byte]]("f0").forall(_ == 0x5a))
+    assert(new BigInteger(1, r.getAs[Array[Byte]]("f1")).intValueExact == 77)
+    assert(r.getAs[java.math.BigDecimal]("tail").longValueExact == 3L)
+  }
+
+  test("evm_decode_event decodes a dynamic (string,uint256) tuple param") {
+    import spark.implicits._
+    // Note((string, uint256) m): dynamic tuple → head holds the frame
+    // offset; inside the frame, the string's offset is frame-relative.
+    val data =
+      word(BigInteger.valueOf(0x20)) ++        // head: tuple frame at 0x20
+      word(BigInteger.valueOf(0x40)) ++        // frame: string at frame+0x40
+      word(BigInteger.valueOf(9)) ++           // frame: f1 = 9
+      word(BigInteger.valueOf(2)) ++           // string length
+      ("hi".getBytes("UTF-8") ++ new Array[Byte](30))
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte], data))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event("Note((string, uint256) m)",
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.m.f0", "d.m.f1")
+    val r = df.head()
+    assert(r.getString(0) == "hi")
+    assert(new BigInteger(1, r.getAs[Array[Byte]]("f1")).intValueExact == 9)
+  }
+
+  test("indexed tuple params stay 32-byte topic hashes") {
+    // Per the ABI spec indexed non-value types are keccak-hashed; a tuple
+    // is never a value type regardless of member types.
+    val sig = Abi.parseEvent("Ev((address,uint64) indexed key, uint64 v)")
+    assert(sig.schema("key").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("evm_decode_event allowFail yields null struct on garbage") {
     import spark.implicits._
     val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte],

@@ -3,11 +3,21 @@ package graft.ops
 import graft.SparkSpec
 
 /** Multimodal plumbing specs: schema contract, determinism, batching shape.
-  * The decode kernels are stubs (no codecs in this container); what's under
-  * test is the real Spark-side plumbing around them.
+  * The image kernel is a REAL javax.imageio decode (PNG exercised below);
+  * audio/video kernels are stubs (no codecs in this container) and what's
+  * under test there is the Spark-side plumbing around them.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   private val media = Seq(
     (1L, Array.tabulate[Byte](2048)(_.toByte)),
@@ -30,19 +40,25 @@ class MultimodalSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("extractImageFeatures appends the feature contract, deterministic") {
-    def features(df: org.apache.spark.sql.DataFrame) =
-      MultimodalOps.extractImageFeatures(df, "payload")
-        .select("media_id", "width", "height", "n_channels", "mean_luma")
-        .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._1).toSeq
-    val a = features(media)
-    assert(MultimodalOps.extractImageFeatures(media, "payload")
-      .schema.fieldNames.takeRight(4).toSeq ==
+  test("extractImageFeatures really decodes a PNG via javax.imageio") {
+    val imgs = Seq(
+      (1L, pngBytes(10, 6, 0xffffff)),          // solid white 10×6
+      (2L, pngBytes(8, 8, 0x000000)),           // solid black 8×8
+      (3L, Array[Byte](1, 2, 3)),               // not an image
+      (4L, null: Array[Byte])
+    ).toDF("media_id", "payload")
+    val out = MultimodalOps.extractImageFeatures(imgs, "payload")
+    assert(out.schema.fieldNames.takeRight(4).toSeq ==
       Seq("width", "height", "n_channels", "mean_luma"))
-    assert(a == features(media)) // deterministic
-    val r = a.head
-    assert(r._2 >= 64 && r._4 >= 1)
-    assert(a.last == ((3L, 0, 0, 0, 0.0))) // null payload → zeros
+    val rows = out.select("media_id", "width", "height", "n_channels", "mean_luma")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val white = rows(1L)
+    assert(white.getInt(1) == 10 && white.getInt(2) == 6 && white.getInt(3) == 3)
+    assert(math.abs(white.getDouble(4) - 1.0) < 1e-9)
+    val black = rows(2L)
+    assert(black.getInt(1) == 8 && black.getDouble(4) == 0.0)
+    // undecodable / null payloads → null features, rows kept
+    assert(rows(3L).isNullAt(1) && rows(4L).isNullAt(1))
   }
 
   test("audioFrames scales with payload length") {
