@@ -274,6 +274,45 @@ class FunctionsSpec extends SparkSpec {
     assert(new BigInteger(1, r.getAs[Array[Byte]]("f1")).intValueExact == 9)
   }
 
+  test("evm_decode_event decodes a dynamic array of static tuples") {
+    import spark.implicits._
+    // Batch((address,uint64)[] items): head = offset; tail = [n][t0][t1]
+    // with each static tuple inline as 2 words.
+    val data =
+      word(BigInteger.valueOf(0x20)) ++        // head: array at 0x20
+      word(BigInteger.valueOf(2)) ++           // n = 2
+      addrTopic(0x0a) ++ word(BigInteger.valueOf(5)) ++   // items[0]
+      addrTopic(0x0b) ++ word(BigInteger.valueOf(6))      // items[1]
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte], data))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event("Batch((address,uint64)[] items)",
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select(explode(col("d.items")).as("it"))
+      .select("it.f0", "it.f1")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Array[Byte]]("f0").forall(_ == 0x0a) &&
+      rows(0).getAs[java.math.BigDecimal]("f1").longValueExact == 5L)
+    assert(rows(1).getAs[Array[Byte]]("f0").forall(_ == 0x0b) &&
+      rows(1).getAs[java.math.BigDecimal]("f1").longValueExact == 6L)
+  }
+
+  test("evm_decode_event decodes a nested static tuple") {
+    import spark.implicits._
+    // N((uint64,(address,uint64)) v): fully static → 3 words in place.
+    val data = word(BigInteger.valueOf(1)) ++ addrTopic(0x0c) ++
+      word(BigInteger.valueOf(2))
+    val df = Seq((null: Array[Byte], null: Array[Byte], null: Array[Byte], data))
+      .toDF("t1", "t2", "t3", "data")
+      .select(F.evm_decode_event("N((uint64,(address,uint64)) v)",
+        col("t1"), col("t2"), col("t3"), col("data")).as("d"))
+      .select("d.v.f0", "d.v.f1.f0", "d.v.f1.f1")
+    val r = df.head()
+    assert(r.getAs[java.math.BigDecimal](0).longValueExact == 1L)
+    assert(r.getAs[Array[Byte]](1).forall(_ == 0x0c))
+    assert(r.getAs[java.math.BigDecimal](2).longValueExact == 2L)
+  }
+
   test("indexed tuple params stay 32-byte topic hashes") {
     // Per the ABI spec indexed non-value types are keccak-hashed; a tuple
     // is never a value type regardless of member types.

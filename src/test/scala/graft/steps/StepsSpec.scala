@@ -199,6 +199,29 @@ class StepsSpec extends SparkSpec {
     assert(r2.getAs[Array[Byte]]("owner").last == 0x33)
   }
 
+  test("EvmDecodeMultiEvents decodes tuple-param events from an ABI set") {
+    import graft.functions.Keccak
+    def addrWord(fill: Byte): Array[Byte] = {
+      val o = new Array[Byte](32); java.util.Arrays.fill(o, 12, 32, fill); o
+    }
+    def word(v: Long): Array[Byte] = {
+      val w = new Array[Byte](32); w(31) = v.toByte; w
+    }
+    val posSig = "PosOpened((address, uint256) pos, uint64 size)"
+    val data = addrWord(0x21) ++ word(42) ++ word(9) // static tuple in place
+    val logs = Seq(
+      (1L, Keccak.topic0(posSig), null: Array[Byte], null: Array[Byte], data))
+      .toDF("log_index", "topic0", "topic1", "topic2", "data")
+    val out = Steps.EvmDecodeMultiEvents(Seq(posSig))(
+      spark, bundle("logs" -> logs))("decoded_logs")
+    val r = out.head()
+    assert(r.getAs[String]("event_name") == "PosOpened")
+    val pos = r.getStruct(r.fieldIndex("pos"))
+    assert(pos.getAs[Array[Byte]]("f0").last == 0x21)
+    assert(new java.math.BigInteger(1, pos.getAs[Array[Byte]]("f1")).intValue == 42)
+    assert(r.getAs[java.math.BigDecimal]("size").longValueExact == 9L)
+  }
+
   test("BlockRangeSource slices the range into per-batch pushdown filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     (0L until 100L).map(i => (i, i * 2)).toDF("block_number", "v")
