@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with a typed metadata struct, processed by
   * partition-batched decoders.
   *
-  * The IMAGE kernel is a REAL decode: `javax.imageio` ships PNG/GIF/BMP/
-  * JPEG readers with the JDK, so no external codec is needed. AUDIO and
-  * VIDEO kernels remain loudly-declared stubs (the container has no
-  * sound/video codecs; `javax.sound` covers WAV only) — `StubDecoders`
-  * computes deterministic fakes from the bytes. Everything around them is
+  * The IMAGE kernel is a REAL decode (`javax.imageio` ships PNG/GIF/BMP/
+  * JPEG readers with the JDK) and so is the AUDIO header kernel
+  * (`javax.sound.sampled` parses WAV/AIFF/AU). Only the VIDEO kernel
+  * remains a loudly-declared stub (no video codec exists in the bare JDK
+  * or this container) — `StubDecoders` computes deterministic fakes from
+  * the bytes. Everything around them is
   * the real Spark plumbing a production decoder drops into: schema
   * contract, mapPartitions batching (one decoder init per partition, not
   * per row — the same shape as mapInPandas batches), and partition sizing
@@ -78,16 +79,39 @@ object MultimodalOps {
     }
   }
 
-  /** ====== STUB DECODERS (audio/video only) ======
-    * Deterministic fakes standing in for real codecs (no sound/video libs
-    * in this container). Each consumes the payload bytes and produces
+  /** Real JDK audio decode: `javax.sound.sampled` parses WAV/AIFF/AU
+    * headers with no external codec (compressed formats like MP3/OGG would
+    * need a service provider — not in this container). Returns -1 for
+    * undecodable payloads.
+    */
+  object JdkAudioDecoder {
+    /** Frame count the payload would have after resampling to `targetRate`
+      * (floor of frames·target/source — a length computation from the
+      * header, not an actual resample). -1 if the payload is not a
+      * decodable audio file or the header does not declare a length.
+      */
+    def resampledFrameCount(payload: Array[Byte], targetRate: Int): Long = {
+      import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+      try {
+        val aff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val frames = aff.getFrameLength.toLong
+        val rate = aff.getFormat.getSampleRate
+        if (frames < 0 || rate <= 0) -1L
+        else (frames.toDouble * targetRate / rate).toLong
+      } catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException => -1L
+      }
+    }
+  }
+
+  /** ====== STUB DECODERS (video only) ======
+    * Deterministic fakes standing in for real codecs (no video libs in
+    * this container). Each consumes the payload bytes and produces
     * plausible, reproducible values; swap the body for an actual decoder
     * (e.g. JavaCV) without touching the plumbing.
     */
   object StubDecoders {
-    /** STUB: pretend-resample audio → fixed-rate frame count. */
-    def audioFrameCount(payload: Array[Byte], targetRate: Int): Long =
-      payload.length.toLong * targetRate / 44100L
 
     /** STUB: pretend-sample every nth video frame → frame byte offsets. */
     def videoFrameOffsets(payload: Array[Byte], everyN: Int): Seq[Long] =
@@ -132,8 +156,10 @@ object MultimodalOps {
     }(enc)
   }
 
-  /** Audio resample metadata over the payload column (stub kernel, real
-    * plumbing): narrow, codegen-adjacent, shuffle-free.
+  /** Audio resample metadata over the payload column — REAL header decode
+    * via `javax.sound.sampled` (WAV/AIFF/AU with the bare JDK): narrow,
+    * shuffle-free. Null or undecodable payloads yield a null frame_count
+    * (row kept, never a fabricated value).
     */
   def audioFrames(df: DataFrame, payloadCol: String, targetRate: Int = 16000): DataFrame = {
     val outSchema = df.schema.add("frame_count", LongType)
@@ -142,9 +168,9 @@ object MultimodalOps {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val n = if (payload == null) 0L
-                else StubDecoders.audioFrameCount(payload, targetRate)
-        Row.fromSeq(r.toSeq :+ n)
+        val n = if (payload == null) -1L
+                else JdkAudioDecoder.resampledFrameCount(payload, targetRate)
+        Row.fromSeq(r.toSeq :+ (if (n < 0) null else n))
       }
     }(enc)
   }

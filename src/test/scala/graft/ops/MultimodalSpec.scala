@@ -61,11 +61,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L).isNullAt(1) && rows(4L).isNullAt(1))
   }
 
-  test("audioFrames scales with payload length") {
-    val out = MultimodalOps.audioFrames(media, "payload", targetRate = 16000)
-      .select("media_id", "frame_count").as[(Long, Long)].collect().toMap
-    assert(out(2L) == 4096L * 16000 / 44100)
-    assert(out(3L) == 0L)
+  private def wavBytes(frames: Int, sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2) // 16-bit mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFrames really parses WAV headers via javax.sound.sampled") {
+    val audio = Seq(
+      (1L, wavBytes(44100, 44100f)),   // 1 second @ 44.1 kHz
+      (2L, wavBytes(8000, 8000f)),     // 1 second @ 8 kHz
+      (3L, Array[Byte](9, 9, 9)),      // not audio
+      (4L, null: Array[Byte])
+    ).toDF("media_id", "payload")
+    val out = MultimodalOps.audioFrames(audio, "payload", targetRate = 16000)
+      .select("media_id", "frame_count").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // resampled length = frames * target/source = 16000 for both 1s clips
+    assert(out(1L) == Some(16000L) && out(2L) == Some(16000L))
+    // undecodable / null payloads → null frame_count, rows kept
+    assert(out(3L) == None && out(4L) == None)
   }
 
   test("sampleVideoFrames explodes offsets only for non-null payloads") {
