@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with a typed metadata struct, processed by
   * partition-batched decoders.
   *
-  * The IMAGE kernel is a REAL decode (`javax.imageio` ships PNG/GIF/BMP/
-  * JPEG readers with the JDK) and so is the AUDIO header kernel
-  * (`javax.sound.sampled` parses WAV/AIFF/AU). Only the VIDEO kernel
-  * remains a loudly-declared stub (no video codec exists in the bare JDK
-  * or this container) — `StubDecoders` computes deterministic fakes from
-  * the bytes. Everything around them is
+  * Every modality has a REAL kernel: IMAGE decode via `javax.imageio`
+  * (PNG/GIF/BMP/JPEG ship with the JDK), AUDIO header parse via
+  * `javax.sound.sampled` (WAV/AIFF/AU), VIDEO container metadata via a
+  * byte-level MP4/ISO-BMFF box walk (`Mp4Meta`). Only video frame
+  * EXTRACTION remains a loudly-declared stub (a codec does not exist in
+  * the bare JDK or this container) — `StubDecoders` computes
+  * deterministic fakes from the bytes. Everything around them is
   * the real Spark plumbing a production decoder drops into: schema
   * contract, mapPartitions batching (one decoder init per partition, not
   * per row — the same shape as mapInPandas batches), and partition sizing
@@ -105,7 +106,50 @@ object MultimodalOps {
     }
   }
 
-  /** ====== STUB DECODERS (video only) ======
+  /** Real MP4/ISO-BMFF container metadata: walks the top-level box list to
+    * `moov`→`mvhd` and reads timescale + duration (ISO/IEC 14496-12 §8.2.2)
+    * — pure byte arithmetic, no codec. This is the header-sniff a corpus
+    * pipeline runs over billions of clips before deciding what to decode.
+    * Frame EXTRACTION still needs a real codec and stays stubbed.
+    */
+  object Mp4Meta {
+    /** Clip duration in milliseconds, or -1 if the payload is not a
+      * parseable MP4 (missing/garbled moov/mvhd, zero timescale).
+      */
+    def durationMs(payload: Array[Byte]): Long = {
+      if (payload == null || payload.length < 16) return -1L
+      def u32(off: Int): Long =
+        ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+          ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+      def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+      // find box `tpe` in [from, to); returns its PAYLOAD offset or -1
+      def find(tpe: String, from: Int, to: Int): Int = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = u32(off)
+          if (size < 8 || off + size > Int.MaxValue) return -1
+          if (new String(payload, off + 4, 4, "US-ASCII") == tpe)
+            return off + 8
+          off += size.toInt
+        }
+        -1
+      }
+      val moov = find("moov", 0, payload.length)
+      if (moov < 0) return -1L
+      val moovEnd = math.min(moov - 8 + u32(moov - 8), payload.length.toLong).toInt
+      val mvhd = find("mvhd", moov, moovEnd)
+      if (mvhd < 0 || mvhd + 32 > payload.length) return -1L
+      val (timescale, duration) = (payload(mvhd) & 0xff) match {
+        case 0 => (u32(mvhd + 12), u32(mvhd + 16))          // 32-bit times
+        case 1 if mvhd + 32 <= payload.length =>
+          (u32(mvhd + 20), u64(mvhd + 24))                   // 64-bit times
+        case _ => (0L, 0L)
+      }
+      if (timescale <= 0) -1L else duration * 1000L / timescale
+    }
+  }
+
+  /** ====== STUB DECODERS (video frame extraction only) ======
     * Deterministic fakes standing in for real codecs (no video libs in
     * this container). Each consumes the payload bytes and produces
     * plausible, reproducible values; swap the body for an actual decoder
@@ -171,6 +215,21 @@ object MultimodalOps {
         val n = if (payload == null) -1L
                 else JdkAudioDecoder.resampledFrameCount(payload, targetRate)
         Row.fromSeq(r.toSeq :+ (if (n < 0) null else n))
+      }
+    }(enc)
+  }
+
+  /** Video container metadata — REAL MP4/ISO-BMFF header parse (duration
+    * from moov/mvhd): narrow, shuffle-free; null/unparseable → null.
+    */
+  def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = df.schema.add("duration_ms", LongType)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = Mp4Meta.durationMs(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq :+ (if (d < 0) null else d))
       }
     }(enc)
   }

@@ -89,6 +89,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == None && out(4L) == None)
   }
 
+  private def u32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    u32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  test("videoMeta really parses MP4 moov/mvhd duration") {
+    // minimal ISO-BMFF: ftyp + moov[mvhd v0 timescale=600 duration=1200]
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+        u32(600) ++ u32(1200) ++ new Array[Byte](80))
+    val mp4 = mp4Box("ftyp", "isom".getBytes ++ u32(512)) ++ mp4Box("moov", mvhd)
+    val vids = Seq(
+      (1L, mp4),
+      (2L, Array[Byte](0, 0, 0, 1)),   // garbage
+      (3L, null: Array[Byte])
+    ).toDF("media_id", "payload")
+    val out = MultimodalOps.videoMeta(vids, "payload")
+      .select("media_id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) == Some(2000L)) // 1200 / 600 ticks-per-sec = 2 s
+    assert(out(2L) == None && out(3L) == None)
+  }
+
   test("sampleVideoFrames explodes offsets only for non-null payloads") {
     val out = MultimodalOps.sampleVideoFrames(media, "media_id", "payload",
         everyN = 1)
