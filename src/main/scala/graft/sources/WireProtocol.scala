@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.channels.Channels
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.arrow.memory.BufferAllocator
+import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+
+/** Wire protocol for the remote chain-provider plane: the Spark-native
+  * analog of the reference's provider HTTP APIs (cherry delegates ingestion
+  * to provider clients configured by `ProviderConfig(kind, url)` +
+  * `ingest.Query` — `examples/erc20_custom.py:93-107`; HyperSync-style
+  * providers serve filtered/projected batches as Arrow over HTTP, SQD-style
+  * portals serve JSON lines). This module defines a provider-agnostic
+  * protocol with the same moving parts:
+  *
+  *   - a QUERY document (JSON) carrying block range, OR'd request list
+  *     (≙ repeated `LogRequest`/`InstructionRequest`), and field selection;
+  *   - a PAGE response: Arrow IPC stream body + `x-graft-next-block`
+  *     header (≙ the provider's pagination cursor — clients re-query from
+  *     `next_block` until they reach their target), plus
+  *     `x-graft-height` (≙ the provider's archive-height endpoint) so a
+  *     streaming client can pace itself against the chain head.
+  *
+  * Everything here is pure (de)serialization shared by the client
+  * (`WireChainSource`) and the test fixture server; neither end touches
+  * Spark execution classes beyond `InternalRow` construction.
+  */
+object WireProtocol {
+  private val mapper = new ObjectMapper()
+
+  def hex(b: Seq[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+  def unhex(s: String): Seq[Byte] =
+    s.trim.stripPrefix("0x").grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq
+
+  /** One provider query page request. `toBlock` is exclusive, matching the
+    * reference's `to_block` convention on EVM queries.
+    */
+  case class WireQuery(table: String, fromBlock: Long, toBlock: Long,
+                       requests: Seq[ChainReq], cols: Seq[String]) {
+    def toJson: String = {
+      val root = mapper.createObjectNode()
+      root.put("table", table)
+      root.put("from_block", fromBlock)
+      root.put("to_block", toBlock)
+      val reqs = root.putArray("requests")
+      requests.foreach { r =>
+        val o = reqs.addObject()
+        r.cs.toSeq.sortBy(_._1).foreach { case (col, values) =>
+          val arr = o.putArray(col)
+          // sorted for deterministic golden-test bytes
+          values.toSeq.map(hex).sorted.foreach(arr.add)
+        }
+      }
+      val fields = root.putArray("field_selection")
+      cols.foreach(fields.add)
+      mapper.writeValueAsString(root)
+    }
+  }
+
+  def parseQuery(json: String): WireQuery = {
+    val root: JsonNode = mapper.readTree(json)
+    val reqs = root.get("requests").elements().asScala.map { o =>
+      ChainReq(o.asInstanceOf[ObjectNode].properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(v => unhex(v.asText())).toSet
+      }.toMap)
+    }.toSeq
+    WireQuery(
+      table = root.get("table").asText(),
+      fromBlock = root.get("from_block").asLong(),
+      toBlock = root.get("to_block").asLong(),
+      requests = if (reqs.isEmpty) Seq(ChainReq(Map.empty)) else reqs,
+      cols = root.get("field_selection").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  /** Spark read schema → Arrow schema. The chain tables are LONG + BINARY
+    * only (block numbers/indices + hashes/payloads), so the mapping is
+    * total for this plane and fails loudly for anything else.
+    */
+  def arrowSchema(schema: StructType): ArrowSchema = {
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType   => new ArrowType.Int(64, true)
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case other => throw new IllegalArgumentException(
+          s"wire protocol does not carry ${other.simpleString} (column ${f.name})")
+      }
+      new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+    }
+    new ArrowSchema(java.util.Arrays.asList(fields: _*))
+  }
+
+  /** Encode rows (positionally matching `schema`) as one Arrow IPC stream.
+    * Values are `Long` / `Array[Byte]` per the schema. Used by the fixture
+    * server; a real provider produces the same bytes from its store.
+    */
+  def encodePage(schema: StructType, rows: Seq[Array[Any]],
+                 allocator: BufferAllocator, batchRows: Int = 4096): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+    try {
+      val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+      writer.start()
+      rows.grouped(math.max(batchRows, 1)).foreach { chunk =>
+        root.allocateNew()
+        chunk.zipWithIndex.foreach { case (row, i) =>
+          schema.fields.zipWithIndex.foreach { case (f, c) =>
+            (f.dataType, root.getVector(c)) match {
+              case (LongType, v: BigIntVector) =>
+                v.setSafe(i, row(c).asInstanceOf[Long])
+              case (BinaryType, v: VarBinaryVector) =>
+                v.setSafe(i, row(c).asInstanceOf[Array[Byte]])
+              case (t, v) => throw new IllegalStateException(s"$t vs ${v.getClass}")
+            }
+          }
+        }
+        root.setRowCount(chunk.size)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally root.close()
+    out.toByteArray
+  }
+
+  /** Decode one Arrow IPC page into InternalRows matching `schema` (by
+    * column NAME — the server may order `field_selection` differently).
+    * Materializes one page; pages are provider-bounded (the pagination
+    * contract), so per-task memory is one page regardless of range size.
+    */
+  def decodePage(schema: StructType, body: Array[Byte],
+                 allocator: BufferAllocator): Seq[InternalRow] = {
+    val rows = new ArrayBuffer[InternalRow]()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(body), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val vectors = schema.fields.map { f =>
+        val v = root.getVector(f.name)
+        if (v == null) throw new IllegalArgumentException(
+          s"page missing requested column ${f.name}; server sent " +
+            root.getSchema.getFields.asScala.map(_.getName).mkString(","))
+        v
+      }
+      while (reader.loadNextBatch()) {
+        var i = 0
+        val n = root.getRowCount
+        while (i < n) {
+          val values = new Array[Any](vectors.length)
+          var c = 0
+          while (c < vectors.length) {
+            values(c) = vectors(c) match {
+              case v: BigIntVector    => if (v.isNull(i)) null else v.get(i)
+              case v: VarBinaryVector => if (v.isNull(i)) null else v.get(i)
+              case v => throw new IllegalStateException(s"unexpected vector ${v.getClass}")
+            }
+            c += 1
+          }
+          rows += new GenericInternalRow(values)
+          i += 1
+        }
+      }
+    } finally reader.close()
+    rows.toSeq
+  }
+}
