@@ -140,10 +140,7 @@ case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
   @transient private lazy val sig = Borsh.InstructionSig(
     hexToBytes(discriminatorHex), Borsh.parseFields(fieldSpec))
 
-  private def hexToBytes(s: String): Array[Byte] = {
-    val h = if (s.startsWith("0x")) s.drop(2) else s
-    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-  }
+  private def hexToBytes(s: String): Array[Byte] = Hex.decode(s)
 
   override def dataType: DataType = sig.schema
   override def nullable: Boolean = true

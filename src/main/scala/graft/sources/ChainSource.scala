@@ -218,9 +218,8 @@ private[sources] object ReqPushdown {
   def optionReq(pushable: Set[String], props: Map[String, String]): ChainReq =
     ChainReq(pushable.flatMap { c =>
       props.get(s"filter.$c").map { v =>
-        c -> v.split(",").map(h =>
-          h.trim.grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq: Seq[Byte])
-          .toSet
+        c -> v.split(",")
+          .map(h => graft.functions.Hex.decode(h).toSeq: Seq[Byte]).toSet
       }
     }.toMap)
 }

@@ -39,12 +39,20 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
 object WireProtocol {
   private val mapper = new ObjectMapper()
 
-  def hex(b: Seq[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
-  def unhex(s: String): Seq[Byte] =
-    s.trim.stripPrefix("0x").grouped(2).map(Integer.parseInt(_, 16).toByte).toSeq
+  // canonical codec (graft.functions.Hex): strict — odd-length or non-hex
+  // byte strings fail the query instead of silently matching wrong events
+  def hex(b: Seq[Byte]): String = graft.functions.Hex.encode(b)
+  def unhex(s: String): Seq[Byte] = graft.functions.Hex.decode(s).toSeq
 
   /** One provider query page request. `toBlock` is exclusive, matching the
     * reference's `to_block` convention on EVM queries.
+    *
+    * Request-list semantics (must mirror the engine's pushdown convention,
+    * `ChainScanBuilder.pushFilters`): an EMPTY `requests` list means
+    * match-NOTHING (AND'd constraints contradicted — the scan is provably
+    * empty), while a single unconstrained request `Seq(ChainReq(Map.empty))`
+    * is the explicit match-ALL. The JSON carries the distinction verbatim:
+    * `"requests":[]` vs `"requests":[{}]`.
     */
   case class WireQuery(table: String, fromBlock: Long, toBlock: Long,
                        requests: Seq[ChainReq], cols: Seq[String]) {
@@ -79,7 +87,10 @@ object WireProtocol {
       table = root.get("table").asText(),
       fromBlock = root.get("from_block").asLong(),
       toBlock = root.get("to_block").asLong(),
-      requests = if (reqs.isEmpty) Seq(ChainReq(Map.empty)) else reqs,
+      // empty stays empty: [] is match-nothing, [{}] is the explicit
+      // match-all — inventing a match-all here would flip a provably-empty
+      // scan into a full-range scan after one wire round-trip
+      requests = reqs,
       cols = root.get("field_selection").elements().asScala.map(_.asText()).toSeq)
   }
 
@@ -115,11 +126,22 @@ object WireProtocol {
         root.allocateNew()
         chunk.zipWithIndex.foreach { case (row, i) =>
           schema.fields.zipWithIndex.foreach { case (f, c) =>
+            // null-symmetric with decodePage: the schema declares every
+            // field nullable, so the encoder must carry nulls, not coerce
+            // them (null Long ≠ 0L) or NPE on them (null bytes)
             (f.dataType, root.getVector(c)) match {
-              case (LongType, v: BigIntVector) =>
-                v.setSafe(i, row(c).asInstanceOf[Long])
-              case (BinaryType, v: VarBinaryVector) =>
-                v.setSafe(i, row(c).asInstanceOf[Array[Byte]])
+              case (LongType, v: BigIntVector) => row(c) match {
+                case null    => v.setNull(i)
+                case x: Long => v.setSafe(i, x)
+                case other   => throw new IllegalStateException(
+                  s"expected Long for ${f.name}, got ${other.getClass}")
+              }
+              case (BinaryType, v: VarBinaryVector) => row(c) match {
+                case null           => v.setNull(i)
+                case b: Array[Byte] => v.setSafe(i, b)
+                case other          => throw new IllegalStateException(
+                  s"expected Array[Byte] for ${f.name}, got ${other.getClass}")
+              }
               case (t, v) => throw new IllegalStateException(s"$t vs ${v.getClass}")
             }
           }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.arrow.memory.RootAllocator
+import org.apache.spark.sql.types.StructType
+
+/** In-process provider fixture: the SERVER half of [[WireProtocol]],
+  * standing in for a HyperSync/SQD-style endpoint in tests. Holds a
+  * full-schema row set (typically collected from the same parquet fixture
+  * [[ParquetChainSource]] reads), answers `POST /` wire queries with
+  * Arrow IPC pages bounded to `pageBlocks` blocks (so clients MUST follow
+  * `x-graft-next-block` pagination), and `GET /height` with the archive
+  * height. Records every received query JSON for pushdown assertions.
+  */
+class WireFixtureServer(schema: StructType, rows: IndexedSeq[Array[Any]],
+                        blockCol: String, pageBlocks: Long,
+                        @volatile var height: Long) {
+  require(pageBlocks >= 1, "pageBlocks must be >= 1")
+
+  /** Every query JSON body received, in arrival order. */
+  val received = new ConcurrentLinkedQueue[String]()
+
+  private val blockIdx = schema.fieldIndex(blockCol)
+  private val allocator = new RootAllocator()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  server.createContext("/height", (ex: HttpExchange) => {
+    val body = height.toString.getBytes(UTF_8)
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      val json = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      received.add(json)
+      val q = WireProtocol.parseQuery(json)
+      // the SERVER bounds page size: the pagination contract the client
+      // must follow via x-graft-next-block
+      val pageEnd = math.min(q.toBlock, q.fromBlock + pageBlocks)
+      val colIdx = q.cols.map(schema.fieldIndex).toArray
+      val matched = rows.filter { r =>
+        val b = r(blockIdx).asInstanceOf[Long]
+        b >= q.fromBlock && b < pageEnd &&
+          // [] = match-nothing, [{}] = match-all (WireProtocol contract)
+          q.requests.exists(_.matches(c =>
+            r(schema.fieldIndex(c)).asInstanceOf[Array[Byte]].toSeq))
+      }.map(r => colIdx.map(r(_)))
+      val projSchema = StructType(q.cols.map(schema(_)))
+      val body = WireProtocol.encodePage(projSchema, matched, allocator)
+      ex.getResponseHeaders.set("x-graft-next-block", pageEnd.toString)
+      ex.getResponseHeaders.set("x-graft-height", height.toString)
+      ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage).getBytes(UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  })
+
+  def start(): Unit = server.start()
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor.asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+    allocator.close()
+  }
+}
