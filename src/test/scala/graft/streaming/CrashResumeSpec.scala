@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+import graft.api.Pipeline
+import graft.sinks.{ParquetSink, Resume}
+import graft.sources.ChainSource
+import graft.steps.Steps
+
+/** The reference's crash-resistance pattern proven END-TO-END on the
+  * streaming path (cherry `examples/erc20_custom.py:41-50`: resume
+  * `from_block` = `SELECT MAX(block_number)` of the sink):
+  * chain micro-batch stream → step fold (decode + stamp + hex) →
+  * ParquetSink with anchor-last ordering → crash MID-WRITE (after the
+  * data table landed, during the anchor write) → restart from
+  * `Resume.maxWatermark` with a fresh checkpoint.
+  *
+  * The contract this proves, table by table:
+  *   - the ANCHOR table is exactly-once: a present anchor row proves the
+  *     whole batch landed, so replaying from its watermark can neither
+  *     skip nor duplicate anchor rows;
+  *   - data tables are at-least-once: the crashed batch's data landed
+  *     before the anchor, so the replay overlaps it — nothing is ever
+  *     MISSING, and the overlap dedups exactly on the row key (the same
+  *     property the reference gets from ClickHouse ReplacingMergeTree;
+  *     parquet consumers dedup on the key).
+  */
+class CrashResumeSpec extends SparkSpec {
+
+  private val sig = "Evt(uint256 v)"
+
+  private def pipelineSteps(poisonAnchorFrom: Option[Long]): Seq[graft.api.Step] = {
+    val base = Seq(
+      // decode the synthetic 32-byte payload as one uint256 field; keep
+      // the raw columns (hstack) so the data table carries the row key
+      Steps.EvmDecodeEvents(sig, inputTable = "logs",
+        outputTable = "transfers", hstack = true),
+      Steps.SetChainId(1L),
+      Steps.HexEncode(tables = Some(Seq("transfers"))))
+    // injected crash: the ANCHOR table's write throws when it reaches the
+    // poisoned range — AFTER the data table (non-anchor, written first by
+    // AnchorLast) has already landed. This is the mid-write crash window.
+    val poison = poisonAnchorFrom.map { from =>
+      Steps.Fn((_, t) => t + ("logs" -> t("logs").filter(
+        when(col("block_number") >= lit(from),
+          raise_error(lit("injected crash"))).isNull)))
+    }
+    base ++ poison
+  }
+
+  private def startStream(fromBlock: Long, out: String, checkpoint: String,
+                          poisonAnchorFrom: Option[Long]) =
+    Streaming.pipelineWriter(
+      spark.readStream.format(classOf[ChainSource].getName)
+        .option("fromBlock", fromBlock.toString).option("toBlock", "400")
+        .option("blocksPerBatch", "100").option("logsPerBlock", "3")
+        .option("numPartitions", "2")
+        .load(),
+      tableName = "logs",
+      steps = pipelineSteps(poisonAnchorFrom),
+      sink = ParquetSink(out, anchorTable = Some("logs")),
+      checkpointDir = checkpoint)
+      .start()
+
+  test("crash mid-write resumes from the anchor watermark: nothing missing, key-dedup exact") {
+    val dir = Files.createTempDirectory("graft-crash-resume").toString
+    val out = s"$dir/out"
+
+    // ---- phase 1: crash while writing the anchor for batch [200,300) ----
+    val q1 = startStream(0L, out, s"$dir/cp1", poisonAnchorFrom = Some(200L))
+    val e = intercept[StreamingQueryException] { q1.processAllAvailable() }
+    q1.stop()
+    val causeChain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(causeChain.exists(_.contains("injected crash")),
+      s"stream died for the wrong reason: $causeChain")
+
+    // anchor-last held: the data table is one full batch AHEAD of the anchor
+    assert(spark.read.parquet(s"$out/transfers").count() == 900) // blocks 0..299
+    assert(spark.read.parquet(s"$out/logs").count() == 600)      // blocks 0..199
+    val wm = Resume.maxWatermark(spark.read.parquet(s"$out/logs"), "block_number")
+    assert(wm.contains(199L))
+
+    // ---- phase 2: restart from the sink watermark, FRESH checkpoint ----
+    // (the reference's resume is sink-driven, not checkpoint-driven: the
+    // watermark comes from the warehouse, so a lost checkpoint is harmless)
+    val q2 = startStream(wm.get + 1, out, s"$dir/cp2", poisonAnchorFrom = None)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // anchor table: exactly-once — 400 blocks × 3 logs, no dup, no gap
+    val anchor = spark.read.parquet(s"$out/logs")
+    assert(anchor.count() == 1200)
+    assert(anchor.select("block_number", "log_index").distinct().count() == 1200)
+    assert(anchor.agg(min("block_number"), max("block_number")).head() ==
+      org.apache.spark.sql.Row(0L, 399L))
+
+    // data table: at-least-once — the crashed batch [200,300) replayed, so
+    // its 300 rows appear twice and NOTHING is missing
+    val transfers = spark.read.parquet(s"$out/transfers")
+    assert(transfers.count() == 1500)
+    val dupKeys = transfers.groupBy("block_number", "log_index")
+      .count().filter(col("count") =!= 1)
+    assert(dupKeys.count() == 300)
+    assert(dupKeys.agg(min("block_number"), max("block_number")).head() ==
+      org.apache.spark.sql.Row(200L, 299L))
+
+    // key-dedup (the consumer half of at-least-once) reproduces the batch
+    // run of the SAME step fold bit-exactly, full row compare
+    val batchTables = Pipeline.processSteps(spark,
+      Map("logs" -> spark.read.format(classOf[ChainSource].getName)
+        .option("fromBlock", "0").option("toBlock", "400")
+        .option("logsPerBlock", "3").load()),
+      pipelineSteps(None))
+    val expected = batchTables("transfers")
+    val deduped = transfers.dropDuplicates("block_number", "log_index")
+    assert(deduped.count() == 1200)
+    assert(expected.columns.sorted.sameElements(deduped.columns.sorted))
+    val key = (df: DataFrame) =>
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toSeq).toSet
+    assert(key(deduped) == key(expected))
+  }
+}
