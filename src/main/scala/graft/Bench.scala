@@ -11,6 +11,71 @@ object Bench {
   private def heapUsedMb: Long =
     ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
 
+  /** Time each oracle SQL in DuckDB over the same parquet (best-of-reps,
+    * default 2 — the round-4 baseline methodology), returning a JSON
+    * fragment `"oracle_total":…,"oracle_queries":{…}` or None when DuckDB
+    * is unavailable (zero-egress containers without the driver toolchain)
+    * or disabled via SPARK_GRAFT_BENCH_ORACLE=0.
+    */
+  private def oracleTimings(sfDir: String, names: Seq[String]): Option[String] = {
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE", "1") == "0") return None
+    try {
+      val sqls = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+        .filter { case (n, _) => names.contains(n) }
+      if (sqls.isEmpty) return None
+      def esc(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val tmp = Files.createTempDirectory("graft-bench-oracle")
+      Files.writeString(tmp.resolve("oracle_sql.json"),
+        sqls.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+      Files.writeString(tmp.resolve("oracle_bench.py"),
+        """import json, sys, time, duckdb
+          |sf, sql_path, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+          |qs = json.load(open(sql_path))
+          |con = duckdb.connect()
+          |for t in ["region","nation","customer","supplier","part","orders",
+          |          "lineitem","events","documents","embeddings"]:
+          |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |out = {}
+          |for name in sorted(qs):
+          |    best = None
+          |    for _ in range(reps):
+          |        t0 = time.perf_counter()
+          |        con.execute(qs[name]).fetchall()
+          |        dt = time.perf_counter() - t0
+          |        best = dt if best is None else min(best, dt)
+          |    out[name] = best
+          |print(json.dumps({"oracle_total": sum(out.values()),
+          |                  "oracle_queries": out}))
+          |""".stripMargin)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "2")
+      val proc = new ProcessBuilder("python3",
+        tmp.resolve("oracle_bench.py").toString, sfDir,
+        tmp.resolve("oracle_sql.json").toString, reps)
+        .redirectErrorStream(false).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+      if (proc.waitFor() != 0) {
+        System.err.println(s"[bench] oracle timing skipped: $err")
+        None
+      } else {
+        val obj = out.trim.linesIterator.toSeq.last.trim
+        Some(obj.stripPrefix("{").stripSuffix("}"))
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] oracle timing skipped: ${e.getMessage}")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Best-of-N per query within one JVM: a single timing per query conflates
@@ -58,12 +123,20 @@ object Bench {
     val total = results.map(_._2).sum
     val meanTotal = results.map(_._3).sum
     val gcSec = (gcMillis - gc0) / 1e3
+    // Per-query ORACLE timings in the same harness (same machine, same
+    // parquet, same min-of-N methodology): the 2× gate denominator should
+    // be measured per round, not carried over from an old round. DuckDB is
+    // driver-side tooling (the correctness oracle), so this shells out to
+    // it and degrades gracefully where it's absent — the measurement
+    // harness, not the engine, depends on it.
+    val oracleFrag = oracleTimings(sfDir, selected.map(_._1))
+      .map(f => "," + f).getOrElse("")
     // Extra diagnostic keys (mean_total vs value = noise spread; gc_sec =
     // collector pressure during the timed pass) ride along in the same JSON
     // line; the driver reads metric/value/queries and ignores the rest.
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"reps":$reps,"mean_total":$meanTotal,""" +
-      s""""gc_sec":$gcSec,"heap_mb":$heapUsedMb,"sf":"$sfDir"}"""
+      s""""gc_sec":$gcSec,"heap_mb":$heapUsedMb$oracleFrag,"sf":"$sfDir"}"""
     println(line)
     // Also persist the JSON to a file: sbt prefixes stdout with [info],
     // which broke the driver's parse in round 1 (BENCH_r01 "parsed": null).
