@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * Every modality has a REAL kernel: IMAGE decode via `javax.imageio`
   * (PNG/GIF/BMP/JPEG ship with the JDK), AUDIO header parse via
   * `javax.sound.sampled` (WAV/AIFF/AU), VIDEO container metadata via a
-  * byte-level MP4/ISO-BMFF box walk (`Mp4Meta`). Only video frame
-  * EXTRACTION remains a loudly-declared stub (a codec does not exist in
-  * the bare JDK or this container) — `StubDecoders` computes
+  * byte-level MP4/ISO-BMFF box walk (`Mp4Meta`), ANIMATED frame
+  * extraction via the JDK GIF reader (`GifFrames`). Only MP4 frame
+  * extraction remains a loudly-declared stub (an H.264/H.265 codec does
+  * not exist in the bare JDK or this container) — `StubDecoders` computes
   * deterministic fakes from the bytes. Everything around them is
   * the real Spark plumbing a production decoder drops into: schema
   * contract, mapPartitions batching (one decoder init per partition, not
@@ -55,28 +56,33 @@ object MultimodalOps {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       if (img == null) null
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val stepX = math.max(1, w / 64)
-        val stepY = math.max(1, h / 64)
-        var sum = 0.0
-        var cnt = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            cnt += 1
-            x += stepX
-          }
-          y += stepY
+      else ImageFeatures(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, meanLuma(img))
+    }
+
+    /** Mean Rec.601 luma over a ≤64×64 sample grid (shared by the still
+      * and animated-frame paths).
+      */
+    private[ops] def meanLuma(img: java.awt.image.BufferedImage): Double = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val stepX = math.max(1, w / 64)
+      val stepY = math.max(1, h / 64)
+      var sum = 0.0
+      var cnt = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          cnt += 1
+          x += stepX
         }
-        ImageFeatures(w, h, img.getColorModel.getNumComponents,
-          if (cnt == 0) 0.0 else sum / cnt / 255.0)
+        y += stepY
       }
+      if (cnt == 0) 0.0 else sum / cnt / 255.0
     }
   }
 
@@ -149,15 +155,60 @@ object MultimodalOps {
     }
   }
 
-  /** ====== STUB DECODERS (video frame extraction only) ======
-    * Deterministic fakes standing in for real codecs (no video libs in
-    * this container). Each consumes the payload bytes and produces
-    * plausible, reproducible values; swap the body for an actual decoder
-    * (e.g. JavaCV) without touching the plumbing.
+  /** REAL animated-frame extraction with the stock JDK: `ImageIO`'s GIF
+    * reader decodes every frame of an animated GIF (`ImageReader.read(i)`
+    * after `getNumImages(allowSearch = true)`); the same path reads any
+    * other ImageIO-decodable format as a 1-frame sequence. Frames are the
+    * raw per-frame rasters (animated GIF delta frames can be smaller than
+    * the logical screen — compositing across disposal methods is a
+    * renderer concern, not a corpus-feature concern).
+    */
+  object GifFrames {
+    final case class Frame(index: Int, width: Int, height: Int, meanLuma: Double)
+
+    /** Sample every `everyN`-th frame (capped at `maxFrames` so one
+      * pathological million-frame GIF can't own an executor). Empty for
+      * null/undecodable payloads — row kept, never a fabricated value.
+      */
+    def sampleFrames(payload: Array[Byte], everyN: Int,
+                     maxFrames: Int = 32): Seq[Frame] = {
+      if (payload == null) return Seq.empty
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (iis == null) return Seq.empty
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true) // allowSearch: one stream scan
+          (0 until n by math.max(everyN, 1)).take(maxFrames).flatMap { i =>
+            try {
+              val img = reader.read(i)
+              Some(Frame(i, img.getWidth, img.getHeight,
+                JdkImageDecoder.meanLuma(img)))
+            } catch { case _: Exception => None } // truncated tail frame
+          }
+        } finally reader.dispose()
+      } catch {
+        case _: Exception => Seq.empty
+      } finally iis.close()
+    }
+  }
+
+  /** ====== STUB DECODERS (MP4 frame extraction ONLY) ======
+    * The single remaining fake: MP4 frame extraction genuinely needs a
+    * codec jar (no H.264/H.265 decoder exists in the bare JDK or this
+    * container); swap the body for an actual decoder (e.g. JavaCV)
+    * without touching the plumbing. Animated-GIF frame extraction is REAL
+    * — see [[GifFrames]].
     */
   object StubDecoders {
 
-    /** STUB: pretend-sample every nth video frame → frame byte offsets. */
+    /** STUB: pretend-sample every nth MP4 frame → frame byte offsets. */
     def videoFrameOffsets(payload: Array[Byte], everyN: Int): Seq[Long] =
       payload.indices.by(math.max(everyN, 1) * 1024).map(_.toLong).take(32).toSeq
   }
@@ -234,9 +285,44 @@ object MultimodalOps {
     }(enc)
   }
 
-  /** Video frame sampling → exploded (id, frame_offset) rows. Explode AFTER
+  /** REAL animated-frame extraction → exploded (id, frame_index, width,
+    * height, mean_luma) rows, decoded per partition by the stock-JDK GIF
+    * reader ([[GifFrames]]). Same scale shape as [[sampleVideoFrames]]:
+    * decode is narrow (payload never shuffles), only the small frame
+    * feature rows fan out through the explode.
+    */
+  def extractGifFrames(df: DataFrame, idCol: String, payloadCol: String,
+                       everyN: Int = 1, maxFrames: Int = 32): DataFrame = {
+    val frameStruct = StructType(Seq(
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame_width", IntegerType, nullable = false),
+      StructField("frame_height", IntegerType, nullable = false),
+      StructField("frame_luma", DoubleType, nullable = false)))
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame", ArrayType(frameStruct))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
+      rows.map { r =>
+        val frames = GifFrames
+          .sampleFrames(r.getAs[Array[Byte]](payloadIdx), everyN, maxFrames)
+          .map(f => Row(f.index, f.width, f.height, f.meanLuma))
+        Row(r.get(idIdx), frames)
+      }
+    }(enc)
+      .withColumn("frame", explode(col("frame")))
+      .select(col(idCol), col("frame.frame_index"), col("frame.frame_width"),
+        col("frame.frame_height"), col("frame.frame_luma"))
+  }
+
+  /** MP4 frame sampling → exploded (id, frame_offset) rows. Explode AFTER
     * the narrow decode so the big binary payload never joins or shuffles;
-    * only the small offsets table fans out.
+    * only the small offsets table fans out. The per-payload decode is the
+    * one remaining STUB (MP4 needs a codec jar — [[StubDecoders]]); for
+    * animated GIF use the REAL [[extractGifFrames]].
     */
   def sampleVideoFrames(df: DataFrame, idCol: String, payloadCol: String,
                         everyN: Int = 30): DataFrame = {

@@ -122,4 +122,69 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
     assert(out.count(_._1 == 1L) == 2) // 2048 bytes / 1024 stride
   }
+
+  /** Animated GIF with `lumas.size` solid-gray frames (one luma level per
+    * frame), written by the stock-JDK GIF ImageWriter via writeToSequence.
+    */
+  private def animatedGif(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageTypeSpecifier}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    writer.prepareWriteSequence(null)
+    lumas.foreach { l =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (l << 16) | (l << 8) | l
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), param)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("extractGifFrames really decodes animated-GIF frames via the JDK reader") {
+    // 4 frames at distinct gray levels: black, dark, light, white
+    val gif = animatedGif(12, 7, Seq(0, 64, 192, 255))
+    val vids = Seq(
+      (1L, gif),
+      (2L, pngBytes(5, 5, 0xffffff)),  // single-frame format → 1 frame
+      (3L, Array[Byte](9, 9, 9)),      // undecodable → no rows, no error
+      (4L, null: Array[Byte])          // null → no rows
+    ).toDF("media_id", "payload")
+    val out = MultimodalOps.extractGifFrames(vids, "media_id", "payload")
+      .select("media_id", "frame_index", "frame_width", "frame_height", "frame_luma")
+      .collect()
+    val gifFrames = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(gifFrames.length == 4, s"expected 4 real frames, got ${gifFrames.length}")
+    assert(gifFrames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(gifFrames.forall(r => r.getInt(2) == 12 && r.getInt(3) == 7))
+    // luma strictly increases frame to frame (black → white): the DECODED
+    // PIXELS are real, not header metadata (GIF palettes quantize, so
+    // compare ordering and endpoints, not exact values)
+    val lumas = gifFrames.map(_.getDouble(4)).toSeq
+    assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b }, lumas.toString)
+    assert(lumas.head < 0.05 && lumas.last > 0.95, lumas.toString)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+  }
+
+  test("extractGifFrames everyN/maxFrames sample the frame sequence") {
+    val gif = animatedGif(6, 6, Seq(0, 32, 64, 96, 128, 160))
+    val vids = Seq((1L, gif)).toDF("media_id", "payload")
+    val every2 = MultimodalOps.extractGifFrames(vids, "media_id", "payload",
+        everyN = 2)
+      .select("frame_index").as[Int].collect().sorted
+    assert(every2.toSeq == Seq(0, 2, 4))
+    val capped = MultimodalOps.extractGifFrames(vids, "media_id", "payload",
+        everyN = 1, maxFrames = 2)
+      .select("frame_index").as[Int].collect().sorted
+    assert(capped.toSeq == Seq(0, 1))
+  }
 }
