@@ -157,6 +157,34 @@ final case class BlockRangeSource(dir: String, tables: Seq[String],
     }
 }
 
+/** Remote provider source (≙ cherry `ProviderConfig(kind, url)` + `Query`
+  * driving `run_pipeline`, `examples/erc20_custom.py:93-137`): each batch
+  * is one `step`-sized block slice read through the wire client
+  * ([[graft.sources.WireChainSource]]), so range, requests and field
+  * selection all travel to the provider and the micro-batch loop matches
+  * the reference's paced pull. `filters` is the provider request channel
+  * (column → hex byte values, OR within a column), identical to the
+  * `filter.<col>` reader options.
+  */
+final case class ProviderSource(url: String, table: String,
+                                fromBlock: Long, toBlock: Long, step: Long,
+                                filters: Map[String, Seq[String]] = Map.empty)
+    extends Source {
+  require(step > 0, "step must be positive")
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+    (fromBlock until toBlock by step).iterator.map { lo =>
+      val hi = math.min(lo + step, toBlock)
+      val reader = spark.read
+        .format(classOf[graft.sources.WireChainSource].getName)
+        .option("url", url).option("table", table)
+        .option("fromBlock", lo.toString).option("toBlock", hi.toString)
+      val withFilters = filters.foldLeft(reader) { case (r, (c, vs)) =>
+        r.option(s"filter.$c", vs.mkString(","))
+      }
+      Map(table -> withFilters.load())
+    }
+}
+
 /** A sink (≙ `DataWriter.push_data`, cherry `writers/base.py:9-15`). */
 trait Sink {
   def push(tables: Map[String, DataFrame]): Unit

@@ -165,6 +165,26 @@ class WireChainSourceSpec extends SparkSpec {
     assert(qs.forall(_.requests == Seq(ChainReq(Map("address" -> Set(addr2.toSeq))))))
   }
 
+  test("ProviderSource drives the pipeline loop through the wire client") {
+    drainReceived()
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-pipe").toString
+    val t0 = ChainSource.topic0Pool(0)
+    graft.api.Pipeline.run(spark, graft.api.Pipeline(
+      source = graft.api.ProviderSource(server.url, "logs", 0L, 400L,
+        step = 200L, filters = Map("topic0" -> Seq(Hex.encode(t0)))),
+      steps = Seq(graft.steps.Steps.SetChainId(7L)),
+      sink = graft.sinks.ParquetSink(dir)))
+    val out = spark.read.parquet(s"$dir/logs")
+    assert(out.count() == 400) // (b+i)%3==0 → 1 matching log per block
+    assert(out.select("chain_id").distinct().head().getLong(0) == 7L)
+    assert(out.agg(min("block_number"), max("block_number")).head() ==
+      Row(0L, 399L))
+    // the request filter travelled the wire in BOTH slice batches
+    val qs = drainReceived().map(WireProtocol.parseQuery)
+    assert(qs.forall(_.requests == Seq(ChainReq(Map("topic0" -> Set(t0.toSeq))))))
+    assert(qs.map(_.fromBlock).min == 0 && qs.map(_.toBlock).max == 400)
+  }
+
   test("micro-batch stream paces on x-graft-height") {
     server.height = 200 // provider has only archived half the range
     val q = spark.readStream.format(classOf[WireChainSource].getName)
