@@ -67,6 +67,30 @@ class WireChainSource extends TableProvider
 private[sources] object WireHttp {
   final case class Page(body: Array[Byte], nextBlock: Long, height: Long)
 
+  /** Bounded exponential-backoff retry for transient provider failures
+    * (connection resets, 5xx under load). Safe here because wire queries
+    * are idempotent reads: re-POSTing the same query returns the same
+    * page. A 1000-task scan WILL see transient failures from a real
+    * provider; without this, one blip kills the whole stage.
+    */
+  /** 4xx: the QUERY is wrong — retrying it is pure waste, fail fast. */
+  final class WireClientException(msg: String) extends java.io.IOException(msg)
+
+  def retry[A](attempts: Int, backoffMs: Long)(f: => A): A = {
+    var i = 0
+    while (true) {
+      try return f
+      catch {
+        case e: WireClientException => throw e
+        case e: java.io.IOException =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs * (1L << math.min(i - 1, 6)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def withConn[A](url: String)(f: HttpURLConnection => A): A = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(30000)
@@ -77,7 +101,9 @@ private[sources] object WireHttp {
   private def fail(conn: HttpURLConnection, code: Int): Nothing = {
     val err = Option(conn.getErrorStream)
       .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
-    throw new java.io.IOException(s"provider returned HTTP $code: $err")
+    val msg = s"provider returned HTTP $code: $err"
+    if (code >= 400 && code < 500) throw new WireClientException(msg)
+    throw new java.io.IOException(msg)
   }
 
   /** POST one query, get one page. */
@@ -134,6 +160,9 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
   // exclusive; absent = provider archive height at planning time
   private var toBlockOpt: Option[Long] = props.get("toBlock").map(_.toLong)
   private val numPartitions = props.getOrElse("numPartitions", "4").toInt
+  // transient-failure policy (idempotent re-POST, exponential backoff)
+  private val maxAttempts = props.getOrElse("maxAttempts", "3").toInt
+  private val retryBackoffMs = props.getOrElse("retryBackoffMs", "100").toLong
 
   // `filter.<col>` option channel — same contract as the sibling sources
   // (and the only pushdown channel on the streaming path)
@@ -176,9 +205,11 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
       val step = math.max(1L, (span + numPartitions - 1) / numPartitions)
       (lo0 until hi by step).map { lo =>
         WireChainPartition(url, table, lo, math.min(lo + step, hi),
-          requests, requiredCols): InputPartition
+          requests, requiredCols, maxAttempts, retryBackoffMs): InputPartition
       }.toArray
     }
+    private def liveHeight(): Long =
+      WireHttp.retry(maxAttempts, retryBackoffMs)(WireHttp.height(url))
     private val readerFactory: PartitionReaderFactory =
       (partition: InputPartition) =>
         new WireChainReader(partition.asInstanceOf[WireChainPartition])
@@ -198,7 +229,7 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
     override def planInputPartitions(): Array[InputPartition] =
       // batch semantics need a bound: absent toBlock = provider height NOW
       // (one metadata GET at planning time, ≙ "scan up to the archive head")
-      slice(fromBlock, toBlockOpt.getOrElse(WireHttp.height(url)))
+      slice(fromBlock, toBlockOpt.getOrElse(liveHeight()))
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
     /** Streaming: offsets are block numbers; each trigger admits at most
@@ -216,14 +247,14 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
         override def initialOffset(): Offset = ChainOffset(fromBlock)
         override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
           val from = start.asInstanceOf[ChainOffset].block
-          val head = math.min(hardEnd, WireHttp.height(url))
+          val head = math.min(hardEnd, liveHeight())
           ChainOffset(math.min(math.max(head, from), from + blocksPerBatch))
         }
         override def latestOffset(): Offset =
           throw new UnsupportedOperationException(
             "paced source: use latestOffset(start, limit)")
         override def reportLatestOffset(): Offset =
-          ChainOffset(math.min(hardEnd, WireHttp.height(url)))
+          ChainOffset(math.min(hardEnd, liveHeight()))
         override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
         override def deserializeOffset(json: String): Offset =
           ChainOffset(json.toLong)
@@ -241,7 +272,9 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
 private case class WireChainPartition(url: String, table: String,
                                       fromBlock: Long, toBlock: Long,
                                       requests: Seq[ChainReq],
-                                      cols: Array[String]) extends InputPartition
+                                      cols: Array[String],
+                                      maxAttempts: Int,
+                                      retryBackoffMs: Long) extends InputPartition
 
 /** One slice's pagination loop: query from the cursor, decode the Arrow
   * page, follow `x-graft-next-block` until the slice end. Holds exactly one
@@ -263,7 +296,8 @@ private class WireChainReader(p: WireChainPartition)
   override def next(): Boolean = {
     while (!iter.hasNext && !exhausted) {
       val q = WireQuery(p.table, cursor, p.toBlock, p.requests, p.cols.toSeq)
-      val page = WireHttp.query(p.url, q.toJson)
+      val page = WireHttp.retry(p.maxAttempts, p.retryBackoffMs)(
+        WireHttp.query(p.url, q.toJson))
       if (page.nextBlock <= cursor)
         throw new IllegalStateException(
           s"provider did not advance pagination: next_block=${page.nextBlock} " +

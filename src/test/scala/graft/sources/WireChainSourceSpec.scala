@@ -165,6 +165,27 @@ class WireChainSourceSpec extends SparkSpec {
     assert(qs.forall(_.requests == Seq(ChainReq(Map("address" -> Set(addr2.toSeq))))))
   }
 
+  test("transient provider failures are retried; query errors fail fast") {
+    drainReceived()
+    // two 503s, then healthy: the scan must succeed without Spark-level
+    // task retries (local mode has maxFailures=1 — one uncaught IOException
+    // would fail the job)
+    server.failNext.set(2)
+    val df = readWire("fromBlock" -> "0", "toBlock" -> "40",
+      "numPartitions" -> "1", "retryBackoffMs" -> "1")
+    assert(df.count() == 120)
+    assert(server.failNext.get() <= 0)
+    // a malformed query (unknown field_selection column) is a 400-class
+    // error: surfaces immediately, never retried
+    drainReceived()
+    val bad = WireProtocol.WireQuery("logs", 0, 10,
+      Seq(ChainReq(Map.empty)), Seq("no_such_column"))
+    intercept[WireHttp.WireClientException] {
+      WireHttp.retry(3, 1)(WireHttp.query(server.url, bad.toJson))
+    }
+    assert(drainReceived().size == 1, "4xx must not be retried")
+  }
+
   test("ProviderSource drives the pipeline loop through the wire client") {
     drainReceived()
     val dir = java.nio.file.Files.createTempDirectory("graft-wire-pipe").toString

@@ -26,6 +26,9 @@ class WireFixtureServer(schema: StructType, rows: IndexedSeq[Array[Any]],
   /** Every query JSON body received, in arrival order. */
   val received = new ConcurrentLinkedQueue[String]()
 
+  /** Fault injection: the next N query requests answer 503 (transient). */
+  val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val blockIdx = schema.fieldIndex(blockCol)
   private val allocator = new RootAllocator()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -42,25 +45,31 @@ class WireFixtureServer(schema: StructType, rows: IndexedSeq[Array[Any]],
     try {
       val json = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       received.add(json)
-      val q = WireProtocol.parseQuery(json)
-      // the SERVER bounds page size: the pagination contract the client
-      // must follow via x-graft-next-block
-      val pageEnd = math.min(q.toBlock, q.fromBlock + pageBlocks)
-      val colIdx = q.cols.map(schema.fieldIndex).toArray
-      val matched = rows.filter { r =>
-        val b = r(blockIdx).asInstanceOf[Long]
-        b >= q.fromBlock && b < pageEnd &&
-          // [] = match-nothing, [{}] = match-all (WireProtocol contract)
-          q.requests.exists(_.matches(c =>
-            r(schema.fieldIndex(c)).asInstanceOf[Array[Byte]].toSeq))
-      }.map(r => colIdx.map(r(_)))
-      val projSchema = StructType(q.cols.map(schema(_)))
-      val body = WireProtocol.encodePage(projSchema, matched, allocator)
-      ex.getResponseHeaders.set("x-graft-next-block", pageEnd.toString)
-      ex.getResponseHeaders.set("x-graft-height", height.toString)
-      ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
-      ex.sendResponseHeaders(200, body.length)
-      ex.getResponseBody.write(body)
+      if (failNext.get() > 0 && failNext.getAndDecrement() > 0) {
+        val msg = "injected transient failure".getBytes(UTF_8)
+        ex.sendResponseHeaders(503, msg.length)
+        ex.getResponseBody.write(msg)
+      } else {
+        val q = WireProtocol.parseQuery(json)
+        // the SERVER bounds page size: the pagination contract the client
+        // must follow via x-graft-next-block
+        val pageEnd = math.min(q.toBlock, q.fromBlock + pageBlocks)
+        val colIdx = q.cols.map(schema.fieldIndex).toArray
+        val matched = rows.filter { r =>
+          val b = r(blockIdx).asInstanceOf[Long]
+          b >= q.fromBlock && b < pageEnd &&
+            // [] = match-nothing, [{}] = match-all (WireProtocol contract)
+            q.requests.exists(_.matches(c =>
+              r(schema.fieldIndex(c)).asInstanceOf[Array[Byte]].toSeq))
+        }.map(r => colIdx.map(r(_)))
+        val projSchema = StructType(q.cols.map(schema(_)))
+        val body = WireProtocol.encodePage(projSchema, matched, allocator)
+        ex.getResponseHeaders.set("x-graft-next-block", pageEnd.toString)
+        ex.getResponseHeaders.set("x-graft-height", height.toString)
+        ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      }
     } catch {
       case e: Exception =>
         val msg = String.valueOf(e.getMessage).getBytes(UTF_8)
