@@ -18,10 +18,17 @@ object TimeOps {
     * insensitive, so bit-deterministic on doubles), gaps carry the last
     * non-null value forward.
     *
-    * Scale shape: one partial-agg shuffle on (key, bucket); the bucket
-    * range densifies via a narrow post-agg `sequence` explode (output size
-    * = span/interval per key, independent of event count); the fill is one
-    * running window per key. No self-joins, no range join.
+    * Scale shape: TWO exchanges total — one partial-agg shuffle on
+    * (key, bucket), then ONE (key, bucket-ordered) window stage that
+    * computes both the forward fill (`last(v) ignoreNulls`, running) and
+    * the next observed bucket (`lead`); each observed bucket then emits
+    * itself plus its gap run via a narrow `sequence` explode, the filled
+    * value riding along (a gap's fill IS its left neighbor's fill). The
+    * earlier formulation (per-key min/max re-shuffle + densify + LEFT JOIN
+    * back + window = 4 exchanges) computed the same thing; the join is
+    * unnecessary because the gap rows' values are determined at explode
+    * time. Output size = span/interval per key, independent of event
+    * count. No self-joins, no range join.
     */
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, intervalMicros: Long): DataFrame = {
@@ -29,13 +36,15 @@ object TimeOps {
     val bucket = floor(unix_micros(col(tsCol)) / intervalMicros).cast(LongType)
     val e = df.groupBy(col(keyCol), bucket.as("b"))
       .agg(max(col(valueCol)).as("v"))
-    val r = e.groupBy(col(keyCol)).agg(min("b").as("mn"), max("b").as("mx"))
-    val g = r.select(col(keyCol), explode(sequence(col("mn"), col("mx"))).as("b"))
+    // lead and the running last() share (key, b) partitioning+order, so
+    // Spark plans one Exchange + one Sort for the whole window stage
     val w = Window.partitionBy(col(keyCol)).orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.join(e, Seq(keyCol, "b"), "left")
-      .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
-      .select(col(keyCol), col("b"), col("fv"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("fv", last(col("v"), ignoreNulls = true).over(wRun))
+      .withColumn("nb", lead(col("b"), 1).over(w))
+      .select(col(keyCol),
+        explode(sequence(col("b"), coalesce(col("nb") - 1, col("b")))).as("b"),
+        col("fv"))
   }
 
   /** Gap-based sessionization: events of one key belong to the same session
