@@ -56,13 +56,17 @@ object Bench {
           |                  "oracle_queries": out}))
           |""".stripMargin)
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "2")
+      // stderr goes to a file, not a pipe: reading stdout to EOF before
+      // stderr deadlocks if the child fills the ~64KB stderr pipe buffer
+      // first (both sides block; the bench hangs instead of degrading).
+      val errFile = tmp.resolve("oracle_bench.err").toFile
       val proc = new ProcessBuilder("python3",
         tmp.resolve("oracle_bench.py").toString, sfDir,
         tmp.resolve("oracle_sql.json").toString, reps)
-        .redirectErrorStream(false).start()
+        .redirectError(errFile).start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
       if (proc.waitFor() != 0) {
+        val err = Files.readString(errFile.toPath)
         System.err.println(s"[bench] oracle timing skipped: $err")
         None
       } else {
@@ -118,7 +122,10 @@ object Bench {
       }
       (name, times.min, times.sum / times.size)
     }
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+    // 4-decimal (0.1 ms) per-query floats: full-precision doubles bloated
+    // the round-7 stdout line enough to matter for the driver's bounded
+    // tail capture; 0.1 ms is below measurement noise anyway.
+    val qs = results.map { case (k, mn, _) => f""""$k":$mn%.4f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val meanTotal = results.map(_._3).sum
@@ -130,18 +137,34 @@ object Bench {
     // it and degrades gracefully where it's absent — the measurement
     // harness, not the engine, depends on it.
     val oracleFrag = oracleTimings(sfDir, selected.map(_._1))
-      .map(f => "," + f).getOrElse("")
-    // Extra diagnostic keys (mean_total vs value = noise spread; gc_sec =
-    // collector pressure during the timed pass) ride along in the same JSON
-    // line; the driver reads metric/value/queries and ignores the rest.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"reps":$reps,"mean_total":$meanTotal,""" +
-      s""""gc_sec":$gcSec,"heap_mb":$heapUsedMb$oracleFrag,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the JSON to a file: sbt prefixes stdout with [info],
-    // which broke the driver's parse in round 1 (BENCH_r01 "parsed": null).
+    // oracle_total rides along on the compact line as ONE scalar so the
+    // headline ratio is self-contained; the per-query oracle map does NOT
+    // (round 7 lesson: the ~2.5KB oracle_queries fragment pushed the head
+    // of the line out of the driver's bounded TAIL capture window →
+    // BENCH_r07 "parsed": null). Full detail goes only to the file.
+    val oracleTotal = oracleFrag
+      .flatMap(f => "\"oracle_total\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findFirstMatchIn(f).map(_.group(1)))
+      .map(v => s""","oracle_total":$v""").getOrElse("")
+    // Compact headline line — printed LAST so the driver's tail capture
+    // always contains it whole. Extra diagnostic keys (mean_total vs value
+    // = noise spread; gc_sec = collector pressure) ride along; the driver
+    // reads metric/value/queries and ignores the rest.
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec",""" +
+      f""""queries":$qs,"reps":$reps,"mean_total":$meanTotal%.4f,""" +
+      f""""gc_sec":$gcSec%.3f,"heap_mb":$heapUsedMb$oracleTotal,"sf":"$sfDir"}"""
+    // Full artifact (compact keys + the whole per-query oracle map) is
+    // persisted to a file the judge can read in full: sbt prefixes stdout
+    // with [info], which broke the driver's parse in round 1.
+    val oracleQueriesFrag = oracleFrag
+      .flatMap(f => { val i = f.indexOf("\"oracle_queries\"")
+        if (i < 0) None else Some("," + f.substring(i)) })
+      .getOrElse("")
+    val fullLine = line.dropRight(s""","sf":"$sfDir"}""".length) +
+      oracleQueriesFrag + s""","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    Files.writeString(Paths.get(outFile), line + "\n")
+    Files.writeString(Paths.get(outFile), fullLine + "\n")
+    println(line)
     spark.stop()
   }
 }

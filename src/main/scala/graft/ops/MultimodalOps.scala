@@ -313,7 +313,13 @@ object MultimodalOps {
         Row(r.get(idIdx), frames)
       }
     }(enc)
-      .withColumn("frame", explode(col("frame")))
+      // explode_outer, not explode: ids whose payload is null/undecodable
+      // have an empty frame array and must SURVIVE with null frame columns
+      // — the "row kept, never a fabricated value" contract of
+      // GifFrames.sampleFrames and the keep-row behavior of the sibling
+      // extractImageFeatures. A plain explode would silently drop them
+      // (explode_outer emits one null row for a null or empty array).
+      .withColumn("frame", explode_outer(col("frame")))
       .select(col(idCol), col("frame.frame_index"), col("frame.frame_width"),
         col("frame.frame_height"), col("frame.frame_luma"))
   }

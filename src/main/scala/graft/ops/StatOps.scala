@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, NumericType, StringType, TimestampType}
 
 /** Distributed order statistics and dataset profiling.
   *
@@ -119,32 +119,53 @@ object StatOps {
       .agg(agg.head, agg.tail: _*)
   }
 
-  /** Single-pass numeric column profiling: one output row per column with
-    * count / null count / exact distinct / min / max. The ANALYZE-style
-    * dataset fingerprint a pipeline records before training runs. One scan;
-    * all aggregates map-side combinable except the exact distincts (each an
-    * expand-shuffle — the price of exactness; x33's HLL sketches are the
-    * approximate path).
+  /** Column profiling: one output row per column with count / null count /
+    * exact distinct / min / max. The ANALYZE-style dataset fingerprint a
+    * pipeline records before training runs. Works on ANY column type:
+    * distinct/count identity uses a LOSSLESS raw key (never the double
+    * cast, which would collapse longs ≥ 2^53 and profile string/binary
+    * columns as all-null); min_v/max_v are double stats, null for
+    * non-numeric columns rather than silently wrong.
+    *
+    * Plan: two shuffles. N count_distincts in ONE agg would make Catalyst
+    * Expand every input row once per distinct group (N+1× the scan through
+    * a single hash aggregate — measured 1.47 s for 3 columns over sf0.1
+    * lineitem). Instead explode to (col_name, key, value) triples — narrow,
+    * no shuffle — then ONE partial-aggregated shuffle on (col_name, key)
+    * collapses to the distinct values per column, and a second tiny agg per
+    * col_name derives every statistic from the (key, cnt, v) rows: exact
+    * distincts WITHOUT Expand, and the per-column work spreads across the
+    * cluster instead of one aggregate pipeline.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    // Plan shape: N count_distincts in ONE agg makes Catalyst Expand every
-    // input row once per distinct group (N+1× the scan through a single
-    // hash aggregate — measured 1.47 s for 3 columns over sf0.1 lineitem).
-    // Instead explode to (col_name, value) pairs — narrow, no shuffle —
-    // then ONE partial-aggregated shuffle on (col_name, value) collapses
-    // to the distinct values per column, and a second tiny agg per
-    // col_name derives every statistic from the (value, cnt) pairs:
-    // exact distincts WITHOUT Expand, and the per-column work spreads
-    // across the cluster instead of one aggregate pipeline.
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c), s"no such column: $c"))
+    // Lossless identity key for the distinct/count aggregates: hex for
+    // binary (a UTF-8 string cast garbles arbitrary bytes into replacement
+    // chars that can collide), plain string cast for everything else
+    // (exact for longs, decimals, strings, dates).
+    def rawKey(c: String): Column = types(c) match {
+      case BinaryType => hex(col(c))
+      case _          => col(c).cast(StringType)
+    }
+    // Numeric view for min_v/max_v only; non-numeric columns get null stats
+    // instead of the old behavior (double-cast everything) that silently
+    // profiled a string column as n=0, n_distinct=0, n_null=total.
+    def numV(c: String): Column = types(c) match {
+      case _: NumericType => col(c).cast(DoubleType)
+      case TimestampType  => col(c).cast(DoubleType) // epoch seconds
+      case _              => lit(null).cast(DoubleType)
+    }
     val pairs = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("p"))
-      .select(col("p.c").as("c"), col("p.v").as("v"))
-    pairs.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+        struct(lit(c).as("c"), rawKey(c).as("k"), numV(c).as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.k").as("k"), col("p.v").as("v"))
+    // v is functionally determined by (c, k), so min(v) just carries it.
+    pairs.groupBy("c", "k").agg(count(lit(1)).as("cnt"), min(col("v")).as("v"))
       .groupBy(col("c").as("col_name")).agg(
-        coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L)).as("n"),
-        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
-        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        coalesce(sum(when(col("k").isNotNull, col("cnt"))), lit(0L)).as("n"),
+        coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("k").isNotNull, lit(1))).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
   }

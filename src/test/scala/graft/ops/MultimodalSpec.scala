@@ -155,8 +155,8 @@ class MultimodalSpec extends SparkSpec {
     val vids = Seq(
       (1L, gif),
       (2L, pngBytes(5, 5, 0xffffff)),  // single-frame format → 1 frame
-      (3L, Array[Byte](9, 9, 9)),      // undecodable → no rows, no error
-      (4L, null: Array[Byte])          // null → no rows
+      (3L, Array[Byte](9, 9, 9)),      // undecodable → row kept, null frame
+      (4L, null: Array[Byte])          // null → row kept, null frame
     ).toDF("media_id", "payload")
     val out = MultimodalOps.extractGifFrames(vids, "media_id", "payload")
       .select("media_id", "frame_index", "frame_width", "frame_height", "frame_luma")
@@ -172,7 +172,13 @@ class MultimodalSpec extends SparkSpec {
     assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b }, lumas.toString)
     assert(lumas.head < 0.05 && lumas.last > 0.95, lumas.toString)
     assert(out.count(_.getLong(0) == 2L) == 1)
-    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+    // undecodable/null payloads SURVIVE as one row with null frame columns
+    // ("row kept, never a fabricated value") — explode would drop them
+    for (id <- Seq(3L, 4L)) {
+      val kept = out.filter(_.getLong(0) == id)
+      assert(kept.length == 1, s"id $id should survive with null frames")
+      assert(kept.head.isNullAt(1) && kept.head.isNullAt(4))
+    }
   }
 
   test("extractGifFrames everyN/maxFrames sample the frame sequence") {

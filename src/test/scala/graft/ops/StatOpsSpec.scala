@@ -84,6 +84,23 @@ class StatOpsSpec extends SparkSpec {
     assert(got("b") == ((3L, 0L, 2L, 10.0, 20.0)))
   }
 
+  test("profile uses lossless identity: strings profile, big longs distinct") {
+    // 2^53 and 2^53+1 collapse to the SAME double — the old double-cast
+    // identity counted them as one distinct; strings profiled as all-null.
+    val df = Seq(
+      (Some("x"), 9007199254740992L),
+      (Some("y"), 9007199254740993L),
+      (None: Option[String], 9007199254740992L)
+    ).toDF("s", "big")
+    val rows = StatOps.profile(df, Seq("s", "big"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = rows("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((2L, 1L, 2L)))
+    assert(s.isNullAt(4) && s.isNullAt(5)) // non-numeric → null bounds, not 0
+    val big = rows("big")
+    assert((big.getLong(1), big.getLong(2), big.getLong(3)) == ((3L, 0L, 2L)))
+  }
+
   test("globalRowIndex is contiguous, 0-based, and order-correct") {
     val rnd = new scala.util.Random(11)
     val rows = rnd.shuffle((0L until 1000L).toList).map(i => (i, i % 17))

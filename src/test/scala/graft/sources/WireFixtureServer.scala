@@ -50,30 +50,55 @@ class WireFixtureServer(schema: StructType, rows: IndexedSeq[Array[Any]],
         ex.sendResponseHeaders(503, msg.length)
         ex.getResponseBody.write(msg)
       } else {
-        val q = WireProtocol.parseQuery(json)
-        // the SERVER bounds page size: the pagination contract the client
-        // must follow via x-graft-next-block
-        val pageEnd = math.min(q.toBlock, q.fromBlock + pageBlocks)
-        val colIdx = q.cols.map(schema.fieldIndex).toArray
-        val matched = rows.filter { r =>
-          val b = r(blockIdx).asInstanceOf[Long]
-          b >= q.fromBlock && b < pageEnd &&
-            // [] = match-nothing, [{}] = match-all (WireProtocol contract)
-            q.requests.exists(_.matches(c =>
-              r(schema.fieldIndex(c)).asInstanceOf[Array[Byte]].toSeq))
-        }.map(r => colIdx.map(r(_)))
-        val projSchema = StructType(q.cols.map(schema(_)))
-        val body = WireProtocol.encodePage(projSchema, matched, allocator)
-        ex.getResponseHeaders.set("x-graft-next-block", pageEnd.toString)
-        ex.getResponseHeaders.set("x-graft-height", height.toString)
-        ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
-        ex.sendResponseHeaders(200, body.length)
-        ex.getResponseBody.write(body)
+        // parse/validation failures of the query document are the CLIENT's
+        // fault → 400 (non-retryable per the client's 4xx/5xx split);
+        // anything the server trips over after a valid parse is a SERVER
+        // bug → 500 (outer catch), never disguised as a query error.
+        val parsed = try {
+          val q = WireProtocol.parseQuery(json)
+          // explicit VALIDATION (still the client's fault → 400): unknown
+          // projection or filter columns, inverted block range
+          val known = schema.fieldNames.toSet
+          val badCols = (q.cols ++ q.requests.flatMap(_.cs.keys))
+            .filterNot(known)
+          if (badCols.nonEmpty) Left(s"unknown column(s): ${badCols.mkString(",")}")
+          else if (q.toBlock < q.fromBlock) Left("toBlock < fromBlock")
+          else Right(q)
+        } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+        parsed match {
+          case Left(errMsg) =>
+            val msg = errMsg.getBytes(UTF_8)
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+          case Right(q) =>
+            // the SERVER bounds page size: the pagination contract the
+            // client must follow via x-graft-next-block
+            val pageEnd = math.min(q.toBlock, q.fromBlock + pageBlocks)
+            val colIdx = q.cols.map(schema.fieldIndex).toArray
+            val matched = rows.filter { r =>
+              val b = r(blockIdx).asInstanceOf[Long]
+              b >= q.fromBlock && b < pageEnd &&
+                // [] = match-nothing, [{}] = match-all (WireProtocol contract)
+                q.requests.exists(_.matches(c =>
+                  r(schema.fieldIndex(c)).asInstanceOf[Array[Byte]].toSeq))
+            }.map(r => colIdx.map(r(_)))
+            val projSchema = StructType(q.cols.map(schema(_)))
+            val body = WireProtocol.encodePage(projSchema, matched, allocator)
+            ex.getResponseHeaders.set("x-graft-next-block", pageEnd.toString)
+            ex.getResponseHeaders.set("x-graft-height", height.toString)
+            ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+        }
       }
     } catch {
       case e: Exception =>
+        // unexpected server-side failure (e.g. a null in a filterable
+        // column NPEing the match lambda) → 500, which the client treats
+        // as retryable — NOT 400, which would misreport it as a malformed
+        // query and abort the scan.
         val msg = String.valueOf(e.getMessage).getBytes(UTF_8)
-        ex.sendResponseHeaders(400, msg.length)
+        ex.sendResponseHeaders(500, msg.length)
         ex.getResponseBody.write(msg)
     } finally ex.close()
   })
