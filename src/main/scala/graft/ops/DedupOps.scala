@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -301,34 +301,46 @@ object DedupOps {
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
       .localCheckpoint()
+    // Convergence probe FUSED into the checkpoint materialization:
+    // min-label propagation only ever DECREASES labels, so the exact
+    // decimal sum of labels is strictly monotone — comparing sums detects
+    // a fixpoint without the old-vs-new join a changed-row count would
+    // need. observe() rides the sum (and row count) on the SAME job that
+    // materializes the localCheckpoint, so each round is ONE action, not
+    // checkpoint + a separate probe aggregation (the probe used to double
+    // the actions per round).
+    def checkpointProbed(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
+      val obs = Observation()
+      val cp = df.observe(obs,
+          sum(col("comp").cast(DecimalType(38, 0))).as("label_sum"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val m = obs.get // already complete: localCheckpoint ran the job
+      val s = m("label_sum") match {
+        case null                    => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (cp, s, m("n").asInstanceOf[Long])
+    }
     // Seed with the first propagation round fused into initialization:
     // comp0(v) = min(v, min neighbour) from ONE aggregation over the
     // symmetric edge list (every node appears on the `a` side), instead of
     // a distinct + identity labels + a full join round. Same fixpoint,
     // one fewer iteration of join+checkpoint+probe.
-    var labels = edges.groupBy(col("a"))
+    var (labels, prevSum, n0) = checkpointProbed(edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("comp"))
-      .select(col("a").as("id"), col("comp")).localCheckpoint()
-    // Convergence probe: min-label propagation only ever DECREASES labels,
-    // so the exact decimal sum of labels is strictly monotone — comparing
-    // sums (one plain aggregation) detects a fixpoint without the
-    // old-vs-new join a changed-row count would need.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
+      .select(col("a").as("id"), col("comp")))
     var it = 0
-    var done = labels.isEmpty
+    var done = n0 == 0L
     while (!done && it < maxIter) {
       // each node pulls the smallest label among its neighbours
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum, _) = checkpointProbed(
+        labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+          .select(labels("id"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")))
       labels = next
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
