@@ -290,11 +290,15 @@ private class WireChainReader(p: WireChainPartition)
   private val allocator = new RootAllocator()
   private var cursor = p.fromBlock
   private var exhausted = p.requests.isEmpty || cursor >= p.toBlock
-  private var iter: Iterator[InternalRow] = Iterator.empty
+  // batch-lazy page decode: holds one Arrow batch of decoded rows, not the
+  // whole page; tracked so close() can release a half-read page's buffers
+  // (task abort / LIMIT) before the allocator is closed
+  private var iter: WireProtocol.PageRowIterator = null
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    while (!iter.hasNext && !exhausted) {
+    while ((iter == null || !iter.hasNext) && !exhausted) {
+      if (iter != null) iter.close() // idempotent; self-closed on exhaustion
       val q = WireQuery(p.table, cursor, p.toBlock, p.requests, p.cols.toSeq)
       val page = WireHttp.retry(p.maxAttempts, p.retryBackoffMs)(
         WireHttp.query(p.url, q.toJson))
@@ -302,12 +306,15 @@ private class WireChainReader(p: WireChainPartition)
         throw new IllegalStateException(
           s"provider did not advance pagination: next_block=${page.nextBlock} " +
             s"from=$cursor (${p.table} [${p.fromBlock},${p.toBlock}))")
-      iter = WireProtocol.decodePage(schema, page.body, allocator).iterator
+      iter = WireProtocol.decodePageIterator(schema, page.body, allocator)
       cursor = page.nextBlock
       exhausted = cursor >= p.toBlock
     }
-    if (iter.hasNext) { row = iter.next(); true } else false
+    if (iter != null && iter.hasNext) { row = iter.next(); true } else false
   }
   override def get(): InternalRow = row
-  override def close(): Unit = allocator.close()
+  override def close(): Unit = {
+    if (iter != null) iter.close()
+    allocator.close()
+  }
 }

@@ -3,7 +3,6 @@ package graft.sources
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.channels.Channels
 
-import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -154,43 +153,86 @@ object WireProtocol {
     out.toByteArray
   }
 
-  /** Decode one Arrow IPC page into InternalRows matching `schema` (by
-    * column NAME — the server may order `field_selection` differently).
-    * Materializes one page; pages are provider-bounded (the pagination
-    * contract), so per-task memory is one page regardless of range size.
+  /** Lazily-decoded Arrow IPC page: rows are yielded per Arrow RECORD
+    * BATCH as the stream is read, so peak decoded-row memory is one batch
+    * (the encoder's `batchRows`), never the whole page — a provider
+    * serving 64 MB pages would otherwise double peak memory per task
+    * (body bytes + all decoded rows). Columns are matched by NAME — the
+    * server may order `field_selection` differently.
+    *
+    * The Arrow reader self-closes when the stream is exhausted; `close()`
+    * is idempotent and MUST be called if the iterator is abandoned early
+    * (task abort, LIMIT) or its buffers leak into the allocator.
+    */
+  final class PageRowIterator private[sources] (
+      schema: StructType, body: Array[Byte], allocator: BufferAllocator)
+      extends Iterator[InternalRow] with AutoCloseable {
+    private val reader =
+      new ArrowStreamReader(new ByteArrayInputStream(body), allocator)
+    private val (root, vectors) = try {
+      val r = reader.getVectorSchemaRoot // reads the stream-header schema
+      (r, schema.fields.map { f =>
+        val v = r.getVector(f.name)
+        if (v == null) throw new IllegalArgumentException(
+          s"page missing requested column ${f.name}; server sent " +
+            r.getSchema.getFields.asScala.map(_.getName).mkString(","))
+        v
+      })
+    } catch { case e: Throwable => reader.close(); throw e }
+    private var batch: Array[InternalRow] = Array.empty
+    private var i = 0
+    private var closed = false
+
+    override def hasNext: Boolean = {
+      while (i >= batch.length && !closed) {
+        val loaded =
+          try reader.loadNextBatch()
+          catch { case e: Throwable => close(); throw e }
+        if (loaded) { batch = decodeBatch(); i = 0 } else close()
+      }
+      i < batch.length
+    }
+    override def next(): InternalRow = {
+      if (!hasNext) throw new NoSuchElementException("page exhausted")
+      val r = batch(i); i += 1; r
+    }
+    override def close(): Unit = if (!closed) { closed = true; reader.close() }
+
+    // copy out one loaded batch (VarBinaryVector.get already copies bytes;
+    // the vectors' memory is overwritten by the next loadNextBatch)
+    private def decodeBatch(): Array[InternalRow] = {
+      val n = root.getRowCount
+      val out = new Array[InternalRow](n)
+      var r = 0
+      while (r < n) {
+        val values = new Array[Any](vectors.length)
+        var c = 0
+        while (c < vectors.length) {
+          values(c) = vectors(c) match {
+            case v: BigIntVector    => if (v.isNull(r)) null else v.get(r)
+            case v: VarBinaryVector => if (v.isNull(r)) null else v.get(r)
+            case v => throw new IllegalStateException(s"unexpected vector ${v.getClass}")
+          }
+          c += 1
+        }
+        out(r) = new GenericInternalRow(values)
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Batch-lazy page decode — see [[PageRowIterator]]. */
+  def decodePageIterator(schema: StructType, body: Array[Byte],
+                         allocator: BufferAllocator): PageRowIterator =
+    new PageRowIterator(schema, body, allocator)
+
+  /** Eager page decode: drains [[decodePageIterator]]. Test/fixture
+    * convenience; the scan path iterates batch-by-batch instead.
     */
   def decodePage(schema: StructType, body: Array[Byte],
                  allocator: BufferAllocator): Seq[InternalRow] = {
-    val rows = new ArrayBuffer[InternalRow]()
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(body), allocator)
-    try {
-      val root = reader.getVectorSchemaRoot
-      val vectors = schema.fields.map { f =>
-        val v = root.getVector(f.name)
-        if (v == null) throw new IllegalArgumentException(
-          s"page missing requested column ${f.name}; server sent " +
-            root.getSchema.getFields.asScala.map(_.getName).mkString(","))
-        v
-      }
-      while (reader.loadNextBatch()) {
-        var i = 0
-        val n = root.getRowCount
-        while (i < n) {
-          val values = new Array[Any](vectors.length)
-          var c = 0
-          while (c < vectors.length) {
-            values(c) = vectors(c) match {
-              case v: BigIntVector    => if (v.isNull(i)) null else v.get(i)
-              case v: VarBinaryVector => if (v.isNull(i)) null else v.get(i)
-              case v => throw new IllegalStateException(s"unexpected vector ${v.getClass}")
-            }
-            c += 1
-          }
-          rows += new GenericInternalRow(values)
-          i += 1
-        }
-      }
-    } finally reader.close()
-    rows.toSeq
+    val it = decodePageIterator(schema, body, allocator)
+    try it.toVector finally it.close()
   }
 }
