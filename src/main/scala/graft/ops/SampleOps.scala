@@ -133,6 +133,38 @@ object SampleOps {
     df.filter(idHash(col(idCol)) % 10000 < rate)
   }
 
+  /** Temperature-based domain rebalancing at α = 1/2 (the common
+    * multilingual-mixture setting): domain d keeps each row with
+    * probability √(n_min/n_d), so sampled counts go as √n_d — the head
+    * domain is damped toward the tail, the smallest domain is kept whole.
+    * Unlike [[stratifiedSample]] the per-domain rates are COMPUTED from
+    * the corpus, not supplied.
+    *
+    * α is fixed at 1/2 because IEEE-754 requires sqrt (and /, ×) to be
+    * correctly rounded, so `floor(10000·√(n_min/n_d))` is bit-identical
+    * across engines — the oracle-exactness contract; a general-α pow() is
+    * libm-dependent and would not hash-match. Row selection is the same
+    * id-hash-mod predicate as [[hashSample]]: deterministic, stable under
+    * corpus growth within a domain's rate.
+    *
+    * Scale shape: domain counts are one map-side-combinable agg (bounded
+    * by the domain cardinality), the rate table broadcasts back onto the
+    * rows, and the filter is narrow — no corpus-sized shuffle at all.
+    */
+  def temperatureSample(df: DataFrame, idCol: String,
+                        domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN)) // 1-row broadcast, not a cross product
+      .withColumn("__rate_bp",
+        floor(lit(10000d) * sqrt(col("__nmin").cast("double") /
+          col("__n").cast("double"))).cast(LongType))
+      .select(col(domainCol), col("__rate_bp"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

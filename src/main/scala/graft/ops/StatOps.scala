@@ -119,6 +119,25 @@ object StatOps {
       .agg(agg.head, agg.tail: _*)
   }
 
+  /** Power-of-two length histogram per key: bucket = number of binary
+    * digits of the length (⌊log2⌋+1), with count/sum/min/max of the raw
+    * length per (key, bucket) — the sequence-length profile a packing /
+    * batching stage reads before sizing context windows ("how many
+    * 2^10..2^11-char docs per source"). The bucket is computed EXACTLY as
+    * the base-2 string length: floating log2 is not correctly rounded and
+    * flips buckets at exact powers of two.
+    *
+    * One map-side-combinable aggregation, one shuffle; output cardinality
+    * is keys × ≤63 buckets — bounded metadata however large the corpus.
+    */
+  def lengthBuckets(df: DataFrame, keyCol: String, lenCol: String): DataFrame =
+    df.groupBy(col(keyCol),
+        length(conv(col(lenCol), 10, 2)).cast(LongType).as("len_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(lenCol)).as("sum_len"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"))
+
   /** Column profiling: one output row per column with count / null count /
     * exact distinct / min / max. The ANALYZE-style dataset fingerprint a
     * pipeline records before training runs. Works on ANY column type:

@@ -114,6 +114,33 @@ object TextOps {
       bp(bridge(graft.functions.DeflateLen(expr0(col(textCol)))),
         length(col(textCol)).cast(LongType)))
 
+  /** Rare-token ratio per document: the share (basis points) of token
+    * OCCURRENCES whose corpus DOCUMENT frequency is below `minDf` — the
+    * garbage/typo/boilerplate signal quality pipelines threshold on (a
+    * high rare-token share flags OCR noise, code soup, non-language).
+    * Complements [[qualityScore]]'s doc-local signals with a corpus-
+    * relative one.
+    *
+    * Scale shape: explode to (doc, token) — narrow; document frequency =
+    * one partial-aggregated shuffle keyed by token; tokens→df is a plain
+    * hash join on the token key (the vocabulary of a 100 TB corpus is NOT
+    * broadcastable — shuffle join, spread across executors); the per-doc
+    * rollup is one map-side-combinable shuffle on the doc id. No windows,
+    * no driver state; a hot token ("the") is one reduce key with a count,
+    * never a pair explosion.
+    */
+  def rareTokenRatio(docs: DataFrame, idCol: String, minDf: Long,
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val dfTab = toks.groupBy(col("w"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    toks.join(dfTab, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_bp", bp(col("n_rare"), col("n_tokens")))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens, ties
     * broken on the token. Explode → partial-agg count (map-side combine
     * collapses each partition's counts before the shuffle) → top-k

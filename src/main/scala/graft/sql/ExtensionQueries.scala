@@ -435,6 +435,29 @@ object ExtensionQueries {
         .orderBy("col_name")
     },
 
+    // x57 — rare-token ratio: share of token occurrences with corpus
+    // document-frequency < 3 — the corpus-relative garbage/noise signal.
+    "x57_rare_tokens" -> { (s, dir) =>
+      TextOps.rareTokenRatio(spread(t(s, dir, "documents")), "doc_id", minDf = 3L)
+        .select("doc_id", "n_tokens", "n_rare", "rare_bp")
+        .orderBy("doc_id")
+    },
+
+    // x58 — temperature (α=1/2) domain rebalancing: per-source keep rates
+    // √(n_min/n_d) computed from the corpus, rows picked by id-hash.
+    "x58_temperature_sample" -> { (s, dir) =>
+      SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // x59 — per-source power-of-two length histogram (exact integer
+    // buckets via base-2 digit count): the packing/batching size profile.
+    "x59_length_buckets" -> { (s, dir) =>
+      StatOps.lengthBuckets(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source", "len_bucket")
+    },
+
     // x51 — per-doc salient terms (TF-IDF ranking in exact integer
     // arithmetic): top-3 terms per document by tf·10000·N/df.
     "x51_term_salience" -> { (s, dir) =>
@@ -901,6 +924,35 @@ object ExtensionQueries {
         |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS h
         |   FROM documents)
         | ORDER BY doc_id""".stripMargin,
+
+    "x57_rare_tokens" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |   FROM documents),
+        | dfq AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM w GROUP BY tok)
+        | SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |   sum(CASE WHEN dfc < 3 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |   floor(sum(CASE WHEN dfc < 3 THEN 1 ELSE 0 END)::DOUBLE * 10000
+        |     / count(*)::DOUBLE)::BIGINT AS rare_bp
+        | FROM w JOIN dfq USING (tok)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x58_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |   GROUP BY source),
+        | m AS (SELECT min(n) AS nmin FROM c),
+        | r AS (SELECT source,
+        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT AS rate_bp
+        |   FROM c, m)
+        | SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |   % 10000 < r.rate_bp
+        | ORDER BY d.doc_id""".stripMargin,
+
+    "x59_length_buckets" ->
+      """SELECT source, length(printf('%b', n_chars))::BIGINT AS len_bucket,
+        | count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_len,
+        | min(n_chars)::BIGINT AS min_len, max(n_chars)::BIGINT AS max_len
+        | FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin,
 
     "x42_semantic_dedup" ->
       s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit specs for the round-8 corpus operators: rare-token ratio,
+  * temperature-based domain rebalancing, and power-of-two length
+  * histograms — tiny hand-checkable inputs; the oracle-gated x57–x59
+  * queries cover the sf-scale cross-engine contract.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rareTokenRatio counts occurrences of low-document-frequency tokens") {
+    val docs = Seq(
+      (0L, "a a b"), // df(a)=3, df(b)=1 → 1 of 3 occurrences rare
+      (1L, "a c"),   // df(c)=1 → 1 of 2 rare
+      (2L, "a")      // 0 of 1 rare
+    ).toDF("doc_id", "text")
+    val got = TextOps.rareTokenRatio(docs, "doc_id", minDf = 2L)
+      .select("doc_id", "n_tokens", "n_rare", "rare_bp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 1L, 3333L)))
+    assert(got(1L) == ((1L, 2L, 1L, 5000L)))
+    assert(got(2L) == ((2L, 1L, 0L, 0L)))
+  }
+
+  test("temperatureSample keeps the smallest domain whole, damps the head") {
+    // big: 100 rows, small: 25 → rates √(25/100)=0.5 → 5000 bp, and 10000 bp
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 125L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = SampleOps.temperatureSample(docs, "doc_id", "source")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "small") == 25, "smallest domain kept whole")
+    // the damped domain keeps EXACTLY the id-hash-below-5000bp rows — the
+    // same deterministic predicate as hashSample, not a random subset
+    val expectBig = docs.filter(col("source") === "big")
+      .filter(TextOps.hash60(col("doc_id").cast("string")) % 10000 < 5000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == expectBig)
+    assert(expectBig.nonEmpty && expectBig.size < 100)
+  }
+
+  test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
+    val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
+      .map(n => ("s", n)).toDF("source", "n_chars")
+    val got = StatOps.lengthBuckets(rows, "source", "n_chars")
+      .select("len_bucket", "n", "sum_len", "min_len", "max_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L)))        // 1
+    assert(got(2L) == ((2L, 5L, 2L, 3L)))        // 2, 3
+    assert(got(3L) == ((2L, 11L, 4L, 7L)))       // 4 and 7
+    assert(got(4L) == ((1L, 8L, 8L, 8L)))        // 8 lands in the NEXT bucket
+    assert(got(10L) == ((1L, 1023L, 1023L, 1023L)))
+    assert(got(11L) == ((1L, 1024L, 1024L, 1024L)))
+  }
+}
