@@ -75,9 +75,24 @@ object ChainSource {
     StructField("discriminator", BinaryType, nullable = false),
     StructField("data", BinaryType, nullable = false)))
 
+  /** EVM call-traces table. The reference declares a `traces` table name
+    * in `EvmValidateBlockDataConfig` (`config.py:125`) but never
+    * dispatches it; HyperSync-style providers serve it with TraceRequest
+    * filtering on the callee address and the 4-byte function selector
+    * (sighash) — the two pushable columns here.
+    */
+  val tracesSchema: StructType = StructType(Seq(
+    StructField("block_number", LongType, nullable = false),
+    StructField("trace_index", LongType, nullable = false),
+    StructField("from_address", BinaryType, nullable = false),
+    StructField("to_address", BinaryType, nullable = false),
+    StructField("sighash", BinaryType, nullable = false),
+    StructField("input", BinaryType, nullable = false)))
+
   def schemaFor(table: String): StructType = table match {
     case "logs"         => logsSchema
     case "instructions" => instructionsSchema
+    case "traces"       => tracesSchema
     case other => throw new IllegalArgumentException(s"unknown chain table $other")
   }
 
@@ -85,6 +100,7 @@ object ChainSource {
   def pushableColumns(table: String): Set[String] = table match {
     case "logs"         => Set("topic0", "address")
     case "instructions" => Set("program_id", "discriminator")
+    case "traces"       => Set("to_address", "sighash")
     case _              => Set.empty
   }
 
@@ -103,6 +119,10 @@ object ChainSource {
   /** Two deterministic Anchor-style discriminators (8 bytes). */
   val discriminatorPool: IndexedSeq[Array[Byte]] =
     (0 until 2).map { i => Array[Byte](1, 2, 3, 4, 5, 6, 7, (i + 1).toByte) }
+
+  /** Four deterministic function selectors (first 4 keccak bytes). */
+  val sighashPool: IndexedSeq[Array[Byte]] =
+    (0 until 4).map(i => Keccak.topic0(s"fn$i()").take(4))
 
   /** Little-endian u64 (the Borsh payload of a synthetic instruction). */
   private def u64le(v: Long): Array[Byte] = {
@@ -124,6 +144,8 @@ object ChainSource {
       programIdPool(((block + idx) % 3).toInt)
     case ("instructions", "discriminator") =>
       discriminatorPool((idx % 2).toInt)
+    case ("traces", "to_address") => addressPool((block % 5).toInt)
+    case ("traces", "sighash")    => sighashPool(((block + idx) % 4).toInt)
     case _ => throw new IllegalArgumentException(s"$table.$name not pushable")
   }
 
@@ -149,6 +171,21 @@ object ChainSource {
         // Anchor-shaped payload: 8-byte discriminator ++ Borsh u64 amount
         case "data" =>
           colValue(table, "discriminator", block, idx) ++ u64le(block * 100 + idx)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      case "traces" => cols.map[Any] {
+        case "block_number" => block
+        case "trace_index"  => idx
+        case "from_address" => addressPool(((block + idx) % 5).toInt)
+        case "to_address"   => colValue(table, "to_address", block, idx)
+        case "sighash"      => colValue(table, "sighash", block, idx)
+        // calldata: 4-byte selector ++ one 32-byte ABI word
+        case "input" =>
+          colValue(table, "sighash", block, idx) ++ {
+            val a = new Array[Byte](32)
+            a(31) = ((block * 3 + idx) % 50).toByte
+            a
+          }
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
     }
