@@ -106,6 +106,64 @@ object DedupOps {
       .select(col("i"), col("j"), col("jaccard_bp"))
   }
 
+  /** Incremental (cross-corpus) dedup: which NEW docs survive against an
+    * existing REFERENCE corpus — the "don't re-ingest what the training
+    * set already contains" primitive of snapshot-over-snapshot pipelines.
+    * A new doc is dropped if its exact content hash appears in the
+    * reference, or its n-gram Jaccard to ANY reference doc ≥ `threshold`.
+    * Returns surviving new-doc ids. New-internal duplicates are NOT
+    * removed here — that is the ordinary within-corpus dedup's job.
+    *
+    * Plan shape — both probes are keyed joins against the reference,
+    * never a re-clustering of it: the exact probe is one md5 left-anti
+    * join; the near-dup probe is the [[ngramJaccardPairs]] shingle
+    * equi-join with the two corpora unioned under disjoint id ranges
+    * (ref < 2^40 ≤ new — enforced per row), keeping only cross-corpus
+    * pairs. Bucket-local pair enumeration still touches same-side pairs
+    * (bounded by `maxBucket`, same as the self-dedup path); at production
+    * scale the reference side's shingle table is the thing a pipeline
+    * precomputes and stores between snapshots.
+    */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame, idCol: String,
+                       contentCol: String, shingles: Column,
+                       threshold: Double,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val offset = 1L << 40
+    // raise_error (not a silent wrap-around) if an id collides with the
+    // disjoint-range encoding; evaluated inline, no extra action
+    def guarded(df: DataFrame, shift: Long): DataFrame =
+      df.select(
+        when(col(idCol).cast(LongType).between(0L, offset - 1L),
+            col(idCol).cast(LongType) + shift)
+          .otherwise(raise_error(concat(lit(s"incrementalDedup: $idCol "),
+            col(idCol), lit(s" outside [0, 2^40)")))).as("id"),
+        col(contentCol))
+    val tagged = guarded(refDocs, 0L).unionByName(guarded(newDocs, offset))
+    val minBp = math.floor(threshold * 10000).toLong
+    val sh = tagged.select(col("id"), shingles.as("__arr"))
+      .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
+        explode(col("__arr")).as("__s"))
+      .select(col("id"), col("n"), hash60(col("__s")).as("s"))
+    val nearDropped = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(docPairs(col("ds"), minBp)).as("p"))
+      // DocPairs orders i < j, so a cross-corpus pair is always (ref, new)
+      .filter(col("p.i") < offset && col("p.j") >= offset)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
+        first(col("p.bn")).as("bn"))
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
+      .filter(col("jaccard_bp") >= minBp)
+      .select((col("j") - offset).as(idCol)).distinct()
+    val exactKept = newDocs.select(col(idCol), md5(col(contentCol)).as("__h"))
+      .join(refDocs.select(md5(col(contentCol)).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      .select(idCol)
+    exactKept.join(nearDropped, Seq(idCol), "left_anti")
+  }
+
   /** MinHash band signatures: `numHashes` min-hashes (hash h of shingle s =
     * md5(h||'|'||s)), grouped into bands of `bandRows`, each band signature
     * the in-order concat of its row mins. Emits (id, band, sig).

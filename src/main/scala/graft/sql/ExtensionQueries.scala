@@ -458,6 +458,16 @@ object ExtensionQueries {
         .orderBy("source", "len_bucket")
     },
 
+    // x60 — incremental dedup: new snapshot (doc_id >= 250) deduped against
+    // the existing corpus (doc_id < 250) by exact hash + 3-gram Jaccard.
+    "x60_incremental_dedup" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      DedupOps.incrementalDedup(
+          d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+          "doc_id", "text", TextOps.wordShingles(col("text"), 3), 0.5)
+        .orderBy("doc_id")
+    },
+
     // x51 — per-doc salient terms (TF-IDF ranking in exact integer
     // arithmetic): top-3 terms per document by tf·10000·N/df.
     "x51_term_salience" -> { (s, dir) =>
@@ -924,6 +934,22 @@ object ExtensionQueries {
         |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS h
         |   FROM documents)
         | ORDER BY doc_id""".stripMargin,
+
+    "x60_incremental_dedup" ->
+      s"""$word3gramShingles,
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN sh b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250
+         |   GROUP BY 1, 2),
+         | near_dropped AS (SELECT j AS doc_id FROM inter
+         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+         | exact_kept AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+         |   AND md5(text) NOT IN (SELECT md5(text) FROM documents
+         |                         WHERE doc_id < 250))
+         | SELECT doc_id FROM exact_kept
+         | EXCEPT SELECT doc_id FROM near_dropped
+         | ORDER BY doc_id""".stripMargin,
 
     "x57_rare_tokens" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok

@@ -42,6 +42,36 @@ class Round8OpsSpec extends SparkSpec {
     assert(expectBig.nonEmpty && expectBig.size < 100)
   }
 
+  test("incrementalDedup drops exact and near dups vs the reference only") {
+    val ref = Seq(
+      (0L, "a b c d e f"),
+      (1L, "zz yy xx ww")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (300L, "a b c d e f"),                  // exact dup of ref 0 → dropped
+      (301L, "a b c d e f g"),                // 3-gram J = 4/5 vs ref 0 → dropped
+      (302L, "totally different text here now"), // survives
+      (303L, "zz yy xx ww"),                  // exact dup of ref 1 → dropped
+      (304L, "totally different text here now") // dup of 302 but NOT of ref → kept
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.incrementalDedup(fresh, ref, "doc_id", "text",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      .as[Long].collect().toSet
+    assert(kept == Set(302L, 304L))
+  }
+
+  test("incrementalDedup rejects ids outside the disjoint-range encoding") {
+    val ref = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val fresh = Seq(((1L << 40) + 5L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupOps.incrementalDedup(fresh, ref, "doc_id", "text",
+        TextOps.wordShingles(col("text"), 3), 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside")), s"unexpected: $e")
+  }
+
   test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
     val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
       .map(n => ("s", n)).toDF("source", "n_chars")
