@@ -76,6 +76,24 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental dedup vs a STATIC reference corpus — the
+    * streaming face of DedupOps.incrementalDedup's exact probe: arriving
+    * docs whose content hash exists in the reference are dropped before
+    * they ever reach the sink. A stream-static left-anti join: the static
+    * side is re-read per micro-batch (so a reference updated between
+    * batches is picked up), no streaming state is accumulated for it, and
+    * at scale the hash-keyed join partitions like any batch join. Compose
+    * with [[streamingDedup]] for within-stream duplicates.
+    */
+  def streamingDedupVsReference(stream: DataFrame, reference: DataFrame,
+                                contentCol: String): DataFrame = {
+    val refHashes = reference
+      .select(md5(col(contentCol)).as("__ref_h")).distinct()
+    stream.withColumn("__h", md5(col(contentCol)))
+      .join(refHashes, col("__h") === col("__ref_h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Keyed running state via mapGroupsWithState: per-key event count and
     * last-seen timestamp. The typed-state escape hatch for custom semantics
     * the windowed operators can't express (cherry has no analog — declared

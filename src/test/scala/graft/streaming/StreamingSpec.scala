@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops docs already in the reference corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "known doc one"), (2L, "known doc two"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val kept = Streaming.streamingDedupVsReference(
+      input.toDF().toDF("doc_id", "text"), ref, "text")
+    val q = kept.writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "known doc one"), (11L, "fresh doc"))
+      q.processAllAvailable()
+      input.addData((12L, "known doc two"), (13L, "another fresh"))
+      q.processAllAvailable()
+      val ids = spark.table("incdedup").select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(11L, 13L))
+      // schema passes through untouched (no helper columns leak)
+      assert(spark.table("incdedup").columns.toSeq == Seq("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
