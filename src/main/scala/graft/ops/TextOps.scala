@@ -131,13 +131,19 @@ object TextOps {
     */
   def rareTokenRatio(docs: DataFrame, idCol: String, minDf: Long,
                      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-    val dfTab = toks.groupBy(col("w"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-    toks.join(dfTab, Seq("w"))
+    // (doc, token) with per-doc occurrence count FIRST: the df aggregation
+    // becomes a plain count over these pairs (no countDistinct two-phase),
+    // and the token-keyed join moves distinct pairs instead of every raw
+    // occurrence — the shuffled volume drops by the mean within-doc token
+    // multiplicity, which for a natural-language corpus is the Zipf head.
+    val pairs = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__occ"))
+    val dfTab = pairs.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    pairs.join(dfTab, Seq("w"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("__occ")).as("n_tokens"),
+        sum(when(col("__df") < minDf, col("__occ")).otherwise(0L)).as("n_rare"))
       .withColumn("rare_bp", bp(col("n_rare"), col("n_tokens")))
   }
 
