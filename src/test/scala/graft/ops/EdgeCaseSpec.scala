@@ -58,6 +58,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextOps.vocabTopK(empty, 5).count() == 0)
   }
 
+  test("round-8 ops handle empty and single-row input") {
+    assert(TextOps.rareTokenRatio(empty, "doc_id", 2L).count() == 0)
+    // one doc: every token has df=1 < 2 → all rare
+    val r = TextOps.rareTokenRatio(one, "doc_id", 2L).head()
+    assert(r.getAs[Long]("n_rare") == 1L && r.getAs[Long]("rare_bp") == 10000L)
+    val dom = empty.withColumnRenamed("text", "source")
+    assert(SampleOps.temperatureSample(dom, "doc_id", "source").count() == 0)
+    // single domain: rate = sqrt(n/n) = 10000 bp → everything kept
+    val oneDom = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("doc_id", "source")
+    assert(SampleOps.temperatureSample(oneDom, "doc_id", "source").count() == 3)
+    assert(StatOps.lengthBuckets(
+      empty.withColumn("n", lit(1L)), "text", "n").count() == 0)
+    assert(DedupOps.incrementalDedup(empty, one, "doc_id", "text",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 0)
+    // empty reference: every new doc survives
+    assert(DedupOps.incrementalDedup(one, empty, "doc_id", "text",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 1)
+  }
+
   test("chunkTokens emits one chunk for a short doc (never zero rows)") {
     val got = TextOps.chunkTokens(one, "doc_id", chunkSize = 8, overlap = 2)
       .select("chunk_idx", "chunk_text").head()
