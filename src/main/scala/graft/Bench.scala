@@ -124,8 +124,13 @@ object Bench {
     }
     // 4-decimal (0.1 ms) per-query floats: full-precision doubles bloated
     // the round-7 stdout line enough to matter for the driver's bounded
-    // tail capture; 0.1 ms is below measurement noise anyway.
-    val qs = results.map { case (k, mn, _) => f""""$k":$mn%.4f""" }
+    // tail capture; 0.1 ms is below measurement noise anyway. Locale.ROOT,
+    // NOT the f-interpolator: default-locale formatting renders a comma
+    // decimal separator on comma-decimal JVMs — invalid JSON, the exact
+    // parse failure this line exists to avoid.
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val qs = results.map { case (k, mn, _) => s""""$k":${num(mn, 4)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val meanTotal = results.map(_._3).sum
@@ -150,9 +155,9 @@ object Bench {
     // always contains it whole. Extra diagnostic keys (mean_total vs value
     // = noise spread; gc_sec = collector pressure) ride along; the driver
     // reads metric/value/queries and ignores the rest.
-    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec",""" +
-      f""""queries":$qs,"reps":$reps,"mean_total":$meanTotal%.4f,""" +
-      f""""gc_sec":$gcSec%.3f,"heap_mb":$heapUsedMb$oracleTotal,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
+      s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
+      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal,"sf":"$sfDir"}"""
     // Full artifact (compact keys + the whole per-query oracle map) is
     // persisted to a file the judge can read in full: sbt prefixes stdout
     // with [info], which broke the driver's parse in round 1.
@@ -163,8 +168,12 @@ object Bench {
     val fullLine = line.dropRight(s""","sf":"$sfDir"}""".length) +
       oracleQueriesFrag + s""","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    Files.writeString(Paths.get(outFile), fullLine + "\n")
-    println(line)
+    // an unwritable output path must not take the stdout headline down
+    // with it — the two artifacts are independent channels
+    try Files.writeString(Paths.get(outFile), fullLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] failed to write $outFile: ${e.getMessage}") }
+    println(line) // LAST, so the driver's tail capture contains it whole
     spark.stop()
   }
 }

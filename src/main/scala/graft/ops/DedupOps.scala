@@ -81,29 +81,49 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
                         threshold: Double,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles.as("__arr"))
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccardFromShingleHashes(shingleHashes(docs, col(idCol), shingles),
+        math.floor(threshold * 10000).toLong, maxBucket, None)
+      .select(col("i"), col("j"), col("jaccard_bp"))
+
+  /** (id, |shingles|, hash60(shingle)) — the shared head of the jaccard
+    * pipelines. |A| rides along with every shingle row so no count-attach
+    * joins are needed downstream.
+    */
+  private def shingleHashes(docs: DataFrame, idExpr: Column,
+                            shingles: Column): DataFrame =
+    docs.select(idExpr.as("id"), shingles.as("__arr"))
       .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
         explode(col("__arr")).as("__s"))
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
-    // Hot-bucket cap semantics: a dropped bucket's shingle contributes to
-    // NEITHER pair's intersection count but still counts in an/bn, so the
-    // reported jaccard_bp for a pair sharing a dropped shingle is a LOWER
-    // BOUND — conservative for dedup (may keep a borderline near-dup,
-    // never manufactures a false duplicate).
-    sh.groupBy(col("s"))
+
+  /** Shared tail of the jaccard pipelines ([[ngramJaccardPairs]] and
+    * [[incrementalDedup]]): bucket-group the shingle-hash table, enumerate
+    * within-bucket pairs with the codegen'd DocPairs kernel (length-ratio
+    * pruned before anything shuffles), optionally keep only pairs matching
+    * `pairFilter` (over the exploded `p` struct), and aggregate to
+    * (i, j, jaccard_bp ≥ minBp).
+    *
+    * Hot-bucket cap semantics: a dropped bucket's shingle contributes to
+    * NEITHER pair's intersection count but still counts in an/bn, so the
+    * reported jaccard_bp for a pair sharing a dropped shingle is a LOWER
+    * BOUND — conservative for dedup (may keep a borderline near-dup,
+    * never manufactures a false duplicate).
+    */
+  private def jaccardFromShingleHashes(sh: DataFrame, minBp: Long,
+                                       maxBucket: Int,
+                                       pairFilter: Option[Column]): DataFrame = {
+    val exploded = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      // length filter (exact): jaccard ≤ min/max of the two shingle counts,
-      // so under-ratio pairs are pruned before they ever hit the shuffle
-      .select(explode(docPairs(col("ds"),
-        math.floor(threshold * 10000).toLong)).as("p"))
+      .select(explode(docPairs(col("ds"), minBp)).as("p"))
+    pairFilter.fold(exploded)(exploded.filter)
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
         first(col("p.bn")).as("bn"))
-      .withColumn("jaccard_bp", TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
-      .filter(col("jaccard_bp") >= math.floor(threshold * 10000).toLong)
-      .select(col("i"), col("j"), col("jaccard_bp"))
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
+      .filter(col("jaccard_bp") >= minBp)
   }
 
   /** Incremental (cross-corpus) dedup: which NEW docs survive against an
@@ -140,22 +160,10 @@ object DedupOps {
         col(contentCol))
     val tagged = guarded(refDocs, 0L).unionByName(guarded(newDocs, offset))
     val minBp = math.floor(threshold * 10000).toLong
-    val sh = tagged.select(col("id"), shingles.as("__arr"))
-      .select(col("id"), size(col("__arr")).cast(LongType).as("n"),
-        explode(col("__arr")).as("__s"))
-      .select(col("id"), col("n"), hash60(col("__s")).as("s"))
-    val nearDropped = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(docPairs(col("ds"), minBp)).as("p"))
-      // DocPairs orders i < j, so a cross-corpus pair is always (ref, new)
-      .filter(col("p.i") < offset && col("p.j") >= offset)
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
-        first(col("p.bn")).as("bn"))
-      .withColumn("jaccard_bp",
-        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
-      .filter(col("jaccard_bp") >= minBp)
+    // DocPairs orders i < j, so a cross-corpus pair is always (ref, new)
+    val nearDropped = jaccardFromShingleHashes(
+        shingleHashes(tagged, col("id"), shingles), minBp, maxBucket,
+        pairFilter = Some(col("p.i") < offset && col("p.j") >= offset))
       .select((col("j") - offset).as(idCol)).distinct()
     val exactKept = newDocs.select(col(idCol), md5(col(contentCol)).as("__h"))
       .join(refDocs.select(md5(col(contentCol)).as("__h")).distinct(),

@@ -159,10 +159,14 @@ object SampleOps {
       .withColumn("__rate_bp",
         floor(lit(10000d) * sqrt(col("__nmin").cast("double") /
           col("__n").cast("double"))).cast(LongType))
-      .select(col(domainCol), col("__rate_bp"))
-    df.join(broadcast(rates), Seq(domainCol))
+      .select(col(domainCol).as("__dom"), col("__rate_bp"))
+    // null-SAFE join: groupBy emits a rate row for a null domain, and rows
+    // of that domain must be sampled at it — a plain equi-join never
+    // matches null = null and would silently drop them (the
+    // stratifiedSample contract: every row has a fate, none vanish)
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
-      .drop("__rate_bp")
+      .drop("__dom", "__rate_bp")
   }
 
   /** Deterministic per-key downsampling: keep at most `k` rows per key,

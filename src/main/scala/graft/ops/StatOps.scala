@@ -132,7 +132,12 @@ object StatOps {
     */
   def lengthBuckets(df: DataFrame, keyCol: String, lenCol: String): DataFrame =
     df.groupBy(col(keyCol),
-        length(conv(col(lenCol), 10, 2)).cast(LongType).as("len_bucket"))
+        // negative lengths fail loudly (exactQuantiles' NaN precedent):
+        // conv() would treat them as unsigned 2^64+x → a phantom bucket 64
+        // that also diverges from the signed printf('%b') oracle
+        when(col(lenCol) >= 0, length(conv(col(lenCol), 10, 2)).cast(LongType))
+          .otherwise(raise_error(concat(lit(s"lengthBuckets: negative $lenCol "),
+            col(lenCol).cast(StringType)))).as("len_bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col(lenCol)).as("sum_len"),
         min(col(lenCol)).as("min_len"),
@@ -162,11 +167,18 @@ object StatOps {
     cols.foreach(c => require(types.contains(c), s"no such column: $c"))
     // Lossless identity key for the distinct/count aggregates: hex for
     // binary (a UTF-8 string cast garbles arbitrary bytes into replacement
-    // chars that can collide), plain string cast for everything else
-    // (exact for longs, decimals, strings, dates).
+    // chars that can collide); epoch micros for timestamps (the wall-clock
+    // string drops the zone offset, so a DST fall-back hour collapses two
+    // distinct instants); +0.0 normalization for float/double so -0.0 and
+    // 0.0 stay ONE distinct value like SQL DISTINCT and double groupBy;
+    // plain string cast for everything else (exact for longs, decimals,
+    // strings, dates).
     def rawKey(c: String): Column = types(c) match {
-      case BinaryType => hex(col(c))
-      case _          => col(c).cast(StringType)
+      case BinaryType    => hex(col(c))
+      case TimestampType => unix_micros(col(c)).cast(StringType)
+      case DoubleType | org.apache.spark.sql.types.FloatType =>
+        (col(c) + lit(0.0d)).cast(StringType)
+      case _             => col(c).cast(StringType)
     }
     // Numeric view for min_v/max_v only; non-numeric columns get null stats
     // instead of the old behavior (double-cast everything) that silently

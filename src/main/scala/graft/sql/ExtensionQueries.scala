@@ -944,9 +944,13 @@ object ExtensionQueries {
          | near_dropped AS (SELECT j AS doc_id FROM inter
          |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
          |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
-         | exact_kept AS (SELECT doc_id FROM documents WHERE doc_id >= 250
-         |   AND md5(text) NOT IN (SELECT md5(text) FROM documents
-         |                         WHERE doc_id < 250))
+         | exact_kept AS (SELECT d.doc_id FROM documents d
+         |   WHERE d.doc_id >= 250
+         |   -- NOT EXISTS, not NOT IN: a NULL text in the reference would
+         |   -- make NOT IN three-valued-UNKNOWN for every row, diverging
+         |   -- from the engine's left-anti join semantics
+         |   AND NOT EXISTS (SELECT 1 FROM documents r WHERE r.doc_id < 250
+         |                   AND md5(r.text) = md5(d.text)))
          | SELECT doc_id FROM exact_kept
          | EXCEPT SELECT doc_id FROM near_dropped
          | ORDER BY doc_id""".stripMargin,

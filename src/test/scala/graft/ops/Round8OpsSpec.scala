@@ -42,6 +42,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(expectBig.nonEmpty && expectBig.size < 100)
   }
 
+  test("temperatureSample samples null-domain rows instead of dropping them") {
+    // 100 named + 4 nulls: null is its own domain, kept whole as smallest
+    val docs = ((0L until 100L).map(i => (i, Some("big"))) ++
+      (100L until 104L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "source")
+    val kept = SampleOps.temperatureSample(docs, "doc_id", "source")
+      .select("doc_id", "source").as[(Long, Option[String])].collect()
+    assert(kept.count(_._2.isEmpty) == 4, "null domain must be sampled, not dropped")
+    assert(kept.count(_._2.contains("big")) > 0)
+  }
+
+  test("profile counts -0.0 and 0.0 as one distinct (SQL semantics)") {
+    val df = Seq(0.0d, -0.0d, 1.5d).toDF("v")
+    val r = StatOps.profile(df, Seq("v")).head()
+    assert(r.getAs[Long]("n_distinct") == 2L)
+  }
+
+  test("lengthBuckets rejects negative lengths loudly") {
+    val df = Seq(("s", -1L)).toDF("source", "n_chars")
+    val e = intercept[Exception] {
+      StatOps.lengthBuckets(df, "source", "n_chars").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative")), s"unexpected: $e")
+  }
+
   test("incrementalDedup drops exact and near dups vs the reference only") {
     val ref = Seq(
       (0L, "a b c d e f"),
