@@ -119,6 +119,35 @@ object StatOps {
       .agg(agg.head, agg.tail: _*)
   }
 
+  /** Mergeable per-group distinct-count sketches (HLL, the DataSketches
+    * implementation behind Spark's `hll_sketch_agg`): each group gets a
+    * small binary sketch that UNIONS losslessly with other sketches of the
+    * same column — the incremental corpus-stats primitive ("sketch each
+    * day's shard at ingest, merge at read time") that exact distincts
+    * cannot provide without re-scanning history. Default lgConfigK = 12 ≈
+    * 1.6% relative standard error on a ~4 KB sketch.
+    *
+    * One map-side-combinable shuffle to build; [[mergeSketches]] is the
+    * same agg over stored sketches (rows = groups, not data); estimates
+    * are engine-specific → spec-gated against exact distincts, no SQL
+    * oracle (the declared x33 policy for sketch outputs).
+    */
+  def distinctSketch(df: DataFrame, keyCol: String, valCol: String,
+                     lgConfigK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(valCol), lit(lgConfigK)).as("sketch"))
+
+  /** Union stored sketches per key (cross-shard / cross-snapshot merge). */
+  def mergeSketches(sketches: DataFrame, keyCol: String,
+                    sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(col(keyCol))
+      .agg(hll_union_agg(col(sketchCol), lit(false)).as(sketchCol))
+
+  /** Read the distinct-count estimate off a sketch column. */
+  def sketchEstimate(df: DataFrame, sketchCol: String = "sketch",
+                     as: String = "n_distinct_est"): DataFrame =
+    df.withColumn(as, hll_sketch_estimate(col(sketchCol)))
+
   /** Power-of-two length histogram per key: bucket = number of binary
     * digits of the length (⌊log2⌋+1), with count/sum/min/max of the raw
     * length per (key, bucket) — the sequence-length profile a packing /

@@ -99,6 +99,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("outside")), s"unexpected: $e")
   }
 
+  test("distinct sketches merge across shards to the whole-corpus estimate") {
+    val rows = (0L until 3000L).map(i => (i % 3, s"v${i % 700}"))
+      .toDF("shard", "v")
+    // per-shard sketches (the at-ingest side) …
+    val perShard = StatOps.distinctSketch(rows, "shard", "v")
+    assert(perShard.count() == 3)
+    // … merged under ONE key = the read-time cross-shard union
+    val merged = StatOps.mergeSketches(
+      perShard.withColumn("all", lit(1)), "all")
+    val est = StatOps.sketchEstimate(merged)
+      .select("n_distinct_est").as[Long].head()
+    // must equal the single-pass whole-corpus sketch bit-for-bit
+    // (merge losslessness — the property exact distincts can't give you)
+    val whole = StatOps.sketchEstimate(
+        StatOps.distinctSketch(rows.withColumn("all", lit(1)), "all", "v"))
+      .select("n_distinct_est").as[Long].head()
+    assert(est == whole, s"merged $est != single-pass $whole")
+    // and land within the ~1.6% HLL error band of the exact 700
+    assert(math.abs(est - 700L) <= 35, s"estimate $est too far from 700")
+  }
+
   test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
     val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
       .map(n => ("s", n)).toDF("source", "n_chars")
