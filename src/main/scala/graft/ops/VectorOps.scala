@@ -36,6 +36,24 @@ object VectorOps {
     * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
     * doubles → fully deterministic.
     */
+  /** Recall of an ANN result set against exact ground truth, per query:
+    * n_hit = |approx ∩ exact|, recall_bp = floor(10000·n_hit/n_exact) —
+    * the index-quality gate every embedding pipeline runs after building
+    * an approximate path (LSH buckets, IVF cells), answering "what did
+    * the approximation lose" before it ships. One (query, neighbor)-keyed
+    * left join + one per-query agg; both inputs are top-k result sets
+    * (bounded k rows per query), so the join never touches raw vectors.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame,
+                qCol: String, nCol: String): DataFrame =
+    exact.select(col(qCol), col(nCol))
+      .join(approx.select(col(qCol), col(nCol)).withColumn("__hit", lit(1L)),
+        Seq(qCol, nCol), "left")
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     // norms precomputed per side: one dot per pair instead of three.

@@ -468,6 +468,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // x61 — ANN recall@5: BOTH approximate paths (LSH x26, IVF x35) graded
+    // against brute-force ground truth (x25), per query — the index-quality
+    // gate an embedding pipeline runs before trusting an approximate index.
+    // (On this fixture's near-random embeddings the single-table 8-bit LSH
+    // scores ~0 — which is the point of the gate; IVF nProbe=2 does better.)
+    "x61_ann_recall" -> { (s, dir) =>
+      val exact = queries("x25_ann_topk")(s, dir)
+      val lsh = VectorOps.annRecall(queries("x26_ann_lsh")(s, dir), exact,
+        "qid", "nid").withColumn("method", lit("lsh"))
+      val ivf = VectorOps.annRecall(queries("x35_ann_ivf")(s, dir), exact,
+        "qid", "nid").withColumn("method", lit("ivf"))
+      lsh.unionByName(ivf)
+        .select("method", "qid", "n_exact", "n_hit", "recall_bp")
+        .orderBy("method", "qid")
+    },
+
     // x51 — per-doc salient terms (TF-IDF ranking in exact integer
     // arithmetic): top-3 terms per document by tf·10000·N/df.
     "x51_term_salience" -> { (s, dir) =>
@@ -954,6 +970,62 @@ object ExtensionQueries {
          | SELECT doc_id FROM exact_kept
          | EXCEPT SELECT doc_id FROM near_dropped
          | ORDER BY doc_id""".stripMargin,
+
+    "x61_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+         | s_ex AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         | r_ex AS (SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_ex),
+         | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
+         | vb AS (SELECT vec_id, embedding, nrm,
+         |   list_reduce(list_transform(range(0,8), j ->
+         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
+         |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+         |       (x,y) -> x+y) > 0
+         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+         |  FROM v),
+         | s_ap AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM vb c JOIN vb q ON q.bucket = c.bucket AND q.vec_id < 20
+         |     AND q.vec_id <> c.vec_id),
+         | r_ap AS (SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_ap),
+         | ap AS (SELECT qid, nid FROM r_ap WHERE rk <= 5),
+         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
+         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+         |   FROM v CROSS JOIN cent),
+         | cranked AS (SELECT id, vec, nrm, cid,
+         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+         |   FROM ca),
+         | ic AS (SELECT id nid, vec nv, nrm nn, cid cell FROM cranked WHERE crk = 1),
+         | iq AS (SELECT id qid, vec qv, nrm qn, cid cell FROM cranked
+         |   WHERE crk <= 2 AND id < 20),
+         | s_ivf AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
+         |   FROM ic JOIN iq USING (cell) WHERE qid <> nid),
+         | r_ivf AS (SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_ivf),
+         | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
+         | g_lsh AS (SELECT 'lsh' AS method, ex.qid, count(*)::BIGINT AS n_exact,
+         |   sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |   floor(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
+         |   FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+         |   GROUP BY ex.qid),
+         | g_ivf AS (SELECT 'ivf' AS method, ex.qid, count(*)::BIGINT AS n_exact,
+         |   sum(CASE WHEN iv.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |   floor(sum(CASE WHEN iv.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
+         |   FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.nid = iv.nid
+         |   GROUP BY ex.qid)
+         | SELECT * FROM g_lsh UNION ALL SELECT * FROM g_ivf
+         | ORDER BY method, qid""".stripMargin,
 
     "x57_rare_tokens" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
