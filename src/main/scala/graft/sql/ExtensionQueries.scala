@@ -474,7 +474,10 @@ object ExtensionQueries {
     // (On this fixture's near-random embeddings the single-table 8-bit LSH
     // scores ~0 — which is the point of the gate; IVF nProbe=2 does better.)
     "x61_ann_recall" -> { (s, dir) =>
-      val exact = queries("x25_ann_topk")(s, dir)
+      // checkpoint the ground truth: both method grades join against it,
+      // and without materialization the O(queries×corpus) brute-force
+      // scoring pipeline would run once per branch
+      val exact = queries("x25_ann_topk")(s, dir).localCheckpoint()
       val lsh = VectorOps.annRecall(queries("x26_ann_lsh")(s, dir), exact,
         "qid", "nid").withColumn("method", lit("lsh"))
       val ivf = VectorOps.annRecall(queries("x35_ann_ivf")(s, dir), exact,
