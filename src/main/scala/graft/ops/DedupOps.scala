@@ -220,6 +220,50 @@ object DedupOps {
       .agg(count(lit(1)).as("bands"))
   }
 
+  /** Image near-dup pairs by perceptual hash: dHash every payload
+    * (`MultimodalOps.imageDHash` — real JDK decode), block on 4×16-bit
+    * hash bands, and keep candidate pairs within `maxHamming`. The
+    * multimodal face of the dedup family: survives re-encoding, resizing,
+    * and mild edits that defeat exact byte/content hashing.
+    *
+    * `maxHamming` ≤ 3 so the band blocking is EXHAUSTIVE by pigeonhole
+    * (≤3 differing bits cannot touch all 4 bands — some band matches
+    * exactly), i.e. no qualifying pair is missed. Plan shape: narrow
+    * decode, one shuffle keyed by (band, band-value), within-bucket pair
+    * enumeration (bucket-capped), then two bounded joins to attach hashes
+    * for the exact in-pair Hamming filter — never an all-pairs comparison.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3]: 4-band blocking is only exhaustive below 4")
+    // localCheckpoint: h feeds the band explode AND both hash-attach
+    // joins — without materialization the image DECODE would run three
+    // times; checkpointed rows are just (id, 8-byte hash)
+    val h = MultimodalOps.imageDHash(df, idCol, payloadCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash"))
+      .localCheckpoint()
+    val bands = h.select(col("id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bk"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("c"))
+      .select(col("id"), col("c.bk").as("bk"), col("c.bv").as("bv"))
+    val cand = bands.groupBy(col("bk"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("id"), lit(0L).as("n")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(docPairs(col("ds"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
+    cand
+      .join(h.select(col("id").as("i"), col("dhash").as("__ha")), Seq("i"))
+      .join(h.select(col("id").as("j"), col("dhash").as("__hb")), Seq("j"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
   /** 60-bit SimHash over whitespace tokens (term frequency = natural word
     * multiplicity): per bit, sum ±1 by the bit of each token's hash60; the
     * sign vector packs into one BIGINT. ONE shuffle: the 60 per-bit signed

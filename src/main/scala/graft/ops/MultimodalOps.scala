@@ -60,6 +60,64 @@ object MultimodalOps {
         img.getColorModel.getNumComponents, meanLuma(img))
     }
 
+    /** 64-bit perceptual difference hash (dHash): downscale to a 9×8
+      * grayscale grid by DETERMINISTIC area averaging (no
+      * platform-dependent Graphics2D filtering — results must be
+      * reproducible across JVMs/OSes for dedup), bit r·8+c set iff
+      * luma(r, c+1) > luma(r, c). Survives re-encoding, resizing, and
+      * mild edits; null for undecodable payloads (row kept — the decoder
+      * contract). Per-cell sampling is capped at 8×8 points so a
+      * 100-megapixel image costs the same as a thumbnail.
+      */
+    def dHash64(payload: Array[Byte]): java.lang.Long = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+            val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+            val sx = math.max(1, (x1 - x0) / 8)
+            val sy = math.max(1, (y1 - y0) / 8)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val rgb = img.getRGB(x, y)
+                s += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            grid(r)(c) = if (n == 0) 0.0 else s / n
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c + 1) > grid(r)(c)) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        java.lang.Long.valueOf(bits)
+      }
+    }
+
     /** Mean Rec.601 luma over a ≤64×64 sample grid (shared by the still
       * and animated-frame paths).
       */
@@ -247,6 +305,27 @@ object MultimodalOps {
           if (f == null) Seq[Any](null, null, null, null)
           else Seq[Any](f.width, f.height, f.nChannels, f.meanLuma)
         Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(enc)
+  }
+
+  /** Per-image 64-bit perceptual hash ([[JdkImageDecoder.dHash64]]) —
+    * REAL decode, narrow, shuffle-free; undecodable/null payloads yield a
+    * null `dhash` (row kept). The blocking key for image near-dup
+    * detection: see `DedupOps.imageNearDupPairs`.
+    */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("dhash", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.get(idIdx),
+          if (payload == null) null else JdkImageDecoder.dHash64(payload))
       }
     }(enc)
   }

@@ -19,6 +19,15 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  private def pngPixels(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private val media = Seq(
     (1L, Array.tabulate[Byte](2048)(_.toByte)),
     (2L, Array.tabulate[Byte](4096)(i => (i * 7).toByte)),
@@ -147,6 +156,44 @@ class MultimodalSpec extends SparkSpec {
     ios.close()
     writer.dispose()
     bos.toByteArray
+  }
+
+  test("imageDHash is scale-invariant; imageNearDupPairs finds near dups") {
+    // a 9×8 block pattern where each pixel IS one dHash cell: the gradient
+    // direction per cell pair is fully controlled
+    def lum(v: Int) = (v << 16) | (v << 8) | v
+    def base(x: Int, y: Int): Int = lum((x * 28) % 256)   // rises along x
+    val img9x8 = pngPixels(9, 8)(base)
+    // 2× upscale with every cell an exact 2×2 pixel block: area averaging
+    // reproduces the identical 9×8 grid → identical hash
+    val img18x16 = pngPixels(18, 16)((x, y) => base(x / 2, y / 2))
+    // one corner cell brightened: flips ≤2 horizontal comparisons
+    val tweaked = pngPixels(9, 8)((x, y) =>
+      if (x == 8 && y == 0) lum(0) else base(x, y))
+    // reversed gradient: every comparison flips → far away in Hamming
+    val reversed = pngPixels(9, 8)((x, y) => base(8 - x, y))
+    val imgs = Seq(
+      (1L, img9x8), (2L, img18x16), (3L, tweaked), (4L, reversed),
+      (5L, Array[Byte](9, 9)), (6L, null: Array[Byte])
+    ).toDF("media_id", "payload")
+
+    val hashes = MultimodalOps.imageDHash(imgs, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(1L).isDefined && hashes(1L) == hashes(2L),
+      "2x upscale must hash identically (deterministic area averaging)")
+    assert(hashes(5L).isEmpty && hashes(6L).isEmpty, "undecodable → null, row kept")
+    val d13 = java.lang.Long.bitCount(hashes(1L).get ^ hashes(3L).get)
+    assert(d13 >= 1 && d13 <= 2, s"tweak should flip 1-2 bits, got $d13")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(4L).get) > 3)
+
+    val pairs = DedupOps.imageNearDupPairs(imgs, "media_id", "payload",
+        maxHamming = 2)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact perceptual dup missed")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "near dup within hamming 2 missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "reversed gradient is not a near dup")
   }
 
   test("extractGifFrames really decodes animated-GIF frames via the JDK reader") {
