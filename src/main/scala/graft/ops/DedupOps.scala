@@ -243,11 +243,38 @@ object DedupOps {
     // times; checkpointed rows are just (id, 8-byte hash)
     val h = MultimodalOps.imageDHash(df, idCol, payloadCol)
       .filter(col("dhash").isNotNull)
-      .select(col(idCol).as("id"), col("dhash"))
+      .select(col(idCol).as("id"), col("dhash").as("h64"))
       .localCheckpoint()
-    val bands = h.select(col("id"), col("dhash"),
+    hash64NearDupPairs(h, maxHamming, maxBucket)
+  }
+
+  /** Audio near-dup pairs by energy-envelope hash
+    * (`MultimodalOps.audioEnergyHash` — real PCM decode for WAV/AIFF/AU):
+    * the audio face of [[imageNearDupPairs]], finding re-encoded /
+    * gain-scaled copies that defeat exact byte hashing. Same 4-band
+    * blocking, exhaustive for `maxHamming` ≤ 3.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3]: 4-band blocking is only exhaustive below 4")
+    val h = MultimodalOps.audioEnergyHash(df, idCol, payloadCol)
+      .filter(col("ehash").isNotNull)
+      .select(col(idCol).as("id"), col("ehash").as("h64"))
+      .localCheckpoint()
+    hash64NearDupPairs(h, maxHamming, maxBucket)
+  }
+
+  /** Shared 64-bit-hash near-dup tail: block `h` = (id, h64) on 4×16-bit
+    * bands, enumerate within-bucket candidates, exact Hamming filter via
+    * two bounded joins. Pigeonhole-exhaustive for hamming ≤ 3.
+    */
+  private def hash64NearDupPairs(h: DataFrame, maxHamming: Int,
+                                 maxBucket: Int): DataFrame = {
+    val bands = h.select(col("id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bk"),
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        shiftright(col("h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
         .as("c"))
       .select(col("id"), col("c.bk").as("bk"), col("c.bv").as("bv"))
     val cand = bands.groupBy(col("bk"), col("bv"))
@@ -256,8 +283,8 @@ object DedupOps {
       .select(explode(docPairs(col("ds"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
     cand
-      .join(h.select(col("id").as("i"), col("dhash").as("__ha")), Seq("i"))
-      .join(h.select(col("id").as("j"), col("dhash").as("__hb")), Seq("j"))
+      .join(h.select(col("id").as("i"), col("h64").as("__ha")), Seq("i"))
+      .join(h.select(col("id").as("j"), col("h64").as("__hb")), Seq("j"))
       .withColumn("hamming",
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)

@@ -330,6 +330,81 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** 64-bit audio energy-envelope hash over DECODED PCM samples (not
+    * header metadata): mean |amplitude| over 65 equal time windows, bit i
+    * set iff energy(i+1) > energy(i) — the audio analog of the image
+    * dHash. Gradient comparisons survive constant gain scaling and
+    * PCM-width re-encodes; time-normalized windows survive sample-rate
+    * changes that preserve the waveform. Null for undecodable payloads or
+    * non-PCM-convertible formats (row kept).
+    */
+  object AudioEnergyHash {
+    private val Windows = 65
+
+    def hash64(payload: Array[Byte]): java.lang.Long = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val src = raw.getFormat
+        // normalize to 16-bit signed PCM, source rate/channels — the JDK
+        // converts between PCM encodings without external codecs
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val in = AudioSystem.getAudioInputStream(target, raw)
+        val bytes = in.readAllBytes()
+        in.close()
+        val nSamples = bytes.length / 2
+        if (nSamples < Windows) return null
+        val energy = new Array[Double](Windows)
+        val counts = new Array[Int](Windows)
+        var i = 0
+        while (i < nSamples) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt // signed high byte
+          val s = (hi << 8) | lo
+          val w = (i.toLong * Windows / nSamples).toInt
+          energy(w) += math.abs(s)
+          counts(w) += 1
+          i += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < Windows - 1) {
+          val e0 = if (counts(b) == 0) 0.0 else energy(b) / counts(b)
+          val e1 = if (counts(b + 1) == 0) 0.0 else energy(b + 1) / counts(b + 1)
+          if (e1 > e0) bits |= 1L << b
+          b += 1
+        }
+        java.lang.Long.valueOf(bits)
+      } catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException |
+             _: IllegalArgumentException => null
+      }
+    }
+  }
+
+  /** Per-payload audio energy hash ([[AudioEnergyHash.hash64]]) — REAL
+    * PCM decode, narrow, shuffle-free; undecodable/null payloads yield a
+    * null `ehash` (row kept). Blocking key for audio near-dup detection:
+    * see `DedupOps.audioNearDupPairs`.
+    */
+  def audioEnergyHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("ehash", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.get(idIdx),
+          if (payload == null) null else AudioEnergyHash.hash64(payload))
+      }
+    }(enc)
+  }
+
   /** Audio resample metadata over the payload column — REAL header decode
     * via `javax.sound.sampled` (WAV/AIFF/AU with the bare JDK): narrow,
     * shuffle-free. Null or undecodable payloads yield a null frame_count

@@ -196,6 +196,61 @@ class MultimodalSpec extends SparkSpec {
       "reversed gradient is not a near dup")
   }
 
+  private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioEnergyHash is gain/rate-invariant; audioNearDupPairs pairs dups") {
+    val n = 6500
+    // rising envelope, even amplitudes so halving is exact
+    val ramp = Array.tabulate[Short](n)(i => (2 * (i * 14000L / n)).toShort)
+    val half = ramp.map(s => (s / 2).toShort)
+    val double = Array.tabulate[Short](2 * n)(i => ramp(i / 2)) // 2× rate
+    val dipped = ramp.clone()
+    // zero one interior window (windows are n/65 samples) → ≤2 bit flips
+    val w = n / 65
+    for (i <- 30 * w until 31 * w) dipped(i) = 0
+    val reversed = ramp.reverse
+    val rows = Seq(
+      (1L, wavBytes(ramp, 16000f)),
+      (2L, wavBytes(half, 16000f)),
+      (3L, wavBytes(double, 32000f)),
+      (4L, wavBytes(dipped, 16000f)),
+      (5L, wavBytes(reversed, 16000f)),
+      (6L, Array[Byte](1, 2, 3)),
+      (7L, null: Array[Byte])
+    ).toDF("media_id", "payload")
+    val hashes = MultimodalOps.audioEnergyHash(rows, "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(1L).isDefined)
+    assert(hashes(1L) == hashes(2L), "half gain must hash identically")
+    assert(hashes(1L) == hashes(3L), "2x sample rate (same waveform) must hash identically")
+    assert(hashes(6L).isEmpty && hashes(7L).isEmpty, "undecodable → null, row kept")
+    val dDip = java.lang.Long.bitCount(hashes(1L).get ^ hashes(4L).get)
+    assert(dDip >= 1 && dDip <= 2, s"one-window dip should flip 1-2 bits, got $dDip")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(5L).get) > 3)
+
+    val pairs = DedupOps.audioNearDupPairs(rows, "media_id", "payload",
+        maxHamming = 2)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    for (p <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+      assert(pairs.contains(p), s"expected near-dup pair $p")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "reversed envelope is not a near dup")
+  }
+
   test("extractGifFrames really decodes animated-GIF frames via the JDK reader") {
     // 4 frames at distinct gray levels: black, dark, light, white
     val gif = animatedGif(12, 7, Seq(0, 64, 192, 255))
