@@ -230,21 +230,18 @@ object DedupOps {
     * (≤3 differing bits cannot touch all 4 bands — some band matches
     * exactly), i.e. no qualifying pair is missed. Plan shape: narrow
     * decode, one shuffle keyed by (band, band-value), within-bucket pair
-    * enumeration (bucket-capped), then two bounded joins to attach hashes
-    * for the exact in-pair Hamming filter — never an all-pairs comparison.
+    * enumeration with the in-bucket Hamming filter (bucket-capped), and
+    * one pair-dedup groupBy — never an all-pairs comparison
+    * ([[hash64NearDupPairs]]).
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                         maxHamming: Int,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3]: 4-band blocking is only exhaustive below 4")
-    // localCheckpoint: h feeds the band explode AND both hash-attach
-    // joins — without materialization the image DECODE would run three
-    // times; checkpointed rows are just (id, 8-byte hash)
     val h = MultimodalOps.imageDHash(df, idCol, payloadCol)
       .filter(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("h64"))
-      .localCheckpoint()
     hash64NearDupPairs(h, maxHamming, maxBucket)
   }
 
@@ -262,33 +259,36 @@ object DedupOps {
     val h = MultimodalOps.audioEnergyHash(df, idCol, payloadCol)
       .filter(col("ehash").isNotNull)
       .select(col(idCol).as("id"), col("ehash").as("h64"))
-      .localCheckpoint()
     hash64NearDupPairs(h, maxHamming, maxBucket)
   }
 
   /** Shared 64-bit-hash near-dup tail: block `h` = (id, h64) on 4×16-bit
-    * bands, enumerate within-bucket candidates, exact Hamming filter via
-    * two bounded joins. Pigeonhole-exhaustive for hamming ≤ 3.
+    * bands, enumerate within-bucket candidates, exact in-bucket Hamming
+    * filter. Pigeonhole-exhaustive for hamming ≤ 3.
+    *
+    * TWO shuffles total: the hash rides through DocPairs' an/bn slots
+    * (minRatioBp=0 disables the length-ratio pruning those slots normally
+    * feed), so hamming computes inside the bucket and the pair dedup —
+    * the same pair can surface from several bands — is one (i,j) groupBy,
+    * with no distinct() pass and no hash-attach joins back to `h`. The
+    * decode pipeline is consumed exactly once.
     */
   private def hash64NearDupPairs(h: DataFrame, maxHamming: Int,
                                  maxBucket: Int): DataFrame = {
-    val bands = h.select(col("id"),
+    val bands = h.select(col("id"), col("h64"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bk"),
         shiftright(col("h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
         .as("c"))
-      .select(col("id"), col("c.bk").as("bk"), col("c.bv").as("bv"))
-    val cand = bands.groupBy(col("bk"), col("bv"))
-      .agg(sort_array(collect_list(struct(col("id"), lit(0L).as("n")))).as("ds"))
+      .select(col("id"), col("h64"), col("c.bk").as("bk"), col("c.bv").as("bv"))
+    bands.groupBy(col("bk"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("id"), col("h64").as("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(docPairs(col("ds"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
-    cand
-      .join(h.select(col("id").as("i"), col("h64").as("__ha")), Seq("i"))
-      .join(h.select(col("id").as("j"), col("h64").as("__hb")), Seq("j"))
       .withColumn("hamming",
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast(LongType))
+        bit_count(col("p.an").bitwiseXOR(col("p.bn"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
-      .select(col("i"), col("j"), col("hamming"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** 60-bit SimHash over whitespace tokens (term frequency = natural word

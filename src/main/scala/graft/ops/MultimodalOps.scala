@@ -52,9 +52,11 @@ object MultimodalOps {
       * a quality signal, not a pixel-exact statistic.
       */
     def imageFeatures(payload: Array[Byte]): ImageFeatures = {
+      // NonFatal (see dHash64): ImageIO throws RuntimeExceptions on
+      // malformed payloads, not only IOException
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) null
       else ImageFeatures(img.getWidth, img.getHeight,
         img.getColorModel.getNumComponents, meanLuma(img))
@@ -70,9 +72,12 @@ object MultimodalOps {
       * 100-megapixel image costs the same as a thumbnail.
       */
     def dHash64(payload: Array[Byte]): java.lang.Long = {
+      // NonFatal, not just IOException: the JDK readers throw
+      // ArrayIndexOutOfBounds/IllegalArgument on garbled LZW/headers, and
+      // one bad crawl payload must not abort a corpus-scale job
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) null
       else {
         val w = img.getWidth
@@ -84,8 +89,10 @@ object MultimodalOps {
           while (c < 9) {
             val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
             val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
-            val sx = math.max(1, (x1 - x0) / 8)
-            val sy = math.max(1, (y1 - y0) / 8)
+            // ceil-division step: at most 8 sample points per axis per
+            // cell (floor division would allow up to 15)
+            val sx = math.max(1, (x1 - x0 + 7) / 8)
+            val sy = math.max(1, (y1 - y0 + 7) / 8)
             var s = 0.0; var n = 0
             var y = y0
             while (y < y1 && y < h) {

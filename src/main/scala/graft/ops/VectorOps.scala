@@ -29,13 +29,6 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact brute-force top-k: for each query vector, the k nearest corpus
-    * vectors by cosine. The corpus side of the join is the big side; the
-    * query side should be small — Spark broadcasts it, so the "scan corpus ×
-    * broadcast queries" plan reads the 100 TB side exactly once with no
-    * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
-    * doubles → fully deterministic.
-    */
   /** Recall of an ANN result set against exact ground truth, per query:
     * n_hit = |approx ∩ exact|, recall_bp = floor(10000·n_hit/n_exact) —
     * the index-quality gate every embedding pipeline runs after building
@@ -43,17 +36,28 @@ object VectorOps {
     * the approximation lose" before it ships. One (query, neighbor)-keyed
     * left join + one per-query agg; both inputs are top-k result sets
     * (bounded k rows per query), so the join never touches raw vectors.
+    * Both sides are SET-deduplicated first: a multi-probe result that
+    * reports the same neighbor twice (e.g. a multi-table LSH collision)
+    * must not join-multiply the counts and inflate recall.
     */
   def annRecall(approx: DataFrame, exact: DataFrame,
                 qCol: String, nCol: String): DataFrame =
-    exact.select(col(qCol), col(nCol))
-      .join(approx.select(col(qCol), col(nCol)).withColumn("__hit", lit(1L)),
+    exact.select(col(qCol), col(nCol)).distinct()
+      .join(approx.select(col(qCol), col(nCol)).distinct()
+          .withColumn("__hit", lit(1L)),
         Seq(qCol, nCol), "left")
       .groupBy(col(qCol))
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
 
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. The corpus side of the join is the big side; the
+    * query side should be small — Spark broadcasts it, so the "scan corpus ×
+    * broadcast queries" plan reads the 100 TB side exactly once with no
+    * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
+    * doubles → fully deterministic.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     // norms precomputed per side: one dot per pair instead of three.

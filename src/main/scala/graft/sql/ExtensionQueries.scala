@@ -566,6 +566,56 @@ object ExtensionQueries {
       |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
       |        FROM w)""".stripMargin
 
+  // Shared ANN CTE fragments — x25/x26/x35 and the x61 recall grader
+  // compose the SAME SQL bodies, so a semantics change edits ONE string
+  // (a hand-mirrored copy would drift silently until the differential
+  // gate flagged x61 as if it were a new-query bug).
+  private lazy val annV =
+    s"v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings)"
+  /** Brute-force scored pairs + rank for queries vec_id < 20 → CTE r_ex. */
+  private lazy val annBrute =
+    s"""s_ex AS (SELECT q.vec_id qid, c.vec_id nid,
+       |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+       |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       | r_ex AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_ex)""".stripMargin
+  /** 8-hyperplane sign bucket per vector → CTE vb; bucketed scored pairs
+    * + rank → CTE r_ap. */
+  private lazy val annLsh =
+    s"""vb AS (SELECT vec_id, embedding, nrm,
+       |   list_reduce(list_transform(range(0,8), j ->
+       |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
+       |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+       |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+       |       (x,y) -> x+y) > 0
+       |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+       |  FROM v),
+       | s_ap AS (SELECT q.vec_id qid, c.vec_id nid,
+       |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+       |   FROM vb c JOIN vb q ON q.bucket = c.bucket AND q.vec_id < 20
+       |     AND q.vec_id <> c.vec_id),
+       | r_ap AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_ap)""".stripMargin
+  /** IVF with seed centroids vec_id < 8, nProbe = 2 → CTE r_ivf. */
+  private lazy val annIvf =
+    s"""cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+       | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
+       |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+       |   FROM v CROSS JOIN cent),
+       | cranked AS (SELECT id, vec, nrm, cid,
+       |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+       |   FROM ca),
+       | ic AS (SELECT id nid, vec nv, nrm nn, cid cell FROM cranked WHERE crk = 1),
+       | iq AS (SELECT id qid, vec qv, nrm qn, cid cell FROM cranked
+       |   WHERE crk <= 2 AND id < 20),
+       | s_ivf AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
+       |   FROM ic JOIN iq USING (cell) WHERE qid <> nid),
+       | r_ivf AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_ivf)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x16_text_tokens" ->
       """SELECT doc_id,
@@ -651,51 +701,22 @@ object ExtensionQueries {
          | FROM p WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
 
     "x25_ann_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
-         | s AS (SELECT q.vec_id qid, c.vec_id nid,
-         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
-         |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         | r AS (SELECT qid, nid, cos,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+      s"""WITH $annV,
+         | $annBrute
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
-         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+         | FROM r_ex WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x26_ann_lsh" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm,
-         |   list_reduce(list_transform(range(0,8), j ->
-         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
-         |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
-         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
-         |       (x,y) -> x+y) > 0
-         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
-         |  FROM embeddings),
-         | s AS (SELECT q.vec_id qid, c.vec_id nid,
-         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
-         |   FROM v c JOIN v q ON q.bucket = c.bucket AND q.vec_id < 20
-         |     AND q.vec_id <> c.vec_id),
-         | r AS (SELECT qid, nid, cos,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+      s"""WITH $annV,
+         | $annLsh
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
-         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+         | FROM r_ap WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x35_ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
-         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
-         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
-         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
-         |   FROM v CROSS JOIN cent),
-         | ranked AS (SELECT id, vec, nrm, cid,
-         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
-         |   FROM ca),
-         | c AS (SELECT id nid, vec nv, nrm nn, cid cell FROM ranked WHERE crk = 1),
-         | q AS (SELECT id qid, vec qv, nrm qn, cid cell FROM ranked
-         |   WHERE crk <= 2 AND id < 20),
-         | s AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
-         |   FROM c JOIN q USING (cell) WHERE qid <> nid),
-         | r AS (SELECT qid, nid, cos,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM s)
+      s"""WITH $annV,
+         | $annIvf
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
-         | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+         | FROM r_ivf WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x39_resample_fill" ->
       """WITH e AS (SELECT user_id, floor(epoch_us(ts) / 3600000000)::BIGINT b,
@@ -975,45 +996,12 @@ object ExtensionQueries {
          | ORDER BY doc_id""".stripMargin,
 
     "x61_ann_recall" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
-         | s_ex AS (SELECT q.vec_id qid, c.vec_id nid,
-         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
-         |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         | r_ex AS (SELECT qid, nid,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-         |   FROM s_ex),
+      s"""WITH $annV,
+         | $annBrute,
          | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
-         | vb AS (SELECT vec_id, embedding, nrm,
-         |   list_reduce(list_transform(range(0,8), j ->
-         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
-         |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
-         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
-         |       (x,y) -> x+y) > 0
-         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
-         |  FROM v),
-         | s_ap AS (SELECT q.vec_id qid, c.vec_id nid,
-         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
-         |   FROM vb c JOIN vb q ON q.bucket = c.bucket AND q.vec_id < 20
-         |     AND q.vec_id <> c.vec_id),
-         | r_ap AS (SELECT qid, nid,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-         |   FROM s_ap),
+         | $annLsh,
          | ap AS (SELECT qid, nid FROM r_ap WHERE rk <= 5),
-         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
-         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
-         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
-         |   FROM v CROSS JOIN cent),
-         | cranked AS (SELECT id, vec, nrm, cid,
-         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
-         |   FROM ca),
-         | ic AS (SELECT id nid, vec nv, nrm nn, cid cell FROM cranked WHERE crk = 1),
-         | iq AS (SELECT id qid, vec qv, nrm qn, cid cell FROM cranked
-         |   WHERE crk <= 2 AND id < 20),
-         | s_ivf AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
-         |   FROM ic JOIN iq USING (cell) WHERE qid <> nid),
-         | r_ivf AS (SELECT qid, nid,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-         |   FROM s_ivf),
+         | $annIvf,
          | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
          | g_lsh AS (SELECT 'lsh' AS method, ex.qid, count(*)::BIGINT AS n_exact,
          |   sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
