@@ -91,11 +91,21 @@ object VectorOps {
     * w ∈ {±1} from `signComponent`. For unit-ish vectors, P(bit match) =
     * 1 − θ/π (SimHash/Charikar). The signed sums are left folds → exact.
     */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
+    lshBucketAt(vecCol, dim, numPlanes, planeOffset = 0)
+
+  /** Bucket from hyperplanes `planeOffset until planeOffset+numPlanes` —
+    * distinct offsets give the INDEPENDENT hash tables of multi-table LSH
+    * (bit position stays local to the table; only the hyperplane seed is
+    * global).
+    */
+  def lshBucketAt(vecCol: Column, dim: Int, numPlanes: Int,
+                  planeOffset: Int): Column = {
     val planeBits = (0 until numPlanes).map { j =>
       // ±1 in float is exact, so x·(±1f) ≡ ±x — bit-identical to the
       // oracle's CASE-negation form; dot() keeps the loop codegen'd.
-      val signs = array((0 until dim).map(i => lit(signComponent(j, i).toFloat)): _*)
+      val signs = array((0 until dim).map(i =>
+        lit(signComponent(planeOffset + j, i).toFloat)): _*)
       val proj = dot(vecCol, signs)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -263,6 +273,47 @@ object VectorOps {
       .orderBy(col("cos").desc, col("nid"))
     c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"),
+        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+  }
+
+  /** Multi-table LSH ANN: `numTables` independent hash tables (disjoint
+    * hyperplane seed ranges), candidates = the UNION of same-bucket
+    * matches across tables, deduplicated before the exact-cosine top-k.
+    * Recall compounds as 1−(1−r)^T, which is the remedy the x61 recall
+    * gate prescribes when a single table scores low — at the cost of T
+    * bucket assignments per vector (the classic LSH memory/recall trade;
+    * at scale each table is its own bucketed copy of the corpus index).
+    *
+    * Plan shape: explode to (table, bucket) keys — T rows per vector —
+    * one (table, bucket)-keyed join, a (qid, nid) dedup agg, then the
+    * per-query top-k window over candidates only.
+    */
+  def lshTopKMultiTable(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dim: Int,
+                        numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    require(numTables >= 1, "need at least one hash table")
+    def tabled(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          norm(col(vecCol)).as(n),
+          explode(array((0 until numTables).map(tl =>
+            struct(lit(tl).as("tbl"),
+              lshBucketAt(col(vecCol), dim, numPlanes, tl * numPlanes)
+                .as("bucket"))): _*)).as("tb"))
+        .select(col(id), col(v), col(n),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = tabled(queries, "qid", "qv", "qn")
+    val c = tabled(corpus, "nid", "nv", "nn")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      // a pair colliding in several tables surfaces once — first(cos) is
+      // safe because cos is a function of the pair, not the table
+      .groupBy(col("qid"), col("nid")).agg(first(col("cos")).as("cos"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk"),

@@ -468,6 +468,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // x62 — multi-table LSH ANN (4 independent tables): the recall remedy
+    // the x61 gate prescribes for the single-table path, recall 1-(1-r)^4.
+    "x62_ann_lsh_multi" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      VectorOps.lshTopKMultiTable(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5, dim = 64, numPlanes = 8, numTables = 4)
+        .orderBy("qid", "nid")
+    },
+
     // x61 — ANN recall@5: BOTH approximate paths (LSH x26, IVF x35) graded
     // against brute-force ground truth (x25), per query — the index-quality
     // gate an embedding pipeline runs before trusting an approximate index.
@@ -994,6 +1003,26 @@ object ExtensionQueries {
          | SELECT doc_id FROM exact_kept
          | EXCEPT SELECT doc_id FROM near_dropped
          | ORDER BY doc_id""".stripMargin,
+
+    "x62_ann_lsh_multi" ->
+      s"""WITH $annV,
+         | vbm AS (SELECT vec_id, embedding, nrm, t,
+         |   list_reduce(list_transform(range(0,8), j ->
+         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
+         |         CASE WHEN (('0x' || substr(md5((t*8+j) || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+         |       (x,y) -> x+y) > 0
+         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+         |  FROM v CROSS JOIN range(0,4) r(t)),
+         | s_mt AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM vbm c JOIN vbm q ON q.t = c.t AND q.bucket = c.bucket
+         |     AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         | r_mt AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_mt)
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r_mt WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x61_ann_recall" ->
       s"""WITH $annV,

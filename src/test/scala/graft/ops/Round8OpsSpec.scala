@@ -120,6 +120,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(est - 700L) <= 35, s"estimate $est too far from 700")
   }
 
+  test("multi-table LSH recall dominates single-table on the same planes") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 10)
+    val exact = VectorOps.bruteForceTopK(qs, vecs, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      VectorOps.annRecall(approx, exact, "qid", "nid")
+        .agg(avg(col("recall_bp"))).head().getDouble(0)
+    val single = meanRecall(VectorOps.lshTopK(qs, vecs, "vec_id",
+      "embedding", 5, dim = 16, numPlanes = 6))
+    val multi = meanRecall(VectorOps.lshTopKMultiTable(qs, vecs, "vec_id",
+      "embedding", 5, dim = 16, numPlanes = 6, numTables = 4))
+    // table 0 of the multi-table index IS the single-table index, so its
+    // candidate set is a superset → recall can only improve
+    assert(multi > single,
+      s"4-table recall $multi must beat single-table $single")
+    assert(multi > 0.0)
+  }
+
   test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
     val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
       .map(n => ("s", n)).toDF("source", "n_chars")
