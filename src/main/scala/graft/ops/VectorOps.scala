@@ -65,10 +65,20 @@ object VectorOps {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       norm(col(vecCol)).as("nn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared ANN output tail: per-query top-k over scored (qid, nid, cos)
+    * candidates — rank ties break on neighbor id over bit-exact doubles
+    * (fully deterministic), cosine reported in floor basis points. ONE
+    * definition of the output contract for every ANN variant.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    scored
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk"),
@@ -164,13 +174,10 @@ object VectorOps {
       norm(col(vecCol)).as("nn")), "nid", "nv", "nn", 1)
     val q = withCell(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")), "qid", "qv", "qn", nProbe)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), Seq("cell")).filter(col("qid") =!= col("nid"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("rk"),
-        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+    rankTopK(scored, k)
   }
 
   /** Lloyd's k-means refinement for IVF centroids — the "separate k-means
@@ -269,14 +276,10 @@ object VectorOps {
       norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       norm(col(vecCol)).as("nn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("nid"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("rk"),
-        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+    rankTopK(scored, k)
   }
 
   /** Multi-table LSH ANN: `numTables` independent hash tables (disjoint
@@ -306,17 +309,12 @@ object VectorOps {
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = tabled(queries, "qid", "qv", "qn")
     val c = tabled(corpus, "nid", "nv", "nn")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), Seq("tbl", "bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       // a pair colliding in several tables surfaces once — first(cos) is
       // safe because cos is a function of the pair, not the table
       .groupBy(col("qid"), col("nid")).agg(first(col("cos")).as("cos"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("rk"),
-        floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
+    rankTopK(scored, k)
   }
 }

@@ -589,16 +589,23 @@ object ExtensionQueries {
        | r_ex AS (SELECT qid, nid, cos,
        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
        |   FROM s_ex)""".stripMargin
+  /** 8-hyperplane sign-bucket expression; `planeIdx` is the GLOBAL
+    * hyperplane seed index as a SQL expression over the local plane `j`
+    * ("j" for single-table, "(t*8+j)" for table t of a multi-table
+    * index) — one string for every bucket-computing oracle.
+    */
+  private def lshBucketSql(planeIdx: String): String =
+    s"""list_reduce(list_transform(range(0,8), j ->
+       |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
+       |         CASE WHEN (('0x' || substr(md5($planeIdx || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+       |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+       |       (x,y) -> x+y) > 0
+       |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y)""".stripMargin
   /** 8-hyperplane sign bucket per vector → CTE vb; bucketed scored pairs
     * + rank → CTE r_ap. */
   private lazy val annLsh =
     s"""vb AS (SELECT vec_id, embedding, nrm,
-       |   list_reduce(list_transform(range(0,8), j ->
-       |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
-       |         CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
-       |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
-       |       (x,y) -> x+y) > 0
-       |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+       |   ${lshBucketSql("j")} bucket
        |  FROM v),
        | s_ap AS (SELECT q.vec_id qid, c.vec_id nid,
        |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
@@ -1007,12 +1014,7 @@ object ExtensionQueries {
     "x62_ann_lsh_multi" ->
       s"""WITH $annV,
          | vbm AS (SELECT vec_id, embedding, nrm, t,
-         |   list_reduce(list_transform(range(0,8), j ->
-         |     CASE WHEN list_reduce(list_transform(range(1,65), i ->
-         |         CASE WHEN (('0x' || substr(md5((t*8+j) || '_' || (i-1)),1,15))::BIGINT & 1) = 1
-         |              THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
-         |       (x,y) -> x+y) > 0
-         |     THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END), (x,y) -> x+y) bucket
+         |   ${lshBucketSql("(t*8+j)")} bucket
          |  FROM v CROSS JOIN range(0,4) r(t)),
          | s_mt AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid,
          |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos

@@ -136,9 +136,11 @@ class Round8OpsSpec extends SparkSpec {
     val multi = meanRecall(VectorOps.lshTopKMultiTable(qs, vecs, "vec_id",
       "embedding", 5, dim = 16, numPlanes = 6, numTables = 4))
     // table 0 of the multi-table index IS the single-table index, so its
-    // candidate set is a superset → recall can only improve
-    assert(multi > single,
-      s"4-table recall $multi must beat single-table $single")
+    // candidate set is a superset → the invariant is >= (on THIS fixture
+    // the extra tables do find new true neighbors, but asserting strict >
+    // would couple the test to fixture constants, not the contract)
+    assert(multi >= single,
+      s"4-table recall_bp $multi must not lose to single-table $single")
     assert(multi > 0.0)
   }
 
