@@ -27,28 +27,8 @@ object JoinOps {
     * right row precedes the left row).
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
-                       tsCol: String, payloadCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val restCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
-    val payload = struct(payloadCols.map(col): _*)
-    val r = right.select(
-      (col(keyCol) +: col(tsCol) +:
-        payload.as("__r") +: lit(0).as("__side") +:
-        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val l = left.select(
-      (col(keyCol) +: col(tsCol) +:
-        lit(null).cast(r.schema("__r").dataType).as("__r") +:
-        lit(1).as("__side") +:
-        restCols.map(col)): _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payloadCols.map(p => col(s"__match.$p").as(p)): _*)
-  }
+                       tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, keyCol, tsCol, payloadCols, forward = false)
 
   /** Forward as-of join: for every left row, the single EARLIEST right row
     * with `right.tsCol >= left.tsCol` (inclusive), per join key — the
@@ -59,27 +39,57 @@ object JoinOps {
     * per (key, ts); dedupe upstream.
     */
   def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
-                      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+                      tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, keyCol, tsCol, payloadCols, forward = true)
+
+  /** Both as-of directions, ONE implementation (the two used to be
+    * hand-mirrored copies and their null handling drifted apart).
+    *
+    * Null semantics match the SQL predicate `right.ts <=/>= left.ts`,
+    * which is never true when either ts is null: null-ts RIGHT rows are
+    * dropped up front (Spark's NULLS FIRST ordering would otherwise seed
+    * the backward running-last as an "earlier than everything" match),
+    * and null-ts LEFT rows keep a null payload in both directions.
+    * Payload names must not collide with left columns — checked here so
+    * the failure is immediate, not an AMBIGUOUS_REFERENCE downstream.
+    *
+    * Within a direction, left rows order such that an exactly-coincident
+    * right row is visible to the left row's frame (inclusive semantics).
+    */
+  private def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, payloadCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collide = payloadCols.filter(leftCols.contains)
+    require(collide.isEmpty,
+      s"payload column(s) ${collide.mkString(", ")} collide with left " +
+        "columns; rename before joining")
     val restCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
     val payload = struct(payloadCols.map(col): _*)
-    val r = right.select(
+    val rightSide = if (forward) 1 else 0
+    val leftSide = 1 - rightSide
+    val r = right.filter(col(tsCol).isNotNull).select(
       (col(keyCol) +: col(tsCol) +:
-        payload.as("__r") +: lit(1).as("__side") +:
+        payload.as("__r") +: lit(rightSide).as("__side") +:
         restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(keyCol) +: col(tsCol) +:
         lit(null).cast(r.schema("__r").dataType).as("__r") +:
-        lit(0).as("__side") +:
+        lit(leftSide).as("__side") +:
         restCols.map(col)): _*)
-    // left rows sort BEFORE right rows at equal ts (side 0 < 1) so an
-    // exactly-coincident right row is visible to the left row's frame
-    val w = Window.partitionBy(col(keyCol))
+    val base = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick =
+      if (forward)
+        first(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     r.unionByName(l)
-      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+      .withColumn("__match",
+        when(col(tsCol).isNull, lit(null)).otherwise(pick))
+      .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
   }

@@ -48,16 +48,19 @@ object TextOps {
     * (letter runs | digit runs | single other non-space chars).
     */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // backtick-quoted: a column name with a space/keyword must not break
+    // (or be interpreted as SQL) inside the expr() strings
     docs.withColumn("ws_tokens", size(split(col(textCol), " ")).cast(LongType))
       .withColumn("alpha_tokens",
-        expr(s"size(regexp_extract_all($textCol, '[a-z]+', 0))").cast(LongType))
+        expr(s"size(regexp_extract_all(`$textCol`, '[a-z]+', 0))").cast(LongType))
       .withColumn("bpe_tokens",
-        expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        expr(s"size(regexp_extract_all(`$textCol`, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
           .cast(LongType))
 
-  /** Quality-scoring signals (basis points): average word length ×100,
-    * stopword ratio, alpha-char ratio — the length/punct/stopword heuristics
-    * of C4/Gopher-style corpus filters, shuffle-free.
+  /** Quality-scoring signals, all in BASIS POINTS (floor(ratio·10000)):
+    * average word length, stopword ratio, alpha-char ratio — the
+    * length/punct/stopword heuristics of C4/Gopher-style corpus filters,
+    * shuffle-free.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text",
                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
@@ -111,8 +114,12 @@ object TextOps {
     */
   def compressionRatio(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("deflate_bp",
-      bp(bridge(graft.functions.DeflateLen(expr0(col(textCol)))),
-        length(col(textCol)).cast(LongType)))
+      // empty text has no ratio: bp would divide by zero (floor(+Inf) =
+      // Long.MaxValue — a sentinel that wrecks any threshold/aggregate
+      // downstream); null says "no signal" honestly
+      when(length(col(textCol)) === 0, lit(null))
+        .otherwise(bp(bridge(graft.functions.DeflateLen(expr0(col(textCol)))),
+          length(col(textCol)).cast(LongType))))
 
   /** Rare-token ratio per document: the share (basis points) of token
     * OCCURRENCES whose corpus DOCUMENT frequency is below `minDf` — the
@@ -243,10 +250,17 @@ object TextOps {
     require(chunkSize > overlap && overlap >= 0,
       "need chunkSize > overlap >= 0")
     val step = chunkSize - overlap
+    // Last chunk index K = max(0, ceil((n − chunkSize)/step)): the
+    // smallest K whose chunk reaches the end of the doc. The old
+    // floor((n−1)/step) bound emitted one more chunk whenever the
+    // previous chunk already covered the whole doc — a PURE-OVERLAP
+    // duplicate (e.g. n=17, 20/4 windows: chunk 1 = tokens 17..17 ⊂
+    // chunk 0) that injected systematically duplicated training samples.
     docs.select(col(idCol), split(col(textCol), " ").as("__w"))
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
-          floor((size(col("__w")) - 1) / step).cast(IntegerType))))
+          greatest(lit(0), floor((size(col("__w")) - chunkSize + step - 1)
+            / lit(step).cast(DoubleType))).cast(IntegerType))))
       .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
         array_join(slice(col("__w"), col("chunk_idx") * step + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
@@ -287,12 +301,20 @@ object TextOps {
     * trained profile table instead (same plan shape: no shuffle, the profile
     * is a plan-time literal).
     */
+  /** Char-TRIGRAM profiles only: every entry must be exactly 3 chars or
+    * it can never match a 3-char shingle. (An earlier zh profile of
+    * SINGLE CJK characters was structurally dead — zh could score only
+    * via the all-zero tie-break; CJK language-ID needs a per-character
+    * scheme, not trigrams, so it is out of scope for this op and
+    * documents with no profile hits are labeled "und".)
+    */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ón ", " qu"),
     "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "nt ", "ent", " et", "et "),
-    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "ch ", "sch", "und"),
-    "zh" -> Seq("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"))
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "ch ", "sch", "und"))
+  require(langProfiles.values.forall(_.forall(_.length == 3)),
+    "language profiles must be char trigrams")
 
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tri = charShingles(col(textCol), 3)
@@ -306,10 +328,14 @@ object TextOps {
         lit(lang).as("lang"))
     }
     // argmax by (hits, lang) — array_max over structs compares field-wise,
-    // so ties break deterministically on the lexicographically-largest lang.
+    // so ties break deterministically on the lexicographically-largest
+    // lang. Zero hits everywhere = NO evidence → "und" (undetermined),
+    // never a fabricated winner.
     docs.withColumn("__scores", array(scored: _*))
-      .withColumn("pred_lang", array_max(col("__scores")).getField("lang"))
       .withColumn("pred_hits", array_max(col("__scores")).getField("hits"))
+      .withColumn("pred_lang",
+        when(col("pred_hits") === 0L, lit("und"))
+          .otherwise(array_max(col("__scores")).getField("lang")))
       .drop("__scores")
   }
 }

@@ -659,7 +659,9 @@ object ExtensionQueries {
          |   range(1, greatest(len(text)-2,0)+1), i -> substr(text,i::INT,3))) tri
          |  FROM documents),
          | s AS (SELECT doc_id, list_max([$profs]) m FROM t)
-         | SELECT doc_id, m.lang AS pred_lang, m.hits AS pred_hits
+         | SELECT doc_id,
+         |   CASE WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
+         |   m.hits AS pred_hits
          | FROM s ORDER BY doc_id""".stripMargin
     },
 
@@ -977,7 +979,8 @@ object ExtensionQueries {
     "x46_chunk_windows" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         | c AS (SELECT doc_id, w,
-        |     unnest(range(0, ((len(w)-1)//16)+1)) s FROM w)
+        |     unnest(range(0, greatest(0,
+        |       ceil((len(w)-20)::DOUBLE / 16)::BIGINT) + 1)) s FROM w)
         | SELECT doc_id, s::BIGINT AS chunk_idx,
         |   array_to_string(w[(s*16+1)::INT:(s*16+20)::INT], ' ') AS chunk_text
         | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,

@@ -381,10 +381,10 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val chunks = TextOps.chunkTokens(doc, "doc_id", chunkSize = 4, overlap = 1)
       .select("chunk_idx", "chunk_text").as[(Long, String)].collect().toSeq
-    // step 3: starts 0,3,6,9 → windows of 4 words, last truncated
+    // step 3: starts 0,3,6 → windows of 4 words; chunk 2 already reaches
+    // the end, so NO pure-overlap trailing chunk ("w10" alone) is emitted
     assert(chunks == Seq(
-      (0L, "w1 w2 w3 w4"), (1L, "w4 w5 w6 w7"),
-      (2L, "w7 w8 w9 w10"), (3L, "w10")))
+      (0L, "w1 w2 w3 w4"), (1L, "w4 w5 w6 w7"), (2L, "w7 w8 w9 w10")))
   }
 
   test("chunkTokens fresh regions reassemble the original document") {

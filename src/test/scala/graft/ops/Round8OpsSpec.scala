@@ -144,6 +144,57 @@ class Round8OpsSpec extends SparkSpec {
     assert(multi > 0.0)
   }
 
+  test("asOf joins treat null timestamps as non-matching, both directions") {
+    val left = Seq((1L, Some(100L), "l0"), (1L, None: Option[Long], "l1"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, Some(50L), "early"), (1L, None: Option[Long], "ghost"))
+      .toDF("k", "ts", "p")
+    // SQL semantics: right.ts <= / >= left.ts is never true for null ts,
+    // so the null-ts right row matches NOTHING (it used to seed the
+    // backward running-last as an earlier-than-everything match) and the
+    // null-ts left row gets a null payload in BOTH directions
+    val back = JoinOps.asOfJoinBackward(left, right, "k", "ts", Seq("p"))
+      .select("tag", "p").as[(String, Option[String])].collect().toMap
+    assert(back == Map("l0" -> Some("early"), "l1" -> None))
+    val fwd = JoinOps.asOfJoinForward(left, right, "k", "ts", Seq("p"))
+      .select("tag", "p").as[(String, Option[String])].collect().toMap
+    assert(fwd == Map("l0" -> None, "l1" -> None))
+  }
+
+  test("asOf joins reject payload names colliding with left columns") {
+    val df = Seq((1L, 1L, "x")).toDF("k", "ts", "p")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.asOfJoinBackward(df, df, "k", "ts", Seq("p"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("chunkTokens never emits a pure-overlap trailing chunk") {
+    // 17 tokens, 20/4 windows: old bound emitted chunk 1 = tokens 17..17,
+    // a strict subset of chunk 0
+    val doc = Seq((1L, (1 to 17).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(doc, "doc_id", chunkSize = 20, overlap = 4)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == Set(0L), s"expected one chunk, got $chunks")
+    // 21 tokens: chunk 1 holds new token 21 → two chunks, still no subset
+    val doc2 = Seq((1L, (1 to 21).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks2 = TextOps.chunkTokens(doc2, "doc_id", chunkSize = 20, overlap = 4)
+      .select("chunk_idx").as[Long].collect().toSet
+    assert(chunks2 == Set(0L, 1L))
+  }
+
+  test("langId labels zero-evidence docs 'und', never a tie-break winner") {
+    val docs = Seq((1L, "zzz qqq xxx"), (2L, "the cat and the dog"))
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(docs)
+      .select("doc_id", "pred_lang", "pred_hits")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("und", 0L)))
+    assert(got(2L)._1 == "en" && got(2L)._2 > 0L)
+  }
+
   test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
     val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
       .map(n => ("s", n)).toDF("source", "n_chars")
