@@ -40,7 +40,12 @@ object SampleOps {
     val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, upTo), rest) => when(h < upTo, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", label)
+    // null id → null split, NOT the fold's terminal label: every when()
+    // is null for a null hash, so the unguarded fold dumped 100% of
+    // null-id rows into the LAST cut ("test") — silent evaluation-split
+    // contamination (hashSample consistently drops them: a null predicate
+    // never passes a filter)
+    df.withColumn("split", when(h.isNotNull, label))
   }
 
   /** Token-budget shard packing: assign rows (in `idCol` order) to

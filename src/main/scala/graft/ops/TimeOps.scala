@@ -34,7 +34,13 @@ object TimeOps {
                    valueCol: String, intervalMicros: Long): DataFrame = {
     require(intervalMicros > 0, "intervalMicros must be positive")
     val bucket = floor(unix_micros(col(tsCol)) / intervalMicros).cast(LongType)
-    val e = df.groupBy(col(keyCol), bucket.as("b"))
+    // null-ts rows have no place on the bucket grid and must not feed the
+    // forward fill: the null bucket sorts FIRST, so its value would leak
+    // into the first real bucket's running last() — a value with no valid
+    // timestamp fabricating the fill (the pre-rewrite densify-join plan
+    // excluded them structurally; the window plan must do it explicitly)
+    val e = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), bucket.as("b"))
       .agg(max(col(valueCol)).as("v"))
     // lead and the running last() share (key, b) partitioning+order, so
     // Spark plans one Exchange + one Sort for the whole window stage
@@ -60,17 +66,28 @@ object TimeOps {
     *
     * Ordering ties on ts break by `idCol` so the running sum is
     * deterministic under any partitioning.
+    *
+    * Null-ts rows cannot be placed on the timeline: they keep their row
+    * with `session_idx` null and neither open nor advance sessions for
+    * real rows (a plain `lag` would hand the first real event a null
+    * "previous" and fabricate an extra session per null row — the
+    * running `last(ignoreNulls)` over preceding rows skips them).
     */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                  gapMicros: Long): DataFrame = {
     require(gapMicros > 0, "gapMicros must be positive")
     val order = Seq(col(tsCol), col(idCol))
     val wLag = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val wPrev = wLag.rowsBetween(Window.unboundedPreceding, -1)
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = unix_micros(col(tsCol))
-    val prev = lag(us, 1).over(wLag)
-    val newSession = when(prev.isNull || us - prev > gapMicros, 1L)
-      .otherwise(0L)
-    df.withColumn("session_idx", sum(newSession).over(wRun))
+    // last non-null preceding ts, NOT lag(1): null-ts rows sort first and
+    // must be transparent to the gap chain
+    val prev = last(us, ignoreNulls = true).over(wPrev)
+    val newSession = when(col(tsCol).isNull, 0L)
+      .otherwise(when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L))
+    df.withColumn("session_idx",
+      when(col(tsCol).isNull, lit(null).cast(LongType))
+        .otherwise(sum(newSession).over(wRun)))
   }
 }

@@ -132,6 +132,29 @@ object Steps {
     * decode is an expression, not a generator). Expects the conventional
     * column names topic1..topic3 + data (absent topics decode as null).
     */
+  /** Topic column if present, else a typed null (absent topics decode as
+    * null) — shared by every decode step.
+    */
+  private def topicCol(in: DataFrame, n: String): Column =
+    if (in.columns.contains(n)) col(n) else lit(null).cast(BinaryType)
+
+  /** Shared decode projection: the `__d` struct's fields, plus all input
+    * columns under `hstack`. A decoded field shadowing an input column
+    * under hstack fails HERE with a clear message — the alternative is two
+    * same-named output columns and an AMBIGUOUS_REFERENCE far downstream.
+    */
+  private def projectDecoded(decoded: DataFrame, in: DataFrame,
+                             hstack: Boolean): DataFrame = {
+    val dFields = decoded.select("__d.*").columns
+    if (hstack) {
+      val collide = dFields.filter(in.columns.contains)
+      require(collide.isEmpty,
+        s"decoded field(s) ${collide.mkString(", ")} collide with input " +
+          "columns under hstack; rename the ABI fields or disable hstack")
+      decoded.select(col("__d.*") +: in.columns.map(col).toSeq: _*)
+    } else decoded.select(dFields.map(f => col(s"__d.$f")).toSeq: _*)
+  }
+
   final case class EvmDecodeEvents(eventSignature: String,
                                    allowDecodeFail: Boolean = false,
                                    inputTable: String = "logs",
@@ -139,17 +162,10 @@ object Steps {
                                    hstack: Boolean = false) extends Step {
     def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
       val in = tables(inputTable)
-      def topic(n: String): Column =
-        if (in.columns.contains(n)) col(n) else lit(null).cast(BinaryType)
       val decoded = in.withColumn("__d", F.evm_decode_event(
-          eventSignature, topic("topic1"), topic("topic2"), topic("topic3"),
-          col("data"), allowDecodeFail))
-      val dFields = decoded.select("__d.*").columns
-      val out =
-        if (hstack)
-          decoded.select(col("__d.*") +: in.columns.map(col).toSeq: _*)
-        else decoded.select(dFields.map(f => col(s"__d.$f")).toSeq: _*)
-      tables + (outputTable -> out)
+          eventSignature, topicCol(in, "topic1"), topicCol(in, "topic2"),
+          topicCol(in, "topic3"), col("data"), allowDecodeFail))
+      tables + (outputTable -> projectDecoded(decoded, in, hstack))
     }
   }
 
@@ -170,12 +186,7 @@ object Steps {
       val in = tables(inputTable)
       val decoded = in.withColumn("__d",
         F.svm_decode_instruction(discriminatorHex, fieldSpec, col("data"), allowDecodeFail))
-      val dFields = decoded.select("__d.*").columns
-      val out =
-        if (hstack)
-          decoded.select(col("__d.*") +: in.columns.map(col).toSeq: _*)
-        else decoded.select(dFields.map(f => col(s"__d.$f")).toSeq: _*)
-      tables + (outputTable -> out)
+      tables + (outputTable -> projectDecoded(decoded, in, hstack))
     }
   }
 
@@ -211,17 +222,51 @@ object Steps {
                                         inputTable: String = "logs",
                                         outputTable: String = "decoded_logs")
       extends Step {
+    require(signatures.nonEmpty, "EvmDecodeMultiEvents needs >= 1 signature")
+
     def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
       val in = tables(inputTable)
-      def topic(n: String): Column =
-        if (in.columns.contains(n)) col(n) else lit(null).cast(BinaryType)
-      val branches = signatures.map { sig =>
-        val parsed = graft.functions.Abi.parseEvent(sig)
-        val t0 = graft.functions.Keccak.topic0(sig)
-        val decoded = in.filter(col("topic0") === lit(t0))
+      val parsedSigs = signatures.map(sig =>
+        (sig, graft.functions.Abi.parseEvent(sig),
+          graft.functions.Keccak.topic0(sig)))
+      // Config validation up front, with the offending signatures NAMED —
+      // each of these otherwise surfaces far away as silently doubled rows
+      // (duplicate topic0: two branches match every such log), an opaque
+      // unionByName AnalysisException (same field name at different ABI
+      // widths → LongType vs BinaryType), or AMBIGUOUS_REFERENCE (decoded
+      // field shadowing an appended input column).
+      val dupes = parsedSigs.groupBy(_._3.toSeq).filter(_._2.size > 1)
+      require(dupes.isEmpty,
+        "duplicate topic0 (same canonical event) in signatures: " +
+          dupes.values.map(_.map(_._1).mkString(" == ")).mkString("; "))
+      val fieldTypes = scala.collection.mutable.Map[String, (String, org.apache.spark.sql.types.DataType)]()
+      for ((sig, parsed, _) <- parsedSigs; f <- parsed.schema.fields) {
+        fieldTypes.get(f.name) match {
+          case Some((otherSig, t)) if t != f.dataType =>
+            throw new IllegalArgumentException(
+              s"field '${f.name}' has type ${f.dataType.simpleString} in " +
+                s"'$sig' but ${t.simpleString} in '$otherSig'; the union " +
+                "cannot reconcile them — rename one field")
+          case _ => fieldTypes(f.name) = (sig, f.dataType)
+        }
+        require(!in.columns.contains(f.name) && f.name != "event_name",
+          s"decoded field '${f.name}' of '$sig' collides with an input " +
+            "column; rename it")
+      }
+      // ONE scan of the source: without this each branch's topic0 filter
+      // re-reads the input (N scans for N signatures — a glaciers-style
+      // 300-signature ABI db would re-scan the logs table 300 times). The
+      // combined IN filter keeps only decodable logs, and the LAZY
+      // localCheckpoint materializes that subset once when the union plan
+      // first runs; every branch then filters the materialized rows.
+      val matched = in
+        .filter(col("topic0").isin(parsedSigs.map(t => t._3: Any): _*))
+        .localCheckpoint(false)
+      val branches = parsedSigs.map { case (sig, parsed, t0) =>
+        val decoded = matched.filter(col("topic0") === lit(t0))
           .withColumn("__d", F.evm_decode_event(
-            sig, topic("topic1"), topic("topic2"), topic("topic3"),
-            col("data"), allowDecodeFail))
+            sig, topicCol(in, "topic1"), topicCol(in, "topic2"),
+            topicCol(in, "topic3"), col("data"), allowDecodeFail))
         decoded.select(
           (lit(parsed.name).as("event_name") +:
             parsed.schema.fieldNames.map(f => col(s"__d.$f")).toSeq) ++
@@ -291,14 +336,20 @@ object Steps {
               val w = Window.partitionBy(col("__b")).orderBy(col(numberCol))
               val prevHash = lag(col(hashCol), 1).over(w)
               own.unionByName(carriers, allowMissingColumns = true)
+                // coalesce(false): a null parent_hash with a real
+                // predecessor is a continuity VIOLATION, not a null —
+                // `valid` must stay a total boolean or filter(col("valid"))
+                // silently drops the very rows it should flag
                 .withColumn("valid",
-                  prevHash.isNull || prevHash === col(parentHashCol))
+                  coalesce(prevHash.isNull || prevHash === col(parentHashCol),
+                    lit(false)))
                 .filter(!col("__carrier"))
                 .drop("__b", "__carrier")
             } else {
               val prevHash = lag(col(hashCol), 1).over(Window.orderBy(col(numberCol)))
               df.withColumn("valid",
-                prevHash.isNull || prevHash === col(parentHashCol))
+                coalesce(prevHash.isNull || prevHash === col(parentHashCol),
+                  lit(false)))
             }
           name -> out
         case kv => kv

@@ -195,6 +195,62 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(2L)._1 == "en" && got(2L)._2 > 0L)
   }
 
+  test("resampleFill and sessionize keep null timestamps off the timeline") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // null-ts value 7.0 must NOT become the fill of the first real bucket
+    val events = Seq(
+      (1L, null: Timestamp, Some(7.0), 10L),
+      (1L, ts("2024-01-01 05:00:00"), None: Option[Double], 11L),
+      (1L, ts("2024-01-01 06:00:00"), Some(2.0), 12L)
+    ).toDF("k", "ts", "v", "event_id")
+    val filled = TimeOps.resampleFill(events, "k", "ts", "v", 3600L * 1000000L)
+      .select("b", "fv").as[(Long, Option[Double])].collect().toMap
+    assert(filled.size == 2)
+    assert(filled.values.toSet == Set(None, Some(2.0)),
+      s"null-ts value leaked into the fill: $filled")
+    // sessionize: null-ts rows get a null session_idx and do not inflate
+    // the numbering of real sessions
+    val sess = TimeOps.sessionize(events, "k", "ts", "event_id",
+        gapMicros = 7200L * 1000000L)
+      .select("event_id", "session_idx")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(sess(10L).isEmpty, "null-ts row must have null session_idx")
+    assert(sess(11L) == Some(1L) && sess(12L) == Some(1L),
+      s"real events must still share session 1: $sess")
+  }
+
+  test("hashSplit gives null-id rows a null split, not the last label") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val got = SampleOps.hashSplit(df, "id",
+        Seq(("train", 8000), ("test", 10000)))
+      .select("id", "split").as[(Option[Long], Option[String])].collect()
+    assert(got.collect { case (None, s) => s }.toSeq == Seq(None),
+      "null id must not land in any split")
+    assert(got.collect { case (Some(_), s) => s }.forall(_.isDefined))
+  }
+
+  test("multi-event decode validates its signature set up front") {
+    import graft.steps.Steps
+    intercept[IllegalArgumentException] {
+      Steps.EvmDecodeMultiEvents(Seq.empty)
+    }
+    val spark0 = spark
+    val logs = Seq((Array[Byte](0), Array[Byte](1))).toDF("topic0", "data")
+    val dup = Steps.EvmDecodeMultiEvents(
+      Seq("Transfer(address a, uint64 b)", "Transfer(address c, uint64 d)"))
+    val e1 = intercept[IllegalArgumentException] {
+      dup(spark0, Map("logs" -> logs))
+    }
+    assert(e1.getMessage.contains("duplicate topic0"))
+    val conflict = Steps.EvmDecodeMultiEvents(
+      Seq("A(uint64 amount)", "B(uint256 amount)"))
+    val e2 = intercept[IllegalArgumentException] {
+      conflict(spark0, Map("logs" -> logs))
+    }
+    assert(e2.getMessage.contains("amount"))
+  }
+
   test("lengthBuckets buckets by binary digit count, exactly at powers of 2") {
     val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
       .map(n => ("s", n)).toDF("source", "n_chars")
