@@ -88,13 +88,20 @@ object Pipeline {
     try {
       while (current.isDefined) {
         val nextF = Future(prepare())(prefetchEc)
-        try pipeline.sink.push(current.get)
+        var pushFailed = true
+        try { pipeline.sink.push(current.get); pushFailed = false }
         finally {
           // never leak cached batches: release the written batch, and if
-          // the write failed, also drain + release the in-flight prefetch
+          // the write failed, also drain + release the in-flight prefetch.
+          // On the SUCCESS path a prefetch failure must PROPAGATE — a
+          // swallowed one would end the loop as if the source were
+          // exhausted, silently dropping every remaining batch.
           current.get.values.foreach(_.unpersist())
-          current = scala.util.Try(Await.result(nextF, Duration.Inf))
-            .getOrElse(None)
+          if (pushFailed) {
+            scala.util.Try(Await.result(nextF, Duration.Inf))
+              .foreach(_.foreach(_.values.foreach(_.unpersist())))
+            current = None
+          } else current = Await.result(nextF, Duration.Inf)
         }
       }
     } finally current.foreach(_.values.foreach(_.unpersist()))

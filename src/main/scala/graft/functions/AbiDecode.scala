@@ -97,11 +97,15 @@ object Abi {
 
   /** Parse "Transfer(address indexed from, address to, uint256 v)". */
   def parseEvent(signature: String): EventSig = {
-    val open = signature.indexOf('(')
-    require(open > 0 && signature.trim.endsWith(")"),
+    // trim FIRST: computing the '(' index on the raw string but slicing
+    // the trimmed one shifted every offset for signatures with leading
+    // whitespace ("  Transfer(...)" parsed its body as "ansfer(...")
+    val sig = signature.trim
+    val open = sig.indexOf('(')
+    require(open > 0 && sig.endsWith(")"),
       s"malformed event signature: $signature")
-    val name = signature.substring(0, open).trim
-    val body = signature.trim.substring(open + 1).dropRight(1).trim
+    val name = sig.substring(0, open).trim
+    val body = sig.substring(open + 1).dropRight(1).trim
     val params =
       if (body.isEmpty) Seq.empty
       else splitTopLevel(body).zipWithIndex.map { case (p0, i) =>
@@ -186,6 +190,18 @@ object Abi {
     java.util.Arrays.copyOfRange(data, off, off + 32)
   }
 
+  /** Bounds-checked slice: `copyOfRange` silently ZERO-PADS past the end
+    * of the array, so a truncated payload would decode to a corrupted
+    * NUL-padded value as a "success" in strict mode instead of failing
+    * loudly like [[word]] does. `len` stays Long until checked — a
+    * corrupt length word must not wrap through Int before the bound test.
+    */
+  private def sliceLen(data: Array[Byte], from: Int, len: Long): Array[Byte] = {
+    require(len >= 0 && from + len <= data.length,
+      s"ABI data truncated: need $len bytes at offset $from, have ${data.length}")
+    java.util.Arrays.copyOfRange(data, from, from + len.toInt)
+  }
+
   private def wordToLong(w: Array[Byte], signed: Boolean): Long = {
     val v = new BigInteger(if (signed) w else (Array(0.toByte) ++ w))
     v.longValueExact()
@@ -201,7 +217,7 @@ object Abi {
     case AInt(_)              => word(data, off)
     case AAddress             => java.util.Arrays.copyOfRange(word(data, off), 12, 32)
     case ABool                => word(data, off)(31) != 0
-    case AFixedBytes(n)       => java.util.Arrays.copyOfRange(data, off, off + n)
+    case AFixedBytes(n)       => sliceLen(data, off, n.toLong)
     case AArray(e, Some(n)) if !isDynamic(e) =>
       new GenericArrayData((0 until n).map(i => decodeStatic(e, data, off + i * staticSize(e))).toArray)
     case tp @ ATuple(ms) if !isDynamic(tp) =>
@@ -231,11 +247,11 @@ object Abi {
       val off = base + wordToLong(word(data, headOff), signed = false).toInt
       t match {
         case AString =>
-          val len = wordToLong(word(data, off), signed = false).toInt
-          UTF8String.fromBytes(java.util.Arrays.copyOfRange(data, off + 32, off + 32 + len))
+          val len = wordToLong(word(data, off), signed = false)
+          UTF8String.fromBytes(sliceLen(data, off + 32, len))
         case ABytes =>
-          val len = wordToLong(word(data, off), signed = false).toInt
-          java.util.Arrays.copyOfRange(data, off + 32, off + 32 + len)
+          val len = wordToLong(word(data, off), signed = false)
+          sliceLen(data, off + 32, len)
         case AArray(e, sz) =>
           val (n, elemBase) = sz match {
             case Some(k) => (k, off)          // fixed-size array of dynamics

@@ -89,6 +89,20 @@ object Borsh {
     def bytes(n: Int): Array[Byte] = {
       val out = new Array[Byte](n); buf.get(out); out
     }
+    /** Borsh u32 LENGTH prefix, bounds-checked BEFORE any allocation: the
+      * raw int is signed (0xffffffff would read as -1 and make
+      * `0 until -1` silently decode an empty vec as SUCCESS), and a huge
+      * declared length would allocate gigabytes — an OutOfMemoryError the
+      * allowFail Exception guard cannot catch — before the buffer bounds
+      * ever complained. A length can never exceed the remaining payload.
+      */
+    def len32(): Int = {
+      val raw = java.lang.Integer.toUnsignedLong(buf.getInt())
+      if (raw > buf.remaining())
+        throw new IllegalArgumentException(
+          s"borsh length $raw exceeds remaining payload (${buf.remaining()} bytes)")
+      raw.toInt
+    }
   }
 
   private def decodeValue(t: BType, c: Cursor): Any = t match {
@@ -113,10 +127,9 @@ object Borsh {
     case BPubkey => c.bytes(32)
     case BFixedBytes(n) => c.bytes(n)
     case BString =>
-      val len = c.buf.getInt()
-      UTF8String.fromBytes(c.bytes(len))
+      UTF8String.fromBytes(c.bytes(c.len32()))
     case BVec(e) =>
-      val len = c.buf.getInt()
+      val len = c.len32()
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         (0 until len).map(_ => decodeValue(e, c)).toArray)
   }

@@ -25,16 +25,25 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // one native zlib stream per executor THREAD, reset between rows —
+  // allocating and end()ing a Deflater per row put a native malloc/free
+  // pair on the per-document hot path. Determinism is unaffected: output
+  // depends on the fixed level, not the instance. Daemon threads drop the
+  // native handle with the JVM; Deflater also frees it on finalization.
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+  }
+
   def compute(s: UTF8String): Long = {
     val in = s.getBytes
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

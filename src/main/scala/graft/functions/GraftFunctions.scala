@@ -33,7 +33,7 @@ object GraftFunctions {
     * `evm_signature_to_topic0`, `examples/erc20_custom.py:16,115`).
     */
   def evm_topic0(signature: String): Column =
-    keccak256(lit(Abi.parseEvent(signature).canonical.getBytes("UTF-8")))
+    lit(Keccak.topic0(signature)) // ONE canonicalize-then-hash recipe, plan-time constant
 
   /** Anchor discriminator: sha256("global:<name>")[:8] (cherry
     * `utils.py:5-12`; golden vectors `tests/test_steps.py:161-163`).

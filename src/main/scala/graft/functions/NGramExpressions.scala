@@ -61,6 +61,14 @@ object CharNGrams {
   */
 case class Md5BottomK(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
   override def dataType: DataType = StringType
   override def prettyName: String = "md5_bottom_k"
 
@@ -76,10 +84,14 @@ case class Md5BottomK(child: Expression, k: Int) extends UnaryExpression {
 object Md5BottomK {
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
               k: Int): UTF8String = {
-    val digests = new Array[String](arr.numElements())
+    val n = arr.numElements()
+    val digests = new scala.collection.mutable.ArrayBuffer[String](n)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
-    while (i < digests.length) {
+    while (i < n) {
+      // null elements carry no shingle: skipped, not an NPE mid-codegen
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       md.reset()
       val d = md.digest(arr.getUTF8String(i).getBytes)
       val sb = new java.lang.StringBuilder(32)
@@ -89,11 +101,12 @@ object Md5BottomK {
         sb.append(Character.forDigit(d(b) & 0xf, 16))
         b += 1
       }
-      digests(i) = sb.toString
+      digests += sb.toString
       i += 1
+      }
     }
-    java.util.Arrays.sort(digests, java.util.Comparator.naturalOrder[String])
-    UTF8String.fromString(digests.take(k).mkString)
+    val sorted = digests.sorted
+    UTF8String.fromString(sorted.take(k).mkString)
   }
 }
 

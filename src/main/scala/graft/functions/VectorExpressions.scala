@@ -41,7 +41,13 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // loud on length mismatch: a silent min() would hand corrupted or
+    // mixed-model embeddings a plausible partial dot product — confident
+    // wrong similarity scores are strictly worse than a failed job
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"float_vec_dot: length mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,7 +65,11 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "float_vec_dot: length mismatch " + $x.numElements() + " vs " + $y.numElements());
+         |}
+         |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {

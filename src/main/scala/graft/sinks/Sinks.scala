@@ -76,13 +76,27 @@ final case class CatalogSink(tablePrefix: String = "",
 object Resume {
   /** The crash-resume watermark (cherry P5, `examples/erc20_custom.py:41-50`:
     * `SELECT MAX(block_number) FROM transfers` at startup → next from_block).
-    * Returns None when the sink is empty/absent. At-least-once + idempotent
-    * overlap: restart from watermark+1, anchor-last ordering guarantees no
-    * table is ahead of the anchor.
+    * Returns None when the sink is empty or ABSENT (first run) — any other
+    * failure PROPAGATES: a blanket catch here once turned a transient read
+    * error into "no watermark", silently re-ingesting the entire history.
+    * Integer-family watermark columns widen via Number (an int
+    * block_number must not ClassCastException).
     */
-  def maxWatermark(df: => DataFrame, column: String): Option[Long] =
-    try {
-      val r = df.agg(max(col(column))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    } catch { case _: Exception => None }
+  def maxWatermark(df: => DataFrame, column: String): Option[Long] = {
+    val head =
+      try Some(df.agg(max(col(column))).head())
+      catch {
+        // absent sink = first run; the analysis error names a missing
+        // table/path, everything else is a real failure
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    head.flatMap { r =>
+      if (r.isNullAt(0)) None
+      else Some(r.get(0) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"watermark column $column is non-numeric: ${other.getClass}")
+      })
+    }
+  }
 }
