@@ -39,9 +39,16 @@ object DedupOps {
     * "dedup by md5(text)" job.
     */
   def exact(docs: DataFrame, idCol: String, contentCol: String): DataFrame =
-    docs.select(col(idCol), md5(col(contentCol)).as("__h"))
+    docs.filter(col(contentCol).isNotNull)
+      .select(col(idCol), md5(col(contentCol)).as("__h"))
       .groupBy("__h").agg(min(col(idCol)).as(idCol))
       .select(idCol)
+      // null content is INCOMPARABLE, not a duplicate of other nulls: a
+      // bare GROUP BY md5(content) put every null-content doc in one
+      // group and kept exactly one of them — silent mass drop, and the
+      // opposite of incrementalDedup's anti-join (null keys never match).
+      // All null-content docs survive.
+      .unionByName(docs.filter(col(contentCol).isNull).select(idCol))
 
   /** Exploded distinct-shingle table: (id, s). The base relation for the
     * join-based similarity ops below.
@@ -58,6 +65,23 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.DocPairs(Bridge.expression(c), minRatioBp))
   }
+
+  /** threshold → basis points by ROUND, not floor: `0.0115 * 10000` is
+    * 114.999… in IEEE double, and flooring would admit pairs one bp BELOW
+    * the requested threshold.
+    */
+  private def thresholdBp(threshold: Double): Long =
+    math.round(threshold * 10000)
+
+  /** The pair kernels (DocPairs/SimhashChunkPairs) read ids with getLong;
+    * a non-Long id would come back silently corrupted from an UnsafeRow
+    * (an int id's raw 4 bytes reinterpreted) or ClassCastException — fail
+    * at plan time with the actual type named instead.
+    */
+  private def requireLongId(df: DataFrame, idCol: String): Unit =
+    require(df.schema(idCol).dataType == LongType,
+      s"$idCol must be LongType for the pair kernels " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
 
   private def simhashChunkPairs(ds: Column, ck: Column, chunks: Int,
                                 maxHamming: Int): Column = {
@@ -81,10 +105,12 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingles: Column,
                         threshold: Double,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireLongId(docs, idCol)
     jaccardFromShingleHashes(shingleHashes(docs, col(idCol), shingles),
-        math.floor(threshold * 10000).toLong, maxBucket, None)
+        thresholdBp(threshold), maxBucket, None)
       .select(col("i"), col("j"), col("jaccard_bp"))
+  }
 
   /** (id, |shingles|, hash60(shingle)) — the shared head of the jaccard
     * pipelines. |A| rides along with every shingle row so no count-attach
@@ -159,7 +185,7 @@ object DedupOps {
             col(idCol), lit(s" outside [0, 2^40)")))).as("id"),
         col(contentCol))
     val tagged = guarded(refDocs, 0L).unionByName(guarded(newDocs, offset))
-    val minBp = math.floor(threshold * 10000).toLong
+    val minBp = thresholdBp(threshold)
     // DocPairs orders i < j, so a cross-corpus pair is always (ref, new)
     val nearDropped = jaccardFromShingleHashes(
         shingleHashes(tagged, col("id"), shingles), minBp, maxBucket,
@@ -183,6 +209,11 @@ object DedupOps {
     */
   def minhashBands(docs: DataFrame, idCol: String, shingles: Column,
                    numHashes: Int, bandRows: Int): DataFrame = {
+    // integer division would silently discard the trailing hashes (recall
+    // quietly differs from the documented 1-(1-J^r)^b) or, for bandRows >
+    // numHashes, produce ZERO bands and an empty result
+    require(bandRows > 0 && numHashes > 0 && numHashes % bandRows == 0,
+      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
     val mins = (0 until numHashes).map(h =>
       min(md5(concat(lit(h), lit("|"), col("s")))).as(s"m$h"))
     val sigs = shingleTable(docs, idCol, shingles)
@@ -204,6 +235,7 @@ object DedupOps {
   def minhashLshCandidates(docs: DataFrame, idCol: String, shingles: Column,
                            numHashes: Int = 16, bandRows: Int = 4,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireLongId(docs, idCol)
     val bands = minhashBands(docs, idCol, shingles, numHashes, bandRows)
     // Bucket-group instead of self-join: the minhash aggregation pipeline
     // runs ONCE (a self-join evaluates its input plan twice), and pair
@@ -228,7 +260,12 @@ object DedupOps {
     *
     * `maxHamming` ≤ 3 so the band blocking is EXHAUSTIVE by pigeonhole
     * (≤3 differing bits cannot touch all 4 bands — some band matches
-    * exactly), i.e. no qualifying pair is missed. Plan shape: narrow
+    * exactly) — EXCEPT buckets over `maxBucket`, which are dropped like
+    * every pair kernel here: a large cluster of identical/uniform images
+    * (dhash 0 — blank pages, solid colors — is COMMON on a real crawl)
+    * exceeds the cap and reports no pairs; run exact-hash dedup on the
+    * dhash column first, which handles identical hashes without pair
+    * explosion. Plan shape: narrow
     * decode, one shuffle keyed by (band, band-value), within-bucket pair
     * enumeration with the in-bucket Hamming filter (bucket-capped), and
     * one pair-dedup groupBy — never an all-pairs comparison
@@ -239,6 +276,7 @@ object DedupOps {
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3]: 4-band blocking is only exhaustive below 4")
+    requireLongId(df, idCol)
     val h = MultimodalOps.imageDHash(df, idCol, payloadCol)
       .filter(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("h64"))
@@ -256,6 +294,7 @@ object DedupOps {
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3]: 4-band blocking is only exhaustive below 4")
+    requireLongId(df, idCol)
     val h = MultimodalOps.audioEnergyHash(df, idCol, payloadCol)
       .filter(col("ehash").isNotNull)
       .select(col(idCol).as("id"), col("ehash").as("h64"))
@@ -344,6 +383,7 @@ object DedupOps {
                    maxHamming: Int,
                    maxBucket: Int = 65535,
                    blockingChunks: Int = 0): DataFrame = {
+    requireLongId(docs, idCol)
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val chunks =
       if (maxHamming >= 60) 1
@@ -502,6 +542,10 @@ object DedupOps {
                        threshold: Double): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorOps.norm(col(vecCol)).as("nrm"))
+      // zero-norm guard (the VectorOps.sided contract): 0/0 = NaN and
+      // Spark's NaN-is-largest semantics would pass `>= threshold`,
+      // reporting a directionless vector as a near-dup of EVERY doc
+      .filter(col("nrm") > 0)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos",
         VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -216,7 +216,11 @@ object MultimodalOps {
           (u32(mvhd + 20), u64(mvhd + 24))                   // 64-bit times
         case _ => (0L, 0L)
       }
-      if (timescale <= 0) -1L else duration * 1000L / timescale
+      // garbled durations fail to -1, never wrap: a 64-bit mvhd duration
+      // near 2^62 would overflow `* 1000` into a confidently wrong
+      // positive value ("null for unparseable, never a fabricated value")
+      if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L) -1L
+      else duration * 1000L / timescale
     }
   }
 

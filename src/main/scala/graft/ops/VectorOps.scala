@@ -58,13 +58,24 @@ object VectorOps {
     * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
     * doubles → fully deterministic.
     */
+  /** (id, vec, norm) projection with zero-norm rows EXCLUDED — shared by
+    * every cosine op. A zero/empty vector has no direction: its cosine is
+    * 0/0 = NaN, and Spark's NaN-is-largest ordering would rank it ABOVE
+    * every real neighbor and pass every `>= threshold` filter (in IVF a
+    * zero-norm vector or centroid additionally corrupts cell assignment —
+    * NaN ccos ranks first, collapsing the corpus into one cell). Rows
+    * with no direction take no part in cosine ops; norms are precomputed
+    * per side so each pair costs one dot, not three.
+    */
+  private def sided(df: DataFrame, idCol: String, vecCol: String,
+                    id: String, v: String, n: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(v), norm(col(vecCol)).as(n))
+      .filter(col(n) > 0)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    // norms precomputed per side: one dot per pair instead of three.
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      norm(col(vecCol)).as("nn"))
+    val q = sided(queries, idCol, vecCol, "qid", "qv", "qn")
+    val c = sided(corpus, idCol, vecCol, "nid", "nv", "nn")
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     rankTopK(scored, k)
@@ -155,6 +166,7 @@ object VectorOps {
     val cent = centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toDF("cid", "cv")
       .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0) // a zero-norm centroid would swallow every cell
     ivfTopKAgainst(queries, corpus, idCol, vecCol, k, cent, nProbe)
   }
 
@@ -170,10 +182,10 @@ object VectorOps {
         .filter(col("crk") <= probes)
         .select(col(id), col(v), col(n), col("cid").as("cell"))
     }
-    val c = withCell(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      norm(col(vecCol)).as("nn")), "nid", "nv", "nn", 1)
-    val q = withCell(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn")), "qid", "qv", "qn", nProbe)
+    val c = withCell(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
+      "nid", "nv", "nn", 1)
+    val q = withCell(sided(queries, idCol, vecCol, "qid", "qv", "qn"),
+      "qid", "qv", "qn", nProbe)
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
@@ -229,6 +241,7 @@ object VectorOps {
     corpus.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0) // zero-norm seed would swallow every cell
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then drop near-
@@ -248,13 +261,16 @@ object VectorOps {
                     numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
     val cent = seedCentroids(vecs, idCol, vecCol, numCentroids)
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
-    val cells = vecs
-      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // localCheckpoint: cells feeds BOTH sides of the pair join below —
+    // without materialization the crossJoin+window assignment pipeline
+    // (the expensive stage) would evaluate once per branch
+    val cells = sided(vecs, idCol, vecCol, "id", "v", "nrm")
       .crossJoin(broadcast(cent))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint()
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= threshold)
@@ -272,10 +288,10 @@ object VectorOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, numPlanes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      norm(col(vecCol)).as("nn"), lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val q = sided(queries, idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
+    val c = sided(corpus, idCol, vecCol, "nid", "nv", "nn")
+      .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
@@ -299,11 +315,11 @@ object VectorOps {
                         numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
     require(numTables >= 1, "need at least one hash table")
     def tabled(df: DataFrame, id: String, v: String, n: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-          norm(col(vecCol)).as(n),
+      sided(df, idCol, vecCol, id, v, n)
+        .select(col(id), col(v), col(n),
           explode(array((0 until numTables).map(tl =>
             struct(lit(tl).as("tbl"),
-              lshBucketAt(col(vecCol), dim, numPlanes, tl * numPlanes)
+              lshBucketAt(col(v), dim, numPlanes, tl * numPlanes)
                 .as("bucket"))): _*)).as("tb"))
         .select(col(id), col(v), col(n),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

@@ -673,7 +673,11 @@ object ExtensionQueries {
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x20_dedup_exact" ->
-      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+      """SELECT doc_id FROM (
+        | SELECT min(doc_id) AS doc_id FROM documents
+        |   WHERE text IS NOT NULL GROUP BY md5(text)
+        | UNION ALL SELECT doc_id FROM documents WHERE text IS NULL
+        |) ORDER BY doc_id""".stripMargin,
 
     "x21_dedup_ngram_jaccard" ->
       s"""$word3gramShingles,

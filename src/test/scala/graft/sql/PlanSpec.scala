@@ -69,9 +69,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
   }
 
-  test("x42: semantic dedup broadcasts centroids, joins pairs on the cell id") {
+  test("x42: semantic dedup materializes cells once, joins pairs on the cell id") {
     val p = plan(ExtensionQueries.queries, "x42_semantic_dedup")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the centroid-assignment pipeline (crossJoin of broadcast centroids +
+    // window rank) runs ONCE inside a localCheckpoint; the visible plan
+    // joins the materialized cells (ExistingRDD scan), so the expensive
+    // stage is not re-evaluated per pair-join branch
+    assert(p.contains("ExistingRDD"), s"cells not checkpointed:\n$p")
     // the within-cell pair join is an equi-join on cell (+ id inequality),
     // never a full cartesian of the corpus with itself
     assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
