@@ -16,48 +16,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("base58_encode"),
-      info("base58_encode", "base58_encode(bin) - bitcoin-alphabet base58 string"),
-      (es: Seq[Expression]) => Base58Encode(es.head)))
-    ext.injectFunction((FunctionIdentifier("base58_decode"),
-      info("base58_decode", "base58_decode(str) - bytes, null on bad alphabet"),
-      (es: Seq[Expression]) => Base58Decode(es.head)))
-    ext.injectFunction((FunctionIdentifier("keccak256"),
-      info("keccak256", "keccak256(bin) - 32-byte Keccak-256 digest"),
-      (es: Seq[Expression]) => Keccak256(es.head)))
-    ext.injectFunction((FunctionIdentifier("u256_to_decimal"),
-      info("u256_to_decimal", "u256_to_decimal(bin32) - DECIMAL(38,0), null on overflow"),
-      (es: Seq[Expression]) => U256ToDecimal(es.head)))
-    ext.injectFunction((FunctionIdentifier("u256_to_string"),
-      info("u256_to_string", "u256_to_string(bin32) - decimal string"),
-      (es: Seq[Expression]) => U256ToString(es.head)))
-    ext.injectFunction((FunctionIdentifier("u256_from_string"),
-      info("u256_from_string", "u256_from_string(str) - 32-byte big-endian binary"),
-      (es: Seq[Expression]) => U256FromString(es.head)))
-    ext.injectFunction((FunctionIdentifier("float_vec_dot"),
-      info("float_vec_dot", "float_vec_dot(a, b) - left-fold double dot product"),
-      (es: Seq[Expression]) => FloatVecDot(es.head, es(1))))
-    ext.injectFunction((FunctionIdentifier("char_ngrams"),
-      info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
-      (es: Seq[Expression]) => CharNGrams(es.head, foldToInt(es(1)))))
-    ext.injectFunction((FunctionIdentifier("word_ngrams"),
-      info("word_ngrams", "word_ngrams(str, n) - distinct word n-grams"),
-      (es: Seq[Expression]) => WordNGrams(es.head, foldToInt(es(1)))))
-    ext.injectFunction((FunctionIdentifier("md5_bottom_k"),
-      info("md5_bottom_k", "md5_bottom_k(arr, k) - k smallest md5 digests, concat"),
-      (es: Seq[Expression]) => Md5BottomK(es.head, foldToInt(es(1)))))
-    ext.injectFunction((FunctionIdentifier("deflate_len"),
-      info("deflate_len", "deflate_len(str) - DEFLATE-compressed byte length"),
-      (es: Seq[Expression]) => DeflateLen(es.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.sqlFunctions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
 
+/** THE canonical SQL-function list — both registration channels (the
+  * session-extension injector above and `GraftFunctions.register`'s
+  * temp-function path) iterate this one table, so they cannot drift (they
+  * did: register() was missing four functions the extension served).
+  */
+object GraftExtensions {
   private def foldToInt(e: Expression): Int = e.eval(null) match {
     case i: Int  => i
     case l: Long => l.toInt
     case other   => throw new IllegalArgumentException(
       s"expected integer literal, got $other")
   }
+
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("base58_encode", "base58_encode(bin) - bitcoin-alphabet base58 string",
+      es => Base58Encode(es.head)),
+    ("base58_decode", "base58_decode(str) - bytes, null on bad alphabet",
+      es => Base58Decode(es.head)),
+    ("keccak256", "keccak256(bin) - 32-byte Keccak-256 digest",
+      es => Keccak256(es.head)),
+    ("u256_to_decimal", "u256_to_decimal(bin32) - DECIMAL(38,0), null on overflow",
+      es => U256ToDecimal(es.head)),
+    ("u256_to_string", "u256_to_string(bin32) - decimal string",
+      es => U256ToString(es.head)),
+    ("u256_from_string", "u256_from_string(str) - 32-byte big-endian binary",
+      es => U256FromString(es.head)),
+    ("float_vec_dot", "float_vec_dot(a, b) - left-fold double dot product",
+      es => FloatVecDot(es.head, es(1))),
+    ("char_ngrams", "char_ngrams(str, n) - distinct character n-grams",
+      es => CharNGrams(es.head, foldToInt(es(1)))),
+    ("word_ngrams", "word_ngrams(str, n) - distinct word n-grams",
+      es => WordNGrams(es.head, foldToInt(es(1)))),
+    ("md5_bottom_k", "md5_bottom_k(arr, k) - k smallest md5 digests, concat",
+      es => Md5BottomK(es.head, foldToInt(es(1)))),
+    ("deflate_len", "deflate_len(str) - DEFLATE-compressed byte length",
+      es => DeflateLen(es.head)))
 }
 
 /** Engine session bootstrap: the scale-posture defaults every entry point

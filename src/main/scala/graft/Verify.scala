@@ -19,6 +19,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet in place:
+        // the downstream compare would validate stale output and mask the
+        // regression as a pass
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

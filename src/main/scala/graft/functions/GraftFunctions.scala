@@ -73,24 +73,17 @@ object GraftFunctions {
 
   // --- SQL registration -----------------------------------------------------
 
-  /** Register the custom expressions for `spark.sql` use. Idempotent; called
-    * by GraftSession and usable standalone on any session.
+  /** Register the custom expressions for `spark.sql` use on a session
+    * built WITHOUT the GraftExtensions injector (GraftSession installs the
+    * injector and does not call this). Idempotent.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("base58_encode",
-      es => Base58Encode(es.head), "built-in")
-    reg.createOrReplaceTempFunction("base58_decode",
-      es => Base58Decode(es.head), "built-in")
-    reg.createOrReplaceTempFunction("keccak256",
-      es => Keccak256(es.head), "built-in")
-    reg.createOrReplaceTempFunction("u256_to_decimal",
-      es => U256ToDecimal(es.head), "built-in")
-    reg.createOrReplaceTempFunction("u256_to_string",
-      es => U256ToString(es.head), "built-in")
-    reg.createOrReplaceTempFunction("u256_from_string",
-      es => U256FromString(es.head), "built-in")
-    reg.createOrReplaceTempFunction("deflate_len",
-      es => DeflateLen(es.head), "built-in")
+    // the SAME list the GraftExtensions injector serves — the two
+    // channels used to be hand-maintained copies and drifted (this one
+    // was missing float_vec_dot/char_ngrams/word_ngrams/md5_bottom_k)
+    graft.GraftExtensions.sqlFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -223,6 +223,22 @@ private[sources] case class ChainReq(cs: Map[String, Set[Seq[Byte]]]) {
   * (synthetic `ChainSource` and file-backed `ParquetChainSource`).
   */
 private[sources] object ReqPushdown {
+  /** Case-insensitive reader-option view: DSv2 delivers options through a
+    * CaseInsensitiveStringMap (keys lowercased), while `getTable`'s
+    * properties keep original case — a case-sensitive `getOrElse` on
+    * "fromBlock" silently missed a user's "fromblock" and scanned the
+    * DEFAULT range instead. Builders normalize once and look up lowercase.
+    */
+  def lowerOpts(props: Map[String, String]): Map[String, String] =
+    props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  /** v+1 saturating at Long.MaxValue: block-range bound arithmetic for
+    * `GreaterThan`/`LessThanOrEqual` pushdown. A wrapping `v + 1` turned
+    * `<= Long.MaxValue` (matches everything) into an empty scan and
+    * `> Long.MaxValue` (matches nothing) into a full one.
+    */
+  def incSat(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   def asBytes(v: Any): Option[Seq[Byte]] = v match {
     case a: Array[Byte] => Some(a.toSeq)
     case _              => None
@@ -252,13 +268,27 @@ private[sources] object ReqPushdown {
     * pushdown channel on the streaming path (V2 filter pushdown is
     * batch-only).
     */
-  def optionReq(pushable: Set[String], props: Map[String, String]): ChainReq =
+  def optionReq(pushable: Set[String], props: Map[String, String]): ChainReq = {
+    val lower = lowerOpts(props)
+    // an unrecognized filter.<col> must FAIL, not silently no-op: on the
+    // streaming path this is the only filter channel, and a typo'd or
+    // non-pushable column would leave the scan unfiltered while the user
+    // believes it is server-side filtered
+    val unknown = lower.keys
+      .filter(_.startsWith("filter."))
+      .map(_.stripPrefix("filter."))
+      .filterNot(pushable.map(_.toLowerCase(java.util.Locale.ROOT)))
+      .toSeq.sorted
+    require(unknown.isEmpty,
+      s"filter option(s) on non-pushable column(s): ${unknown.mkString(", ")}" +
+        s" (pushable: ${pushable.toSeq.sorted.mkString(", ")})")
     ChainReq(pushable.flatMap { c =>
-      props.get(s"filter.$c").map { v =>
+      lower.get(s"filter.${c.toLowerCase(java.util.Locale.ROOT)}").map { v =>
         c -> v.split(",")
           .map(h => graft.functions.Hex.decode(h).toSeq: Seq[Byte]).toSet
       }
     }.toMap)
+  }
 }
 
 private class ChainTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -272,17 +302,20 @@ private class ChainTable(props: Map[String, String]) extends Table with Supports
     new ChainScanBuilder(props ++ options.asScala)
 }
 
-private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
+private class ChainScanBuilder(props0: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
+  private val props = ReqPushdown.lowerOpts(props0)
   private val table = props.getOrElse("table", "logs")
   private val blockCol = if (table == "instructions") "block_slot" else "block_number"
   private val pushable = ChainSource.pushableColumns(table)
 
-  private var fromBlock = props.getOrElse("fromBlock", "0").toLong
-  private var toBlock = props.getOrElse("toBlock", "1000").toLong // exclusive
-  private val logsPerBlock = props.getOrElse("logsPerBlock", "3").toInt
-  private val numPartitions = props.getOrElse("numPartitions", "4").toInt
+  private var fromBlock = props.getOrElse("fromblock", "0").toLong
+  private var toBlock = props.getOrElse("toblock", "1000").toLong // exclusive
+  private val logsPerBlock = props.getOrElse("logsperblock", "3").toInt
+  require(logsPerBlock > 0, // 0 used to emit one PHANTOM row per block
+    s"logsPerBlock must be positive, got $logsPerBlock")
+  private val numPartitions = props.getOrElse("numpartitions", "4").toInt
 
   /** Request constraints can ALSO arrive as reader options —
     * `filter.<col>` = comma-separated hex values (≙ cherry's provider
@@ -310,9 +343,9 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case GreaterThanOrEqual(c, v: Long) if c == blockCol => fromBlock = math.max(fromBlock, v); true
-      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, v + 1); true
+      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlock = math.min(toBlock, v); true
-      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, v + 1); true
+      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
       case f =>
         parseReq(f) match {
           case Some(alts) =>
@@ -330,7 +363,7 @@ private class ChainScanBuilder(props: Map[String, String]) extends ScanBuilder
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
-    private val blocksPerBatch = props.getOrElse("blocksPerBatch", "100").toLong
+    private val blocksPerBatch = ReqPushdown.lowerOpts(props).getOrElse("blocksperbatch", "100").toLong
 
     private def slice(lo0: Long, hi: Long): Array[InputPartition] = {
       val span = math.max(hi - lo0, 0L)

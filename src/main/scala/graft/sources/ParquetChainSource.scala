@@ -64,10 +64,11 @@ private class ParquetChainTable(props: Map[String, String])
     new ParquetChainScanBuilder(props ++ options.asScala)
 }
 
-private class ParquetChainScanBuilder(props: Map[String, String])
+private class ParquetChainScanBuilder(props0: Map[String, String])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
+  private val props = ReqPushdown.lowerOpts(props0)
   private val table = props.getOrElse("table", "logs")
   private val blockCol = if (table == "instructions") "block_slot" else "block_number"
   private val pushable = ChainSource.pushableColumns(table)
@@ -83,9 +84,9 @@ private class ParquetChainScanBuilder(props: Map[String, String])
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case GreaterThanOrEqual(c, v: Long) if c == blockCol => fromBlock = math.max(fromBlock, v); true
-      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, v + 1); true
+      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlock = math.min(toBlock, v); true
-      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, v + 1); true
+      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
       case f =>
         ReqPushdown.parseReq(f, pushable) match {
           case Some(alts) =>
@@ -175,18 +176,26 @@ private class ParquetChainReader(p: ParquetChainPartition)
   private val sparkSchema = ChainSource.schemaFor(p.table)
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(p.file), new Configuration()))
-  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  // projection = output cols ∪ request cols ∪ block col (for the row check)
-  private val readCols: Seq[String] =
-    (p.cols.toSeq ++ p.requests.flatMap(_.cs.keys) :+ p.blockCol).distinct
-  private val projection = new MessageType(fileSchema.getName,
-    readCols.map(c => fileSchema.getType(Seq(c): _*)): _*)
-  reader.setRequestedSchema(projection)
-  (0 until p.rowGroup).foreach(_ => reader.skipNextRowGroup())
-  private val pages = reader.readNextRowGroup()
-  private val recordReader = new ColumnIOFactory().getColumnIO(projection)
-    .getRecordReader(pages, new GroupRecordConverter(projection))
-  private var remaining: Long = pages.getRowCount
+  // everything after open() runs under a guard: a constructor failure
+  // (missing column in the file schema, corrupt row group) would leak the
+  // open file handle — Spark never calls close() on an unconstructed
+  // reader, and one leaked fd per task retry adds up on long runs
+  private val (recordReader, rowCount) =
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      // projection = output cols ∪ request cols ∪ block col (row check)
+      val readCols: Seq[String] =
+        (p.cols.toSeq ++ p.requests.flatMap(_.cs.keys) :+ p.blockCol).distinct
+      val projection = new MessageType(fileSchema.getName,
+        readCols.map(c => fileSchema.getType(Seq(c): _*)): _*)
+      reader.setRequestedSchema(projection)
+      (0 until p.rowGroup).foreach(_ => reader.skipNextRowGroup())
+      val pages = reader.readNextRowGroup()
+      (new ColumnIOFactory().getColumnIO(projection)
+        .getRecordReader(pages, new GroupRecordConverter(projection)),
+        pages.getRowCount)
+    } catch { case e: Throwable => reader.close(); throw e }
+  private var remaining: Long = rowCount
   private val unconstrained = p.requests == Seq(ChainReq(Map.empty))
   private var row: InternalRow = _
 

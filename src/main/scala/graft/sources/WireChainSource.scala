@@ -147,22 +147,23 @@ private class WireChainTable(props: Map[String, String])
     new WireChainScanBuilder(props ++ options.asScala)
 }
 
-private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuilder
+private class WireChainScanBuilder(props0: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
+  private val props = ReqPushdown.lowerOpts(props0)
   private val table = props.getOrElse("table", "logs")
   private val blockCol = if (table == "instructions") "block_slot" else "block_number"
   private val pushable = ChainSource.pushableColumns(table)
   private val url = props.getOrElse("url",
     throw new IllegalArgumentException("graftchainwire requires option 'url'"))
 
-  private var fromBlock = props.getOrElse("fromBlock", "0").toLong
+  private var fromBlock = props.getOrElse("fromblock", "0").toLong
   // exclusive; absent = provider archive height at planning time
-  private var toBlockOpt: Option[Long] = props.get("toBlock").map(_.toLong)
-  private val numPartitions = props.getOrElse("numPartitions", "4").toInt
+  private var toBlockOpt: Option[Long] = props.get("toblock").map(_.toLong)
+  private val numPartitions = props.getOrElse("numpartitions", "4").toInt
   // transient-failure policy (idempotent re-POST, exponential backoff)
-  private val maxAttempts = props.getOrElse("maxAttempts", "3").toInt
-  private val retryBackoffMs = props.getOrElse("retryBackoffMs", "100").toLong
+  private val maxAttempts = props.getOrElse("maxattempts", "3").toInt
+  private val retryBackoffMs = props.getOrElse("retrybackoffms", "100").toLong
 
   // `filter.<col>` option channel — same contract as the sibling sources
   // (and the only pushdown channel on the streaming path)
@@ -174,9 +175,9 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case GreaterThanOrEqual(c, v: Long) if c == blockCol => fromBlock = math.max(fromBlock, v); true
-      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, v + 1); true
+      case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue), v)); true
-      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue), v + 1)); true
+      case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue), ReqPushdown.incSat(v))); true
       case f =>
         ReqPushdown.parseReq(f, pushable) match {
           case Some(alts) =>
@@ -194,7 +195,7 @@ private class WireChainScanBuilder(props: Map[String, String]) extends ScanBuild
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
-    private val blocksPerBatch = props.getOrElse("blocksPerBatch", "100").toLong
+    private val blocksPerBatch = ReqPushdown.lowerOpts(props).getOrElse("blocksperbatch", "100").toLong
 
     private def slice(lo0: Long, hi: Long): Array[InputPartition] = {
       // provably-empty request list (contradictory pushdown): zero
