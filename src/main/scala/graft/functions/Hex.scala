@@ -39,10 +39,19 @@ object Hex {
       throw new IllegalArgumentException(
         s"odd-length hex string (${h.length} chars): '$s'")
     val out = new Array[Byte](h.length / 2)
+    // ASCII-only digit parse: Character.digit also accepts fullwidth
+    // A–F and non-ASCII Unicode digits (CJK IME / spreadsheet paste),
+    // which would silently decode into filter bytes instead of failing
+    // the "strict by design" contract
+    def nib(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
     var i = 0
     while (i < out.length) {
-      val hi = Character.digit(h.charAt(2 * i), 16)
-      val lo = Character.digit(h.charAt(2 * i + 1), 16)
+      val hi = nib(h.charAt(2 * i))
+      val lo = nib(h.charAt(2 * i + 1))
       if (hi < 0 || lo < 0)
         throw new IllegalArgumentException(
           s"non-hex character at offset ${2 * i} in '$s'")

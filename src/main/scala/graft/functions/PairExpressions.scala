@@ -138,12 +138,25 @@ object SimhashChunkPairs {
     masks
   }
 
+  /** Cap on C(chunks, A): the blocking-row multiplier per doc AND the
+    * per-pair mask scan. C(30, 20) = 30M would pass DedupOps's coarse
+    * guard yet hang the driver building combos and emit 30M blocking rows
+    * per doc — reject with the real constraint named.
+    */
+  val MaxCombos: Long = 100000L
+
   /** All A-subsets of chunk indices (A = chunks − maxHamming, min 1), in a
     * fixed lexicographic enumeration shared by key construction and the
     * canonical-combo rule.
     */
   def combos(chunks: Int, maxHamming: Int): Array[Array[Int]] = {
     val a = math.max(chunks - maxHamming, 1)
+    var n = 1L // C(chunks, a), overflow-safe under the cap check
+    var i = 0
+    while (i < a && n <= MaxCombos) { n = n * (chunks - i) / (i + 1); i += 1 }
+    require(n <= MaxCombos,
+      s"simhash blocking would need C($chunks, $a) > $MaxCombos combos " +
+        "(blocking rows per doc); lower blockingChunks or raise maxHamming")
     def rec(from: Int, left: Int): List[List[Int]] =
       if (left == 0) List(Nil)
       else (from to chunks - left).toList.flatMap(i =>
@@ -151,9 +164,30 @@ object SimhashChunkPairs {
     rec(0, a).map(_.toArray).toArray
   }
 
+  // comboMasks are constants of (chunks, maxHamming) — memoized so the
+  // kernel does not rebuild the recursive combo enumeration on EVERY
+  // bucket row (the doc advertises "one tight loop per bucket")
+  private val maskCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+  private def comboMasksFor(chunks: Int, maxHamming: Int): Array[Long] =
+    maskCache.computeIfAbsent((chunks, maxHamming), { key =>
+      val masks = chunkMasks(key._1)
+      combos(key._1, key._2).map(_.map(masks).reduce(_ | _))
+    })
+
   def compute(arr: ArrayData, comboIdx: Int, chunks: Int,
               maxHamming: Int): GenericArrayData = {
     val m = arr.numElements()
+    // the same capacity backstop DocPairs has — DedupOps's uncapped
+    // all-pairs mode (maxHamming >= 60, one global bucket) relies on this
+    // failing LOUDLY instead of an opaque executor OOM
+    val pairs = m.toLong * (m - 1L) / 2L
+    if (pairs > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"simhash_chunk_pairs: bucket of $m rows yields $pairs pairs " +
+          "(exceeds array capacity); cap bucket sizes upstream " +
+          "(DedupOps maxBucket / avoid the uncapped all-pairs mode)")
+    }
     val ids = new Array[Long](m)
     val codes = new Array[Long](m)
     var x = 0
@@ -163,10 +197,9 @@ object SimhashChunkPairs {
       codes(x) = row.getLong(1)
       x += 1
     }
-    // a combo agrees iff xor & comboMask == 0 — precompute each combo's
-    // union-of-chunks mask once per bucket
-    val masks = chunkMasks(chunks)
-    val comboMasks = combos(chunks, maxHamming).map(_.map(masks).reduce(_ | _))
+    // a combo agrees iff xor & comboMask == 0 — masks are memoized
+    // constants of (chunks, maxHamming)
+    val comboMasks = comboMasksFor(chunks, maxHamming)
     val out = new ArrayBuffer[Any]()
     var a = 0
     while (a < m) {

@@ -90,7 +90,7 @@ case class U256FromString(child: Expression) extends UnaryExpression
   override def prettyName: String = "u256_from_string"
   override protected def nullSafeEval(input: Any): Any =
     try U256.fromBigInteger(new BigInteger(input.asInstanceOf[UTF8String].toString.trim))
-    catch { case _: NumberFormatException | _: IllegalArgumentException => null }
+    catch { case _: IllegalArgumentException => null } // covers NumberFormatException
   override protected def withNewChildInternal(newChild: Expression): U256FromString =
     copy(child = newChild)
 }

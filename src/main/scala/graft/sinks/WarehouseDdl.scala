@@ -67,7 +67,10 @@ object WarehouseDdl {
       s"  `${f.name}` $t$codec"
     }.mkString(",\n")
     val order =
-      if (orderBy.nonEmpty) orderBy.mkString("\nORDER BY (", ", ", ")")
+      // backquote key names like the column list — an unquoted
+      // "block-number" or reserved word is invalid ClickHouse DDL
+      if (orderBy.nonEmpty)
+        orderBy.map(n => s"`$n`").mkString("\nORDER BY (", ", ", ")")
       else "\nORDER BY tuple()"
     s"CREATE TABLE IF NOT EXISTS `$table` (\n$cols\n) ENGINE = $engine$order"
   }

@@ -34,7 +34,7 @@ class DdlSpec extends AnyFunSuite {
     assert(ddl.contains("`meta` Map(String, Nullable(Int64))"))
     assert(ddl.contains("`pos` Tuple(tx Nullable(Int32), log Int32)"))
     assert(ddl.contains("ENGINE = MergeTree()"))
-    assert(ddl.contains("ORDER BY (block_number)"))
+    assert(ddl.contains("ORDER BY (`block_number`)")) // keys quoted like columns
   }
 
   test("ClickHouse DDL: no ORDER BY → ORDER BY tuple(); unknown type raises") {
