@@ -35,22 +35,33 @@ object Bench {
       val tmp = Files.createTempDirectory("graft-bench-oracle")
       Files.writeString(tmp.resolve("oracle_sql.json"),
         sqls.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+      // table list derives from Tables.all (a hand-kept copy drifted
+      // risk-free until a new table silently never reached the oracle);
+      // per-table try so ONE missing parquet file at a scale factor only
+      // skips the queries that need it, not the whole denominator
+      val tableList = graft.sources.Tables.all.map(t => s""""$t"""").mkString(", ")
       Files.writeString(tmp.resolve("oracle_bench.py"),
-        """import json, sys, time, duckdb
+        s"""import json, sys, time, duckdb
           |sf, sql_path, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
           |qs = json.load(open(sql_path))
           |con = duckdb.connect()
-          |for t in ["region","nation","customer","supplier","part","orders",
-          |          "lineitem","events","documents","embeddings"]:
-          |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |for t in [$tableList]:
+          |    try:
+          |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |    except Exception as e:
+          |        print(f"skipping view {t}: {e}", file=sys.stderr)
           |out = {}
           |for name in sorted(qs):
           |    best = None
-          |    for _ in range(reps):
-          |        t0 = time.perf_counter()
-          |        con.execute(qs[name]).fetchall()
-          |        dt = time.perf_counter() - t0
-          |        best = dt if best is None else min(best, dt)
+          |    try:
+          |        for _ in range(reps):
+          |            t0 = time.perf_counter()
+          |            con.execute(qs[name]).fetchall()
+          |            dt = time.perf_counter() - t0
+          |            best = dt if best is None else min(best, dt)
+          |    except Exception as e:
+          |        print(f"skipping query {name}: {e}", file=sys.stderr)
+          |        continue
           |    out[name] = best
           |print(json.dumps({"oracle_total": sum(out.values()),
           |                  "oracle_queries": out}))
@@ -105,6 +116,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val gc0 = gcMillis
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // Reclaim the previous runs' shuffle/broadcast state before timing:
@@ -117,11 +129,17 @@ object Bench {
         // count() would let Catalyst prune everything but the row count.
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
       (name, times.min, times.sum / times.size)
     }
+      // a failed query's time-to-failure must NOT flatter the headline
+      // total (an AnalysisException at 0.05s would replace the query's
+      // real ~2s cost); failures are excluded from every number and
+      // carried as an explicit key the reader can see
+      .filterNot { case (name, _, _) => failed.contains(name) }
     // 4-decimal (0.1 ms) per-query floats: full-precision doubles bloated
     // the round-7 stdout line enough to matter for the driver's bounded
     // tail capture; 0.1 ms is below measurement noise anyway. Locale.ROOT,
@@ -155,9 +173,13 @@ object Bench {
     // always contains it whole. Extra diagnostic keys (mean_total vs value
     // = noise spread; gc_sec = collector pressure) ride along; the driver
     // reads metric/value/queries and ignores the rest.
+    val failedFrag =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n + "\"")
+        .mkString(",\"failed\":[", ",", "]")
     val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
-      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal,"sf":"$sfDir"}"""
+      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal$failedFrag,"sf":"$sfDir"}"""
     // Full artifact (compact keys + the whole per-query oracle map) is
     // persisted to a file the judge can read in full: sbt prefixes stdout
     // with [info], which broke the driver's parse in round 1.

@@ -81,7 +81,14 @@ object Pipeline {
       else {
         val stepped = processSteps(spark, it.next(), pipeline.steps)
         stepped.values.foreach(_.persist())
-        stepped.values.foreach(_.count()) // force materialization now
+        // force materialization now; a mid-batch failure must release the
+        // tables already persisted or each failed prefetch permanently
+        // leaks cached executor memory in a long-lived session
+        try stepped.values.foreach(_.count())
+        catch { case e: Throwable =>
+          stepped.values.foreach(df => scala.util.Try(df.unpersist()))
+          throw e
+        }
         Some(stepped)
       }
     var current = prepare()

@@ -20,8 +20,9 @@ import graft.api.Sink
 
 /** Delta Lake sink (≙ cherry W3 `writers/delta_lake.py:15-54`): append per
   * micro-batch with `mergeSchema` (the reference's `schema_mode="merge"`
-  * schema evolution), optional hive partitioning, empty tables skipped,
-  * anchor last.
+  * schema evolution), optional hive partitioning, empty tables skipped
+  * (the reference's behavior — also avoids one empty Delta commit of
+  * transaction-log churn per table per idle micro-batch), anchor last.
   */
 final case class DeltaSink(baseDir: String,
                            partitionBy: Map[String, Seq[String]] = Map.empty,
@@ -29,11 +30,14 @@ final case class DeltaSink(baseDir: String,
                            mergeSchema: Boolean = true) extends Sink {
   def push(tables: Map[String, DataFrame]): Unit =
     AnchorLast.push(tables, anchorTable) { (name, df) =>
+      if (df.isEmpty) () // documented empty-table skip
+      else {
       val w = df.write.format("delta").mode("append")
         .option("mergeSchema", mergeSchema)
       partitionBy.get(name).filter(_.nonEmpty)
         .fold(w)(cols => w.partitionBy(cols: _*))
         .save(s"$baseDir/$name")
+      }
     }
 }
 
@@ -56,8 +60,8 @@ final case class IcebergSink(tablePrefix: String,
         case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
           df.writeTo(target).create()
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass != null &&
-              e.getErrorClass.contains("TABLE_OR_VIEW_NOT_FOUND") =>
+            if e.getCondition != null &&
+              e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND") =>
           df.writeTo(target).create()
       }
     }

@@ -26,9 +26,21 @@ private[sinks] object AnchorLast {
 
   def push(tables: Map[String, DataFrame], anchorTable: Option[String])
           (write: (String, DataFrame) => Unit): Unit = {
+    // a typo'd anchor name would silently write the REAL anchor table
+    // concurrently with its siblings — the resume pattern would then read
+    // an advanced anchor watermark past rows a crash lost (P5's exact
+    // failure mode); fail immediately instead
+    require(anchorTable.forall(tables.contains),
+      s"anchorTable ${anchorTable.get} is not a bundle table " +
+        s"(tables: ${tables.keys.toSeq.sorted.mkString(", ")})")
     val (anchor, rest) = tables.partition { case (n, _) => anchorTable.contains(n) }
     val inFlight = rest.toSeq.map { case (n, df) => Future(write(n, df))(ec) }
-    inFlight.foreach(Await.result(_, Duration.Inf))
+    // await ALL writes before propagating any failure: bailing on the
+    // first would leave sibling write jobs running in the background,
+    // racing a caller's retry of the same batch (duplicate rows with no
+    // crash) — collect every outcome, then raise the first failure
+    val outcomes = inFlight.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     anchor.foreach { case (n, df) => write(n, df) }
   }
 }
@@ -86,9 +98,17 @@ object Resume {
     val head =
       try Some(df.agg(max(col(column))).head())
       catch {
-        // absent sink = first run; the analysis error names a missing
-        // table/path, everything else is a real failure
-        case _: org.apache.spark.sql.AnalysisException => None
+        // absent sink = first run — but ONLY the missing-table/path
+        // conditions qualify: an UNRESOLVED_COLUMN (typo'd watermark
+        // column against a fully populated sink) must propagate, or the
+        // pipeline would silently restart from block 0 and re-ingest the
+        // whole history into an append sink
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("TABLE_OR_VIEW_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          None
       }
     head.flatMap { r =>
       if (r.isNullAt(0)) None

@@ -41,11 +41,9 @@ object Streaming {
     */
   def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
                      lateness: String, keyCols: String*): DataFrame =
-    events.withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
-      .select((col("window.start").as("ws") +: col("window.end").as("we") +:
-        keyCols.map(col)) :+ col("cnt"): _*)
+    // a tumbling window IS a sliding window with slide == length — one
+    // implementation, not a drifting copy
+    slidingCounts(events, tsCol, windowLen, windowLen, lateness, keyCols: _*)
 
   /** Sliding-window variant (overlapping windows every `slide`). */
   def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
@@ -87,6 +85,10 @@ object Streaming {
     */
   def streamingDedupVsReference(stream: DataFrame, reference: DataFrame,
                                 contentCol: String): DataFrame = {
+    // a user column named __h would be overwritten and then dropped —
+    // rows would come out missing a data column with no error
+    require(!stream.columns.contains("__h"),
+      "stream already has a column named __h; rename it before deduping")
     val refHashes = reference
       .select(md5(col(contentCol)).as("__ref_h")).distinct()
     stream.withColumn("__h", md5(col(contentCol)))
@@ -99,7 +101,10 @@ object Streaming {
     * the windowed operators can't express (cherry has no analog — declared
     * capability). `evictAfter` turns on processing-time timeout eviction;
     * note a timeout-bearing query keeps scheduling batches to fire timeouts
-    * even with no new data, so leave it None for replay/testing.
+    * even with no new data, so leave it None for replay/testing. Eviction
+    * RE-EMITS the key's final KeyCount as a deliberate last flush —
+    * consumers treating each emission as a delta (not a state upsert)
+    * must dedupe on (key, count, lastSeenMs).
     */
   final case class KeyCount(key: String, count: Long, lastSeenMs: Long)
 
