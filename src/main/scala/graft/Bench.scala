@@ -159,7 +159,12 @@ object Bench {
     // driver-side tooling (the correctness oracle), so this shells out to
     // it and degrades gracefully where it's absent — the measurement
     // harness, not the engine, depends on it.
-    val oracleFrag = oracleTimings(sfDir, selected.map(_._1))
+    // Failed queries are excluded from the Spark totals above, so they
+    // must be excluded from the oracle denominator too — otherwise the
+    // headline ratio compares mismatched query sets (flattering the
+    // engine by the failed queries' oracle time).
+    val oracleFrag =
+      oracleTimings(sfDir, selected.map(_._1).filterNot(failed.contains))
     // oracle_total rides along on the compact line as ONE scalar so the
     // headline ratio is self-contained; the per-query oracle map does NOT
     // (round 7 lesson: the ~2.5KB oracle_queries fragment pushed the head

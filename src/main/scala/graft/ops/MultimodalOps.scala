@@ -390,8 +390,12 @@ object MultimodalOps {
         }
         java.lang.Long.valueOf(bits)
       } catch {
-        case _: UnsupportedAudioFileException | _: java.io.IOException |
-             _: IllegalArgumentException => null
+        // NonFatal, matching JdkImageDecoder.dHash64: JDK audio header
+        // parsing throws more than the documented checked exceptions on
+        // garbled payloads (ArrayIndexOutOfBounds, NegativeArraySize,
+        // Arithmetic) — one bad crawl payload must not abort a
+        // corpus-scale job.
+        case scala.util.control.NonFatal(_) => null
       }
     }
   }

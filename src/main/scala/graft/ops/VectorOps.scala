@@ -231,6 +231,71 @@ object VectorOps {
     cent
   }
 
+  /** Lloyd's k-means with EXACT cross-engine arithmetic — the trainer the
+    * x63 recall gate runs, designed so an independent SQL engine can
+    * reproduce the centroids bit-for-bit and the oracle stays hash-exact:
+    *
+    *  - assignment: cosine argmax (ties → lowest cid), the same rule the
+    *    IVF probe uses, so train and serve agree on cell geometry;
+    *  - update: per-(cell, dim) sums of `floor(x·2^20)` — LONG sums are
+    *    order-insensitive, unlike a double sum whose value depends on
+    *    partial-aggregation order (the reason `kmeansCentroids` can't be
+    *    oracle-gated);
+    *  - new component: `floor(S/n)/2^20` — S/n is ONE IEEE double op on
+    *    exact inputs (|S| < 2^53), floor of it is engine-independent, and
+    *    the quantized result is exactly representable in float (|num| ≤
+    *    2^20·max|x| < 2^24 mantissa), so the float codebook round-trips
+    *    losslessly through any engine's double arithmetic.
+    *
+    * Driver-iterated like `kmeansCentroids` (k×dim centroid state, corpus
+    * scanned once per iteration, ONE partial-agg shuffle per update);
+    * 2^-20 quantization noise is far below fixture component scale (~0.1).
+    * Empty cells keep their previous centroid; zero-norm rows are excluded
+    * from training (no direction → no vote).
+    */
+  def kmeansCentroidsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): Array[Array[Float]] = {
+    val scale = (1L << 20).toDouble
+    val c = sided(corpus, idCol, vecCol, "id", "v", "nrm")
+    var cent: Array[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .filter(cv => cv.exists(_ != 0.0f))
+    require(cent.nonEmpty, "need at least one non-zero seed centroid")
+    // cosine argmax over literal centroids: array_max on (ccos, -cid)
+    // structs — highest cosine, ties to the LOWEST cid (= highest -cid) —
+    // a codegen'd fold, no join and no shuffle for the assignment itself
+    def cellCol(v: Column, n: Column): Column = {
+      val scored = cent.zipWithIndex.map { case (cv, i) =>
+        // centroid norm on the driver, same left fold as norm()/normSql
+        val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        require(cn > 0, s"trained centroid $i collapsed to zero norm")
+        struct((dot(v, array(cv.map(lit): _*)) / (n * lit(cn))).as("ccos"),
+          lit(-i).as("negcid"))
+      }
+      -array_max(array(scored: _*)).getField("negcid")
+    }
+    for (_ <- 0 until iters) {
+      val sums = c.withColumn("cell", cellCol(col("v"), col("nrm")))
+        .select(col("cell"), posexplode(col("v")))
+        // x·2^20 is EXACT in double (power-of-two scale), so floor has no
+        // rounding ambiguity; the long sums commute across partitions
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col").cast(DoubleType) * scale)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cent = cent.indices.map { ci =>
+        byCell.get(ci).map { rows =>
+          rows.sortBy(_.getInt(1)).map { r =>
+            (math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble) / scale).toFloat
+          }.toArray
+        }.getOrElse(cent(ci))
+      }.toArray
+    }
+    cent
+  }
+
   /** Deterministic seed centroids: the `numCentroids` LOWEST-id vectors —
     * a TakeOrderedAndProject over the corpus, correct for any id domain
     * (a `filter(id < k)` would silently select nothing when ids don't

@@ -496,6 +496,35 @@ object ExtensionQueries {
         .orderBy("method", "qid")
     },
 
+    // x63 — the FULL index-selection gate: all four approximate paths
+    // (single-table LSH, 4-table LSH, seed-IVF, k-means-trained IVF)
+    // graded against brute-force ground truth in one result — the table a
+    // user reads to pick an index. The trained path wires
+    // kmeansCentroidsExact (k=32, 2 Lloyd rounds) into the IVF probe at
+    // nProbe=4: ~87% mean recall@5 at HALF the scan fraction of x35's
+    // seed-IVF (12% vs 25% of the corpus) on the sf0.01 fixture — see
+    // SURVEY §2.10 for the full recall/cost sweep.
+    "x63_ann_recall_trained" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      val exact = queries("x25_ann_topk")(s, dir).localCheckpoint()
+      def grade(df: DataFrame, m: String): DataFrame =
+        VectorOps.annRecall(df, exact, "qid", "nid")
+          .withColumn("method", lit(m))
+      // training runs its own driver-iterated jobs BEFORE the gate plan is
+      // built — the codebook is k×dim floats entering the probe as literals
+      val trained = VectorOps.kmeansCentroidsExact(e, "vec_id", "embedding",
+        k = 32, iters = 2)
+      val ivfTrained = VectorOps.ivfTopKWithCentroids(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5,
+        trained.toSeq, nProbe = 4)
+      grade(queries("x26_ann_lsh")(s, dir), "lsh")
+        .unionByName(grade(queries("x62_ann_lsh_multi")(s, dir), "lsh_multi"))
+        .unionByName(grade(queries("x35_ann_ivf")(s, dir), "ivf"))
+        .unionByName(grade(ivfTrained, "ivf_trained"))
+        .select("method", "qid", "n_exact", "n_hit", "recall_bp")
+        .orderBy("method", "qid")
+    },
+
     // x51 — per-doc salient terms (TF-IDF ranking in exact integer
     // arithmetic): top-3 terms per document by tf·10000·N/df.
     "x51_term_salience" -> { (s, dir) =>
@@ -614,6 +643,19 @@ object ExtensionQueries {
        | r_ap AS (SELECT qid, nid, cos,
        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
        |   FROM s_ap)""".stripMargin
+  /** Multi-table LSH (4 tables × 8 planes) scored pairs + rank → CTE
+    * r_mt — shared by x62 and the x63 recall grade. */
+  private lazy val annLshMulti =
+    s"""vbm AS (SELECT vec_id, embedding, nrm, t,
+       |   ${lshBucketSql("(t*8+j)")} bucket
+       |  FROM v CROSS JOIN range(0,4) r(t)),
+       | s_mt AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid,
+       |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+       |   FROM vbm c JOIN vbm q ON q.t = c.t AND q.bucket = c.bucket
+       |     AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       | r_mt AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_mt)""".stripMargin
   /** IVF with seed centroids vec_id < 8, nProbe = 2 → CTE r_ivf. */
   private lazy val annIvf =
     s"""cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
@@ -631,6 +673,63 @@ object ExtensionQueries {
        | r_ivf AS (SELECT qid, nid, cos,
        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
        |   FROM s_ivf)""".stripMargin
+
+  /** Trained-IVF CTEs mirroring `VectorOps.kmeansCentroidsExact` +
+    * `ivfTopKWithCentroids`: `iters` unrolled Lloyd rounds (cosine argmax
+    * assignment, ties → lowest cid; exact integer-scaled mean update —
+    * see the Scala doc for why every step is engine-independent), then
+    * the nProbe probe phase → CTE r_it. CTE names are t-prefixed so the
+    * fragment composes with `annIvf` in one WITH.
+    */
+  private def annIvfTrainedSql(k: Int, iters: Int, nProbe: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"tc0 AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < $k AND nrm > 0)"
+    var prev = "tc0"
+    for (it <- 1 to iters) {
+      val (a, u, cv, c) = (s"ta$it", s"tu$it", s"tcv$it", s"tc$it")
+      val cvExpr = s"coalesce($cv.cv, $prev.cv)"
+      ctes += s"""$a AS (SELECT id, vec, cid FROM (
+                 |   SELECT v.vec_id id, v.embedding vec, $prev.cid,
+                 |     row_number() OVER (PARTITION BY v.vec_id
+                 |       ORDER BY ${dotSql("v.embedding", s"$prev.cv")} / (v.nrm * $prev.cn) DESC, $prev.cid) crk
+                 |   FROM v CROSS JOIN $prev WHERE v.nrm > 0) WHERE crk = 1)""".stripMargin
+      ctes += s"""$u AS (SELECT cid, i,
+                 |   sum(floor(vec[i::INT]::DOUBLE * 1048576.0))::BIGINT s, count(*) n
+                 | FROM $a CROSS JOIN range(1,65) r(i) GROUP BY cid, i)""".stripMargin
+      ctes += s"""$cv AS (SELECT cid,
+                 |   list((floor(s::DOUBLE / n) / 1048576.0)::FLOAT ORDER BY i) cv
+                 | FROM $u GROUP BY cid)""".stripMargin
+      ctes += s"""$c AS (SELECT $prev.cid, $cvExpr cv, ${normSql(cvExpr)} cn
+                 | FROM $prev LEFT JOIN $cv USING (cid))""".stripMargin
+      prev = c
+    }
+    ctes += s"""tca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, $prev.cid,
+               |   ${dotSql("v.embedding", s"$prev.cv")} / (v.nrm * $prev.cn) ccos
+               | FROM v CROSS JOIN $prev WHERE v.nrm > 0)""".stripMargin
+    ctes += """tcr AS (SELECT id, vec, nrm, cid,
+              |   row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+              | FROM tca)""".stripMargin
+    ctes += "tic AS (SELECT id nid, vec nv, nrm nn, cid cell FROM tcr WHERE crk = 1)"
+    ctes += s"tiq AS (SELECT id qid, vec qv, nrm qn, cid cell FROM tcr WHERE crk <= $nProbe AND id < 20)"
+    ctes += s"""s_it AS (SELECT qid, nid, ${dotSql("qv", "nv")} / (qn * nn) cos
+               | FROM tic JOIN tiq USING (cell) WHERE qid <> nid)""".stripMargin
+    ctes += """r_it AS (SELECT qid, nid, cos,
+              |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+              | FROM s_it)""".stripMargin
+    ctes.mkString(",\n ")
+  }
+
+  /** Recall grade of deduplicated top-5 CTE `ap` against ground-truth CTE
+    * `ex`, labeled `method` — ONE definition for every x61/x63 method row
+    * (mirrors `VectorOps.annRecall`).
+    */
+  private def gradeSql(method: String, ap: String): String =
+    s"""g_$ap AS (SELECT '$method' AS method, ex.qid, count(*)::BIGINT AS n_exact,
+       |   sum(CASE WHEN $ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |   floor(sum(CASE WHEN $ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
+       |   FROM ex LEFT JOIN $ap ON ex.qid = $ap.qid AND ex.nid = $ap.nid
+       |   GROUP BY ex.qid)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x16_text_tokens" ->
@@ -1020,16 +1119,7 @@ object ExtensionQueries {
 
     "x62_ann_lsh_multi" ->
       s"""WITH $annV,
-         | vbm AS (SELECT vec_id, embedding, nrm, t,
-         |   ${lshBucketSql("(t*8+j)")} bucket
-         |  FROM v CROSS JOIN range(0,4) r(t)),
-         | s_mt AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid,
-         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
-         |   FROM vbm c JOIN vbm q ON q.t = c.t AND q.bucket = c.bucket
-         |     AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         | r_mt AS (SELECT qid, nid, cos,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-         |   FROM s_mt)
+         | $annLshMulti
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r_mt WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
@@ -1041,19 +1131,29 @@ object ExtensionQueries {
          | ap AS (SELECT qid, nid FROM r_ap WHERE rk <= 5),
          | $annIvf,
          | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
-         | g_lsh AS (SELECT 'lsh' AS method, ex.qid, count(*)::BIGINT AS n_exact,
-         |   sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-         |   floor(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-         |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
-         |   FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
-         |   GROUP BY ex.qid),
-         | g_ivf AS (SELECT 'ivf' AS method, ex.qid, count(*)::BIGINT AS n_exact,
-         |   sum(CASE WHEN iv.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-         |   floor(sum(CASE WHEN iv.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-         |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
-         |   FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.nid = iv.nid
-         |   GROUP BY ex.qid)
-         | SELECT * FROM g_lsh UNION ALL SELECT * FROM g_ivf
+         | ${gradeSql("lsh", "ap")},
+         | ${gradeSql("ivf", "iv")}
+         | SELECT * FROM g_ap UNION ALL SELECT * FROM g_iv
+         | ORDER BY method, qid""".stripMargin,
+
+    "x63_ann_recall_trained" ->
+      s"""WITH $annV,
+         | $annBrute,
+         | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
+         | $annLsh,
+         | ap AS (SELECT qid, nid FROM r_ap WHERE rk <= 5),
+         | $annLshMulti,
+         | mt AS (SELECT DISTINCT qid, nid FROM r_mt WHERE rk <= 5),
+         | $annIvf,
+         | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
+         | ${annIvfTrainedSql(k = 32, iters = 2, nProbe = 4)},
+         | it AS (SELECT DISTINCT qid, nid FROM r_it WHERE rk <= 5),
+         | ${gradeSql("lsh", "ap")},
+         | ${gradeSql("lsh_multi", "mt")},
+         | ${gradeSql("ivf", "iv")},
+         | ${gradeSql("ivf_trained", "it")}
+         | SELECT * FROM g_ap UNION ALL SELECT * FROM g_mt
+         | UNION ALL SELECT * FROM g_iv UNION ALL SELECT * FROM g_it
          | ORDER BY method, qid""".stripMargin,
 
     "x57_rare_tokens" ->
@@ -1074,7 +1174,8 @@ object ExtensionQueries {
         | r AS (SELECT source,
         |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT AS rate_bp
         |   FROM c, m)
-        | SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        | SELECT d.doc_id, d.source FROM documents d
+        | JOIN r ON d.source IS NOT DISTINCT FROM r.source
         | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
         |   % 10000 < r.rate_bp
         | ORDER BY d.doc_id""".stripMargin,

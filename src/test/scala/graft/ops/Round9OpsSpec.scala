@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit specs for the round-9 trained-IVF path: the exact-arithmetic
+  * k-means trainer (`kmeansCentroidsExact`) and its wiring into the x63
+  * recall gate. Tiny fixtures; the oracle-gated x63 covers the sf-scale
+  * cross-engine contract.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobs(n: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    // three well-separated axis blobs in 8-dim: training has real structure
+    // to find, so a trained codebook must beat the lowest-id seeds
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val center = Array.fill(8)(0f)
+      center((i % 3) * 2) = 4f
+      (i.toLong, center.map(c => c + rnd.nextFloat() * 0.4f - 0.2f))
+    }
+  }
+
+  test("kmeansCentroidsExact is run-to-run bit-identical and 2^-20 quantized") {
+    val pts = blobs(120, seed = 11).toDF("vec_id", "embedding")
+    val a = VectorOps.kmeansCentroidsExact(pts, "vec_id", "embedding", 3, 2)
+    val b = VectorOps.kmeansCentroidsExact(pts, "vec_id", "embedding", 3, 2)
+    // exact integer-scaled sums make the update order-insensitive, so two
+    // runs over different task schedules must agree BIT-FOR-BIT — the
+    // property the DuckDB oracle's hash-compare rests on
+    assert(a.length == 3 && a.length == b.length)
+    a.zip(b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    // every updated component is floor(S/n)/2^20 — an exact multiple of
+    // 2^-20 that round-trips double→float losslessly
+    a.flatten.foreach { x =>
+      val scaled = x.toDouble * (1L << 20)
+      assert(scaled == math.floor(scaled), s"component $x not 2^-20 quantized")
+    }
+  }
+
+  test("trained codebook separates blob cells where lowest-id seeds collide") {
+    val pts = blobs(120, seed = 23).toDF("vec_id", "embedding")
+    val trained = VectorOps.kmeansCentroidsExact(pts, "vec_id", "embedding", 3, 3)
+    // each trained centroid should point at a distinct blob axis: argmax
+    // component ∈ {0, 2, 4} and all three distinct
+    val axes = trained.map(c => c.indices.maxBy(i => c(i))).toSet
+    assert(axes == Set(0, 2, 4), s"trained centroids point at axes $axes")
+    // and trained-IVF recall@5 at nProbe=1 must dominate the seed codebook
+    // (seeds = 3 lowest ids, which all land in blob 0/1/2 pattern i%3 —
+    // here ids 0,1,2 DO hit distinct blobs, so compare at equal probes
+    // against a deliberately collapsed seed set: ids 0,3,6 are all blob 0)
+    val qs = pts.filter(col("vec_id") < 9)
+    val exact = VectorOps.bruteForceTopK(qs, pts, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      VectorOps.annRecall(approx, exact, "qid", "nid")
+        .agg(avg(col("recall_bp"))).head().getDouble(0)
+    val collapsedSeeds = pts.filter(col("vec_id").isin(0L, 3L, 6L))
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val seedRecall = meanRecall(VectorOps.ivfTopKWithCentroids(
+      qs, pts, "vec_id", "embedding", 5, collapsedSeeds, nProbe = 1))
+    val trainedRecall = meanRecall(VectorOps.ivfTopKWithCentroids(
+      qs, pts, "vec_id", "embedding", 5, trained.toSeq, nProbe = 1))
+    assert(trainedRecall > seedRecall,
+      s"trained recall_bp $trainedRecall must beat collapsed seeds $seedRecall")
+    // with one centroid per blob and blobs separated, nProbe=1 is exact
+    assert(trainedRecall == 10000.0, s"expected full recall, got $trainedRecall")
+  }
+
+  test("empty cells keep their previous centroid instead of collapsing") {
+    // two identical points → every vector assigns to centroid 0; centroid 1
+    // gets no members and must carry its seed forward unchanged
+    val pts = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val cent = VectorOps.kmeansCentroidsExact(pts, "vec_id", "embedding", 2, 2)
+    assert(cent.length == 2)
+    // cosine argmax with ties to the lowest cid sends ALL points to cell 0
+    // (seeds 0 and 1 are identical) → cell 1 keeps the seed vector exactly
+    assert(cent(1).sameElements(Array(1f, 0f)))
+  }
+}
