@@ -117,13 +117,26 @@ object Bench {
     }
     val gc0 = gcMillis
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Reclaim the previous query's state ONCE per query, not once per rep:
+    // r8's per-rep System.gc() (63 queries × 3 reps + warmup = 250+ forced
+    // full collections) was itself the dominant share of the artifact's
+    // gc_sec 45.6 — collector pressure the harness manufactured, not the
+    // engine. The memory-safety goal (Spark's ContextCleaner only releases
+    // shuffle/broadcast state on GC; execution memory silently fills and
+    // later aggregations spill — observed r3: x22 1.4s → 16s) is kept by
+    // (a) eagerly unpersisting the blocks the previous query PINNED
+    // (localCheckpoints — the one block class the cleaner can't reclaim
+    // while the suite's maps might still reference the plans) and (b) one
+    // GC per query boundary, which bounds retained garbage to a single
+    // query's reps instead of the whole suite.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
+      reclaim()
       val times = (1 to reps).map { _ =>
-        // Reclaim the previous runs' shuffle/broadcast state before timing:
-        // Spark's ContextCleaner only releases it on GC, and on a large heap
-        // GC may not fire for many queries — execution memory silently fills
-        // and later aggregations spill (observed: x22 1.4s → 16s run-to-run).
-        System.gc()
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation (projections, sorts, windows) —
         // count() would let Catalyst prune everything but the row count.
