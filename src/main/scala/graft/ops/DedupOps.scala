@@ -252,6 +252,53 @@ object DedupOps {
       .agg(count(lit(1)).as("bands"))
   }
 
+  /** Exact n-gram Jaccard evaluated ONLY on the given candidate pairs —
+    * the verify half of candidate-verify near-dup (LSH proposes, exact
+    * Jaccard disposes). This is the at-scale substitute for
+    * [[ngramJaccardPairs]]'s inverted-index enumeration: that kernel's
+    * work is Θ(Σ bucket²) over same-shingle buckets, which is linear on
+    * real corpora (shingle space grows with the corpus, buckets stay
+    * cluster-sized) but quadratic when shingle density is high — the sf1
+    * decade measurement that motivated this helper (SURVEY §6.3). Here
+    * the expensive step is proportional to |candidates| × shingles/doc
+    * instead: candidates come from LSH banding (linear in true near-dups
+    * by construction), and the verification is two keyed equi-joins.
+    *
+    * Emits (i, j, jaccard_bp ≥ threshold) — the same row contract as
+    * [[ngramJaccardPairs]] restricted to `pairs`, exact-identical on any
+    * pair both paths emit (same hash60 intersection counts, same bp
+    * arithmetic).
+    *
+    * Plan shape: shingle re-expansion is RESTRICTED to docs that appear
+    * in some candidate pair (one left-semi join — at production scale the
+    * candidate set is vastly smaller than the corpus), then |A∩B| is one
+    * (doc, shingle-hash)-keyed equi-join: pairs×A's shingles keyed by i,
+    * matched to B's shingles keyed by (j, s). No cross join, no bucket
+    * enumeration, every shuffle keyed.
+    */
+  def verifyJaccardPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         shingles: Column, threshold: Double): DataFrame = {
+    requireLongId(docs, idCol)
+    val minBp = thresholdBp(threshold)
+    val candIds = pairs.select(col("i").as("__cid"))
+      .unionByName(pairs.select(col("j").as("__cid")))
+    val sh = shingleHashes(
+      docs.join(candIds, docs(idCol) === col("__cid"), "left_semi"),
+      col(idCol), shingles)
+    val a = sh.select(col("id").as("i"), col("n").as("an"), col("s"))
+    val b = sh.select(col("id").as("j"), col("n").as("bn"), col("s"))
+    pairs.select(col("i"), col("j"))
+      .join(a, Seq("i"))
+      .join(b, Seq("j", "s"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c"), first(col("an")).as("an"),
+        first(col("bn")).as("bn"))
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
+      .filter(col("jaccard_bp") >= minBp)
+      .select(col("i"), col("j"), col("jaccard_bp"))
+  }
+
   /** Image near-dup pairs by perceptual hash: dHash every payload
     * (`MultimodalOps.imageDHash` — real JDK decode), block on 4×16-bit
     * hash bands, and keep candidate pairs within `maxHamming`. The

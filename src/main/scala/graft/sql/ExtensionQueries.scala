@@ -584,6 +584,37 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"))
       exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
+    },
+
+    // x64 — the curation composite on the SCALE path: same
+    // quality→exact-dedup→near-dup→components pipeline as x34, but the
+    // near-dup stage is LSH-candidate-then-verify instead of the exact
+    // inverted-index enumeration. The sf1 decade measurement (SURVEY
+    // §6.3) showed x34's pair kernel going quadratic when shingle density
+    // is high (toy-vocab fixture: every trigram bucket grows with the
+    // corpus); this variant's near-dup cost is |candidates|-proportional —
+    // what a 100 TB curation run actually executes. Differs from x34 only
+    // where LSH recall misses a true pair (P(miss) = (1-J⁴)⁴: 1.9% at
+    // J=0.9, ~0 at J=0.99); the oracle mirrors the SAME banding so the
+    // gate is exact regardless.
+    "x64_corpus_curation_lsh" -> { (s, dir) =>
+      val docs = spread(t(s, dir, "documents"))
+      val quality = TextOps.qualityScore(docs)
+        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "text")
+        .localCheckpoint()
+      val exactKept = DedupOps.exact(quality, "doc_id", "text")
+        .localCheckpoint()
+      val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
+      val cand = DedupOps.minhashLshCandidates(survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
+      val pairs = DedupOps.verifyJaccardPairs(cand, survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      val nearDupDrop = DedupOps.connectedComponents(pairs)
+        .filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"))
+      exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     }
   )
 
@@ -1218,6 +1249,45 @@ object ExtensionQueries {
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT i, j FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        | reach AS (SELECT a, b FROM e
+        |   UNION
+        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
+        |   HAVING least(a, min(b)) < a)
+        | SELECT doc_id FROM k1
+        | EXCEPT SELECT doc_id FROM dropd
+        | ORDER BY doc_id""".stripMargin,
+
+    // Mirrors x34's pipeline with the near-dup stage swapped to
+    // minhash-LSH banding (the x22 mirror verbatim: 16 hashes, 4 bands ×
+    // 4 rows over the SAME md5(h||'|'||shingle) minhash) followed by
+    // exact-Jaccard verification restricted to candidate pairs.
+    "x64_corpus_curation_lsh" ->
+      """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+        |   WHERE len(string_split(text,' ')) >= 20
+        |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
+        |           / len(text)::DOUBLE) >= 7000),
+        | k1 AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
+        | s AS (SELECT q.doc_id, q.text FROM q JOIN k1 USING (doc_id)),
+        | w AS (SELECT doc_id, string_split(text,' ') w FROM s),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-2,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+        |        FROM w),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+        |   FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+        |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+        |   GROUP BY 1, 2),
         | p AS (SELECT i, j FROM inter
         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
         |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),

@@ -70,6 +70,49 @@ class Round9OpsSpec extends SparkSpec {
     assert(trainedRecall == 10000.0, s"expected full recall, got $trainedRecall")
   }
 
+  test("verifyJaccardPairs equals the exact kernel restricted to candidates") {
+    // candidate-verify (the x64 scale path) must agree with the inverted-
+    // index kernel on every pair it is ASKED about — same hash60
+    // intersection counts, same bp arithmetic — including pairs whose
+    // jaccard falls below threshold (absent from both) and candidate
+    // pairs with zero shared shingles (absent, not an error)
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g x"),   // near-dup of 0
+      (2L, "a b c d e f g h"),   // exact dup of 0
+      (3L, "p q r s t u v w"),   // unrelated
+      (4L, "p q r s t u z z")    // borderline vs 3
+    ).toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val exactPairs = DedupOps.ngramJaccardPairs(docs, "doc_id", sh, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // candidates: a superset with a zero-overlap pair (0,3) thrown in
+    val cand = Seq((0L, 1L), (0L, 2L), (3L, 4L), (0L, 3L)).toDF("i", "j")
+    val verified = DedupOps.verifyJaccardPairs(cand, docs, "doc_id", sh, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(verified == exactPairs.filter { case ((i, j), _) =>
+      Set((0L, 1L), (0L, 2L), (3L, 4L), (0L, 3L))((i, j)) })
+    assert(verified.contains((0L, 1L)) && verified.contains((0L, 2L)))
+    assert(!verified.contains((0L, 3L)), "zero-overlap candidate must drop")
+  }
+
+  test("x64 curation-lsh matches x34 on the fixture and stays a kept-subset") {
+    val dir = "/root/testdata/sf0.001"
+    val x34 = graft.sql.ExtensionQueries.queries("x34_corpus_curation")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val x64 = graft.sql.ExtensionQueries.queries("x64_corpus_curation_lsh")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(x64.nonEmpty)
+    // LSH can only MISS true near-dup pairs, never invent them, so the
+    // LSH-path result keeps a superset of x34's survivors
+    assert(x34.subsetOf(x64),
+      s"x64 dropped docs x34 kept: ${(x34 -- x64).take(5)}")
+    // and on the fixture's planted dups (J ≥ 0.9, P(band hit) ≥ 98%) the
+    // two paths agree exactly almost surely — flag a large divergence
+    assert((x64 -- x34).size <= math.max(2, x34.size / 50),
+      s"LSH path diverged by ${(x64 -- x34).size} docs")
+  }
+
   test("empty cells keep their previous centroid instead of collapsing") {
     // two identical points → every vector assigns to centroid 0; centroid 1
     // gets no members and must carry its seed forward unchanged
