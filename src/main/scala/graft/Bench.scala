@@ -130,8 +130,11 @@ object Bench {
     // GC per query boundary, which bounds retained garbage to a single
     // query's reps instead of the whole suite.
     def reclaim(): Unit = {
+      // blocking: the GC below must run AFTER the block removal, or the
+      // checkpoint blocks this boundary exists to free survive it and
+      // linger into the next query's window (this is untimed code)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
     val results = selected.map { case (name, fn) =>

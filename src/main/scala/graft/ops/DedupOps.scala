@@ -265,9 +265,16 @@ object DedupOps {
     * by construction), and the verification is two keyed equi-joins.
     *
     * Emits (i, j, jaccard_bp ≥ threshold) — the same row contract as
-    * [[ngramJaccardPairs]] restricted to `pairs`, exact-identical on any
-    * pair both paths emit (same hash60 intersection counts, same bp
-    * arithmetic).
+    * [[ngramJaccardPairs]] restricted to `pairs`. The intersection count
+    * here is the TRUE one: candidate-restricted expansion makes a
+    * hot-bucket cap unnecessary, so this path has no lower-bound
+    * approximation. The two paths agree exactly on any pair both emit
+    * UNLESS a shared shingle's bucket exceeded the inverted-index path's
+    * `maxBucket` — there the capped kernel undercounts (its documented
+    * lower-bound semantics) while this verify is exact, i.e. the
+    * candidate-verify path is the STRICTER of the two at saturated
+    * densities. Callers reusing the candidate frame should materialize it
+    * (`localCheckpoint`) — this function references `pairs` three times.
     *
     * Plan shape: shingle re-expansion is RESTRICTED to docs that appear
     * in some candidate pair (one left-semi join — at production scale the

@@ -606,8 +606,13 @@ object ExtensionQueries {
       val exactKept = DedupOps.exact(quality, "doc_id", "text")
         .localCheckpoint()
       val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
+      // materialized: the verify step references the candidate set three
+      // times (two id projections + the pair join) — without this the
+      // 16-minhash banding pipeline re-executes per branch (the same
+      // multi-consumer rule as the quality/exactKept checkpoints above)
       val cand = DedupOps.minhashLshCandidates(survivors, "doc_id",
-        TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
+          TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
+        .localCheckpoint()
       val pairs = DedupOps.verifyJaccardPairs(cand, survivors, "doc_id",
         TextOps.wordShingles(col("text"), 3), 0.5)
       val nearDupDrop = DedupOps.connectedComponents(pairs)

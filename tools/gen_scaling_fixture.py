@@ -87,12 +87,15 @@ def main():
                    os.path.join(args.out, "documents.parquet"))
     pq.write_table(gen_embeddings(args.embeddings, rng),
                    os.path.join(args.out, "embeddings.parquet"))
-    for f in sorted(os.listdir(args.base)):
+    # absolute target: a relative --base would be stored verbatim and
+    # resolve relative to the OUTPUT dir — dangling links
+    base = os.path.abspath(args.base)
+    for f in sorted(os.listdir(base)):
         if not f.endswith(".parquet"):
             continue
         dst = os.path.join(args.out, f)
         if not os.path.exists(dst):
-            os.symlink(os.path.join(args.base, f), dst)
+            os.symlink(os.path.join(base, f), dst)
     print(f"wrote {args.out}: docs={args.docs} embeddings={args.embeddings}")
 
 if __name__ == "__main__":
