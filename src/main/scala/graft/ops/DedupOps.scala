@@ -287,14 +287,19 @@ object DedupOps {
                          shingles: Column, threshold: Double): DataFrame = {
     requireLongId(docs, idCol)
     val minBp = thresholdBp(threshold)
-    val candIds = pairs.select(col("i").as("__cid"))
-      .unionByName(pairs.select(col("j").as("__cid")))
+    // distinct: a duplicated (i,j) row would multiply the intersection
+    // count c while first(an)/first(bn) stay fixed — jaccard_bp computed
+    // with a doubled numerator and a shrunken (possibly zero or negative)
+    // denominator, silently dropping or corrupting a true near-dup pair
+    val cleanPairs = pairs.select(col("i"), col("j")).distinct()
+    val candIds = cleanPairs.select(col("i").as("__cid"))
+      .unionByName(cleanPairs.select(col("j").as("__cid")))
     val sh = shingleHashes(
       docs.join(candIds, docs(idCol) === col("__cid"), "left_semi"),
       col(idCol), shingles)
     val a = sh.select(col("id").as("i"), col("n").as("an"), col("s"))
     val b = sh.select(col("id").as("j"), col("n").as("bn"), col("s"))
-    pairs.select(col("i"), col("j"))
+    cleanPairs
       .join(a, Seq("i"))
       .join(b, Seq("j", "s"))
       .groupBy(col("i"), col("j"))
@@ -443,7 +448,12 @@ object DedupOps {
       if (maxHamming >= 60) 1
       else if (blockingChunks > 0) blockingChunks
       else maxHamming + 1
-    require(chunks == 1 || (chunks > maxHamming && chunks <= 60),
+    // the `chunks == 1` degenerate mode is reserved for maxHamming >= 60
+    // (where no chunk can discriminate); an EXPLICIT blockingChunks = 1
+    // with a smaller maxHamming must fail like every other out-of-contract
+    // value — letting it through would silently select the uncapped
+    // single-bucket all-pairs plan
+    require(maxHamming >= 60 || (chunks > maxHamming && chunks <= 60),
       s"blockingChunks must be in (maxHamming, 60], got $chunks")
     val codes = simhash(docs, idCol, textCol)
     val keyed =
@@ -589,17 +599,18 @@ object DedupOps {
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]
-    * column. Brute-force all-pairs (exact baseline); `VectorOps.lshBuckets`
-    * is the scale path. cos emitted in basis points (floor semantics).
+    * column. Brute-force all-pairs (exact baseline); `VectorOps.lshTopK` /
+    * `semanticDedup` are the scale paths. cos emitted in basis points
+    * (floor semantics).
     */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorOps.norm(col(vecCol)).as("nrm"))
-      // zero-norm guard (the VectorOps.sided contract): 0/0 = NaN and
-      // Spark's NaN-is-largest semantics would pass `>= threshold`,
-      // reporting a directionless vector as a near-dup of EVERY doc
-      .filter(col("nrm") > 0)
+    // sided = (id, vec, norm) with zero-norm rows excluded (0/0 = NaN and
+    // Spark's NaN-is-largest semantics would pass `>= threshold`);
+    // materialized because it feeds BOTH sides of the self-join — the
+    // same multi-consumer rule semanticDedup applies
+    val v = VectorOps.sided(vecs, idCol, vecCol, "id", "v", "nrm")
+      .localCheckpoint()
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos",
         VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

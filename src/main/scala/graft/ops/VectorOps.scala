@@ -51,13 +51,6 @@ object VectorOps {
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
 
-  /** Exact brute-force top-k: for each query vector, the k nearest corpus
-    * vectors by cosine. The corpus side of the join is the big side; the
-    * query side should be small — Spark broadcasts it, so the "scan corpus ×
-    * broadcast queries" plan reads the 100 TB side exactly once with no
-    * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
-    * doubles → fully deterministic.
-    */
   /** (id, vec, norm) projection with zero-norm rows EXCLUDED — shared by
     * every cosine op. A zero/empty vector has no direction: its cosine is
     * 0/0 = NaN, and Spark's NaN-is-largest ordering would rank it ABOVE
@@ -67,11 +60,18 @@ object VectorOps {
     * with no direction take no part in cosine ops; norms are precomputed
     * per side so each pair costs one dot, not three.
     */
-  private def sided(df: DataFrame, idCol: String, vecCol: String,
-                    id: String, v: String, n: String): DataFrame =
+  private[ops] def sided(df: DataFrame, idCol: String, vecCol: String,
+                         id: String, v: String, n: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).as(v), norm(col(vecCol)).as(n))
       .filter(col(n) > 0)
 
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. The corpus side of the join is the big side; the
+    * query side should be small — Spark broadcasts it, so the "scan corpus ×
+    * broadcast queries" plan reads the 100 TB side exactly once with no
+    * shuffle of the corpus. Ranks tie-break on neighbor id over bit-exact
+    * doubles → fully deterministic.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = sided(queries, idCol, vecCol, "qid", "qv", "qn")
@@ -122,6 +122,12 @@ object VectorOps {
     */
   def lshBucketAt(vecCol: Column, dim: Int, numPlanes: Int,
                   planeOffset: Int): Column = {
+    // bits live in one long and the sum below assumes they are DISJOINT:
+    // numPlanes ≥ 65 would wrap the shift mod 64 and carry-corrupt other
+    // planes' bits SILENTLY (wrong buckets, degraded recall, no error);
+    // numPlanes = 0 would die in reduce with no parameter named
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"numPlanes must be in [1, 64] (got $numPlanes)")
     val planeBits = (0 until numPlanes).map { j =>
       // ±1 in float is exact, so x·(±1f) ≡ ±x — bit-identical to the
       // oracle's CASE-negation form; dot() keeps the loop codegen'd.
@@ -160,7 +166,12 @@ object VectorOps {
                            idCol: String, vecCol: String, k: Int,
                            centroids: Seq[Array[Float]],
                            nProbe: Int = 2): DataFrame = {
-    require(centroids.nonEmpty, "need at least one centroid")
+    // checked on the VALUES, not just emptiness: the zero-norm filter
+    // below would silently empty an all-zero codebook and every query
+    // would lose all neighbors with no error — the condition this guard
+    // exists to catch loudly
+    require(centroids.exists(c => c.exists(_ != 0.0f)),
+      "need at least one non-zero-norm centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cent = centroids.zipWithIndex
@@ -207,6 +218,10 @@ object VectorOps {
     var cent: Array[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    // same named failure as kmeansCentroidsExact — an empty seed set
+    // would otherwise surface as an obscure NullType analysis error from
+    // array_min(array()) below
+    require(cent.nonEmpty, "need at least one seed centroid (empty corpus or k=0)")
     for (_ <- 0 until iters) {
       // argmin ||x−c||² = argmin (|c|² − 2·x·c); |c|² folds on the driver.
       val dists = cent.zipWithIndex.map { case (c, i) =>
