@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    * ONE definition shared by the correctness (here) and bench channels:
+    * an escaping fix landing in only one of two copies would break the
+    * other channel silently.
+    */
+  private[graft] def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated name-prefix filter for local
@@ -28,21 +45,17 @@ object Verify {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
           }
           rm(dir)
+          // a delete can fail (open handle on a _temporary file, perms);
+          // silence here would let the compare validate the PREVIOUS
+          // run's parquet — the exact stale-pass this block exists to
+          // prevent, so the untrustworthy state must at least be loud
+          if (dir.exists())
+            System.err.println(s"[verify] WARNING: stale output $dir " +
+              "could not be deleted — its compare result is UNTRUSTWORTHY")
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val q = jsonEscape _
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

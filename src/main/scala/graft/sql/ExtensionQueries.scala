@@ -36,7 +36,11 @@ object ExtensionQueries {
     // (the single-file fixture case). A production corpus already arriving
     // in >= p/2 partitions passes through untouched, so callers copying
     // these query definitions don't inherit a gratuitous repartition.
-    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+    // max(..., 2): on a <= 3-core session p/2 rounds to <= 1 and a
+    // single-partition fixture would never repartition — serializing the
+    // regex/shingle stage through one task, the exact thing this exists
+    // to prevent
+    if (df.rdd.getNumPartitions < math.max(p / 2, 2)) df.repartition(p) else df
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -563,27 +567,9 @@ object ExtensionQueries {
     // pipeline actually runs: pair-based dropping alone mishandles chains
     // (A~B, B~C without A~C must still collapse to one survivor).
     "x34_corpus_curation" -> { (s, dir) =>
-      val docs = spread(t(s, dir, "documents"))
-      // The quality subtree (regex-heavy) and the exact-dedup survivor set
-      // each feed MULTIPLE downstream branches; localCheckpoint materializes
-      // them once instead of re-evaluating the pipeline per branch (at
-      // cluster scale the same role is played by a checkpoint/stage cache —
-      // the data is the post-filter survivor set, far smaller than the
-      // corpus).
-      val quality = TextOps.qualityScore(docs)
-        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
-        .select("doc_id", "text")
-        .localCheckpoint()
-      val exactKept = DedupOps.exact(quality, "doc_id", "text")
-        .localCheckpoint()
-      val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
-      val pairs = DedupOps.ngramJaccardPairs(survivors, "doc_id",
-          TextOps.wordShingles(col("text"), 3), 0.5)
-      val nearDupDrop = DedupOps.connectedComponents(pairs)
-        .filter(col("comp") < col("id"))
-        .select(col("id").as("doc_id"))
-      exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
+      val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
+      curationResult(exactKept, DedupOps.ngramJaccardPairs(survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5))
     },
 
     // x64 — the curation composite on the SCALE path: same
@@ -598,30 +584,49 @@ object ExtensionQueries {
     // J=0.9, ~0 at J=0.99); the oracle mirrors the SAME banding so the
     // gate is exact regardless.
     "x64_corpus_curation_lsh" -> { (s, dir) =>
-      val docs = spread(t(s, dir, "documents"))
-      val quality = TextOps.qualityScore(docs)
-        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
-        .select("doc_id", "text")
-        .localCheckpoint()
-      val exactKept = DedupOps.exact(quality, "doc_id", "text")
-        .localCheckpoint()
-      val survivors = quality.join(exactKept, Seq("doc_id"), "left_semi")
+      val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
       // materialized: the verify step references the candidate set three
       // times (two id projections + the pair join) — without this the
       // 16-minhash banding pipeline re-executes per branch (the same
-      // multi-consumer rule as the quality/exactKept checkpoints above)
+      // multi-consumer rule as the curationSurvivors checkpoints)
       val cand = DedupOps.minhashLshCandidates(survivors, "doc_id",
           TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
         .localCheckpoint()
-      val pairs = DedupOps.verifyJaccardPairs(cand, survivors, "doc_id",
-        TextOps.wordShingles(col("text"), 3), 0.5)
-      val nearDupDrop = DedupOps.connectedComponents(pairs)
-        .filter(col("comp") < col("id"))
-        .select(col("id").as("doc_id"))
-      exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
+      curationResult(exactKept, DedupOps.verifyJaccardPairs(cand, survivors,
+        "doc_id", TextOps.wordShingles(col("text"), 3), 0.5))
     }
   )
+
+  /** Shared head of the curation composites (x34 exact / x64 LSH-verify):
+    * quality filter → exact dedup. The quality subtree (regex-heavy) and
+    * the exact-dedup survivor set each feed MULTIPLE downstream branches;
+    * localCheckpoint materializes them once instead of re-evaluating the
+    * pipeline per branch (at cluster scale the same role is played by a
+    * checkpoint/stage cache — the data is the post-filter survivor set,
+    * far smaller than the corpus). Returns (exactKept, survivors); ONE
+    * definition so the two curation variants can only differ in their
+    * near-dup stage — a threshold edit cannot drift between them.
+    */
+  private def curationSurvivors(docs: DataFrame): (DataFrame, DataFrame) = {
+    val quality = TextOps.qualityScore(docs)
+      .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val exactKept = DedupOps.exact(quality, "doc_id", "text")
+      .localCheckpoint()
+    (exactKept, quality.join(exactKept, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Shared tail of the curation composites: near-dup pairs → connected
+    * components → drop non-representatives → surviving ids.
+    */
+  private def curationResult(exactKept: DataFrame, pairs: DataFrame): DataFrame = {
+    val nearDupDrop = DedupOps.connectedComponents(pairs)
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 
   // DuckDB oracle SQL. Shared fragments --------------------------------------
 
@@ -644,8 +649,15 @@ object ExtensionQueries {
   // compose the SAME SQL bodies, so a semantics change edits ONE string
   // (a hand-mirrored copy would drift silently until the differential
   // gate flagged x61 as if it were a new-query bug).
+  // nrm > 0 matches VectorOps.sided: every Spark-side cosine op EXCLUDES
+  // zero-norm vectors (no direction), so the oracle must too — a future
+  // fixture with one all-zero embedding would otherwise rank NaN/inf
+  // cosines first in every DuckDB top-k while Spark omits the row
+  // (x24/x25/x26/x35/x42/x61/x62/x63 would all fail for a data reason).
+  // The trained-IVF fragment already filters nrm > 0; this aligns the rest.
   private lazy val annV =
-    s"v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings)"
+    s"""v AS (SELECT * FROM (SELECT vec_id, embedding,
+       |   ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0)""".stripMargin
   /** Brute-force scored pairs + rank for queries vec_id < 20 → CTE r_ex. */
   private lazy val annBrute =
     s"""s_ex AS (SELECT q.vec_id qid, c.vec_id nid,
@@ -850,7 +862,11 @@ object ExtensionQueries {
         | WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY i, j""".stripMargin,
 
     "x24_dedup_embedding" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+      // nrm > 0 matches embeddingNearDup's sided() exclusion — DuckDB's
+      // NaN-is-greatest would otherwise pass `cos >= 0.45` for a
+      // zero-norm row Spark excludes
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+         |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
          | p AS (SELECT a.vec_id i, b.vec_id j,
          |     ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) cos
          |   FROM v a JOIN v b ON a.vec_id < b.vec_id)
@@ -1223,7 +1239,11 @@ object ExtensionQueries {
         | FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin,
 
     "x42_semantic_dedup" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} nrm FROM embeddings),
+      // nrm > 0 matches semanticDedup's sided() exclusion (zero-norm rows
+      // take no part in assignment or pair cosines but survive in the
+      // output, which selects FROM embeddings)
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+         |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
          | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
          | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
          |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
@@ -1240,70 +1260,67 @@ object ExtensionQueries {
          | ORDER BY vec_id""".stripMargin,
 
     "x34_corpus_curation" ->
-      """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
-        |   WHERE len(string_split(text,' ')) >= 20
-        |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
-        |           / len(text)::DOUBLE) >= 7000),
-        | k1 AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
-        | s AS (SELECT q.doc_id, q.text FROM q JOIN k1 USING (doc_id)),
-        | w AS (SELECT doc_id, string_split(text,' ') w FROM s),
-        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |          range(1, greatest(len(w)-2,0)+1),
-        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
-        |        FROM w),
-        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
-        |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | p AS (SELECT i, j FROM inter
-        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
-        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
-        | reach AS (SELECT a, b FROM e
-        |   UNION
-        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
-        |   HAVING least(a, min(b)) < a)
-        | SELECT doc_id FROM k1
-        | EXCEPT SELECT doc_id FROM dropd
-        | ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $curationHeadSql,
+         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | $curationTailSql""".stripMargin,
 
     // Mirrors x34's pipeline with the near-dup stage swapped to
     // minhash-LSH banding (the x22 mirror verbatim: 16 hashes, 4 bands ×
     // 4 rows over the SAME md5(h||'|'||shingle) minhash) followed by
     // exact-Jaccard verification restricted to candidate pairs.
     "x64_corpus_curation_lsh" ->
-      """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
-        |   WHERE len(string_split(text,' ')) >= 20
-        |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
-        |           / len(text)::DOUBLE) >= 7000),
-        | k1 AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
-        | s AS (SELECT q.doc_id, q.text FROM q JOIN k1 USING (doc_id)),
-        | w AS (SELECT doc_id, string_split(text,' ') w FROM s),
-        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |          range(1, greatest(len(w)-2,0)+1),
-        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
-        |        FROM w),
-        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-        |   FROM mh GROUP BY doc_id, band),
-        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
-        |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
-        |   GROUP BY 1, 2),
-        | p AS (SELECT i, j FROM inter
-        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
-        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
-        | reach AS (SELECT a, b FROM e
-        |   UNION
-        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
-        |   HAVING least(a, min(b)) < a)
-        | SELECT doc_id FROM k1
-        | EXCEPT SELECT doc_id FROM dropd
-        | ORDER BY doc_id""".stripMargin
+      s"""WITH RECURSIVE $curationHeadSql,
+         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+         |   FROM mh GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+         |   GROUP BY 1, 2),
+         | $curationTailSql""".stripMargin
   )
+
+  /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
+    * exact-dedup keepers (k1) → survivors (s) → their distinct 3-gram
+    * shingles (sh) and per-doc shingle counts (n). ONE definition — the
+    * two curation oracles may only differ in how they produce `inter`
+    * (the per-pair intersection counts), mirroring the Scala
+    * `curationSurvivors`/`curationResult` split.
+    */
+  // lazy: referenced from the `oracle` map's interpolations above —
+  // object-init order would otherwise read them as null
+  private lazy val curationHeadSql =
+    """q AS (SELECT doc_id, text FROM documents
+      |   WHERE len(string_split(text,' ')) >= 20
+      |     AND floor(len(regexp_replace(text,'[^a-z]','','g'))::DOUBLE * 10000
+      |           / len(text)::DOUBLE) >= 7000),
+      | k1 AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
+      | s AS (SELECT q.doc_id, q.text FROM q JOIN k1 USING (doc_id)),
+      | w AS (SELECT doc_id, string_split(text,' ') w FROM s),
+      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          range(1, greatest(len(w)-2,0)+1),
+      |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+      |        FROM w),
+      | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Shared curation-oracle tail: jaccard threshold over `inter` →
+    * symmetric edges → recursive reachability → drop non-representatives
+    * → surviving keeper ids.
+    */
+  private lazy val curationTailSql =
+    """p AS (SELECT i, j FROM inter
+      |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+      |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+      | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+      | reach AS (SELECT a, b FROM e
+      |   UNION
+      |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
+      |   HAVING least(a, min(b)) < a)
+      | SELECT doc_id FROM k1
+      | EXCEPT SELECT doc_id FROM dropd
+      | ORDER BY doc_id""".stripMargin
 }
