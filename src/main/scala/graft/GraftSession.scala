@@ -28,36 +28,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * did: register() was missing four functions the extension served).
   */
 object GraftExtensions {
-  private def foldToInt(e: Expression): Int = e.eval(null) match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case other   => throw new IllegalArgumentException(
-      s"expected integer literal, got $other")
+  /** Fold a literal argument to Int with the function NAMED in every
+    * failure: a non-literal (column) argument, a non-integral type, and
+    * an out-of-Int-range long each get a plan-time error — `l.toInt`
+    * alone would silently WRAP an overflowing literal to an arbitrary
+    * small or negative value (char_ngrams(s, 2^32+3) computing 3-grams).
+    */
+  private def foldToInt(fn: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got a non-literal expression")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long =>
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$fn integer argument out of range: $l")
+        l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$fn expected integer literal, got $other")
+    }
   }
+
+  /** Arity gate shared by every builder: without it, extra arguments are
+    * SILENTLY IGNORED (keccak256(a, b) hashing only `a` — a plausible
+    * digest over the wrong input) and missing ones die in an anonymous
+    * IndexOutOfBounds instead of naming the function.
+    */
+  private def checked(name: String, arity: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${es.length}")
+      b(es)
+    }
 
   val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("base58_encode", "base58_encode(bin) - bitcoin-alphabet base58 string",
-      es => Base58Encode(es.head)),
+      checked("base58_encode", 1)(es => Base58Encode(es.head))),
     ("base58_decode", "base58_decode(str) - bytes, null on bad alphabet",
-      es => Base58Decode(es.head)),
+      checked("base58_decode", 1)(es => Base58Decode(es.head))),
     ("keccak256", "keccak256(bin) - 32-byte Keccak-256 digest",
-      es => Keccak256(es.head)),
+      checked("keccak256", 1)(es => Keccak256(es.head))),
     ("u256_to_decimal", "u256_to_decimal(bin32) - DECIMAL(38,0), null on overflow",
-      es => U256ToDecimal(es.head)),
+      checked("u256_to_decimal", 1)(es => U256ToDecimal(es.head))),
     ("u256_to_string", "u256_to_string(bin32) - decimal string",
-      es => U256ToString(es.head)),
+      checked("u256_to_string", 1)(es => U256ToString(es.head))),
     ("u256_from_string", "u256_from_string(str) - 32-byte big-endian binary",
-      es => U256FromString(es.head)),
+      checked("u256_from_string", 1)(es => U256FromString(es.head))),
     ("float_vec_dot", "float_vec_dot(a, b) - left-fold double dot product",
-      es => FloatVecDot(es.head, es(1))),
+      checked("float_vec_dot", 2)(es => FloatVecDot(es.head, es(1)))),
     ("char_ngrams", "char_ngrams(str, n) - distinct character n-grams",
-      es => CharNGrams(es.head, foldToInt(es(1)))),
+      checked("char_ngrams", 2)(es => CharNGrams(es.head, foldToInt("char_ngrams", es(1))))),
     ("word_ngrams", "word_ngrams(str, n) - distinct word n-grams",
-      es => WordNGrams(es.head, foldToInt(es(1)))),
+      checked("word_ngrams", 2)(es => WordNGrams(es.head, foldToInt("word_ngrams", es(1))))),
     ("md5_bottom_k", "md5_bottom_k(arr, k) - k smallest md5 digests, concat",
-      es => Md5BottomK(es.head, foldToInt(es(1)))),
+      checked("md5_bottom_k", 2)(es => Md5BottomK(es.head, foldToInt("md5_bottom_k", es(1))))),
     ("deflate_len", "deflate_len(str) - DEFLATE-compressed byte length",
-      es => DeflateLen(es.head)))
+      checked("deflate_len", 1)(es => DeflateLen(es.head))))
 }
 
 /** Engine session bootstrap: the scale-posture defaults every entry point
@@ -66,29 +93,63 @@ object GraftExtensions {
   * provides.
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int =
-                sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type —
-      // read as long, Tables.load rebuilds the timestamp.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Spark-default AQE coalescing (parallelismFirst=true): never shrink a
-      // post-shuffle stage below the cluster's parallelism. Round 1 set this
-      // to false, which coalesced every small-SF shuffle to ONE partition and
-      // serialized the compute-heavy pair/kernel stages (x21-x24) through a
-      // single task; at 100 TB partitions are data-sized either way, so the
-      // default is both the local and the cluster posture.
+  /** ONE parse of SPARK_GRAFT_CPUS (master and shuffle partitions must
+    * agree), trimmed, with the env var NAMED on a bad value — a bare
+    * .toInt died as an anonymous NumberFormatException at every entry
+    * point.
+    */
+  private def envCpus: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim
+    try raw.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be an integer (got '$raw')") }
+  }
+
+  /** The engine's scale-posture defaults, as data — builder() applies
+    * them; the spec asserts on THIS map (a second SparkContext can't boot
+    * in a shared test JVM, so the defaults must be observable without
+    * materializing a session).
+    */
+  private[graft] val defaults: Map[String, String] = Map(
+    "spark.sql.extensions" -> classOf[GraftExtensions].getName,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.ui.enabled" -> "false",
+    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type —
+    // read as long, Tables.load rebuilds the timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Spark-default AQE coalescing (parallelismFirst=true): never shrink a
+    // post-shuffle stage below the cluster's parallelism. Round 1 set this
+    // to false, which coalesced every small-SF shuffle to ONE partition and
+    // serialized the compute-heavy pair/kernel stages (x21-x24) through a
+    // single task; at 100 TB partitions are data-sized either way, so the
+    // default is both the local and the cluster posture.
+    "spark.sql.adaptive.enabled" -> "true")
+
+  def builder(master: String = s"local[$envCpus]",
+              shufflePartitions: Int = envCpus): SparkSession.Builder =
+    defaults.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+    ) { case (b, (k, v)) => b.config(k, v) }
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // getOrCreate may have returned a PRE-EXISTING session on which the
+    // STATIC confs above (spark.sql.extensions, nanosAsLong) never took
+    // effect — every graft SQL function would be missing with no hint.
+    // Repair the function registry through the temp-function channel and
+    // warn about the one static conf that cannot be applied post-hoc.
+    if (!s.catalog.functionExists("keccak256")) {
+      graft.functions.GraftFunctions.register(s)
+      if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        System.err.println("[graft] WARNING: reusing a pre-existing " +
+          "SparkSession; spark.sql.legacy.parquet.nanosAsLong is not set " +
+          "and cannot be applied now — nanos-timestamp parquet (events.ts) " +
+          "will fail to read in this session")
+    }
     s
   }
 }

@@ -27,11 +27,15 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
     // rebuild the timestamp here. Integer `div` (not `/`): doubles lose
-    // precision above 2^53 and ns-since-epoch is ~1.7e18.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
+    // precision above 2^53 and ns-since-epoch is ~1.7e18. Scoped to the
+    // ONE table whose fixture carries nanos — keying on the column name
+    // alone would silently reinterpret any other table's legitimate
+    // BIGINT ts (epoch millis, a sequence number) as nanoseconds and
+    // corrupt it into a 1970 timestamp.
+    if (name == "events" &&
+        df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
   }
 
   /** The table bundle a pipeline flows through (cherry `pipeline.py:117-120`). */
@@ -45,5 +49,8 @@ object Tables {
     */
   def registerViews(spark: SparkSession, dir: String,
                     names: Seq[String] = all): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    // through bundle(), not a parallel load loop — view registration and
+    // DataFrame bundles must see the SAME table semantics
+    bundle(spark, dir, names).foreach { case (n, df) =>
+      df.createOrReplaceTempView(n) }
 }
