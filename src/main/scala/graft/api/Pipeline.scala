@@ -57,12 +57,6 @@ object Pipeline {
       pipeline.sink.push(processSteps(spark, batch, pipeline.steps))
     }
 
-  private lazy val prefetchEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-        val t = new Thread(r, "graft-batch-prefetch"); t.setDaemon(true); t
-      }))
-
   /** Pipelined driver loop (≙ the reference's headline parallelism claim:
     * "next batch … being fetched while your pre-processing function is
     * running", README.md:25; `asyncio.to_thread` at `pipeline.py:122`):
@@ -75,6 +69,14 @@ object Pipeline {
   def runPipelined(spark: SparkSession, pipeline: Pipeline): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // per-INVOCATION executor: a JVM-global single thread would serialize
+    // two concurrently-running pipelines' prefetches against each other —
+    // each loop blocking on the OTHER pipeline's materialization, paying
+    // the persist overhead without the overlap this method exists for
+    val prefetchPool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-batch-prefetch"); t.setDaemon(true); t
+    })
+    val prefetchEc = scala.concurrent.ExecutionContext.fromExecutorService(prefetchPool)
     val it = pipeline.source.batches(spark)
     def prepare(): Option[Tables] =
       if (!it.hasNext) None
@@ -111,7 +113,10 @@ object Pipeline {
           } else current = Await.result(nextF, Duration.Inf)
         }
       }
-    } finally current.foreach(_.values.foreach(_.unpersist()))
+    } finally {
+      current.foreach(_.values.foreach(_.unpersist()))
+      prefetchPool.shutdown()
+    }
   }
 }
 
@@ -155,20 +160,34 @@ final case class JsonlSource(paths: Map[String, String]) extends Source {
   * slice of `rangeColumn`. Each slice's range predicate is pushed to the
   * scan — on a partitioned lake this is partition pruning, so a 100 TB
   * table costs only the slice actually read.
+  *
+  * Tables WITHOUT `rangeColumn` (static dimensions) ride along IN FULL in
+  * every slice — correct for joining, wrong to append-sink per slice
+  * (they would duplicate once per slice; write dims once, outside the
+  * loop). Rows whose `rangeColumn` is NULL belong to NO slice (a range
+  * predicate is null-rejecting, matching the reference's block-keyed
+  * semantics where the range column is never null).
   */
 final case class BlockRangeSource(dir: String, tables: Seq[String],
                                   rangeColumn: String, fromValue: Long,
                                   toValue: Long, step: Long) extends Source {
   require(step > 0, "step must be positive")
-  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
+  def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] = {
+    // loud typo guard (the AnchorLast policy): a rangeColumn matching NO
+    // table would silently disable slicing — every slice emitting every
+    // table in full, N-fold duplication through an append sink
+    val probe = graft.sources.Tables.bundle(spark, dir, tables)
+    require(probe.values.exists(_.columns.contains(rangeColumn)),
+      s"rangeColumn '$rangeColumn' exists in none of $tables")
     (fromValue until toValue by step).iterator.map { lo =>
       val hi = math.min(lo + step, toValue)
-      graft.sources.Tables.bundle(spark, dir, tables).map { case (name, df) =>
+      probe.map { case (name, df) =>
         name -> (if (df.columns.contains(rangeColumn))
           df.filter(df(rangeColumn) >= lo && df(rangeColumn) < hi)
         else df)
       }
     }
+  }
 }
 
 /** Remote provider source (≙ cherry `ProviderConfig(kind, url)` + `Query`
@@ -185,6 +204,13 @@ final case class ProviderSource(url: String, table: String,
                                 filters: Map[String, Seq[String]] = Map.empty)
     extends Source {
   require(step > 0, "step must be positive")
+  // an EMPTY value list would serialize to filter.<col>="" → a request
+  // whose value set is {empty bytes}, matching NOTHING — the pipeline
+  // would complete "successfully" having written zero rows. No constraint
+  // on a column = omit the column.
+  filters.foreach { case (c, vs) =>
+    require(vs.nonEmpty,
+      s"filter.$c has an empty value list — omit the column for no constraint") }
   def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] =
     (fromBlock until toBlock by step).iterator.map { lo =>
       val hi = math.min(lo + step, toBlock)

@@ -28,7 +28,13 @@ final case class DeltaSink(baseDir: String,
                            partitionBy: Map[String, Seq[String]] = Map.empty,
                            anchorTable: Option[String] = None,
                            mergeSchema: Boolean = true) extends Sink {
-  def push(tables: Map[String, DataFrame]): Unit =
+  def push(tables: Map[String, DataFrame]): Unit = {
+    // same loud-typo policy as ParquetSink: an unmatched partitionBy key
+    // silently writes that table unpartitioned
+    val unknown = partitionBy.keySet -- tables.keySet
+    require(unknown.isEmpty,
+      s"partitionBy names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
+        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       if (df.isEmpty) () // documented empty-table skip
       else {
@@ -39,6 +45,7 @@ final case class DeltaSink(baseDir: String,
         .save(s"$baseDir/$name")
       }
     }
+  }
 }
 
 /** Iceberg sink (≙ cherry W4 `writers/iceberg.py:10-49`): first push

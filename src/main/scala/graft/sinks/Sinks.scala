@@ -63,7 +63,15 @@ final case class ParquetSink(baseDir: String,
                              partitionBy: Map[String, Seq[String]] = Map.empty,
                              anchorTable: Option[String] = None,
                              maxRecordsPerFile: Long = 1048576L) extends Sink {
-  def push(tables: Map[String, DataFrame]): Unit =
+  def push(tables: Map[String, DataFrame]): Unit = {
+    // same loud-typo policy as AnchorLast's anchorTable guard: a
+    // partitionBy key matching no table would silently write that table
+    // UNPARTITIONED — consumers lose the promised pruning and only find
+    // out by inspecting output layout
+    val unknown = partitionBy.keySet -- tables.keySet
+    require(unknown.isEmpty,
+      s"partitionBy names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
+        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       val w = df.write.mode("append")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -71,6 +79,7 @@ final case class ParquetSink(baseDir: String,
         .fold(w)(cols => w.partitionBy(cols: _*))
         .parquet(s"$baseDir/$name")
     }
+  }
 }
 
 /** Session-catalog table sink (≙ cherry W1 DuckDB `writers/duckdb.py:17-52`:

@@ -89,10 +89,14 @@ object Streaming {
     // rows would come out missing a data column with no error
     require(!stream.columns.contains("__h"),
       "stream already has a column named __h; rename it before deduping")
+    // same-name USING-style join — the shape DedupOps.incrementalDedup's
+    // exact probe uses: no second magic column to collide with user
+    // columns (a stream with its own __ref_h hit an AMBIGUOUS_REFERENCE
+    // the guard above never mentioned)
     val refHashes = reference
-      .select(md5(col(contentCol)).as("__ref_h")).distinct()
+      .select(md5(col(contentCol)).as("__h")).distinct()
     stream.withColumn("__h", md5(col(contentCol)))
-      .join(refHashes, col("__h") === col("__ref_h"), "left_anti")
+      .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
   }
 
@@ -123,9 +127,13 @@ object Streaming {
             last
           } else {
             val prev = state.getOption.getOrElse(KeyCount(key, 0L, 0L))
-            val batch = rows.toSeq
-            val next = KeyCount(key, prev.count + batch.size,
-              math.max(prev.lastSeenMs, batch.map(_._2).max))
+            // single O(1)-memory fold: a hot key's micro-batch can carry
+            // millions of rows — buffering them (toSeq) to take .size and
+            // .max would put the whole group on the executor heap
+            val (n, maxTs) = rows.foldLeft((0L, prev.lastSeenMs)) {
+              case ((c, m), (_, t)) => (c + 1, math.max(m, t))
+            }
+            val next = KeyCount(key, prev.count + n, maxTs)
             state.update(next)
             evictAfter.foreach(state.setTimeoutDuration)
             next
