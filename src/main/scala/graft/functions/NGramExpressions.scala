@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Distinct character n-grams of a string: charShingles(text, n). */
 case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NGramTypeCheck(prettyName, child)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
@@ -36,16 +38,49 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared plan-time type gate for the string-input n-gram kernels — a
+  * wrong-typed argument otherwise passes analysis and dies mid-job in an
+  * anonymous ClassCastException (after a Janino compile failure demotes
+  * the stage to interpreted eval).
+  */
+private object NGramTypeCheck {
+  def apply(fn: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn requires string, got ${other.simpleString}")
+    }
+}
+
 object CharNGrams {
   def compute(input: UTF8String, n: Int): GenericArrayData = {
     val s = input.toString
-    if (s.length < n) new GenericArrayData(Array.empty[Any])
+    // code-POINT shingling: slicing by UTF-16 unit would split a
+    // supplementary character (emoji) into lone surrogates, which encode
+    // as '?' on UTF-8 output — shingle sets would diverge from the
+    // substr-based HOF form and the DuckDB oracle on any non-BMP text,
+    // and distinct emoji would collapse into identical '?' shingles
+    val cpCount = s.codePointCount(0, s.length)
+    if (cpCount < n) new GenericArrayData(Array.empty[Any])
     else {
+      // char offset of each code point start, plus the end sentinel
+      val starts = new Array[Int](cpCount + 1)
+      var ci = 0
+      var off = 0
+      while (ci < cpCount) {
+        starts(ci) = off
+        off = s.offsetByCodePoints(off, 1)
+        ci += 1
+      }
+      starts(cpCount) = s.length
       val seen = new mutable.LinkedHashSet[String]
       var i = 0
-      val end = s.length - n
+      val end = cpCount - n
       while (i <= end) {
-        seen += s.substring(i, i + n)
+        seen += s.substring(starts(i), starts(i + n))
         i += 1
       }
       new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
@@ -82,31 +117,53 @@ case class Md5BottomK(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object Md5BottomK {
+  // per-thread digest: MessageDigest.getInstance does a JCA provider
+  // lookup — once per ROW on the fingerprint hot path adds up; digest()
+  // resets the instance, so no explicit reset is needed
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
               k: Int): UTF8String = {
     val n = arr.numElements()
-    val digests = new scala.collection.mutable.ArrayBuffer[String](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    // bounded size-k insertion (k is typically 4): sorting ALL of a
+    // document's digests to keep the k smallest is O(n log n) per row
+    // where O(n·k) suffices. `top(0..size)` stays sorted ascending;
+    // duplicate digests are kept, matching the sorted.take(k) semantics.
+    val top = new Array[String](k)
+    var size = 0
     var i = 0
     while (i < n) {
       // null elements carry no shingle: skipped, not an NPE mid-codegen
-      if (arr.isNullAt(i)) { i += 1 }
-      else {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      val sb = new java.lang.StringBuilder(32)
-      var b = 0
-      while (b < d.length) {
-        sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
-        sb.append(Character.forDigit(d(b) & 0xf, 16))
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val sb = new java.lang.StringBuilder(32)
+        var b = 0
+        while (b < d.length) {
+          sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(d(b) & 0xf, 16))
+          b += 1
+        }
+        val h = sb.toString
+        if (size < k || h.compareTo(top(size - 1)) < 0) {
+          var j = if (size < k) size else k - 1
+          while (j > 0 && top(j - 1).compareTo(h) > 0) {
+            top(j) = top(j - 1)
+            j -= 1
+          }
+          top(j) = h
+          if (size < k) size += 1
+        }
       }
-      digests += sb.toString
       i += 1
-      }
     }
-    val sorted = digests.sorted
-    UTF8String.fromString(sorted.take(k).mkString)
+    val out = new java.lang.StringBuilder(32 * size)
+    var t = 0
+    while (t < size) { out.append(top(t)); t += 1 }
+    UTF8String.fromString(out.toString)
   }
 }
 
@@ -115,6 +172,8 @@ object Md5BottomK {
   */
 case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NGramTypeCheck(prettyName, child)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 

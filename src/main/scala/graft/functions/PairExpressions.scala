@@ -49,8 +49,12 @@ case class DocPairs(child: Expression, minRatioBp: Long = 0L)
 object DocPairs {
   def compute(arr: ArrayData, minRatioBp: Long): GenericArrayData = {
     val m = arr.numElements()
+    // 65,535 is the documented bound: 65,536 rows' pair count
+    // (2,147,450,880) still fits an Int but no JVM array/buffer of that
+    // size is allocatable — a `pairs > Int.MaxValue` check passed it
+    // through to an opaque executor OOM
     val pairs = m.toLong * (m - 1L) / 2L
-    if (pairs > Int.MaxValue) {
+    if (m > 65535) {
       throw new IllegalArgumentException(
         s"doc_pairs: bucket of $m rows yields $pairs pairs (exceeds array " +
           "capacity); cap bucket sizes upstream (DedupOps maxBucket)")
@@ -107,6 +111,17 @@ object DocPairs {
 case class SimhashChunkPairs(left: Expression, right: Expression,
                              chunks: Int, maxHamming: Int)
     extends BinaryExpression {
+  // the kernel's own contract, enforced at PLAN time — without this an
+  // out-of-contract config (1 < chunks <= maxHamming) would be clamped
+  // by combos' a = max(chunks - maxHamming, 1) and SILENTLY DROP
+  // qualifying pairs (the pigeonhole guarantee no longer holds: a pair
+  // with ham spread across every chunk agrees on no combo); chunks > 60
+  // would yield zero-width masks where every combo "agrees". DedupOps
+  // guards its own layer; the expression must not return plausible wrong
+  // output when used directly.
+  require(maxHamming >= 0, "maxHamming must be non-negative")
+  require(chunks == 1 || (chunks > maxHamming && chunks <= 60),
+    s"chunks must be 1 (all-pairs mode) or in (maxHamming, 60], got $chunks")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("i", LongType, nullable = false),
     StructField("j", LongType, nullable = false),
@@ -181,8 +196,9 @@ object SimhashChunkPairs {
     // the same capacity backstop DocPairs has — DedupOps's uncapped
     // all-pairs mode (maxHamming >= 60, one global bucket) relies on this
     // failing LOUDLY instead of an opaque executor OOM
-    val pairs = m.toLong * (m - 1L) / 2L
-    if (pairs > Int.MaxValue) {
+    // same 65,535 bound as DocPairs (see there for the off-by-one story)
+    if (m > 65535) {
+      val pairs = m.toLong * (m - 1L) / 2L
       throw new IllegalArgumentException(
         s"simhash_chunk_pairs: bucket of $m rows yields $pairs pairs " +
           "(exceeds array capacity); cap bucket sizes upstream " +

@@ -361,4 +361,19 @@ class FunctionsSpec extends SparkSpec {
         allowFail = true).as("d"))
     assert(df.head().isNullAt(0))
   }
+
+  test("char_ngrams shingles by code point, never splitting a surrogate pair") {
+    // "a😀b" is 3 code points (4 UTF-16 units); 2-grams must be
+    // {"a😀", "😀b"} — UTF-16-unit slicing would emit lone surrogates
+    // that encode as '?' and collapse distinct emoji into one shingle
+    val got = graft.functions.CharNGrams.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a😀b"), 2)
+    val strs = (0 until got.numElements())
+      .map(i => got.getUTF8String(i).toString)
+    assert(strs == Seq("a😀", "😀b"), strs)
+    // a single supplementary char is ONE code point: no 2-gram exists
+    assert(graft.functions.CharNGrams.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("😀"), 2)
+      .numElements() == 0)
+  }
 }
