@@ -148,6 +148,82 @@ object StatOps {
                      as: String = "n_distinct_est"): DataFrame =
     df.withColumn(as, hll_sketch_estimate(col(sketchCol)))
 
+  /** Mergeable per-group count-min sketch — the FREQUENCY sibling of
+    * [[distinctSketch]] (heavy hitters / "how often does this token
+    * appear", per shard, merged at read time without re-scanning
+    * history). The sketch is a dense array<long> of `depth`×`width`
+    * counters; item frequency is estimated as min over rows d of
+    * counter[d][hash_d(item) mod width] — a ONE-SIDED estimate (never an
+    * undercount; overcounts by at most εN with ε ≈ e/width at the
+    * standard depth ≈ ln(1/δ)). Spark has no builtin CMS, so this builds
+    * the counters as ordinary map-side-combinable counts: one shuffle
+    * keyed by (group, row, bucket), rows per group bounded by
+    * depth×width regardless of data volume. Hashes are the engine's
+    * md5-derived hash60 — deterministic, but estimates are spec-gated
+    * like every sketch (the declared x33 policy).
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, valCol: String,
+                width: Int = 256, depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val slots = depth * width
+    df.select(col(keyCol).as("__k"), col(valCol).cast(StringType).as("__v"))
+      .select(col("__k"), col("__v"),
+        explode(array((0 until depth).map(lit): _*)).as("__d"))
+      .groupBy(col("__k"), col("__d"),
+        cmsBucket(col("__d"), col("__v"), width).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      // sparse (slot, count) → dense array; absent slots are true zeros
+      .groupBy(col("__k"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("__d") * width + col("__b")).cast("int").as("slot"),
+        col("__c").as("c")))).as("__m"))
+      .select(col("__k").as(keyCol),
+        transform(sequence(lit(0), lit(slots - 1)),
+          s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L)))
+          .as("cms"))
+  }
+
+  /** Element-wise sum of stored CMS sketches per key (cross-shard merge —
+    * counters are linear, so the merged sketch is EXACTLY the sketch of
+    * the concatenated data). Shuffled rows = groups × slots (bounded
+    * sketch metadata), never data.
+    */
+  def mergeCmsSketches(sketches: DataFrame, keyCol: String,
+                       sketchCol: String = "cms"): DataFrame =
+    sketches.select(col(keyCol).as("__k"), posexplode(col(sketchCol)))
+      .groupBy(col("__k"), col("pos"))
+      .agg(sum(col("col")).as("c"))
+      .groupBy(col("__k"))
+      .agg(map_from_entries(collect_list(struct(
+        col("pos").cast("int").as("slot"), col("c")))).as("__m"))
+      .select(col("__k").as(keyCol),
+        transform(sequence(lit(0), size(col("__m")) - 1),
+          s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L)))
+          .as(sketchCol))
+
+  /** Estimated frequency of `itemCol` under a CMS sketch column: min over
+    * depth rows. `width`/`depth` must match the build. One-sided —
+    * `freq_est >= true count` always.
+    */
+  def cmsEstimate(df: DataFrame, itemCol: String,
+                  sketchCol: String = "cms", width: Int = 256,
+                  depth: Int = 4, as: String = "freq_est"): DataFrame =
+    df.withColumn(as,
+      (0 until depth).map { d =>
+        // element_at is 1-based on arrays; slots are 0-based
+        element_at(col(sketchCol),
+          (lit(d * width) + cmsBucket(lit(d), col(itemCol).cast(StringType),
+            width) + 1).cast("int"))
+      }.reduce(least(_, _)))
+
+  /** Row-d bucket of a value: hash60 of \"d<SEP>value\" mod width — ONE
+    * definition shared by build and probe (a drifted copy would silently
+    * zero every estimate).
+    */
+  private def cmsBucket(d: Column, v: Column, width: Int): Column =
+    pmod(TextOps.hash60(concat_ws("\u0001", d.cast(StringType), v)),
+      lit(width.toLong))
+
   /** Power-of-two length histogram per key: bucket = number of binary
     * digits of the length (⌊log2⌋+1), with count/sum/min/max of the raw
     * length per (key, bucket) — the sequence-length profile a packing /

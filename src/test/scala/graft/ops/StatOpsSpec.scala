@@ -119,4 +119,43 @@ class StatOpsSpec extends SparkSpec {
       .select("id", "idx").as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 0L, 4L -> 1L, 1L -> 2L, 3L -> 3L))
   }
+
+  test("count-min sketch: shard-merge exact, estimates one-sided") {
+    // skewed token stream over two groups: token t0 is the heavy hitter
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 600).map { i =>
+      (s"g${i % 2}", if (rnd.nextInt(4) == 0) "t0" else s"t${rnd.nextInt(40)}")
+    }
+    val df = rows.toDF("k", "tok")
+    val exact = rows.groupBy(identity).map { case ((k, t), g) =>
+      (k, t) -> g.size.toLong }.toMap
+
+    val single = StatOps.cmsSketch(df, "k", "tok", width = 64, depth = 4)
+    // counters are linear: sketching two shards and merging must equal
+    // sketching the concatenation BIT-FOR-BIT (the incremental contract)
+    val shardA = StatOps.cmsSketch(df.filter(col("tok") =!= "t0"), "k", "tok",
+      width = 64, depth = 4)
+    val shardB = StatOps.cmsSketch(df.filter(col("tok") === "t0"), "k", "tok",
+      width = 64, depth = 4)
+    val merged = StatOps.mergeCmsSketches(shardA.unionByName(shardB), "k")
+    def byKey(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(byKey(merged) == byKey(single))
+
+    // estimates: NEVER an undercount; exact for every item at width 64
+    // over ≤ 41 distinct tokens unless rows collide (then strictly over)
+    val items = rows.map(_._2).distinct.toDF("tok")
+    val est = StatOps.cmsEstimate(
+        items.crossJoin(single), "tok", width = 64, depth = 4)
+      .select("k", "tok", "freq_est")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    est.foreach { case ((k, t), e) =>
+      val truth = exact.getOrElse((k, t), 0L)
+      assert(e >= truth, s"($k,$t): est $e under-counts true $truth")
+    }
+    // the heavy hitter is found exactly (its count dwarfs collision noise)
+    val hh = est.filter(_._1._2 == "t0").toMap
+    assert(hh(("g0", "t0")) == exact(("g0", "t0")))
+    assert(hh(("g1", "t0")) == exact(("g1", "t0")))
+  }
 }
