@@ -198,6 +198,16 @@ object WireProtocol {
     }
     override def close(): Unit = if (!closed) { closed = true; reader.close() }
 
+    // per-COLUMN readers, resolved once at construction: the runtime type
+    // dispatch must not run rows×columns times per batch in the scan's
+    // innermost loop (4096 rows × 8 cols = 32k pattern matches per batch)
+    private val readers: Array[Int => Any] = try vectors.map {
+      case v: BigIntVector    => (r: Int) => if (v.isNull(r)) null else v.get(r)
+      case v: VarBinaryVector => (r: Int) => if (v.isNull(r)) null else v.get(r)
+      case v => throw new IllegalStateException(s"unexpected vector ${v.getClass}")
+    }: Array[Int => Any]
+    catch { case e: Throwable => reader.close(); throw e }
+
     // copy out one loaded batch (VarBinaryVector.get already copies bytes;
     // the vectors' memory is overwritten by the next loadNextBatch)
     private def decodeBatch(): Array[InternalRow] = {
@@ -205,14 +215,10 @@ object WireProtocol {
       val out = new Array[InternalRow](n)
       var r = 0
       while (r < n) {
-        val values = new Array[Any](vectors.length)
+        val values = new Array[Any](readers.length)
         var c = 0
-        while (c < vectors.length) {
-          values(c) = vectors(c) match {
-            case v: BigIntVector    => if (v.isNull(r)) null else v.get(r)
-            case v: VarBinaryVector => if (v.isNull(r)) null else v.get(r)
-            case v => throw new IllegalStateException(s"unexpected vector ${v.getClass}")
-          }
+        while (c < readers.length) {
+          values(c) = readers(c)(r)
           c += 1
         }
         out(r) = new GenericInternalRow(values)

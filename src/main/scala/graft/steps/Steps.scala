@@ -29,20 +29,39 @@ object Steps {
 
   // --- T4 CAST (cherry steps/cast.py:9-27) ----------------------------------
 
+  /** The one cast expression both cast steps share — `try_cast` (null on
+    * failure) vs strict `cast`, the reference's `allow_cast_fail` split.
+    */
+  private def castExpr(c: String, t: DataType, tryIt: Boolean) =
+    if (tryIt) col(c).try_cast(t.sql) else col(c).cast(t)
+
+  /** A table-TARGETED step addressing a name not in the bundle is a typo,
+    * and a `collect { case matching => }` would silently no-op it — the
+    * pipeline runs green with the step never applied (the failure surfaces,
+    * if ever, as a far-downstream type mismatch). Same loud policy as the
+    * decode steps' `tables(inputTable)` lookup.
+    */
+  private def requireTable(tables: Map[String, DataFrame], name: String,
+                           step: String): Unit =
+    require(tables.contains(name),
+      s"$step targets table '$name' but the bundle has: " +
+        tables.keys.toSeq.sorted.mkString(", "))
+
   /** Cast named columns of one table; `allowCastFail` → `try_cast` semantics
     * (null on failure), exactly the reference's `allow_cast_fail` contract.
     */
   final case class Cast(tableName: String, mappings: Map[String, DataType],
                         allowCastFail: Boolean = false) extends Step {
-    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
+    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
+      requireTable(tables, tableName, "Cast")
       tables.map {
         case (name, df) if name == tableName =>
           name -> mappings.foldLeft(df) { case (d, (c, t)) =>
-            d.withColumn(c, if (allowCastFail) col(c).try_cast(t.sql)
-                            else col(c).cast(t))
+            d.withColumn(c, castExpr(c, t, allowCastFail))
           }
         case kv => kv
       }
+    }
   }
 
   // --- T5 CAST_BY_TYPE (cherry steps/cast_by_type.py:9-27) ------------------
@@ -53,8 +72,7 @@ object Steps {
     def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
       tables.map { case (name, df) =>
         name -> colsOfType(df, from).foldLeft(df) { (d, c) =>
-          d.withColumn(c, if (allowCastFail) col(c).try_cast(to.sql)
-                          else col(c).cast(to))
+          d.withColumn(c, castExpr(c, to, allowCastFail))
         }
       }
   }
@@ -67,15 +85,8 @@ object Steps {
     */
   final case class HexEncode(tables: Option[Seq[String]] = None,
                              prefixed: Boolean = true) extends Step {
-    def apply(spark: SparkSession, all: Map[String, DataFrame]): Map[String, DataFrame] = {
-      val targets = targetTables(all, tables)
-      all.map { case (name, df) =>
-        name -> (if (!targets(name)) df
-                 else colsOfType(df, BinaryType).foldLeft(df) { (d, c) =>
-                   d.withColumn(c, F.hex_lower(col(c), prefixed))
-                 })
-      }
-    }
+    def apply(spark: SparkSession, all: Map[String, DataFrame]): Map[String, DataFrame] =
+      encodeBinaryCols(all, tables, c => F.hex_lower(c, prefixed))
   }
 
   // --- T7 BASE58_ENCODE (cherry steps/base58_encode.py:10-28) ---------------
@@ -84,14 +95,24 @@ object Steps {
     * alphabet) strings.
     */
   final case class Base58Encode(tables: Option[Seq[String]] = None) extends Step {
-    def apply(spark: SparkSession, all: Map[String, DataFrame]): Map[String, DataFrame] = {
-      val targets = targetTables(all, tables)
-      all.map { case (name, df) =>
-        name -> (if (!targets(name)) df
-                 else colsOfType(df, BinaryType).foldLeft(df) { (d, c) =>
-                   d.withColumn(c, F.base58_encode(col(c)))
-                 })
-      }
+    def apply(spark: SparkSession, all: Map[String, DataFrame]): Map[String, DataFrame] =
+      encodeBinaryCols(all, tables, F.base58_encode)
+  }
+
+  /** Shared traversal of the binary-encoding steps: every BinaryType
+    * column of the selected tables through `enc` — ONE definition so the
+    * table-selection logic cannot drift between encodings.
+    */
+  private def encodeBinaryCols(all: Map[String, DataFrame],
+                               tables: Option[Seq[String]],
+                               enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Map[String, DataFrame] = {
+    val targets = targetTables(all, tables)
+    all.map { case (name, df) =>
+      name -> (if (!targets(name)) df
+               else colsOfType(df, BinaryType).foldLeft(df) { (d, c) =>
+                 d.withColumn(c, enc(col(c)))
+               })
     }
   }
 
@@ -103,13 +124,15 @@ object Steps {
     * equivalent boundary step converts decimal-string columns to the canon.
     */
   final case class U256FromString(tableName: String, columns: Seq[String]) extends Step {
-    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
+    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
+      requireTable(tables, tableName, "U256FromString")
       tables.map {
         case (name, df) if name == tableName =>
           name -> columns.foldLeft(df)((d, c) =>
             d.withColumn(c, F.u256_from_string(col(c))))
         case kv => kv
       }
+    }
   }
 
   // --- T9 SET_CHAIN_ID (cherry steps/set_chain_id.py:7-21) ------------------
@@ -256,12 +279,18 @@ object Steps {
       // ONE scan of the source: without this each branch's topic0 filter
       // re-reads the input (N scans for N signatures — a glaciers-style
       // 300-signature ABI db would re-scan the logs table 300 times). The
-      // combined IN filter keeps only decodable logs, and the LAZY
-      // localCheckpoint materializes that subset once when the union plan
-      // first runs; every branch then filters the materialized rows.
+      // combined IN filter keeps only decodable logs, materialized once
+      // when the union plan first runs; every branch then filters the
+      // cached rows. persist(), NOT localCheckpoint: steps run once per
+      // micro-batch on the streaming path, and checkpoint blocks are the
+      // one class ContextCleaner can never reclaim — a long stream would
+      // pin one dead checkpoint per batch until the executors fill.
+      // Persisted blocks are reclaimed by the cleaner when the batch's
+      // plans are dropped, and lineage stays intact (executor loss
+      // recomputes instead of failing the query).
       val matched = in
         .filter(col("topic0").isin(parsedSigs.map(t => t._3: Any): _*))
-        .localCheckpoint(false)
+        .persist()
       val branches = parsedSigs.map { case (sig, parsed, t0) =>
         val decoded = matched.filter(col("topic0") === lit(t0))
           .withColumn("__d", F.evm_decode_event(
@@ -320,7 +349,8 @@ object Steps {
                                         hashCol: String = "hash",
                                         parentHashCol: String = "parent_hash",
                                         bucketSize: Long = 1000000L) extends Step {
-    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] =
+    def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
+      requireTable(tables, blocksTable, "EvmValidateBlockData")
       tables.map {
         case (name, df) if name == blocksTable =>
           val out =
@@ -354,6 +384,7 @@ object Steps {
           name -> out
         case kv => kv
       }
+    }
   }
 
   // --- T10 POLARS-analog: whole-bundle user function ------------------------
@@ -372,11 +403,22 @@ object Steps {
   /** Register every table as a temp view, run user SQL, bind results
     * (cherry `steps/datafusion_step.py:8-28` — the SessionContext is
     * Catalyst itself here). `outputs` maps new/replaced table name → SQL.
+    *
+    * Contract: every output SQL sees the step's INPUT tables — an output
+    * referencing another output's name reads the (unmodified) input view
+    * of that name, never the other output (outputs are peers, not a
+    * chain; chain by composing two Sql steps). Views are session-scoped:
+    * registration REPLACES any same-named pre-existing temp view (they
+    * are dropped again when the step returns — spark.sql resolves views
+    * eagerly at analysis, so the returned plans don't need them — but a
+    * clobbered pre-existing view is NOT restored; avoid bundle table
+    * names that collide with session views).
     */
   final case class Sql(outputs: Map[String, String]) extends Step {
     def apply(spark: SparkSession, tables: Map[String, DataFrame]): Map[String, DataFrame] = {
       tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-      tables ++ outputs.map { case (name, q) => name -> spark.sql(q) }
+      try tables ++ outputs.map { case (name, q) => name -> spark.sql(q) }
+      finally tables.keys.foreach(spark.catalog.dropTempView)
     }
   }
 }
