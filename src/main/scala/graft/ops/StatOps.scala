@@ -186,35 +186,51 @@ object StatOps {
   /** Element-wise sum of stored CMS sketches per key (cross-shard merge —
     * counters are linear, so the merged sketch is EXACTLY the sketch of
     * the concatenated data). Shuffled rows = groups × slots (bounded
-    * sketch metadata), never data.
+    * sketch metadata), never data. Sketches built with different
+    * width/depth have different lengths; summing them position-wise would
+    * be meaningless, so per key the contributor count must be identical
+    * at every slot (constant iff all lengths match) or the merge raises.
     */
   def mergeCmsSketches(sketches: DataFrame, keyCol: String,
                        sketchCol: String = "cms"): DataFrame =
     sketches.select(col(keyCol).as("__k"), posexplode(col(sketchCol)))
       .groupBy(col("__k"), col("pos"))
-      .agg(sum(col("col")).as("c"))
+      .agg(sum(col("col")).as("c"), count(lit(1)).as("__n"))
       .groupBy(col("__k"))
       .agg(map_from_entries(collect_list(struct(
-        col("pos").cast("int").as("slot"), col("c")))).as("__m"))
+            col("pos").cast("int").as("slot"), col("c")))).as("__m"),
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
       .select(col("__k").as(keyCol),
-        transform(sequence(lit(0), size(col("__m")) - 1),
-          s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L)))
+        when(col("__nmin") === col("__nmax"),
+          transform(sequence(lit(0), size(col("__m")) - 1),
+            s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L))))
+        .otherwise(raise_error(concat(
+          lit("mergeCmsSketches: mixed sketch lengths for key "),
+          col("__k").cast(StringType))))
           .as(sketchCol))
 
   /** Estimated frequency of `itemCol` under a CMS sketch column: min over
     * depth rows. `width`/`depth` must match the build. One-sided —
-    * `freq_est >= true count` always.
+    * `freq_est >= true count` always. A probe whose width/depth disagree
+    * with the build would index out of range — element_at returns null
+    * (ANSI off) and least() skips nulls, silently breaking the one-sided
+    * guarantee — so the sketch length is checked and a mismatch raises.
     */
   def cmsEstimate(df: DataFrame, itemCol: String,
                   sketchCol: String = "cms", width: Int = 256,
                   depth: Int = 4, as: String = "freq_est"): DataFrame =
     df.withColumn(as,
-      (0 until depth).map { d =>
-        // element_at is 1-based on arrays; slots are 0-based
-        element_at(col(sketchCol),
-          (lit(d * width) + cmsBucket(lit(d), col(itemCol).cast(StringType),
-            width) + 1).cast("int"))
-      }.reduce(least(_, _)))
+      when(size(col(sketchCol)) === lit(depth * width),
+        (0 until depth).map { d =>
+          // element_at is 1-based on arrays; slots are 0-based
+          element_at(col(sketchCol),
+            (lit(d * width) + cmsBucket(lit(d), col(itemCol).cast(StringType),
+              width) + 1).cast("int"))
+        }.reduce(least(_, _)))
+      .otherwise(raise_error(concat(
+        lit(s"cmsEstimate: sketch length ${depth * width} expected " +
+          s"(width=$width depth=$depth), got "),
+        size(col(sketchCol)).cast(StringType)))))
 
   /** Row-d bucket of a value: hash60 of \"d<SEP>value\" mod width — ONE
     * definition shared by build and probe (a drifted copy would silently

@@ -704,9 +704,21 @@ object ExtensionQueries {
        | r_mt AS (SELECT qid, nid, cos,
        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
        |   FROM s_mt)""".stripMargin
-  /** IVF with seed centroids vec_id < 8, nProbe = 2 → CTE r_ivf. */
+  /** Deterministic seed centroids as SQL: the `k` LOWEST-id vectors of
+    * the FULL corpus, zero-norm seeds dropped AFTER the limit — mirrors
+    * `VectorOps.seedCentroids` / both trainers' limit-then-filter order
+    * for ANY id domain. A `vec_id < k` filter coincides only while ids
+    * are contiguous from 0; a fixture with gapped or offset ids would
+    * silently seed differently and fail the gate for a data reason.
+    */
+  private def seedCentSql(k: Int): String =
+    s"""(SELECT cid, cv, cn FROM (SELECT vec_id cid, embedding cv,
+       |   ${normSql("embedding")} cn FROM embeddings ORDER BY vec_id LIMIT $k)
+       | WHERE cn > 0)""".stripMargin
+
+  /** IVF with the 8 lowest-id seed centroids, nProbe = 2 → CTE r_ivf. */
   private lazy val annIvf =
-    s"""cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+    s"""cent AS ${seedCentSql(8)},
        | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
        |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
        |   FROM v CROSS JOIN cent),
@@ -731,7 +743,7 @@ object ExtensionQueries {
     */
   private def annIvfTrainedSql(k: Int, iters: Int, nProbe: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    ctes += s"tc0 AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < $k AND nrm > 0)"
+    ctes += s"tc0 AS ${seedCentSql(k)}"
     var prev = "tc0"
     for (it <- 1 to iters) {
       val (a, u, cv, c) = (s"ta$it", s"tu$it", s"tcv$it", s"tc$it")
@@ -1244,7 +1256,7 @@ object ExtensionQueries {
       // output, which selects FROM embeddings)
       s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
          |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
-         | cent AS (SELECT vec_id cid, embedding cv, nrm cn FROM v WHERE vec_id < 8),
+         | cent AS ${seedCentSql(8)},
          | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
          |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
          |   FROM v CROSS JOIN cent),

@@ -158,4 +158,22 @@ class StatOpsSpec extends SparkSpec {
     assert(hh(("g0", "t0")) == exact(("g0", "t0")))
     assert(hh(("g1", "t0")) == exact(("g1", "t0")))
   }
+
+  test("count-min sketch: parameter mismatch fails loudly, never under-counts") {
+    val df = Seq(("g", "t1"), ("g", "t2")).toDF("k", "tok")
+    val sk64 = StatOps.cmsSketch(df, "k", "tok", width = 64, depth = 4)
+    // probing a width-64 sketch as width-256 would index out of range and
+    // silently return null/under-counts without the length guard
+    val bad = intercept[Exception] {
+      StatOps.cmsEstimate(Seq("t1").toDF("tok").crossJoin(sk64), "tok",
+        width = 256, depth = 4).collect()
+    }
+    assert(bad.getMessage.contains("cmsEstimate"))
+    // merging sketches built with different widths is meaningless
+    val sk32 = StatOps.cmsSketch(df, "k", "tok", width = 32, depth = 4)
+    val mixed = intercept[Exception] {
+      StatOps.mergeCmsSketches(sk64.unionByName(sk32), "k").collect()
+    }
+    assert(mixed.getMessage.contains("mergeCmsSketches"))
+  }
 }
