@@ -340,16 +340,23 @@ object VectorOps {
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
     val cent = seedCentroids(vecs, idCol, vecCol, numCentroids)
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    // Assignment = argmax cosine as a MAP-SIDE-COMBINABLE max over
+    // (ccos, -cid) structs: the broadcast join generates each vector's k
+    // scored rows inside one task, so the partial aggregate collapses
+    // them to ONE row per vector before the shuffle — n rows shuffled,
+    // never n×k (a row_number window here would shuffle the full cross
+    // product, which at corpus-proportional k is n²/perCell rows). Ties
+    // → highest -cid = LOWEST cid, the rule every assignment path shares.
     // localCheckpoint: cells feeds BOTH sides of the pair join below —
-    // without materialization the crossJoin+window assignment pipeline
-    // (the expensive stage) would evaluate once per branch
+    // without materialization the assignment pipeline (the expensive
+    // stage) would evaluate once per branch
     val cells = sided(vecs, idCol, vecCol, "id", "v", "nrm")
       .crossJoin(broadcast(cent))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("m"))
+      .select(col("id"), col("v"), col("nrm"), (-col("m.negcid")).as("cell"))
       .localCheckpoint()
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -358,6 +365,31 @@ object VectorOps {
     vecs.select(col(idCol).as("id"))
       .join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
+  }
+
+  /** SemDeDup with CORPUS-PROPORTIONAL cluster count — the scale knob
+    * `semanticDedup`'s doc promises, made the default sizing rule:
+    * `numCentroids = max(8, n / perCell)` keeps the expected cell size
+    * (and so the per-cell pair work, Σ cell² ≈ perCell·n) CONSTANT as the
+    * corpus grows, where a query-pinned centroid count makes the pair
+    * term quadratic (measured 4.7×/decade on the x42 fixture). The one
+    * `count()` action is a bounded long on the driver — the same
+    * legitimacy class as the k-means centroid state.
+    *
+    * The residual quadratic term is the assignment itself (n·k = n²/
+    * perCell dot products against broadcast centroid literals) — ~50M
+    * dots at 40k vectors, negligible until ~1M vectors per job; beyond
+    * that, train centroids on a sample with `kmeansCentroids` and cap k,
+    * or shard the corpus and dedup incrementally per shard.
+    */
+  def semanticDedupScaled(vecs: DataFrame, idCol: String, vecCol: String,
+                          perCell: Int = 32,
+                          threshold: Double = 0.7): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val k = math.max(8L, vecs.count() / perCell)
+    require(k <= Int.MaxValue, s"centroid count $k overflows Int")
+    semanticDedup(vecs, idCol, vecCol, numCentroids = k.toInt,
+      threshold = threshold)
   }
 
   /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket

@@ -345,6 +345,16 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // x65 — SemDeDup at the scale sizing: centroid count grows with the
+    // corpus (k = max(8, n/32)) so expected cell size — and the per-cell
+    // pair term — stays constant across decades, where x42's pinned k=8
+    // is quadratic (the one scaling row r9 left unmeasured).
+    "x65_semantic_dedup_scaled" -> { (s, dir) =>
+      VectorOps.semanticDedupScaled(spread(t(s, dir, "embeddings")),
+          "vec_id", "embedding", perCell = 32, threshold = 0.45)
+        .orderBy("vec_id")
+    },
+
     // x44 — token-budget shard packing (sequence packing stage 1): docs in
     // id order fill contiguous ~10k-token shards; distributed prefix sum,
     // never a global ordered window over the corpus.
@@ -778,6 +788,30 @@ object ExtensionQueries {
               | FROM s_it)""".stripMargin
     ctes.mkString(",\n ")
   }
+
+  /** SemDeDup oracle body parameterized on the centroid CTE — x42 (fixed
+    * 8 seeds) and x65 (corpus-proportional k) share every other line, so
+    * a semantics change edits ONE string. nrm > 0 matches semanticDedup's
+    * sided() exclusion (zero-norm rows take no part in assignment or pair
+    * cosines but survive in the output, which selects FROM embeddings).
+    */
+  private def semanticDedupSql(centCte: String): String =
+    s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+       |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
+       | $centCte,
+       | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
+       |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+       |   FROM v CROSS JOIN cent),
+       | ranked AS (SELECT id, vec, nrm, cid,
+       |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+       |   FROM ca),
+       | cells AS (SELECT id, vec, nrm, cid cell FROM ranked WHERE crk = 1),
+       | dropped AS (SELECT DISTINCT b.id FROM cells a JOIN cells b
+       |   ON a.cell = b.cell AND a.id < b.id
+       |   WHERE ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm) >= 0.45)
+       | SELECT vec_id FROM embeddings
+       | WHERE vec_id NOT IN (SELECT id FROM dropped)
+       | ORDER BY vec_id""".stripMargin
 
   /** Recall grade of deduplicated top-5 CTE `ap` against ground-truth CTE
     * `ex`, labeled `method` — ONE definition for every x61/x63 method row
@@ -1251,25 +1285,21 @@ object ExtensionQueries {
         | FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin,
 
     "x42_semantic_dedup" ->
-      // nrm > 0 matches semanticDedup's sided() exclusion (zero-norm rows
-      // take no part in assignment or pair cosines but survive in the
-      // output, which selects FROM embeddings)
-      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
-         |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
-         | cent AS ${seedCentSql(8)},
-         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, cent.cid,
-         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
-         |   FROM v CROSS JOIN cent),
-         | ranked AS (SELECT id, vec, nrm, cid,
-         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
-         |   FROM ca),
-         | cells AS (SELECT id, vec, nrm, cid cell FROM ranked WHERE crk = 1),
-         | dropped AS (SELECT DISTINCT b.id FROM cells a JOIN cells b
-         |   ON a.cell = b.cell AND a.id < b.id
-         |   WHERE ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm) >= 0.45)
-         | SELECT vec_id FROM embeddings
-         | WHERE vec_id NOT IN (SELECT id FROM dropped)
-         | ORDER BY vec_id""".stripMargin,
+      semanticDedupSql(s"cent AS ${seedCentSql(8)}"),
+
+    "x65_semantic_dedup_scaled" ->
+      // corpus-proportional centroid count: k = greatest(8, n // 32)
+      // over the FULL embeddings table (semanticDedupScaled counts vecs
+      // before sided()'s zero-norm exclusion), seeds = the k lowest-id
+      // vectors with zero-norm seeds dropped AFTER the limit — the same
+      // limit-then-filter order as seedCentSql, with row_number standing
+      // in for the dynamic LIMIT
+      semanticDedupSql(
+        s"""nk AS (SELECT greatest(8, count(*) // 32) k FROM embeddings),
+           | cent AS (SELECT cid, cv, cn FROM (
+           |     SELECT vec_id cid, embedding cv, ${normSql("embedding")} cn,
+           |       row_number() OVER (ORDER BY vec_id) rn FROM embeddings)
+           |   CROSS JOIN nk WHERE rn <= k AND cn > 0)""".stripMargin),
 
     "x34_corpus_curation" ->
       s"""WITH RECURSIVE $curationHeadSql,
