@@ -339,24 +339,43 @@ object VectorOps {
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val cent = seedCentroids(vecs, idCol, vecCol, numCentroids)
-    // Assignment = argmax cosine as a MAP-SIDE-COMBINABLE max over
-    // (ccos, -cid) structs: the broadcast join generates each vector's k
-    // scored rows inside one task, so the partial aggregate collapses
-    // them to ONE row per vector before the shuffle — n rows shuffled,
-    // never n×k (a row_number window here would shuffle the full cross
-    // product, which at corpus-proportional k is n²/perCell rows). Ties
-    // → highest -cid = LOWEST cid, the rule every assignment path shares.
+    // Codebook on the DRIVER (k×dim floats — the k-means-state legitimacy
+    // class), assignment as ONE codegen'd argmax expression over it: one
+    // output row per vector, zero intermediate rows, no shuffle. The
+    // previous crossJoin(broadcast(cent)) assignment materialized n×k
+    // scored rows — n²/perCell at corpus-proportional k, and the measured
+    // dominant term of the x65 decade run (3.0× per sf2 doubling).
+    // Same seeding contract as seedCentroids: k LOWEST-id vectors,
+    // zero-norm seeds dropped AFTER the limit; ties → lowest cid.
+    val seeds = vecs.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map { r =>
+        // loud on a non-numeric id domain: a null from the long cast would
+        // otherwise NPE deep in row access with no parameter named
+        require(!r.isNullAt(0),
+          s"semanticDedup: id column '$idCol' must cast to BIGINT for cell ids")
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }
+    val dims = seeds.map(_._2.length).distinct
+    require(dims.length <= 1,
+      s"semanticDedup: mixed embedding dims in seed set: ${dims.mkString(",")}")
+    val kept = seeds.map { case (cid, cv) =>
+      // centroid norm on the driver — the same left fold as norm()
+      (cid, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }.filter(_._3 > 0)
+    require(kept.nonEmpty,
+      "semanticDedup: need at least one non-zero-norm seed centroid")
+    val assign = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("v")), Bridge.expression(col("nrm")),
+        kept.map(_._1), kept.flatMap(_._2), kept.map(_._3), dims.head))
+    }
     // localCheckpoint: cells feeds BOTH sides of the pair join below —
     // without materialization the assignment pipeline (the expensive
     // stage) would evaluate once per branch
     val cells = sided(vecs, idCol, vecCol, "id", "v", "nrm")
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .groupBy(col("id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("m"))
-      .select(col("id"), col("v"), col("nrm"), (-col("m.negcid")).as("cell"))
+      .withColumn("cell", assign)
       .localCheckpoint()
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -376,11 +395,14 @@ object VectorOps {
     * `count()` action is a bounded long on the driver — the same
     * legitimacy class as the k-means centroid state.
     *
-    * The residual quadratic term is the assignment itself (n·k = n²/
-    * perCell dot products against broadcast centroid literals) — ~50M
-    * dots at 40k vectors, negligible until ~1M vectors per job; beyond
-    * that, train centroids on a sample with `kmeansCentroids` and cap k,
-    * or shard the corpus and dedup incrementally per shard.
+    * The residual super-linear term is the assignment arithmetic (n·k =
+    * n²/perCell dot products), but as a `NearestCentroid` codegen loop it
+    * is pure flops with NO intermediate rows — ~3 G multiplies at 40k
+    * vectors, spread across every core; it stays below the shuffle floor
+    * until ~1M vectors per job. Beyond that, train a capped-k codebook on
+    * a sample with `kmeansCentroids` (per-cell pair work then grows as
+    * n/k — the SemDeDup paper's own regime), or shard the corpus and
+    * dedup incrementally per shard.
     */
   def semanticDedupScaled(vecs: DataFrame, idCol: String, vecCol: String,
                           perCell: Int = 32,
