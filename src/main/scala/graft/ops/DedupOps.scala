@@ -90,7 +90,41 @@ object DedupOps {
       Bridge.expression(ds), Bridge.expression(ck), chunks, maxHamming))
   }
 
-  /** Requires a LongType `idCol`. Plan shape: the shingle pipeline runs
+  /** Near-duplicate pairs — THE entry point a curation pipeline should
+    * call. Default path (`exact = false`) is LSH-candidate-then-verify:
+    * MinHash banding proposes candidate pairs (linear in true near-dups
+    * by construction), exact Jaccard on those pairs disposes
+    * ([[verifyJaccardPairs]]) — work ∝ |candidates|, the shape measured
+    * near-linear across every scaling decade (SURVEY §6.3) and the only
+    * one that survives 100 TB. `exact = true` opts into the
+    * inverted-index enumeration ([[ngramJaccardPairs]]): complete (no
+    * banding miss — P(miss) = (1−J^bandRows)^numBands on the default
+    * path, 1.9% at J=0.9) but Θ(Σ bucket²) in same-shingle buckets,
+    * which goes quadratic under saturated shingle density — a calibration
+    * / small-corpus tool, not a production default.
+    *
+    * Same output contract either way: (i, j, jaccard_bp ≥ threshold),
+    * i < j.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, shingles: Column,
+                   threshold: Double, exact: Boolean = false,
+                   numHashes: Int = 16, bandRows: Int = 4,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame =
+    if (exact) ngramJaccardPairs(docs, idCol, shingles, threshold, maxBucket)
+    else {
+      // materialized: verifyJaccardPairs references the candidate frame
+      // three times (two id projections + the pair join) — without this
+      // the banding pipeline re-executes per branch
+      val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
+        bandRows, maxBucket).localCheckpoint()
+      verifyJaccardPairs(cand, docs, idCol, shingles, threshold)
+    }
+
+  /** Exact inverted-index Jaccard enumeration — the `exact = true` arm of
+    * [[nearDupPairs]]; large corpora should reach it only deliberately
+    * (the LSH-verify default is the scale path).
+    *
+    * Requires a LongType `idCol`. Plan shape: the shingle pipeline runs
     * ONCE (a self-join would evaluate it per branch — AQE broadcasts one
     * side, defeating exchange reuse), shuffles once on the 60-bit shingle
     * hash, and enumerates pairs inside each same-shingle bucket with the

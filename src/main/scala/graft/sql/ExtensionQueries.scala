@@ -616,39 +616,35 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // x34 — FLAGSHIP corpus curation: quality filter → exact dedup →
-    // near-dup pairs → TRANSITIVE closure (connected components) → keep the
-    // lowest id per duplicate group. The composition a training-data
-    // pipeline actually runs: pair-based dropping alone mishandles chains
-    // (A~B, B~C without A~C must still collapse to one survivor).
+    // x34 — corpus curation on the EXACT baseline: quality filter → exact
+    // dedup → near-dup pairs → TRANSITIVE closure (connected components) →
+    // keep the lowest id per duplicate group. The composition a
+    // training-data pipeline actually runs: pair-based dropping alone
+    // mishandles chains (A~B, B~C without A~C must still collapse to one
+    // survivor). `exact = true` is a deliberate opt-IN here — x64 runs
+    // the API's default (LSH-verify) path; this entry keeps the complete
+    // enumeration as the declared calibration baseline.
     "x34_corpus_curation" -> { (s, dir) =>
       val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
-      curationResult(exactKept, DedupOps.ngramJaccardPairs(survivors, "doc_id",
-        TextOps.wordShingles(col("text"), 3), 0.5))
+      curationResult(exactKept, DedupOps.nearDupPairs(survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5, exact = true))
     },
 
-    // x64 — the curation composite on the SCALE path: same
-    // quality→exact-dedup→near-dup→components pipeline as x34, but the
-    // near-dup stage is LSH-candidate-then-verify instead of the exact
-    // inverted-index enumeration. The sf1 decade measurement (SURVEY
-    // §6.3) showed x34's pair kernel going quadratic when shingle density
-    // is high (toy-vocab fixture: every trigram bucket grows with the
-    // corpus); this variant's near-dup cost is |candidates|-proportional —
-    // what a 100 TB curation run actually executes. Differs from x34 only
-    // where LSH recall misses a true pair (P(miss) = (1-J⁴)⁴: 1.9% at
-    // J=0.9, ~0 at J=0.99); the oracle mirrors the SAME banding so the
-    // gate is exact regardless.
+    // x64 — FLAGSHIP corpus curation on the DEFAULT (scale) path: same
+    // quality→exact-dedup→near-dup→components pipeline as x34, with the
+    // near-dup stage as nearDupPairs' default LSH-candidate-then-verify.
+    // The sf1 decade measurement (SURVEY §6.3) showed x34's exact pair
+    // kernel going quadratic when shingle density is high (toy-vocab
+    // fixture: every trigram bucket grows with the corpus); this path's
+    // near-dup cost is |candidates|-proportional — what a 100 TB curation
+    // run actually executes. Differs from x34 only where LSH recall
+    // misses a true pair (P(miss) = (1-J⁴)⁴: 1.9% at J=0.9, ~0 at
+    // J=0.99); the oracle mirrors the SAME banding so the gate is exact
+    // regardless.
     "x64_corpus_curation_lsh" -> { (s, dir) =>
       val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
-      // materialized: the verify step references the candidate set three
-      // times (two id projections + the pair join) — without this the
-      // 16-minhash banding pipeline re-executes per branch (the same
-      // multi-consumer rule as the curationSurvivors checkpoints)
-      val cand = DedupOps.minhashLshCandidates(survivors, "doc_id",
-          TextOps.wordShingles(col("text"), 3), numHashes = 16, bandRows = 4)
-        .localCheckpoint()
-      curationResult(exactKept, DedupOps.verifyJaccardPairs(cand, survivors,
-        "doc_id", TextOps.wordShingles(col("text"), 3), 0.5))
+      curationResult(exactKept, DedupOps.nearDupPairs(survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5))
     }
   )
 
