@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
 
 /** Left-fold dot product of two Array[Float] columns in double precision —
   * the hot kernel of every similarity/ANN operator (ops/VectorOps).
@@ -82,6 +82,195 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 scalar quantization of an Array[Float] vector into a
+  * BINARY column — the storage kernel of the quantized ANN path. A float32
+  * corpus embedding column is 4 bytes/dim; at 100 TB of embeddings the
+  * index either quantizes or doesn't fit. Output is one signed byte per
+  * component: `clamp(floor(x·qscale), -127, 127)` with `qscale =
+  * 127/max|x|` derived from one corpus aggregate — 4× smaller, and as a
+  * flat BinaryType the bytes are contiguous (no per-element ArrayData
+  * overhead in the shuffle or the probe loop).
+  *
+  * Every step is engine-exact so a SQL oracle reproduces the bytes: x·qscale
+  * is ONE IEEE double multiply on exact inputs (float widens losslessly),
+  * floor of it is engine-independent, and the clamp compares doubles — the
+  * same `greatest(-127, least(127, floor(x*qscale)))` any engine computes.
+  * Clamping is symmetric at ±127 (not -128): the quantized domain stays
+  * negation-closed, and with qscale = 127/max|x| the clamp only fires on
+  * the max-magnitude component itself (x·qscale = ±127 ± 1 ulp). Null
+  * elements quantize to 0 (same no-null-elements contract as the dots).
+  */
+case class QuantizeVec(child: Expression, qscale: Double)
+    extends UnaryExpression {
+  require(qscale > 0 && !qscale.isInfinite && !qscale.isNaN,
+    s"quantize_vec: qscale must be a positive finite double (got $qscale)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantize_vec"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val q = Math.max(-127.0, Math.min(127.0,
+          Math.floor(x.getFloat(i).toDouble * qscale)))
+        out(i) = q.toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $x.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    double $q = Math.max(-127.0, Math.min(127.0,
+         |      Math.floor((double) $x.getFloat($i) * $qscale)));
+         |    $out[$i] = (byte) $q;
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** Left-fold dot product of two int8-quantized BINARY vectors in double —
+  * `sqrt(int8_vec_dot(q,q))/qscale` is the quantized-index norm the ADC
+  * probe divides by. Byte products are exact small ints (≤ 127²) widened
+  * to double, summed left-to-right from 0.0 — the identical sequence a SQL
+  * engine folds over the quantized list, so norms are bit-exact. Length
+  * mismatch fails loudly (same contract as float_vec_dot).
+  */
+case class Int8VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"int8_vec_dot: length mismatch ${x.length} vs ${y.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) {
+      acc += x(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($x.length != $y.length) {
+         |  throw new IllegalArgumentException(
+         |    "int8_vec_dot: length mismatch " + $x.length + " vs " + $y.length);
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $acc += (double) $x[$i] * (double) $y[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric distance kernel: int8-quantized BINARY corpus vector ×
+  * full-precision Array[Float] query — the ADC scoring loop of quantized
+  * IVF (Jégou et al., IVFADC: the query side keeps full precision, only
+  * the stored corpus side pays quantization error). Per term ONE double
+  * multiply of a signed byte against a widened float, left-folded from
+  * 0.0 — mirrorable op-for-op by a SQL engine, so the probe ranks are
+  * oracle-exact. The caller divides by qscale once at the end
+  * (dequantizing the SUM, not each term — fewer ops, same exactness).
+  */
+case class Int8FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, array<float>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_float_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.length != y.numElements())
+      throw new IllegalArgumentException(
+        s"int8_float_vec_dot: length mismatch ${x.length} vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) {
+      if (!y.isNullAt(i)) acc += x(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($x.length != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "int8_float_vec_dot: length mismatch " + $x.length + " vs " + $y.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  if (!$y.isNullAt($i)) {
+         |    $acc += (double) $x[$i] * (double) $y.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8FloatVecDot =
     copy(left = newLeft, right = newRight)
 }
 

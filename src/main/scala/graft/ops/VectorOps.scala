@@ -181,22 +181,121 @@ object VectorOps {
     ivfTopKAgainst(queries, corpus, idCol, vecCol, k, cent, nProbe)
   }
 
+  /** Symmetric int8 quantization scale for a corpus: `127 / max|x|` over
+    * every component of every vector — ONE order-insensitive aggregate
+    * (max of exact floats, native array_max/array_min so the scan stays
+    * codegen'd), then one double division, both engine-exact so a SQL
+    * oracle derives the identical scale. The returned scalar is a bounded
+    * driver value (the k-means-state legitimacy class); at 100 TB it is
+    * index metadata computed once per corpus next to the codebook.
+    */
+  def sqScale(corpus: DataFrame, vecCol: String): Double = {
+    val row = corpus.agg(
+      max(greatest(array_max(col(vecCol)), -array_min(col(vecCol))))).first()
+    require(!row.isNullAt(0), s"sqScale: no vectors in '$vecCol'")
+    val maxAbs = row.getFloat(0).toDouble
+    require(maxAbs > 0 && !maxAbs.isInfinite && !maxAbs.isNaN,
+      s"sqScale: max|component| must be positive finite (got $maxAbs)")
+    127.0 / maxAbs
+  }
+
+  /** Int8-quantized vector as a BINARY column (graft.functions.QuantizeVec):
+    * clamp(floor(x·qscale), ±127) per component — 4× smaller than float32.
+    */
+  def quantizeInt8(vec: Column, qscale: Double): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.QuantizeVec(Bridge.expression(vec), qscale))
+  }
+
+  /** Double left-fold dot of two quantized BINARY vectors (exact int
+    * products) — `sqrt(int8Dot(q,q))/qscale` is the quantized-index norm.
+    */
+  def int8Dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.Int8VecDot(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** ADC kernel: quantized BINARY corpus vector × float query vector;
+    * divide the SUM by qscale once to dequantize.
+    */
+  def int8FloatDot(q: Column, f: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.Int8FloatVecDot(
+      Bridge.expression(q), Bridge.expression(f)))
+  }
+
+  /** Scalar-quantized IVF ANN (IVF-SQ8 with asymmetric distance, after
+    * Jégou et al.'s IVFADC): the trained-IVF probe with the CORPUS side
+    * stored as int8 — the index a 100 TB embedding store can actually
+    * hold (4× smaller than float32, and the probe loop reads contiguous
+    * bytes). Cell assignment runs at FULL precision (an index-build-time
+    * operation — quantization error must not move vectors between cells);
+    * candidate scoring is ADC: the float query against dequantized int8
+    * corpus vectors, cos = (int8FloatDot/qscale) / (quantizedNorm ·
+    * queryNorm), every op mirrored by the SQL oracle so ranks are exact.
+    * `qscale` comes from [[sqScale]] (index metadata, like the codebook).
+    *
+    * Scale shape: identical to trained IVF — centroids broadcast, corpus
+    * shuffles once on cell id (written bucketed-by-cell with only (id,
+    * qv, qn) — the float vectors never enter the serving index), queries
+    * probe nProbe/k of the cells. Quantization costs recall only through
+    * scoring noise inside probed cells (~2^-7 relative), not cell misses.
+    */
+  def ivfTopKQuantizedWithCentroids(queries: DataFrame, corpus: DataFrame,
+                                    idCol: String, vecCol: String, k: Int,
+                                    centroids: Seq[Array[Float]],
+                                    qscale: Double,
+                                    nProbe: Int = 2): DataFrame = {
+    require(centroids.exists(c => c.exists(_ != 0.0f)),
+      "need at least one non-zero-norm centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cid", "cv")
+      .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0)
+    // the serving index: cell + quantized vector + quantized norm; the
+    // float vector is DROPPED after assignment (it exists only at build)
+    val c = assignCells(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
+        cent, "nid", "nv", "nn", 1)
+      .withColumn("qv", quantizeInt8(col("nv"), qscale))
+      .withColumn("qn", sqrt(int8Dot(col("qv"), col("qv"))) / lit(qscale))
+      .filter(col("qn") > 0) // fully-clamped-to-zero vector: no direction
+      .select(col("cell"), col("nid"), col("qv"), col("qn"))
+    val q = assignCells(sided(queries, idCol, vecCol, "qid", "qv", "qn"),
+      cent, "qid", "qv", "qn", nProbe)
+      .withColumnRenamed("qv", "fqv").withColumnRenamed("qn", "fqn")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        (int8FloatDot(col("qv"), col("fqv")) / lit(qscale))
+          / (col("qn") * col("fqn")))
+    rankTopK(scored, k)
+  }
+
+  /** Nearest-`probes` cell ids per vector against a centroid frame (cid,
+    * cv, cn) — the assignment half of every IVF variant (argmax cosine,
+    * ties → lowest cid). Shared so the float and quantized probes cannot
+    * drift on cell geometry.
+    */
+  private def assignCells(df: DataFrame, cent: DataFrame, id: String,
+                          v: String, n: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    df.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col(v), col("cv")) / (col(n) * col("cn")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= probes)
+      .select(col(id), col(v), col(n), col("cid").as("cell"))
+  }
+
   private def ivfTopKAgainst(queries: DataFrame, corpus: DataFrame,
                              idCol: String, vecCol: String, k: Int,
                              cent: DataFrame, nProbe: Int): DataFrame = {
-    def withCell(df: DataFrame, id: String, v: String, n: String,
-                 probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("ccos", dot(col(v), col("cv")) / (col(n) * col("cn")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= probes)
-        .select(col(id), col(v), col(n), col("cid").as("cell"))
-    }
-    val c = withCell(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
-      "nid", "nv", "nn", 1)
-    val q = withCell(sided(queries, idCol, vecCol, "qid", "qv", "qn"),
-      "qid", "qv", "qn", nProbe)
+    val c = assignCells(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
+      cent, "nid", "nv", "nn", 1)
+    val q = assignCells(sided(queries, idCol, vecCol, "qid", "qv", "qn"),
+      cent, "qid", "qv", "qn", nProbe)
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))

@@ -87,6 +87,16 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 32, iters = 2)
     }
 
+  /** Int8 quantization scale for the embeddings fixture — index metadata
+    * like the codebook (127/max|component|, one corpus aggregate),
+    * computed once per (app, dir).
+    */
+  private def sqScaleOf(s: SparkSession, dir: String): Double =
+    memoized(s, dir, "sqScale") {
+      java.lang.Double.valueOf(
+        VectorOps.sqScale(t(s, dir, "embeddings"), "embedding"))
+    }.doubleValue()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // x16 — token counting (whitespace, alpha runs, BPE-ish segmentation).
@@ -554,14 +564,31 @@ object ExtensionQueries {
         .orderBy("method", "qid")
     },
 
-    // x63 — the FULL index-selection gate: all four approximate paths
-    // (single-table LSH, 4-table LSH, seed-IVF, k-means-trained IVF)
-    // graded against brute-force ground truth in one result — the table a
-    // user reads to pick an index. The trained path wires
-    // kmeansCentroidsExact (k=32, 2 Lloyd rounds) into the IVF probe at
-    // nProbe=4: ~87% mean recall@5 at HALF the scan fraction of x35's
-    // seed-IVF (12% vs 25% of the corpus) on the sf0.01 fixture — see
-    // SURVEY §2.10 for the full recall/cost sweep.
+    // x66 — scalar-quantized trained IVF (IVF-SQ8 with asymmetric
+    // distance): the x63 codebook's probe with the corpus side stored as
+    // int8 BINARY — the index that fits when 100 TB of float32 embeddings
+    // don't (4× smaller). Cell assignment at full precision (index-build
+    // time); candidate scoring is ADC (float query × dequantized int8
+    // corpus), qscale = 127/max|component| derived from one corpus
+    // aggregate the oracle recomputes in SQL — every scoring op mirrored,
+    // so the result is hash-exact despite quantization.
+    "x66_ann_quantized" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      VectorOps.ivfTopKQuantizedWithCentroids(e.filter(col("vec_id") < 20),
+          e, "vec_id", "embedding", 5, trainedCodebook(s, dir).toSeq,
+          sqScaleOf(s, dir), nProbe = 4)
+        .orderBy("qid", "nid")
+    },
+
+    // x63 — the FULL index-selection gate: all five approximate paths
+    // (single-table LSH, 4-table LSH, seed-IVF, k-means-trained IVF,
+    // int8-quantized trained IVF) graded against brute-force ground truth
+    // in one result — the table a user reads to pick an index. The trained
+    // path wires kmeansCentroidsExact (k=32, 2 Lloyd rounds) into the IVF
+    // probe at nProbe=4: ~87% mean recall@5 at HALF the scan fraction of
+    // x35's seed-IVF (12% vs 25% of the corpus) on the sf0.01 fixture; the
+    // quantized row (x66) shows what 4×-smaller storage costs in recall at
+    // the SAME scan fraction — see SURVEY §2.10 for the full sweep.
     "x63_ann_recall_trained" -> { (s, dir) =>
       val e = spread(t(s, dir, "embeddings"))
       val exact = annTruth(s, dir)
@@ -580,6 +607,7 @@ object ExtensionQueries {
         .unionByName(grade(queries("x62_ann_lsh_multi")(s, dir), "lsh_multi"))
         .unionByName(grade(queries("x35_ann_ivf")(s, dir), "ivf"))
         .unionByName(grade(ivfTrained, "ivf_trained"))
+        .unionByName(grade(queries("x66_ann_quantized")(s, dir), "ivf_q8"))
         .select("method", "qid", "n_exact", "n_hit", "recall_bp")
         .orderBy("method", "qid")
     },
@@ -829,6 +857,36 @@ object ExtensionQueries {
               | FROM s_it)""".stripMargin
     ctes.mkString(",\n ")
   }
+
+  /** IVF-SQ8 CTEs mirroring `VectorOps.ivfTopKQuantizedWithCentroids`
+    * over the trained codebook's cell ranking (composes after
+    * `annIvfTrainedSql`, whose tcr/tiq CTEs it references): qscale =
+    * 127/max|component| from one aggregate, corpus bytes =
+    * clamp(floor(x·qscale), ±127), quantized norm = sqrt(Σq²)/qscale,
+    * ADC score = (Σ q·f / qscale) / (qn·fn) — each op the exact double
+    * sequence the Scala kernels run → CTE r_q8. The qn > 0 guard mirrors
+    * the engine's fully-clamped-to-zero exclusion.
+    */
+  private lazy val annIvfQuantized =
+    s"""qs AS (SELECT 127.0 / max(greatest(list_max(embedding),
+       |     -list_min(embedding)))::DOUBLE qscale FROM v),
+       | tqv AS (SELECT id nid, cid cell,
+       |     list_transform(vec, x -> greatest(-127.0, least(127.0,
+       |       floor(x::DOUBLE * qs.qscale)))) qv
+       |   FROM tcr CROSS JOIN qs WHERE crk = 1),
+       | tqc AS (SELECT nid, cell, qv,
+       |     sqrt(list_reduce(list_transform(qv, q -> q * q), (x,y) -> x+y))
+       |       / qs.qscale qn
+       |   FROM tqv CROSS JOIN qs),
+       | s_q8 AS (SELECT tiq.qid, tqc.nid,
+       |     (list_reduce(list_transform(range(1,65), k ->
+       |         tqc.qv[k::INT] * tiq.qv[k::INT]::DOUBLE), (x,y) -> x+y)
+       |       / qs.qscale) / (tqc.qn * tiq.qn) cos
+       |   FROM tqc JOIN tiq USING (cell) CROSS JOIN qs
+       |   WHERE tiq.qid <> tqc.nid AND tqc.qn > 0),
+       | r_q8 AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_q8)""".stripMargin
 
   /** SemDeDup oracle body parameterized on the centroid CTE — x42 (fixed
     * 8 seeds) and x65 (corpus-proportional k) share every other line, so
@@ -1287,13 +1345,24 @@ object ExtensionQueries {
          | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
          | ${annIvfTrainedSql(k = 32, iters = 2, nProbe = 4)},
          | it AS (SELECT DISTINCT qid, nid FROM r_it WHERE rk <= 5),
+         | $annIvfQuantized,
+         | q8 AS (SELECT DISTINCT qid, nid FROM r_q8 WHERE rk <= 5),
          | ${gradeSql("lsh", "ap")},
          | ${gradeSql("lsh_multi", "mt")},
          | ${gradeSql("ivf", "iv")},
-         | ${gradeSql("ivf_trained", "it")}
+         | ${gradeSql("ivf_trained", "it")},
+         | ${gradeSql("ivf_q8", "q8")}
          | SELECT * FROM g_ap UNION ALL SELECT * FROM g_mt
          | UNION ALL SELECT * FROM g_iv UNION ALL SELECT * FROM g_it
+         | UNION ALL SELECT * FROM g_q8
          | ORDER BY method, qid""".stripMargin,
+
+    "x66_ann_quantized" ->
+      s"""WITH $annV,
+         | ${annIvfTrainedSql(k = 32, iters = 2, nProbe = 4)},
+         | $annIvfQuantized
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r_q8 WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x57_rare_tokens" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok

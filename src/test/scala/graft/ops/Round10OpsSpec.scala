@@ -84,6 +84,80 @@ class Round10OpsSpec extends SparkSpec {
     assert(diff == 0L, s"$diff vectors assigned to a different cell")
   }
 
+  test("QuantizeVec bytes match the reference clamp-floor on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f))).toDF("id", "v")
+    val maxAbs = 2.0 // fixture range; deliberately NOT the corpus max so the clamp fires
+    val qscale = 127.0 / maxAbs
+    val got = vecs.select(col("id"), VectorOps.quantizeInt8(col("v"), qscale).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    vecs.collect().foreach { r =>
+      val exp = r.getSeq[Float](1).map { x =>
+        math.max(-127.0, math.min(127.0, math.floor(x.toDouble * qscale))).toByte
+      }.toArray
+      assert(got(r.getLong(0)).sameElements(exp), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("int8 dot kernels match reference left folds; length mismatch is loud") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 50L).map { i =>
+      val f = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      val q = Array.fill(16)((rnd.nextInt(255) - 127).toByte)
+      (i, q, f)
+    }
+    val df = rows.toDF("id", "q", "f")
+    val got = df.select(col("id"),
+        VectorOps.int8Dot(col("q"), col("q")).as("qq"),
+        VectorOps.int8FloatDot(col("q"), col("f")).as("qf"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    rows.foreach { case (i, q, f) =>
+      val qq = q.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
+      val qf = q.zip(f).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble)
+      assert(got(i)._1 == qq && got(i)._2 == qf, s"row $i") // bit-exact, not approx
+    }
+    val bad = Seq((1L, Array[Byte](1, 2, 3), Array(1f, 2f))).toDF("id", "q", "f")
+    val e = intercept[Exception] {
+      bad.select(VectorOps.int8FloatDot(col("q"), col("f"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
+  test("quantized IVF probe finds the planted nearest neighbors (ADC sanity)") {
+    val rnd = new scala.util.Random(17)
+    // 4 well-separated direction clusters; neighbors-of-query = its cluster
+    val base = Array.tabulate(4)(c => Array.tabulate(16)(d =>
+      if (d / 4 == c) 1.0f else 0.0f))
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      val v = base(c).map(x => x + rnd.nextFloat() * 0.05f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cents = base.map(_.map(x => x: Float))
+    val qscale = VectorOps.sqScale(vecs, "embedding")
+    val got = VectorOps.ivfTopKQuantizedWithCentroids(
+      vecs.filter(col("vec_id") < 4), vecs, "vec_id", "embedding", 5,
+      cents.toSeq, qscale, nProbe = 1).collect()
+    assert(got.length == 4 * 5)
+    got.foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+  }
+
+  test("sqScale and QuantizeVec fail loudly on degenerate input") {
+    intercept[IllegalArgumentException] {
+      graft.functions.QuantizeVec(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")), 0.0)
+    }
+    val zeros = Seq((1L, Array(0f, 0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VectorOps.sqScale(zeros, "v")
+    }
+  }
+
   test("NearestCentroid fails loudly on a malformed codebook") {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val v = bridge.expression(col("embedding"))
