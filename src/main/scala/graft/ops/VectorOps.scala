@@ -518,6 +518,14 @@ object VectorOps {
     * partitions by bucket once and every query probes one partition. Recall
     * < 1.0 by construction (approximate); raise numPlanes ↓bucket size,
     * multiple tables ↑recall.
+    *
+    * ROLE (x63 gate finding): the whole random-hyperplane family —
+    * single-table (1%), 4-table (7%), margin-ordered multi-probe (11%) on
+    * the near-isotropic fixture — is a CANDIDATE-GENERATION mechanism
+    * (the shape behind MinHash-band near-dup, where a bounded pair miss
+    * is priced in), not an ANN serving path. Route serving traffic to the
+    * IVF family ([[ivfTopKWithCentroids]] 87%,
+    * [[ivfTopKQuantizedWithCentroids]] 86% at 4× less storage).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, numPlanes: Int = 8): DataFrame = {
@@ -525,6 +533,67 @@ object VectorOps {
       .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
     val c = sided(corpus, idCol, vecCol, "nid", "nv", "nn")
       .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    rankTopK(scored, k)
+  }
+
+  /** Margin-ordered probe buckets for multi-probe LSH (Lv et al., VLDB'07
+    * query-directed probing, restricted to single-bit perturbations): the
+    * query's own bucket first, then the buckets reached by flipping the
+    * hyperplane bit with the smallest |projection| — the planes the query
+    * sits closest to, where a true neighbor most plausibly landed on the
+    * other side. Returns an ARRAY of `numProbes` distinct bucket ids
+    * (base + numProbes−1 single-bit flips), margin-ascending.
+    *
+    * Deterministic and oracle-mirrorable: projections are the same signed
+    * left folds as [[lshBucket]]; flip order sorts (|proj|, plane) — the
+    * struct sort's (margin, mask) tie-break equals plane order because
+    * mask = 1<<j is monotonic in j. Single-bit flips are distinct buckets
+    * by construction, so downstream joins never double-count a pair.
+    */
+  def lshProbeBuckets(vecCol: Column, dim: Int, numPlanes: Int,
+                      numProbes: Int): Column = {
+    require(numProbes >= 1 && numProbes <= numPlanes + 1,
+      s"numProbes must be in [1, numPlanes+1] — only single-bit flips " +
+        s"(got $numProbes for $numPlanes planes)")
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"numPlanes must be in [1, 64] (got $numPlanes)")
+    val projs = (0 until numPlanes).map { j =>
+      val signs = array((0 until dim).map(i =>
+        lit(signComponent(j, i).toFloat)): _*)
+      dot(vecCol, signs)
+    }
+    val base = projs.zipWithIndex.map { case (p, j) =>
+      when(p > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ranked = sort_array(array(projs.zipWithIndex.map { case (p, j) =>
+      struct(abs(p).as("m"), lit(1L << j).as("mask")) }: _*))
+    concat(array(base),
+      transform(slice(ranked, 1, numProbes - 1),
+        f => base.bitwiseXOR(f.getField("mask"))))
+  }
+
+  /** Multi-probe LSH ANN: ONE hash table, `numProbes` margin-ordered
+    * buckets per query — the recall/memory remedy the x63 gate compares
+    * against multi-TABLE LSH: where T tables cost T bucket assignments
+    * per CORPUS vector (T copies of the index), T probes cost T lookups
+    * per QUERY against a single index — the probe side is the small side,
+    * so extra work lands on 20 queries instead of the corpus. Corpus plan
+    * is identical to [[lshTopK]] (one bucket per vector, shuffled once);
+    * queries explode to numProbes (bucket, query) rows and broadcast.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dim: Int,
+                        numPlanes: Int = 8, numProbes: Int = 8): DataFrame = {
+    val q = sided(queries, idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("bucket",
+        explode(lshProbeBuckets(col("qv"), dim, numPlanes, numProbes)))
+    val c = sided(corpus, idCol, vecCol, "nid", "nv", "nn")
+      .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
+    // no (qid, nid) dedup needed: a corpus vector lives in exactly one
+    // bucket and the probe set is distinct buckets — a pair meets once
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))

@@ -564,6 +564,21 @@ object ExtensionQueries {
         .orderBy("method", "qid")
     },
 
+    // x67 — multi-PROBE LSH (Lv et al. VLDB'07, single-bit perturbations):
+    // ONE hash table, 8 margin-ordered probe buckets per query — where
+    // x62's multi-TABLE remedy pays 4× index storage for 7% recall, this
+    // pays 8 probe lookups on the query side (20 rows, not the corpus)
+    // for 11% on the same fixture. The honest conclusion the gate
+    // documents: probing beats replication at equal scan, and BOTH are
+    // candidate-generation tools on near-isotropic data, not serving
+    // paths — the IVF family is the serving path.
+    "x67_ann_lsh_multiprobe" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      VectorOps.lshTopKMultiProbe(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5, dim = 64, numPlanes = 8, numProbes = 8)
+        .orderBy("qid", "nid")
+    },
+
     // x66 — scalar-quantized trained IVF (IVF-SQ8 with asymmetric
     // distance): the x63 codebook's probe with the corpus side stored as
     // int8 BINARY — the index that fits when 100 TB of float32 embeddings
@@ -580,9 +595,10 @@ object ExtensionQueries {
         .orderBy("qid", "nid")
     },
 
-    // x63 — the FULL index-selection gate: all five approximate paths
-    // (single-table LSH, 4-table LSH, seed-IVF, k-means-trained IVF,
-    // int8-quantized trained IVF) graded against brute-force ground truth
+    // x63 — the FULL index-selection gate: all six approximate paths
+    // (single-table LSH, 4-table LSH, multi-probe LSH, seed-IVF,
+    // k-means-trained IVF, int8-quantized trained IVF) graded against
+    // brute-force ground truth
     // in one result — the table a user reads to pick an index. The trained
     // path wires kmeansCentroidsExact (k=32, 2 Lloyd rounds) into the IVF
     // probe at nProbe=4: ~87% mean recall@5 at HALF the scan fraction of
@@ -605,6 +621,7 @@ object ExtensionQueries {
         trained.toSeq, nProbe = 4)
       grade(queries("x26_ann_lsh")(s, dir), "lsh")
         .unionByName(grade(queries("x62_ann_lsh_multi")(s, dir), "lsh_multi"))
+        .unionByName(grade(queries("x67_ann_lsh_multiprobe")(s, dir), "lsh_mp"))
         .unionByName(grade(queries("x35_ann_ivf")(s, dir), "ivf"))
         .unionByName(grade(ivfTrained, "ivf_trained"))
         .unionByName(grade(queries("x66_ann_quantized")(s, dir), "ivf_q8"))
@@ -857,6 +874,38 @@ object ExtensionQueries {
               | FROM s_it)""".stripMargin
     ctes.mkString(",\n ")
   }
+
+  /** Multi-probe LSH CTEs mirroring `VectorOps.lshTopKMultiProbe` (1
+    * table, 8 planes, base + 7 margin-ordered single-bit flips):
+    * per-plane signed projections for the 20 query vectors, flip order =
+    * (|proj| asc, plane asc) — identical to the engine's (margin, mask)
+    * struct sort because mask = 1<<j is monotonic in j — probe buckets by
+    * XOR against the base bucket from `vb`, then the same bucketed
+    * scoring → CTE r_mp. Composes after `annLsh` (needs v and vb).
+    */
+  private lazy val annLshMultiProbe =
+    s"""qpr AS (SELECT vec_id, j,
+       |     list_reduce(list_transform(range(1,65), i ->
+       |       CASE WHEN (('0x' || substr(md5(j || '_' || (i-1)),1,15))::BIGINT & 1) = 1
+       |            THEN embedding[i::INT]::DOUBLE ELSE -(embedding[i::INT]::DOUBLE) END),
+       |       (x,y) -> x+y) proj
+       |   FROM v CROSS JOIN range(0,8) r(j) WHERE vec_id < 20),
+       | qrk AS (SELECT vec_id, j,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(proj), j) mr
+       |   FROM qpr),
+       | qpb AS (SELECT vec_id qid, embedding qe, nrm qn, bucket
+       |     FROM vb WHERE vec_id < 20
+       |   UNION ALL
+       |   SELECT vb.vec_id, vb.embedding, vb.nrm,
+       |     xor(vb.bucket, (1::BIGINT << qrk.j::INT))
+       |   FROM vb JOIN qrk ON vb.vec_id = qrk.vec_id AND qrk.mr <= 7
+       |   WHERE vb.vec_id < 20),
+       | s_mp AS (SELECT q.qid, c.vec_id nid,
+       |     ${dotSql("q.qe", "c.embedding")} / (q.qn * c.nrm) cos
+       |   FROM vb c JOIN qpb q ON q.bucket = c.bucket AND q.qid <> c.vec_id),
+       | r_mp AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_mp)""".stripMargin
 
   /** IVF-SQ8 CTEs mirroring `VectorOps.ivfTopKQuantizedWithCentroids`
     * over the trained codebook's cell ranking (composes after
@@ -1341,6 +1390,8 @@ object ExtensionQueries {
          | ap AS (SELECT qid, nid FROM r_ap WHERE rk <= 5),
          | $annLshMulti,
          | mt AS (SELECT DISTINCT qid, nid FROM r_mt WHERE rk <= 5),
+         | $annLshMultiProbe,
+         | mp AS (SELECT qid, nid FROM r_mp WHERE rk <= 5),
          | $annIvf,
          | iv AS (SELECT DISTINCT qid, nid FROM r_ivf WHERE rk <= 5),
          | ${annIvfTrainedSql(k = 32, iters = 2, nProbe = 4)},
@@ -1349,10 +1400,12 @@ object ExtensionQueries {
          | q8 AS (SELECT DISTINCT qid, nid FROM r_q8 WHERE rk <= 5),
          | ${gradeSql("lsh", "ap")},
          | ${gradeSql("lsh_multi", "mt")},
+         | ${gradeSql("lsh_mp", "mp")},
          | ${gradeSql("ivf", "iv")},
          | ${gradeSql("ivf_trained", "it")},
          | ${gradeSql("ivf_q8", "q8")}
          | SELECT * FROM g_ap UNION ALL SELECT * FROM g_mt
+         | UNION ALL SELECT * FROM g_mp
          | UNION ALL SELECT * FROM g_iv UNION ALL SELECT * FROM g_it
          | UNION ALL SELECT * FROM g_q8
          | ORDER BY method, qid""".stripMargin,
@@ -1363,6 +1416,13 @@ object ExtensionQueries {
          | $annIvfQuantized
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r_q8 WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    "x67_ann_lsh_multiprobe" ->
+      s"""WITH $annV,
+         | $annLsh,
+         | $annLshMultiProbe
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r_mp WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
 
     "x57_rare_tokens" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok

@@ -147,6 +147,39 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH probes are distinct, start at the base bucket, and dominate single-table recall") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 400L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        VectorOps.lshProbeBuckets(col("embedding"), 32, 8, 8).as("pb"),
+        VectorOps.lshBucket(col("embedding"), 32, 8).as("base"))
+      .collect()
+    probes.foreach { r =>
+      val pb = r.getSeq[Long](1)
+      assert(pb.length == 8 && pb.distinct.length == 8, "probes must be distinct")
+      assert(pb.head == r.getLong(2), "first probe must be the query's own bucket")
+      pb.tail.foreach { b =>
+        assert(java.lang.Long.bitCount(b ^ pb.head) == 1,
+          s"probe $b is not a single-bit flip of base ${pb.head}")
+      }
+    }
+    val q = vecs.filter(col("vec_id") < 10)
+    val exact = VectorOps.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+    def meanRecall(ap: org.apache.spark.sql.DataFrame): Double =
+      VectorOps.annRecall(ap, exact, "qid", "nid")
+        .agg(avg(col("recall_bp"))).first().getDouble(0)
+    val single = meanRecall(VectorOps.lshTopK(q, vecs, "vec_id", "embedding",
+      5, dim = 32, numPlanes = 8))
+    val multi = meanRecall(VectorOps.lshTopKMultiProbe(q, vecs, "vec_id",
+      "embedding", 5, dim = 32, numPlanes = 8, numProbes = 8))
+    // candidate superset (base bucket is probe 0) -> recall must not drop;
+    // on any non-degenerate fixture the 7 extra probes strictly add hits
+    assert(multi >= single,
+      s"multi-probe recall $multi must dominate single-table $single")
+  }
+
   test("sqScale and QuantizeVec fail loudly on degenerate input") {
     intercept[IllegalArgumentException] {
       graft.functions.QuantizeVec(
