@@ -109,7 +109,8 @@ object DedupOps {
   def nearDupPairs(docs: DataFrame, idCol: String, shingles: Column,
                    threshold: Double, exact: Boolean = false,
                    numHashes: Int = 16, bandRows: Int = 4,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame =
+                   maxBucket: Int = DefaultMaxBucket,
+                   salts: Int = 8): DataFrame =
     if (exact) ngramJaccardPairs(docs, idCol, shingles, threshold, maxBucket)
     else {
       // materialized: verifyJaccardPairs references the candidate frame
@@ -117,7 +118,11 @@ object DedupOps {
       // the banding pipeline re-executes per branch
       val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
         bandRows, maxBucket).localCheckpoint()
-      verifyJaccardPairs(cand, docs, idCol, shingles, threshold)
+      // salts = 8 by default: the production path assumes skew (a hot
+      // boilerplate doc IS the common case on a crawl); identical output,
+      // and the 8× replication falls on the candidate-restricted shingle
+      // side only
+      verifyJaccardPairs(cand, docs, idCol, shingles, threshold, salts)
     }
 
   /** Exact inverted-index Jaccard enumeration — the `exact = true` arm of
@@ -318,8 +323,10 @@ object DedupOps {
     * enumeration, every shuffle keyed.
     */
   def verifyJaccardPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
-                         shingles: Column, threshold: Double): DataFrame = {
+                         shingles: Column, threshold: Double,
+                         salts: Int = 1): DataFrame = {
     requireLongId(docs, idCol)
+    require(salts > 0, "salts must be positive")
     val minBp = thresholdBp(threshold)
     // distinct: a duplicated (i,j) row would multiply the intersection
     // count c while first(an)/first(bn) stay fixed — jaccard_bp computed
@@ -333,8 +340,19 @@ object DedupOps {
       col(idCol), shingles)
     val a = sh.select(col("id").as("i"), col("n").as("an"), col("s"))
     val b = sh.select(col("id").as("j"), col("n").as("bn"), col("s"))
-    cleanPairs
-      .join(a, Seq("i"))
+    // The i-join is THE skew point of the verify: a boilerplate doc
+    // candidate-paired with thousands of others is one hot i whose whole
+    // pair×shingle expansion would land on one reducer. salts > 1 routes
+    // it through the salted join — pairs of the same i scatter across
+    // `salts` reducers by a deterministic hash of j (never rand(): retry
+    // idempotence), the shingle side replicates salts× (bounded: it is
+    // already candidate-restricted by the semi-join above). The second
+    // join needs no salt: its key (j, s) carries the shingle hash, which
+    // spreads a hot doc's rows across its whole shingle set naturally.
+    val expanded =
+      if (salts == 1) cleanPairs.join(a, Seq("i"))
+      else JoinOps.saltedJoin(cleanPairs, a, "i", col("j"), salts)
+    expanded
       .join(b, Seq("j", "s"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"), first(col("an")).as("an"),

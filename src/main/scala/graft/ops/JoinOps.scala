@@ -130,10 +130,19 @@ object JoinOps {
     * row id column) — never rand(), which breaks retry idempotence.
     * Semantically identical to `left.join(right, keyCol)`.
     */
+  /** The deterministic scatter [[saltedJoin]] applies to the left side —
+    * exposed so skew specs can assert the per-reducer input bound against
+    * the REAL mechanism: a hot join key's rows land on the reducer of
+    * (key, saltScatter(...)), so the max group size under this expression
+    * IS the max task input the hot key can produce.
+    */
+  def saltScatter(scatterExpr: Column, salts: Int): Column =
+    pmod(xxhash64(scatterExpr), lit(salts))
+
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  scatterExpr: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val l = left.withColumn("__salt", pmod(xxhash64(scatterExpr), lit(salts)))
+    val l = left.withColumn("__salt", saltScatter(scatterExpr, salts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")

@@ -180,6 +180,39 @@ class Round10OpsSpec extends SparkSpec {
       s"multi-probe recall $multi must dominate single-table $single")
   }
 
+  test("salted candidate-verify matches the unsalted result under a planted hot key") {
+    // one boilerplate template near-duplicated 60x: doc 0 is a hot i in
+    // the candidate set (paired with every clone), the x64 skew scenario
+    val words = (0 until 30).map(i => s"w$i").mkString(" ")
+    val hot = (0L until 60L).map(i => (i, s"$words tail$i")) ++
+      (100L until 140L).map(i => (i, s"unrelated document number $i with its own words ${i * 7}"))
+    val docs = hot.toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val unsalted = DedupOps.nearDupPairs(docs, "doc_id", sh, 0.5, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = DedupOps.nearDupPairs(docs, "doc_id", sh, 0.5, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unsalted.nonEmpty, "fixture must produce near-dup pairs")
+    assert(unsalted.exists(_._1 == 0L), "doc 0 must be a hot candidate key")
+    assert(salted == unsalted,
+      s"salting changed the verify result: ${salted.size} vs ${unsalted.size}")
+  }
+
+  test("saltScatter bounds the hot key's per-reducer input") {
+    // the verify's i-join reduces on (i, saltScatter(j, salts)): for a
+    // hot i in P pairs, max task input is the largest scatter group —
+    // assert it stays near P/salts instead of P
+    val salts = 8
+    val pairs = (1L to 400L).map(j => (0L, j)).toDF("i", "j")
+    val groups = pairs
+      .groupBy(col("i"), JoinOps.saltScatter(col("j"), salts).as("s"))
+      .count().collect()
+    assert(groups.length == salts, s"expected $salts scatter groups, got ${groups.length}")
+    val max = groups.map(_.getLong(2)).max
+    assert(max <= 2 * 400 / salts,
+      s"hot key max reducer input $max exceeds 2x the even share ${400 / salts}")
+  }
+
   test("sqScale and QuantizeVec fail loudly on degenerate input") {
     intercept[IllegalArgumentException] {
       graft.functions.QuantizeVec(
