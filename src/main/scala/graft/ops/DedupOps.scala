@@ -110,7 +110,7 @@ object DedupOps {
                    threshold: Double, exact: Boolean = false,
                    numHashes: Int = 16, bandRows: Int = 4,
                    maxBucket: Int = DefaultMaxBucket,
-                   salts: Int = 8): DataFrame =
+                   salts: Int = 1): DataFrame =
     if (exact) ngramJaccardPairs(docs, idCol, shingles, threshold, maxBucket)
     else {
       // materialized: verifyJaccardPairs references the candidate frame
@@ -118,10 +118,13 @@ object DedupOps {
       // the banding pipeline re-executes per branch
       val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
         bandRows, maxBucket).localCheckpoint()
-      // salts = 8 by default: the production path assumes skew (a hot
-      // boilerplate doc IS the common case on a crawl); identical output,
-      // and the 8× replication falls on the candidate-restricted shingle
-      // side only
+      // salts defaults to 1 (plain join): always-on salting pays its
+      // replication tax on EVERY run — measured 8.6 s → 30.4 s on the
+      // sf2 dense-candidate decade at salts = 8, where candidates are
+      // plentiful but no single key is hot. Raise salts when one
+      // boilerplate doc fans out to thousands of pairs (the planted
+      // hot-key spec's scenario); between the two, Spark AQE's skew-join
+      // split handles moderate shuffle skew adaptively at zero cost here.
       verifyJaccardPairs(cand, docs, idCol, shingles, threshold, salts)
     }
 

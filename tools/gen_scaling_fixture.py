@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Synthesize an sf1-sized documents/embeddings fixture — one more decade
-for the SURVEY §6.3 scaling table (sf0.001 → sf0.01 → sf0.1 → sf1).
+"""Synthesize an sf1+-sized documents/embeddings fixture — the extra
+points of the SURVEY §6.3 scaling table (sf0.001 → sf0.01 → sf0.1 →
+sf1 → sf2 → sf5; r10 adds sf5 = --docs 250000 --embeddings 100000).
 
 The driver's generator stops at sf0.1 (5,000 docs / 2,000 embeddings);
 this reproduces its observed generative process at 10× so the data-heavy
