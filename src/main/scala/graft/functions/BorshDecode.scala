@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -144,12 +144,28 @@ object Borsh {
   }
 }
 
+/** Static decode shim for generated code — the Borsh analog of
+  * [[graft.functions.AbiRuntime]]: sig enters as an untyped reference
+  * object, error → null iff allowFail, same as nullSafeEval.
+  */
+object BorshRuntime {
+  def decode(sigObj: AnyRef, data: Array[Byte], allowFail: Boolean): InternalRow = {
+    val sig = sigObj.asInstanceOf[Borsh.InstructionSig]
+    try new GenericInternalRow(Borsh.decode(sig, data))
+    catch { case _: Exception if allowFail => null }
+  }
+}
+
 /** svm_decode_instruction('<discriminator-hex>', '<field spec>', data)
   * → struct; `allowFail=true` → null on mismatch/truncation.
+  *
+  * Code-generates (r10) via one call into [[BorshRuntime.decode]] so the
+  * containing stage stays in whole-stage codegen — same measured rationale
+  * as [[EvmDecodeEvent]] (SURVEY §6.2).
   */
 case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
                                 allowFail: Boolean, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val sig = Borsh.InstructionSig(
     hexToBytes(discriminatorHex), Borsh.parseFields(fieldSpec))
 
@@ -161,6 +177,18 @@ case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
   override protected def nullSafeEval(input: Any): Any =
     try new GenericInternalRow(Borsh.decode(sig, input.asInstanceOf[Array[Byte]]))
     catch { case e: Exception if allowFail => null }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sigRef = ctx.addReferenceObj("borshSig", sig, "Object")
+    nullSafeCodeGen(ctx, ev, d => {
+      val row = ctx.freshName("borshRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row =
+         |  graft.functions.BorshRuntime.decode($sigRef, $d, $allowFail);
+         |${ev.isNull} = ($row == null);
+         |${ev.value} = $row;
+       """.stripMargin
+    })
+  }
   override protected def withNewChildInternal(newChild: Expression): SvmDecodeInstruction =
     copy(child = newChild)
 }

@@ -224,6 +224,43 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd ABI/Borsh decode matches eval semantics incl. allowFail nulls") {
+    import graft.functions.GraftFunctions
+    // Transfer(from indexed, to indexed, value): row 1 valid, row 2 has
+    // truncated data — allowFail=true must null the struct, not throw
+    val a1 = Array.tabulate[Byte](32)(i => if (i >= 12) (i + 1).toByte else 0)
+    val a2 = Array.tabulate[Byte](32)(i => if (i >= 12) (i + 7).toByte else 0)
+    val amount = { val b = new Array[Byte](32); b(31) = 42; b }
+    val rows = Seq(
+      (1L, a1, a2, amount),
+      (2L, a1, a2, Array[Byte](1, 2, 3))
+    ).toDF("id", "t1", "t2", "data")
+    val dec = GraftFunctions.evm_decode_event(
+      "Transfer(address indexed from, address indexed to, uint32 value)",
+      col("t1"), col("t2"), lit(null).cast("binary"), col("data"),
+      allowFail = true)
+    val got = rows.select(col("id"), dec.as("e"))
+      .select(col("id"), col("e.value").as("v")).orderBy("id").collect()
+    assert(got(0).getLong(1) == 42L, "valid row must decode through codegen")
+    assert(got(1).isNullAt(1), "allowFail row must null, not throw, in codegen")
+    // Borsh: u64 LE amount after an 8-byte discriminator
+    val disc = "0102030405060708"
+    val ok = Hex.decodeHex(disc) ++ Array[Byte](9, 0, 0, 0, 0, 0, 0, 0)
+    val badDisc = Array.fill[Byte](8)(0) ++ Array[Byte](9, 0, 0, 0, 0, 0, 0, 0)
+    val brows = Seq((1L, ok), (2L, badDisc)).toDF("id", "data")
+    val bdec = GraftFunctions.svm_decode_instruction(disc, "amount:u64",
+      col("data"), allowFail = true)
+    val bgot = brows.select(col("id"), bdec.as("e"))
+      .select(col("id"), col("e.amount").as("a")).orderBy("id").collect()
+    assert(bgot(0).getDecimal(1).longValueExact == 9L)
+    assert(bgot(1).isNullAt(1), "discriminator mismatch must null under allowFail")
+  }
+
+  private object Hex {
+    def decodeHex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
   test("NearestCentroid fails loudly on a malformed codebook") {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val v = bridge.expression(col("embedding"))
