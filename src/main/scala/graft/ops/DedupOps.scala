@@ -658,6 +658,58 @@ object DedupOps {
     * `semanticDedup` are the scale paths. cos emitted in basis points
     * (floor semantics).
     */
+  /** Maximal duplicated token SPANS per document — substring-level exact
+    * dedup (after Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): doc-level dedup (exactDedup/nearDupPairs)
+    * misses boilerplate repeating INSIDE otherwise-unique documents
+    * (headers, license blocks, navigation chrome) — precisely the text an
+    * LM memorizes first. A k-token shingle at position p is duplicated
+    * when it occurs ≥ `minCount` times across the corpus (any mix of
+    * docs — within-doc repetition is duplicated text too); runs of
+    * duplicated positions with contiguous [p, p+k) coverage merge into
+    * one maximal span (gaps-and-islands: a new island iff p > prev_p + k).
+    *
+    * Plan shape at 100 TB: positional shingling is a narrow per-row
+    * transform (rows ≈ corpus token count); the occurrence count is one
+    * map-side-combinable groupBy on the 60-bit shingle hash; flagging is
+    * an equi-join back on that hash whose build side carries ONE row per
+    * hash — boilerplate skew inflates no reducer (join output ≤ position
+    * rows); island-merging is a per-document window (bounded by doc
+    * length). Every shuffle keyed; nothing quadratic in corpus size.
+    *
+    * Returns (doc_id, span_start, span_tokens): 0-based first-token index
+    * and covered token count of each maximal duplicated span.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(minCount >= 2,
+      s"minCount must be >= 2 — 1 would flag every position (got $minCount)")
+    val toks = split(col(textCol), " ")
+    // guarded: Spark's sequence(0, n) DESCENDS when n < 0 — a sub-k-token
+    // doc must contribute zero positions, not phantom ones
+    val shArr = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          p => hash60(concat_ws(" ", slice(toks, p + 1, lit(k))))))
+      .otherwise(array().cast(ArrayType(LongType)))
+    // (id, p, sh): the element INDEX of posexplode is the token position
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(shArr).as(Seq("p", "sh")))
+    val dup = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount).select("sh")
+    val wOrd = Window.partitionBy("id").orderBy("p")
+    pos.join(dup, Seq("sh"))
+      .withColumn("brk",
+        when(col("p") > lag(col("p"), 1).over(wOrd) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("p")).as("ps"), max(col("p")).as("pe"))
+      .select(col("id").as(idCol),
+        col("ps").cast(LongType).as("span_start"),
+        (col("pe") + k - col("ps")).cast(LongType).as("span_tokens"))
+  }
+
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     // sided = (id, vec, norm) with zero-norm rows excluded (0/0 = NaN and

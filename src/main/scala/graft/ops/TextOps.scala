@@ -238,6 +238,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Model-based quality score — the classifier-filtering stage of a
+    * CCNet/GPT-3-style pipeline, with the x17 heuristic as distant
+    * supervision: docs whose stopword ratio clears `labelBp` form the
+    * positive class, the rest the negative; each token earns a
+    * Laplace-smoothed quantized posterior
+    * `weight_bp = (good_df + 1) · 10000 div (df + 2)` over DOCUMENT
+    * frequency (burst-robust — a token repeated 100× in one spam page
+    * counts once), and a document scores the integral mean of its
+    * DISTINCT tokens' weights. All arithmetic is integral (the x53 PMI
+    * convention) so the DuckDB oracle is hash-exact — no log-odds ulp
+    * drift across engines; the score is a monotone transform of the NB
+    * log-posterior's per-token vote.
+    *
+    * Plan shape at 100 TB: one distinct-token explode (narrow), one
+    * map-side-combinable groupBy on the token for the weight table, one
+    * keyed equi-join back (build side = vocab, one row per token), one
+    * groupBy doc. Train and score are the SAME two shuffles — no
+    * driver-side model state; the "model" is a vocab-sized DataFrame a
+    * production pipeline would persist and reuse for scoring new shards.
+    */
+  def qualityClassifierScore(docs: DataFrame, idCol: String,
+                             textCol: String = "text",
+                             labelBp: Long = 1500): DataFrame = {
+    val labeled = qualityScore(docs, textCol)
+      .withColumn("good",
+        when(col("stop_ratio_bp") >= labelBp, 1L).otherwise(0L))
+      .select(col(idCol).as("id"), col(textCol).as("__t"), col("good"))
+    // distinct tokens per doc: wordShingles n=1 (codegen'd, dedup inside)
+    val tok = labeled.select(col("id"), col("good"),
+      explode(wordShingles(col("__t"), 1)).as("w"))
+    val weights = tok.groupBy(col("w"))
+      .agg(sum(col("good")).as("gdf"), count(lit(1)).as("df"))
+      .withColumn("w_bp", expr("(gdf + 1) * 10000 div (df + 2)"))
+      .select("w", "w_bp")
+    tok.join(weights, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_bp")).as("sw"))
+      .select(col("id").as(idCol), col("n_toks"),
+        expr("sw div n_toks").as("score_bp"))
+  }
+
   /** Sliding-window token chunking — split each document into fixed-size
     * token windows with `overlap` tokens of context carry-over (the
     * context-window splitting step before tokenization/packing). Chunk k

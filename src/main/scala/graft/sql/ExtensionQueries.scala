@@ -690,6 +690,27 @@ object ExtensionQueries {
       val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
       curationResult(exactKept, DedupOps.nearDupPairs(survivors, "doc_id",
         TextOps.wordShingles(col("text"), 3), 0.5))
+    },
+
+    // x68 — substring-level exact dedup (Lee et al. 2021): maximal spans
+    // of ≥2-occurrence 5-token shingles, merged gaps-and-islands per doc.
+    // The granularity doc-level dedup cannot see — boilerplate repeating
+    // INSIDE otherwise-unique documents.
+    "x68_span_dedup" -> { (s, dir) =>
+      DedupOps.duplicatedSpans(spread(t(s, dir, "documents")), "doc_id",
+          "text", k = 5, minCount = 2)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // x69 — model-based quality scoring (the CCNet-style classifier
+    // filter): distant labels from the x17 stopword heuristic,
+    // Laplace-smoothed integral token posteriors over document frequency,
+    // doc score = integral mean over its distinct tokens. Integer
+    // arithmetic end-to-end (the x53 convention) → hash-exact oracle.
+    "x69_quality_classifier" -> { (s, dir) =>
+      TextOps.qualityClassifierScore(spread(t(s, dir, "documents")),
+          "doc_id", labelBp = 1500)
+        .orderBy("doc_id")
     }
   )
 
@@ -1492,7 +1513,51 @@ object ExtensionQueries {
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),
-         | $curationTailSql""".stripMargin
+         | $curationTailSql""".stripMargin,
+
+    // Positional 5-token shingles (hash60 of the space-joined slice, the
+    // engine's exact hash), occurrence count >= 2, per-doc
+    // gaps-and-islands merge: a new island iff p > prev_p + 5 — the same
+    // break predicate as duplicatedSpans.
+    "x68_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        | ps AS (SELECT doc_id, unnest(list_transform(
+        |     range(0, greatest(len(t)-4, 0)),
+        |     p -> struct_pack(p := p, sh := ('0x' || substr(md5(
+        |       array_to_string(list_slice(t, (p+1)::INT, (p+5)::INT), ' ')
+        |     ),1,15))::BIGINT))) e FROM w),
+        | pp AS (SELECT doc_id, e.p p, e.sh sh FROM ps),
+        | dup AS (SELECT sh FROM pp GROUP BY sh HAVING count(*) >= 2),
+        | dp AS (SELECT doc_id, p FROM pp JOIN dup USING (sh)),
+        | brk AS (SELECT doc_id, p, CASE
+        |     WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 5
+        |     THEN 1 ELSE 0 END b FROM dp),
+        | isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id
+        |     ORDER BY p ROWS UNBOUNDED PRECEDING) island FROM brk)
+        | SELECT doc_id, min(p)::BIGINT AS span_start,
+        |   (max(p) + 5 - min(p))::BIGINT AS span_tokens
+        | FROM isl GROUP BY doc_id, island
+        | ORDER BY doc_id, span_start""".stripMargin,
+
+    // Label = the x17 stopword-ratio heuristic at 1500 bp; token weight =
+    // (good_df+1)*10000 // (df+2) over distinct-token document frequency;
+    // score = integral mean — every op integral, mirroring
+    // qualityClassifierScore exactly.
+    "x69_quality_classifier" ->
+      """WITH lbl AS (SELECT doc_id, text, CASE WHEN
+        |     floor(len(list_filter(string_split(text,' '),
+        |         x -> list_contains(['the','a','of','and','in'], x)))::DOUBLE
+        |       * 10000 / len(string_split(text,' '))::DOUBLE) >= 1500
+        |     THEN 1 ELSE 0 END good FROM documents),
+        | tok AS (SELECT doc_id, good,
+        |     unnest(list_distinct(string_split(text,' '))) w FROM lbl),
+        | wt AS (SELECT w, (sum(good) + 1) * 10000 // (count(*) + 2) w_bp
+        |   FROM tok GROUP BY w),
+        | sc AS (SELECT doc_id, count(*) n_toks, sum(w_bp) sw
+        |   FROM tok JOIN wt USING (w) GROUP BY doc_id)
+        | SELECT doc_id, n_toks::BIGINT AS n_toks,
+        |   (sw // n_toks)::BIGINT AS score_bp
+        | FROM sc ORDER BY doc_id""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
