@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{DedupOps, JoinOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{BpeOps, DedupOps, JoinOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -91,6 +91,17 @@ object ExtensionQueries {
     * like the codebook (127/max|component|, one corpus aggregate),
     * computed once per (app, dir).
     */
+  /** Learned BPE merge list (8 rules) for the documents fixture — the
+    * tokenizer model, deterministic in (dir), trained once per run exactly
+    * as a production pipeline trains its tokenizer once per corpus; the
+    * x70 (train) and x71 (tokenize) gates share it.
+    */
+  private val BpeMergeCount = 8
+  private def bpeMergesOf(s: SparkSession, dir: String): Seq[BpeOps.Merge] =
+    memoized(s, dir, s"bpeMerges$BpeMergeCount") {
+      BpeOps.trainMerges(spread(t(s, dir, "documents")), BpeMergeCount)._1
+    }
+
   private def sqScaleOf(s: SparkSession, dir: String): Double =
     memoized(s, dir, "sqScale") {
       java.lang.Double.valueOf(
@@ -710,6 +721,28 @@ object ExtensionQueries {
     "x69_quality_classifier" -> { (s, dir) =>
       TextOps.qualityClassifierScore(spread(t(s, dir, "documents")),
           "doc_id", labelBp = 1500)
+        .orderBy("doc_id")
+    },
+
+    // x70 — distributed BPE tokenizer training (Sennrich et al. 2016): the
+    // corpus collapses to a word-frequency table in ONE shuffle; all 8
+    // merge iterations run over the vocab. Output = the learned merge
+    // table, integer-exact (long pair counts, lexicographic tie-break) so
+    // the unrolled-CTE oracle hash-matches.
+    "x70_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      bpeMergesOf(s, dir)
+        .map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    },
+
+    // x71 — tokenize the corpus with the trained merges: folds run over
+    // the DISTINCT words only; each occurrence joins its word's symbol
+    // count (broadcast — a Zipf vocab is always ≪ its corpus).
+    "x71_bpe_tokenize" -> { (s, dir) =>
+      BpeOps.tokenize(spread(t(s, dir, "documents")), "doc_id",
+          bpeMergesOf(s, dir))
         .orderBy("doc_id")
     }
   )
@@ -1543,6 +1576,30 @@ object ExtensionQueries {
     // (good_df+1)*10000 // (df+2) over distinct-token document frequency;
     // score = integral mean — every op integral, mirroring
     // qualityClassifierScore exactly.
+    // Unrolled 8-iteration BPE training (the x63 k-means CTE precedent):
+    // each iteration = pair counts over the vocab CTE, 1-row argmax with
+    // the (cnt DESC, l, r) tie-break, then the list_reduce fold that
+    // mirrors BpeOps.mergePair exactly. Assumes the corpus sustains 8
+    // merges (any real corpus does; the trainer stops early only when
+    // every word is fully merged).
+    "x70_bpe_train" ->
+      s"""WITH $bpeTrainSql
+         | SELECT * FROM (
+         |   ${(1 to 8).map(i =>
+               s"SELECT ${i}::BIGINT merge_rank, l left_sym, r right_sym, cnt pair_count FROM b$i")
+               .mkString("\n |   UNION ALL ")}
+         | ) ORDER BY merge_rank""".stripMargin,
+
+    "x71_bpe_tokenize" ->
+      s"""WITH $bpeTrainSql,
+         | wn AS (SELECT word, len(string_split(syms,' '))::BIGINT ns FROM v8),
+         | dt AS (SELECT doc_id, unnest(string_split(text,' ')) word
+         |   FROM documents)
+         | SELECT doc_id, count(*)::BIGINT AS ws_tokens,
+         |   sum(ns)::BIGINT AS bpe_tokens
+         | FROM dt JOIN wn USING (word)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x69_quality_classifier" ->
       """WITH lbl AS (SELECT doc_id, text, CASE WHEN
         |     floor(len(list_filter(string_split(text,' '),
@@ -1567,6 +1624,41 @@ object ExtensionQueries {
     * (the per-pair intersection counts), mirroring the Scala
     * `curationSurvivors`/`curationResult` split.
     */
+  /** Shared BPE-training CTE chain (x70/x71): word-frequency table, char
+    * symbol init, then 8 unrolled merge iterations. Each `v{i}` carries the
+    * vocab after i merges; each `b{i}` the winning pair. The list_reduce
+    * fold mirrors `BpeOps.mergePair` token-for-token (seed '' prepended;
+    * tail test pinned to the symbol boundary by the leading space).
+    */
+  private lazy val bpeTrainSql: String = {
+    val head =
+      """w0 AS (SELECT unnest(string_split(text,' ')) word FROM documents),
+        | wf AS (SELECT word, count(*)::BIGINT freq FROM w0
+        |   WHERE word <> '' GROUP BY word),
+        | v0 AS (SELECT word, freq,
+        |   array_to_string(string_split(word,''), ' ') syms FROM wf)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      val prev = s"v${i - 1}"
+      s"""pc$i AS (SELECT e.l l, e.r r, (sum(freq))::BIGINT cnt FROM (
+         |   SELECT freq, unnest(list_transform(
+         |       range(1, len(string_split(syms,' '))),
+         |       k -> struct_pack(l := string_split(syms,' ')[k],
+         |                        r := string_split(syms,' ')[k+1]))) e
+         |   FROM $prev) GROUP BY 1, 2),
+         | b$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         | v$i AS (SELECT word, freq,
+         |   list_reduce(list_prepend('', string_split(syms,' ')),
+         |     (acc, x) -> CASE WHEN acc = '' THEN x
+         |       WHEN x = b.r AND (acc = b.l OR (length(acc) > length(b.l)
+         |         AND substr(acc, length(acc)-length(b.l), length(b.l)+1)
+         |               = ' ' || b.l))
+         |       THEN substr(acc, 1, length(acc)-length(b.l)) || b.l || b.r
+         |       ELSE acc || ' ' || x END) syms
+         |   FROM $prev CROSS JOIN b$i b)""".stripMargin
+    }
+    (head +: iters).mkString(",\n ")
+  }
+
   // lazy: referenced from the `oracle` map's interpolations above —
   // object-init order would otherwise read them as null
   private lazy val curationHeadSql =
