@@ -240,6 +240,98 @@ object StatOps {
     pmod(TextOps.hash60(concat_ws("\u0001", d.cast(StringType), v)),
       lit(width.toLong))
 
+  /** The i-th Bloom bit position of a value: hash60 of "i<SEP>value" mod m
+    * (same U+0001 separator as cmsBucket, via [[sepJoin]]). ONE definition
+    * shared by build and probe (the cmsBucket rule). hash60 is a positive
+    * 60-bit value, so pmod == %.
+    */
+  private def bloomPos(i: Column, v: Column, mBits: Int): Column =
+    pmod(TextOps.hash60(sepJoin(i.cast(StringType), v)),
+      lit(mBits.toLong))
+
+  /** U+0001-separated join (the cmsBucket separator convention). */
+  private def sepJoin(a: Column, b: Column): Column =
+    concat_ws(1.toChar.toString, a, b)
+
+  /** Mergeable Bloom MEMBERSHIP sketch — the third sibling of
+    * [[distinctSketch]] (HLL) and [[cmsSketch]] (CMS): "might this element
+    * be in the reference set?", with NO false negatives and a tunable
+    * false-positive rate ((1-e^(-kn/m))^k). The 100 TB use is the
+    * incremental-dedup probe: a bloom over the reference corpus's content
+    * hashes is bounded METADATA (m bits — ~12 GB for 10^10 docs at 1%
+    * FP), so a new shard probes membership with a narrow bounded join
+    * instead of an anti-join against 100 TB of history (false positives
+    * re-checked exactly against only the colliding slice, false negatives
+    * impossible — no duplicate is missed).
+    *
+    * Representation: sparse rows (widx, bits, m_bits, k_hashes) packing
+    * 32 bits per word — bit index <= 31 keeps every mask positive, no
+    * sign-bit portability edge — with absent words meaning all-zero.
+    * Built as ordinary map-side-combinable bit_or counts (no UDAF); rows
+    * bounded by m/32 regardless of data volume. Cross-shard merge is
+    * bit_or (bitwise union is EXACTLY the sketch of the concatenated
+    * data). m/k ride along in every row so a mismatched probe FAILS
+    * LOUDLY (the cmsEstimate rule) instead of probing wrong positions.
+    */
+  def bloomSketch(df: DataFrame, valCol: String, mBits: Int = 2048,
+                  kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    df.select(explode(array((0 until kHashes).map(i =>
+        bloomPos(lit(i), col(valCol).cast(StringType), mBits)): _*)).as("__p"))
+      .groupBy(expr("__p DIV 32").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(__p % 32 AS INT)))").as("bits"))
+      .select(col("widx"), col("bits"),
+        lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"))
+  }
+
+  /** Bitwise-OR union of stored Bloom sketches (cross-shard merge —
+    * bitwise union is exactly the sketch of the concatenated data).
+    * Sketches built with different m/k occupy different position spaces;
+    * OR-ing them would fabricate membership, so parameter uniformity is
+    * asserted per merged word (and every probe re-validates on read).
+    */
+  def mergeBloomSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("widx")
+      .agg(expr("bit_or(bits)").as("bits"),
+        min("m_bits").as("__m0"), max("m_bits").as("__m1"),
+        min("k_hashes").as("__k0"), max("k_hashes").as("__k1"))
+      .select(col("widx"),
+        when(col("__m0") === col("__m1") && col("__k0") === col("__k1"),
+          col("bits"))
+          .otherwise(raise_error(concat(
+            lit("mergeBloomSketches: mixed m/k at widx "),
+            col("widx").cast(StringType)))).as("bits"),
+        col("__m0").as("m_bits"), col("__k0").as("k_hashes"))
+
+  /** Probe a Bloom sketch: (idCol, <as>) with 1 = possibly-member (all k
+    * bits set), 0 = DEFINITELY absent. The bloom side is bounded (<= m/32
+    * rows) and broadcast; absent words are all-zero (left join). A
+    * sketch row whose embedded m/k disagree with the probe's parameters
+    * raises instead of silently probing wrong positions.
+    */
+  def bloomProbe(df: DataFrame, idCol: String, valCol: String,
+                 bloom: DataFrame, mBits: Int = 2048, kHashes: Int = 4,
+                 as: String = "bloom_hit"): DataFrame = {
+    val pos = df.select(col(idCol),
+      explode(array((0 until kHashes).map(i =>
+        bloomPos(lit(i), col(valCol).cast(StringType), mBits)): _*)).as("__p"))
+    pos.join(broadcast(bloom), expr("__p DIV 32") === bloom("widx"), "left")
+      .select(col(idCol),
+        when(col("bits").isNull, lit(0L))
+          .when(col("m_bits") =!= lit(mBits) || col("k_hashes") =!= lit(kHashes),
+            raise_error(concat(lit("bloomProbe: sketch built with m/k = "),
+              col("m_bits").cast(StringType), lit("/"),
+              col("k_hashes").cast(StringType),
+              lit(s", probed with $mBits/$kHashes"))))
+          .when(col("bits").bitwiseAND(
+              expr("shiftleft(1L, CAST(__p % 32 AS INT))")) =!= 0, lit(1L))
+          .otherwise(lit(0L)).as("__hit"))
+      .groupBy(col(idCol))
+      .agg(min(col("__hit")).as(as))
+  }
+
   /** Power-of-two length histogram per key: bucket = number of binary
     * digits of the length (⌊log2⌋+1), with count/sum/min/max of the raw
     * length per (key, bucket) — the sequence-length profile a packing /

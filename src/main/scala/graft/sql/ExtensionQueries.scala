@@ -744,6 +744,26 @@ object ExtensionQueries {
       BpeOps.tokenize(spread(t(s, dir, "documents")), "doc_id",
           bpeMergesOf(s, dir))
         .orderBy("doc_id")
+    },
+
+    // x72 — Bloom-filter incremental-dedup probe: src0 docs probe a bloom
+    // built over every OTHER source (m=2048 deliberately undersized so
+    // the fixture exhibits real false positives next to exact_dup=0).
+    // exact_dup alongside proves the no-false-negative contract in the
+    // gated output itself: no row may have exact_dup=1, bloom_hit=0.
+    "x72_bloom_dedup" -> { (s, dir) =>
+      val docs = spread(t(s, dir, "documents"))
+      val ref = docs.filter(col("source") =!= "src0").select("text")
+      val probe = docs.filter(col("source") === "src0").select("doc_id", "text")
+      val bloom = StatOps.bloomSketch(ref, "text", mBits = 2048, kHashes = 4)
+      val hits = StatOps.bloomProbe(probe, "doc_id", "text", bloom,
+        mBits = 2048, kHashes = 4)
+      val exact = probe.join(ref.distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("exact_dup"))
+      hits.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1599,6 +1619,34 @@ object ExtensionQueries {
          |   sum(ns)::BIGINT AS bpe_tokens
          | FROM dt JOIN wn USING (word)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom build/probe mirrored bit-for-bit: position = hash60 of
+    // "i<chr(1)>text" mod m, 32-bit word packing, bit_or aggregation,
+    // all-k-bits-set membership. Absent words are all-zero (LEFT JOIN).
+    "x72_bloom_dedup" ->
+      """WITH ref AS (SELECT text FROM documents WHERE source <> 'src0'),
+        | pos AS (SELECT unnest(list_transform(range(0, 4), i ->
+        |     ('0x'||substr(md5(i::VARCHAR || chr(1) || text),1,15))::BIGINT
+        |       % 2048)) p
+        |   FROM ref),
+        | bloom AS (SELECT p // 32 widx,
+        |     bit_or(1::BIGINT << (p % 32)::INT) bits
+        |   FROM pos GROUP BY 1),
+        | prb AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        | pp AS (SELECT doc_id, unnest(list_transform(range(0, 4), i ->
+        |     ('0x'||substr(md5(i::VARCHAR || chr(1) || text),1,15))::BIGINT
+        |       % 2048)) p
+        |   FROM prb),
+        | hit AS (SELECT doc_id, min(CASE WHEN b.bits IS NOT NULL
+        |       AND (b.bits & (1::BIGINT << (p % 32)::INT)) <> 0
+        |       THEN 1 ELSE 0 END) h
+        |   FROM pp LEFT JOIN bloom b ON b.widx = p // 32 GROUP BY doc_id),
+        | ex AS (SELECT DISTINCT p.doc_id FROM prb p JOIN ref r
+        |   ON p.text = r.text)
+        | SELECT h.doc_id, h.h::BIGINT AS bloom_hit,
+        |   (CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS exact_dup
+        | FROM hit h LEFT JOIN ex e ON e.doc_id = h.doc_id
+        | ORDER BY h.doc_id""".stripMargin,
 
     "x69_quality_classifier" ->
       """WITH lbl AS (SELECT doc_id, text, CASE WHEN
