@@ -246,7 +246,16 @@ object Bench {
     try Files.writeString(Paths.get(outFile), fullLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] failed to write $outFile: ${e.getMessage}") }
-    println(line) // LAST, so the driver's tail capture contains it whole
+    println(line)
+    // The per-query map alone is ~2 KB at 72 queries, which has pushed the
+    // line's HEAD out of the driver's bounded tail capture twice (r07, r11
+    // both landed "parsed": null). Emit a second, ~150-byte summary line
+    // LAST — everything the gate ratio needs, nothing per-query — so the
+    // tail capture always contains one whole parseable record no matter
+    // how many queries the suite grows.
+    println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
+      s""""n_queries":${results.size}$oracleTotal$matchedFrag$failedFrag,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

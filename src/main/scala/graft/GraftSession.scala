@@ -118,6 +118,13 @@ object GraftSession {
     // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type —
     // read as long, Tables.load rebuilds the timestamp.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Parquet TIMESTAMP(isAdjustedToUTC=false) otherwise infers as
+    // TIMESTAMP_NTZ (Spark 4 default), which unix_micros and friends
+    // reject. With the UTC session timezone above, reading NTZ micros as
+    // TIMESTAMP is value-preserving (identical epoch micros), so pin the
+    // legacy inference session-wide; the time operators ALSO cast NTZ
+    // inputs defensively (TsCompat) so the library works without this.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // Spark-default AQE coalescing (parallelismFirst=true): never shrink a
     // post-shuffle stage below the cluster's parallelism. Round 1 set this
     // to false, which coalesced every small-SF shuffle to ONE partition and

@@ -111,8 +111,8 @@ object JoinOps {
                    leftTsCol: String, rightTsCol: String,
                    maxGapMicros: Long): DataFrame = {
     require(maxGapMicros > 0, "maxGapMicros must be positive")
-    val lUs = unix_micros(col(leftTsCol))
-    val rUs = unix_micros(col(rightTsCol))
+    val lUs = TsCompat.micros(col(leftTsCol))
+    val rUs = TsCompat.micros(col(rightTsCol))
     val l = left
       .withColumn("__probe", explode(array(lit(0L), lit(1L))))
       .withColumn("__b", floor(lUs / maxGapMicros) + col("__probe"))

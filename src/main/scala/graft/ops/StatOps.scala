@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, NumericType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Distributed order statistics and dataset profiling.
   *
@@ -388,7 +388,8 @@ object StatOps {
     // strings, dates).
     def rawKey(c: String): Column = types(c) match {
       case BinaryType    => hex(col(c))
-      case TimestampType => unix_micros(col(c)).cast(StringType)
+      case TimestampType | TimestampNTZType =>
+        TsCompat.micros(col(c)).cast(StringType)
       case DoubleType | org.apache.spark.sql.types.FloatType =>
         (col(c) + lit(0.0d)).cast(StringType)
       case _             => col(c).cast(StringType)
@@ -398,7 +399,8 @@ object StatOps {
     // profiled a string column as n=0, n_distinct=0, n_null=total.
     def numV(c: String): Column = types(c) match {
       case _: NumericType => col(c).cast(DoubleType)
-      case TimestampType  => col(c).cast(DoubleType) // epoch seconds
+      case TimestampType | TimestampNTZType =>
+        TsCompat.utc(col(c)).cast(DoubleType) // epoch seconds
       case _              => lit(null).cast(DoubleType)
     }
     val pairs = df.select(explode(array(cols.map(c =>

@@ -33,7 +33,8 @@ object TimeOps {
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, intervalMicros: Long): DataFrame = {
     require(intervalMicros > 0, "intervalMicros must be positive")
-    val bucket = floor(unix_micros(col(tsCol)) / intervalMicros).cast(LongType)
+    val bucket =
+      floor(TsCompat.micros(col(tsCol)) / intervalMicros).cast(LongType)
     // null-ts rows have no place on the bucket grid and must not feed the
     // forward fill: the null bucket sorts FIRST, so its value would leak
     // into the first real bucket's running last() — a value with no valid
@@ -80,7 +81,7 @@ object TimeOps {
     val wLag = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val wPrev = wLag.rowsBetween(Window.unboundedPreceding, -1)
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = TsCompat.micros(col(tsCol))
     // last non-null preceding ts, NOT lag(1): null-ts rows sort first and
     // must be transparent to the gap chain
     val prev = last(us, ignoreNulls = true).over(wPrev)

@@ -263,7 +263,8 @@ object ExtensionQueries {
       JoinOps.asOfJoinBackward(purchases, clicks, "user_id", "ts",
           Seq("click_id", "click_ts"))
         .select(col("event_id"), col("user_id"), col("click_id"),
-          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+          (graft.ops.TsCompat.micros(col("ts")) -
+            graft.ops.TsCompat.micros(col("click_ts"))).as("delay_us"))
         .orderBy("event_id")
     },
 

@@ -42,6 +42,7 @@ class GraftSessionSpec extends AnyFunSuite {
     val d = GraftSession.defaults
     assert(d("spark.sql.session.timeZone") == "UTC")
     assert(d("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(d("spark.sql.parquet.inferTimestampNTZ.enabled") == "false")
     assert(d("spark.sql.adaptive.enabled") == "true")
     assert(d("spark.sql.extensions") == classOf[GraftExtensions].getName)
   }
