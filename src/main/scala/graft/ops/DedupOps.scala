@@ -215,7 +215,9 @@ object DedupOps {
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame, idCol: String,
                        contentCol: String, shingles: Column,
                        threshold: Double,
-                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                       maxBucket: Int = DefaultMaxBucket,
+                       bloom: Boolean = false, bloomBits: Int = 1 << 20,
+                       bloomHashes: Int = 4): DataFrame = {
     val offset = 1L << 40
     // raise_error (not a silent wrap-around) if an id collides with the
     // disjoint-range encoding; evaluated inline, no extra action
@@ -233,10 +235,32 @@ object DedupOps {
         shingleHashes(tagged, col("id"), shingles), minBp, maxBucket,
         pairFilter = Some(col("p.i") < offset && col("p.j") >= offset))
       .select((col("j") - offset).as(idCol)).distinct()
-    val exactKept = newDocs.select(col(idCol), md5(col(contentCol)).as("__h"))
-      .join(refDocs.select(md5(col(contentCol)).as("__h")).distinct(),
-        Seq("__h"), "left_anti")
-      .select(idCol)
+    val newH = newDocs.select(col(idCol), md5(col(contentCol)).as("__h"))
+    val refH = refDocs.select(md5(col(contentCol)).as("__h")).distinct()
+    // `bloom = true` swaps the exact probe's anti-join-against-ALL-history
+    // for a membership pre-filter: the reference corpus collapses to a
+    // bounded-metadata Bloom sketch (m bits regardless of corpus size —
+    // the thing a pipeline precomputes and stores between snapshots), new
+    // hashes probe it broadcast-side, and only the possibly-member slice
+    // re-checks exactly against the reference. Bloom false negatives are
+    // impossible, so a definite miss is kept WITHOUT touching the
+    // reference — at 100 TB of history that is the difference between
+    // shuffling the new shard and shuffling the corpus. Output is
+    // row-identical to the plain path (asserted by spec): false positives
+    // only route a few extra rows through the exact re-check.
+    val exactKept =
+      if (!bloom) newH.join(refH, Seq("__h"), "left_anti").select(idCol)
+      else {
+        val sketch = StatOps.bloomSketch(refH, "__h", bloomBits, bloomHashes)
+        val probed = StatOps.bloomProbe(newH, idCol, "__h", sketch,
+          bloomBits, bloomHashes)
+        val definiteMiss = probed.filter(col("bloom_hit") === 0).select(idCol)
+        val possibleHit = probed.filter(col("bloom_hit") === 1).select(idCol)
+          .join(newH, Seq(idCol))
+          .join(refH, Seq("__h"), "left_anti")
+          .select(idCol)
+        definiteMiss.unionByName(possibleHit)
+      }
     exactKept.join(nearDropped, Seq(idCol), "left_anti")
   }
 
@@ -708,6 +732,72 @@ object DedupOps {
       .select(col("id").as(idCol),
         col("ps").cast(LongType).as("span_start"),
         (col("pe") + k - col("ps")).cast(LongType).as("span_tokens"))
+  }
+
+  /** Span REMOVAL — the second half of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better", §3): [[duplicatedSpans]]
+    * finds the memorization-prone text; this reconstructs the corpus with
+    * those spans excised, keeping each duplicated passage's FIRST
+    * occurrence (corpus order = (id, position) lexicographic) so the
+    * information survives exactly once.
+    *
+    * Keep-first semantics, precisely: a position row is removable when its
+    * k-token shingle occurs ≥ `minCount` times corpus-wide AND the row is
+    * not the shingle's first occurrence. Removable positions merge into
+    * maximal spans with the same gaps-and-islands rule as
+    * [[duplicatedSpans]]; a token is dropped when ANY span covers its
+    * index, and the cleaned text is the surviving tokens rejoined in
+    * order.
+    *
+    * Plan shape at 100 TB: identical skew posture to [[duplicatedSpans]] —
+    * the first-occurrence table is a map-side-combinable groupBy on the
+    * shingle hash carrying ONE row per hash (min of a (id, p) struct, NOT
+    * a window over sh, whose hot boilerplate hash would melt one reducer),
+    * flagging is the same bounded equi-join back, islands a per-doc
+    * window. Removal itself is narrow: each doc's spans collapse to one
+    * array (bounded by doc length) and a codegen'd `filter` lambda drops
+    * covered token indexes — no second pass over the corpus.
+    *
+    * Returns (idCol, text_clean, n_removed): cleaned text and the count of
+    * tokens dropped (0 and the original text for untouched docs).
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(minCount >= 2,
+      s"minCount must be >= 2 — 1 would flag every position (got $minCount)")
+    val toks = split(col(textCol), " ")
+    val shArr = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          p => hash60(concat_ws(" ", slice(toks, p + 1, lit(k))))))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(shArr).as(Seq("p", "sh")))
+    // one row per duplicated hash: its occurrence count gate and its
+    // first-occurrence coordinates (lexicographic struct min)
+    val firsts = pos.groupBy(col("sh"))
+      .agg(count(lit(1)).as("occ"), min(struct(col("id"), col("p"))).as("f"))
+      .filter(col("occ") >= minCount)
+      .select(col("sh"), col("f.id").as("fid"), col("f.p").as("fp"))
+    val wOrd = Window.partitionBy("id").orderBy("p")
+    val spans = pos.join(firsts, Seq("sh"))
+      .filter(!(col("id") === col("fid") && col("p") === col("fp")))
+      .withColumn("brk",
+        when(col("p") > lag(col("p"), 1).over(wOrd) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("p")).as("ps"), (max(col("p")) + k).as("pe"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("ps"), col("pe"))).as("__spans"))
+    docs.join(spans, docs(idCol) === spans("id"), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, toks).otherwise(
+          filter(toks, (_, i) =>
+            !exists(col("__spans"), s => i >= s("ps") && i < s("pe")))))
+      .select(docs(idCol),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        (size(toks) - size(col("__kept"))).cast(LongType).as("n_removed"))
   }
 
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-12 operators: Bloom-backed incremental dedup (x73) and span
+  * removal (x74).
+  */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("incrementalDedup bloom=true is row-identical to the plain path") {
+    // ref corpus 0..9; new corpus 250.. with: an exact dup of ref 0, a
+    // near-dup of ref 1 (>= 0.5 jaccard on 3-gram shingles), and clean
+    // docs. mBits=64 deliberately tiny so false positives are NEAR-CERTAIN
+    // — the equivalence must hold because FPs re-check exactly, not
+    // because the sketch was clean.
+    val ref = (0 until 10).map(i =>
+      (i.toLong, s"ref document number $i body alpha beta gamma delta $i"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (250L, "ref document number 0 body alpha beta gamma delta 0"), // exact
+      (251L, "ref document number 1 body alpha beta gamma delta XX"), // near
+      (252L, "completely different text about something else entirely here"),
+      (253L, "another unique new document with its own fresh content words"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val plain = DedupOps.incrementalDedup(nw, ref, "doc_id", "text", sh, 0.5)
+    val bloomed = DedupOps.incrementalDedup(nw, ref, "doc_id", "text", sh,
+      0.5, bloom = true, bloomBits = 64, bloomHashes = 4)
+    assert(ids(plain) == ids(bloomed))
+    assert(ids(plain) == Set(252L, 253L)) // exact AND near dups dropped
+  }
+
+  test("removeSpans keeps the first occurrence and excises the rest") {
+    val boiler = "one two three four five" // exactly k=5 tokens
+    val docs = Seq(
+      (1L, s"$boiler unique tail of document one"),
+      (2L, s"leading words here $boiler and a suffix"),
+      (3L, "no duplicated content in this document at all"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.removeSpans(docs, "doc_id", "text", k = 5,
+        minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // doc 1 holds the FIRST occurrence (lowest (id, p)) — untouched
+    assert(out(1L) == (s"$boiler unique tail of document one", 0L))
+    // doc 2's occurrence is excised, surroundings survive
+    assert(out(2L) == ("leading words here and a suffix", 5L))
+    assert(out(3L) == ("no duplicated content in this document at all", 0L))
+  }
+
+  test("removeSpans excises within-doc repetition beyond the first run") {
+    // the same 5-token phrase three times in ONE doc: occurrence one is
+    // first (kept); the rest is removable. Islands merge the two later
+    // occurrences (gap <= k) into one span.
+    val p = "a b c d e"
+    val docs = Seq((1L, s"$p x $p y $p")).toDF("doc_id", "text")
+    val out = DedupOps.removeSpans(docs, "doc_id", "text", k = 5,
+      minCount = 2).collect().head
+    assert(out.getString(1) == s"$p x y")
+    assert(out.getLong(2) == 10L)
+  }
+
+  test("removeSpans can empty a doc and handles sub-k docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), // first occurrence — kept
+      (2L, "w1 w2 w3 w4 w5"), // fully removable
+      (3L, "tiny doc")) // < k tokens: zero shingles, untouched
+      .toDF("doc_id", "text")
+    val out = DedupOps.removeSpans(docs, "doc_id", "text", k = 5,
+        minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ("w1 w2 w3 w4 w5", 0L))
+    assert(out(2L) == ("", 5L))
+    assert(out(3L) == ("tiny doc", 0L))
+  }
+}
