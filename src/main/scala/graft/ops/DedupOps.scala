@@ -800,6 +800,69 @@ object DedupOps {
         (size(toks) - size(col("__kept"))).cast(LongType).as("n_removed"))
   }
 
+  /** Pairwise MinHash-estimated Jaccard similarity BETWEEN GROUPS (e.g.
+    * between sources/domains/snapshots): the corpus-overlap matrix a
+    * curation pipeline reads before deciding mixture weights or dropping a
+    * crawl that duplicates another ("how much of src3 is src1 again?").
+    *
+    * Estimator: each group's shingle set collapses to `numHashes` min-hash
+    * values (hash h of shingle s = md5(h||'|'||s), the [[minhashBands]]
+    * convention); E[agreement fraction between two groups] = their Jaccard
+    * similarity. Emitted as integer counts + floor basis points, so the
+    * oracle is hash-exact.
+    *
+    * Plan shape at 100 TB: ONE map-side-combinable aggregation over the
+    * exploded shingle table (numHashes min() columns — min over a multiset
+    * equals min over the set, so per-doc duplicate shingles need no
+    * distinct pass); everything after operates on groups×numHashes rows —
+    * bounded METADATA, like the Bloom sketch. The pair join is groups², a
+    * number that is small by definition (sources, not documents).
+    */
+  def minhashGroupSimilarity(docs: DataFrame, keyCol: String,
+                             shingles: Column, numHashes: Int): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive (got $numHashes)")
+    val mins = (0 until numHashes).map(h =>
+      min(md5(concat(lit(h), lit("|"), col("s")))).as(s"m$h"))
+    val sigs = docs.select(col(keyCol).as("k"), explode(shingles).as("s"))
+      .groupBy(col("k")).agg(mins.head, mins.tail: _*)
+      .select(col("k"), posexplode(
+        array((0 until numHashes).map(h => col(s"m$h")): _*)).as(Seq("i", "m")))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.i") === col("b.i") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).as("agree"))
+      .select(col("key_a"), col("key_b"), col("agree"),
+        TextOps.bp(col("agree"), lit(numHashes)).as("est_jaccard_bp"))
+  }
+
+  /** Per-document novelty vs the EARLIER corpus (corpus order = ascending
+    * id): of a doc's distinct shingles, how many first appeared in a
+    * lower-id doc — the "how derivative is this document" curation signal
+    * (novelty_bp = 10000 means every shingle is first seen here). Docs
+    * with zero shingles (shorter than the shingle width) emit no row —
+    * they have no n-gram evidence either way.
+    *
+    * Plan shape: the shingle table's first-occurrence map is ONE
+    * map-side-combinable groupBy(shingle) carrying min(id) — one row per
+    * distinct shingle — and the flagging join back is keyed on the
+    * shingle with that one-row build side, so a hot boilerplate shingle
+    * inflates no reducer (the [[duplicatedSpans]] posture). Per-doc
+    * ratios are a second keyed agg on id. Nothing quadratic; two
+    * shuffles total.
+    */
+  def seenBeforeNovelty(docs: DataFrame, idCol: String,
+                        shingles: Column): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles).as("s"))
+    val firsts = sh.groupBy(col("s")).agg(min(col("id")).as("fd"))
+    sh.join(firsts, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") < col("id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_seen"),
+        TextOps.bp(col("n_shingles") - col("n_seen"), col("n_shingles"))
+          .as("novelty_bp"))
+  }
+
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     // sided = (id, vec, norm) with zero-norm rows excluded (0/0 = NaN and

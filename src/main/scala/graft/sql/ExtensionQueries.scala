@@ -816,6 +816,45 @@ object ExtensionQueries {
         .filter(col("n_removed") > 0)
         .select("doc_id", "n_removed", "text_clean")
         .orderBy("doc_id")
+    },
+
+    // x75 — forward as-of join (x27's mirror, previously spec-only): for
+    // each purchase, the user's EARLIEST click at-or-after it — the "next
+    // event after" direction (next fill after an order). Same union+window
+    // plan, first(ignoreNulls) over the FOLLOWING frame.
+    "x75_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts"))
+      JoinOps.asOfJoinForward(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (graft.ops.TsCompat.micros(col("click_ts")) -
+            graft.ops.TsCompat.micros(col("ts"))).as("wait_us"))
+        .orderBy("event_id")
+    },
+
+    // x76 — cross-source MinHash similarity matrix: estimated Jaccard
+    // between every source pair's 3-gram shingle sets — the corpus-overlap
+    // analytics a mixture-weighting stage reads ("how much of src3 is src1
+    // again?"). Group signatures are bounded metadata (sources × 32).
+    "x76_source_similarity" -> { (s, dir) =>
+      DedupOps.minhashGroupSimilarity(spread(t(s, dir, "documents")),
+          "source", TextOps.wordShingles(col("text"), 3), numHashes = 32)
+        .orderBy("key_a", "key_b")
+    },
+
+    // x77 — per-doc seen-before novelty: of each doc's distinct 3-gram
+    // shingles, the fraction first appearing in a LOWER-id doc — the
+    // "how derivative is this document" signal, integer basis points.
+    "x77_novelty" -> { (s, dir) =>
+      DedupOps.seenBeforeNovelty(spread(t(s, dir, "documents")), "doc_id",
+          TextOps.wordShingles(col("text"), 3))
+        .orderBy("doc_id")
     }
   )
 
@@ -1748,6 +1787,43 @@ object ExtensionQueries {
         | FROM w LEFT JOIN agg USING (doc_id)
         | WHERE len(w.t) - coalesce(agg.nk, 0) > 0
         | ORDER BY w.doc_id""".stripMargin,
+
+    "x75_asof_forward" ->
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) click_id
+        |   FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        | p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        | SELECT p.event_id, p.user_id, c.click_id,
+        |   epoch_us(c.ts) - epoch_us(p.ts) AS wait_us
+        | FROM p ASOF LEFT JOIN clicks c
+        |   ON p.user_id = c.user_id AND p.ts <= c.ts
+        | ORDER BY p.event_id""".stripMargin,
+
+    // minhash convention identical to x22 (md5(h||'|'||s)); group = source.
+    // min over the multiset == min over the set, so no per-source distinct.
+    "x76_source_similarity" ->
+      s"""$word3gramShingles,
+         | ss AS (SELECT d.source, sh.s FROM sh
+         |   JOIN documents d USING (doc_id)),
+         | hs AS (SELECT source, h, min(md5(h || '|' || s)) m
+         |   FROM ss CROSS JOIN (SELECT unnest(range(0,32)) h)
+         |   GROUP BY source, h)
+         | SELECT a.source AS key_a, b.source AS key_b,
+         |   sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)::BIGINT AS agree,
+         |   floor(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)::DOUBLE
+         |     * 10000 / 32)::BIGINT AS est_jaccard_bp
+         | FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x77_novelty" ->
+      s"""$word3gramShingles,
+         | fst AS (SELECT s, min(doc_id) fd FROM sh GROUP BY s)
+         | SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+         |   sum(CASE WHEN fst.fd < sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |     AS n_seen,
+         |   floor((count(*) - sum(CASE WHEN fst.fd < sh.doc_id THEN 1
+         |     ELSE 0 END))::DOUBLE * 10000 / count(*))::BIGINT AS novelty_bp
+         | FROM sh JOIN fst USING (s)
+         | GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     "x69_quality_classifier" ->
       """WITH lbl AS (SELECT doc_id, text, CASE WHEN

@@ -66,6 +66,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.getLong(2) == 10L)
   }
 
+  test("minhashGroupSimilarity: identical groups 10000 bp, disjoint 0") {
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "srcB", "alpha beta gamma delta epsilon zeta eta theta"), // = A
+      (3L, "srcC", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    val sim = DedupOps.minhashGroupSimilarity(docs, "source",
+        TextOps.wordShingles(col("text"), 3), numHashes = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(sim(("srcA", "srcB")) == (16L, 10000L)) // identical shingle sets
+    assert(sim(("srcA", "srcC")) == (0L, 0L)) // no shared words at all
+    assert(sim(("srcB", "srcC")) == (0L, 0L))
+  }
+
+  test("seenBeforeNovelty: first occurrence novel, copies derivative") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 3 shingles, all first here
+      (2L, "alpha beta gamma delta epsilon"), // exact copy: novelty 0
+      (3L, "totally fresh words appear here")) // disjoint: novelty 10000
+      .toDF("doc_id", "text")
+    val out = DedupOps.seenBeforeNovelty(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(1L) == (3L, 0L, 10000L))
+    assert(out(2L) == (3L, 3L, 0L))
+    assert(out(3L) == (3L, 0L, 10000L))
+  }
+
+  test("seenBeforeNovelty: sub-shingle docs emit no row") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "ab")).toDF("doc_id", "text")
+    val ids = DedupOps.seenBeforeNovelty(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   test("removeSpans can empty a doc and handles sub-k docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5"), // first occurrence — kept
