@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Time-series operators: fixed-interval resampling with gap fill — the
   * densification step feature pipelines run before windowed training-data
@@ -90,5 +90,65 @@ object TimeOps {
     df.withColumn("session_idx",
       when(col(tsCol).isNull, lit(null).cast(LongType))
         .otherwise(sum(newSession).over(wRun)))
+  }
+
+  /** OHLC downsampling — the canonical time-series candle: per (key,
+    * fixed interval bucket) the first/last/max/min observed value and the
+    * event count. First/last are by (ts, id) order — `idCol` must be
+    * unique per row so ties at the same timestamp resolve
+    * deterministically under any partitioning.
+    *
+    * Values pass through UNTOUCHED (no floating arithmetic), so the
+    * output is engine-exact. Null-ts rows have no place on the bucket
+    * grid and are dropped (the [[resampleFill]] rule).
+    *
+    * Scale shape: ONE map-side-combinable shuffle — min_by/max_by/min/
+    * max/count are all declarative aggregates with partial merge, so each
+    * mapper contributes one candle candidate per (key, bucket) and no
+    * sort or window is needed (a row_number formulation would add a full
+    * per-partition sort for the same answer).
+    */
+  def ohlcResample(df: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, valueCol: String,
+                   intervalMicros: Long): DataFrame = {
+    require(intervalMicros > 0, "intervalMicros must be positive")
+    val us = TsCompat.micros(col(tsCol))
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+        floor(us / intervalMicros).cast(LongType).as("bucket"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Trailing time-range window aggregate: per row, the sum and count of
+    * `valueCol` over the key's rows in `(ts - windowMicros, ts]` — a RANGE
+    * frame over epoch micros, NOT a row frame: rows sharing a timestamp
+    * are peers and see each other (both engines' RANGE semantics), and
+    * gaps in event time shrink the window to what actually happened.
+    *
+    * The sum runs in DECIMAL(38,6) (exact, order-independent — the x28
+    * convention) and lands as e4 fixed-point; null-ts rows are dropped
+    * (no place on the timeline).
+    *
+    * Scale shape: one shuffle + one sort on (key, ts) — the same single
+    * window stage as any running aggregate; frame state is bounded by the
+    * window's row span per key.
+    */
+  def rollingTimeWindow(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valueCol: String,
+                        windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val us = TsCompat.micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(us)
+      .rangeBetween(-windowMicros, Window.currentRow)
+    df.filter(col(tsCol).isNotNull)
+      .select(col(idCol), col(keyCol),
+        (round(sum(col(valueCol).cast(DecimalType(38, 6))).over(w), 4)
+          * 10000).cast(LongType).as("win_total_e4"),
+        count(lit(1)).over(w).as("win_n"))
   }
 }

@@ -855,6 +855,24 @@ object ExtensionQueries {
       DedupOps.seenBeforeNovelty(spread(t(s, dir, "documents")), "doc_id",
           TextOps.wordShingles(col("text"), 3))
         .orderBy("doc_id")
+    },
+
+    // x78 — OHLC candles: per (user, day) the first/last/max/min value and
+    // event count — the canonical time-series downsample of the reference
+    // domain (price candles over trades). One map-side-combinable shuffle.
+    "x78_ohlc_resample" -> { (s, dir) =>
+      TimeOps.ohlcResample(t(s, dir, "events"), "user_id", "ts", "event_id",
+          "value", 86400L * 1000000)
+        .orderBy("user_id", "bucket")
+    },
+
+    // x79 — trailing 1-hour RANGE-frame aggregate per event: event-time
+    // windows (peers at equal ts see each other; event-time gaps shrink
+    // the frame) vs x28's ROWS running total.
+    "x79_rolling_time_window" -> { (s, dir) =>
+      TimeOps.rollingTimeWindow(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "value", 3600L * 1000000)
+        .orderBy("event_id")
     }
   )
 
@@ -1824,6 +1842,37 @@ object ExtensionQueries {
          |     ELSE 0 END))::DOUBLE * 10000 / count(*))::BIGINT AS novelty_bp
          | FROM sh JOIN fst USING (s)
          | GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // this DuckDB's arg_min rejects struct keys, so open/close come from
+    // row_number in both time directions — equivalent because (ts,
+    // event_id) is unique; the engine's min_by/max_by needs no sort.
+    "x78_ohlc_resample" ->
+      """WITH b AS (SELECT user_id,
+        |     epoch_us(ts) // 86400000000 AS bucket, value v, ts, event_id
+        |   FROM events WHERE ts IS NOT NULL),
+        | r AS (SELECT *,
+        |     row_number() OVER (PARTITION BY user_id, bucket
+        |       ORDER BY ts, event_id) rno,
+        |     row_number() OVER (PARTITION BY user_id, bucket
+        |       ORDER BY ts DESC, event_id DESC) rnc
+        |   FROM b)
+        | SELECT user_id, bucket,
+        |   max(CASE WHEN rno = 1 THEN v END) AS open,
+        |   max(CASE WHEN rnc = 1 THEN v END) AS close,
+        |   max(v) AS high, min(v) AS low, count(*)::BIGINT AS n_events
+        | FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x79_rolling_time_window" ->
+      """SELECT event_id, user_id,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+        |   * 10000 AS BIGINT) AS win_total_e4,
+        | COUNT(*) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT
+        |   AS win_n
+        | FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin,
 
     "x69_quality_classifier" ->
       """WITH lbl AS (SELECT doc_id, text, CASE WHEN

@@ -96,6 +96,18 @@ class NtzFixtureSpec extends SparkSpec {
     }
   }
 
+  test("ohlcResample accepts an NTZ parquet fixture") {
+    assertSameResult(df =>
+      TimeOps.ohlcResample(df, "user_id", "ts", "event_id", "value",
+        60L * 1000000))
+  }
+
+  test("rollingTimeWindow accepts an NTZ parquet fixture") {
+    assertSameResult(df =>
+      TimeOps.rollingTimeWindow(df, "user_id", "ts", "event_id", "value",
+        120L * 1000000))
+  }
+
   test("profile treats an NTZ column as a timestamp, not the generic arm") {
     // the latent sibling: StatOps.profile matched TimestampType only, so an
     // NTZ column silently fell through to the string-cast identity key and

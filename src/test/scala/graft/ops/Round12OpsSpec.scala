@@ -104,6 +104,43 @@ class Round12OpsSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("ohlcResample: open/close by (ts, id) order, ties deterministic") {
+    val docs = Seq(
+      // bucket 0 (interval 100s): ts ties at 10 broken by event_id
+      (1L, 10L, 1L, 5.0), (1L, 10L, 2L, 7.0), (1L, 50L, 3L, 1.0),
+      // bucket 1
+      (1L, 110L, 4L, 9.0),
+      // other key
+      (2L, 20L, 5L, 3.0))
+      .toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = TimeOps.ohlcResample(docs, "user_id", "ts", "event_id",
+        "value", 100L * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(out((1L, 0L)) == (5.0, 1.0, 7.0, 1.0, 3L)) // open=id1, close=id3
+    assert(out((1L, 1L)) == (9.0, 9.0, 9.0, 9.0, 1L))
+    assert(out((2L, 0L)) == (3.0, 3.0, 3.0, 3.0, 1L))
+  }
+
+  test("rollingTimeWindow: RANGE frame includes ts peers, respects gaps") {
+    val docs = Seq(
+      (1L, 10L, 1L, 1.0), (1L, 10L, 2L, 2.0), // peers: both see both
+      (1L, 100L, 3L, 4.0), // 90s after: inside the 120s window
+      (1L, 500L, 4L, 8.0)) // isolated by the gap
+      .toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = TimeOps.rollingTimeWindow(docs, "user_id", "ts", "event_id",
+        "value", 120L * 1000000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (30000L, 2L)) // 3.0 e4: peer rows see each other
+    assert(out(2L) == (30000L, 2L))
+    assert(out(3L) == (70000L, 3L)) // 1+2+4
+    assert(out(4L) == (80000L, 1L)) // the gap emptied the frame
+  }
+
   test("removeSpans can empty a doc and handles sub-k docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5"), // first occurrence — kept
