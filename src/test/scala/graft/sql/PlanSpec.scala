@@ -80,4 +80,35 @@ class PlanSpec extends SparkSpec {
     // never a full cartesian of the corpus with itself
     assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
   }
+
+  test("x78: OHLC candles plan as ONE hash aggregation, no sort/window") {
+    val p = plan(ExtensionQueries.queries, "x78_ohlc_resample")
+    // min_by/max_by/min/max/count all partial-merge: one map-side partial
+    // + one final agg after a single exchange; a row_number formulation
+    // would show a Window + full per-partition Sort here
+    assert(!p.contains("Window"), s"candle used a window plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_min_by"), s"no map-side candle partials:\n$p")
+  }
+
+  test("x79: rolling time window is one exchange + one window stage") {
+    val p = plan(ExtensionQueries.queries, "x79_rolling_time_window")
+    // sum and count share the same (key, ts-range) frame, so Spark plans
+    // them in ONE Window operator over one Exchange+Sort — not one stage
+    // per aggregate
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 window stage, got $windows:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("x77: novelty's first-occurrence map is map-side combined") {
+    val p = plan(ExtensionQueries.queries, "x77_novelty")
+    // the groupBy(shingle).min(id) build side must partial-aggregate
+    // before its exchange — at 100 TB the un-combined shingle table is
+    // the corpus token count
+    assert(p.contains("partial_min"), s"first-occurrence map not combined:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
