@@ -65,6 +65,31 @@ object Streaming {
       .select((col("session_window.start").as("ws") +:
         col("session_window.end").as("we") +: keyCols.map(col)) :+ col("cnt"): _*)
 
+  /** Streaming OHLC candles — the streaming face of TimeOps.ohlcResample:
+    * per (key, tumbling window) the first/last/max/min observed value and
+    * count, with first/last resolved by (ts, id) order exactly like the
+    * batch op (unique `idCol` makes ties deterministic across micro-batch
+    * boundaries — min_by/max_by merge associatively, so a candle split
+    * over many batches converges to the same answer as one batch).
+    * Watermark-bounded state: one row per open (key, window) in the state
+    * store, closed candles emit and evict.
+    */
+  def ohlcCandles(events: DataFrame, tsCol: String, idCol: String,
+                  valueCol: String, windowLen: String, lateness: String,
+                  keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        count(lit(1)).as("n_events"))
+      .select((col("window.start").as("ws") +: col("window.end").as("we") +:
+        keyCols.map(col)) ++
+        Seq(col("open"), col("close"), col("high"), col("low"),
+          col("n_events")): _*)
+
   /** Streaming exact dedup on key columns within the watermark horizon —
     * the streaming face of DedupOps.exact. State is per-key in the state
     * store and expires with the watermark, so memory is bounded at scale.

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC candle converges across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double, String)]
+    val agg = Streaming.ohlcCandles(
+      input.toDF().toDF("ts", "event_id", "value", "sym"),
+      "ts", "event_id", "value", "10 minutes", "5 minutes", "sym")
+    val q = agg.writeStream.format("memory").queryName("candles")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the same 10-minute window arrives over TWO micro-batches — the
+      // partial candles must merge to the batch answer (open = earliest
+      // (ts, id), close = latest, high/low/count over the union)
+      input.addData((ts(2), 1L, 5.0, "A"), (ts(4), 2L, 9.0, "A"))
+      q.processAllAvailable()
+      input.addData((ts(1), 3L, 3.0, "A"), (ts(6), 4L, 7.0, "A"))
+      q.processAllAvailable()
+      input.addData((ts(30), 9L, 1.0, "A")) // advance watermark, emit
+      q.processAllAvailable()
+      val rows = spark.table("candles")
+        .select("ws", "sym", "open", "close", "high", "low", "n_events")
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "A", 3.0, 7.0, 9.0, 3.0, 4L)))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
