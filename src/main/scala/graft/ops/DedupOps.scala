@@ -194,6 +194,44 @@ object DedupOps {
       .filter(col("jaccard_bp") >= minBp)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| (and / |B|) — the
+    * sub-duplication metric Jaccard structurally misses. A 100-word doc
+    * fully embedded in a 10,000-word doc has Jaccard ≈ 0.01 (never passes
+    * any dedup threshold) but containment ≈ 1.0; containment is how
+    * RefinedWeb/CCNet-class pipelines catch quote-and-extend duplication.
+    * Emits pairs where max(cont_i, cont_j) ≥ `threshold`, with both
+    * directions reported.
+    *
+    * Plan shape: the [[ngramJaccardPairs]] bucket-pair machinery verbatim
+    * (one shingle-hash shuffle, bucket-grouped codegen'd pair kernel,
+    * maxBucket cap) with ONE deliberate difference: the kernel's
+    * length-ratio prune is DISABLED (minRatioBp = 0) — that prune is
+    * sound for Jaccard, where mismatched sizes bound the score, but the
+    * short⊂long pair it discards is exactly the pair containment exists
+    * to find. Same Θ(Σ bucket²) exact-arm contract as x21 — the scale
+    * posture is "run on LSH candidates", and the cap's lower-bound
+    * semantics carry over (a dropped bucket can only under-report).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, shingles: Column,
+                       threshold: Double,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireLongId(docs, idCol)
+    val minBp = thresholdBp(threshold)
+    val exploded = shingleHashes(docs, col(idCol), shingles)
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(docPairs(col("ds"))).as("p"))
+    exploded
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
+        first(col("p.bn")).as("bn"))
+      .select(col("i"), col("j"), col("c").as("inter_n"),
+        TextOps.bp(col("c"), col("an")).as("cont_i_bp"),
+        TextOps.bp(col("c"), col("bn")).as("cont_j_bp"))
+      .filter(greatest(col("cont_i_bp"), col("cont_j_bp")) >= minBp)
+  }
+
   /** Incremental (cross-corpus) dedup: which NEW docs survive against an
     * existing REFERENCE corpus — the "don't re-ingest what the training
     * set already contains" primitive of snapshot-over-snapshot pipelines.

@@ -174,6 +174,43 @@ object SampleOps {
       .drop("__dom", "__rate_bp")
   }
 
+  /** Sample DOWN to target mixture weights — the "assemble the training
+    * mix" stage (Pile/Dolma-style): given per-domain target shares, keep
+    * the LARGEST corpus whose kept-count distribution matches them.
+    * Feasible total T = min_d(n_d / w_d) (the scarcest domain relative to
+    * its share binds the mix); every domain then keeps rate_d = w_d·T/n_d
+    * of its rows by the deterministic id-hash acceptance all samplers
+    * here share. Domains not in `weights` are dropped (weight 0);
+    * weighted domains with no rows simply can't bind T.
+    *
+    * Scale shape: one map-side-combined count per domain, two
+    * domain-sized (bounded metadata) broadcasts, and a narrow hash-mod
+    * filter over the corpus — no shuffle of the data itself. The rate
+    * arithmetic is a fixed left-to-right double sequence flooring to
+    * basis points, so the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain in weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF("__dom", "__w")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wDf), col(domainCol) === col("__dom"))
+    val tRow = counts.agg(
+      min(col("__n").cast("double") / col("__w")).as("__T"))
+    val rates = counts.crossJoin(broadcast(tRow)) // 1-row broadcast
+      .select(col("__dom"),
+        floor(lit(10000d) * col("__w") * col("__T")
+          / col("__n").cast("double")).cast(LongType).as("__rate_bp"))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
+      .drop("__dom", "__rate_bp")
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

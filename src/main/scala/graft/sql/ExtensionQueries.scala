@@ -873,6 +873,25 @@ object ExtensionQueries {
       TimeOps.rollingTimeWindow(t(s, dir, "events"), "user_id", "ts",
           "event_id", "value", 3600L * 1000000)
         .orderBy("event_id")
+    },
+
+    // x80 — asymmetric containment pairs: |A∩B|/|A| and /|B| — the
+    // sub-duplication metric Jaccard structurally misses (a short doc
+    // fully embedded in a long one).
+    "x80_containment" -> { (s, dir) =>
+      DedupOps.containmentPairs(spread(t(s, dir, "documents")), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 0.8)
+        .orderBy("i", "j")
+    },
+
+    // x81 — mixture sampling to target source weights (assemble-the-mix):
+    // largest corpus matching src0:src1:src2 = 5:3:2, deterministic
+    // id-hash acceptance; unweighted sources dropped.
+    "x81_mixture_sample" -> { (s, dir) =>
+      SampleOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -1861,6 +1880,38 @@ object ExtensionQueries {
         |   max(CASE WHEN rnc = 1 THEN v END) AS close,
         |   max(v) AS high, min(v) AS low, count(*)::BIGINT AS n_events
         | FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x80_containment" ->
+      s"""$word3gramShingles,
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         | SELECT i, j, c AS inter_n,
+         |   floor(c::DOUBLE * 10000 / na.n)::BIGINT AS cont_i_bp,
+         |   floor(c::DOUBLE * 10000 / nb.n)::BIGINT AS cont_j_bp
+         | FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         | WHERE greatest(floor(c::DOUBLE * 10000 / na.n),
+         |                floor(c::DOUBLE * 10000 / nb.n)) >= 8000
+         | ORDER BY i, j""".stripMargin,
+
+    // the rate arithmetic mirrors mixtureSample's exact double sequence:
+    // T = min(n/w), rate = floor(((10000*w)*T)/n) — left-associative in
+    // both engines; weights cast to DOUBLE so the decimal literal doesn't
+    // change the IEEE value.
+    "x81_mixture_sample" ->
+      """WITH wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+        |     ('src2', 0.2::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        | j AS (SELECT dom, w, n FROM cnt JOIN wt ON source = dom),
+        | t AS (SELECT min(n::DOUBLE / w) tt FROM j),
+        | r AS (SELECT dom, floor(10000 * w * tt / n::DOUBLE)::BIGINT rate
+        |   FROM j, t)
+        | SELECT d.doc_id, d.source FROM documents d
+        | JOIN r ON d.source = r.dom
+        | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |   % 10000 < r.rate
+        | ORDER BY d.doc_id""".stripMargin,
 
     "x79_rolling_time_window" ->
       """SELECT event_id, user_id,

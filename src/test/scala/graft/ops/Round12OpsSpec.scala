@@ -141,6 +141,55 @@ class Round12OpsSpec extends SparkSpec {
     assert(out(4L) == (80000L, 1L)) // the gap emptied the frame
   }
 
+  test("containmentPairs finds the short-in-long pair Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta" // 4 shingles
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$small $filler"), // contains ALL of doc 1 + 60 unique words
+      (3L, "completely unrelated content with other words here"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val cont = DedupOps.containmentPairs(docs, "doc_id", sh, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L))._1 == 10000L) // all of doc 1 inside doc 2
+    assert(cont((1L, 2L))._2 < 2000L) // the reverse direction is small
+    // the symmetric metric on the same corpus finds NOTHING at 0.5 —
+    // the pair exists only through the asymmetric lens
+    assert(DedupOps.ngramJaccardPairs(docs, "doc_id", sh, 0.5).count() == 0)
+  }
+
+  test("mixtureSample keeps the binding domain whole, scales the rest") {
+    // srcA 100 rows, srcB 400 rows, weights 1:1 → A binds (T = 200):
+    // A keeps all 100, B keeps ~100 by hash; srcC is unweighted → dropped
+    val docs = ((0 until 100).map(i => (i.toLong, "srcA")) ++
+      (100 until 500).map(i => (i.toLong, "srcB")) ++
+      (500 until 520).map(i => (i.toLong, "srcC")))
+      .toDF("doc_id", "source")
+    val kept = SampleOps.mixtureSample(docs, "doc_id", "source",
+        Seq("srcA" -> 0.5, "srcB" -> 0.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("srcC"))
+    assert(kept("srcA") == 100L) // rate 10000: the binding domain
+    // B's acceptance is hash-thinned at rate 2500 bp: binomial around 100
+    assert(kept("srcB") > 60L && kept("srcB") < 140L,
+      s"srcB kept ${kept("srcB")}")
+  }
+
+  test("mixtureSample is deterministic and insensitive to partitioning") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val w = Seq("src0" -> 0.6, "src1" -> 0.4)
+    val a = SampleOps.mixtureSample(docs, "doc_id", "source", w)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = SampleOps.mixtureSample(docs.repartition(7), "doc_id", "source",
+      w).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("removeSpans can empty a doc and handles sub-k docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5"), // first occurrence — kept
