@@ -32,6 +32,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(q.getAs[Long]("n_words") == 1)
   }
 
+  test("round-12 ops return empty (not error) on empty input") {
+    assert(DedupOps.removeSpans(empty, "doc_id", "text").count() == 0)
+    assert(DedupOps.containmentPairs(empty, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 0)
+    assert(DedupOps.seenBeforeNovelty(empty, "doc_id",
+      TextOps.wordShingles(col("text"), 3)).count() == 0)
+    val emptySrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(DedupOps.minhashGroupSimilarity(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+      "source", TextOps.wordShingles(col("text"), 3), 8).count() == 0)
+    assert(SampleOps.mixtureSample(emptySrc, "doc_id", "source",
+      Seq("a" -> 1.0)).count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(TimeOps.ohlcResample(emptyEv, "user_id", "ts", "event_id",
+      "value", 1000L).count() == 0)
+    assert(TimeOps.rollingTimeWindow(emptyEv, "user_id", "ts", "event_id",
+      "value", 1000L).count() == 0)
+  }
+
+  test("round-12 ops tolerate null text and null ts without fabricating") {
+    val nulls = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // null-text doc contributes no shingles: absent from novelty, no
+    // pairs, and removeSpans must not throw on it
+    assert(DedupOps.seenBeforeNovelty(nulls, "doc_id",
+      TextOps.wordShingles(col("text"), 3))
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(DedupOps.containmentPairs(nulls, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 0.5).count() == 0)
+    assert(DedupOps.removeSpans(nulls, "doc_id", "text").count() == 2)
+    // null-ts rows have no place on the grid: dropped, never a candle of
+    // their own or a member of another's frame
+    val ev = Seq((1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+        1L, 5.0),
+      (1L, None, 2L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val candles = TimeOps.ohlcResample(ev, "user_id", "ts", "event_id",
+      "value", 60L * 1000000).collect()
+    assert(candles.length == 1 && candles.head.getLong(6) == 1L)
+    assert(TimeOps.rollingTimeWindow(ev, "user_id", "ts", "event_id",
+      "value", 60L * 1000000).count() == 1)
+  }
+
   test("shingles of short/empty strings are empty arrays, not errors") {
     val df = Seq("", "ab", "abcdefgh").toDF("s")
       .select(size(TextOps.charShingles(col("s"), 8)).as("n8"),
