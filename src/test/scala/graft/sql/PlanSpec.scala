@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("x81: mixture sampling broadcasts rates; the corpus never " +
+      "shuffles for the join") {
+    val p = plan(ExtensionQueries.queries, "x81_mixture_sample")
+    // the domain-rate table is bounded metadata: it must reach the corpus
+    // as a broadcast, never by shuffling the corpus onto domain keys
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$p")
+  }
+
   test("x77: novelty's first-occurrence map is map-side combined") {
     val p = plan(ExtensionQueries.queries, "x77_novelty")
     // the groupBy(shingle).min(id) build side must partial-aggregate
