@@ -151,6 +151,10 @@ object GraftSession {
     // warn about the one static conf that cannot be applied post-hoc.
     if (!s.catalog.functionExists("keccak256")) {
       graft.functions.GraftFunctions.register(s)
+      // inferTimestampNTZ IS a runtime SQL conf (unlike nanosAsLong):
+      // apply the engine posture post-hoc so NTZ-encoded fixtures read as
+      // TIMESTAMP in a reused session too
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         System.err.println("[graft] WARNING: reusing a pre-existing " +
           "SparkSession; spark.sql.legacy.parquet.nanosAsLong is not set " +
