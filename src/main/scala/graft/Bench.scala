@@ -252,9 +252,21 @@ object Bench {
     // both landed "parsed": null). Emit a second, ~150-byte summary line
     // LAST — everything the gate ratio needs, nothing per-query — so the
     // tail capture always contains one whole parseable record no matter
-    // how many queries the suite grows.
+    // how many queries the suite grows. COUNTS, not name lists, for the
+    // oracle-missing/failed keys: the full lists on the first line and in
+    // the file artifact grow with the suite, which is the exact unbounded-
+    // line failure this summary exists to avoid.
+    val matchedCountFrag = oracleNames
+      .filter(ns => ns.nonEmpty && ns != results.map(_._1).toSet)
+      .map { ns =>
+        val mv = results.filter(r => ns(r._1)).map(_._2).sum
+        s""","oracle_matched_value":${num(mv, 4)},""" +
+          s""""n_oracle_missing":${results.map(_._1).count(n => !ns(n))}"""
+      }.getOrElse("")
+    val failedCountFrag =
+      if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
     println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
-      s""""n_queries":${results.size}$oracleTotal$matchedFrag$failedFrag,""" +
+      s""""n_queries":${results.size}$oracleTotal$matchedCountFrag$failedCountFrag,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3,11 +3,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The corpus-curation composite exercises the engine end-to-end: quality
-    * scoring → exact dedup → n-gram near-dup removal in one lazy plan.
+    * The corpus-curation composite exercises the engine end-to-end on its
+    * PRODUCTION path: quality scoring → exact dedup → LSH-candidate-then-
+    * verify near-dup removal → connected components, in one lazy plan —
+    * the plan a 100 TB curation run executes (x64), not the quadratic
+    * exact-enumeration calibration baseline (x34).
     */
   def entry(spark: SparkSession): DataFrame =
-    sql.ExtensionQueries.queries("x34_corpus_curation")(spark, "/root/testdata/sf0.001")
+    sql.ExtensionQueries.queries("x64_corpus_curation_lsh")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2 (parity Q1-Q15)
     * plus the training-data-pipeline extensions (x16-x26).
     */

@@ -165,34 +165,47 @@ object DedupOps {
         explode(col("__arr")).as("__s"))
       .select(col("id"), col("n"), hash60(col("__s")).as("s"))
 
-  /** Shared tail of the jaccard pipelines ([[ngramJaccardPairs]] and
+  /** Shared bucket-pair enumeration of the exact similarity pipelines
+    * ([[ngramJaccardPairs]], [[containmentPairs]]' exact arm,
     * [[incrementalDedup]]): bucket-group the shingle-hash table, enumerate
     * within-bucket pairs with the codegen'd DocPairs kernel (length-ratio
-    * pruned before anything shuffles), optionally keep only pairs matching
-    * `pairFilter` (over the exploded `p` struct), and aggregate to
-    * (i, j, jaccard_bp ≥ minBp).
+    * pruned before anything shuffles when `minRatioBp > 0`), optionally
+    * keep only pairs matching `pairFilter` (over the exploded `p` struct),
+    * and aggregate to (i, j, c, an, bn) — the intersection count plus both
+    * set sizes, from which each caller derives its own score. ONE body so
+    * a cap-semantics or pair-filter fix can never land on one score path
+    * but not the other.
     *
     * Hot-bucket cap semantics: a dropped bucket's shingle contributes to
-    * NEITHER pair's intersection count but still counts in an/bn, so the
-    * reported jaccard_bp for a pair sharing a dropped shingle is a LOWER
-    * BOUND — conservative for dedup (may keep a borderline near-dup,
-    * never manufactures a false duplicate).
+    * NEITHER pair's intersection count but still counts in an/bn, so any
+    * score derived from `c` for a pair sharing a dropped shingle is a
+    * LOWER BOUND — conservative for dedup (may keep a borderline
+    * near-dup, never manufactures a false duplicate).
     */
-  private def jaccardFromShingleHashes(sh: DataFrame, minBp: Long,
-                                       maxBucket: Int,
-                                       pairFilter: Option[Column]): DataFrame = {
+  private def bucketPairCounts(sh: DataFrame, minRatioBp: Long,
+                               maxBucket: Int,
+                               pairFilter: Option[Column]): DataFrame = {
     val exploded = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(docPairs(col("ds"), minBp)).as("p"))
+      .select(explode(docPairs(col("ds"), minRatioBp)).as("p"))
     pairFilter.fold(exploded)(exploded.filter)
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
         first(col("p.bn")).as("bn"))
+  }
+
+  /** Jaccard tail over [[bucketPairCounts]]: (i, j, jaccard_bp ≥ minBp).
+    * The kernel's length-ratio prune is enabled at `minBp` — sound for
+    * Jaccard only (mismatched sizes bound the score from above).
+    */
+  private def jaccardFromShingleHashes(sh: DataFrame, minBp: Long,
+                                       maxBucket: Int,
+                                       pairFilter: Option[Column]): DataFrame =
+    bucketPairCounts(sh, minBp, maxBucket, pairFilter)
       .withColumn("jaccard_bp",
         TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
       .filter(col("jaccard_bp") >= minBp)
-  }
 
   /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| (and / |B|) — the
     * sub-duplication metric Jaccard structurally misses. A 100-word doc
@@ -200,32 +213,67 @@ object DedupOps {
     * any dedup threshold) but containment ≈ 1.0; containment is how
     * RefinedWeb/CCNet-class pipelines catch quote-and-extend duplication.
     * Emits pairs where max(cont_i, cont_j) ≥ `threshold`, with both
-    * directions reported.
+    * directions (and the raw intersection count) reported.
     *
-    * Plan shape: the [[ngramJaccardPairs]] bucket-pair machinery verbatim
-    * (one shingle-hash shuffle, bucket-grouped codegen'd pair kernel,
-    * maxBucket cap) with ONE deliberate difference: the kernel's
-    * length-ratio prune is DISABLED (minRatioBp = 0) — that prune is
-    * sound for Jaccard, where mismatched sizes bound the score, but the
-    * short⊂long pair it discards is exactly the pair containment exists
-    * to find. Same Θ(Σ bucket²) exact-arm contract as x21 — the scale
-    * posture is "run on LSH candidates", and the cap's lower-bound
+    * Default path (`exact = false`) is LSH-candidate-then-verify, the
+    * [[nearDupPairs]] template: MinHash banding proposes candidate pairs,
+    * [[verifyContainmentPairs]] computes TRUE intersection counts on those
+    * pairs only — work ∝ |candidates|, the shape that survives 100 TB.
+    * Recall caveat the symmetric path doesn't have: MinHash banding
+    * collides on JACCARD, and for a containment-t pair with set-size
+    * ratio ρ = min/max, J = tρ/(1+ρ−tρ) — near-equal sizes are caught at
+    * the usual 1−(1−J^r)^b rate (t=0.8, ρ=1 → J=0.67), but an extreme
+    * short⊂long pair (ρ ≪ 1) drives J → 0 and the banding miss rate with
+    * it. Size-partitioned banding (LSH Ensemble, Zhu et al. VLDB 2016) is
+    * the published remedy when that regime matters; `exact = true` opts
+    * into the complete inverted-index enumeration — the
+    * [[ngramJaccardPairs]] bucket-pair machinery with ONE deliberate
+    * difference: the kernel's length-ratio prune is DISABLED
+    * (minRatioBp = 0), because that prune is sound for Jaccard, where
+    * mismatched sizes bound the score, but the short⊂long pair it
+    * discards is exactly the pair containment exists to find. Same
+    * Θ(Σ bucket²) exact-arm contract as x21; the cap's lower-bound
     * semantics carry over (a dropped bucket can only under-report).
     */
   def containmentPairs(docs: DataFrame, idCol: String, shingles: Column,
-                       threshold: Double,
-                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                       threshold: Double, exact: Boolean = false,
+                       numHashes: Int = 16, bandRows: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket,
+                       salts: Int = 1): DataFrame = {
     requireLongId(docs, idCol)
+    if (exact) {
+      val minBp = thresholdBp(threshold)
+      bucketPairCounts(shingleHashes(docs, col(idCol), shingles),
+          0L, maxBucket, None)
+        .select(col("i"), col("j"), col("c").as("inter_n"),
+          TextOps.bp(col("c"), col("an")).as("cont_i_bp"),
+          TextOps.bp(col("c"), col("bn")).as("cont_j_bp"))
+        .filter(greatest(col("cont_i_bp"), col("cont_j_bp")) >= minBp)
+    } else {
+      // materialized for the same reason as nearDupPairs: the verify
+      // references the candidate frame three times
+      val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
+        bandRows, maxBucket).localCheckpoint()
+      verifyContainmentPairs(cand, docs, idCol, shingles, threshold, salts)
+    }
+  }
+
+  /** Exact containment evaluated ONLY on the given candidate pairs — the
+    * verify half of [[containmentPairs]]' default arm, sharing
+    * [[verifyJaccardPairs]]' whole body ([[verifyPairCounts]]): semi-join-
+    * restricted shingle re-expansion, two keyed equi-joins, work ∝
+    * |candidates|. The intersection counts are TRUE counts (no hot-bucket
+    * cap on this path), so cont_i_bp/cont_j_bp are exact for every pair
+    * the candidates propose; the only divergence from the exact arm is a
+    * banding MISS (see [[containmentPairs]] for the ρ-dependent rate).
+    * Emits (i, j, inter_n, cont_i_bp, cont_j_bp), i < j, where
+    * max(cont_i, cont_j) ≥ threshold.
+    */
+  def verifyContainmentPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                             shingles: Column, threshold: Double,
+                             salts: Int = 1): DataFrame = {
     val minBp = thresholdBp(threshold)
-    val exploded = shingleHashes(docs, col(idCol), shingles)
-      .groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(docPairs(col("ds"))).as("p"))
-    exploded
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("c"), first(col("p.an")).as("an"),
-        first(col("p.bn")).as("bn"))
+    verifyPairCounts(pairs, docs, idCol, shingles, salts)
       .select(col("i"), col("j"), col("c").as("inter_n"),
         TextOps.bp(col("c"), col("an")).as("cont_i_bp"),
         TextOps.bp(col("c"), col("bn")).as("cont_j_bp"))
@@ -292,7 +340,15 @@ object DedupOps {
         val sketch = StatOps.bloomSketch(refH, "__h", bloomBits, bloomHashes)
         val probed = StatOps.bloomProbe(newH, idCol, "__h", sketch,
           bloomBits, bloomHashes)
+        // both branches rejoin through newH so per-row MULTIPLICITY under
+        // duplicate ids matches the plain left-anti path exactly:
+        // bloomProbe ends in groupBy(id) (one row per id), and without
+        // the definiteMiss rejoin a duplicated id surviving via the
+        // bloom-miss branch would collapse to one row while the plain
+        // path keeps every input row — breaking the row-identical
+        // contract the shared oracle asserts
         val definiteMiss = probed.filter(col("bloom_hit") === 0).select(idCol)
+          .join(newH.select(idCol), Seq(idCol))
         val possibleHit = probed.filter(col("bloom_hit") === 1).select(idCol)
           .join(newH, Seq(idCol))
           .join(refH, Seq("__h"), "left_anti")
@@ -390,11 +446,27 @@ object DedupOps {
   def verifyJaccardPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                          shingles: Column, threshold: Double,
                          salts: Int = 1): DataFrame = {
+    val minBp = thresholdBp(threshold)
+    verifyPairCounts(pairs, docs, idCol, shingles, salts)
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
+      .filter(col("jaccard_bp") >= minBp)
+      .select(col("i"), col("j"), col("jaccard_bp"))
+  }
+
+  /** Shared verify body of [[verifyJaccardPairs]] and
+    * [[verifyContainmentPairs]]: true intersection counts + both set
+    * sizes, restricted to the given candidate pairs → (i, j, c, an, bn).
+    * One body so the semi-join restriction, dedup guard, and salting all
+    * apply to every score derived from a candidate verify.
+    */
+  private def verifyPairCounts(pairs: DataFrame, docs: DataFrame,
+                               idCol: String, shingles: Column,
+                               salts: Int): DataFrame = {
     requireLongId(docs, idCol)
     require(salts > 0, "salts must be positive")
-    val minBp = thresholdBp(threshold)
     // distinct: a duplicated (i,j) row would multiply the intersection
-    // count c while first(an)/first(bn) stay fixed — jaccard_bp computed
+    // count c while first(an)/first(bn) stay fixed — a score computed
     // with a doubled numerator and a shrunken (possibly zero or negative)
     // denominator, silently dropping or corrupting a true near-dup pair
     val cleanPairs = pairs.select(col("i"), col("j")).distinct()
@@ -422,10 +494,6 @@ object DedupOps {
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"), first(col("an")).as("an"),
         first(col("bn")).as("bn"))
-      .withColumn("jaccard_bp",
-        TextOps.bp(col("c"), col("an") + col("bn") - col("c")))
-      .filter(col("jaccard_bp") >= minBp)
-      .select(col("i"), col("j"), col("jaccard_bp"))
   }
 
   /** Image near-dup pairs by perceptual hash: dHash every payload
@@ -874,7 +942,10 @@ object DedupOps {
   }
 
   /** Per-document novelty vs the EARLIER corpus (corpus order = ascending
-    * id): of a doc's distinct shingles, how many first appeared in a
+    * id): of a doc's shingles AS PROVIDED (each array element counts once
+    * — no distinct pass here, so multiplicity is the caller's choice;
+    * `wordShingles` dedups within a doc, making these the distinct
+    * n-grams for the standard caller), how many first appeared in a
     * lower-id doc — the "how derivative is this document" curation signal
     * (novelty_bp = 10000 means every shingle is first seen here). Docs
     * with zero shingles (shorter than the shingle width) emit no row —

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * salting utility for skewed keys. The reference has neither (SURVEY §2.4
   * declares their absence) — these are engine capabilities for the
   * time-series/training-data workloads.
+  *
+  * `TIMESTAMP_NTZ` timestamp inputs are accepted ([[TsCompat]]) but are
+  * only value-preserving under a UTC session timezone (graft pins it —
+  * [[graft.GraftSession]]); a non-UTC standalone session shifts NTZ epoch
+  * values by the zone offset. See the [[TimeOps]] note.
   */
 object JoinOps {
 

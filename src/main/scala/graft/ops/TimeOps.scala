@@ -9,6 +9,14 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * densification step feature pipelines run before windowed training-data
   * extraction (every key gets a row per interval even where no events
   * landed, carrying the last observed value forward).
+  *
+  * `TIMESTAMP_NTZ` inputs are accepted ([[TsCompat]]), but their epoch
+  * interpretation depends on `spark.sql.session.timeZone`: graft pins it
+  * to UTC ([[graft.GraftSession]]), where NTZ epoch math is
+  * value-preserving. A standalone caller running these operators on NTZ
+  * columns under a non-UTC session gets bucket/window boundaries shifted
+  * by the zone offset — set the session timezone to UTC (or cast to
+  * `TIMESTAMP` yourself) first.
   */
 object TimeOps {
 

@@ -34,13 +34,21 @@ object ExtensionQueries {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Guard: only pay the shuffle when the input is actually under-split
     // (the single-file fixture case). A production corpus already arriving
-    // in >= p/2 partitions passes through untouched, so callers copying
-    // these query definitions don't inherit a gratuitous repartition.
+    // in >= p/2 files passes through untouched, so callers copying these
+    // query definitions don't inherit a gratuitous repartition.
+    // inputFiles (a catalog listing) instead of rdd.getNumPartitions: the
+    // rdd probe materialized the physical RDD lineage on the driver per
+    // query invocation just to read a count. File COUNT is a conservative
+    // stand-in for partition count (a file can split into several
+    // partitions, never fewer), so the repartition fires at most as often
+    // as before; a non-file plan (inputFiles empty) passes through
+    // untouched — every spread() call site reads a parquet fixture.
     // max(..., 2): on a <= 3-core session p/2 rounds to <= 1 and a
-    // single-partition fixture would never repartition — serializing the
+    // single-file fixture would never repartition — serializing the
     // regex/shingle stage through one task, the exact thing this exists
     // to prevent
-    if (df.rdd.getNumPartitions < math.max(p / 2, 2)) df.repartition(p) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < math.max(p / 2, 2)) df.repartition(p) else df
   }
 
   /** Per-(application, sf-dir) memo of BOUNDED driver-side artifacts the
@@ -877,8 +885,24 @@ object ExtensionQueries {
 
     // x80 — asymmetric containment pairs: |A∩B|/|A| and /|B| — the
     // sub-duplication metric Jaccard structurally misses (a short doc
-    // fully embedded in a long one).
+    // fully embedded in a long one). `exact = true` is the deliberate
+    // opt-IN (the x21/x34 pattern): this entry is the complete
+    // enumeration kept as the calibration baseline; x82 runs the API's
+    // default LSH-candidate-then-verify path.
     "x80_containment" -> { (s, dir) =>
+      DedupOps.containmentPairs(spread(t(s, dir, "documents")), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 0.8, exact = true)
+        .orderBy("i", "j")
+    },
+
+    // x82 — containment on the DEFAULT (scale) path: MinHash-LSH banding
+    // proposes candidate pairs, exact intersection counts verify on those
+    // pairs only — work ∝ |candidates| instead of Θ(Σ bucket²). The
+    // oracle mirrors the SAME banding (the x64 pattern), so the gate is
+    // exact regardless of banding recall; differs from x80 only where
+    // banding misses a pair (J = tρ/(1+ρ−tρ) for containment t at size
+    // ratio ρ — see DedupOps.containmentPairs for the honest math).
+    "x82_containment_lsh" -> { (s, dir) =>
       DedupOps.containmentPairs(spread(t(s, dir, "documents")), "doc_id",
           TextOps.wordShingles(col("text"), 3), 0.8)
         .orderBy("i", "j")
@@ -1886,6 +1910,30 @@ object ExtensionQueries {
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
          |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         | SELECT i, j, c AS inter_n,
+         |   floor(c::DOUBLE * 10000 / na.n)::BIGINT AS cont_i_bp,
+         |   floor(c::DOUBLE * 10000 / nb.n)::BIGINT AS cont_j_bp
+         | FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         | WHERE greatest(floor(c::DOUBLE * 10000 / na.n),
+         |                floor(c::DOUBLE * 10000 / nb.n)) >= 8000
+         | ORDER BY i, j""".stripMargin,
+
+    // x80's scoring with the candidate set replaced by the x64 banding
+    // mirror (16 minhashes, 4 bands × 4 rows over the SAME
+    // md5(h||'|'||shingle)): intersection counts evaluated only on
+    // band-colliding pairs, exactly as the engine's verify arm.
+    "x82_containment_lsh" ->
+      s"""$word3gramShingles,
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+         |   FROM mh GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+         |   GROUP BY 1, 2)
          | SELECT i, j, c AS inter_n,
          |   floor(c::DOUBLE * 10000 / na.n)::BIGINT AS cont_i_bp,
          |   floor(c::DOUBLE * 10000 / nb.n)::BIGINT AS cont_j_bp

@@ -150,7 +150,10 @@ class Round12OpsSpec extends SparkSpec {
       (3L, "completely unrelated content with other words here"))
       .toDF("doc_id", "text")
     val sh = TextOps.wordShingles(col("text"), 3)
-    val cont = DedupOps.containmentPairs(docs, "doc_id", sh, 0.9)
+    // exact = true: this pair's ρ (size ratio) ≈ 0.06 drives its Jaccard
+    // toward 0, which is precisely the regime where MinHash banding (the
+    // default arm) is documented to miss — the exact arm is the tool here
+    val cont = DedupOps.containmentPairs(docs, "doc_id", sh, 0.9, exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(3), r.getLong(4))).toMap
     assert(cont.keySet == Set((1L, 2L)))
@@ -159,6 +162,32 @@ class Round12OpsSpec extends SparkSpec {
     // the symmetric metric on the same corpus finds NOTHING at 0.5 —
     // the pair exists only through the asymmetric lens
     assert(DedupOps.ngramJaccardPairs(docs, "doc_id", sh, 0.5).count() == 0)
+  }
+
+  test("containmentPairs default (LSH-verify) arm: near-equal sizes exact") {
+    // a quote-and-extend pair at moderate asymmetry: doc 2 = doc 1 plus a
+    // 20% extension → ρ high enough that banding collides (J ≈ 0.75, band
+    // hit P = 1-(1-J^4)^4 ≈ 0.89 per band set — and with 40 shared
+    // shingles the minhash signatures collide on the shared prefix mass)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$base extra1 extra2 extra3 extra4 extra5 extra6 extra7 extra8"),
+      (3L, "a wholly different document about nothing shared at all"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.wordShingles(col("text"), 3)
+    val lsh = DedupOps.containmentPairs(docs, "doc_id", sh, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ex = DedupOps.containmentPairs(docs, "doc_id", sh, 0.9, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the candidate-verify arm reproduces the exact arm's rows EXACTLY on
+    // every pair banding proposes — true intersection counts, not
+    // estimates — and here banding catches the one true pair
+    assert(lsh == ex)
+    assert(lsh.keySet == Set((1L, 2L)))
+    assert(lsh((1L, 2L))._2 == 10000L) // doc 1 fully contained
   }
 
   test("mixtureSample keeps the binding domain whole, scales the rest") {
