@@ -102,35 +102,167 @@ object BpeOps {
     * small is not a training corpus, and the oracle queries document the
     * full-`merges` assumption.
     *
-    * Each iteration: one vocab-sized pair aggregation, a 1-row argmax
-    * collect (count DESC, then lexicographically smallest pair — fully
-    * deterministic), and a vocab-sized fold; localCheckpoint keeps the
-    * iterated lineage flat (the k-means precedent).
+    * `batch` (default 1 = the classic one-merge-per-round loop) bounds how
+    * many merge rules ONE driver round may emit: at production vocab sizes
+    * a tokenizer wants 30–50k rules, and a 1-rule round loop makes the
+    * driver argmax collect the bottleneck. Each round collects the top
+    * (batch+1) pairs and accepts a GREEDY PREFIX of them, provably equal
+    * to running the sequential argmax `m` times (see [[acceptBatch]] for
+    * the three conditions and the proof sketch); whenever a condition
+    * fails the round degrades toward batch = 1, never past it, so the
+    * learned rule list is IDENTICAL to the sequential trainer's for every
+    * batch setting — batching divides the round count without changing
+    * any individual merge (property-specced against batch = 1 on random
+    * corpora).
+    *
+    * `strict = false` trades that guarantee for throughput — the classic
+    * batched-trainer behavior (every fast public BPE implementation makes
+    * this trade at scale): conflicting pairs in the window are SKIPPED
+    * (not acceptance-stopping) and the 2× emergent-pair margin is not
+    * required, so a round emits up to `batch` rules even on the flat
+    * pair-count distributions where the strict rule degrades to one rule
+    * per round (measured on the toy-vocab sf0.1 fixture, 89 rules to
+    * exhaustion: strict batching fires almost never — 89 → 88 rounds —
+    * because the top of its pair distribution is all chained, near-tied
+    * pairs; non-strict compresses the same run to 12–14 rounds at
+    * B = 8–16, ~7× fewer driver round-trips). The cost: where counts
+    * interact
+    * mid-batch, rule ORDER (occasionally membership near the tail) can
+    * differ from sequential greedy — fine for a production tokenizer,
+    * wrong for the oracle-gated x70 entry, which is why strict is the
+    * default.
     */
   def trainMerges(docs: DataFrame, merges: Int,
-                  textCol: String = "text"): (Seq[Merge], DataFrame) = {
+                  textCol: String = "text",
+                  batch: Int = 1,
+                  strict: Boolean = true): (Seq[Merge], DataFrame) =
+    trainMergesDetailed(docs, merges, textCol, batch, strict) match {
+      case (rules, vocab, _) => (rules, vocab)
+    }
+
+  /** [[trainMerges]] plus the driver round count (for measuring the
+    * batch-B loop reduction).
+    */
+  def trainMergesDetailed(docs: DataFrame, merges: Int,
+                          textCol: String = "text",
+                          batch: Int = 1,
+                          strict: Boolean = true): (Seq[Merge], DataFrame, Int) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var vocab = wordFreq(docs, textCol)
       .withColumn("syms", initialSyms(col("word")))
       .localCheckpoint()
     val learned = Seq.newBuilder[Merge]
     var rank = 1
+    var rounds = 0
     var exhausted = false
     while (rank <= merges && !exhausted) {
-      val top = pairCounts(vocab)
-        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val b = math.min(batch, merges - rank + 1)
+      // strict mode needs exactly the first excluded row for its margin
+      // check; loose mode skips conflicts, so it wants slack to skip INTO
+      val win = if (strict) b + 1 else 3 * b
+      val window = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(win).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (window.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += Merge(rank, l, r, cnt)
-        vocab = vocab
-          .withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
-          .localCheckpoint()
-        rank += 1
+        rounds += 1
+        val accepted =
+          if (strict) acceptBatch(window.toIndexedSeq, b)
+          else acceptBatchLoose(window.toIndexedSeq, b)
+        // one vocab fold + ONE checkpoint per ROUND (not per rule): the
+        // accepted merges apply left-to-right exactly as the sequential
+        // loop would, but the lineage flattens once per round
+        vocab = accepted.foldLeft(vocab) { case (v, (l, r, _)) =>
+          v.withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
+        }.localCheckpoint()
+        accepted.foreach { case (l, r, cnt) =>
+          learned += Merge(rank, l, r, cnt)
+          rank += 1
+        }
       }
     }
-    (learned.result(), vocab)
+    (learned.result(), vocab, rounds)
+  }
+
+  /** Greedy-prefix batch acceptance over the collected top-(b+1) pair
+    * window (rows = (l, r, cnt), already ordered by the sequential
+    * tie-break cnt DESC, l ASC, r ASC). Returns the accepted prefix —
+    * always ≥ 1 row (the argmax alone IS one sequential step).
+    *
+    * The accepted prefix P1..Pm is EXACTLY what m rounds of the
+    * sequential argmax would pick, because three conditions hold:
+    *
+    *  1. PREFIX of the global order — everything ranked above an accepted
+    *     pair is accepted, so after merging P1..P(k−1), no untouched pair
+    *     outranks Pk (untouched counts are unchanged; ties resolve by the
+    *     same lexicographic order the window is sorted in).
+    *  2. PAIRWISE SYMBOL-DISJOINT, and no accepted pair's symbol equals
+    *     an earlier accepted pair's concatenation — so merging Pj neither
+    *     creates nor destroys occurrences of Pk (j < k): adjacency of
+    *     (lk, rk) can't involve the fused symbol, and fusing "lj rj" into
+    *     one token preserves every other adjacency. Accepted counts are
+    *     therefore STILL CORRECT when their sequential turn comes.
+    *  3. STRICT 2× MARGIN over the first non-accepted row — a merge can
+    *     create/boost pairs touching the fused symbol (x, "ljrj"), but
+    *     each such occurrence maps injectively to a consumed (x, lj)
+    *     occurrence, and any pre-existing (x, "ljrj") count rides on top:
+    *     both sources are non-accepted pairs bounded by the first
+    *     non-accepted count, so boosted counts stay < 2× that bound <
+    *     cnt(Pm) ≤ cnt(Pk) — no emergent pair can outrank a remaining
+    *     accepted one mid-batch.
+    *
+    * When any condition fails the prefix is trimmed (worst case to the
+    * bare argmax), so batching NEVER alters the learned sequence — it
+    * only compresses rounds where the top of the distribution is
+    * separated and disjoint, which Zipf-shaped pair counts usually are.
+    */
+  private[ops] def acceptBatch(window: IndexedSeq[(String, String, Long)],
+                               b: Int): IndexedSeq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set[String]()
+    val concats = scala.collection.mutable.Set[String]()
+    var m = 0
+    var blocked = false
+    while (m < math.min(b, window.size) && !blocked) {
+      val (l, r, _) = window(m)
+      if (m > 0 && (used(l) || used(r) || concats(l) || concats(r))) blocked = true
+      else {
+        used += l; used += r; concats += l + r
+        m += 1
+      }
+    }
+    // strict-margin trim against the first non-accepted row (if any pair
+    // was left out — by conflict, window overflow, or the b cap)
+    while (m > 1 && m < window.size && window(m - 1)._3 <= 2 * window(m)._3)
+      m -= 1
+    window.take(math.max(m, 1))
+  }
+
+  /** Non-strict batch acceptance (`strict = false`): take every
+    * symbol-disjoint pair in the window top-down, SKIPPING conflicts
+    * instead of stopping at them, with no emergent-pair margin — up to
+    * `b` rules per round regardless of distribution shape. Merge order
+    * within the batch is the window order, which is sequential greedy's
+    * order over round-start counts; divergence from pure greedy happens
+    * only where a skipped/emergent pair would have outranked a later
+    * accepted one mid-batch.
+    */
+  private[ops] def acceptBatchLoose(window: IndexedSeq[(String, String, Long)],
+                                    b: Int): IndexedSeq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set[String]()
+    val concats = scala.collection.mutable.Set[String]()
+    val out = IndexedSeq.newBuilder[(String, String, Long)]
+    var taken = 0
+    val it = window.iterator
+    while (taken < b && it.hasNext) {
+      val p @ (l, r, _) = it.next()
+      if (taken == 0 || !(used(l) || used(r) || concats(l) || concats(r))) {
+        used += l; used += r; concats += l + r
+        out += p
+        taken += 1
+      }
+    }
+    out.result()
   }
 
   /** Tokenize the corpus with a learned merge list: per-doc whitespace
