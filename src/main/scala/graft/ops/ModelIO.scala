@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persist/reload for the engine's reusable MODEL ARTIFACTS — the bounded
+  * byproducts of whole-corpus training jobs that a production pipeline
+  * computes once per snapshot and reuses across every subsequent run:
+  *
+  *   - the IVF codebook (k×dim float centroids) + its int8 quantization
+  *     scale ([[VectorOps.kmeansCentroidsExact]], [[VectorOps.sqScale]]);
+  *   - a learned BPE merge list ([[BpeOps.trainMerges]]);
+  *   - a Bloom membership sketch over corpus content hashes
+  *     ([[StatOps.bloomSketch]]);
+  *   - the quality-classifier vocab ([[TextOps.qualityClassifierTrain]]).
+  *
+  * At 100 TB these artifacts are the PRODUCT of entire jobs (a codebook
+  * train scans the corpus per Lloyd round; the Bloom sketch of a 10^10-doc
+  * history is the history's whole dedup state) — recomputing them per run
+  * is not a plan. Format is plain parquet with explicit schemas, so the
+  * artifacts are readable by any engine and diffable by ordinary tooling;
+  * every value class round-trips losslessly (floats/doubles/longs/strings
+  * are stored exactly by parquet), and each load validates the schema so a
+  * path mix-up fails loudly instead of scoring with the wrong table.
+  * ModelIOSpec proves load-then-score ≡ train-then-score bit-for-bit for
+  * all four artifact classes.
+  *
+  * Writes use overwrite mode: an artifact path names ONE model version —
+  * version by path (the lakehouse convention), not by append.
+  */
+object ModelIO {
+
+  private def requireColumns(df: DataFrame, path: String,
+                             want: Seq[(String, DataType)]): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    want.foreach { case (n, t) =>
+      // simpleString compare: nullability-insensitive (parquet round-trips
+      // may relax containsNull/nullable without changing a stored value;
+      // DataType.sameType is private[sql])
+      require(have.get(n).exists(_.simpleString == t.simpleString),
+        s"$path is not the expected artifact: wanted column $n: " +
+          s"${t.simpleString}, schema is ${df.schema.simpleString}")
+    }
+    df.select(want.map(c => col(c._1)): _*)
+  }
+
+  // ---- IVF codebook + quantization scale ----------------------------------
+
+  /** Persist a codebook as (cid INT, vec ARRAY<FLOAT>) — one row per
+    * centroid, cid = position. k×dim floats: coalesce(1) keeps the
+    * artifact a single tidy file.
+    */
+  def saveCodebook(spark: SparkSession, path: String,
+                   centroids: Seq[Array[Float]]): Unit = {
+    require(centroids.nonEmpty, "refusing to save an empty codebook")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveCodebook]] artifact in cid order — bit-identical to
+    * the trained array (parquet stores float32 exactly).
+    */
+  def loadCodebook(spark: SparkSession, path: String): Array[Array[Float]] =
+    requireColumns(spark.read.parquet(path), path,
+        Seq("cid" -> IntegerType, "vec" -> ArrayType(FloatType, containsNull = false)))
+      .orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Persist the scalar-quantization scale (one DOUBLE row) next to the
+    * codebook it belongs to.
+    */
+  def saveSqScale(spark: SparkSession, path: String, qscale: Double): Unit = {
+    import spark.implicits._
+    Seq(qscale).toDF("qscale").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadSqScale(spark: SparkSession, path: String): Double = {
+    val rows = requireColumns(spark.read.parquet(path), path,
+      Seq("qscale" -> DoubleType)).collect()
+    require(rows.length == 1, s"$path: expected exactly 1 qscale row, " +
+      s"got ${rows.length}")
+    rows(0).getDouble(0)
+  }
+
+  // ---- BPE merge list ------------------------------------------------------
+
+  /** Persist a learned merge list as (merge_rank INT, left_sym, right_sym
+    * STRING, pair_count BIGINT) — the portable tokenizer model.
+    */
+  def saveBpeMerges(spark: SparkSession, path: String,
+                    merges: Seq[BpeOps.Merge]): Unit = {
+    require(merges.nonEmpty, "refusing to save an empty merge list")
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveBpeMerges]] artifact in rank order; ranks must be the
+    * contiguous 1..n a trainer emits (merge order is the model — a hole
+    * means a corrupted artifact).
+    */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[BpeOps.Merge] = {
+    val rows = requireColumns(spark.read.parquet(path), path,
+        Seq("merge_rank" -> IntegerType, "left_sym" -> StringType,
+          "right_sym" -> StringType, "pair_count" -> LongType))
+      .orderBy("merge_rank").collect()
+      .map(r => BpeOps.Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    require(rows.map(_.rank).sameElements(1 to rows.length),
+      s"$path: merge ranks not contiguous 1..${rows.length}")
+    rows.toSeq
+  }
+
+  // ---- Bloom membership sketch ---------------------------------------------
+
+  /** Persist a [[StatOps.bloomSketch]] (sparse (widx, bits, m_bits,
+    * k_hashes) words). No coalesce: the sketch is m/32 rows — bounded,
+    * but a 12 GB ten-billion-doc sketch should keep its partitioning.
+    */
+  def saveBloomSketch(sketch: DataFrame, path: String): Unit =
+    sketch.select("widx", "bits", "m_bits", "k_hashes")
+      .write.mode("overwrite").parquet(path)
+
+  /** Reload a Bloom sketch; m/k ride in every row, so a probe with
+    * mismatched parameters still fails loudly downstream
+    * ([[StatOps.bloomProbe]]'s embedded-parameter check).
+    */
+  def loadBloomSketch(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("widx" -> LongType, "bits" -> LongType,
+        "m_bits" -> IntegerType, "k_hashes" -> IntegerType))
+
+  // ---- Quality-classifier vocab --------------------------------------------
+
+  /** Persist a [[TextOps.qualityClassifierTrain]] weight table
+    * (w STRING, w_bp BIGINT) — integral weights, so load-then-score is
+    * exactly train-then-score.
+    */
+  def saveClassifierVocab(weights: DataFrame, path: String): Unit =
+    weights.select("w", "w_bp").write.mode("overwrite").parquet(path)
+
+  def loadClassifierVocab(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("w" -> StringType, "w_bp" -> LongType))
+}

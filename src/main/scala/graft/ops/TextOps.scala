@@ -260,24 +260,49 @@ object TextOps {
     */
   def qualityClassifierScore(docs: DataFrame, idCol: String,
                              textCol: String = "text",
+                             labelBp: Long = 1500): DataFrame =
+    qualityClassifierScoreWith(docs, idCol,
+      qualityClassifierTrain(docs, textCol, labelBp), textCol)
+
+  /** Train half of [[qualityClassifierScore]]: the token weight table
+    * (w, w_bp) — THE model artifact. A production pipeline trains this
+    * once per corpus snapshot, persists it ([[ModelIO.saveClassifierVocab]])
+    * and scores every subsequent shard with
+    * [[qualityClassifierScoreWith]]; load-then-score is bit-identical to
+    * train-then-score (ModelIOSpec) because the weights are exact
+    * integers.
+    */
+  def qualityClassifierTrain(docs: DataFrame, textCol: String = "text",
                              labelBp: Long = 1500): DataFrame = {
     val labeled = qualityScore(docs, textCol)
       .withColumn("good",
         when(col("stop_ratio_bp") >= labelBp, 1L).otherwise(0L))
-      .select(col(idCol).as("id"), col(textCol).as("__t"), col("good"))
+      .select(col(textCol).as("__t"), col("good"))
     // distinct tokens per doc: wordShingles n=1 (codegen'd, dedup inside)
-    val tok = labeled.select(col("id"), col("good"),
-      explode(wordShingles(col("__t"), 1)).as("w"))
-    val weights = tok.groupBy(col("w"))
+    labeled.select(col("good"), explode(wordShingles(col("__t"), 1)).as("w"))
+      .groupBy(col("w"))
       .agg(sum(col("good")).as("gdf"), count(lit(1)).as("df"))
       .withColumn("w_bp", expr("(gdf + 1) * 10000 div (df + 2)"))
       .select("w", "w_bp")
-    tok.join(weights, Seq("w"))
+  }
+
+  /** Score half of [[qualityClassifierScore]]: integral mean of each
+    * doc's DISTINCT tokens' weights from a (w, w_bp) table — typically a
+    * persisted vocab ([[ModelIO.loadClassifierVocab]]). Tokens absent
+    * from the vocab contribute nothing (inner join — same as the
+    * combined path, whose vocab covers every token by construction); a
+    * doc with NO in-vocab tokens emits no row.
+    */
+  def qualityClassifierScoreWith(docs: DataFrame, idCol: String,
+                                 weights: DataFrame,
+                                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), 1)).as("w"))
+      .join(weights, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_bp")).as("sw"))
       .select(col("id").as(idCol), col("n_toks"),
         expr("sw div n_toks").as("score_bp"))
-  }
 
   /** Sliding-window token chunking — split each document into fixed-size
     * token windows with `overlap` tokens of context carry-over (the

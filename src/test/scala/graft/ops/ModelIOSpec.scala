@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Model-artifact persist/reload: for every artifact class the contract is
+  * load-then-score ≡ train-then-score BIT-FOR-BIT (the x73 row-identity
+  * pattern) — the persisted model must be the model, not an approximation
+  * of it.
+  */
+class ModelIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-modelio-$tag").resolve("artifact").toString
+
+  // deterministic toy embedding corpus: 3 separated clusters in 8 dims
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(5)
+    (0 until 60).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == c) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codebook round-trips bit-for-bit and probes identically") {
+    val trained = VectorOps.kmeansCentroidsExact(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val path = tmp("codebook")
+    ModelIO.saveCodebook(spark, path, trained.toSeq)
+    val loaded = ModelIO.loadCodebook(spark, path)
+    assert(loaded.length == trained.length)
+    trained.zip(loaded).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroid floats drifted through parquet")
+    }
+    val q = vecs.filter(col("vec_id") < 5)
+    val fresh = VectorOps.ivfTopKWithCentroids(q, vecs, "vec_id", "embedding",
+      3, trained.toSeq, nProbe = 2).orderBy("qid", "nid").collect()
+    val replay = VectorOps.ivfTopKWithCentroids(q, vecs, "vec_id", "embedding",
+      3, loaded.toSeq, nProbe = 2).orderBy("qid", "nid").collect()
+    assert(fresh.sameElements(replay))
+  }
+
+  test("sqScale round-trips exactly (quantized scoring unchanged)") {
+    val scale = VectorOps.sqScale(vecs, "embedding")
+    val path = tmp("qscale")
+    ModelIO.saveSqScale(spark, path, scale)
+    val loaded = ModelIO.loadSqScale(spark, path)
+    assert(java.lang.Double.doubleToRawLongBits(loaded) ==
+      java.lang.Double.doubleToRawLongBits(scale))
+  }
+
+  test("BPE merge list round-trips and tokenizes identically") {
+    val docs = Seq("low lower lowest", "newest widest low", "low low")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, _) = BpeOps.trainMerges(docs, merges = 5)
+    val path = tmp("bpe")
+    ModelIO.saveBpeMerges(spark, path, merges)
+    val loaded = ModelIO.loadBpeMerges(spark, path)
+    assert(loaded == merges)
+    val fresh = BpeOps.tokenize(docs, "doc_id", merges)
+      .orderBy("doc_id").collect()
+    val replay = BpeOps.tokenize(docs, "doc_id", loaded)
+      .orderBy("doc_id").collect()
+    assert(fresh.sameElements(replay))
+  }
+
+  test("loadBpeMerges rejects a rank hole loudly") {
+    val path = tmp("bpe-hole")
+    ModelIO.saveBpeMerges(spark, path, Seq(
+      BpeOps.Merge(1, "a", "b", 9L), BpeOps.Merge(3, "c", "d", 5L)))
+    val e = intercept[IllegalArgumentException] {
+      ModelIO.loadBpeMerges(spark, path)
+    }
+    assert(e.getMessage.contains("not contiguous"))
+  }
+
+  test("Bloom sketch round-trips and probes identically") {
+    val ref = (0 until 200).map(i => s"h$i").toDF("__h")
+    val probeDocs = (150 until 260).map(i => (i.toLong, s"h$i"))
+      .toDF("doc_id", "__h")
+    val sketch = StatOps.bloomSketch(ref, "__h", mBits = 1024, kHashes = 3)
+    val path = tmp("bloom")
+    ModelIO.saveBloomSketch(sketch, path)
+    val loaded = ModelIO.loadBloomSketch(spark, path)
+    val fresh = StatOps.bloomProbe(probeDocs, "doc_id", "__h", sketch,
+      1024, 3).orderBy("doc_id").collect()
+    val replay = StatOps.bloomProbe(probeDocs, "doc_id", "__h", loaded,
+      1024, 3).orderBy("doc_id").collect()
+    assert(fresh.sameElements(replay))
+    // the reloaded sketch still carries its parameters: a mismatched
+    // probe fails loudly, not silently wrong
+    val err = intercept[Exception] {
+      StatOps.bloomProbe(probeDocs, "doc_id", "__h", loaded, 2048, 3)
+        .collect()
+    }
+    assert(err.getMessage.contains("bloomProbe"))
+  }
+
+  test("classifier vocab round-trips: load-then-score == train-then-score") {
+    val docs = (0 until 40).map { i =>
+      val filler = Seq.fill(6)(s"tok${i % 7}").mkString(" ")
+      (i.toLong,
+        if (i % 2 == 0) s"the a of and in good prose here $filler"
+        else s"zz qq $filler")
+    }.toDF("doc_id", "text")
+    val vocab = TextOps.qualityClassifierTrain(docs)
+    val path = tmp("vocab")
+    ModelIO.saveClassifierVocab(vocab, path)
+    val loaded = ModelIO.loadClassifierVocab(spark, path)
+    val combined = TextOps.qualityClassifierScore(docs, "doc_id")
+      .orderBy("doc_id").collect()
+    val replay = TextOps.qualityClassifierScoreWith(docs, "doc_id", loaded)
+      .orderBy("doc_id").collect()
+    assert(combined.sameElements(replay))
+  }
+
+  test("loads reject a wrong-artifact path loudly") {
+    val path = tmp("wrong")
+    Seq((1L, "x")).toDF("a", "b").write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      ModelIO.loadCodebook(spark, path)
+    }
+    assert(e.getMessage.contains("not the expected artifact"))
+  }
+}
