@@ -62,6 +62,31 @@ def gen_documents(n, rng):
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
 
+def gen_events(n, rng):
+    """The driver's observed events process at NxSF: n rows over the SAME
+    30-day window (Jan 2024, sorted ascending, uniform arrivals), users =
+    n * 15e3/1e6 (the sf0.1/sf0.01 ratio: 1,500 users per 100k events),
+    event_type uniform over 5, value ~ Exp(mean 50) rounded to 2dp,
+    props = {"k": 0..99}. Denser arrivals in a fixed window is the
+    realistic scale-up for the time operators (x75/x78/x79): more events
+    per (user, hour) bucket, not a longer history."""
+    np_rng = np.random.default_rng(rng.randrange(2**63))
+    span_us = 30 * 24 * 3600 * 1000000
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = np.sort(np_rng.integers(0, span_us, size=n))
+    users = np_rng.integers(0, max(1, n * 15 // 1000), size=n)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    vals = np.round(np_rng.exponential(50.0, size=n), 2)
+    ks = np_rng.integers(0, 100, size=n)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(t0 + offs, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types[np_rng.integers(0, 5, size=n)]),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in ks], pa.string()),
+    })
+
 def gen_embeddings(n, rng):
     np_rng = np.random.default_rng(rng.randrange(2**63))
     cents = np_rng.normal(0.0, 0.008, size=(10, 64))
@@ -79,6 +104,9 @@ def main():
     ap.add_argument("out")
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--embeddings", type=int, default=20000)
+    ap.add_argument("--events", type=int, default=0,
+                    help="synthesize a scaled events table too (0 = symlink "
+                         "from --base as before)")
     ap.add_argument("--base", default="/root/testdata/sf0.1",
                     help="dir whose remaining tables are symlinked in")
     args = ap.parse_args()
@@ -88,6 +116,9 @@ def main():
                    os.path.join(args.out, "documents.parquet"))
     pq.write_table(gen_embeddings(args.embeddings, rng),
                    os.path.join(args.out, "embeddings.parquet"))
+    if args.events > 0:
+        pq.write_table(gen_events(args.events, rng),
+                       os.path.join(args.out, "events.parquet"))
     # absolute target: a relative --base would be stored verbatim and
     # resolve relative to the OUTPUT dir — dangling links
     base = os.path.abspath(args.base)
