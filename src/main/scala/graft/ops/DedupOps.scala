@@ -706,6 +706,40 @@ object DedupOps {
       .select(col("id").as(idCol), col("n_hits"))
   }
 
+  /** The canonical KEEP/DROP decision table — the artifact a dedup stage
+    * actually ships back to the corpus store: near-dup `pairs` →
+    * [[connectedComponents]] → per component keep the member with the
+    * highest `quality` (doc-id ascending tie-break), every other member
+    * dropped with the keeper's id attached as `canonical_id`. Docs in no
+    * pair are their own component and keeper. One output row per input
+    * doc: (idCol, component, canonical_id, keep_flag 1|0).
+    *
+    * Plan shape at 100 TB: components cost is the pair graph's (bounded,
+    * near-dup-cluster-sized); the decision itself is one LEFT join of the
+    * corpus ids against the component table (build side = docs that are
+    * in ANY near-dup pair — far smaller than the corpus) plus ONE
+    * window over components. The window partitions by component —
+    * millions of small partitions, no global sort, no skew (a component
+    * is a near-dup cluster, not a popularity bucket).
+    */
+  def canonicalKeep(docs: DataFrame, idCol: String, quality: Column,
+                    pairs: DataFrame, iCol: String = "i",
+                    jCol: String = "j"): DataFrame = {
+    val comp = connectedComponents(pairs, iCol, jCol)
+      .select(col("id").as(idCol), col("comp").as("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("q").desc, col(idCol).asc)
+    docs.select(col(idCol), quality.as("q"))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .withColumn("keep_flag",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col(idCol), col("component"), col("canonical_id"),
+        col("keep_flag"))
+  }
+
   /** Connected components over an undirected near-dup pair list (i, j):
     * every doc that appears in a pair gets its component id = the minimum
     * doc id reachable through the pair graph. This is the step that turns

@@ -146,4 +146,22 @@ object ModelIO {
   def loadClassifierVocab(spark: SparkSession, path: String): DataFrame =
     requireColumns(spark.read.parquet(path), path,
       Seq("w" -> StringType, "w_bp" -> LongType))
+
+  // ---- Bigram language model -----------------------------------------------
+
+  /** Persist a [[LmOps.trainBigramLm]] model (one row per observed bigram,
+    * integral counts + pre-quantized integral surprisal; the vocab size
+    * rides every row so the artifact is self-contained for the backoff
+    * paths). All-integer values → load-then-score ≡ train-then-score
+    * bit-for-bit. No coalesce: model rows ∝ distinct observed bigrams,
+    * which on a web-scale corpus is a genuinely large table.
+    */
+  def saveBigramLm(model: DataFrame, path: String): Unit =
+    model.select("s", "w1", "n2", "n1", "v", "nll_scaled")
+      .write.mode("overwrite").parquet(path)
+
+  def loadBigramLm(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("s" -> StringType, "w1" -> StringType, "n2" -> LongType,
+        "n1" -> LongType, "v" -> LongType, "nll_scaled" -> LongType))
 }

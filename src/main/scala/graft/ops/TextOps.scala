@@ -62,17 +62,28 @@ object TextOps {
     * length/punct/stopword heuristics of C4/Gopher-style corpus filters,
     * shuffle-free.
     */
+  /** The stopword-ratio quality signal as a standalone Column — the
+    * [[qualityScore]] `stop_ratio_bp` term, exposed for operators that
+    * rank by quality without materializing the full signal frame
+    * ([[DedupOps.canonicalKeep]]).
+    */
+  def stopRatioBp(text: Column,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+      : Column = {
+    val words = split(text, " ")
+    bp(size(filter(words, w =>
+      array_contains(array(stopwords.map(lit): _*), w))), size(words))
+  }
+
   def qualityScore(docs: DataFrame, textCol: String = "text",
                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
       : DataFrame = {
     val words = split(col(textCol), " ")
-    val stopArr = array(stopwords.map(lit): _*)
     docs
       .withColumn("n_words", size(words).cast(LongType))
       .withColumn("avg_word_len_bp",
         bp(length(col(textCol)) - size(words) + lit(1), size(words)))
-      .withColumn("stop_ratio_bp",
-        bp(size(filter(words, w => array_contains(stopArr, w))), size(words)))
+      .withColumn("stop_ratio_bp", stopRatioBp(col(textCol), stopwords))
       .withColumn("alpha_ratio_bp",
         bp(length(regexp_replace(col(textCol), "[^a-z]", "")), length(col(textCol))))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, DedupOps, JoinOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{BpeOps, DedupOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -916,6 +916,61 @@ object ExtensionQueries {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // x83 — bigram-LM perplexity scoring (the CCNet-style model-based
+    // quality tier): train a Laplace-smoothed bigram LM on the corpus,
+    // score every doc by integral mean surprisal. Per-bigram surprisal is
+    // quantized to an integer BEFORE per-doc summation, so the result is
+    // partition-order-proof and the oracle hash-exact. The trained model
+    // is localCheckpointed: scoring references it three times (bigram
+    // join, prefix table, vocab row) and a production run loads it from
+    // ModelIO instead of retraining.
+    "x83_lm_perplexity" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val model = LmOps.trainBigramLm(d).localCheckpoint()
+      LmOps.scoreBigramNll(d, model).orderBy("doc_id")
+    },
+
+    // x84 — the canonical KEEP/DROP decision, the artifact a dedup stage
+    // actually ships: LSH-verified near-dup pairs → connected components
+    // → per cluster keep the highest-quality member (stopword-ratio
+    // signal, doc_id tie-break), everything else dropped with its
+    // canonical id attached. Singleton docs keep themselves. One row per
+    // input doc — the decision table a 100 TB pipeline writes back next
+    // to the corpus.
+    "x84_canonical_keep" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      DedupOps.canonicalKeep(d, "doc_id", TextOps.stopRatioBp(col("text")),
+          DedupOps.nearDupPairs(d, "doc_id",
+            TextOps.wordShingles(col("text"), 3), 0.5))
+        .orderBy("doc_id")
+    },
+
+    // x85 — cross-source duplication matrix: which sources overlap, from
+    // the same LSH-verified near-dup pairs. One bounded sources² report
+    // row set — the "which crawl dumps re-crawl each other" audit that
+    // decides what to ingest at all. src_a <= src_b folds the symmetric
+    // pair; the diagonal is intra-source duplication.
+    "x85_source_overlap" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pairs = DedupOps.nearDupPairs(d, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      val src = d.select(col("doc_id"), col("source"))
+      val cnt = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("si")), Seq("i"))
+        .join(src.select(col("doc_id").as("j"), col("source").as("sj")), Seq("j"))
+        .select(least(col("si"), col("sj")).as("src_a"),
+          greatest(col("si"), col("sj")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(cnt.select(col("source").as("src_a"), col("n_docs").as("n_docs_a")),
+          Seq("src_a"))
+        .join(cnt.select(col("source").as("src_b"), col("n_docs").as("n_docs_b")),
+          Seq("src_b"))
+        .select("src_a", "src_b", "n_pairs", "n_docs_a", "n_docs_b")
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -1960,6 +2015,106 @@ object ExtensionQueries {
         | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
         |   % 10000 < r.rate
         | ORDER BY d.doc_id""".stripMargin,
+
+    // Occurrence bigrams (NO list_distinct — an LM needs counts), Laplace
+    // add-one over a V-sized successor space, per-bigram surprisal
+    // quantized to an integer BEFORE the per-doc sum (floating summation
+    // order can then never perturb the hash on either engine). ln over
+    // doubles derived from identical integer counts → identical IEEE
+    // input on both sides.
+    "x83_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | big AS (SELECT doc_id, unnest(list_transform(
+        |          range(1, greatest(len(w)-1,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1])) s FROM w),
+        | c2 AS (SELECT s, count(*) n2 FROM big GROUP BY 1),
+        | c1 AS (SELECT split_part(s,' ',1) w1, count(*) n1 FROM big GROUP BY 1),
+        | v AS (SELECT count(DISTINCT t) v FROM
+        |   (SELECT unnest(string_split(text,' ')) t FROM documents)),
+        | m AS (SELECT s,
+        |     floor(ln((n1 + v.v)::DOUBLE / (n2 + 1)::DOUBLE) * 1000000)::BIGINT nll
+        |   FROM c2 JOIN c1 ON split_part(c2.s,' ',1) = c1.w1 CROSS JOIN v)
+        | SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |   sum(nll)::BIGINT AS nll_sum,
+        |   floor(sum(nll)::DOUBLE / count(*)::DOUBLE)::BIGINT AS avg_nll_scaled
+        | FROM big JOIN m USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The x64 banding mirror (16 minhashes, 4 bands × 4 rows) feeding the
+    // x40 reachability CTE, then the keep decision: per component, rank by
+    // stopword-ratio quality desc / doc_id asc; rank 1 is canonical.
+    // Singletons (docs in no edge) are their own component and keeper.
+    "x84_canonical_keep" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-2,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+        |        FROM w),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+        |   FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+        |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+        |   GROUP BY 1, 2),
+        | p AS (SELECT i, j FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        | reach AS (SELECT a, b FROM e
+        |   UNION
+        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        | comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |   FROM reach GROUP BY a),
+        | q AS (SELECT doc_id,
+        |     floor(len(list_filter(string_split(text,' '),
+        |         x -> list_contains(['the','a','of','and','in'], x)))::DOUBLE
+        |       * 10000 / len(string_split(text,' '))::DOUBLE)::BIGINT q
+        |   FROM documents),
+        | allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) component
+        |   FROM documents d LEFT JOIN comp c USING (doc_id))
+        | SELECT a.doc_id, a.component,
+        |   first_value(a.doc_id) OVER win AS canonical_id,
+        |   (CASE WHEN row_number() OVER win = 1 THEN 1 ELSE 0 END)::BIGINT
+        |     AS keep_flag
+        | FROM allc a JOIN q USING (doc_id)
+        | WINDOW win AS (PARTITION BY a.component ORDER BY q.q DESC, a.doc_id)
+        | ORDER BY a.doc_id""".stripMargin,
+
+    // Same banding mirror + verify threshold; pairs fold symmetrically on
+    // (least, greatest) of the two sources.
+    "x85_source_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-2,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+        |        FROM w),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+        |   FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+        |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+        |   GROUP BY 1, 2),
+        | p AS (SELECT i, j FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+        | cnt AS (SELECT source, count(*) n_docs FROM documents GROUP BY 1),
+        | pr AS (SELECT least(a.source, b.source) src_a,
+        |     greatest(a.source, b.source) src_b
+        |   FROM p JOIN documents a ON a.doc_id = p.i
+        |   JOIN documents b ON b.doc_id = p.j),
+        | g AS (SELECT src_a, src_b, count(*) n_pairs FROM pr GROUP BY 1, 2)
+        | SELECT g.src_a, g.src_b, g.n_pairs::BIGINT AS n_pairs,
+        |   ca.n_docs::BIGINT AS n_docs_a, cb.n_docs::BIGINT AS n_docs_b
+        | FROM g JOIN cnt ca ON ca.source = g.src_a
+        | JOIN cnt cb ON cb.source = g.src_b
+        | ORDER BY src_a, src_b""".stripMargin,
 
     "x79_rolling_time_window" ->
       """SELECT event_id, user_id,
