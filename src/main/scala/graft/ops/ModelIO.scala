@@ -164,4 +164,52 @@ object ModelIO {
     requireColumns(spark.read.parquet(path), path,
       Seq("s" -> StringType, "w1" -> StringType, "n2" -> LongType,
         "n1" -> LongType, "v" -> LongType, "nll_scaled" -> LongType))
+
+  // ---- DSIR importance-weight table ----------------------------------------
+
+  /** Persist a [[DsirOps.importanceWeightTable]] (≤ numBuckets rows of
+    * integral counts + the pre-quantized integral log weight). All-integer
+    * values → load-then-score ≡ train-then-score bit-for-bit; at 100 TB
+    * the two corpus passes that built this table are a whole job, and
+    * every subsequent selection run reads the ~1k-row artifact instead.
+    */
+  def saveDsirWeights(weights: DataFrame, path: String): Unit =
+    weights.select("b", "n_raw", "n_target", "w_scaled")
+      .write.mode("overwrite").parquet(path)
+
+  def loadDsirWeights(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("b" -> LongType, "n_raw" -> LongType, "n_target" -> LongType,
+        "w_scaled" -> LongType))
+
+  // ---- PQ codebooks --------------------------------------------------------
+
+  /** Persist [[VectorOps.pqSeedCodebooks]]-shaped codebooks as one row per
+    * (subspace, codeword) — float components round-trip exactly through
+    * parquet FLOAT, so a loaded codebook encodes and scores bit-for-bit
+    * like the trained one (the index-metadata artifact next to the coarse
+    * centroids and qscale).
+    */
+  def savePqCodebooks(spark: SparkSession, path: String,
+                      codebooks: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
+    }.toSeq.toDF("s", "j", "cw")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path)
+      .select("s", "j", "cw").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebook at $path")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub,
+      s"ragged PQ codebook at $path: ${rows.length} rows for $m×$ksub")
+    val out = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach { case (s, j, cw) => out(s)(j) = cw }
+    out
+  }
 }

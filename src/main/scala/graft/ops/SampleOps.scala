@@ -62,12 +62,28 @@ object SampleOps {
     */
   def packShards(df: DataFrame, idCol: String, tokensCol: String,
                  budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    tokenStarts(df, idCol, tokensCol, bucketSize)
+      .withColumn("shard", floor(col("__start") / budget).cast(LongType))
+      .drop("__start")
+  }
+
+  /** Each row with its global token START offset in `idCol` order —
+    * `__start` = sum of `tokensCol` over all lower-id rows. The shared
+    * distributed-prefix-sum core of [[packShards]] (shard =
+    * start ÷ budget) and [[packSequences]] (seq = start ÷ seqLen): rows
+    * bucket by id range, per-bucket totals come from a plain partial-agg
+    * over the source (NOT from the running-sum window output — that
+    * would evaluate the window subtree twice), the bucket offsets
+    * prefix-sum through a global window over ONE ROW PER BUCKET (bounded
+    * metadata), broadcast back, and the in-bucket running sum is a
+    * bucket-partitioned window. No global sort, no single-reducer stage.
+    */
+  private def tokenStarts(df: DataFrame, idCol: String, tokensCol: String,
+                          bucketSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
     val withB = df.withColumn("__b", floor(col(idCol) / bucketSize))
-    // per-bucket totals come from a plain partial-agg over the source (NOT
-    // from the running-sum window output — that would evaluate the window
-    // subtree twice, once for the offsets and once for the probe side)
     val wPre = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy(col("__b"))
@@ -78,9 +94,46 @@ object SampleOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), Seq("__b"))
       .withColumn("__run", sum(col(tokensCol)).over(wIn))
-      .withColumn("shard",
-        floor((col("__off") + col("__run") - col(tokensCol)) / budget).cast(LongType))
+      .withColumn("__start",
+        (col("__off") + col("__run") - col(tokensCol)).cast(LongType))
       .drop("__b", "__run", "__off")
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: lay every document's
+    * tokens end-to-end in `idCol` order and cut the stream into
+    * fixed-length training sequences of `seqLen` tokens. Output: one row
+    * per (sequence, document) SPAN — `seq_id`, the document, `seq_off`
+    * (where in the sequence the document's contribution starts),
+    * `doc_off` (where in the document the span starts), `n_toks` (span
+    * length) — the index a loader needs to materialize sequence
+    * `seq_id` without re-scanning the corpus. Docs with zero tokens
+    * contribute no span. Deterministic in the id order; adding documents
+    * with HIGHER ids never changes existing rows (append-stable).
+    *
+    * Plan: [[tokenStarts]]' distributed prefix sum (no global sort),
+    * then a narrow per-row explode over the ≤ n/seqLen + 1 sequences a
+    * document overlaps — output rows ≈ corpus tokens ÷ seqLen + docs,
+    * linear. Nothing quadratic, nothing single-reducer.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val starts = tokenStarts(df, idCol, tokensCol, bucketSize)
+      .filter(col(tokensCol) > 0)
+      .withColumn("__end", col("__start") + col(tokensCol))
+    starts
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / seqLen).cast(LongType),
+        floor((col("__end") - 1) / seqLen).cast(LongType))))
+      .withColumn("__sstart", col("seq_id") * seqLen)
+      .withColumn("seq_off",
+        greatest(col("__start") - col("__sstart"), lit(0L)))
+      .withColumn("doc_off",
+        greatest(col("__sstart") - col("__start"), lit(0L)))
+      .withColumn("n_toks",
+        least(col("__end"), col("__sstart") + seqLen)
+          - greatest(col("__start"), col("__sstart")))
+      .drop("__start", "__end", "__sstart")
   }
 
   /** Contiguous 0-based global row index in `orderCols` order (which must

@@ -415,4 +415,65 @@ object TextOps {
           .otherwise(array_max(col("__scores")).getField("lang")))
       .drop("__scores")
   }
+
+  /** Gopher-rule quality DECISION TABLE (Rae et al. 2021 §A.1.1) — the
+    * published heuristic filter battery as one shippable artifact: per
+    * document, every signal the rules read, one boolean per rule, and the
+    * conjunction `keep`. The earlier quality ops expose raw signals
+    * (x17/x36/x45); this is the downstream decision a pipeline actually
+    * writes next to the corpus, with per-rule flags kept so an audit can
+    * ask "what share failed WHICH rule" without re-deriving anything.
+    *
+    * Rules (Gopher's defaults, word-level adaptations noted):
+    *  - word count in [minWords, maxWords] (paper: 50..100k)
+    *  - mean word length in [3, 10] chars (integer centi-chars here)
+    *  - symbol-to-word ratio ('#' or '…') ≤ 0.1
+    *  - ≥ 80% of words contain ≥ 1 alphabetic char
+    *  - ≥ minStopHits distinct members of the 8-stopword probe list
+    *    ("the be to of and that have with") present as whole words
+    *  - duplicate-word fraction ≤ 30% (the paper's duplicate-line family
+    *    collapsed to word granularity — single-line corpus documents
+    *    have no line structure to measure)
+    *
+    * Every ratio is integral (centi / basis points, floor) so the DuckDB
+    * oracle hash-matches. Narrow and shuffle-free: one pass over the
+    * text column, no joins, fuses into the scan — at 100 TB this is a
+    * free rider on whatever stage reads the text anyway.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minStopHits: Long = 2L): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast(LongType)
+    // chars-in-words via single-space removal: robust to texts that are
+    // not perfectly single-space-joined (unlike length − n + 1)
+    val wordChars = length(regexp_replace(col(textCol), " ", "")).cast(LongType)
+    val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val symCount = (length(col(textCol))
+      - length(regexp_replace(col(textCol), "[#…]", ""))).cast(LongType)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len_centi",
+        floor(wordChars.cast(DoubleType) * 100d / nWords.cast(DoubleType))
+          .cast(LongType))
+      .withColumn("dup_word_bp", bp(nWords - size(array_distinct(words)), nWords))
+      .withColumn("alpha_word_bp",
+        bp(size(filter(words, w =>
+          length(regexp_replace(w, "[^a-zA-Z]", "")) > 0)), nWords))
+      .withColumn("sym_bp", bp(symCount, nWords))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(words),
+          array(stopProbe.map(lit): _*))).cast(LongType))
+      .withColumn("keep_n_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("keep_word_len",
+        col("mean_word_len_centi") >= 300L && col("mean_word_len_centi") <= 1000L)
+      .withColumn("keep_dup", col("dup_word_bp") <= 3000L)
+      .withColumn("keep_alpha", col("alpha_word_bp") >= 8000L)
+      .withColumn("keep_sym", col("sym_bp") <= 1000L)
+      .withColumn("keep_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("keep_n_words") && col("keep_word_len") && col("keep_dup") &&
+          col("keep_alpha") && col("keep_sym") && col("keep_stop"))
+  }
 }

@@ -635,4 +635,148 @@ object VectorOps {
       .groupBy(col("qid"), col("nid")).agg(first(col("cos")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Product-quantization seed codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space splits
+    * into `m` contiguous subspaces of dim/m components; codeword `j` of
+    * subspace `s` is the s-th slice of the j-th LOWEST-id corpus vector —
+    * the deterministic seeding rule every other index in this file uses
+    * (`seedCentroids`), so the DuckDB oracle derives the identical
+    * codebooks. At scale the codebooks come from per-subspace k-means
+    * (run [[kmeansCentroidsExact]] over `slice(vec, s·dsub+1, dsub)`
+    * frames); the encode/probe plan below is unchanged — codebooks are
+    * m×ksub×dsub driver floats either way (the k-means-state legitimacy
+    * class, ~4 KB here vs 4 GB of float corpus).
+    *
+    * Unlike centroid seeds, a zero-norm CODEWORD is legal (a zero
+    * subvector is a valid reconstruction target); only the whole
+    * reconstructed vector must keep a direction, which [[ivfTopKPq]]
+    * checks per encoded row.
+    */
+  def pqSeedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be positive")
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqSeedCodebooks: empty corpus")
+    val dims = seeds.map(_.length).distinct
+    require(dims.length == 1,
+      s"pqSeedCodebooks: mixed embedding dims: ${dims.mkString(",")}")
+    require(dims.head % m == 0,
+      s"pqSeedCodebooks: dim ${dims.head} not divisible by m=$m")
+    val dsub = dims.head / m
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ codebooks TRAINED per subspace — the production path the seed
+    * variant's doc promises: `kmeansCentroidsExact` over each
+    * `slice(vec, s·dsub+1, dsub)` projection, so every codebook is
+    * k-means-refined with the same exact cross-engine arithmetic and the
+    * loaded artifact ([[ModelIO.savePqCodebooks]]) reproduces scores
+    * bit-for-bit. `m` scans of the corpus at build time (one per
+    * subspace); at 100 TB train on a deterministic sample
+    * ([[SampleOps.hashSample]]) — PQ codebooks need representative
+    * geometry, not the full corpus.
+    *
+    * A subspace whose every seed slice is zero-norm fails loudly in the
+    * trainer (no direction to refine toward); use [[pqSeedCodebooks]]
+    * for degenerate-subspace corpora (a zero CODEWORD is legal there).
+    */
+  def pqTrainedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, ksub: Int,
+                         iters: Int): Array[Array[Array[Float]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      "m, ksub must be positive; iters non-negative")
+    val first = corpus.select(col(vecCol)).limit(1).collect()
+    require(first.nonEmpty, "pqTrainedCodebooks: empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      kmeansCentroidsExact(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
+        idCol, vecCol, ksub, iters)
+    }
+  }
+
+  /** IVF-PQ ANN (the PQ member of the serving-index ladder, after
+    * IVF-SQ8): corpus vectors live in the index as `m` ONE-BYTE codes —
+    * 64× smaller than float32 at m=4/dim=64 (vs SQ8's 4×) — plus one
+    * reconstructed norm; scoring is ADC against the reconstruction,
+    * `cos = Σ_s q_s·c_s[code_s] / (|q|·|x̂|)`. Cell assignment runs at
+    * FULL precision (index-build time — quantization error must not move
+    * vectors between cells, the same rule as the SQ8 path); the float
+    * vector is DROPPED after encoding. This is the no-residual IVF-PQ
+    * variant (codes quantize the vector, not the vector−centroid
+    * residual): at a fixed codebook budget residual encoding buys
+    * precision but couples every codebook to the coarse quantizer —
+    * retraining cells invalidates all codes — so the uncoupled form is
+    * what an incrementally-growing corpus index ships.
+    *
+    * Cross-engine determinism: encoding argmin uses
+    * `d² = |x_s|² − 2·x_s·c + |c|²` with every dot an exact left fold
+    * and ties → lowest code; the cross-subspace sums for |x̂|² and the
+    * ADC inner product fold in ascending subspace order, so the oracle's
+    * `list_reduce(list(... ORDER BY s))` reproduces the exact doubles.
+    *
+    * Scale shape: codebooks + centroids broadcast (driver metadata); the
+    * corpus shuffles ONCE on cell id and is stored as (cell, id, m bytes,
+    * norm); queries probe nProbe/numCentroids of the cells and each
+    * candidate costs m short dots (or, production-optimized, m LUT reads
+    * after precomputing q_s·c tables per query — same arithmetic, same
+    * results, the classic ADC trick this plan leaves to Tungsten).
+    */
+  def ivfTopKPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int,
+                codebooks: Array[Array[Array[Float]]],
+                numCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "need at least one subspace codebook")
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    require(codebooks.forall(cb => cb.length == ksub &&
+      cb.forall(_.length == dsub)), "ragged codebooks")
+    // |c|² per codeword on the driver — the same left fold as norm()
+    val cn2: Array[Array[Double]] = codebooks.map(_.map(cw =>
+      cw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val cent = seedCentroids(corpus, idCol, vecCol, numCentroids)
+
+    // per-subspace code: argmin_j d², ties → lowest j (array_min on
+    // (d², j) structs — field-wise compare, a codegen'd fold)
+    def codeCol(v: Column, s: Int): Column = {
+      val xs = slice(v, s * dsub + 1, dsub)
+      val xs2 = dot(xs, xs)
+      val scored = (0 until ksub).map { j =>
+        val cLit = array(codebooks(s)(j).map(lit): _*)
+        struct((xs2 - dot(xs, cLit) * 2 + lit(cn2(s)(j))).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }
+
+    val encoded = (0 until m).foldLeft(
+      assignCells(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
+        cent, "nid", "nv", "nn", 1)
+    )((df, s) => df.withColumn(s"__c$s", codeCol(col("nv"), s)))
+      // |x̂|² folds in ascending subspace order (oracle-exact)
+      .withColumn("rn", sqrt((0 until m).map(s =>
+        element_at(array(cn2(s).map(lit): _*), col(s"__c$s") + 1))
+        .reduceLeft(_ + _)))
+      // a reconstruction collapsed to the zero vector has no direction
+      .filter(col("rn") > 0)
+      .drop("nv", "nn") // the float vector leaves the index here
+
+    val q = assignCells(sided(queries, idCol, vecCol, "qid", "qv", "qn"),
+      cent, "qid", "qv", "qn", nProbe)
+    val ip = (0 until m).map { s =>
+      val cbLit = array(codebooks(s).map(cw => array(cw.map(lit): _*)): _*)
+      dot(slice(col("qv"), s * dsub + 1, dsub),
+        element_at(cbLit, col(s"__c$s") + 1))
+    }.reduceLeft(_ + _)
+    val scored = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", ip / (col("qn") * col("rn")))
+    rankTopK(scored, k)
+  }
 }

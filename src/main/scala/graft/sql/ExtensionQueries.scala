@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, DedupOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{BpeOps, DedupOps, DsirOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -135,6 +135,16 @@ object ExtensionQueries {
       java.lang.Double.valueOf(
         VectorOps.sqScale(t(s, dir, "embeddings"), "embedding"))
     }.doubleValue()
+
+  /** The x87 PQ codebooks (m=4 subspaces × 16 seed codewords) — index
+    * metadata like the trained codebook and qscale, deterministic in
+    * (dir), computed once per (app, dir).
+    */
+  private def pqCodebooksOf(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    memoized(s, dir, "pqSeed_m4_k16") {
+      VectorOps.pqSeedCodebooks(t(s, dir, "embeddings"), "vec_id",
+        "embedding", m = 4, ksub = 16)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -971,6 +981,50 @@ object ExtensionQueries {
           Seq("src_b"))
         .select("src_a", "src_b", "n_pairs", "n_docs_a", "n_docs_b")
         .orderBy("src_a", "src_b")
+    },
+
+    // x86 — DSIR selection (Xie et al. 2023): the 100 raw docs whose
+    // hashed-n-gram profile the English slice up-weights most. The
+    // "make the crawl look like the target corpus" curation stage;
+    // target = lang='en' stands in for the high-quality reference set.
+    "x86_dsir_selection" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      DsirOps.selectTopN(d, d.filter(col("lang") === "en"), 100)
+    },
+
+    // x87 — IVF-PQ: the product-quantized serving index (m=4 one-byte
+    // codes per vector, 64× smaller than float32) probing the same
+    // seed-centroid cells as x35; completes the serving ladder
+    // float (x35) → int8 SQ (x66) → PQ codes (x87).
+    "x87_ann_ivf_pq" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      VectorOps.ivfTopKPq(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", 5, pqCodebooksOf(s, dir), numCentroids = 8, nProbe = 2)
+        .orderBy("qid", "nid")
+    },
+
+    // x88 — the Gopher rule battery as a decision table: every signal,
+    // one flag per rule, and the conjunction — the filter artifact a
+    // pipeline writes next to the corpus (Rae et al. 2021 §A.1.1).
+    "x88_gopher_filter" -> { (s, dir) =>
+      TextOps.gopherFilter(spread(t(s, dir, "documents")))
+        .select("doc_id", "n_words", "mean_word_len_centi", "dup_word_bp",
+          "alpha_word_bp", "sym_bp", "stop_hits", "keep_n_words",
+          "keep_word_len", "keep_dup", "keep_alpha", "keep_sym",
+          "keep_stop", "keep")
+        .orderBy("doc_id")
+    },
+
+    // x89 — GPT-style concat-and-chunk packing: whitespace token counts,
+    // then the fixed-128-token sequence spans — the loader index for
+    // "materialize training sequence N" without re-scanning the corpus.
+    "x89_seq_packing" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), size(split(col("text"), " "))
+          .cast(org.apache.spark.sql.types.LongType).as("n_toks_doc"))
+      SampleOps.packSequences(d, "doc_id", "n_toks_doc", seqLen = 128)
+        .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
+        .orderBy("seq_id", "doc_id")
     }
   )
 
@@ -2115,6 +2169,134 @@ object ExtensionQueries {
         | FROM g JOIN cnt ca ON ca.source = g.src_a
         | JOIN cnt cb ON cb.source = g.src_b
         | ORDER BY src_a, src_b""".stripMargin,
+
+    // DSIR mirror: unigram+bigram occurrences hashed into 1024 buckets
+    // (the house md5 hash), two smoothed bag-of-buckets models (target =
+    // lang='en', raw = all), per-bucket integer log weight, per-doc
+    // integer sum, top-100 by (weight desc, id).
+    "x86_dsir_selection" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
+        | uni AS (SELECT doc_id, lang, unnest(w) s FROM w),
+        | big AS (SELECT doc_id, lang, unnest(list_transform(
+        |          range(1, greatest(len(w)-1,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1])) s FROM w),
+        | f AS (SELECT doc_id, lang,
+        |     ('0x' || substr(md5(s),1,15))::BIGINT % 1024 b
+        |   FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        | cr AS (SELECT b, count(*) nr FROM f GROUP BY 1),
+        | ct AS (SELECT b, count(*) nt FROM f WHERE lang = 'en' GROUP BY 1),
+        | tot AS (SELECT (SELECT count(*) FROM f) tnr,
+        |     (SELECT count(*) FROM f WHERE lang = 'en') tnt),
+        | wt AS (SELECT b,
+        |     floor((ln((coalesce(nt,0) + 1)::DOUBLE / (tnt + 1024)::DOUBLE)
+        |       - ln((nr + 1)::DOUBLE / (tnr + 1024)::DOUBLE)) * 1000000)::BIGINT ws
+        |   FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+        | SELECT doc_id, count(*)::BIGINT AS n_feats, sum(ws)::BIGINT AS logw_sum
+        | FROM f JOIN wt USING (b)
+        | GROUP BY doc_id ORDER BY logw_sum DESC, doc_id LIMIT 100""".stripMargin,
+
+    // IVF-PQ mirror: seed codebooks = 16-dim slices of the 16 lowest-id
+    // vectors; encode by argmin d² = |x_s|² − 2·x_s·c + |c|² (ties →
+    // lowest code); ADC cosine against the reconstruction with every
+    // cross-subspace sum folded in ascending s (list_reduce over
+    // list(... ORDER BY s)) — bit-exact vs the Scala left folds. Reuses
+    // annIvf's ic/iq for the coarse cells and query probes.
+    "x87_ann_ivf_pq" ->
+      s"""WITH $annV,
+         | $annIvf,
+         | pqseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 j, embedding e
+         |   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         | pqcb AS (SELECT r.s, j, list_slice(e, r.s*16 + 1, r.s*16 + 16) cw
+         |   FROM pqseed CROSS JOIN range(0,4) r(s)),
+         | pqcb2 AS (SELECT s, j, cw,
+         |     list_reduce(list_transform(cw, x -> x::DOUBLE * x::DOUBLE),
+         |       (a,b) -> a + b) cn2
+         |   FROM pqcb),
+         | pqx AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
+         |     list_slice(ic.nv, c.s*16 + 1, c.s*16 + 16) xs
+         |   FROM ic CROSS JOIN pqcb2 c),
+         | pqd AS (SELECT nid, cell, s, j, cn2, cw,
+         |     (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
+         |      - 2 * list_reduce(list_transform(range(1,17),
+         |          k -> xs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y)
+         |      + cn2) d2
+         |   FROM pqx),
+         | pqenc AS (SELECT nid, cell, s, j, cn2, cw FROM
+         |     (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
+         |      FROM pqd)
+         |   WHERE rk = 1),
+         | pqq AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
+         |     list_slice(iq.qv, e.s*16 + 1, e.s*16 + 16) qs
+         |   FROM pqenc e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid),
+         | pqip AS (SELECT qid, nid, qn, s, cn2,
+         |     list_reduce(list_transform(range(1,17),
+         |       k -> qs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y) ipsub
+         |   FROM pqq),
+         | pqagg AS (SELECT qid, nid, qn,
+         |     list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
+         |     sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
+         |   FROM pqip GROUP BY qid, nid, qn),
+         | s_pq AS (SELECT qid, nid, ip / (qn * rn) cos FROM pqagg WHERE rn > 0),
+         | r_pq AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_pq)
+         | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r_pq WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    // Gopher decision-table mirror: same integral signals (centi / basis
+    // points, floor), same rule bounds, same conjunction.
+    "x88_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+        | sig AS (SELECT doc_id,
+        |     len(w)::BIGINT n_words,
+        |     length(replace(text, ' ', ''))::BIGINT word_chars,
+        |     (len(w) - len(list_distinct(w)))::BIGINT n_dup,
+        |     len(list_filter(w, x ->
+        |       length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0))::BIGINT n_alpha,
+        |     (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::BIGINT n_sym,
+        |     len(list_intersect(list_distinct(w),
+        |       ['the','be','to','of','and','that','have','with']))::BIGINT stop_hits
+        |   FROM w),
+        | s2 AS (SELECT doc_id, n_words,
+        |     floor(word_chars::DOUBLE * 100 / n_words::DOUBLE)::BIGINT mean_word_len_centi,
+        |     floor(n_dup::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT dup_word_bp,
+        |     floor(n_alpha::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT alpha_word_bp,
+        |     floor(n_sym::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT sym_bp,
+        |     stop_hits
+        |   FROM sig)
+        | SELECT doc_id, n_words, mean_word_len_centi, dup_word_bp,
+        |   alpha_word_bp, sym_bp, stop_hits,
+        |   (n_words >= 50 AND n_words <= 100000) AS keep_n_words,
+        |   (mean_word_len_centi >= 300 AND mean_word_len_centi <= 1000) AS keep_word_len,
+        |   (dup_word_bp <= 3000) AS keep_dup,
+        |   (alpha_word_bp >= 8000) AS keep_alpha,
+        |   (sym_bp <= 1000) AS keep_sym,
+        |   (stop_hits >= 2) AS keep_stop,
+        |   ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len_centi >= 300 AND mean_word_len_centi <= 1000)
+        |    AND (dup_word_bp <= 3000) AND (alpha_word_bp >= 8000)
+        |    AND (sym_bp <= 1000) AND (stop_hits >= 2)) AS keep
+        | FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // Sequence-packing mirror: running token-start offsets in doc_id
+    // order, each doc exploded over the sequences it overlaps, interval
+    // arithmetic for the span columns.
+    "x89_seq_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |     len(string_split(text,' '))::BIGINT n FROM documents),
+        | s AS (SELECT doc_id, n,
+        |     coalesce(sum(n) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT st
+        |   FROM d),
+        | x AS (SELECT doc_id, n, st,
+        |     unnest(range(st // 128, (st + n - 1) // 128 + 1)) seq_id
+        |   FROM s WHERE n > 0)
+        | SELECT seq_id::BIGINT AS seq_id, doc_id,
+        |   greatest(st - seq_id*128, 0)::BIGINT AS seq_off,
+        |   greatest(seq_id*128 - st, 0)::BIGINT AS doc_off,
+        |   (least(st + n, seq_id*128 + 128)
+        |     - greatest(st, seq_id*128))::BIGINT AS n_toks
+        | FROM x ORDER BY seq_id, doc_id""".stripMargin,
 
     "x79_rolling_time_window" ->
       """SELECT event_id, user_id,

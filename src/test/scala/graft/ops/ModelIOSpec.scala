@@ -129,4 +129,41 @@ class ModelIOSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not the expected artifact"))
   }
+
+  test("DSIR weight table round-trips: load-then-score == train-then-score") {
+    val raw = (0 until 30).map { i =>
+      (i.toLong, if (i % 3 == 0) "aa ab aa ab" else "zz zy zz zy")
+    }.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") % 3 === 0)
+    val wt = DsirOps.importanceWeightTable(raw, target)
+    val path = tmp("dsir")
+    ModelIO.saveDsirWeights(wt, path)
+    val loaded = ModelIO.loadDsirWeights(spark, path)
+    val fresh = DsirOps.importanceWeights(raw, wt)
+      .orderBy("doc_id").collect()
+    val replay = DsirOps.importanceWeights(raw, loaded)
+      .orderBy("doc_id").collect()
+    assert(fresh.sameElements(replay))
+  }
+
+  test("PQ codebooks round-trip bit-for-bit and probe identically") {
+    val cb = VectorOps.pqSeedCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 8)
+    val path = tmp("pq")
+    ModelIO.savePqCodebooks(spark, path, cb)
+    val loaded = ModelIO.loadPqCodebooks(spark, path)
+    assert(loaded.length == cb.length)
+    cb.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.sameElements(y), "codeword floats drifted through parquet")
+      }
+    }
+    val q = vecs.filter(col("vec_id") < 5)
+    val fresh = VectorOps.ivfTopKPq(q, vecs, "vec_id", "embedding", 3,
+      cb, numCentroids = 3, nProbe = 2).orderBy("qid", "nid").collect()
+    val replay = VectorOps.ivfTopKPq(q, vecs, "vec_id", "embedding", 3,
+      loaded, numCentroids = 3, nProbe = 2).orderBy("qid", "nid").collect()
+    assert(fresh.sameElements(replay))
+  }
 }

@@ -120,4 +120,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"first-occurrence map not combined:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x86: DSIR weight table broadcasts; selection is TakeOrdered, " +
+      "not a global sort") {
+    val p = plan(ExtensionQueries.queries, "x86_dsir_selection")
+    // the ≤1024-row bucket-weight table must reach the corpus features as
+    // a broadcast (shuffling the feature stream onto bucket keys would
+    // move the corpus), and the top-N cut must be per-partition heaps
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-N planned as sort:\n$p")
+  }
+
+  test("x87: IVF-PQ broadcasts the query probes; no cartesian product") {
+    val p = plan(ExtensionQueries.queries, "x87_ann_ivf_pq")
+    // candidates come from the cell equi-join with the probe side
+    // broadcast — the corpus shuffles at most once (cell assignment),
+    // never pairs with queries combinatorially
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x88: the Gopher table is narrow — no exchange before the signals") {
+    val p = plan(ExtensionQueries.queries, "x88_gopher_filter")
+    // one scan → project/filter chain; the only exchanges allowed are the
+    // fixture spread() and the output orderBy's range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"signal stage shuffled beyond spread():\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"decision table planned a join:\n$p")
+  }
+
+  test("x89: sequence packing has no global sort and broadcasts offsets") {
+    val p = plan(ExtensionQueries.queries, "x89_seq_packing")
+    // the distributed prefix sum must not sort the corpus globally: the
+    // only Sort allowed outside the final output ordering is the
+    // in-bucket window sort (partitioned) and the one-row-per-bucket
+    // offset window; bucket offsets reach rows as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"offsets shuffled the corpus:\n$p")
+  }
 }
