@@ -416,6 +416,67 @@ object TextOps {
       .drop("__scores")
   }
 
+  /** BM25 scored retrieval (Robertson/Spärck Jones; the Okapi BM25
+    * formula with k1 = 1.2, b = 0.75): for each query document, the
+    * top-`k` corpus documents by summed BM25 term weight — the retrieval
+    * primitive of seed-based curation ("find everything in the crawl that
+    * looks like these reference docs") and of retrieval-augmented eval
+    * set construction. Query terms are DISTINCT (standard bag-of-terms
+    * query form); self-matches are excluded.
+    *
+    * Cross-engine determinism: each (term, doc) weight is a deterministic
+    * double expression over integer counts (tf, df, dl, N, Σdl) quantized
+    * ONCE — `floor(1e6 · ln((N−df+0.5)/(df+0.5) + 1) · (tf·2.2) /
+    * (tf + 1.2·(0.25 + 0.75·dl/avgdl)))` — and per-pair aggregation sums
+    * integers. The k1/b constants appear as the LITERALS 1.2/2.2/0.25/
+    * 0.75 on both engines (computing 1.2+1 at runtime rounds to a
+    * DIFFERENT double than the literal 2.2 — the one-ulp trap this
+    * hardcoding avoids).
+    *
+    * Scale shape: the corpus collapses to its postings (tf) and doc-length
+    * (dl) tables in two map-side-combinable shuffles — the inverted index
+    * a production deployment builds once and persists; df is a
+    * vocab-sized agg. The query-terms table joins the postings FIRST, so
+    * everything downstream is ∝ the posting lists of query terms, not the
+    * corpus; corpus-wide constants (N, Σdl) ride a broadcast 1-row
+    * crossJoin; the top-k is a per-query window over scored candidates.
+    */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = corpus.select(col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("t"))
+    val tf = words.groupBy(col("did"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+    val tot = words.agg(count(lit(1)).as("n_toks"))
+    val qt = queries.select(col(idCol).as("qid"),
+      explode(split(col(textCol), " ")).as("t")).distinct()
+    val avgdl = col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val scored = qt.join(tf, Seq("t"))
+      .filter(col("qid") =!= col("did"))
+      .join(dfT, Seq("t"))
+      .join(dl, Seq("did"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(tot))
+      .withColumn("w_scaled", floor(
+        lit(1000000d)
+          * log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast(DoubleType) * lit(2.2))
+          / (col("tf").cast(DoubleType)
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl)))
+        .cast(LongType))
+    val pair = scored.groupBy(col("qid"), col("did"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w_scaled")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("did"))
+    pair.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("did"), col("n_terms"), col("score"), col("rk"))
+  }
+
   /** Gopher-rule quality DECISION TABLE (Rae et al. 2021 §A.1.1) — the
     * published heuristic filter battery as one shippable artifact: per
     * document, every signal the rules read, one boolean per rule, and the

@@ -1025,6 +1025,15 @@ object ExtensionQueries {
       SampleOps.packSequences(d, "doc_id", "n_toks_doc", seqLen = 128)
         .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
         .orderBy("seq_id", "doc_id")
+    },
+
+    // x90 — BM25 retrieval: the 5 lowest-id docs as seed queries, top-5
+    // corpus matches each — the "find more like these" curation primitive
+    // over the inline-built inverted index.
+    "x90_bm25_retrieval" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      TextOps.bm25TopK(d.filter(col("doc_id") < 5), d, 5)
+        .orderBy("qid", "did")
     }
   )
 
@@ -2297,6 +2306,36 @@ object ExtensionQueries {
         |   (least(st + n, seq_id*128 + 128)
         |     - greatest(st, seq_id*128))::BIGINT AS n_toks
         | FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // BM25 mirror: same postings/doclen/df tables, the same literal
+    // constants (1.2/2.2/0.25/0.75), the same expression shape so every
+    // double matches bit-for-bit before the single floor-quantization.
+    "x90_bm25_retrieval" ->
+      """WITH wds AS (SELECT doc_id did, unnest(string_split(text,' ')) t
+        |   FROM documents),
+        | tf AS (SELECT did, t, count(*) tf FROM wds GROUP BY 1, 2),
+        | dl AS (SELECT did, count(*) dl FROM wds GROUP BY 1),
+        | dfq AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+        | st AS (SELECT (SELECT count(*) FROM documents) n_docs,
+        |     (SELECT count(*) FROM wds) n_toks),
+        | qt AS (SELECT DISTINCT qid, t FROM
+        |   (SELECT doc_id qid, unnest(string_split(text,' ')) t
+        |    FROM documents WHERE doc_id < 5)),
+        | sc AS (SELECT qt.qid, tf.did, floor(
+        |     1000000 * ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |     * (tf.tf * 2.2)
+        |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |         / (st.n_toks::DOUBLE / st.n_docs::DOUBLE))))::BIGINT ws
+        |   FROM qt JOIN tf USING (t) JOIN dfq USING (t)
+        |   JOIN dl ON dl.did = tf.did CROSS JOIN st
+        |   WHERE qt.qid <> tf.did),
+        | pr AS (SELECT qid, did, count(*)::BIGINT n_terms,
+        |     sum(ws)::BIGINT score FROM sc GROUP BY 1, 2),
+        | rnk AS (SELECT qid, did, n_terms, score,
+        |     row_number() OVER (PARTITION BY qid ORDER BY score DESC, did)::BIGINT rk
+        |   FROM pr)
+        | SELECT qid, did, n_terms, score, rk FROM rnk
+        | WHERE rk <= 5 ORDER BY qid, did""".stripMargin,
 
     "x79_rolling_time_window" ->
       """SELECT event_id, user_id,

@@ -115,6 +115,37 @@ class Round13bOpsSpec extends SparkSpec {
     assert(out.groupBy("qid").count().collect().forall(_.getLong(1) == 3L))
   }
 
+  // ----------------------------------------------------------------- BM25
+
+  test("bm25TopK ranks the exact copy first and rare-term matches above " +
+      "common-term matches") {
+    val corpus = Seq(
+      (1L, "quantum flux capacitor design notes"),
+      (2L, "quantum flux capacitor design notes"), // exact copy of query 1
+      (3L, "capacitor design of the common kind"),
+      (4L, "the the the the the common words only"),
+      (5L, "flux measurements in the field"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(corpus.filter(col("doc_id") === 1L), corpus, 3)
+      .orderBy("rk").collect()
+    assert(out.head.getAs[Long]("did") == 2L) // the copy wins
+    assert(!out.map(_.getAs[Long]("did")).contains(1L)) // no self-match
+    // doc 3 (two matched terms incl. rarer "capacitor") above doc 4
+    val ranks = out.map(r => r.getAs[Long]("did") -> r.getAs[Long]("rk")).toMap
+    assert(ranks.contains(3L))
+    assert(!ranks.contains(4L) || ranks(3L) < ranks(4L))
+  }
+
+  test("bm25TopK n_terms counts distinct matched query terms") {
+    val corpus = Seq(
+      (1L, "aa bb aa bb"), (2L, "aa bb cc"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(corpus.filter(col("doc_id") === 1L), corpus, 5)
+      .collect().map(r => r.getAs[Long]("did") -> r.getAs[Long]("n_terms")).toMap
+    assert(out(2L) == 2L) // aa, bb matched once each despite tf=2 in query
+    assert(!out.contains(3L)) // no shared term, no row
+  }
+
   // ------------------------------------------------------- Gopher filter
 
   test("gopherFilter: a clean doc passes every rule") {
@@ -189,6 +220,20 @@ class Round13bOpsSpec extends SparkSpec {
     val out = SampleOps.packSequences(docs, "doc_id", "n", seqLen = 4)
     assert(out.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
       == Seq(2L))
+  }
+
+  test("packSequences is append-stable: higher ids never move old spans") {
+    val base = (1L to 20L).map(i => (i, (i % 5) + 1)).toDF("doc_id", "n")
+    val grown = ((1L to 20L) ++ (21L to 30L)).map(i => (i, (i % 5) + 1))
+      .toDF("doc_id", "n")
+    val a = SampleOps.packSequences(base, "doc_id", "n", seqLen = 8)
+      .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
+      .orderBy("seq_id", "doc_id").collect()
+    val b = SampleOps.packSequences(grown, "doc_id", "n", seqLen = 8)
+      .filter(col("doc_id") <= 20L)
+      .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
+      .orderBy("seq_id", "doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
   test("packShards is unchanged by the tokenStarts refactor") {

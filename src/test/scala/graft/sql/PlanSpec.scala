@@ -150,6 +150,15 @@ class PlanSpec extends SparkSpec {
       s"decision table planned a join:\n$p")
   }
 
+  test("x90: BM25 has no cartesian product and broadcasts corpus stats") {
+    val p = plan(ExtensionQueries.queries, "x90_bm25_retrieval")
+    // the 1-row N/Σdl constants and the query-term table must reach the
+    // postings as broadcasts; no pairwise corpus blowup anywhere
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x89: sequence packing has no global sort and broadcasts offsets") {
     val p = plan(ExtensionQueries.queries, "x89_seq_packing")
     // the distributed prefix sum must not sort the corpus globally: the
