@@ -1034,6 +1034,17 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       TextOps.bm25TopK(d.filter(col("doc_id") < 5), d, 5)
         .orderBy("qid", "did")
+    },
+
+    // x91 — the PQ recall gate: x87's memoized top-5 graded against the
+    // x25 brute-force truth (the annTruth pattern) — what the 64×
+    // compression costs, measured, next to the x61/x63 method grades.
+    "x91_ann_recall_pq" -> { (s, dir) =>
+      VectorOps.annRecall(gateCandidates(s, dir, "x87_ann_ivf_pq"),
+          annTruth(s, dir), "qid", "nid")
+        .withColumn("method", lit("ivf_pq"))
+        .select("method", "qid", "n_exact", "n_hit", "recall_bp")
+        .orderBy("method", "qid")
     }
   )
 
@@ -1341,6 +1352,50 @@ object ExtensionQueries {
        |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
        |   FROM ex LEFT JOIN $ap ON ex.qid = $ap.qid AND ex.nid = $ap.nid
        |   GROUP BY ex.qid)""".stripMargin
+
+  /** IVF-PQ CTEs mirroring `VectorOps.pqSeedCodebooks` (m=4 × ksub=16
+    * slices of the 16 lowest-id vectors) + `ivfTopKPq`: argmin-d² encode
+    * with ties → lowest code, ADC cosine with ascending-subspace ordered
+    * folds → CTE r_pq. Composes after `annIvf` (needs its ic/iq cells);
+    * shared by x87 (the index) and x91 (its recall grade).
+    */
+  private lazy val annIvfPq =
+    s"""pqseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 j, embedding e
+       |   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       | pqcb AS (SELECT r.s, j, list_slice(e, r.s*16 + 1, r.s*16 + 16) cw
+       |   FROM pqseed CROSS JOIN range(0,4) r(s)),
+       | pqcb2 AS (SELECT s, j, cw,
+       |     list_reduce(list_transform(cw, x -> x::DOUBLE * x::DOUBLE),
+       |       (a,b) -> a + b) cn2
+       |   FROM pqcb),
+       | pqx AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
+       |     list_slice(ic.nv, c.s*16 + 1, c.s*16 + 16) xs
+       |   FROM ic CROSS JOIN pqcb2 c),
+       | pqd AS (SELECT nid, cell, s, j, cn2, cw,
+       |     (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
+       |      - 2 * list_reduce(list_transform(range(1,17),
+       |          k -> xs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y)
+       |      + cn2) d2
+       |   FROM pqx),
+       | pqenc AS (SELECT nid, cell, s, j, cn2, cw FROM
+       |     (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
+       |      FROM pqd)
+       |   WHERE rk = 1),
+       | pqq AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
+       |     list_slice(iq.qv, e.s*16 + 1, e.s*16 + 16) qs
+       |   FROM pqenc e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid),
+       | pqip AS (SELECT qid, nid, qn, s, cn2,
+       |     list_reduce(list_transform(range(1,17),
+       |       k -> qs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y) ipsub
+       |   FROM pqq),
+       | pqagg AS (SELECT qid, nid, qn,
+       |     list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
+       |     sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
+       |   FROM pqip GROUP BY qid, nid, qn),
+       | s_pq AS (SELECT qid, nid, ip / (qn * rn) cos FROM pqagg WHERE rn > 0),
+       | r_pq AS (SELECT qid, nid, cos,
+       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       |   FROM s_pq)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x16_text_tokens" ->
@@ -2213,44 +2268,22 @@ object ExtensionQueries {
     "x87_ann_ivf_pq" ->
       s"""WITH $annV,
          | $annIvf,
-         | pqseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 j, embedding e
-         |   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-         | pqcb AS (SELECT r.s, j, list_slice(e, r.s*16 + 1, r.s*16 + 16) cw
-         |   FROM pqseed CROSS JOIN range(0,4) r(s)),
-         | pqcb2 AS (SELECT s, j, cw,
-         |     list_reduce(list_transform(cw, x -> x::DOUBLE * x::DOUBLE),
-         |       (a,b) -> a + b) cn2
-         |   FROM pqcb),
-         | pqx AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
-         |     list_slice(ic.nv, c.s*16 + 1, c.s*16 + 16) xs
-         |   FROM ic CROSS JOIN pqcb2 c),
-         | pqd AS (SELECT nid, cell, s, j, cn2, cw,
-         |     (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
-         |      - 2 * list_reduce(list_transform(range(1,17),
-         |          k -> xs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y)
-         |      + cn2) d2
-         |   FROM pqx),
-         | pqenc AS (SELECT nid, cell, s, j, cn2, cw FROM
-         |     (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
-         |      FROM pqd)
-         |   WHERE rk = 1),
-         | pqq AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
-         |     list_slice(iq.qv, e.s*16 + 1, e.s*16 + 16) qs
-         |   FROM pqenc e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid),
-         | pqip AS (SELECT qid, nid, qn, s, cn2,
-         |     list_reduce(list_transform(range(1,17),
-         |       k -> qs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y) ipsub
-         |   FROM pqq),
-         | pqagg AS (SELECT qid, nid, qn,
-         |     list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
-         |     sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
-         |   FROM pqip GROUP BY qid, nid, qn),
-         | s_pq AS (SELECT qid, nid, ip / (qn * rn) cos FROM pqagg WHERE rn > 0),
-         | r_pq AS (SELECT qid, nid, cos,
-         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-         |   FROM s_pq)
+         | $annIvfPq
          | SELECT qid, nid, rk::BIGINT AS rk, floor(cos * 10000)::BIGINT AS cos_bp
          | FROM r_pq WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    // The PQ recall gate: x87's top-5 graded against the x25 brute-force
+    // truth — the honest "what does 64× compression cost" number next to
+    // the x61/x63 per-method grades.
+    "x91_ann_recall_pq" ->
+      s"""WITH $annV,
+         | $annBrute,
+         | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
+         | $annIvf,
+         | $annIvfPq,
+         | pq AS (SELECT DISTINCT qid, nid FROM r_pq WHERE rk <= 5),
+         | ${gradeSql("ivf_pq", "pq")}
+         | SELECT * FROM g_pq ORDER BY method, qid""".stripMargin,
 
     // Gopher decision-table mirror: same integral signals (centi / basis
     // points, floor), same rule bounds, same conjunction.

@@ -146,6 +146,34 @@ class Round13bOpsSpec extends SparkSpec {
     assert(!out.contains(3L)) // no shared term, no row
   }
 
+  test("trained PQ codebooks recall at least as much as seed codebooks " +
+      "on clustered data") {
+    // 3 separated clusters in 8 dims: k-means-refined codewords land on
+    // cluster means, seed codewords are the first ksub raw vectors —
+    // reconstruction error (and so ADC ranking noise) strictly shrinks.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d % 3 == c) 1.0f else 0.1f) + rnd.nextFloat() * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 6L)
+    val truth = VectorOps.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+    def meanRecall(cb: Array[Array[Array[Float]]]): Double = {
+      val approx = VectorOps.ivfTopKPq(q, vecs, "vec_id", "embedding", 5,
+        cb, numCentroids = 3, nProbe = 3)
+      val r = VectorOps.annRecall(approx, truth, "qid", "nid")
+        .agg(sum(col("n_hit")), sum(col("n_exact"))).collect().head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val seed = meanRecall(VectorOps.pqSeedCodebooks(
+      vecs, "vec_id", "embedding", m = 2, ksub = 4))
+    val trained = meanRecall(VectorOps.pqTrainedCodebooks(
+      vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 3))
+    assert(trained >= seed,
+      s"trained codebooks recalled $trained < seed $seed")
+  }
+
   // ------------------------------------------------------- Gopher filter
 
   test("gopherFilter: a clean doc passes every rule") {
@@ -241,5 +269,55 @@ class Round13bOpsSpec extends SparkSpec {
     val shards = SampleOps.packShards(docs, "doc_id", "n", budget = 4L)
       .orderBy("doc_id").collect().map(_.getAs[Long]("shard")).toSeq
     assert(shards == Seq(0L, 1L, 2L)) // starts 0, 5, 8 ÷ 4
+  }
+
+  // --------------------------------------------------- degenerate inputs
+
+  test("DSIR: empty target still yields finite weights for every doc") {
+    val raw = Seq((1L, "aa bb"), (2L, "cc")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") < 0L)
+    val out = DsirOps.selectTopN(raw, target, 10)
+    // smoothing keeps ln arguments positive with zero target mass; the
+    // cut larger than the corpus returns everything
+    assert(out.count() == 2L)
+    assert(out.filter(col("logw_sum").isNull).count() == 0L)
+  }
+
+  test("bm25TopK: queries sharing no term with the corpus emit no rows") {
+    val corpus = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val q = Seq((9L, "zz yy")).toDF("doc_id", "text")
+    assert(TextOps.bm25TopK(q, corpus, 5).count() == 0L)
+  }
+
+  test("gopherFilter survives empty text without dividing by zero") {
+    val out = TextOps.gopherFilter(Seq((1L, "")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_words") == 1L) // split("") = [""]
+    assert(!out.getAs[Boolean]("keep"))      // fails the word-count rule
+  }
+
+  test("packSequences seqLen=1 emits one span per token") {
+    val docs = Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "n")
+    val out = SampleOps.packSequences(docs, "doc_id", "n", seqLen = 1)
+    assert(out.count() == 5L)
+    assert(out.filter(col("n_toks") =!= 1L).count() == 0L)
+  }
+
+  test("ivfTopKPq rejects ragged codebooks; pqSeedCodebooks rejects " +
+      "indivisible dims and empty corpora loudly") {
+    val vecs = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      VectorOps.pqSeedCodebooks(vecs, "vec_id", "embedding", m = 3, ksub = 1)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.pqSeedCodebooks(vecs.filter(col("vec_id") < 0L),
+        "vec_id", "embedding", m = 2, ksub = 1)
+    }
+    val ragged = Array(
+      Array(Array(1f, 2f), Array(3f, 4f)),
+      Array(Array(5f, 6f)))
+    intercept[IllegalArgumentException] {
+      VectorOps.ivfTopKPq(vecs, vecs, "vec_id", "embedding", 1, ragged)
+    }
   }
 }

@@ -123,6 +123,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherFilter composes onto a stream (narrow quality filtering " +
+      "at ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = ((1 to 58).map(i => f"word$i%02d") ++ Seq("the", "of"))
+      .mkString(" ")
+    val flagged = graft.ops.TextOps.gopherFilter(
+      input.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "keep")
+    val q = flagged.writeStream.format("memory").queryName("gopherstream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, good), (2L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table("gopherstream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(1L) && !rows(2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
