@@ -415,4 +415,52 @@ object StatOps {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
   }
+
+  /** Per-source dataset-card report — the audit table a corpus release
+    * ships next to the data ("what is in each slice and how clean is
+    * it"): for every source, document and token counts, mean document
+    * length, the Gopher-filter pass rate ([[TextOps.gopherFilter]]'s
+    * `keep` aggregated), exact-text duplication within the source, and
+    * the modal language with its share. Everything integral (centi /
+    * basis points, floor) so the DuckDB oracle hash-matches.
+    *
+    * Plan shape: ONE pass over the text (the narrow Gopher signals fused
+    * into the scan) feeding two map-side-combinable keyed aggs — per
+    * source, and per (source, lang) for the mode — then a window over the
+    * per-(source, lang) METADATA rows (≤ sources × langs) and one keyed
+    * join of two bounded relations. The corpus shuffles twice, both
+    * combiner-condensed; nothing pairwise, nothing driver-side.
+    */
+  def sourceReport(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val enriched = TextOps.gopherFilter(docs, textCol)
+      .withColumn("__toks", size(split(col(textCol), " ")).cast(LongType))
+    val perSrc = enriched.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        count_distinct(md5(col(textCol))).as("n_distinct_texts"))
+      .withColumn("mean_tokens_centi",
+        floor(col("n_tokens").cast(DoubleType) * 100d
+          / col("n_docs").cast(DoubleType)).cast(LongType))
+      .withColumn("keep_bp", TextOps.bp(col("n_keep"), col("n_docs")))
+      .withColumn("dup_text_bp",
+        TextOps.bp(col("n_docs") - col("n_distinct_texts"), col("n_docs")))
+    // modal language: (count desc, lang asc) over the per-(source, lang)
+    // metadata rows — a deterministic mode, ties to the smallest lang
+    val wLang = Window.partitionBy(col(srcCol))
+      .orderBy(col("n_lang").desc, col(langCol).asc)
+    val topLang = docs.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("__rk", row_number().over(wLang))
+      .filter(col("__rk") === 1)
+      .select(col(srcCol), col(langCol).as("top_lang"),
+        col("n_lang").as("n_top_lang"))
+    perSrc.join(topLang, Seq(srcCol))
+      .withColumn("top_lang_bp", TextOps.bp(col("n_top_lang"), col("n_docs")))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        col("mean_tokens_centi"), col("keep_bp"), col("n_distinct_texts"),
+        col("dup_text_bp"), col("top_lang"), col("top_lang_bp"))
+  }
 }

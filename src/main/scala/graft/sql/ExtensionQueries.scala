@@ -1045,6 +1045,14 @@ object ExtensionQueries {
         .withColumn("method", lit("ivf_pq"))
         .select("method", "qid", "n_exact", "n_hit", "recall_bp")
         .orderBy("method", "qid")
+    },
+
+    // x92 — the per-source dataset card: counts, token stats, Gopher pass
+    // rate, intra-source exact duplication, modal language — the audit
+    // table a corpus release ships next to the data.
+    "x92_source_report" -> { (s, dir) =>
+      StatOps.sourceReport(spread(t(s, dir, "documents")))
+        .orderBy("source")
     }
   )
 
@@ -2319,6 +2327,50 @@ object ExtensionQueries {
         |    AND (dup_word_bp <= 3000) AND (alpha_word_bp >= 8000)
         |    AND (sym_bp <= 1000) AND (stop_hits >= 2)) AS keep
         | FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // Dataset-card mirror: the x88 keep conjunction inlined, per-source
+    // aggregates, deterministic language mode ((count desc, lang asc)).
+    "x92_source_report" ->
+      """WITH w AS (SELECT doc_id, source, lang, text,
+        |     string_split(text,' ') w FROM documents),
+        | sig AS (SELECT doc_id, source, text,
+        |     len(w)::BIGINT n_words,
+        |     length(replace(text, ' ', ''))::BIGINT wc,
+        |     (len(w) - len(list_distinct(w)))::BIGINT n_dup,
+        |     len(list_filter(w, x ->
+        |       length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0))::BIGINT n_alpha,
+        |     (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::BIGINT n_sym,
+        |     len(list_intersect(list_distinct(w),
+        |       ['the','be','to','of','and','that','have','with']))::BIGINT sh
+        |   FROM w),
+        | k AS (SELECT doc_id, source, text, n_words,
+        |     (n_words >= 50 AND n_words <= 100000
+        |      AND floor(wc::DOUBLE * 100 / n_words::DOUBLE) >= 300
+        |      AND floor(wc::DOUBLE * 100 / n_words::DOUBLE) <= 1000
+        |      AND floor(n_dup::DOUBLE * 10000 / n_words::DOUBLE) <= 3000
+        |      AND floor(n_alpha::DOUBLE * 10000 / n_words::DOUBLE) >= 8000
+        |      AND floor(n_sym::DOUBLE * 10000 / n_words::DOUBLE) <= 1000
+        |      AND sh >= 2) keep
+        |   FROM sig),
+        | ps AS (SELECT source, count(*)::BIGINT n_docs,
+        |     sum(n_words)::BIGINT n_tokens,
+        |     sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT n_keep,
+        |     count(DISTINCT md5(text))::BIGINT n_distinct_texts
+        |   FROM k GROUP BY 1),
+        | tl AS (SELECT source, lang top_lang, n_lang n_top_lang FROM (
+        |     SELECT source, lang, count(*)::BIGINT n_lang,
+        |       row_number() OVER (PARTITION BY source
+        |         ORDER BY count(*) DESC, lang) rk
+        |     FROM documents GROUP BY source, lang) WHERE rk = 1)
+        | SELECT ps.source, n_docs, n_tokens,
+        |   floor(n_tokens::DOUBLE * 100 / n_docs::DOUBLE)::BIGINT AS mean_tokens_centi,
+        |   floor(n_keep::DOUBLE * 10000 / n_docs::DOUBLE)::BIGINT AS keep_bp,
+        |   n_distinct_texts,
+        |   floor((n_docs - n_distinct_texts)::DOUBLE * 10000
+        |     / n_docs::DOUBLE)::BIGINT AS dup_text_bp,
+        |   top_lang,
+        |   floor(n_top_lang::DOUBLE * 10000 / n_docs::DOUBLE)::BIGINT AS top_lang_bp
+        | FROM ps JOIN tl USING (source) ORDER BY source""".stripMargin,
 
     // Sequence-packing mirror: running token-start offsets in doc_id
     // order, each doc exploded over the sequences it overlaps, interval

@@ -271,6 +271,38 @@ class Round13bOpsSpec extends SparkSpec {
     assert(shards == Seq(0L, 1L, 2L)) // starts 0, 5, 8 ÷ 4
   }
 
+  // --------------------------------------------------------- dataset card
+
+  test("sourceReport aggregates counts, dup rate, and modal language") {
+    val good = ((1 to 58).map(i => f"word$i%02d") ++ Seq("the", "of"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", "en", good),
+      (2L, "srcA", "en", good),            // exact dup of doc 1
+      (3L, "srcA", "fr", "petit texte"),   // fails Gopher (too short)
+      (4L, "srcB", "de", "kurz"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = StatOps.sourceReport(docs).orderBy("source").collect()
+    val a = out(0)
+    assert(a.getAs[String]("source") == "srcA")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_distinct_texts") == 2L)
+    assert(a.getAs[Long]("dup_text_bp") == 3333L) // 1 of 3 duplicated
+    assert(a.getAs[Long]("keep_bp") == 6666L)     // 2 of 3 pass Gopher
+    assert(a.getAs[String]("top_lang") == "en")
+    assert(a.getAs[Long]("top_lang_bp") == 6666L)
+    val b = out(1)
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[String]("top_lang") == "de")
+  }
+
+  test("sourceReport breaks language-mode ties on the smaller lang") {
+    val docs = Seq(
+      (1L, "s", "en", "x"), (2L, "s", "de", "y"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = StatOps.sourceReport(docs).collect().head
+    assert(out.getAs[String]("top_lang") == "de")
+  }
+
   // --------------------------------------------------- degenerate inputs
 
   test("DSIR: empty target still yields finite weights for every doc") {
