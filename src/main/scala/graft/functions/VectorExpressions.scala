@@ -388,3 +388,133 @@ case class NearestCentroid(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): NearestCentroid =
     copy(left = newLeft, right = newRight)
 }
+
+/** PQ encoder: one pass over an Array[Float] vector producing its `m`
+  * product-quantization codes — `code_s = argmin_j (|x_s|² − 2·x_s·c +
+  * |c|²)` over subspace `s`'s `ksub` codewords, ties → lowest code. The
+  * composed-expression form (per-codeword `slice`+dot structs inside
+  * `array_min`) evaluates the subvector slice per codeword; this kernel
+  * reads the input ArrayData once per subspace and keeps the whole argmin
+  * in two registers — the encode loop an index BUILD runs over the full
+  * corpus, so it must be one tight codegen'd loop, not 4×16 array
+  * allocations per row.
+  *
+  * Arithmetic is BIT-IDENTICAL to the composed form (and so to the
+  * DuckDB oracle): per-element products in double, left folds in index
+  * order, `(xs2 − dot·2) + cn2` association, ascending-`j` strict-`<`
+  * argmin (= array_min's keep-first tie rule). Null elements are skipped
+  * in both folds, matching FloatVecDot pair-skip semantics.
+  */
+case class PqEncode(child: Expression, flat: Array[Float],
+                    cn2: Array[Double], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  require(m > 0 && ksub > 0 && dsub > 0, "pq_encode: m, ksub, dsub must be positive")
+  require(flat.length == m * ksub * dsub,
+    s"pq_encode: flat codebook length ${flat.length} != $m*$ksub*$dsub")
+  require(cn2.length == m * ksub,
+    s"pq_encode: ${cn2.length} codeword norms for ${m * ksub} codewords")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${x.numElements()} != ${m * dsub}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var xs2 = 0.0
+      var i = 0
+      while (i < dsub) {
+        if (!x.isNullAt(base + i)) {
+          val v = x.getFloat(base + i).toDouble
+          xs2 += v * v
+        }
+        i += 1
+      }
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < ksub) {
+        val off = (s * ksub + j) * dsub
+        var dot = 0.0
+        var k = 0
+        while (k < dsub) {
+          if (!x.isNullAt(base + k))
+            dot += x.getFloat(base + k).toDouble * flat(off + k).toDouble
+          k += 1
+        }
+        val d2 = xs2 - dot * 2 + cn2(s * ksub + j)
+        if (d2 < best) { best = d2; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val xs2 = ctx.freshName("xs2")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val k = ctx.freshName("k")
+      val d2 = ctx.freshName("d2")
+      s"""
+         |if ($x.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector length " + $x.numElements() + " != ${m * dsub}");
+         |}
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = $s * $dsub;
+         |  double $xs2 = 0.0;
+         |  for (int $i = 0; $i < $dsub; $i++) {
+         |    if (!$x.isNullAt($base + $i)) {
+         |      double $v = (double) $x.getFloat($base + $i);
+         |      $xs2 += $v * $v;
+         |    }
+         |  }
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestJ = 0;
+         |  for (int $j = 0; $j < $ksub; $j++) {
+         |    int $off = ($s * $ksub + $j) * $dsub;
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $dsub; $k++) {
+         |      if (!$x.isNullAt($base + $k)) {
+         |        $dot += (double) $x.getFloat($base + $k) * (double) $flatRef[$off + $k];
+         |      }
+         |    }
+         |    double $d2 = $xs2 - $dot * 2 + $cn2Ref[$s * $ksub + $j];
+         |    if ($d2 < $best) { $best = $d2; $bestJ = $j; }
+         |  }
+         |  $codes[$s] = $bestJ;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}

@@ -742,23 +742,22 @@ object VectorOps {
       cw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     val cent = seedCentroids(corpus, idCol, vecCol, numCentroids)
 
-    // per-subspace code: argmin_j d², ties → lowest j (array_min on
-    // (d², j) structs — field-wise compare, a codegen'd fold)
-    def codeCol(v: Column, s: Int): Column = {
-      val xs = slice(v, s * dsub + 1, dsub)
-      val xs2 = dot(xs, xs)
-      val scored = (0 until ksub).map { j =>
-        val cLit = array(codebooks(s)(j).map(lit): _*)
-        struct((xs2 - dot(xs, cLit) * 2 + lit(cn2(s)(j))).as("d2"),
-          lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j")
+    // per-subspace codes in ONE codegen'd pass (graft.functions.PqEncode:
+    // argmin_j d², ties → lowest j — bit-identical to the composed
+    // slice/dot/array_min form, without its per-codeword slice
+    // materializations; this loop runs over the full corpus at build)
+    val pqEncodeCol = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.PqEncode(
+        Bridge.expression(col("nv")),
+        codebooks.flatten.flatten, cn2.flatten, m, ksub, dsub))
     }
-
     val encoded = (0 until m).foldLeft(
       assignCells(sided(corpus, idCol, vecCol, "nid", "nv", "nn"),
         cent, "nid", "nv", "nn", 1)
-    )((df, s) => df.withColumn(s"__c$s", codeCol(col("nv"), s)))
+        .withColumn("__codes", pqEncodeCol)
+    )((df, s) => df.withColumn(s"__c$s", element_at(col("__codes"), s + 1)))
+      .drop("__codes")
       // |x̂|² folds in ascending subspace order (oracle-exact)
       .withColumn("rn", sqrt((0 until m).map(s =>
         element_at(array(cn2(s).map(lit): _*), col(s"__c$s") + 1))
