@@ -68,14 +68,25 @@ object DsirOps {
   def importanceWeightTable(raw: DataFrame, target: DataFrame,
                             idCol: String = "doc_id",
                             textCol: String = "text",
-                            numBuckets: Int = 1024): DataFrame = {
+                            numBuckets: Int = 1024): DataFrame =
+    weightTableFrom(featureBuckets(raw, idCol, textCol, numBuckets),
+      featureBuckets(target, idCol, textCol, numBuckets), numBuckets)
+
+  /** The weight table from ALREADY-FEATURIZED streams — the shared core
+    * of [[importanceWeightTable]] and [[selectTopN]] (which featurizes
+    * the raw corpus ONCE and reuses the stream for scoring; the md5
+    * feature hash over every token occurrence is the dominant kernel, so
+    * a second featurization pass is a second scan of the corpus).
+    * The totals derive from the bucket counts (sum of a ≤B-row table),
+    * not from a separate pass over the features.
+    */
+  private def weightTableFrom(fr: DataFrame, ft: DataFrame,
+                              numBuckets: Int): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val fr = featureBuckets(raw, idCol, textCol, numBuckets)
-    val ft = featureBuckets(target, idCol, textCol, numBuckets)
     val cr = fr.groupBy(col("b")).agg(count(lit(1)).as("n_raw"))
     val ct = ft.groupBy(col("b")).agg(count(lit(1)).as("n_target"))
-    val totR = fr.agg(count(lit(1)).as("tot_raw"))
-    val totT = ft.agg(count(lit(1)).as("tot_target"))
+    val totR = cr.agg(sum(col("n_raw")).as("tot_raw"))
+    val totT = ct.agg(sum(col("n_target")).as("tot_target"))
     cr.join(ct, Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("n_raw"), lit(0L)).as("n_raw"),
@@ -83,7 +94,7 @@ object DsirOps {
       .crossJoin(broadcast(totR))
       .crossJoin(broadcast(totT))
       .withColumn("w_scaled", wScaled(
-        col("n_target"), col("tot_target"),
+        coalesce(col("n_target"), lit(0L)), coalesce(col("tot_target"), lit(0L)),
         col("n_raw"), col("tot_raw"), numBuckets))
       .select(col("b"), col("n_raw"), col("n_target"), col("w_scaled"))
   }
@@ -127,8 +138,17 @@ object DsirOps {
   def selectTopN(raw: DataFrame, target: DataFrame, n: Int,
                  idCol: String = "doc_id", textCol: String = "text",
                  numBuckets: Int = 1024): DataFrame = {
-    val wt = importanceWeightTable(raw, target, idCol, textCol, numBuckets)
-    importanceWeights(raw, wt, idCol, textCol, numBuckets)
+    // featurize the raw corpus ONCE: the same stream feeds the raw-model
+    // counts and the scoring join (localCheckpoint materializes it so the
+    // two consumers don't each re-run the md5 feature kernel over every
+    // token — at 100 TB this is one corpus scan instead of two)
+    val fr = featureBuckets(raw, idCol, textCol, numBuckets).localCheckpoint()
+    val wt = weightTableFrom(fr,
+      featureBuckets(target, idCol, textCol, numBuckets), numBuckets)
+    fr.join(broadcast(wt.select(col("b"), col("w_scaled"))), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("logw_sum"))
+      .select(col("id").as(idCol), col("n_feats"), col("logw_sum"))
       .orderBy(col("logw_sum").desc, col(idCol))
       .limit(n)
   }

@@ -444,13 +444,21 @@ object TextOps {
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = corpus.select(col(idCol).as("did"),
-      explode(split(col(textCol), " ")).as("t"))
-    val tf = words.groupBy(col("did"), col("t")).agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy(col("did")).agg(count(lit(1)).as("dl"))
+    // ONE explode pass builds the postings table; doc lengths and the
+    // token total derive from it (sum of tf ≡ count of words) — the
+    // corpus text is scanned once, and the checkpointed postings feed
+    // their four consumers (df, dl, total, the scoring join) without
+    // re-running the tokenize+count pipeline per branch. At 100 TB the
+    // postings ARE the persisted inverted index; this plan builds it
+    // inline with the same shape.
+    val tf = corpus.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("did"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
-    val tot = words.agg(count(lit(1)).as("n_toks"))
+    val tot = tf.agg(sum(col("tf")).as("n_toks"))
     val qt = queries.select(col(idCol).as("qid"),
       explode(split(col(textCol), " ")).as("t")).distinct()
     val avgdl = col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)
