@@ -416,6 +416,21 @@ object TextOps {
       .drop("__scores")
   }
 
+  /** Canonical text normalization — the pre-dedup step every web corpus
+    * runs so that case/whitespace/punctuation noise doesn't defeat exact
+    * dedup: lowercase, collapse whitespace runs to one space, trim, and
+    * (optionally) strip every char outside [a-z0-9 ]. Returned as a
+    * Column so it fuses into whatever scan feeds the dedup — narrow,
+    * codegen'd, zero extra passes. `DedupOps.exact(docs.withColumn("t",
+    * normalizeText(col)), …)` is normalized exact dedup.
+    */
+  def normalizeText(text: Column, stripPunct: Boolean = false): Column = {
+    val collapsed = trim(regexp_replace(lower(text), "\\s+", " "))
+    if (stripPunct) trim(regexp_replace(
+      regexp_replace(collapsed, "[^a-z0-9 ]", ""), "\\s+", " "))
+    else collapsed
+  }
+
   /** BM25 scored retrieval (Robertson/Spärck Jones; the Okapi BM25
     * formula with k1 = 1.2, b = 0.75): for each query document, the
     * top-`k` corpus documents by summed BM25 term weight — the retrieval

@@ -1053,6 +1053,21 @@ object ExtensionQueries {
     "x92_source_report" -> { (s, dir) =>
       StatOps.sourceReport(spread(t(s, dir, "documents")))
         .orderBy("source")
+    },
+
+    // x93 — normalization-aware dup audit: distinct counts of the raw
+    // text vs its canonical form (lower/collapse-ws/trim, then the
+    // punct-stripped variant) — the "how much duplication does
+    // normalization reveal" number that decides whether a corpus deduos
+    // raw or canonical.
+    "x93_normalized_dup_stats" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      d.agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("text")).as("n_distinct_raw"),
+        count_distinct(TextOps.normalizeText(col("text")))
+          .as("n_distinct_norm"),
+        count_distinct(TextOps.normalizeText(col("text"), stripPunct = true))
+          .as("n_distinct_norm_nopunct"))
     }
   )
 
@@ -2327,6 +2342,22 @@ object ExtensionQueries {
         |    AND (dup_word_bp <= 3000) AND (alpha_word_bp >= 8000)
         |    AND (sym_bp <= 1000) AND (stop_hits >= 2)) AS keep
         | FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // Normalization mirror: lower → collapse \s+ → trim; the nopunct
+    // variant strips [^a-z0-9 ] then re-collapses.
+    "x93_normalized_dup_stats" ->
+      """WITH nrm AS (SELECT text,
+        |     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) n1
+        |   FROM documents),
+        | n2t AS (SELECT text, n1,
+        |     trim(regexp_replace(regexp_replace(n1, '[^a-z0-9 ]', '', 'g'),
+        |       '\s+', ' ', 'g')) n2
+        |   FROM nrm)
+        | SELECT count(*)::BIGINT AS n_docs,
+        |   count(DISTINCT text)::BIGINT AS n_distinct_raw,
+        |   count(DISTINCT n1)::BIGINT AS n_distinct_norm,
+        |   count(DISTINCT n2)::BIGINT AS n_distinct_norm_nopunct
+        | FROM n2t""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).

@@ -271,6 +271,28 @@ class Round13bOpsSpec extends SparkSpec {
     assert(shards == Seq(0L, 1L, 2L)) // starts 0, 5, 8 ÷ 4
   }
 
+  // -------------------------------------------------------- normalization
+
+  test("normalizeText canonicalizes case/whitespace/punct noise that " +
+      "defeats raw exact dedup") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, " hello\tworld "),
+      (4L, "hello, world!"), (5L, "different text"))
+      .toDF("doc_id", "text")
+    val norm = docs.select(
+      TextOps.normalizeText(col("text")).as("n1"),
+      TextOps.normalizeText(col("text"), stripPunct = true).as("n2"))
+      .collect()
+    assert(norm.map(_.getString(0)).take(3).distinct.length == 1)
+    // the comma survives plain normalization, dies with stripPunct
+    assert(norm.map(_.getString(0)).distinct.length == 3)
+    assert(norm.map(_.getString(1)).distinct.length == 2)
+    val kept = DedupOps.exact(
+      docs.withColumn("text", TextOps.normalizeText(col("text"), stripPunct = true)),
+      "doc_id", "text")
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+  }
+
   // --------------------------------------------------------- dataset card
 
   test("sourceReport aggregates counts, dup rate, and modal language") {
