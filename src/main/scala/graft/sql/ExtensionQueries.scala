@@ -1068,6 +1068,31 @@ object ExtensionQueries {
           .as("n_distinct_norm"),
         count_distinct(TextOps.normalizeText(col("text"), stripPunct = true))
           .as("n_distinct_norm_nopunct"))
+    },
+
+    // x94 — the END-TO-END training manifest, the round's capstone
+    // composite: quality gate (the x34 curation filter) → canonical-text
+    // exact dedup (x93's normalizer feeding x20's keep-min) → temperature
+    // (α=1/2) source rebalance (x58) → fixed-128-token sequence packing
+    // (x89). One lazy plan from raw documents to the loader manifest a
+    // training run reads — every stage narrow or combiner-condensed, the
+    // corpus never shuffled pairwise.
+    "x94_training_manifest" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val quality = TextOps.qualityScore(d)
+        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "source", "text")
+      val canon = quality.withColumn("__ct",
+        TextOps.normalizeText(col("text"), stripPunct = true))
+      val kept = DedupOps.exact(
+        canon.select(col("doc_id"), col("__ct")), "doc_id", "__ct")
+      val surv = canon.join(kept, Seq("doc_id"), "left_semi")
+      val bal = SampleOps.temperatureSample(surv, "doc_id", "source")
+      val toks = bal.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks_doc"))
+      SampleOps.packSequences(toks, "doc_id", "n_toks_doc", seqLen = 128)
+        .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
+        .orderBy("seq_id", "doc_id")
     }
   )
 
@@ -2358,6 +2383,47 @@ object ExtensionQueries {
         |   count(DISTINCT n1)::BIGINT AS n_distinct_norm,
         |   count(DISTINCT n2)::BIGINT AS n_distinct_norm_nopunct
         | FROM n2t""".stripMargin,
+
+    // Training-manifest mirror: quality gate → canonical keep-min dedup →
+    // x58 temperature rates over the SURVIVOR set → x89 packing windows.
+    "x94_training_manifest" ->
+      """WITH q AS (SELECT doc_id, source, text,
+        |     string_split(text,' ') w FROM documents),
+        | ql AS (SELECT doc_id, source, text FROM q
+        |   WHERE len(w) >= 20
+        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |       * 10000 / length(text)::DOUBLE) >= 7000),
+        | cn AS (SELECT doc_id, source, text,
+        |     trim(regexp_replace(regexp_replace(
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
+        |   FROM ql),
+        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
+        | surv AS (SELECT doc_id, source, text FROM cn
+        |   WHERE doc_id IN (SELECT k FROM keepd)),
+        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
+        | m AS (SELECT min(n) nmin FROM c),
+        | r AS (SELECT source,
+        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
+        |   FROM c, m),
+        | bal AS (SELECT s.doc_id, s.text FROM surv s
+        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
+        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000 < r.rate_bp),
+        | d2 AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n FROM bal),
+        | sto AS (SELECT doc_id, n,
+        |     coalesce(sum(n) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT st
+        |   FROM d2),
+        | x AS (SELECT doc_id, n, st,
+        |     unnest(range(st // 128, (st + n - 1) // 128 + 1)) seq_id
+        |   FROM sto WHERE n > 0)
+        | SELECT seq_id::BIGINT AS seq_id, doc_id,
+        |   greatest(st - seq_id*128, 0)::BIGINT AS seq_off,
+        |   greatest(seq_id*128 - st, 0)::BIGINT AS doc_off,
+        |   (least(st + n, seq_id*128 + 128)
+        |     - greatest(st, seq_id*128))::BIGINT AS n_toks
+        | FROM x ORDER BY seq_id, doc_id""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).

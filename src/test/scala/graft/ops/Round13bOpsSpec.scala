@@ -325,6 +325,40 @@ class Round13bOpsSpec extends SparkSpec {
     assert(out.getAs[String]("top_lang") == "de")
   }
 
+  // ---------------------------------------------------- manifest composite
+
+  test("training-manifest stages compose: quality gate, canonical dedup, " +
+      "rebalance, packing conserve what they should") {
+    val good = (0 until 30)
+      .map(i => "word" + ('a' + i / 10).toChar + ('a' + i % 10).toChar)
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", good),
+      (2L, "srcA", good.replace(" ", "  ") + ","), // canonical dup of doc 1
+      (3L, "srcA", good + " extraone"),
+      (4L, "srcB", good + " extratwo"),
+      (5L, "srcB", "123 456 789"))      // fails the alpha quality gate
+      .toDF("doc_id", "source", "text")
+    val quality = TextOps.qualityScore(docs)
+      .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+      .select("doc_id", "source", "text")
+    assert(quality.count() == 4L) // doc 5 gone
+    val canon = quality.withColumn("__ct",
+      TextOps.normalizeText(col("text"), stripPunct = true))
+    val kept = DedupOps.exact(
+      canon.select(col("doc_id"), col("__ct")), "doc_id", "__ct")
+    val surv = canon.join(kept, Seq("doc_id"), "left_semi")
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 4L)) // doc 2 collapsed into doc 1
+    val bal = SampleOps.temperatureSample(surv, "doc_id", "source")
+    val toks = bal.select(col("doc_id"),
+      size(split(col("text"), " "))
+        .cast(org.apache.spark.sql.types.LongType).as("n"))
+    val total = toks.agg(sum(col("n"))).collect().head.getLong(0)
+    val manifest = SampleOps.packSequences(toks, "doc_id", "n", seqLen = 16)
+    assert(manifest.agg(sum(col("n_toks"))).collect().head.getLong(0) == total)
+  }
+
   // --------------------------------------------------- degenerate inputs
 
   test("DSIR: empty target still yields finite weights for every doc") {
