@@ -422,6 +422,108 @@ object VectorOps {
         norm(col(vecCol)).as("cn"))
       .filter(col("cn") > 0) // zero-norm seed would swallow every cell
 
+  /** Driver-seeded codebook + codegen'd nearest-centroid assignment — the
+    * shared front half of [[semanticDedup]] and [[prototypicality]].
+    *
+    * Codebook on the DRIVER (k×dim floats — the k-means-state legitimacy
+    * class), assignment as ONE codegen'd argmax expression over it: one
+    * output row per vector, zero intermediate rows, no shuffle. (A
+    * crossJoin(broadcast(cent)) assignment would materialize n×k scored
+    * rows — n²/perCell at corpus-proportional k, the measured dominant
+    * term of the x65 decade run before this form.) Same seeding contract
+    * as [[seedCentroids]]: k LOWEST-id vectors, zero-norm seeds dropped
+    * AFTER the limit; ties → lowest cid.
+    *
+    * Returns (cells, codebook): `cells` = (id, v, nrm, cell) for every
+    * non-zero-norm vector; `codebook` = the kept (cid, cv, cn) seeds.
+    */
+  private def assignedCells(vecs: DataFrame, idCol: String, vecCol: String,
+                            numCentroids: Int, opName: String)
+      : (DataFrame, Array[(Long, Array[Float], Double)]) = {
+    val seeds = vecs.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map { r =>
+        // loud on a non-numeric id domain: a null from the long cast would
+        // otherwise NPE deep in row access with no parameter named
+        require(!r.isNullAt(0),
+          s"$opName: id column '$idCol' must cast to BIGINT for cell ids")
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }
+    val dims = seeds.map(_._2.length).distinct
+    require(dims.length <= 1,
+      s"$opName: mixed embedding dims in seed set: ${dims.mkString(",")}")
+    val kept = seeds.map { case (cid, cv) =>
+      // centroid norm on the driver — the same left fold as norm()
+      (cid, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }.filter(_._3 > 0)
+    require(kept.nonEmpty,
+      s"$opName: need at least one non-zero-norm seed centroid")
+    val assign = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("v")), Bridge.expression(col("nrm")),
+        kept.map(_._1), kept.flatMap(_._2), kept.map(_._3), dims.head))
+    }
+    (sided(vecs, idCol, vecCol, "id", "v", "nrm").withColumn("cell", assign),
+      kept)
+  }
+
+  /** Self-supervised prototypicality (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486): each vector's cosine similarity to its nearest
+    * centroid, reported in floor basis points. High score = prototypical
+    * (near its cluster center, redundant); low score = hard/atypical — in
+    * the abundant-data regime the paper prunes the MOST prototypical
+    * examples first.
+    *
+    * One codegen'd assignment pass over the corpus, then a k-row broadcast
+    * join to recompute the winning cosine — no shuffle of the corpus at
+    * all. Returns (idCol, cell, proto_bp) for every non-zero-norm vector
+    * (a zero-norm vector has no direction — excluded, the [[sided]]
+    * contract). Centroids are the k lowest-id vectors so the oracle is
+    * exact; at scale swap in [[kmeansCentroids]] — the plan is unchanged.
+    */
+  def prototypicality(vecs: DataFrame, idCol: String, vecCol: String,
+                      numCentroids: Int = 8): DataFrame = {
+    val (cells, kept) = assignedCells(vecs, idCol, vecCol, numCentroids,
+      "prototypicality")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cent = kept.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cell", "cv", "cn")
+    cells.join(broadcast(cent), Seq("cell"))
+      .withColumn("proto_bp",
+        floor(dot(col("v"), col("cv")) / (col("nrm") * col("cn")) * 10000)
+          .cast(LongType))
+      .select(col("id").as(idCol), col("cell"), col("proto_bp"))
+  }
+
+  /** Prototypicality-based data pruning (Sorscher et al. 2022): keep the
+    * HARDEST `keepBp`/10000 fraction of each cluster — rank within cell by
+    * ascending prototypicality (least prototypical first, ties → lowest
+    * id), keep rank ≤ ⌈n_cell · keepBp / 10000⌉. Per-cell (not global)
+    * selection is the paper's class-balance guard: a global cut would
+    * empty the tightest clusters. Ranking on the integer proto_bp keeps
+    * the keep-set free of cross-engine double-ordering hazards.
+    *
+    * Plan: the [[prototypicality]] scan plus ONE shuffle on the cell id
+    * for the two window functions — at 100 TB cells are the natural
+    * partition and nothing else moves.
+    */
+  def prototypePrune(vecs: DataFrame, idCol: String, vecCol: String,
+                     numCentroids: Int = 8, keepBp: Long = 5000): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000,
+      s"prototypePrune: keepBp must be in [0, 10000] (got $keepBp)")
+    val w = Window.partitionBy(col("cell")).orderBy(col("proto_bp"), col(idCol))
+    val wc = Window.partitionBy(col("cell"))
+    prototypicality(vecs, idCol, vecCol, numCentroids)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      // rk ≤ ⌈n·keepBp/10000⌉ ⇔ (rk−1)·10000 < n·keepBp — pure integers
+      .withColumn("keep", (col("rk") - 1) * 10000 < col("n_cell") * keepBp)
+      .select(col(idCol), col("cell"), col("proto_bp"), col("keep"))
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then drop near-
     * duplicates WITHIN each cluster — pairwise work becomes O(Σ cell²)
@@ -438,43 +540,11 @@ object VectorOps {
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 8, threshold: Double = 0.7): DataFrame = {
-    // Codebook on the DRIVER (k×dim floats — the k-means-state legitimacy
-    // class), assignment as ONE codegen'd argmax expression over it: one
-    // output row per vector, zero intermediate rows, no shuffle. The
-    // previous crossJoin(broadcast(cent)) assignment materialized n×k
-    // scored rows — n²/perCell at corpus-proportional k, and the measured
-    // dominant term of the x65 decade run (3.0× per sf2 doubling).
-    // Same seeding contract as seedCentroids: k LOWEST-id vectors,
-    // zero-norm seeds dropped AFTER the limit; ties → lowest cid.
-    val seeds = vecs.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).cast(LongType), col(vecCol)).collect()
-      .map { r =>
-        // loud on a non-numeric id domain: a null from the long cast would
-        // otherwise NPE deep in row access with no parameter named
-        require(!r.isNullAt(0),
-          s"semanticDedup: id column '$idCol' must cast to BIGINT for cell ids")
-        (r.getLong(0), r.getSeq[Float](1).toArray)
-      }
-    val dims = seeds.map(_._2.length).distinct
-    require(dims.length <= 1,
-      s"semanticDedup: mixed embedding dims in seed set: ${dims.mkString(",")}")
-    val kept = seeds.map { case (cid, cv) =>
-      // centroid norm on the driver — the same left fold as norm()
-      (cid, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-    }.filter(_._3 > 0)
-    require(kept.nonEmpty,
-      "semanticDedup: need at least one non-zero-norm seed centroid")
-    val assign = {
-      import org.apache.spark.sql.graftbridge.Bridge
-      Bridge.column(graft.functions.NearestCentroid(
-        Bridge.expression(col("v")), Bridge.expression(col("nrm")),
-        kept.map(_._1), kept.flatMap(_._2), kept.map(_._3), dims.head))
-    }
     // localCheckpoint: cells feeds BOTH sides of the pair join below —
     // without materialization the assignment pipeline (the expensive
     // stage) would evaluate once per branch
-    val cells = sided(vecs, idCol, vecCol, "id", "v", "nrm")
-      .withColumn("cell", assign)
+    val cells = assignedCells(vecs, idCol, vecCol, numCentroids,
+        "semanticDedup")._1
       .localCheckpoint()
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

@@ -1093,6 +1093,14 @@ object ExtensionQueries {
       SampleOps.packSequences(toks, "doc_id", "n_toks_doc", seqLen = 128)
         .select("seq_id", "doc_id", "seq_off", "doc_off", "n_toks")
         .orderBy("seq_id", "doc_id")
+    },
+
+    // x95 — prototypicality pruning (Sorscher 2022): 8 seed cells, keep
+    // the hardest 50% of each cell (ascending cosine-to-centroid rank).
+    "x95_prototype_pruning" -> { (s, dir) =>
+      VectorOps.prototypePrune(spread(t(s, dir, "embeddings")), "vec_id",
+          "embedding", numCentroids = 8, keepBp = 5000)
+        .orderBy("vec_id")
     }
   )
 
@@ -2424,6 +2432,28 @@ object ExtensionQueries {
         |   (least(st + n, seq_id*128 + 128)
         |     - greatest(st, seq_id*128))::BIGINT AS n_toks
         | FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // Prototypicality mirror: the x42/x65 assignment CTEs (argmax cosine,
+    // ties → lowest cid) with the winning cosine kept and floored to bp;
+    // keep = rank ≤ ⌈n_cell·keepBp/10000⌉ in the pure-integer form.
+    "x95_prototype_pruning" ->
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+         |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
+         | cent AS ${seedCentSql(8)},
+         | ca AS (SELECT v.vec_id id, cent.cid,
+         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+         |   FROM v CROSS JOIN cent),
+         | ranked AS (SELECT id, cid, ccos,
+         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+         |   FROM ca),
+         | cells AS (SELECT id, cid cell,
+         |     floor(ccos * 10000)::BIGINT proto_bp FROM ranked WHERE crk = 1),
+         | k AS (SELECT id, cell, proto_bp,
+         |     row_number() OVER (PARTITION BY cell ORDER BY proto_bp, id) rk,
+         |     count(*) OVER (PARTITION BY cell) n FROM cells)
+         | SELECT id AS vec_id, cell, proto_bp,
+         |   ((rk - 1) * 10000 < n * 5000) AS keep
+         | FROM k ORDER BY vec_id""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).
