@@ -127,4 +127,42 @@ object LmOps {
         floor(col("nll_sum").cast("double") / col("n_bigrams").cast("double"))
           .cast(LongType).as("avg_nll_scaled"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * score documents under the bigram model, then WITHIN EACH LANGUAGE
+    * split into perplexity terciles — head = the most fluent third
+    * (lowest mean NLL), tail = the most gibberish-like. CCNet trains on
+    * head, samples middle, drops tail; the bucket label is the artifact.
+    *
+    * Per-language (not global) terciles are the paper's core move: a
+    * global cut would file every low-resource language under "tail".
+    * `ntile(3)` runs over `(avg_nll_scaled, id)` — an INTEGER score with
+    * an id tie-break, so bucket boundaries carry no cross-engine
+    * double-ordering hazard. Docs with < 2 tokens carry no bigram
+    * evidence and emit no row (the [[scoreBigramNll]] contract).
+    *
+    * Plan: the scoring joins plus ONE shuffle on the language key for the
+    * ntile window. A language is a coarse partition at 100 TB (English is
+    * half the crawl); when one language outgrows a partition, compute the
+    * two tercile BOUNDARY values per language instead (the x50 exact
+    * per-group quantile machinery) and bucket by broadcast comparison —
+    * same labels up to boundary ties, corpus never sorts.
+    */
+  def ccnetBuckets(docs: DataFrame, model: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll_scaled"), col(idCol))
+    scoreBigramNll(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("tercile", ntile(3).over(w).cast(LongType))
+      .withColumn("bucket",
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("avg_nll_scaled"),
+        col("tercile"), col("bucket"))
+  }
 }

@@ -1101,6 +1101,14 @@ object ExtensionQueries {
       VectorOps.prototypePrune(spread(t(s, dir, "embeddings")), "vec_id",
           "embedding", numCentroids = 8, keepBp = 5000)
         .orderBy("vec_id")
+    },
+
+    // x96 — CCNet head/middle/tail: per-language perplexity terciles
+    // under the x83 bigram model (head = most fluent third per language).
+    "x96_ccnet_buckets" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val model = LmOps.trainBigramLm(d).localCheckpoint()
+      LmOps.ccnetBuckets(d, model).orderBy("doc_id")
     }
   )
 
@@ -2454,6 +2462,32 @@ object ExtensionQueries {
          | SELECT id AS vec_id, cell, proto_bp,
          |   ((rk - 1) * 10000 < n * 5000) AS keep
          | FROM k ORDER BY vec_id""".stripMargin,
+
+    // CCNet mirror: the x83 scoring CTEs + per-language ntile(3) over the
+    // integer score with the doc_id tie-break.
+    "x96_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | big AS (SELECT doc_id, unnest(list_transform(
+        |          range(1, greatest(len(w)-1,0)+1),
+        |          k -> w[k::INT] || ' ' || w[k::INT+1])) s FROM w),
+        | c2 AS (SELECT s, count(*) n2 FROM big GROUP BY 1),
+        | c1 AS (SELECT split_part(s,' ',1) w1, count(*) n1 FROM big GROUP BY 1),
+        | v AS (SELECT count(DISTINCT t) v FROM
+        |   (SELECT unnest(string_split(text,' ')) t FROM documents)),
+        | m AS (SELECT s,
+        |     floor(ln((n1 + v.v)::DOUBLE / (n2 + 1)::DOUBLE) * 1000000)::BIGINT nll
+        |   FROM c2 JOIN c1 ON split_part(c2.s,' ',1) = c1.w1 CROSS JOIN v),
+        | sc AS (SELECT doc_id,
+        |     floor(sum(nll)::DOUBLE / count(*)::DOUBLE)::BIGINT avg_nll_scaled
+        |   FROM big JOIN m USING (s) GROUP BY doc_id),
+        | t AS (SELECT sc.doc_id, d.lang, avg_nll_scaled,
+        |     ntile(3) OVER (PARTITION BY d.lang
+        |       ORDER BY avg_nll_scaled, sc.doc_id) tc
+        |   FROM sc JOIN documents d USING (doc_id))
+        | SELECT doc_id, lang, avg_nll_scaled, tc::BIGINT AS tercile,
+        |   CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |     ELSE 'tail' END AS bucket
+        | FROM t ORDER BY doc_id""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).

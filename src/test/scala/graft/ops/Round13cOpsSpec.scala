@@ -54,4 +54,34 @@ class Round13cOpsSpec extends SparkSpec {
       VectorOps.prototypePrune(vecs, "vec_id", "embedding", 1, 10001)
     }
   }
+
+  // ------------------------------------------------------ CCNet buckets
+
+  test("ccnetBuckets terciles within language, head = lowest NLL") {
+    // lang A: 6 scoreable docs (terciles of 2); lang B: 1 doc (all head).
+    // "x x" repeated bigrams are cheap; rare bigrams are expensive.
+    val docs = Seq(
+      (1L, "x x x x x x x x", "A"), (2L, "x x x x x x x x", "A"),
+      (3L, "x x x q1 x x", "A"), (4L, "x x q2 x x", "A"),
+      (5L, "q3 q4 q5 q6", "A"), (6L, "q7 q8 q9 q10", "A"),
+      (7L, "x x", "B"), (8L, "solo", "B")) // 8: 1 token → no row
+      .toDF("doc_id", "text", "lang")
+    val model = LmOps.trainBigramLm(docs)
+    val out = LmOps.ccnetBuckets(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getLong(3)))).toMap
+    assert(!out.contains(8L))
+    assert(out(1L) == (("head", 1L)) && out(2L) == (("head", 1L)))
+    assert(out(3L)._1 == "middle" && out(4L)._1 == "middle")
+    assert(out(5L)._1 == "tail" && out(6L)._1 == "tail")
+    assert(out(7L) == (("head", 1L))) // per-language: B's only doc is head
+  }
+
+  test("ccnetBuckets tie docs split deterministically by id") {
+    val docs = Seq((1L, "a b", "A"), (2L, "a b", "A"), (3L, "a b", "A"))
+      .toDF("doc_id", "text", "lang")
+    val model = LmOps.trainBigramLm(docs)
+    val b = LmOps.ccnetBuckets(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(b == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
 }
