@@ -172,6 +172,34 @@ object SampleOps {
       .drop("__pid", "__off")
   }
 
+  /** Deterministic training-order shuffle: the global pseudo-random
+    * permutation + sharding a pretraining loader consumes. Every epoch's
+    * order is a pure function of (epoch, id) — rank by
+    * `(hash60(epoch || '_' || id), id)` — so any worker can recompute any
+    * epoch's layout with no stored state and no `rand()`; re-runs and
+    * stragglers see the identical order. `shard = global_pos %
+    * numShards` (round-robin over the permutation) gives EXACT shard
+    * balance (±1 row), and `shard_pos = global_pos div numShards` is the
+    * row's offset within its shard file.
+    *
+    * Plan: one narrow hash projection, then [[globalRowIndex]]'s
+    * distributed prefix sum over the hash order — a range repartition +
+    * per-partition windows + a partition-count broadcast; never a global
+    * single-partition window. Rows keep all input columns.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int,
+                   epoch: Long = 0L): DataFrame = {
+    require(numShards > 0, s"shuffleOrder: numShards must be > 0 (got $numShards)")
+    val h = TextOps.hash60(
+      concat(lit(s"${epoch}_"), col(idCol).cast("string")))
+    globalRowIndex(df.withColumn("__h", h),
+        Seq(col("__h"), col(idCol)), "global_pos")
+      .withColumn("shard", (col("global_pos") % numShards).cast(LongType))
+      .withColumn("shard_pos",
+        expr(s"global_pos div $numShards").cast(LongType))
+      .drop("__h")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (basis
     * points), e.g. Map("en" -> 5000) with default 1000 = keep 50% of
     * English rows, 10% of everything else. The rebalancing primitive of

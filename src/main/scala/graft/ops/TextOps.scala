@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -115,6 +116,68 @@ object TextOps {
         when(nBigrams > 0,
           bp(nBigrams - size(wordShingles(col(textCol), 2)), nBigrams))
           .otherwise(lit(0L)))
+  }
+
+  /** Gopher's n-gram repetition family in full (Rae et al. 2021 §A.1.1):
+    * per document and n ∈ [minN, maxN], the character coverage of the MOST
+    * COMMON word n-gram (`top_bp`) and of ALL duplicated n-grams
+    * (`dup_bp`), in basis points of the document's character length —
+    * Gopher thresholds the top-gram family at n = 2..4 and the dup-gram
+    * family at n = 5..10; this emits both signals for every n so the
+    * decision layer (x88-style) picks its own cuts.
+    *
+    * Coverage = occurrences × n-gram char length, CAPPED at 10000:
+    * overlapping occurrences overcount characters (the standard
+    * approximation — exact position-marking is not expressible without a
+    * per-doc bitmap), so the cap keeps the signal a fraction. Ties for
+    * the top gram break lexicographically; all arithmetic is integral
+    * (`div`), so the oracle matches bit-for-bit. Docs shorter than n
+    * words emit no row for that n; empty docs emit nothing.
+    *
+    * Plan: ONE pass over the text builds every (n, gram) occurrence via a
+    * fused transform/slice projection (no re-scan per n), then one
+    * doc-keyed count and one doc-keyed window — three doc-scoped
+    * shuffles, no global state, rows ∝ (maxN − minN + 1) × tokens.
+    */
+  def topNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       minN: Int = 2, maxN: Int = 10): DataFrame = {
+    require(minN >= 1 && minN <= maxN,
+      s"topNgramCoverage: need 1 <= minN <= maxN (got $minN..$maxN)")
+    val w = col("__w")
+    // per-n positional grams; the size guard dodges Spark's DESCENDING
+    // sequence(1, 0) on short docs (the LmOps.bigrams hazard)
+    def gramStructs(n: Int): Column = {
+      val grams = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          k => concat_ws(" ", slice(w, k, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      transform(grams, g => struct(lit(n).cast(LongType).as("n"), g.as("g")))
+    }
+    val occurrences = docs
+      .filter(length(col(textCol)) > 0)
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol), length(col(textCol)).cast(LongType).as("__len"),
+        explode(flatten(array((minN to maxN).map(gramStructs): _*))).as("__x"))
+      .select(col(idCol), col("__len"),
+        col("__x.n").as("n"), col("__x.g").as("g"))
+    val counts = occurrences
+      .groupBy(col(idCol), col("__len"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("glen", length(col("g")).cast(LongType))
+    val byTop = Window.partitionBy(col(idCol), col("n"))
+      .orderBy(col("cnt").desc, col("g"))
+    val perN = Window.partitionBy(col(idCol), col("n"))
+    counts
+      .withColumn("rk", row_number().over(byTop))
+      .withColumn("dupc",
+        sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(lit(0L)))
+          .over(perN))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("n"), col("g").as("top_gram"),
+        col("cnt").as("top_cnt"),
+        least(expr("(cnt * glen * 10000) div __len"), lit(10000L)).as("top_bp"),
+        least(expr("(dupc * 10000) div __len"), lit(10000L)).as("dup_bp"))
   }
 
   /** Compression-ratio quality signal (Gopher §A.1.1): DEFLATE-compressed

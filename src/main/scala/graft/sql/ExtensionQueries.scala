@@ -1109,6 +1109,22 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       val model = LmOps.trainBigramLm(d).localCheckpoint()
       LmOps.ccnetBuckets(d, model).orderBy("doc_id")
+    },
+
+    // x97 — Gopher's full n-gram repetition family: per doc and
+    // n ∈ [2,10], top-gram and duplicated-gram character coverage.
+    "x97_topgram_coverage" -> { (s, dir) =>
+      TextOps.topNgramCoverage(spread(t(s, dir, "documents")))
+        .orderBy("doc_id", "n")
+    },
+
+    // x98 — epoch-0 training-order shuffle into 8 shards: the
+    // deterministic permutation + round-robin layout a loader replays.
+    "x98_shuffle_order" -> { (s, dir) =>
+      SampleOps.shuffleOrder(spread(t(s, dir, "documents")), "doc_id",
+          numShards = 8, epoch = 0L)
+        .select("doc_id", "global_pos", "shard", "shard_pos")
+        .orderBy("doc_id")
     }
   )
 
@@ -2488,6 +2504,41 @@ object ExtensionQueries {
         |   CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |     ELSE 'tail' END AS bucket
         | FROM t ORDER BY doc_id""".stripMargin,
+
+    // Top-n-gram mirror: positional grams per n ∈ [2,10], count + window,
+    // integral // division, both coverages capped at 10000 bp.
+    "x97_topgram_coverage" ->
+      """WITH w AS (SELECT doc_id, length(text)::BIGINT len,
+        |     string_split(text,' ') w FROM documents WHERE length(text) > 0),
+        | g AS (SELECT doc_id, len, n, unnest(list_transform(
+        |     range(1, greatest(len(w) - (n - 1), 0) + 1),
+        |     k -> array_to_string(list_slice(w, k::INT, (k + n - 1)::INT), ' '))) gram
+        |   FROM w CROSS JOIN (SELECT unnest(range(2, 11)) n)),
+        | c AS (SELECT doc_id, len, n, gram, count(*)::BIGINT cnt,
+        |     length(gram)::BIGINT glen
+        |   FROM g GROUP BY doc_id, len, n, gram),
+        | t AS (SELECT doc_id, len, n, gram, cnt, glen,
+        |     row_number() OVER (PARTITION BY doc_id, n
+        |       ORDER BY cnt DESC, gram) rk,
+        |     sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+        |       OVER (PARTITION BY doc_id, n)::BIGINT dupc
+        |   FROM c)
+        | SELECT doc_id, n::BIGINT AS n, gram AS top_gram, cnt AS top_cnt,
+        |   least((cnt * glen * 10000) // len, 10000)::BIGINT AS top_bp,
+        |   least((dupc * 10000) // len, 10000)::BIGINT AS dup_bp
+        | FROM t WHERE rk = 1 ORDER BY doc_id, n""".stripMargin,
+
+    // Shuffle-order mirror: rank by (hash60('0_'||id), id); shard =
+    // round-robin over the 0-based global position.
+    "x98_shuffle_order" ->
+      """WITH h AS (SELECT doc_id,
+        |     ('0x' || substr(md5('0_' || doc_id::VARCHAR), 1, 15))::BIGINT h
+        |   FROM documents),
+        | r AS (SELECT doc_id,
+        |     row_number() OVER (ORDER BY h, doc_id) - 1 gp FROM h)
+        | SELECT doc_id, gp::BIGINT AS global_pos, (gp % 8)::BIGINT AS shard,
+        |   (gp // 8)::BIGINT AS shard_pos
+        | FROM r ORDER BY doc_id""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).

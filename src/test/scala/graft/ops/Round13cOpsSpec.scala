@@ -84,4 +84,55 @@ class Round13cOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(b == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
   }
+
+  // ------------------------------------------------- top-n-gram coverage
+
+  test("topNgramCoverage: top gram, tie break, coverage bp, cap") {
+    // doc 1: "ab cd ab cd ab" len=14; bigrams: "ab cd"×2, "cd ab"×2,
+    // tie → "ab cd" (lex); top_bp = 2*5*10000 div 14 = 7142 (no cap)
+    val docs = Seq((1L, "ab cd ab cd ab"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextOps.topNgramCoverage(docs, minN = 2, maxN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out((1L, 2L)) == (("ab cd", 2L, 7142L,
+      10000L))) // dupc = 2*5 + 2*5 = 20 chars > len 14 → capped
+    // doc 2 len=5: "x x"×2 overlapping → 2*3*10000 div 5 = 12000 → capped
+    assert(out((2L, 2L)) == (("x x", 2L, 10000L, 10000L)))
+    // n=3: doc 2 has one gram "x x x" ×1 → top 10000 (5*10000 div 5), dup 0
+    assert(out((2L, 3L)) == (("x x x", 1L, 10000L, 0L)))
+  }
+
+  test("topNgramCoverage: short docs emit no row for large n") {
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.topNgramCoverage(docs, minN = 2, maxN = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  // --------------------------------------------------- shuffleOrder
+
+  test("shuffleOrder: a permutation with exact round-robin shard balance") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = SampleOps.shuffleOrder(docs, "doc_id", numShards = 8)
+      .select("doc_id", "global_pos", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sorted.toSeq == (0L until 100L)) // a permutation
+    val sizes = out.groupBy(_._3).map(_._2.size).toSet
+    assert(sizes.subsetOf(Set(12, 13))) // 100 over 8 shards: ±1 balance
+    out.foreach { case (_, gp, sh, sp) =>
+      assert(sh == gp % 8 && sp == gp / 8)
+    }
+    // not the identity order: the hash actually permutes
+    assert(out.sortBy(_._1).map(_._2).toSeq != (0L until 100L))
+  }
+
+  test("shuffleOrder: epochs permute differently but deterministically") {
+    val docs = (1L to 50L).map(i => (i, "t")).toDF("doc_id", "text")
+    def order(epoch: Long) =
+      SampleOps.shuffleOrder(docs, "doc_id", 4, epoch)
+        .select("doc_id", "global_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = order(0L)
+    assert(order(0L) == e0)    // replayable
+    assert(order(1L) != e0)    // epoch reshuffles
+  }
 }
