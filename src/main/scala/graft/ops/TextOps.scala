@@ -135,9 +135,12 @@ object TextOps {
     * words emit no row for that n; empty docs emit nothing.
     *
     * Plan: ONE pass over the text builds every (n, gram) occurrence via a
-    * fused transform/slice projection (no re-scan per n), then one
-    * doc-keyed count and one doc-keyed window — three doc-scoped
-    * shuffles, no global state, rows ∝ (maxN − minN + 1) × tokens.
+    * fused transform/slice projection (no re-scan per n), then TWO
+    * map-side-combinable aggregations — the (doc, n, gram) count and a
+    * (doc, n) `min(struct(-cnt, gram))` argmax + conditional sum. No
+    * window, no sort: both shuffles condense map-side and the second
+    * carries one row per (doc, n). All shuffles doc-scoped, rows ∝
+    * (maxN − minN + 1) × tokens.
     */
   def topNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
@@ -165,16 +168,19 @@ object TextOps {
       .groupBy(col(idCol), col("__len"), col("n"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("glen", length(col("g")).cast(LongType))
-    val byTop = Window.partitionBy(col(idCol), col("n"))
-      .orderBy(col("cnt").desc, col("g"))
-    val perN = Window.partitionBy(col(idCol), col("n"))
+    // argmax-by-count with the lexicographic tie via ONE struct ordering:
+    // min(struct(-cnt, gram)) = largest count, then smallest gram —
+    // map-side combinable, where a row_number window would re-shuffle and
+    // sort every gram row
     counts
-      .withColumn("rk", row_number().over(byTop))
-      .withColumn("dupc",
+      .groupBy(col(idCol), col("__len"), col("n"))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("g"), col("glen"))).as("top"),
         sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(lit(0L)))
-          .over(perN))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("n"), col("g").as("top_gram"),
+          .as("dupc"))
+      .withColumn("cnt", -col("top.nc"))
+      .withColumn("glen", col("top.glen"))
+      .select(col(idCol), col("n"), col("top.g").as("top_gram"),
         col("cnt").as("top_cnt"),
         least(expr("(cnt * glen * 10000) div __len"), lit(10000L)).as("top_bp"),
         least(expr("(dupc * 10000) div __len"), lit(10000L)).as("dup_bp"))
