@@ -422,6 +422,81 @@ object VectorOps {
         norm(col(vecCol)).as("cn"))
       .filter(col("cn") > 0) // zero-norm seed would swallow every cell
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most SIMILAR corpus vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive/metric loss, vs the
+    * uninformative random negatives of in-batch sampling. Same plan as
+    * [[bruteForceTopK]] (scan the corpus once, broadcast the queries)
+    * with the label inequality fused into the join predicate, so
+    * same-label pairs never materialize. Null-safe: a null label differs
+    * from every non-null label and matches null (both engines'
+    * IS DISTINCT FROM). Output contract = [[rankTopK]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"), col(labelCol).as("qlab"))
+      .filter(col("qn") > 0)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        norm(col(vecCol)).as("nn"), col(labelCol).as("nlab"))
+      .filter(col("nn") > 0)
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && !(col("qlab") <=> col("nlab")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    rankTopK(scored, k)
+  }
+
+  /** kNN label-noise detection (confident-learning-style label QA, cf.
+    * Northcutt et al. 2021, arXiv:1911.00068): flag a labeled vector when
+    * the MAJORITY label of its k nearest neighbors disagrees with its own
+    * — the standard first-pass audit of a labeled/weakly-labeled corpus.
+    *
+    * Neighbors are restricted to the vector's cluster cell
+    * ([[assignedCells]], centroid count = max(8, n/perCell) — the x65
+    * corpus-proportional sizing, so expected cell size and the per-cell
+    * pair term stay CONSTANT as the corpus grows); cross-cell neighbors
+    * are missed by construction (the SemDeDup approximation, bounded by
+    * cluster quality). Majority ties → smallest label (integer
+    * `min(struct(-cnt, label))`, map-side combinable); rank ties → lowest
+    * neighbor id over bit-exact doubles. Vectors alone in their cell have
+    * no neighbors and emit no row.
+    *
+    * Returns (idCol, label, cell, n_nbrs, maj_label, noisy).
+    */
+  def knnLabelNoise(vecs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int = 5,
+                    perCell: Int = 32): DataFrame = {
+    require(k > 0, s"knnLabelNoise: k must be positive (got $k)")
+    require(perCell > 0, s"knnLabelNoise: perCell must be positive")
+    val numCentroids = math.max(8L, vecs.count() / perCell)
+    require(numCentroids <= Int.MaxValue, "centroid count overflows Int")
+    val (cells0, _) = assignedCells(vecs, idCol, vecCol,
+      numCentroids.toInt, "knnLabelNoise")
+    val cells = cells0
+      .join(vecs.select(col(idCol).as("id"),
+        col(labelCol).cast(LongType).as("lab")), Seq("id"))
+      // feeds both sides of the pair join — materialize the assignment once
+      .localCheckpoint()
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("a.lab").as("lab"),
+        col("a.cell").as("cell"), col("b.id").as("nid"),
+        col("b.lab").as("nlab"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nid"))
+    pairs
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("id"), col("lab"), col("cell"), col("nlab"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"), col("lab"), col("cell"))
+      .agg(sum(col("cnt")).as("n_nbrs"),
+        min(struct((-col("cnt")).as("nc"), col("nlab"))).as("m"))
+      .select(col("id").as(idCol), col("lab").as("label"), col("cell"),
+        col("n_nbrs"), col("m.nlab").as("maj_label"),
+        (!(col("m.nlab") <=> col("lab"))).as("noisy"))
+  }
+
   /** Driver-seeded codebook + codegen'd nearest-centroid assignment — the
     * shared front half of [[semanticDedup]] and [[prototypicality]].
     *

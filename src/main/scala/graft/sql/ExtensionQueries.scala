@@ -1125,6 +1125,24 @@ object ExtensionQueries {
           numShards = 8, epoch = 0L)
         .select("doc_id", "global_pos", "shard", "shard_pos")
         .orderBy("doc_id")
+    },
+
+    // x99 — hard-negative mining: for the 20 lowest-id query vectors, the
+    // 5 most similar corpus vectors with a different label (the x25 scan
+    // shape with the label inequality fused into the join).
+    "x99_hard_negatives" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      VectorOps.hardNegatives(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", "label", 5)
+        .orderBy("qid", "nid")
+    },
+
+    // x100 — kNN label-noise audit: majority label of the 5 nearest
+    // same-cell neighbors vs own label, corpus-proportional cells.
+    "x100_label_noise" -> { (s, dir) =>
+      VectorOps.knnLabelNoise(spread(t(s, dir, "embeddings")), "vec_id",
+          "embedding", "label", k = 5, perCell = 32)
+        .orderBy("vec_id")
     }
   )
 
@@ -2539,6 +2557,56 @@ object ExtensionQueries {
         | SELECT doc_id, gp::BIGINT AS global_pos, (gp % 8)::BIGINT AS shard,
         |   (gp // 8)::BIGINT AS shard_pos
         | FROM r ORDER BY doc_id""".stripMargin,
+
+    // Hard-negative mirror: the x25 brute CTEs with the label inequality
+    // (IS DISTINCT FROM = Spark's !(<=>)) in the join.
+    "x99_hard_negatives" ->
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |     ${normSql("embedding")} nrm FROM embeddings) WHERE nrm > 0),
+         | s_hn AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) cos
+         |   FROM v c JOIN v q ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |     AND q.label IS DISTINCT FROM c.label),
+         | r_hn AS (SELECT qid, nid, cos,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_hn)
+         | SELECT qid, nid, rk::BIGINT AS rk,
+         |   floor(cos * 10000)::BIGINT AS cos_bp
+         | FROM r_hn WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    // Label-noise mirror: the x65 corpus-proportional assignment CTEs
+    // carrying the label, within-cell kNN, majority via (cnt desc, label)
+    // rank — ties → smallest label, same as min(struct(-cnt, label)).
+    "x100_label_noise" ->
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+         |     label::BIGINT lab, ${normSql("embedding")} nrm
+         |   FROM embeddings) WHERE nrm > 0),
+         | nk AS (SELECT greatest(8, count(*) // 32) k FROM embeddings),
+         | cent AS (SELECT cid, cv, cn FROM (
+         |     SELECT vec_id cid, embedding cv, ${normSql("embedding")} cn,
+         |       row_number() OVER (ORDER BY vec_id) rn FROM embeddings)
+         |   CROSS JOIN nk WHERE rn <= k AND cn > 0),
+         | ca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, v.lab, cent.cid,
+         |     ${dotSql("v.embedding", "cent.cv")} / (v.nrm * cent.cn) ccos
+         |   FROM v CROSS JOIN cent),
+         | ranked AS (SELECT id, vec, nrm, lab, cid,
+         |     row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) crk
+         |   FROM ca),
+         | cl AS (SELECT id, vec, nrm, lab, cid cell FROM ranked WHERE crk = 1),
+         | p AS (SELECT a.id, a.lab, a.cell, b.id nid, b.lab nlab,
+         |     ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm) cos
+         |   FROM cl a JOIN cl b ON a.cell = b.cell AND a.id <> b.id),
+         | r AS (SELECT id, lab, cell, nid, nlab,
+         |     row_number() OVER (PARTITION BY id ORDER BY cos DESC, nid) rk
+         |   FROM p),
+         | t AS (SELECT id, lab, cell, nlab, count(*)::BIGINT cnt
+         |   FROM r WHERE rk <= 5 GROUP BY id, lab, cell, nlab),
+         | m AS (SELECT id, lab, cell, nlab, cnt,
+         |     row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) mrk,
+         |     sum(cnt) OVER (PARTITION BY id) n_nbrs FROM t)
+         | SELECT id AS vec_id, lab AS label, cell, n_nbrs::BIGINT AS n_nbrs,
+         |   nlab AS maj_label, (nlab IS DISTINCT FROM lab) AS noisy
+         | FROM m WHERE mrk = 1 ORDER BY vec_id""".stripMargin,
 
     // Dataset-card mirror: the x88 keep conjunction inlined, per-source
     // aggregates, deterministic language mode ((count desc, lang asc)).

@@ -135,4 +135,44 @@ class Round13cOpsSpec extends SparkSpec {
     assert(order(0L) == e0)    // replayable
     assert(order(1L) != e0)    // epoch reshuffles
   }
+
+  // ------------------------------------------------------ hardNegatives
+
+  test("hardNegatives ranks only different-label corpus vectors") {
+    val e = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0), // same label
+      (3L, Array(0.8f, 0.2f), 1), (4L, Array(0f, 1f), 1), // negatives
+      (5L, Array(0.99f, 0.05f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.hardNegatives(e.filter(col("vec_id") === 1), e,
+        "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // top-2 negatives of vec 1 (label 0): 5 (label 2, cos≈0.999) then 3
+    // (label 1, cos≈0.970); same-label vec 2 never appears
+    assert(out.toSeq == Seq((5L, 1L), (3L, 2L)))
+  }
+
+  // ------------------------------------------------------ knnLabelNoise
+
+  test("knnLabelNoise flags minority labels; singleton cells emit no row") {
+    // the 8 lowest ids are the seed centroids: identical seeds tie to the
+    // LOWEST cid, so ids 1-4 share cell 1 (+x), ids 5-7 cell 5 (+y), and
+    // id 8 (+z) is a seed alone in its own cell. Ids 9/10 assign to their
+    // nearest cluster. Id 4 is the mislabeled member of cell 1.
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f), 0), (4L, Array(1f, 0f, 0f), 1), // noisy
+      (5L, Array(0f, 1f, 0f), 1), (6L, Array(0f, 1f, 0f), 1),
+      (7L, Array(0f, 1f, 0f), 1), (8L, Array(0f, 0f, 1f), 0), // singleton
+      (9L, Array(0.99f, 0.01f, 0f), 0), (10L, Array(0f, 0.99f, 0.01f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.knnLabelNoise(e, "vec_id", "embedding", "label",
+        k = 3, perCell = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(!out.contains(8L)) // alone in its cell: no neighbors, no row
+    assert(out(4L) == ((1L, 0L, true))) // nbrs 1,2,3 all label 0 vs own 1
+    Seq(1L, 2L, 3L, 9L).foreach(i => assert(out(i) == ((1L, 0L, false))))
+    Seq(5L, 6L, 7L, 10L).foreach(i => assert(out(i) == ((5L, 1L, false))))
+  }
 }
