@@ -168,4 +168,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"offsets shuffled the corpus:\n$p")
   }
+
+  test("x95: the k-row codebook broadcasts; the corpus never cross-joins") {
+    val p = plan(ExtensionQueries.queries, "x95_prototype_pruning")
+    // assignment is one codegen'd NearestCentroid projection; the winning
+    // cosine recompute joins the k-row centroid frame broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"codebook shuffled the corpus:\n$p")
+  }
+
+  test("x97: n-gram coverage is aggregation-only — no join, no window") {
+    val p = plan(ExtensionQueries.queries, "x97_topgram_coverage")
+    // the min(struct) argmax replaced the per-gram row_number window: the
+    // plan must be scan → explode → two combining hash aggregations
+    assert(!p.contains("Window"), s"argmax regressed to a window:\n$p")
+    assert(!p.contains("Join"), s"coverage planned a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("x98: shuffle order rides the prefix-sum broadcast, no merge join") {
+    val p = plan(ExtensionQueries.queries, "x98_shuffle_order")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"offsets shuffled the corpus:\n$p")
+  }
+
+  test("x99: hard negatives scan the corpus once, queries broadcast") {
+    val p = plan(ExtensionQueries.queries, "x99_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x100: label noise pairs only within cells — no cartesian product") {
+    val p = plan(ExtensionQueries.queries, "x100_label_noise")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
