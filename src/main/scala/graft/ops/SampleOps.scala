@@ -306,4 +306,70 @@ object SampleOps {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Epoch UP-sampling to target mixture weights under a doc budget — the
+    * dual of [[mixtureSample]], and the missing half of mix assembly:
+    * when a domain's target share `w_d · totalDocs` EXCEEDS its corpus
+    * size, the domain is repeated for multiple epochs (the LLaMA-1 /
+    * Pile recipe: books and wiki run 2+ epochs while web runs <1),
+    * capped at `maxEpochs` (repeating a small source too often degrades
+    * the model faster than the share shortfall does — the cap is
+    * reported via the realized counts, never silently reassigned to
+    * other domains).
+    *
+    * Per domain: `want = floor(w_d · totalDocs)` (ONE correctly-rounded
+    * double multiply, then integer math only); full epochs
+    * `full = min(want div n_d, maxEpochs)`; a final PARTIAL epoch keeps
+    * `(want − full·n_d) · 10000 div n_d` basis points of the domain by
+    * the shared deterministic id-hash acceptance — unless the cap
+    * already binds, in which case there is no partial epoch. `full = 0`
+    * degrades to plain down-sampling, so one operator covers both
+    * directions of the mix. Weights are shares of `totalDocs` and need
+    * not sum to 1 (domains absent from `weights` are dropped).
+    *
+    * Output: one row per (doc, epoch), `epoch ∈ [0, full]`, all input
+    * columns preserved — the loader replays epoch e by filtering on it.
+    * A doc's fate in the partial epoch never changes when OTHER domains'
+    * weights move (the [[hashSample]] stability contract).
+    *
+    * Scale shape: one map-side-combined count per domain, a bounded
+    * domain-metadata broadcast, then a narrow `explode(sequence)` whose
+    * output is exactly the requested budget — the corpus itself never
+    * shuffles, and the only data growth is the epochs the caller asked
+    * for. Plan-gated (broadcast join, no corpus exchange).
+    */
+  def epochUpsample(df: DataFrame, idCol: String, domainCol: String,
+                    weights: Seq[(String, Double)], totalDocs: Long,
+                    maxEpochs: Int): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain in weights")
+    require(totalDocs > 0, s"totalDocs must be > 0 (got $totalDocs)")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF("__dom", "__w")
+    val plan = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wDf), col(domainCol) === col("__dom"))
+      .withColumn("__want",
+        floor(col("__w") * lit(totalDocs.toDouble)).cast(LongType))
+      .withColumn("__full0", expr("__want div __n"))
+      .withColumn("__full",
+        least(col("__full0"), lit(maxEpochs.toLong)).cast(LongType))
+      // cap binds → no partial epoch; otherwise the remainder in bp.
+      // Integer arithmetic throughout (the one double multiply is above).
+      .withColumn("__partial_bp",
+        when(col("__full0") >= maxEpochs, lit(0L))
+          .otherwise(expr("(__want - __full * __n) * 10000 div __n")))
+      .select(col("__dom"), col("__full"), col("__partial_bp"))
+    df.join(broadcast(plan), col(domainCol) === col("__dom"))
+      // sequence(0, full) inclusive: epochs 0..full-1 are full replicas;
+      // epoch `full` is the partial one, kept at __partial_bp (which is 0
+      // when the cap binds or the remainder is < 1 doc's worth of bp).
+      .withColumn("epoch", explode(expr("sequence(0L, __full)")))
+      .filter(col("epoch") < col("__full") ||
+        idHash(col(idCol)) % 10000 < col("__partial_bp"))
+      .drop("__dom", "__full", "__partial_bp")
+  }
 }

@@ -463,4 +463,35 @@ object StatOps {
         col("mean_tokens_centi"), col("keep_bp"), col("n_distinct_texts"),
         col("dup_text_bp"), col("top_lang"), col("top_lang_bp"))
   }
+
+  /** Pipeline FUNNEL report: doc/token counts after every stage of a
+    * curation pipeline — the observability table every data run ships
+    * next to its output ("raw 4.1B docs → quality 2.3B → dedup 1.1B →
+    * balanced 0.8B"). Without it, a mix bug (a filter eating 99% of a
+    * language, a dedup stage suddenly keeping everything) is invisible
+    * until a training run wastes a cluster-month; with it, the diff
+    * between two pipeline versions is one small join.
+    *
+    * `stages` are (name, frame) pairs — typically successive refinements
+    * of one lazy plan, so Spark shares the common scan prefix across the
+    * per-stage aggregates. Token counts come from `tokenCol` evaluated
+    * against each stage's rows; an empty stage reports (0, 0) rather
+    * than vanishing (the audit must show the stage that killed
+    * everything).
+    *
+    * Scale shape: each stage is ONE map-side-combinable global aggregate
+    * (count + sum condense per task before the single-row exchange);
+    * the union is `stages.size` metadata rows. Nothing here is more
+    * expensive than the pipeline's own stages.
+    */
+  def funnelReport(stages: Seq[(String, DataFrame)],
+                   tokenCol: Column): DataFrame = {
+    require(stages.nonEmpty, "funnelReport: stages must be non-empty")
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokenCol.cast(LongType)), lit(0L)).as("n_tokens"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -629,4 +629,56 @@ object TextOps {
         col("keep_n_words") && col("keep_word_len") && col("keep_dup") &&
           col("keep_alpha") && col("keep_sym") && col("keep_stop"))
   }
+
+  /** Feature-hashed bag-of-words document vectors (the hashing trick,
+    * Weinberger et al. 2009, arXiv:0902.2206) — the bridge from the TEXT
+    * table into the vector family: every doc becomes a `dim`-bucket
+    * signed-count vector with NO vocabulary pass, no model, and no
+    * external embedding service, so SemDeDup / ANN / prototypicality run
+    * on corpora that only have text. bucket = hash60(token) mod dim;
+    * sign = one independent bit of the same hash (`(h div dim) mod 2`) —
+    * the signed sum makes colliding tokens cancel in expectation instead
+    * of accumulating (the paper's unbiasedness fix).
+    *
+    * Output is SPARSE — one row per (id, bucket) with the signed
+    * occurrence sum (a value can legitimately cancel to 0; the row is
+    * kept so the representation is a pure function of the text) — which
+    * is the form a 100 TB corpus actually stores: Θ(tokens) rows worst
+    * case, never Θ(docs·dim). [[hashedBowDense]] densifies for consumers
+    * that need `Array[Float]`.
+    *
+    * Scale shape: one narrow explode over the token stream, then ONE
+    * doc-scoped map-side-combinable aggregate — exactly the shuffle a
+    * word-count pays. All-integer values → hash-exact DuckDB oracle.
+    */
+  def hashedBow(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", dim: Int = 64): DataFrame = {
+    require(dim > 0, s"hashedBow: dim must be > 0 (got $dim)")
+    docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), hash60(col("__t")).as("__h"))
+      .select(col(idCol), (col("__h") % dim).cast(LongType).as("bucket"),
+        when(expr(s"(__h div $dim) % 2 = 0"), lit(1L))
+          .otherwise(lit(-1L)).as("__sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).cast(LongType).as("val"))
+  }
+
+  /** Dense `Array[Float]` view of [[hashedBow]] — the adapter that feeds
+    * the hashed vectors into [[graft.ops.VectorOps]] (cosine top-k,
+    * SemDeDup, prototypicality). One more doc-keyed aggregate
+    * (map→dense transform over a bounded `dim`); use only when the
+    * consumer genuinely needs dense vectors — the sparse form is the one
+    * that scales.
+    */
+  def hashedBowDense(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", dim: Int = 64): DataFrame =
+    hashedBow(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("val"))))
+        .as("__m"))
+      .select(col(idCol),
+        expr(s"transform(sequence(0L, ${dim - 1}L), i -> " +
+          "cast(coalesce(element_at(__m, i), 0L) as float))").as("embedding"))
 }

@@ -1143,6 +1143,55 @@ object ExtensionQueries {
       VectorOps.knnLabelNoise(spread(t(s, dir, "embeddings")), "vec_id",
           "embedding", "label", k = 5, perCell = 32)
         .orderBy("vec_id")
+    },
+
+    // x101 — epoch up-sampling: assemble a 12k-doc mix at src0:src2:src3
+    // = 50:20:1 percent shares, repeating scarce sources up to 5 epochs
+    // (the LLaMA books/wiki recipe). At sf0.01 src0/src2 hit the epoch
+    // cap while src3 lands between (4 full epochs + an 8000 bp partial);
+    // at sf0.1 src3 degrades to plain down-sampling — both directions of
+    // mix assembly and all three arms through one operator.
+    "x101_epoch_upsample" -> { (s, dir) =>
+      SampleOps.epochUpsample(t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 0.5, "src2" -> 0.2, "src3" -> 0.01),
+          totalDocs = 12000L, maxEpochs = 5)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // x102 — the pipeline funnel: doc/token counts after each stage of
+    // the x94 manifest pipeline (raw → quality → canonical dedup →
+    // temperature balance) — the observability table that makes a mix
+    // bug visible BEFORE a training run pays for it. Four bounded
+    // aggregates over successive refinements of one lazy plan.
+    "x102_funnel_report" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val quality = TextOps.qualityScore(d)
+        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "source", "text")
+      val canon = quality.withColumn("__ct",
+        TextOps.normalizeText(col("text"), stripPunct = true))
+      val kept = DedupOps.exact(
+        canon.select(col("doc_id"), col("__ct")), "doc_id", "__ct")
+      val surv = canon.join(kept, Seq("doc_id"), "left_semi")
+      val bal = SampleOps.temperatureSample(surv, "doc_id", "source")
+      StatOps.funnelReport(
+          Seq("raw" -> d, "quality" -> quality, "dedup" -> surv,
+            "balanced" -> bal),
+          size(split(col("text"), " ")))
+        .orderBy("stage_idx")
+    },
+
+    // x103 — feature-hashed bag-of-words vectors (sparse form): the
+    // text→vector bridge with no vocabulary, model, or embedding
+    // service. Restricted to the first 500 docs so the fixture output
+    // stays diff-sized; the plan is corpus-shaped (one explode + one
+    // doc-scoped combinable agg) regardless of the cut.
+    "x103_hashed_bow" -> { (s, dir) =>
+      TextOps.hashedBow(
+          spread(t(s, dir, "documents")).filter(col("doc_id") < 500),
+          "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")
     }
   )
 
@@ -2728,7 +2777,85 @@ object ExtensionQueries {
         |   FROM tok JOIN wt USING (w) GROUP BY doc_id)
         | SELECT doc_id, n_toks::BIGINT AS n_toks,
         |   (sw // n_toks)::BIGINT AS score_bp
-        | FROM sc ORDER BY doc_id""".stripMargin
+        | FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Epoch-upsample mirror: ONE double multiply (w * 12000.0) then
+    // integer math only — full epochs = want div n capped at 5, partial
+    // rate = remainder bp, the shared md5 hash-mod acceptance.
+    "x101_epoch_upsample" ->
+      """WITH wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.5::DOUBLE), ('src2', 0.2::DOUBLE),
+        |     ('src3', 0.01::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        | j AS (SELECT dom, w, n FROM cnt JOIN wt ON source = dom),
+        | p AS (SELECT dom, n, floor(w * 12000.0)::BIGINT want FROM j),
+        | e AS (SELECT dom, n, want, want // n full0,
+        |     least(want // n, 5) eful FROM p),
+        | pl AS (SELECT dom, eful,
+        |     CASE WHEN full0 >= 5 THEN 0
+        |          ELSE ((want - eful * n) * 10000) // n END pbp
+        |   FROM e),
+        | ep AS (SELECT dom, eful, pbp,
+        |     unnest(range(0, eful + 1)) epoch FROM pl)
+        | SELECT d.doc_id, d.source, ep.epoch::BIGINT AS epoch
+        | FROM documents d JOIN ep ON d.source = ep.dom
+        | WHERE ep.epoch < ep.eful
+        |   OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000 < ep.pbp
+        | ORDER BY doc_id, epoch""".stripMargin,
+
+    // Funnel mirror: the x94 stage CTEs (quality → canonical dedup →
+    // temperature balance) with a count/sum per stage instead of the
+    // packing tail.
+    "x102_funnel_report" ->
+      """WITH q AS (SELECT doc_id, source, text,
+        |     string_split(text,' ') w FROM documents),
+        | ql AS (SELECT doc_id, source, text FROM q
+        |   WHERE len(w) >= 20
+        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |       * 10000 / length(text)::DOUBLE) >= 7000),
+        | cn AS (SELECT doc_id, source, text,
+        |     trim(regexp_replace(regexp_replace(
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
+        |   FROM ql),
+        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
+        | surv AS (SELECT doc_id, source, text FROM cn
+        |   WHERE doc_id IN (SELECT k FROM keepd)),
+        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
+        | m AS (SELECT min(n) nmin FROM c),
+        | r AS (SELECT source,
+        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
+        |   FROM c, m),
+        | bal AS (SELECT s.doc_id, s.text FROM surv s
+        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
+        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000 < r.rate_bp)
+        | SELECT * FROM (
+        |   SELECT 0::BIGINT stage_idx, 'raw' stage, count(*)::BIGINT n_docs,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT n_tokens
+        |   FROM documents
+        |   UNION ALL SELECT 1::BIGINT, 'quality', count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT FROM ql
+        |   UNION ALL SELECT 2::BIGINT, 'dedup', count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT FROM surv
+        |   UNION ALL SELECT 3::BIGINT, 'balanced', count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT FROM bal)
+        | ORDER BY stage_idx""".stripMargin,
+
+    // Hashed-BoW mirror: same md5-derived 60-bit hash, bucket = h mod 64,
+    // sign = (h div 64) mod 2 — all-integer signed occurrence sums.
+    "x103_hashed_bow" ->
+      """WITH tok AS (SELECT doc_id,
+        |     unnest(list_filter(string_split(text, ' '),
+        |       t -> length(t) > 0)) t
+        |   FROM documents WHERE doc_id < 500),
+        | h AS (SELECT doc_id,
+        |     ('0x' || substr(md5(t), 1, 15))::BIGINT h FROM tok),
+        | b AS (SELECT doc_id, (h % 64)::BIGINT bucket,
+        |     CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END sgn FROM h)
+        | SELECT doc_id, bucket, sum(sgn)::BIGINT AS val
+        | FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

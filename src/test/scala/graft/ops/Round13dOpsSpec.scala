@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-13 fourth wave: epoch up-sampling (x101), the pipeline funnel
+  * report (x102), and feature-hashed bag-of-words vectors (x103).
+  */
+class Round13dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ epoch upsample
+
+  private def mixDocs = (0L until 8L).map { i =>
+    (i, if (i < 4) "a" else "b")
+  }.toDF("doc_id", "source")
+
+  test("epochUpsample: full epochs exact, partial epoch hash-gated") {
+    // a: n=4, w=0.5, T=24 → want 12 → 3 full epochs, no partial
+    // b: n=4, w=0.25 → want 6 → 1 full epoch + 5000 bp partial
+    val out = SampleOps.epochUpsample(mixDocs, "doc_id", "source",
+      Seq("a" -> 0.5, "b" -> 0.25), totalDocs = 24L, maxEpochs = 10)
+    val byDomEpoch = out.groupBy("source", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(byDomEpoch.filter(_._1._1 == "a") ==
+      Map(("a", 0L) -> 4L, ("a", 1L) -> 4L, ("a", 2L) -> 4L))
+    assert(byDomEpoch(("b", 0L)) == 4L)
+    // the partial epoch keeps exactly the ids whose hash-mod < 5000 —
+    // computed with the engine's own hash so the assertion can't drift
+    val expectedPartial = mixDocs.filter(col("source") === "b")
+      .filter(TextOps.hash60(col("doc_id").cast("string")) % 10000 < 5000)
+      .select("doc_id").as[Long].collect().toSet
+    val gotPartial = out.filter(col("source") === "b" && col("epoch") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotPartial == expectedPartial)
+    assert(expectedPartial.nonEmpty && expectedPartial.size < 4,
+      s"fixture should exercise a strict subset, got $expectedPartial")
+  }
+
+  test("epochUpsample: the maxEpochs cap binds with no partial epoch") {
+    // a: want = 0.9*40 = 36 → full0 = 9 ≥ cap 2 → exactly 2 full epochs
+    val out = SampleOps.epochUpsample(mixDocs, "doc_id", "source",
+      Seq("a" -> 0.9), totalDocs = 40L, maxEpochs = 2)
+    val epochs = out.groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(epochs == Map(0L -> 4L, 1L -> 4L))
+    // domain b has no weight: dropped entirely
+    assert(out.filter(col("source") === "b").count() == 0L)
+  }
+
+  test("epochUpsample degrades to down-sampling when want < n") {
+    // a: want = 0.05*40 = 2 of n=4 → 0 full epochs, 5000 bp partial —
+    // exactly hashSample(a-rows, 5000) with epoch 0 attached
+    val out = SampleOps.epochUpsample(mixDocs, "doc_id", "source",
+      Seq("a" -> 0.05), totalDocs = 40L, maxEpochs = 3)
+    assert(out.select("epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    val expected = SampleOps.hashSample(
+        mixDocs.filter(col("source") === "a"), "doc_id", 5000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("epochUpsample is insensitive to input partitioning") {
+    val w = Seq("a" -> 0.5, "b" -> 0.25)
+    val x = SampleOps.epochUpsample(mixDocs, "doc_id", "source", w, 24L, 10)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val y = SampleOps.epochUpsample(mixDocs.repartition(7), "doc_id",
+        "source", w, 24L, 10)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(x == y)
+  }
+
+  test("epochUpsample argument validation") {
+    assertThrows[IllegalArgumentException] {
+      SampleOps.epochUpsample(mixDocs, "doc_id", "source", Seq(), 10L, 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      SampleOps.epochUpsample(mixDocs, "doc_id", "source",
+        Seq("a" -> 0.5), 0L, 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      SampleOps.epochUpsample(mixDocs, "doc_id", "source",
+        Seq("a" -> 0.5), 10L, 0)
+    }
+  }
+
+  // ------------------------------------------------------- funnel report
+
+  test("funnelReport: one row per stage, docs + tokens, empty stage = 0") {
+    val raw = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val filtered = raw.filter(col("doc_id") <= 2L)
+    val empty = raw.filter(col("doc_id") < 0L)
+    val rows = StatOps.funnelReport(
+        Seq("raw" -> raw, "filtered" -> filtered, "empty" -> empty),
+        size(split(col("text"), " ")))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "raw", 3L, 6L),
+      (1L, "filtered", 2L, 5L),
+      (2L, "empty", 0L, 0L)))
+  }
+
+  test("funnelReport rejects an empty stage list") {
+    assertThrows[IllegalArgumentException] {
+      StatOps.funnelReport(Seq(), lit(1L))
+    }
+  }
+
+  // --------------------------------------------------------- hashed BoW
+
+  test("hashedBow: signed sums, magnitude = occurrences, stable buckets") {
+    val docs = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val rows = TextOps.hashedBow(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // per-doc total magnitude = token occurrences (no collisions here:
+    // "a" and "b" may collide in 16 buckets, so assert via doc 2 first)
+    val aBucket = rows.keys.collect { case (2L, b) => b }.toSeq
+    assert(aBucket.size == 1)
+    val aVal = rows((2L, aBucket.head))
+    assert(math.abs(aVal) == 1L) // one occurrence, sign ±1
+    // doc 1 has "a" twice: its value in a's bucket is 2× doc 2's ±1,
+    // plus b's contribution iff b collided into the same bucket
+    val d1a = rows.getOrElse((1L, aBucket.head), 0L)
+    assert(d1a == 2 * aVal || math.abs(d1a - 2 * aVal) == 1L)
+    // total signed magnitude across buckets ≤ 3 tokens for doc 1
+    assert(rows.collect { case ((1L, _), v) => math.abs(v) }.sum <= 3L)
+  }
+
+  test("hashedBow: identical texts produce identical sparse vectors") {
+    val docs = Seq((1L, "spark join filter scan"), (2L, "spark join filter scan"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val rows = TextOps.hashedBow(docs, "doc_id", "text", dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def vec(id: Long) = rows.filter(_._1 == id).map(r => (r._2, r._3)).toSet
+    assert(vec(1L) == vec(2L))
+    assert(vec(1L) != vec(3L))
+  }
+
+  test("hashedBow is insensitive to input partitioning") {
+    val docs = Seq((1L, "a b c d"), (2L, "c d e f"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val x = TextOps.hashedBow(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val y = TextOps.hashedBow(docs.repartition(5), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(x == y)
+  }
+
+  test("hashedBowDense: dim-length float array matching the sparse rows") {
+    val docs = Seq((1L, "a a b c"), (2L, "z")).toDF("doc_id", "text")
+    val sparse = TextOps.hashedBow(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = TextOps.hashedBowDense(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense(1L).size == 16 && dense(2L).size == 16)
+    for (((id, bucket), v) <- sparse)
+      assert(dense(id)(bucket.toInt) == v.toFloat,
+        s"dense($id)($bucket) != $v")
+    // buckets with no tokens are exactly 0
+    val nonZero = dense(2L).count(_ != 0f)
+    assert(nonZero == sparse.keys.count(_._1 == 2L))
+  }
+
+  test("hashedBowDense vectors drive the vector ops: near-dup texts " +
+      "are nearest neighbors") {
+    // two near-identical docs + two unrelated ones; cosine over hashed
+    // vectors must pair the near-dups (the text→vector bridge contract)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely unrelated text about spark shuffle partitions"),
+      (4L, "numbers one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val vecs = TextOps.hashedBowDense(docs, "doc_id", "text", 64)
+    val top1 = VectorOps.bruteForceTopK(vecs, vecs, "doc_id", "embedding", 1)
+    val best = top1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best(1L) == 2L && best(2L) == 1L)
+  }
+}

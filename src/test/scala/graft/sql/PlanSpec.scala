@@ -203,4 +203,23 @@ class PlanSpec extends SparkSpec {
     val p = plan(ExtensionQueries.queries, "x100_label_noise")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x101: epoch plan broadcasts; the corpus never shuffles for it") {
+    val p = plan(ExtensionQueries.queries, "x101_epoch_upsample")
+    // the per-domain (full, partial_bp) table is bounded metadata — it
+    // must reach the corpus as a broadcast; the explode is narrow and
+    // the output is exactly the requested budget
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for epochs:\n$p")
+  }
+
+  test("x103: hashed BoW is one combined doc-scoped aggregation") {
+    val p = plan(ExtensionQueries.queries, "x103_hashed_bow")
+    // the signed sums must partial-aggregate before the (id, bucket)
+    // exchange — the un-combined token stream IS the corpus token count
+    assert(p.contains("partial_sum"), s"signed sums not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"hashed BoW planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
 }
