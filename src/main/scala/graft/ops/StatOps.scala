@@ -473,11 +473,18 @@ object StatOps {
     * between two pipeline versions is one small join.
     *
     * `stages` are (name, frame) pairs — typically successive refinements
-    * of one lazy plan, so Spark shares the common scan prefix across the
-    * per-stage aggregates. Token counts come from `tokenCol` evaluated
-    * against each stage's rows; an empty stage reports (0, 0) rather
-    * than vanishing (the audit must show the stage that killed
-    * everything).
+    * of one pipeline. NOTE: the per-stage aggregates are separate
+    * branches of one union, and Spark does not share NARROW subtrees
+    * across branches (ReuseExchange only deduplicates exchanges), so a
+    * stage that several later stages build on re-executes per branch.
+    * Measured (x102, sf0.1→sf2): localCheckpointing the shared stages
+    * was a WASH (−15%/+4%/+10%) — counting is far cheaper than the
+    * stages, so materialization costs what re-execution saves; cache the
+    * shared frames only when their consumers do real work (the x34
+    * curation pattern), not for count branches. Token counts come from
+    * `tokenCol` evaluated against each stage's rows; an empty stage
+    * reports (0, 0) rather than vanishing (the audit must show the stage
+    * that killed everything).
     *
     * Scale shape: each stage is ONE map-side-combinable global aggregate
     * (count + sum condense per task before the single-row exchange);

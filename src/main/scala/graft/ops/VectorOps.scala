@@ -96,6 +96,53 @@ object VectorOps {
         floor(col("cos") * 10000).cast(LongType).as("cos_bp"))
   }
 
+  /** Cosine top-k over SPARSE vectors — (id, bucket, val) rows, the
+    * [[graft.ops.TextOps.hashedBow]] output form — via an inverted-index
+    * join: query entries meet corpus entries ON THE BUCKET KEY, so each
+    * pair costs only its CO-OCCURRING buckets (the postings-intersection
+    * contract BM25 uses) and a pair sharing no bucket is never
+    * materialized. That absence is the declared semantic: a non-candidate
+    * pair has cosine exactly 0, so it can only be missed when fewer than
+    * k candidates score positive — the inverted-index trade every sparse
+    * retrieval engine makes.
+    *
+    * Determinism: values are integers, so dots (Σ q·c) and squared norms
+    * are EXACT longs; the one double step is `dot / (qn·nn)` with
+    * correctly-rounded sqrt/·// — bit-identical in DuckDB, hence
+    * hash-exact oracles over ranks and floored cosines (the dense-family
+    * convention). Output contract is the shared [[rankTopK]] one.
+    *
+    * Scale shape: queries broadcast onto the corpus entry stream (one
+    * scan, no corpus shuffle for the join), one candidate-keyed combined
+    * agg for the dots, then a keyed join against the per-doc norm table
+    * (one row per doc — corpus-sized metadata, an equi-join, never a
+    * broadcast of the corpus). Work ∝ Σ_bucket q_b·c_b, the
+    * inverted-index bound — never Θ(docs·dim).
+    */
+  def sparseCosineTopK(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, bucketCol: String, valCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"sparseCosineTopK: k must be > 0 (got $k)")
+    def norms(df: DataFrame, id: String, n: String): DataFrame =
+      df.groupBy(col(idCol).as(id))
+        .agg(sqrt(sum(col(valCol) * col(valCol)).cast(DoubleType)).as(n))
+        .filter(col(n) > 0) // all-cancelled vectors have no direction
+    val q = queries.select(col(idCol).as("qid"), col(bucketCol).as("__qb"),
+      col(valCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(bucketCol).as("__cb"),
+      col(valCol).as("__cv"))
+    val dots = c.join(broadcast(q),
+        col("__qb") === col("__cb") && col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("__qv") * col("__cv")).as("__dot"))
+    val scored = dots
+      .join(broadcast(norms(queries, "qid", "__qn")), Seq("qid"))
+      .join(norms(corpus, "nid", "__nn"), Seq("nid"))
+      .withColumn("cos",
+        col("__dot").cast(DoubleType) / (col("__qn") * col("__nn")))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
     * dim i): the low bit of hash60(md5("j_i")) — the same value any engine
     * computes as `('0x'||substr(md5(j||'_'||i),1,15))::BIGINT & 1`.

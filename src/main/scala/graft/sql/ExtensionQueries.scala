@@ -1163,7 +1163,12 @@ object ExtensionQueries {
     // the x94 manifest pipeline (raw → quality → canonical dedup →
     // temperature balance) — the observability table that makes a mix
     // bug visible BEFORE a training run pays for it. Four bounded
-    // aggregates over successive refinements of one lazy plan.
+    // aggregates; deliberately LAZY (no localCheckpoint): measured at
+    // sf0.1/sf1/sf2, checkpointing the shared quality/survivor stages
+    // was a wash (−15%/+4%/+10%) — counting is so much cheaper than the
+    // stages themselves that materialization costs more than the branch
+    // re-execution it saves (contrast x34/x64, where the reused frame
+    // feeds expensive SHUFFLING consumers, not count(*) branches).
     "x102_funnel_report" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val quality = TextOps.qualityScore(d)
@@ -1192,6 +1197,18 @@ object ExtensionQueries {
           spread(t(s, dir, "documents")).filter(col("doc_id") < 500),
           "doc_id", "text", dim = 64)
         .orderBy("doc_id", "bucket")
+    },
+
+    // x104 — sparse cosine top-5 over the hashed-BoW vectors: text-only
+    // near-neighbor retrieval through the inverted-index join (pairs cost
+    // only their co-occurring buckets). The 20 lowest-id docs probe the
+    // full corpus — the x25 shape on the sparse representation.
+    "x104_sparse_cosine" -> { (s, dir) =>
+      val sv = TextOps.hashedBow(spread(t(s, dir, "documents")),
+        "doc_id", "text", dim = 64)
+      VectorOps.sparseCosineTopK(sv.filter(col("doc_id") < 20), sv,
+          "doc_id", "bucket", "val", k = 5)
+        .orderBy("qid", "nid")
     }
   )
 
@@ -2855,7 +2872,38 @@ object ExtensionQueries {
         | b AS (SELECT doc_id, (h % 64)::BIGINT bucket,
         |     CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END sgn FROM h)
         | SELECT doc_id, bucket, sum(sgn)::BIGINT AS val
-        | FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+        | FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
+    // Sparse-cosine mirror: x103's vector CTEs over the FULL corpus,
+    // integer dots on the bucket join, exact integer squared norms, the
+    // single double step (dot / (qn·nn)) in the same operand order.
+    "x104_sparse_cosine" ->
+      """WITH tok AS (SELECT doc_id,
+        |     unnest(list_filter(string_split(text, ' '),
+        |       t -> length(t) > 0)) t
+        |   FROM documents),
+        | h AS (SELECT doc_id,
+        |     ('0x' || substr(md5(t), 1, 15))::BIGINT h FROM tok),
+        | b AS (SELECT doc_id, (h % 64)::BIGINT bucket,
+        |     CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END sgn FROM h),
+        | v AS (SELECT doc_id, bucket, sum(sgn)::BIGINT val
+        |   FROM b GROUP BY doc_id, bucket),
+        | nrm AS (SELECT doc_id, sqrt(sum(val * val)::DOUBLE) nm
+        |   FROM v GROUP BY doc_id HAVING sqrt(sum(val * val)::DOUBLE) > 0),
+        | d AS (SELECT q.doc_id qid, c.doc_id nid,
+        |     sum(q.val * c.val)::BIGINT dot
+        |   FROM v q JOIN v c ON q.bucket = c.bucket
+        |     AND q.doc_id < 20 AND q.doc_id <> c.doc_id
+        |   GROUP BY q.doc_id, c.doc_id),
+        | sc AS (SELECT qid, nid, dot::DOUBLE / (qn.nm * cn.nm) cos
+        |   FROM d JOIN nrm qn ON qn.doc_id = qid
+        |     JOIN nrm cn ON cn.doc_id = nid),
+        | r AS (SELECT qid, nid, cos,
+        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+        |   FROM sc)
+        | SELECT qid, nid, rk::BIGINT AS rk,
+        |   floor(cos * 10000)::BIGINT AS cos_bp
+        | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

@@ -179,4 +179,48 @@ class Round13dOpsSpec extends SparkSpec {
     val best = top1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(best(1L) == 2L && best(2L) == 1L)
   }
+
+  // ------------------------------------------------------ sparse cosine
+
+  test("sparseCosineTopK: hand-checked dots, non-co-occurring absent, " +
+      "zero-norm excluded") {
+    val sparse = Seq(
+      (1L, 0L, 2L),              // query doc
+      (2L, 0L, 1L), (2L, 1L, 1L), // shares bucket 0: cos = 2/(2·√2)
+      (3L, 1L, 5L),              // no shared bucket: never a candidate
+      (4L, 0L, -1L),             // shares bucket 0, NEGATIVE cosine
+      (5L, 0L, 0L))              // zero norm: excluded outright
+      .toDF("doc_id", "bucket", "val")
+    val out = VectorOps.sparseCosineTopK(
+        sparse.filter(col("doc_id") === 1L), sparse,
+        "doc_id", "bucket", "val", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2: dot 2, norms 2·√2 → cos ≈ 0.7071 → 7071 bp, rank 1
+    // doc 4: dot −2, norms 2·1 → cos −1 → −10000 bp, rank 2
+    assert(out.toSeq == Seq((2L, 1L, 7071L), (4L, 2L, -10000L)))
+  }
+
+  test("sparseCosineTopK agrees with dense brute force on hashed vectors") {
+    // every doc shares tokens with its intended neighbor so each query's
+    // best candidate has POSITIVE cosine — the regime where the sparse
+    // (co-occurring-pairs-only) and dense candidate sets must agree; a
+    // query whose candidates are all negative may legitimately differ
+    // (dense ranks an absent zero-cosine pair above them — the declared
+    // inverted-index semantic)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "spark shuffle partitions broadcast join seven eight"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sparse = TextOps.hashedBow(docs, "doc_id", "text", 64)
+    val dense = TextOps.hashedBowDense(docs, "doc_id", "text", 64)
+    val sTop = VectorOps.sparseCosineTopK(sparse, sparse, "doc_id",
+        "bucket", "val", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dTop = VectorOps.bruteForceTopK(dense, dense, "doc_id",
+        "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sTop == dTop)
+  }
 }

@@ -222,4 +222,14 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("x104: sparse cosine broadcasts the query entries; no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x104_sparse_cosine")
+    // the probe entries must reach the corpus entry stream as a
+    // broadcast on the bucket key — the inverted-index join; pairing
+    // combinatorially would be the dense Θ(docs·dim) plan this avoids
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), s"dots not map-side combined:\n$p")
+  }
 }
