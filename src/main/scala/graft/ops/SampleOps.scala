@@ -372,4 +372,33 @@ object SampleOps {
         idHash(col(idCol)) % 10000 < col("__partial_bp"))
       .drop("__dom", "__full", "__partial_bp")
   }
+
+  /** Replay layout for an EPOCHED replica stream — [[shuffleOrder]] for
+    * the [[epochUpsample]] output, where the epoch is a COLUMN of the
+    * row rather than a job parameter: global position = rank by
+    * `(hash60(epoch‖'_'‖id), id, epoch)` (the shuffleOrder hash
+    * convention applied per row, so a doc's replicas scatter AWAY from
+    * each other across the run — consecutive training batches never see
+    * the same document twice), then round-robin sharding with exact ±1
+    * balance. Together epochUpsample → replayLayout is the complete
+    * "assemble the mix, lay it out for the loader" path: deterministic,
+    * stateless, recomputable by any worker.
+    *
+    * Plan: one narrow hash projection + [[globalRowIndex]]'s distributed
+    * prefix sum (range repartition + per-partition windows + a
+    * partition-count broadcast) — never a global single-partition
+    * window.
+    */
+  def replayLayout(df: DataFrame, idCol: String, epochCol: String,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"replayLayout: numShards must be > 0 (got $numShards)")
+    val h = TextOps.hash60(concat(col(epochCol).cast("string"), lit("_"),
+      col(idCol).cast("string")))
+    globalRowIndex(df.withColumn("__h", h),
+        Seq(col("__h"), col(idCol), col(epochCol)), "global_pos")
+      .withColumn("shard", (col("global_pos") % numShards).cast(LongType))
+      .withColumn("shard_pos",
+        expr(s"global_pos div $numShards").cast(LongType))
+      .drop("__h")
+  }
 }

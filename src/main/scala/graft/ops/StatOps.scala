@@ -501,4 +501,29 @@ object StatOps {
           col("n_docs"), col("n_tokens"))
     }.reduce(_ unionAll _)
   }
+
+  /** [[funnelReport]] broken out by a group column (source / language /
+    * snapshot): the per-DOMAIN funnel, which is where mix bugs actually
+    * hide — a global funnel that drops 40% looks fine until the by-source
+    * view shows one domain losing 99% (a filter tuned on English eating a
+    * low-resource language, a dedup threshold melting one crawl). One
+    * row per (stage, group) PRESENT AT that stage; a group absent from a
+    * stage's rows was filtered out entirely — the diff against the
+    * stage-0 group set IS the signal (an explicit zero row would require
+    * knowing the group universe, which only stage 0 defines).
+    *
+    * Scale shape: per stage, one map-side-combinable agg keyed by the
+    * group — output bounded by stages × groups metadata rows.
+    */
+  def funnelReportBy(stages: Seq[(String, DataFrame)], tokenCol: Column,
+                     groupCol: String): DataFrame = {
+    require(stages.nonEmpty, "funnelReportBy: stages must be non-empty")
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokenCol.cast(LongType)), lit(0L)).as("n_tokens"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col(groupCol), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1209,6 +1209,59 @@ object ExtensionQueries {
       VectorOps.sparseCosineTopK(sv.filter(col("doc_id") < 20), sv,
           "doc_id", "bucket", "val", k = 5)
         .orderBy("qid", "nid")
+    },
+
+    // x105 — the x102 funnel broken out BY SOURCE: where mix bugs hide —
+    // a global funnel that drops 40% looks fine until the by-source view
+    // shows one domain losing 99%. Bounded stages × sources metadata.
+    "x105_funnel_by_source" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val quality = TextOps.qualityScore(d)
+        .filter(col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "source", "text")
+      val canon = quality.withColumn("__ct",
+        TextOps.normalizeText(col("text"), stripPunct = true))
+      val kept = DedupOps.exact(
+        canon.select(col("doc_id"), col("__ct")), "doc_id", "__ct")
+      val surv = canon.join(kept, Seq("doc_id"), "left_semi")
+      val bal = SampleOps.temperatureSample(surv, "doc_id", "source")
+      StatOps.funnelReportBy(
+          Seq("raw" -> d, "quality" -> quality, "dedup" -> surv,
+            "balanced" -> bal),
+          size(split(col("text"), " ")), "source")
+        .orderBy("stage_idx", "source")
+    },
+
+    // x106 — the complete mix-assembly capstone: x101's epoched replica
+    // stream laid out for the loader — global position by the per-row
+    // (epoch, id) hash (a doc's replicas scatter away from each other),
+    // round-robin shards with exact ±1 balance. epochUpsample →
+    // replayLayout is "assemble the mix, lay it out", end to end.
+    "x106_epoch_replay" -> { (s, dir) =>
+      SampleOps.replayLayout(
+          SampleOps.epochUpsample(t(s, dir, "documents"), "doc_id",
+            "source", Seq("src0" -> 0.5, "src2" -> 0.2, "src3" -> 0.01),
+            totalDocs = 12000L, maxEpochs = 5),
+          "doc_id", "epoch", numShards = 8)
+        .select("doc_id", "epoch", "global_pos", "shard", "shard_pos")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // x107 — filter-config decision diff: the strict (Gopher-default)
+    // vs lax (minWords 20, 1 stopword) keep decisions RE-DECIDED from
+    // one signal table — no second text scan — aggregated to the 2×2
+    // flip matrix a config review reads ("how many docs does loosening
+    // admit, and how many tokens ride on them").
+    "x107_filter_config_diff" -> { (s, dir) =>
+      val g = TextOps.gopherFilter(spread(t(s, dir, "documents")))
+      g.withColumn("keep_lax",
+          col("n_words") >= 20L && col("n_words") <= 100000L &&
+          col("keep_word_len") && col("keep_dup") && col("keep_alpha") &&
+          col("keep_sym") && col("stop_hits") >= 1L)
+        .groupBy(col("keep").as("keep_strict"), col("keep_lax"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words_total"))
+        .orderBy("keep_strict", "keep_lax")
     }
   )
 
@@ -2903,7 +2956,116 @@ object ExtensionQueries {
         |   FROM sc)
         | SELECT qid, nid, rk::BIGINT AS rk,
         |   floor(cos * 10000)::BIGINT AS cos_bp
-        | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin
+        | FROM r WHERE rk <= 5 ORDER BY qid, nid""".stripMargin,
+
+    // Per-source funnel mirror: the x102 stage CTEs with source carried
+    // through and a GROUP BY source per branch.
+    "x105_funnel_by_source" ->
+      """WITH q AS (SELECT doc_id, source, text,
+        |     string_split(text,' ') w FROM documents),
+        | ql AS (SELECT doc_id, source, text FROM q
+        |   WHERE len(w) >= 20
+        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |       * 10000 / length(text)::DOUBLE) >= 7000),
+        | cn AS (SELECT doc_id, source, text,
+        |     trim(regexp_replace(regexp_replace(
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
+        |   FROM ql),
+        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
+        | surv AS (SELECT doc_id, source, text FROM cn
+        |   WHERE doc_id IN (SELECT k FROM keepd)),
+        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
+        | m AS (SELECT min(n) nmin FROM c),
+        | r AS (SELECT source,
+        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
+        |   FROM c, m),
+        | bal AS (SELECT s.doc_id, s.source, s.text FROM surv s
+        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
+        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000 < r.rate_bp)
+        | SELECT * FROM (
+        |   SELECT 0::BIGINT stage_idx, 'raw' stage, source,
+        |     count(*)::BIGINT n_docs,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT n_tokens
+        |   FROM documents GROUP BY source
+        |   UNION ALL SELECT 1::BIGINT, 'quality', source, count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT
+        |   FROM ql GROUP BY source
+        |   UNION ALL SELECT 2::BIGINT, 'dedup', source, count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT
+        |   FROM surv GROUP BY source
+        |   UNION ALL SELECT 3::BIGINT, 'balanced', source, count(*)::BIGINT,
+        |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT
+        |   FROM bal GROUP BY source)
+        | ORDER BY stage_idx, source""".stripMargin,
+
+    // Epoch-replay mirror: the x101 selection CTEs, then rank by
+    // (hash60(epoch‖'_'‖id), id, epoch) and round-robin over 8 shards.
+    "x106_epoch_replay" ->
+      """WITH wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.5::DOUBLE), ('src2', 0.2::DOUBLE),
+        |     ('src3', 0.01::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        | j AS (SELECT dom, w, n FROM cnt JOIN wt ON source = dom),
+        | p AS (SELECT dom, n, floor(w * 12000.0)::BIGINT want FROM j),
+        | e AS (SELECT dom, n, want, want // n full0,
+        |     least(want // n, 5) eful FROM p),
+        | pl AS (SELECT dom, eful,
+        |     CASE WHEN full0 >= 5 THEN 0
+        |          ELSE ((want - eful * n) * 10000) // n END pbp
+        |   FROM e),
+        | ep AS (SELECT dom, eful, pbp,
+        |     unnest(range(0, eful + 1)) epoch FROM pl),
+        | sel AS (SELECT d.doc_id, ep.epoch::BIGINT epoch
+        |   FROM documents d JOIN ep ON d.source = ep.dom
+        |   WHERE ep.epoch < ep.eful
+        |     OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 10000 < ep.pbp),
+        | hh AS (SELECT doc_id, epoch,
+        |     ('0x' || substr(md5(epoch::VARCHAR || '_' ||
+        |       doc_id::VARCHAR), 1, 15))::BIGINT h FROM sel),
+        | rr AS (SELECT doc_id, epoch,
+        |     row_number() OVER (ORDER BY h, doc_id, epoch) - 1 gp FROM hh)
+        | SELECT doc_id, epoch, gp::BIGINT AS global_pos,
+        |   (gp % 8)::BIGINT AS shard, (gp // 8)::BIGINT AS shard_pos
+        | FROM rr ORDER BY doc_id, epoch""".stripMargin,
+
+    // Config-diff mirror: the x88 signal CTEs computed ONCE, both
+    // conjunctions decided from them, 2×2 flip matrix.
+    "x107_filter_config_diff" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+        | sig AS (SELECT doc_id,
+        |     len(w)::BIGINT n_words,
+        |     length(replace(text, ' ', ''))::BIGINT word_chars,
+        |     (len(w) - len(list_distinct(w)))::BIGINT n_dup,
+        |     len(list_filter(w, x ->
+        |       length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0))::BIGINT n_alpha,
+        |     (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::BIGINT n_sym,
+        |     len(list_intersect(list_distinct(w),
+        |       ['the','be','to','of','and','that','have','with']))::BIGINT stop_hits
+        |   FROM w),
+        | s2 AS (SELECT doc_id, n_words,
+        |     floor(word_chars::DOUBLE * 100 / n_words::DOUBLE)::BIGINT mwl,
+        |     floor(n_dup::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT dup_bp,
+        |     floor(n_alpha::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT alpha_bp,
+        |     floor(n_sym::DOUBLE * 10000 / n_words::DOUBLE)::BIGINT sym_bp,
+        |     stop_hits
+        |   FROM sig),
+        | k AS (SELECT n_words,
+        |     ((n_words >= 50 AND n_words <= 100000)
+        |      AND (mwl >= 300 AND mwl <= 1000) AND (dup_bp <= 3000)
+        |      AND (alpha_bp >= 8000) AND (sym_bp <= 1000)
+        |      AND (stop_hits >= 2)) AS keep_strict,
+        |     ((n_words >= 20 AND n_words <= 100000)
+        |      AND (mwl >= 300 AND mwl <= 1000) AND (dup_bp <= 3000)
+        |      AND (alpha_bp >= 8000) AND (sym_bp <= 1000)
+        |      AND (stop_hits >= 1)) AS keep_lax
+        |   FROM s2)
+        | SELECT keep_strict, keep_lax, count(*)::BIGINT AS n_docs,
+        |   sum(n_words)::BIGINT AS n_words_total
+        | FROM k GROUP BY keep_strict, keep_lax
+        | ORDER BY keep_strict, keep_lax""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

@@ -223,4 +223,83 @@ class Round13dOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sTop == dTop)
   }
+
+  // --------------------------------------------- per-group funnel report
+
+  test("funnelReportBy: per-(stage, group) counts; a fully-filtered " +
+      "group is absent, not zero") {
+    val raw = Seq((1L, "a", "x y"), (2L, "a", "z"), (3L, "b", "w v u"))
+      .toDF("doc_id", "source", "text")
+    val noB = raw.filter(col("source") =!= "b")
+    val rows = StatOps.funnelReportBy(
+        Seq("raw" -> raw, "no_b" -> noB),
+        size(split(col("text"), " ")), "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows == Map(
+      (0L, "a") -> ((2L, 3L)), (0L, "b") -> ((1L, 3L)),
+      (1L, "a") -> ((2L, 3L))))
+  }
+
+  // -------------------------------------------------------- replay layout
+
+  test("replayLayout: contiguous permutation, ±1 shard balance, " +
+      "partition-insensitive, matches the (hash, id, epoch) rank") {
+    val reps = (0L until 37L).flatMap(i => Seq((i, 0L), (i, 1L)))
+      .toDF("doc_id", "epoch")
+    val out = SampleOps.replayLayout(reps, "doc_id", "epoch", numShards = 8)
+      .select("doc_id", "epoch", "global_pos", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 74L).toSeq)
+    val shardCounts = out.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(shardCounts.max - shardCounts.min <= 1)
+    out.foreach { case (_, _, gp, sh, sp) =>
+      assert(sh == gp % 8 && sp == gp / 8)
+    }
+    // the permutation is the rank by (hash60(epoch‖'_'‖id), id, epoch) —
+    // recomputed with the engine's own hash so the assertion can't drift
+    val expected = reps
+      .withColumn("__h", TextOps.hash60(
+        concat(col("epoch").cast("string"), lit("_"),
+          col("doc_id").cast("string"))))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(identity).zipWithIndex
+      .map { case ((_, id, ep), i) => (id, ep) -> i.toLong }.toMap
+    out.foreach { case (id, ep, gp, _, _) =>
+      assert(expected((id, ep)) == gp, s"doc $id epoch $ep")
+    }
+    val rep2 = SampleOps.replayLayout(reps.repartition(7), "doc_id",
+        "epoch", 8)
+      .select("doc_id", "epoch", "global_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep2 == out.map(t => (t._1, t._2, t._3)).toSet)
+  }
+
+  // -------------------------------------------------- filter config diff
+
+  test("filter-config flip matrix: strict vs lax decided off one " +
+      "signal table") {
+    // 4-char words keep the mean word length above the 3.00 Gopher floor
+    // even after the 2–3-char stopwords join the doc
+    val ws = (for { a <- 'a' to 'z'; b <- 'a' to 'z' }
+      yield s"$a${b}xx").take(48)
+    val docs = Seq(
+      (1L, (ws :+ "the" :+ "be").mkString(" ")), // 50 words, 2 stops: both
+      (2L, (ws.take(19) :+ "the").mkString(" ")), // 20 words, 1 stop: lax only
+      (3L, "zzz"))                                // 1 word: neither
+      .toDF("doc_id", "text")
+    val g = TextOps.gopherFilter(docs)
+    val m = g.withColumn("keep_lax",
+        col("n_words") >= 20L && col("n_words") <= 100000L &&
+        col("keep_word_len") && col("keep_dup") && col("keep_alpha") &&
+        col("keep_sym") && col("stop_hits") >= 1L)
+      .groupBy(col("keep").as("keep_strict"), col("keep_lax"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map((true, true) -> 1L, (false, true) -> 1L,
+      (false, false) -> 1L))
+  }
 }

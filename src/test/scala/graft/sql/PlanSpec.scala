@@ -232,4 +232,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), s"dots not map-side combined:\n$p")
   }
+
+  test("x106: epoch replay rides broadcasts end to end — no merge join, " +
+      "no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x106_epoch_replay")
+    // epochUpsample's plan table AND replayLayout's prefix-sum offsets
+    // must both reach the replica stream as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"replica stream shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x107: config diff is one scan — no join anywhere in the plan") {
+    val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
+    // both configs decide off ONE signal pass; a second text scan or a
+    // self-join would double the corpus bill for a 4-row report
+    assert(!p.contains("Join"), s"config diff planned a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
