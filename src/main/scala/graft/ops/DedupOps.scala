@@ -706,6 +706,46 @@ object DedupOps {
       .select(col("id").as(idCol), col("n_hits"))
   }
 
+  /** Train/eval split-leakage audit: per split label, how many docs have
+    * an LSH-verified near-duplicate ([[nearDupPairs]] default path,
+    * Jaccard ≥ `threshold`) inside the `trainLabel` split. THE
+    * contamination number an eval set ships with — a benchmark whose
+    * docs near-dup the training split measures memorization, not
+    * generalization (the Lee 2021 / GPT-3 appendix-C failure class). The
+    * train row reads as intra-train near-duplication (the same signal
+    * [[canonicalKeep]] acts on), so one table audits both directions.
+    *
+    * Output: (split, n_docs, n_near_train, leak_bp), one row per split
+    * label present in `splitCol` (null split = the null-id row class
+    * [[graft.ops.SampleOps.hashSplit]] documents — reported as its own
+    * row, never folded into a real split).
+    *
+    * Scale shape: the near-dup pipeline is the dominant cost and is the
+    * candidate-verify path measured near-linear in SURVEY §6.3; the
+    * audit itself adds one pair-sized semi-join against the train id
+    * projection and one map-side-combinable agg over the label scan.
+    * Nothing new is corpus-pairwise.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, shingles: Column,
+                   threshold: Double, splitCol: String,
+                   trainLabel: String): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, shingles, threshold)
+    val labels = docs.select(col(idCol).as("__id"), col(splitCol).as("__sp"))
+    // symmetric endpoint view: a leaks iff some pair partner b is train
+    val ends = pairs.select(col("i").as("__a"), col("j").as("__b"))
+      .unionByName(pairs.select(col("j").as("__a"), col("i").as("__b")))
+    val trainIds = labels.filter(col("__sp") === trainLabel)
+      .select(col("__id").as("__b"))
+    val leaky = ends.join(trainIds, Seq("__b"), "left_semi")
+      .select(col("__a").as("__id")).distinct()
+      .withColumn("__leak", lit(1L))
+    labels.join(leaky, Seq("__id"), "left")
+      .groupBy(col("__sp").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__leak")), lit(0L)).as("n_near_train"))
+      .withColumn("leak_bp", TextOps.bp(col("n_near_train"), col("n_docs")))
+  }
+
   /** The canonical KEEP/DROP decision table — the artifact a dedup stage
     * actually ships back to the corpus store: near-dup `pairs` →
     * [[connectedComponents]] → per component keep the member with the

@@ -292,6 +292,48 @@ object SampleOps {
       .drop("__dom", "__rate_bp")
   }
 
+  /** [[mixtureSample]] with the budget denominated in TOKENS — the unit
+    * training mixes are actually specified in (a Pile/Dolma recipe says
+    * "5% of tokens from books", not "5% of documents"; with 100× length
+    * spread between domains the two differ wildly). Feasible total
+    * T = min_d(tokens_d / w_d); each domain keeps rate_d = w_d·T/tokens_d
+    * of its DOCS by the shared id-hash acceptance — docs are atomic, so
+    * the achieved token share matches the target in expectation (exact
+    * proportionality would need document splitting, a different op).
+    * Domains not in `weights` drop; a weighted domain with zero tokens
+    * zeroes T — the mix goes loudly empty rather than silently
+    * reweighted.
+    *
+    * Scale shape: one map-side-combined token sum per domain, two
+    * bounded-metadata broadcasts, a narrow hash-mod filter — the corpus
+    * never shuffles. Same fixed left-to-right double arithmetic flooring
+    * to basis points as [[mixtureSample]], so the oracle reproduces it
+    * bit-for-bit.
+    */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, domainCol: String,
+                         tokensCol: String,
+                         weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain in weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF("__dom", "__w")
+    val sums = df.groupBy(col(domainCol))
+      .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L)).as("__tok"))
+      .join(broadcast(wDf), col(domainCol) === col("__dom"))
+    val tRow = sums.agg(
+      min(col("__tok").cast("double") / col("__w")).as("__T"))
+    val rates = sums.crossJoin(broadcast(tRow)) // 1-row broadcast
+      .select(col("__dom"),
+        floor(lit(10000d) * col("__w") * col("__T")
+          / col("__tok").cast("double")).cast(LongType).as("__rate_bp"))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
+      .drop("__dom", "__rate_bp")
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

@@ -99,6 +99,59 @@ object TextOps {
       bridge(graft.functions.Md5BottomK(
         expr0(charShingles(col(textCol), 8)), k)))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting"): per doc, hash every
+    * positional `k`-token gram (the [[graft.ops.DedupOps.duplicatedSpans]]
+    * convention: hash60 of the space-joined slice), slide a window of `w`
+    * consecutive gram positions, and select each window's minimum —
+    * ties broken by SMALLEST position, i.e. the lexicographic min of
+    * (hash, pos). The selected (pos, fp) set is the published guarantee:
+    * any shared substring of ≥ w+k-1 tokens yields at least one shared
+    * fingerprint, at an expected density of 2/(w+1) — the principled
+    * "keep a sketch that still catches every long overlap" subset that a
+    * full positional-shingle table oversizes by ~(w+1)/2×. Docs with
+    * fewer than `w` gram positions have no full window and emit no row
+    * (declared — the reference algorithm's boundary choice varies;
+    * sub-window docs belong to exact dedup anyway).
+    *
+    * Cross-engine contract: the window min compares a ZERO-PADDED DECIMAL
+    * concat of (hash, pos) — lexicographic order equals numeric order for
+    * fixed-width non-negative integers, so DuckDB's string `min()`
+    * reproduces the selection bit-for-bit (no struct-ordering or argmin
+    * tie-rule dependence).
+    *
+    * Scale shape: one narrow gram projection + ONE doc-keyed shuffle for
+    * the two windows (frame-min and per-doc max share the partition);
+    * output ≈ 2/(w+1) of gram count. Downstream overlap detection is a
+    * groupBy on `fp` — the same skew-immune posture as span dedup.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, k: Int = 3,
+                         w: Int = 4, textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(w > 0, s"w must be positive (got $w)")
+    val toks = split(col(textCol), " ")
+    // guarded: sequence(0, n) DESCENDS for n < 0 (the duplicatedSpans trap)
+    val shArr = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          p => hash60(concat_ws(" ", slice(toks, p + 1, lit(k))))))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val pos = docs.select(col(idCol).as("__wid"),
+      posexplode(shArr).as(Seq("p", "h")))
+    val key = concat(lpad(col("h").cast("string"), 19, "0"),
+      lpad(col("p").cast("string"), 8, "0"))
+    val byDoc = Window.partitionBy("__wid")
+    val frame = byDoc.orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    pos
+      .withColumn("__maxp", max(col("p")).over(byDoc))
+      .withColumn("__wmin", min(key).over(frame))
+      .filter(col("p") <= col("__maxp") - (w - 1))
+      .select(col("__wid"),
+        substring(col("__wmin"), 20, 8).cast(LongType).as("pos"),
+        substring(col("__wmin"), 1, 19).cast(LongType).as("fp"))
+      .distinct()
+      .withColumnRenamed("__wid", idCol)
+  }
+
   /** Repetition signals (the Gopher-style repetition filters): fraction of
     * duplicate words and duplicate word-bigrams, in basis points. High
     * values flag boilerplate / looped generations. Narrow and shuffle-free;

@@ -1262,6 +1262,65 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("n_words_total"))
         .orderBy("keep_strict", "keep_lax")
+    },
+
+    // x108 — mixture sampling with the budget in TOKENS, the unit recipes
+    // actually specify: feasible T = min_d(tokens_d/w_d), per-domain doc
+    // acceptance rate = w_d·T/tokens_d bp. Corpus never shuffles.
+    "x108_token_mixture" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      SampleOps.tokenBudgetMixture(d, "doc_id", "source", "n_tokens",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    },
+
+    // x109 — train/eval split-leakage audit: per split, docs with an
+    // LSH-verified near-dup in train — the eval-contamination number a
+    // benchmark ships with. Train's own row = intra-train duplication.
+    "x109_split_leakage" -> { (s, dir) =>
+      val d = SampleOps.hashSplit(spread(t(s, dir, "documents")), "doc_id",
+        Seq("train" -> 8000, "eval" -> 10000))
+      DedupOps.splitLeakage(d, "doc_id",
+          TextOps.wordShingles(col("text"), 3), 0.5, "split", "train")
+        .orderBy("split")
+    },
+
+    // x110 — winnowing fingerprints (Schleimer 2003): window-min selection
+    // over positional 3-gram hashes, w=4 — every ≥6-token overlap still
+    // shares a fingerprint at ~40% of the full shingle table's size.
+    "x110_winnow_fingerprints" -> { (s, dir) =>
+      TextOps.winnowFingerprints(spread(t(s, dir, "documents")), "doc_id",
+          k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    },
+
+    // x111 — duplicate-cluster size histogram: the dedup-stage audit
+    // ("are dups pairs or one 10k-doc boilerplate blob?") — LSH-verified
+    // pairs → components → bounded size histogram.
+    "x111_cluster_histogram" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pairs = DedupOps.nearDupPairs(d, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5)
+      DedupOps.connectedComponents(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
+    // x112 — truncated-dimension recall (the Matryoshka/MRL question):
+    // what does serving on the first 16 of 64 dims lose? Brute top-5 on
+    // the truncated vectors graded against the full-dim truth.
+    "x112_truncated_recall" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      val tr = e.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val approx = VectorOps.bruteForceTopK(tr.filter(col("vec_id") < 20),
+        tr, "vec_id", "embedding", 5)
+      val exact = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 20),
+        e, "vec_id", "embedding", 5)
+      VectorOps.annRecall(approx, exact, "qid", "nid").orderBy("qid")
     }
   )
 
@@ -1305,6 +1364,12 @@ object ExtensionQueries {
     s"list_reduce(list_transform(range(1,65), k -> $a[k::INT]::DOUBLE * $b[k::INT]::DOUBLE), (x,y) -> x+y)"
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** [[dotSql]] over the first `dim` components only — the truncated-dim
+    * serving mirror (x112). Same left-fold, same operand order.
+    */
+  private def dotNSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1,${dim + 1}), k -> $a[k::INT]::DOUBLE * $b[k::INT]::DOUBLE), (x,y) -> x+y)"
 
   private val word3gramShingles =
     """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -3065,7 +3130,135 @@ object ExtensionQueries {
         | SELECT keep_strict, keep_lax, count(*)::BIGINT AS n_docs,
         |   sum(n_words)::BIGINT AS n_words_total
         | FROM k GROUP BY keep_strict, keep_lax
-        | ORDER BY keep_strict, keep_lax""".stripMargin
+        | ORDER BY keep_strict, keep_lax""".stripMargin,
+
+    // Token-budget mixture mirror: the x81 CTEs with count(*) swapped for
+    // sum(n_tokens) and the same left-to-right double arithmetic.
+    "x108_token_mixture" ->
+      """WITH wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+        |     ('src2', 0.2::DOUBLE)) w(dom, w)),
+        | tok AS (SELECT doc_id, source,
+        |     len(string_split(text,' '))::BIGINT n_tokens FROM documents),
+        | cnt AS (SELECT source, sum(n_tokens) tk FROM tok GROUP BY 1),
+        | j AS (SELECT dom, w, tk FROM cnt JOIN wt ON source = dom),
+        | t AS (SELECT min(tk::DOUBLE / w) tt FROM j),
+        | r AS (SELECT dom, floor(10000 * w * tt / tk::DOUBLE)::BIGINT rate
+        |   FROM j, t)
+        | SELECT d.doc_id, d.source, d.n_tokens FROM tok d
+        | JOIN r ON d.source = r.dom
+        | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |   % 10000 < r.rate
+        | ORDER BY d.doc_id""".stripMargin,
+
+    // Split-leakage mirror: x64's banding + candidate-verify CTEs over
+    // the full corpus, split labels by the hashSplit hash-mod cuts.
+    "x109_split_leakage" ->
+      s"""$word3gramShingles,
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+         |   FROM mh GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+         |   GROUP BY 1, 2),
+         | p AS (SELECT i, j FROM inter
+         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+         | sp AS (SELECT doc_id,
+         |     CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |       % 10000 < 8000 THEN 'train' ELSE 'eval' END split
+         |   FROM documents),
+         | ends AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+         | leaky AS (SELECT DISTINCT e.a doc_id FROM ends e
+         |   JOIN sp ON sp.doc_id = e.b AND sp.split = 'train')
+         | SELECT sp.split, count(*)::BIGINT AS n_docs,
+         |   sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |     AS n_near_train,
+         |   floor(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |     * 10000 / count(*)::DOUBLE)::BIGINT AS leak_bp
+         | FROM sp LEFT JOIN leaky l USING (doc_id)
+         | GROUP BY sp.split ORDER BY split""".stripMargin,
+
+    // Winnowing mirror: positional 3-gram hash60s, the zero-padded
+    // decimal (hash,pos) key, a CURRENT ROW..3 FOLLOWING window min,
+    // full windows only, DISTINCT selections.
+    "x110_winnow_fingerprints" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        | ps AS (SELECT doc_id, unnest(list_transform(
+        |     range(0, greatest(len(t)-2, 0)),
+        |     p -> struct_pack(p := p, h := ('0x' || substr(md5(
+        |       array_to_string(list_slice(t, (p+1)::INT, (p+3)::INT), ' ')
+        |     ),1,15))::BIGINT))) e FROM w),
+        | pp AS (SELECT doc_id, e.p p,
+        |     lpad(e.h::VARCHAR, 19, '0') || lpad(e.p::VARCHAR, 8, '0') kk
+        |   FROM ps),
+        | wm AS (SELECT doc_id, p,
+        |     max(p) OVER (PARTITION BY doc_id) maxp,
+        |     min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin
+        |   FROM pp)
+        | SELECT DISTINCT doc_id, substr(wmin, 20, 8)::BIGINT AS pos,
+        |   substr(wmin, 1, 19)::BIGINT AS fp
+        | FROM wm WHERE p <= maxp - 3
+        | ORDER BY doc_id, pos""".stripMargin,
+
+    // Cluster-histogram mirror: x109's banding/verify pairs → recursive
+    // reachability (the x40 component rule) → sizes → histogram.
+    "x111_cluster_histogram" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |          range(1, greatest(len(w)-2,0)+1),
+         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
+         |        FROM w),
+         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+         |   FROM mh GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+         |   GROUP BY 1, 2),
+         | p AS (SELECT i, j FROM inter
+         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |   WHERE floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE) >= 5000),
+         | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+         | reach AS (SELECT a, b FROM e
+         |   UNION
+         |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         | compo AS (SELECT a AS doc_id, least(a, min(b)) comp
+         |   FROM reach GROUP BY a),
+         | sz AS (SELECT comp, count(*) s FROM compo GROUP BY comp)
+         | SELECT s::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+         | FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin,
+
+    // Truncated-recall mirror: the x25 brute CTEs at full dim (truth) and
+    // over the first 16 dims (approx), graded per query.
+    "x112_truncated_recall" ->
+      s"""WITH $annV,
+         | $annBrute,
+         | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
+         | v16 AS (SELECT * FROM (SELECT vec_id, embedding,
+         |     sqrt(${dotNSql("embedding", "embedding", 16)}) nrm
+         |   FROM embeddings) WHERE nrm > 0),
+         | s_tr AS (SELECT q.vec_id qid, c.vec_id nid,
+         |     ${dotNSql("q.embedding", "c.embedding", 16)} / (q.nrm * c.nrm) cos
+         |   FROM v16 c JOIN v16 q ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         | r_tr AS (SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+         |   FROM s_tr),
+         | ap AS (SELECT qid, nid FROM r_tr WHERE rk <= 5)
+         | SELECT ex.qid AS qid, count(*)::BIGINT AS n_exact,
+         |   sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |   floor(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
+         | FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+         | GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

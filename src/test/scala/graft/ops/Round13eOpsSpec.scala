@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-13 fifth wave: token-budget mixture (x108), split-leakage audit
+  * (x109), winnowing fingerprints (x110), cluster histogram (x111), and
+  * truncated-dimension recall (x112).
+  */
+class Round13eOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- token-budget mixture
+
+  test("tokenBudgetMixture: rates come from TOKEN sums, not doc counts") {
+    // domain a: 2 docs × 100 tokens = 200; domain b: 10 docs × 4 = 40.
+    // weights 0.5/0.5 → T = min(200/0.5, 40/0.5) = 80 → rate_a =
+    // floor(10000·0.5·80/200) = 2000 bp, rate_b = floor(10000·0.5·80/40)
+    // = 10000 bp — a doc-count mixture (2 vs 10 docs) would point the
+    // rates the OTHER way.
+    val docs = ((0L until 2L).map((_, "a", 100L)) ++
+      (10L until 20L).map((_, "b", 4L))).toDF("doc_id", "dom", "n_tok")
+    val kept = SampleOps.tokenBudgetMixture(docs, "doc_id", "dom", "n_tok",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val hashes = docs
+      .withColumn("h", TextOps.hash60(col("doc_id").cast("string")) % 10000)
+      .select("doc_id", "dom", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = hashes.collect {
+      case (id, "a", h) if h < 2000L => id
+      case (id, "b", h) if h < 10000L => id
+    }.toSet
+    assert(kept == expected)
+    assert((10L until 20L).toSet.subsetOf(kept), "scarce-token domain b " +
+      "must keep everything")
+  }
+
+  test("tokenBudgetMixture: unweighted domains drop; null tokens count 0") {
+    val docs = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "c", Some(5L)))
+      .toDF("doc_id", "dom", "n_tok")
+    val kept = SampleOps.tokenBudgetMixture(docs, "doc_id", "dom", "n_tok",
+        Seq("a" -> 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    // T = 10/1 → rate_a = 10000: both a-docs kept (null tokens don't
+    // exclude a doc, they just add nothing to the budget); c drops
+    assert(kept == Set(1L, 2L))
+  }
+
+  // ----------------------------------------------------- split leakage
+
+  test("splitLeakage: direction matters — partner must be in TRAIN") {
+    // 1(train) ≡ 2(eval): eval doc 2 leaks; train doc 1 does NOT (its
+    // partner is eval). 5(train) ≡ 6(train): both leak intra-train.
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, txt, "train"), (2L, txt, "eval"),
+      (3L, "one two three four five six", "eval"),
+      (4L, "seven eight nine ten eleven twelve", "train"),
+      (5L, "aa bb cc dd ee ff", "train"), (6L, "aa bb cc dd ee ff", "train"))
+      .toDF("doc_id", "text", "split")
+    val out = DedupOps.splitLeakage(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5, "split", "train")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("eval") == ((2L, 1L, 5000L)))
+    assert(out("train") == ((4L, 2L, 5000L)))
+  }
+
+  // ----------------------------------------------- winnowing fingerprints
+
+  test("winnowFingerprints: matches a direct Scala winnow of the same " +
+      "gram hashes; guarantee + density hold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "same same same same same same same same"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val out = TextOps.winnowFingerprints(docs, "doc_id", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // recompute the selection in plain Scala from the engine's own gram
+    // hashes so the assertion can't drift from the hash convention
+    val grams = docs.filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(split(col("text"), " ")) - k),
+          p => TextOps.hash60(concat_ws(" ",
+            slice(split(col("text"), " "), p + 1, lit(k))))))
+          .as(Seq("p", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = grams.flatMap { case (id, rows) =>
+      val hs = rows.sortBy(_._2).map(r => (r._3, r._2.toLong))
+      if (hs.length < w) Seq.empty
+      else hs.indices.dropRight(w - 1).map { p =>
+        val (h, q) = hs.slice(p, p + w).min
+        (id, q, h)
+      }.distinct
+    }.toSet
+    assert(out.toSet == expected)
+    assert(!out.exists(_._1 == 4L), "sub-window doc must emit nothing")
+    // guarantee: every w consecutive gram positions contain a selection
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val sel = rows.map(_._2).sorted
+      val maxp = grams(id).map(_._2).max
+      (0L to (maxp - (w - 1)).toLong).foreach { p =>
+        assert(sel.exists(q => q >= p && q < p + w),
+          s"doc $id window at $p has no fingerprint")
+      }
+    }
+    // density: the all-equal-hash doc selects by position tie-break —
+    // exactly one fingerprint per window start, all the same hash
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._3).distinct.length == 1)
+  }
+
+  // ------------------------------------------------- cluster histogram
+
+  test("cluster histogram composition: triangle + pair → {3:1, 2:1}") {
+    val t1 = "aa bb cc dd ee ff gg"
+    val t2 = "one two three four five six seven"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2),
+      (6L, "lone wolf doc with its own words"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.nearDupPairs(docs, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 0.5)
+    val hist = DedupOps.connectedComponents(pairs)
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L))
+  }
+
+  // ---------------------------------------------- truncated-dim recall
+
+  test("truncated recall: full-width truncation is the identity — " +
+      "recall_bp 10000 everywhere; 16-dim recall is sane") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", 5)
+    val same = VectorOps.annRecall(
+      VectorOps.bruteForceTopK(
+        e.withColumn("embedding", slice(col("embedding"), 1, 64))
+          .filter(col("vec_id") < 5),
+        e.withColumn("embedding", slice(col("embedding"), 1, 64)),
+        "vec_id", "embedding", 5),
+      exact, "qid", "nid")
+    assert(same.select("recall_bp").as[Long].collect().forall(_ == 10000L))
+    val tr = e.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val r16 = VectorOps.annRecall(
+      VectorOps.bruteForceTopK(tr.filter(col("vec_id") < 5), tr,
+        "vec_id", "embedding", 5),
+      exact, "qid", "nid")
+      .collect()
+    assert(r16.length == 5)
+    r16.foreach { r =>
+      val (nEx, bp) = (r.getLong(1), r.getLong(3))
+      assert(nEx == 5L && bp >= 0L && bp <= 10000L)
+    }
+  }
+}

@@ -243,6 +243,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x108: token-budget rates broadcast; the corpus never shuffles") {
+    val p = plan(ExtensionQueries.queries, "x108_token_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$p")
+    // the per-domain token sums must partial-aggregate before their
+    // exchange — at 100 TB the un-combined doc stream is the corpus
+    assert(p.contains("partial_sum"), s"token sums not map-side combined:\n$p")
+  }
+
+  test("x110: winnowing is one doc-keyed exchange, no join anywhere") {
+    val p = plan(ExtensionQueries.queries, "x110_winnow_fingerprints")
+    assert(!p.contains("Join"), s"winnow planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (windows + " +
+      s"distinct), got $exchanges:\n$p")
+  }
+
+  test("x112: truncated recall scans the corpus with queries broadcast — " +
+      "no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x112_truncated_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") ||
+      // the final recall join keys on (qid, nid) over bounded top-k rows —
+      // a sort-merge there is fine; the VECTOR joins must not sort-merge
+      !p.contains("SortMergeJoin BuildRight"), p)
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
