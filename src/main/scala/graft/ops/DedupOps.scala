@@ -706,6 +706,39 @@ object DedupOps {
       .select(col("id").as(idCol), col("n_hits"))
   }
 
+  /** Near-dup candidate pairs from WINNOWING fingerprints
+    * ([[graft.ops.TextOps.winnowFingerprints]]): docs sharing ≥
+    * `minShared` selected fingerprints. The fingerprint-index flavor of
+    * candidate generation — the winnowing guarantee (any shared run of ≥
+    * w+k−1 tokens shares a fingerprint) makes this the cheaper sibling of
+    * the positional-shingle span path at ~2/(w+1) of the index size,
+    * which is exactly the trade plagiarism/overlap detectors ship
+    * (MOSS runs this structure). Candidates feed [[verifyJaccardPairs]]
+    * or [[duplicatedSpans]]-style inspection; `minShared` ≥ 2 suppresses
+    * single-collision noise.
+    *
+    * Plan shape: the winnow table groups by fingerprint and enumerates
+    * pairs inside each bucket with the shared [[docPairs]] kernel —
+    * identical skew posture to the shingle inverted index (buckets over
+    * `maxBucket` are boilerplate blobs and are dropped loudly, the
+    * documented lower-bound semantics).
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, k: Int = 3,
+                         w: Int = 4, minShared: Long = 2,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireLongId(docs, idCol)
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val fps = TextOps.winnowFingerprints(docs, idCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(docPairs(col("ds"))).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Train/eval split-leakage audit: per split label, how many docs have
     * an LSH-verified near-duplicate ([[nearDupPairs]] default path,
     * Jaccard ≥ `threshold`) inside the `trainLabel` split. THE

@@ -134,6 +134,22 @@ object ModelIO {
       Seq("widx" -> LongType, "bits" -> LongType,
         "m_bits" -> IntegerType, "k_hashes" -> IntegerType))
 
+  // ---- BM25 inverted index -------------------------------------------------
+
+  /** Persist a [[TextOps.bm25Postings]] inverted index (did, t, tf). The
+    * postings are the COMPLETE index — dl/df/N/Σdl all derive from them
+    * ([[TextOps.bm25TopKWith]]) — so this one table is the whole
+    * build-once artifact. Integral counts → load-then-score ≡
+    * build-then-score bit-for-bit. No coalesce: postings ∝ corpus token
+    * types, a genuinely large table whose partitioning should survive.
+    */
+  def saveBm25Postings(postings: DataFrame, path: String): Unit =
+    postings.select("did", "t", "tf").write.mode("overwrite").parquet(path)
+
+  def loadBm25Postings(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("did" -> LongType, "t" -> StringType, "tf" -> LongType))
+
   // ---- Quality-classifier vocab --------------------------------------------
 
   /** Persist a [[TextOps.qualityClassifierTrain]] weight table

@@ -515,6 +515,66 @@ object StatOps {
     * Scale shape: per stage, one map-side-combinable agg keyed by the
     * group — output bounded by stages × groups metadata rows.
     */
+  /** Corpus snapshot diff — the release-to-release audit table: per doc
+    * id, `added` (new only) / `removed` (old only) / `changed` (both,
+    * content hash differs) / `unchanged`. The table a crawl refresh or a
+    * re-processed dump ships so downstream consumers know what moved —
+    * and the input the incremental ops (x60/x73) decide their work-list
+    * from (only `added`+`changed` need re-dedup/re-scoring).
+    *
+    * Contract: ids must be unique per snapshot (it's a keyed diff — the
+    * multiplicity question [[graft.ops.DedupOps.incrementalDedup]]
+    * documents does not arise here by construction of the full-outer
+    * join; duplicate ids would produce a row per id-pair, loudly).
+    * Comparison is by md5(content) — the cross-engine convention, and at
+    * 100 TB the hash comparison moves 16 bytes per row instead of the
+    * documents.
+    *
+    * Plan: ONE full-outer equi-join on the id (two keyed shuffles of
+    * hash-projected rows, no text movement), narrow status case.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(col(contentCol)).as("__ho"))
+    val n = newSnap.select(col(idCol), md5(col(contentCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Source-mix drift between two snapshots — the ingest-monitor table
+    * that catches "one crawl quietly lost a domain" before a training
+    * run bakes it in: per source, doc counts and corpus shares (bp) in
+    * each snapshot and the share delta. A source present in only one
+    * snapshot reports 0 on the other side (the full-outer contract —
+    * absence IS the signal, but unlike [[funnelReportBy]]'s open-ended
+    * stage universe, two snapshots define a closed source union, so an
+    * explicit zero row is well-defined and more readable here).
+    *
+    * Scale shape: one map-side-combinable count per snapshot, a
+    * sources-sized full-outer join, two 1-row broadcasts — output and
+    * all intermediates are bounded source metadata.
+    */
+  def mixDrift(oldSnap: DataFrame, newSnap: DataFrame,
+               groupCol: String): DataFrame = {
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as(as))
+    val o = cnt(oldSnap, "n_old")
+    val n = cnt(newSnap, "n_new")
+    val totO = oldSnap.agg(count(lit(1)).as("__to"))
+    val totN = newSnap.agg(count(lit(1)).as("__tn"))
+    o.join(n, Seq(groupCol), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .crossJoin(broadcast(totO)).crossJoin(broadcast(totN))
+      .withColumn("share_old_bp", TextOps.bp(col("n_old"), col("__to")))
+      .withColumn("share_new_bp", TextOps.bp(col("n_new"), col("__tn")))
+      .withColumn("delta_bp", col("share_new_bp") - col("share_old_bp"))
+      .drop("__to", "__tn")
+  }
+
   def funnelReportBy(stages: Seq[(String, DataFrame)], tokenCol: Column,
                      groupCol: String): DataFrame = {
     require(stages.nonEmpty, "funnelReportBy: stages must be non-empty")

@@ -579,22 +579,43 @@ object TextOps {
     * crossJoin; the top-k is a per-query window over scored candidates.
     */
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE explode pass builds the postings table; doc lengths and the
-    // token total derive from it (sum of tf ≡ count of words) — the
-    // corpus text is scanned once, and the checkpointed postings feed
-    // their four consumers (df, dl, total, the scoring join) without
-    // re-running the tokenize+count pipeline per branch. At 100 TB the
-    // postings ARE the persisted inverted index; this plan builds it
-    // inline with the same shape.
-    val tf = corpus.select(col(idCol).as("did"),
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25TopKWith(queries,
+      bm25Postings(corpus, idCol, textCol), k, idCol, textCol)
+
+  /** The BM25 inverted index as a standalone artifact: (did, t, tf)
+    * postings — ONE explode pass over the corpus, one map-side-combined
+    * agg. Everything else BM25 needs (doc lengths, document frequencies,
+    * N, Σdl) DERIVES from this table (every doc appears: `split` of an
+    * empty text still yields one empty token), so the postings frame is
+    * the complete persistable index — build once on the 100 TB corpus,
+    * [[graft.ops.ModelIO.saveBm25Postings]] it, and score any future
+    * query batch against the parquet without re-reading the corpus.
+    */
+  def bm25Postings(corpus: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol).as("did"),
         explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("did"), col("t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+
+  /** [[bm25TopK]] scoring against a prebuilt/reloaded [[bm25Postings]]
+    * frame — the serving half of the build-once-score-many split. All
+    * corpus statistics derive from the postings (N = distinct docs — the
+    * corpus row count by the every-doc-appears invariant above), so
+    * load-then-score is bit-identical to build-then-score
+    * (`ModelIoSpec`'s round-trip contract).
+    */
+  def bm25TopKWith(queries: DataFrame, postings: DataFrame, k: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the checkpointed postings feed their four consumers (df, dl,
+    // total, the scoring join) without re-running the build (or
+    // re-scanning the loaded parquet) per branch
+    val tf = postings.localCheckpoint()
     val dl = tf.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+    val stats = tf.agg(countDistinct(col("did")).as("n_docs"))
     val tot = tf.agg(sum(col("tf")).as("n_toks"))
     val qt = queries.select(col(idCol).as("qid"),
       explode(split(col(textCol), " ")).as("t")).distinct()

@@ -1321,6 +1321,37 @@ object ExtensionQueries {
       val exact = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 20),
         e, "vec_id", "embedding", 5)
       VectorOps.annRecall(approx, exact, "qid", "nid").orderBy("qid")
+    },
+
+    // x113 — overlap candidates from the x110 winnow index: docs sharing
+    // ≥2 selected fingerprints — the MOSS-style candidate generator at
+    // ~40% of the shingle table's bill.
+    "x113_winnow_overlap" -> { (s, dir) =>
+      DedupOps.winnowOverlapPairs(spread(t(s, dir, "documents")), "doc_id",
+          k = 3, w = 4, minShared = 2)
+        .orderBy("i", "j")
+    },
+
+    // x114 — corpus snapshot diff: per-id added/removed/changed/unchanged
+    // between a dump and its refresh — the work-list the incremental ops
+    // (x60/x73) run from. The refresh is simulated deterministically.
+    "x114_snapshot_diff" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents")).select("doc_id", "text")
+      val nw = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      StatOps.snapshotDiff(d, nw, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // x115 — source-mix drift between the same two snapshots: per source,
+    // counts + corpus shares + delta — the ingest monitor that catches a
+    // domain quietly halving before training bakes it in.
+    "x115_mix_drift" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val nw = d.filter(!(col("source") === "src0" && col("doc_id") % 2 === 0))
+      StatOps.mixDrift(d, nw, "source").orderBy("source")
     }
   )
 
@@ -3258,7 +3289,73 @@ object ExtensionQueries {
          |   floor(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
          |     * 10000 / count(*)::DOUBLE)::BIGINT AS recall_bp
          | FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
-         | GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+         | GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+
+    // Winnow-overlap mirror: the x110 selection CTEs → DISTINCT (doc,fp)
+    // → fp-bucket pair join → shared count ≥ 2.
+    "x113_winnow_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        | ps AS (SELECT doc_id, unnest(list_transform(
+        |     range(0, greatest(len(t)-2, 0)),
+        |     p -> struct_pack(p := p, h := ('0x' || substr(md5(
+        |       array_to_string(list_slice(t, (p+1)::INT, (p+3)::INT), ' ')
+        |     ),1,15))::BIGINT))) e FROM w),
+        | pp AS (SELECT doc_id, e.p p,
+        |     lpad(e.h::VARCHAR, 19, '0') || lpad(e.p::VARCHAR, 8, '0') kk
+        |   FROM ps),
+        | wm AS (SELECT doc_id, p,
+        |     max(p) OVER (PARTITION BY doc_id) maxp,
+        |     min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin
+        |   FROM pp),
+        | sel AS (SELECT DISTINCT doc_id, substr(wmin, 1, 19)::BIGINT fp
+        |   FROM wm WHERE p <= maxp - 3)
+        | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS shared
+        | FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j""".stripMargin,
+
+    // Snapshot-diff mirror: the same simulated refresh, md5 compare over
+    // a full-outer id join.
+    "x114_snapshot_diff" ->
+      """WITH nw AS (
+        |   SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+        |     THEN text || ' updated' ELSE text END) h
+        |   FROM documents WHERE doc_id % 7 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, md5(text) FROM documents
+        |   WHERE doc_id % 3 = 0),
+        | o AS (SELECT doc_id, md5(text) h FROM documents),
+        | n AS (SELECT doc_id, h FROM nw)
+        | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |   CASE WHEN o.h IS NULL THEN 'added'
+        |        WHEN n.h IS NULL THEN 'removed'
+        |        WHEN o.h = n.h THEN 'unchanged'
+        |        ELSE 'changed' END AS status
+        | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        | ORDER BY doc_id""".stripMargin,
+
+    // Mix-drift mirror: per-source counts/shares in both snapshots, bp
+    // deltas from the same floor arithmetic.
+    "x115_mix_drift" ->
+      """WITH nw AS (SELECT * FROM documents
+        |   WHERE NOT (source = 'src0' AND doc_id % 2 = 0)),
+        | o AS (SELECT source, count(*) n_old FROM documents GROUP BY 1),
+        | n AS (SELECT source, count(*) n_new FROM nw GROUP BY 1),
+        | ot AS (SELECT count(*) t FROM documents),
+        | nt AS (SELECT count(*) t FROM nw)
+        | SELECT coalesce(o.source, n.source) AS source,
+        |   coalesce(n_old, 0)::BIGINT AS n_old,
+        |   coalesce(n_new, 0)::BIGINT AS n_new,
+        |   floor(coalesce(n_old, 0)::DOUBLE * 10000 / ot.t::DOUBLE)::BIGINT
+        |     AS share_old_bp,
+        |   floor(coalesce(n_new, 0)::DOUBLE * 10000 / nt.t::DOUBLE)::BIGINT
+        |     AS share_new_bp,
+        |   (floor(coalesce(n_new, 0)::DOUBLE * 10000 / nt.t::DOUBLE)
+        |    - floor(coalesce(n_old, 0)::DOUBLE * 10000 / ot.t::DOUBLE))::BIGINT
+        |     AS delta_bp
+        | FROM o FULL OUTER JOIN n ON o.source = n.source
+        | CROSS JOIN ot CROSS JOIN nt
+        | ORDER BY source""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

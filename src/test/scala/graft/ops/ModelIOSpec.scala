@@ -121,6 +121,27 @@ class ModelIOSpec extends SparkSpec {
     assert(combined.sameElements(replay))
   }
 
+  test("BM25 postings round-trip: load-then-score == build-then-score") {
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, s"term${i % 5} term${i % 3} common word doc$i filler text")
+    }.toDF("doc_id", "text")
+    val queries = corpus.filter($"doc_id" < 3)
+    val direct = TextOps.bm25TopK(queries, corpus, k = 4)
+      .orderBy("qid", "rk").collect()
+    val path = tmp("bm25")
+    ModelIO.saveBm25Postings(TextOps.bm25Postings(corpus), path)
+    val replay = TextOps.bm25TopKWith(queries,
+        ModelIO.loadBm25Postings(spark, path), k = 4)
+      .orderBy("qid", "rk").collect()
+    assert(direct.sameElements(replay))
+    // the postings really are the complete index: an empty-text doc still
+    // counts toward N (split("") yields one empty token)
+    val withEmpty = corpus.unionByName(Seq((99L, "")).toDF("doc_id", "text"))
+    val n = TextOps.bm25Postings(withEmpty)
+      .agg(countDistinct($"did")).as[Long].head()
+    assert(n == 31L)
+  }
+
   test("loads reject a wrong-artifact path loudly") {
     val path = tmp("wrong")
     Seq((1L, "x")).toDF("a", "b").write.parquet(path)

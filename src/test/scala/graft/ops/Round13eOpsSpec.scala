@@ -135,6 +135,62 @@ class Round13eOpsSpec extends SparkSpec {
     assert(hist == Map(3L -> 1L, 2L -> 1L))
   }
 
+  // ------------------------------------------------ winnow overlap pairs
+
+  test("winnowOverlapPairs: shared-run docs pair; disjoint docs don't; " +
+      "minShared filters single collisions") {
+    // docs 1 and 2 share an 8-token run (≥ w+k-1 = 6 → guaranteed ≥1
+    // shared fingerprint; the long run yields several)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$run tail one two"),
+      (2L, s"prefix words here $run"),
+      (3L, "totally different content with no overlap at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.winnowOverlapPairs(docs, "doc_id", k = 3, w = 4,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 2L)
+    // agreement with the definition: shared = |winnow(1) ∩ winnow(2)| on
+    // distinct fingerprints
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", 3, 4)
+      .select("doc_id", "fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val s2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(pairs.head._3 == (s1 & s2).size.toLong)
+  }
+
+  // ------------------------------------------------------ snapshot diff
+
+  test("snapshotDiff: all four statuses, keyed full-outer semantics") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("id", "content")
+    val nw = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("id", "content")
+    val out = StatOps.snapshotDiff(old, nw, "id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  // ---------------------------------------------------------- mix drift
+
+  test("mixDrift: zero rows for one-sided sources; bp shares and delta") {
+    val old = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val nw = (Seq.fill(3)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val out = StatOps.mixDrift(old, nw, "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("a") == ((6L, 3L, 6000L, 3000L, -3000L)))
+    assert(out("b") == ((4L, 4L, 4000L, 4000L, 0L)))
+    assert(out("c") == ((0L, 3L, 0L, 3000L, 3000L)))
+  }
+
   // ---------------------------------------------- truncated-dim recall
 
   test("truncated recall: full-width truncation is the identity — " +

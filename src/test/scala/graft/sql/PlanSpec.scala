@@ -272,6 +272,24 @@ class PlanSpec extends SparkSpec {
       !p.contains("SortMergeJoin BuildRight"), p)
   }
 
+  test("x113: winnow overlap enumerates inside fp buckets — no cartesian, " +
+      "combined pair counts") {
+    val p = plan(ExtensionQueries.queries, "x113_winnow_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), s"pair counts not combined:\n$p")
+  }
+
+  test("x114: snapshot diff joins hash projections, not text") {
+    val p = plan(ExtensionQueries.queries, "x114_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    // the full-outer join's stream must carry md5 hashes, not documents:
+    // no post-scan operator above the join may reference the text column
+    val joinIdx = p.indexOf("FullOuter")
+    assert(joinIdx > 0, s"no full-outer join planned:\n$p")
+    assert(!p.substring(0, joinIdx).contains("text#"),
+      s"text column rides above the diff join:\n$p")
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
