@@ -718,14 +718,20 @@ object DedupOps {
     * single-collision noise.
     *
     * Plan shape: the winnow table groups by fingerprint and enumerates
-    * pairs inside each bucket with the shared [[docPairs]] kernel —
-    * identical skew posture to the shingle inverted index (buckets over
-    * `maxBucket` are boilerplate blobs and are dropped loudly, the
-    * documented lower-bound semantics).
+    * pairs inside each bucket with the shared [[docPairs]] kernel.
+    * `maxBucket` here is MOSS's published "ignore fingerprints shared by
+    * too many documents" rule, not just a skew guard — a fingerprint in
+    * hundreds of docs is boilerplate that says nothing about pairwise
+    * overlap, and pair enumeration is Θ(Σ bucket²), so the cap IS the
+    * scale knob (measured on the saturated-vocab fixture: cap 2000
+    * reproduces the x21 quadratic exhibit class at sf2; cap 200 — the
+    * declared default — keeps the doubling near-linear, SURVEY §6.3).
+    * Dropped buckets are the documented lower-bound semantics, mirrored
+    * in the oracle.
     */
   def winnowOverlapPairs(docs: DataFrame, idCol: String, k: Int = 3,
                          w: Int = 4, minShared: Long = 2,
-                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                         maxBucket: Int = 200): DataFrame = {
     requireLongId(docs, idCol)
     require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
     val fps = TextOps.winnowFingerprints(docs, idCol, k, w)

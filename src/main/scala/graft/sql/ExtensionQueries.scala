@@ -1325,10 +1325,11 @@ object ExtensionQueries {
 
     // x113 — overlap candidates from the x110 winnow index: docs sharing
     // ≥2 selected fingerprints — the MOSS-style candidate generator at
-    // ~40% of the shingle table's bill.
+    // ~40% of the shingle table's bill. maxBucket 200 is MOSS's
+    // "too-common fingerprint" drop — the declared scale knob.
     "x113_winnow_overlap" -> { (s, dir) =>
       DedupOps.winnowOverlapPairs(spread(t(s, dir, "documents")), "doc_id",
-          k = 3, w = 4, minShared = 2)
+          k = 3, w = 4, minShared = 2, maxBucket = 200)
         .orderBy("i", "j")
     },
 
@@ -3309,9 +3310,11 @@ object ExtensionQueries {
         |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin
         |   FROM pp),
         | sel AS (SELECT DISTINCT doc_id, substr(wmin, 1, 19)::BIGINT fp
-        |   FROM wm WHERE p <= maxp - 3)
+        |   FROM wm WHERE p <= maxp - 3),
+        | ok AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 200),
+        | sf AS (SELECT sel.doc_id, sel.fp FROM sel JOIN ok USING (fp))
         | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS shared
-        | FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j""".stripMargin,
 
     // Snapshot-diff mirror: the same simulated refresh, md5 compare over

@@ -37,7 +37,8 @@ VOCAB = ("the a spark join stream small order merge column group customer "
          "part value window big scan table vector row filter sort batch "
          "hash key query data line slow fast agg").split()
 
-def gen_documents(n, rng):
+def gen_documents(n, rng, vocab=None):
+    vocab = vocab or VOCAB
     langs = ["en", "zh", "es", "fr", "de"]
     lang_w = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
     texts = []
@@ -52,7 +53,7 @@ def gen_documents(n, rng):
             texts.append(" ".join(w))
         else:
             nw = rng.randint(10, 100)
-            texts.append(" ".join(rng.choice(VOCAB) for _ in range(nw)))
+            texts.append(" ".join(rng.choice(vocab) for _ in range(nw)))
         out_lang.append(rng.choices(langs, weights=lang_w)[0])
     return pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
@@ -104,6 +105,12 @@ def main():
     ap.add_argument("out")
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--embeddings", type=int, default=20000)
+    ap.add_argument("--vocab-size", type=int, default=0,
+                    help="documents vocab size (0 = the driver's 30-word "
+                         "vocab; >0 = wNNN synthetic words, the "
+                         "realistic-gram-density variant for inverted-"
+                         "index kernels whose bucket sizes are "
+                         "density-bound)")
     ap.add_argument("--events", type=int, default=0,
                     help="synthesize a scaled events table too (0 = symlink "
                          "from --base as before)")
@@ -112,7 +119,9 @@ def main():
     args = ap.parse_args()
     rng = random.Random(421)
     os.makedirs(args.out, exist_ok=True)
-    pq.write_table(gen_documents(args.docs, rng),
+    vocab = ([f"w{i}" for i in range(args.vocab_size)]
+             if args.vocab_size > 0 else None)
+    pq.write_table(gen_documents(args.docs, rng, vocab),
                    os.path.join(args.out, "documents.parquet"))
     pq.write_table(gen_embeddings(args.embeddings, rng),
                    os.path.join(args.out, "embeddings.parquet"))
