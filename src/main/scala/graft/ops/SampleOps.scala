@@ -334,6 +334,38 @@ object SampleOps {
       .drop("__dom", "__rate_bp")
   }
 
+  /** Keep the top `keepBp`/10000 of each GROUP by a score — the
+    * percentile-threshold selection FineWeb-style ablations run ("keep
+    * the best 30% of each source/language by quality"), where a single
+    * GLOBAL score threshold would let one well-scoring source crowd out
+    * every other (the same per-group fairness argument as
+    * [[graft.ops.LmOps.ccnetBuckets]]'s per-language terciles — this is
+    * the SELECTING sibling of that LABELING op, for any score and group).
+    * Integral cut rule (shared with `VectorOps.prototypePrune`):
+    * rk ≤ ⌈n·keepBp/10000⌉ ⇔ (rk−1)·10000 < n·keepBp — pure integers,
+    * no double-ordering hazard; ties break on ascending id.
+    *
+    * Scale shape: ONE shuffle on the group key for the two windows
+    * (rank + count share the partition); group sizes are corpus-share
+    * sized — if one group outgrows a partition, pre-aggregate the cut
+    * boundary via `StatOps` quantiles and broadcast it (the documented
+    * x50 variant); the plan here is the direct form.
+    */
+  def percentileSelect(df: DataFrame, idCol: String, groupCol: String,
+                       scoreCol: String, keepBp: Long,
+                       descending: Boolean = true): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000,
+      s"percentileSelect: keepBp must be in [0, 10000] (got $keepBp)")
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
+    val wc = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter((col("__rk") - 1) * 10000 < col("__n") * keepBp)
+      .drop("__rk", "__n")
+  }
+
   /** Deterministic per-key downsampling: keep at most `k` rows per key,
     * chosen by id-hash order (not arrival order — reproducible under any
     * partitioning). The domain-balancing primitive of corpus curation:

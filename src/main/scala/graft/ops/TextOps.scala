@@ -99,6 +99,46 @@ object TextOps {
       bridge(graft.functions.Md5BottomK(
         expr0(charShingles(col(textCol), 8)), k)))
 
+  /** Phrase-blocklist decision table — the C4-style "remove any page
+    * containing a bad-words-list phrase" stage (Raffel et al. 2020 §2.2
+    * applies exactly this with the LDNOOBW list), equally the
+    * blocked-domain / policy-phrase filter every production corpus runs.
+    * Matching is whole-word contiguous-phrase (a phrase of n words
+    * matches a doc's word n-grams — never substrings, so "ass" does not
+    * flag "class", the known C4 false-positive family at CHARACTER
+    * granularity). Output: one row per doc — (idCol, n_hits, keep) where
+    * n_hits counts DISTINCT blocklist phrases present and keep = no hit.
+    *
+    * Scale shape: the blocklist is bounded metadata → it BROADCASTS;
+    * docs explode only to the n-gram lengths the list actually contains
+    * (one narrow pass per distinct length, usually 1–2), one
+    * map-side-combinable per-doc count, one keyed left join back to the
+    * id projection. The corpus text is never shuffled.
+    */
+  def blocklistHits(docs: DataFrame, idCol: String, phrases: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklistHits: phrases must be non-empty")
+    require(phrases.forall(_.trim.nonEmpty), "blank blocklist phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val pDf = phrases.distinct.toDF("__phrase")
+    val grams = lens.map { n =>
+        docs.select(col(idCol).as("__bid"),
+          explode(wordShingles(col(textCol), n)).as("__g"))
+      }.reduce(_ unionByName _)
+    val hits = grams.join(broadcast(pDf), col("__g") === col("__phrase"))
+      .groupBy(col("__bid"))
+      // wordShingles emits DISTINCT grams per doc, so this count is the
+      // number of distinct phrases matched
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("__bid"))
+      .join(hits, Seq("__bid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("__bid").as(idCol), col("n_hits"),
+        (col("n_hits") === 0L).as("keep"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
     * Local Algorithms for Document Fingerprinting"): per doc, hash every
     * positional `k`-token gram (the [[graft.ops.DedupOps.duplicatedSpans]]

@@ -1353,6 +1353,40 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       val nw = d.filter(!(col("source") === "src0" && col("doc_id") % 2 === 0))
       StatOps.mixDrift(d, nw, "source").orderBy("source")
+    },
+
+    // x116 — phrase-blocklist decision table (the C4 bad-words stage):
+    // whole-word contiguous-phrase matching, distinct-hit counts, keep
+    // flag. Blocklist broadcasts; the corpus never shuffles its text.
+    "x116_blocklist" -> { (s, dir) =>
+      TextOps.blocklistHits(spread(t(s, dir, "documents")), "doc_id",
+          Seq("slow", "spark join", "big scan table"))
+        .orderBy("doc_id")
+    },
+
+    // x117 — per-source percentile selection (FineWeb-style "keep the
+    // best 30% of each source"): a global threshold would let one
+    // well-scoring source crowd out the rest.
+    "x117_percentile_select" -> { (s, dir) =>
+      val q = TextOps.qualityScore(spread(t(s, dir, "documents")))
+        .select(col("doc_id"), col("source"), col("alpha_ratio_bp"))
+      SampleOps.percentileSelect(q, "doc_id", "source", "alpha_ratio_bp",
+          3000L)
+        .orderBy("doc_id")
+    },
+
+    // x118 — epoch token accounting: per (source, epoch) doc/token totals
+    // of the x101 replica stream — "what will the run actually see",
+    // priced in tokens, before any GPU burns.
+    "x118_epoch_tokens" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      SampleOps.epochUpsample(d, "doc_id", "source",
+          Seq("src0" -> 0.5, "src2" -> 0.2, "src3" -> 0.01),
+          totalDocs = 12000L, maxEpochs = 5)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "epoch")
     }
   )
 
@@ -3358,7 +3392,71 @@ object ExtensionQueries {
         |     AS delta_bp
         | FROM o FULL OUTER JOIN n ON o.source = n.source
         | CROSS JOIN ot CROSS JOIN nt
-        | ORDER BY source""".stripMargin
+        | ORDER BY source""".stripMargin,
+
+    // Blocklist mirror: distinct grams per phrase length, VALUES
+    // blocklist, distinct-hit counts, keep = no hit.
+    "x116_blocklist" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | g1 AS (SELECT doc_id, unnest(list_distinct(w)) g FROM w),
+        | g2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(w)-1,0)+1),
+        |     k -> w[k::INT] || ' ' || w[k::INT+1]))) g FROM w),
+        | g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(w)-2,0)+1),
+        |     k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) g
+        |   FROM w),
+        | bl AS (SELECT * FROM (VALUES ('slow'), ('spark join'),
+        |     ('big scan table')) b(p)),
+        | hits AS (SELECT doc_id, count(*) n FROM
+        |   (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |    UNION ALL SELECT * FROM g3) g
+        |   JOIN bl ON g.g = bl.p GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+        |   (coalesce(h.n, 0) = 0) AS keep
+        | FROM documents d LEFT JOIN hits h USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin,
+
+    // Percentile-selection mirror: the x17 alpha-ratio signal, per-source
+    // rank/count windows, the same pure-integer cut rule.
+    "x117_percentile_select" ->
+      """WITH q AS (SELECT doc_id, source,
+        |     floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |       * 10000 / length(text)::DOUBLE)::BIGINT ab
+        |   FROM documents),
+        | r AS (SELECT doc_id, source, ab,
+        |     row_number() OVER (PARTITION BY source ORDER BY ab DESC, doc_id) rk,
+        |     count(*) OVER (PARTITION BY source) n FROM q)
+        | SELECT doc_id, source, ab AS alpha_ratio_bp FROM r
+        | WHERE (rk - 1) * 10000 < n * 3000 ORDER BY doc_id""".stripMargin,
+
+    // Epoch-token mirror: the x101/x106 selection CTEs carrying source
+    // and token counts, grouped per (source, epoch).
+    "x118_epoch_tokens" ->
+      """WITH wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.5::DOUBLE), ('src2', 0.2::DOUBLE),
+        |     ('src3', 0.01::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        | j AS (SELECT dom, w, n FROM cnt JOIN wt ON source = dom),
+        | p AS (SELECT dom, n, floor(w * 12000.0)::BIGINT want FROM j),
+        | e AS (SELECT dom, n, want, want // n full0,
+        |     least(want // n, 5) eful FROM p),
+        | pl AS (SELECT dom, eful,
+        |     CASE WHEN full0 >= 5 THEN 0
+        |          ELSE ((want - eful * n) * 10000) // n END pbp
+        |   FROM e),
+        | ep AS (SELECT dom, eful, pbp,
+        |     unnest(range(0, eful + 1)) epoch FROM pl),
+        | sel AS (SELECT d.doc_id, d.source,
+        |     len(string_split(d.text,' '))::BIGINT nt, ep.epoch::BIGINT epoch
+        |   FROM documents d JOIN ep ON d.source = ep.dom
+        |   WHERE ep.epoch < ep.eful
+        |     OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 10000 < ep.pbp)
+        | SELECT source, epoch, count(*)::BIGINT AS n_docs,
+        |   sum(nt)::BIGINT AS n_tokens
+        | FROM sel GROUP BY source, epoch
+        | ORDER BY source, epoch""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

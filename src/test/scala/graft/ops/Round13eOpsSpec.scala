@@ -191,6 +191,48 @@ class Round13eOpsSpec extends SparkSpec {
     assert(out("c") == ((0L, 3L, 0L, 3000L, 3000L)))
   }
 
+  // ------------------------------------------------- blocklist decision
+
+  test("blocklistHits: whole-word contiguous phrases only — no substring " +
+      "or gap matches; distinct-hit counts; every doc gets a row") {
+    val docs = Seq(
+      (1L, "this class is fine"),           // "ass" must NOT match "class"
+      (2L, "bad phrase here and bad word"),  // 2 distinct hits
+      (3L, "bad other phrase"),              // gap: "bad phrase" absent
+      (4L, "clean text entirely"),
+      (5L, "bad phrase bad phrase"))         // repeated → still 1 distinct
+      .toDF("doc_id", "text")
+    val out = TextOps.blocklistHits(docs, "doc_id",
+        Seq("ass", "bad phrase", "bad word"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((0L, true)), 2L -> ((2L, false)), 3L -> ((0L, true)),
+      4L -> ((0L, true)), 5L -> ((1L, false))))
+  }
+
+  // ------------------------------------------------ percentile selection
+
+  test("percentileSelect: per-group ceil cut, id tie-break, both " +
+      "directions") {
+    // group a: 5 rows scores 50,40,30,20,10 → keep 30% = ceil(1.5)=2
+    // group b: 2 rows equal scores → keep 30% = ceil(0.6)=1, lowest id
+    val df = Seq(
+      (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "a", 10L), (6L, "b", 7L), (7L, "b", 7L))
+      .toDF("id", "g", "score")
+    val top = SampleOps.percentileSelect(df, "id", "g", "score", 3000L)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 6L))
+    val bottom = SampleOps.percentileSelect(df, "id", "g", "score", 3000L,
+        descending = false)
+      .select("id").as[Long].collect().toSet
+    assert(bottom == Set(5L, 4L, 6L))
+    assert(SampleOps.percentileSelect(df, "id", "g", "score", 0L).count() == 0L)
+    assert(SampleOps.percentileSelect(df, "id", "g", "score", 10000L)
+      .count() == 7L)
+  }
+
   // ---------------------------------------------- truncated-dim recall
 
   test("truncated recall: full-width truncation is the identity — " +

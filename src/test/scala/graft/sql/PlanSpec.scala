@@ -290,6 +290,22 @@ class PlanSpec extends SparkSpec {
       s"text column rides above the diff join:\n$p")
   }
 
+  test("x116: blocklist broadcasts onto the gram stream — no shuffle of " +
+      "the corpus for the match") {
+    val p = plan(ExtensionQueries.queries, "x116_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), s"hit counts not combined:\n$p")
+  }
+
+  test("x117: percentile selection is one group-keyed exchange for both " +
+      "windows") {
+    val p = plan(ExtensionQueries.queries, "x117_percentile_select")
+    assert(!p.contains("Join"), s"selection planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
