@@ -566,11 +566,15 @@ object StatOps {
     val n = cnt(newSnap, "n_new")
     val totO = oldSnap.agg(count(lit(1)).as("__to"))
     val totN = newSnap.agg(count(lit(1)).as("__tn"))
+    // an EMPTY snapshot has no shares: null, not a 0/0 ANSI error — the
+    // count columns still report, which is the signal that matters there
+    def share(n: Column, tot: Column): Column =
+      when(tot > 0, TextOps.bp(n, tot)).otherwise(lit(null).cast(LongType))
     o.join(n, Seq(groupCol), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))
       .crossJoin(broadcast(totO)).crossJoin(broadcast(totN))
-      .withColumn("share_old_bp", TextOps.bp(col("n_old"), col("__to")))
-      .withColumn("share_new_bp", TextOps.bp(col("n_new"), col("__tn")))
+      .withColumn("share_old_bp", share(col("n_old"), col("__to")))
+      .withColumn("share_new_bp", share(col("n_new"), col("__tn")))
       .withColumn("delta_bp", col("share_new_bp") - col("share_old_bp"))
       .drop("__to", "__tn")
   }

@@ -479,6 +479,53 @@ object VectorOps {
     * from every non-null label and matches null (both engines'
     * IS DISTINCT FROM). Output contract = [[rankTopK]].
     */
+  /** Embedding-space drift between two corpus snapshots, per group: the
+    * cosine between each group's OLD and NEW centroid — the semantic
+    * sibling of [[graft.ops.StatOps.mixDrift]]'s count drift (a source
+    * can keep its share while its CONTENT shifts under it; this table
+    * catches that before a training run does). cos(mean_o, mean_n) =
+    * cos(sum_o, sum_n) — scale invariance removes the division, so the
+    * whole computation is INTEGER sums of per-component
+    * `floor(x·10000)` quantizations (order-independent under any
+    * partitioning) with ONE double step per group at the end — the x25
+    * floor-bp convention, hash-exact cross-engine. Output: (group,
+    * n_old, n_new, cos_bp); a group absent from either snapshot has no
+    * defined drift and emits no row (the inner-join contract — absence
+    * itself is [[graft.ops.StatOps.mixDrift]]'s job to report).
+    *
+    * Scale shape: one narrow posexplode + map-side-combined
+    * (group, dim) integer sums per snapshot — bounded groups × dim
+    * metadata from there on; the corpora are scanned once each and
+    * never shuffled. Quantized component sums stay far inside Long
+    * (|x|·10⁴ ≲ 10⁵ per row ⇒ ~10¹⁴ headroom of rows per group).
+    */
+  def centroidDrift(oldSnap: DataFrame, newSnap: DataFrame, vecCol: String,
+                    groupCol: String): DataFrame = {
+    def sums(df: DataFrame, s: String, n: String) =
+      df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .withColumn("__q",
+          floor(col("__x").cast(DoubleType) * 10000d).cast(LongType))
+        .groupBy(col(groupCol), col("__d"))
+        .agg(sum(col("__q")).as(s), count(lit(1)).as(n))
+    val o = sums(oldSnap, "__so", "__no")
+    val nw = sums(newSnap, "__sn", "__nn")
+    o.join(nw, Seq(groupCol, "__d"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__no")).as("n_old"), max(col("__nn")).as("n_new"),
+        sum(col("__so") * col("__sn")).as("__dot"),
+        sum(col("__so") * col("__so")).as("__o2"),
+        sum(col("__sn") * col("__sn")).as("__n2"))
+      // sqrt(o2·n2), NOT sqrt(o2)·sqrt(n2): for identical snapshots
+      // o2 = n2 = dot and sqrt(fl(a·a)) = a exactly (round-to-nearest),
+      // so the self-drift identity cos_bp = 10000 holds bit-exactly —
+      // the two-sqrt form loses an ulp and floors to 9999
+      .withColumn("cos_bp",
+        floor(col("__dot").cast(DoubleType)
+          / sqrt(col("__o2").cast(DoubleType) * col("__n2").cast(DoubleType))
+          * 10000d).cast(LongType))
+      .select(col(groupCol), col("n_old"), col("n_new"), col("cos_bp"))
+  }
+
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),

@@ -1387,6 +1387,42 @@ object ExtensionQueries {
         .groupBy(col("source"), col("epoch"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("source", "epoch")
+    },
+
+    // x119 — embedding-space drift per label between snapshots: cosine of
+    // integer-quantized centroid SUMS (scale invariance removes the
+    // mean's division) — content drift that x115's count drift can't see.
+    "x119_centroid_drift" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      val nw = e.filter(col("vec_id") % 3 =!= 0)
+      VectorOps.centroidDrift(e, nw, "embedding", "label")
+        .select(col("label").cast(LongType).as("label"), col("n_old"),
+          col("n_new"), col("cos_bp"))
+        .orderBy("label")
+    },
+
+    // x120 — PII compliance report per source: doc counts, any-hit docs,
+    // per-category totals, rate bp — the release-gate table a corpus
+    // ships next to its dataset card. PII planted deterministically.
+    "x120_pii_report" -> { (s, dir) =>
+      val planted = spread(t(s, dir, "documents")).withColumn("text",
+        when(col("doc_id") % 10 < 3,
+          concat(lit("u"), col("doc_id").cast("string"), lit("@ex.com "),
+            col("text")))
+        .when(col("doc_id") % 10 === 5,
+          concat(lit("host 10.0.0."), (col("doc_id") % 200).cast("string"),
+            lit(" "), col("text")))
+        .otherwise(col("text")))
+      TextOps.redactPii(planted)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("n_pii_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(col("n_phone")).as("n_phone"))
+        .withColumn("pii_rate_bp", TextOps.bp(col("n_pii_docs"), col("n_docs")))
+        .orderBy("source")
     }
   )
 
@@ -3456,7 +3492,52 @@ object ExtensionQueries {
         | SELECT source, epoch, count(*)::BIGINT AS n_docs,
         |   sum(nt)::BIGINT AS n_tokens
         | FROM sel GROUP BY source, epoch
-        | ORDER BY source, epoch""".stripMargin
+        | ORDER BY source, epoch""".stripMargin,
+
+    // Centroid-drift mirror: the same floor(x·1e4) component quantization
+    // over a dims range join, integer (label, dim) sums both snapshots,
+    // one double cosine step per label.
+    "x119_centroid_drift" ->
+      """WITH q AS (SELECT label, k::INT dim, vec_id,
+        |     floor(embedding[k::INT]::DOUBLE * 10000)::BIGINT qq
+        |   FROM embeddings CROSS JOIN range(1,65) t(k)),
+        | o AS (SELECT label, dim, sum(qq) so, count(*) cno FROM q GROUP BY 1, 2),
+        | n AS (SELECT label, dim, sum(qq) sn, count(*) cnn FROM q
+        |   WHERE vec_id % 3 <> 0 GROUP BY 1, 2),
+        | g AS (SELECT o.label, max(cno) n_old, max(cnn) n_new,
+        |     sum(so * sn) dt, sum(so * so) o2, sum(sn * sn) n2
+        |   FROM o JOIN n ON o.label = n.label AND o.dim = n.dim GROUP BY 1)
+        | SELECT label::BIGINT AS label, n_old::BIGINT AS n_old,
+        |   n_new::BIGINT AS n_new,
+        |   floor(dt::DOUBLE / sqrt(o2::DOUBLE * n2::DOUBLE)
+        |     * 10000)::BIGINT AS cos_bp
+        | FROM g ORDER BY label""".stripMargin,
+
+    // PII-report mirror: same planted text, the x36 regex literals, per-
+    // source totals and floor-bp rate.
+    "x120_pii_report" ->
+      """WITH p AS (SELECT doc_id, source,
+        |     CASE WHEN doc_id % 10 < 3 THEN 'u' || doc_id || '@ex.com ' || text
+        |          WHEN doc_id % 10 = 5 THEN 'host 10.0.0.' || (doc_id % 200)
+        |            || ' ' || text
+        |          ELSE text END t
+        |   FROM documents),
+        | c AS (SELECT source,
+        |     length(regexp_extract_all(t,
+        |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT ne,
+        |     length(regexp_extract_all(t,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT ni,
+        |     length(regexp_extract_all(t,
+        |       '\+[0-9][0-9 -]{6,}[0-9]'))::BIGINT np
+        |   FROM p)
+        | SELECT source, count(*)::BIGINT AS n_docs,
+        |   sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_pii_docs,
+        |   sum(ne)::BIGINT AS n_email, sum(ni)::BIGINT AS n_ip,
+        |   sum(np)::BIGINT AS n_phone,
+        |   floor(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |     * 10000 / count(*)::DOUBLE)::BIGINT AS pii_rate_bp
+        | FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

@@ -233,6 +233,80 @@ class Round13eOpsSpec extends SparkSpec {
       .count() == 7L)
   }
 
+  // ------------------------------------------------- degenerate inputs
+
+  test("degenerate inputs: empty/singleton corpora and bad parameters " +
+      "fail loudly or return empty, never wrong") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "just one tiny doc here")).toDF("doc_id", "text")
+    // winnow: empty → empty; singleton shorter than w grams → empty
+    assert(TextOps.winnowFingerprints(empty, "doc_id").count() == 0L)
+    assert(DedupOps.winnowOverlapPairs(one, "doc_id").count() == 0L)
+    // blocklist: empty corpus → empty table; empty phrase list → loud
+    assert(TextOps.blocklistHits(empty, "doc_id", Seq("x")).count() == 0L)
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistHits(one, "doc_id", Seq.empty)
+    }
+    // splitLeakage: no near-dups → zero leaks, every split still reported
+    val sl = DedupOps.splitLeakage(
+        Seq((1L, "a b c d", "train"), (2L, "e f g h", "eval"))
+          .toDF("doc_id", "text", "split"),
+        "doc_id", TextOps.wordShingles(col("text"), 3), 0.5, "split", "train")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(sl == Map("train" -> ((0L, 0L)), "eval" -> ((0L, 0L))))
+    // snapshotDiff against an empty refresh: everything 'removed'
+    val sd = StatOps.snapshotDiff(one, empty.withColumnRenamed("text", "text"),
+        "doc_id", "text")
+      .collect().map(_.getString(1))
+    assert(sd.toSeq == Seq("removed"))
+    // mixDrift with an empty new snapshot: zero counts, share 0 on a
+    // zero total (0/0 double → floor(NaN) is null-safe? no — declared:
+    // an EMPTY snapshot has no shares; rows still enumerate)
+    val md = StatOps.mixDrift(
+        Seq((1L, "a")).toDF("id", "src"), empty.toDF("id", "src"), "src")
+      .collect()
+    assert(md.length == 1 && md.head.getLong(1) == 1L && md.head.getLong(2) == 0L)
+    // percentileSelect / replayLayout / tokenBudgetMixture parameter rails
+    intercept[IllegalArgumentException] {
+      SampleOps.percentileSelect(one.withColumn("s", lit(1L)), "doc_id",
+        "text", "s", 10001L)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.replayLayout(one.withColumn("epoch", lit(0L)), "doc_id",
+        "epoch", 0)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.tokenBudgetMixture(one.withColumn("n", lit(1L)), "doc_id",
+        "text", "n", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    // centroidDrift on empty inputs → empty output
+    val ev = Seq.empty[(Int, Seq[Float])].toDF("label", "vec")
+    assert(VectorOps.centroidDrift(ev, ev, "vec", "label").count() == 0L)
+  }
+
+  // ------------------------------------------------------ centroid drift
+
+  test("centroidDrift: identical snapshots → cos_bp 10000; opposite " +
+      "centroids → -10000; one-sided groups emit no row") {
+    val a = Seq((0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.2f)),
+      (1, Seq(0.0f, 1.0f)), (2, Seq(0.5f, 0.5f)))
+      .toDF("label", "vec")
+    val same = VectorOps.centroidDrift(a, a, "vec", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(same == Map(0 -> 10000L, 1 -> 10000L, 2 -> 10000L))
+    val flipped = Seq((0, Seq(-1.0f, 0.0f)), (0, Seq(-1.0f, -0.2f)),
+      (3, Seq(1.0f, 1.0f)))
+      .toDF("label", "vec")
+    val out = VectorOps.centroidDrift(a, flipped, "vec", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // only label 0 exists on both sides; sums are exactly representable
+    // so the cosine is exactly -1
+    assert(out.keySet == Set(0))
+    assert(out(0) == ((2L, 2L, -10000L)))
+  }
+
   // ---------------------------------------------- truncated-dim recall
 
   test("truncated recall: full-width truncation is the identity — " +

@@ -306,6 +306,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("x119: centroid sums are map-side combined; no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x119_centroid_drift")
+    // the (group, dim) integer sums must partial-aggregate before their
+    // exchange — the un-combined stream is corpus rows × dims
+    assert(p.contains("partial_sum"), s"component sums not combined:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x120: PII report is scan + one combined agg — no join") {
+    val p = plan(ExtensionQueries.queries, "x120_pii_report")
+    assert(!p.contains("Join"), s"report planned a join:\n$p")
+    assert(p.contains("partial_sum"), s"totals not map-side combined:\n$p")
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
