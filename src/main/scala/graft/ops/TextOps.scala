@@ -99,6 +99,38 @@ object TextOps {
       bridge(graft.functions.Md5BottomK(
         expr0(charShingles(col(textCol), 8)), k)))
 
+  /** Per-doc token Shannon entropy (micro-nats, integral) — the
+    * "gibberish or boilerplate at either extreme" quality signal: near-0
+    * entropy = one token repeated (looped generations, padding); maximal
+    * entropy at uniform usage. H = Σ_t (tf/n)·ln(n/tf), computed as the
+    * integer sum of per-TERM quantized contributions
+    * `floor(tf·ln(n/tf)/n · 1e6)` — quantize-then-sum (the x53/x83
+    * convention), so no partition order can perturb the result and the
+    * DuckDB oracle is hash-exact. Output: (idCol, n_tokens,
+    * entropy_micro). Single-token docs score exactly 0.
+    *
+    * Scale shape: the doc's token count `n` is computed NARROWLY at the
+    * scan and rides the group key (constant per doc — no second
+    * doc-keyed window/join), so the whole op is one explode + two
+    * doc-scoped map-side-combinable aggs — word-count's shuffle bill;
+    * nothing corpus-wide.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("__eid"),
+        size(split(col(textCol), " ")).cast(LongType).as("__n"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col("__eid"), col("__n"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.withColumn("__h", floor(
+        col("__tf").cast(DoubleType)
+          * log(col("__n").cast(DoubleType) / col("__tf").cast(DoubleType))
+          / col("__n").cast(DoubleType) * lit(1000000d)).cast(LongType))
+      .groupBy(col("__eid"))
+      .agg(max(col("__n")).as("n_tokens"), sum(col("__h")).as("entropy_micro"))
+      .withColumnRenamed("__eid", idCol)
+  }
+
   /** Phrase-blocklist decision table — the C4-style "remove any page
     * containing a bad-words-list phrase" stage (Raffel et al. 2020 §2.2
     * applies exactly this with the LDNOOBW list), equally the

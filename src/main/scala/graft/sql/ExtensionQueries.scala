@@ -1423,6 +1423,28 @@ object ExtensionQueries {
           sum(col("n_phone")).as("n_phone"))
         .withColumn("pii_rate_bp", TextOps.bp(col("n_pii_docs"), col("n_docs")))
         .orderBy("source")
+    },
+
+    // x121 — per-doc token Shannon entropy (integral micro-nats,
+    // quantize-then-sum): the gibberish/boilerplate signal at both
+    // extremes of the scale.
+    "x121_token_entropy" -> { (s, dir) =>
+      TextOps.tokenEntropy(spread(t(s, dir, "documents")), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // x122 — lexical diversity per source: type/token/hapax counts, TTR
+    // and hapax-ratio bp — the vocabulary-richness row of a dataset card.
+    "x122_lexical_diversity" -> { (s, dir) =>
+      val tf = spread(t(s, dir, "documents"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("__tf"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"), sum(col("__tf")).as("n_tokens"),
+          sum(when(col("__tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_bp", TextOps.bp(col("n_types"), col("n_tokens")))
+        .withColumn("hapax_bp", TextOps.bp(col("n_hapax"), col("n_types")))
+        .orderBy("source")
     }
   )
 
@@ -3537,7 +3559,35 @@ object ExtensionQueries {
         |   sum(np)::BIGINT AS n_phone,
         |   floor(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)::DOUBLE
         |     * 10000 / count(*)::DOUBLE)::BIGINT AS pii_rate_bp
-        | FROM c GROUP BY source ORDER BY source""".stripMargin
+        | FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Entropy mirror: per-term contributions quantized BEFORE the per-doc
+    // sum, same left-to-right double sequence.
+    "x121_token_entropy" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        | t AS (SELECT doc_id, len(w)::BIGINT n, unnest(w) tk FROM w),
+        | tf AS (SELECT doc_id, n, tk, count(*) tf FROM t GROUP BY 1, 2, 3),
+        | h AS (SELECT doc_id, n,
+        |     floor(tf::DOUBLE * ln(n::DOUBLE / tf::DOUBLE) / n::DOUBLE
+        |       * 1000000)::BIGINT hh
+        |   FROM tf)
+        | SELECT doc_id, max(n)::BIGINT AS n_tokens,
+        |   sum(hh)::BIGINT AS entropy_micro
+        | FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Lexical-diversity mirror: (source, token) tf table, type/token/
+    // hapax counts, floor-bp ratios.
+    "x122_lexical_diversity" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) tk
+        |   FROM documents),
+        | tf AS (SELECT source, tk, count(*) tf FROM t GROUP BY 1, 2)
+        | SELECT source, count(*)::BIGINT AS n_types,
+        |   sum(tf)::BIGINT AS n_tokens,
+        |   sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |   floor(count(*)::DOUBLE * 10000 / sum(tf)::DOUBLE)::BIGINT AS ttr_bp,
+        |   floor(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::DOUBLE * 10000
+        |     / count(*)::DOUBLE)::BIGINT AS hapax_bp
+        | FROM tf GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

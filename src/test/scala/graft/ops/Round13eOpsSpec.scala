@@ -285,6 +285,27 @@ class Round13eOpsSpec extends SparkSpec {
     assert(VectorOps.centroidDrift(ev, ev, "vec", "label").count() == 0L)
   }
 
+  // ------------------------------------------------------- token entropy
+
+  test("tokenEntropy: single-token docs score exactly 0; uniform beats " +
+      "skewed; hand-computed micro-nats match") {
+    val docs = Seq(
+      (1L, "a a a a"),               // H = 0
+      (2L, "a b c d"),               // uniform: H = ln(4)
+      (3L, "a a a b"))               // skewed: H < ln(4)
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((4L, 0L)))
+    // per-term quantized: 4 × floor(1·ln(4)/4·1e6) = 4 × 346573
+    assert(out(2L) == ((4L, 4L * math.floor(math.log(4.0) / 4.0 * 1e6).toLong)))
+    val h3 = math.floor(3.0 * math.log(4.0 / 3.0) / 4.0 * 1e6).toLong +
+      math.floor(1.0 * math.log(4.0) / 4.0 * 1e6).toLong
+    assert(out(3L) == ((4L, h3)))
+    assert(out(3L)._2 < out(2L)._2)
+  }
+
   // ------------------------------------------------------ centroid drift
 
   test("centroidDrift: identical snapshots → cos_bp 10000; opposite " +

@@ -320,6 +320,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"totals not map-side combined:\n$p")
   }
 
+  test("x121: entropy carries n from the scan — no second doc-keyed " +
+      "exchange, no join, no window") {
+    val p = plan(ExtensionQueries.queries, "x121_token_entropy")
+    assert(!p.contains("Join"), s"entropy planned a join:\n$p")
+    assert(!p.contains("Window"), s"entropy planned a window:\n$p")
+    assert(p.contains("partial_count"), s"term counts not combined:\n$p")
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
