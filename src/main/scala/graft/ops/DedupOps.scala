@@ -387,6 +387,66 @@ object DedupOps {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** One-permutation MinHash band signatures (Li, Owen & Zhang 2012,
+    * "One Permutation Hashing"; densification per Shrivastava & Li 2014):
+    * ONE md5-derived hash per shingle instead of [[minhashBands]]'s
+    * numHashes — the hash pass that dominates signature building at
+    * 100 TB drops numHashes-fold. The hash space splits into `numHashes`
+    * buckets (j = h mod numHashes); each bucket keeps its min; EMPTY
+    * buckets borrow clockwise from the first non-empty bucket at or
+    * after them (rotation densification — the simple variant, adequate
+    * for candidate generation; the bias-corrected 2017 scheme matters
+    * for kernel ESTIMATION, not banding). Identical shingle sets ⇒
+    * identical signatures, so exact duplicates always collide, and the
+    * per-band collision probability approximates the classic
+    * 1−(1−J^r)^b at large shingle counts.
+    *
+    * Emits (id, band, sig) — drop-in for [[minhashBands]] in front of
+    * the bucket-enumeration stage. Docs with zero shingles emit nothing
+    * (no information to sign). Plan shape: ONE aggregation with
+    * numHashes conditional-min columns (map-side combined), then a
+    * narrow densify + band explode of the tiny per-doc array.
+    */
+  def minhashBandsOph(docs: DataFrame, idCol: String, shingles: Column,
+                      numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    require(bandRows > 0 && numHashes > 0 && numHashes % bandRows == 0,
+      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
+    val sh = shingleTable(docs, idCol, shingles)
+      .select(col("id"), hash60(col("s")).as("h"))
+    val mins = (0 until numHashes).map(j =>
+      min(when(col("h") % numHashes === j, col("h"))).as(s"m$j"))
+    val sigs = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    // rotation densification: slot j = first non-empty at or after j
+    def dense(j: Int): Column =
+      coalesce((0 until numHashes).map(o =>
+        col(s"m${(j + o) % numHashes}")): _*)
+    val bandStructs = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandRows).map(r =>
+          dense(b * bandRows + r).cast(StringType)): _*).as("sig"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** [[minhashLshCandidates]] over the one-permutation signatures — the
+    * 1-hash-per-shingle candidate generator. Same bucket-enumeration
+    * skeleton and (i, j, bands) contract.
+    */
+  def minhashLshCandidatesOph(docs: DataFrame, idCol: String,
+                              shingles: Column, numHashes: Int = 16,
+                              bandRows: Int = 4,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireLongId(docs, idCol)
+    minhashBandsOph(docs, idCol, shingles, numHashes, bandRows)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(docPairs(col("ds"))).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("bands"))
+  }
+
   /** LSH candidate pairs: docs sharing ≥1 band signature, with the count of
     * matching bands. The self-join shuffles on (band, sig) — only true
     * collisions co-locate, which is the whole point of LSH at scale.

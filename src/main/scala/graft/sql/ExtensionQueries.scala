@@ -1445,6 +1445,16 @@ object ExtensionQueries {
         .withColumn("ttr_bp", TextOps.bp(col("n_types"), col("n_tokens")))
         .withColumn("hapax_bp", TextOps.bp(col("n_hapax"), col("n_types")))
         .orderBy("source")
+    },
+
+    // x123 — one-permutation MinHash LSH candidates (Li/Owen/Zhang 2012):
+    // ONE hash per shingle vs x22's sixteen — the signature pass that
+    // dominates at 100 TB, at the same banding contract.
+    "x123_dedup_minhash_oph" -> { (s, dir) =>
+      DedupOps.minhashLshCandidatesOph(spread(t(s, dir, "documents")),
+          "doc_id", TextOps.wordShingles(col("text"), 3),
+          numHashes = 16, bandRows = 4)
+        .orderBy("i", "j")
     }
   )
 
@@ -3587,7 +3597,27 @@ object ExtensionQueries {
         |   floor(count(*)::DOUBLE * 10000 / sum(tf)::DOUBLE)::BIGINT AS ttr_bp,
         |   floor(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::DOUBLE * 10000
         |     / count(*)::DOUBLE)::BIGINT AS hapax_bp
-        | FROM tf GROUP BY source ORDER BY source""".stripMargin
+        | FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    // OPH mirror: one hash60 per shingle, bucket mins, clockwise
+    // rotation borrow via arg_min on the cyclic distance, same banding.
+    "x123_dedup_minhash_oph" ->
+      s"""$word3gramShingles,
+         | mh1 AS (SELECT doc_id,
+         |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
+         | bkt AS (SELECT doc_id, h % 16 j, min(h) m FROM mh1 GROUP BY 1, 2),
+         | grid AS (SELECT doc_id, k j FROM
+         |   (SELECT DISTINCT doc_id FROM bkt) CROSS JOIN range(0,16) t(k)),
+         | dens AS (SELECT g.doc_id, g.j,
+         |     arg_min(b.m, (b.j - g.j + 16) % 16) m
+         |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
+         | bsig AS (SELECT doc_id, (j // 4)::INT band,
+         |     string_agg(m::VARCHAR, '|' ORDER BY j) sig
+         |   FROM dens GROUP BY 1, 2)
+         | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
+         | FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

@@ -285,6 +285,31 @@ class Round13eOpsSpec extends SparkSpec {
     assert(VectorOps.centroidDrift(ev, ev, "vec", "label").count() == 0L)
   }
 
+  // --------------------------------------------- one-permutation minhash
+
+  test("minhashBandsOph: identical shingle sets → identical signatures " +
+      "(all 4 bands collide); near-dups collide on ≥1 band; disjoint " +
+      "docs don't; empty buckets densify (no null slots)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dup
+      (3L, base + " lambda"),                      // near-dup (J ≈ 0.8)
+      (4L, "totally different words in this one here now"))
+      .toDF("doc_id", "text")
+    val cand = DedupOps.minhashLshCandidatesOph(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cand((1L, 2L)) == 4L, "exact dup must collide on every band")
+    assert(cand.contains((1L, 3L)) && cand.contains((2L, 3L)))
+    assert(!cand.keySet.exists { case (i, j) => i == 4L || j == 4L })
+    // densification: 8 shingles into 16 buckets leaves empties — every
+    // band signature must still carry 4 non-null slots
+    val sigs = DedupOps.minhashBandsOph(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3))
+      .select("sig").as[String].collect()
+    assert(sigs.nonEmpty && sigs.forall(s => s.split("\\|").length == 4))
+  }
+
   // ------------------------------------------------------- token entropy
 
   test("tokenEntropy: single-token docs score exactly 0; uniform beats " +
