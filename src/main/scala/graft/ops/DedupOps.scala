@@ -110,14 +110,24 @@ object DedupOps {
                    threshold: Double, exact: Boolean = false,
                    numHashes: Int = 16, bandRows: Int = 4,
                    maxBucket: Int = DefaultMaxBucket,
-                   salts: Int = 1): DataFrame =
+                   salts: Int = 1, oph: Boolean = false): DataFrame =
     if (exact) ngramJaccardPairs(docs, idCol, shingles, threshold, maxBucket)
     else {
       // materialized: verifyJaccardPairs references the candidate frame
       // three times (two id projections + the pair join) — without this
-      // the banding pipeline re-executes per branch
-      val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
-        bandRows, maxBucket).localCheckpoint()
+      // the banding pipeline re-executes per branch.
+      // oph = true swaps in the one-permutation signatures
+      // (numHashes-fold fewer hashes — the dominant cost of this stage
+      // at scale, measured 2.4× at sf1): the CANDIDATE set differs
+      // slightly (OPH's collision curve approximates classic banding's),
+      // but every emitted pair is still exact-verified ≥ threshold, so
+      // the output contract is identical either way.
+      val cand = (if (oph)
+          minhashLshCandidatesOph(docs, idCol, shingles, numHashes,
+            bandRows, maxBucket)
+        else
+          minhashLshCandidates(docs, idCol, shingles, numHashes,
+            bandRows, maxBucket)).localCheckpoint()
       // salts defaults to 1 (plain join): always-on salting pays its
       // replication tax on EVERY run — measured 8.6 s → 30.4 s on the
       // sf2 dense-candidate decade at salts = 8, where candidates are

@@ -1455,6 +1455,15 @@ object ExtensionQueries {
           "doc_id", TextOps.wordShingles(col("text"), 3),
           numHashes = 16, bandRows = 4)
         .orderBy("i", "j")
+    },
+
+    // x124 — the x64 curation flagship on OPH signatures: same quality →
+    // exact-dedup → candidate-verify → components pipeline, with the
+    // signature stage paying one hash per shingle instead of sixteen.
+    "x124_corpus_curation_oph" -> { (s, dir) =>
+      val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
+      curationResult(exactKept, DedupOps.nearDupPairs(survivors, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5, oph = true))
     }
   )
 
@@ -3617,7 +3626,28 @@ object ExtensionQueries {
          | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
          | FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         | GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+         | GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // x64's curation mirror with the banding CTEs swapped to OPH.
+    "x124_corpus_curation_oph" ->
+      s"""WITH RECURSIVE $curationHeadSql,
+         | mh1 AS (SELECT doc_id,
+         |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
+         | bkt AS (SELECT doc_id, h % 16 jj, min(h) m FROM mh1 GROUP BY 1, 2),
+         | grid AS (SELECT doc_id, k jj FROM
+         |   (SELECT DISTINCT doc_id FROM bkt) CROSS JOIN range(0,16) t(k)),
+         | dens AS (SELECT g.doc_id, g.jj,
+         |     arg_min(b.m, (b.jj - g.jj + 16) % 16) m
+         |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
+         | bsig AS (SELECT doc_id, (jj // 4)::INT band,
+         |     string_agg(m::VARCHAR, '|' ORDER BY jj) sig
+         |   FROM dens GROUP BY 1, 2),
+         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+         |   GROUP BY 1, 2),
+         | $curationTailSql""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

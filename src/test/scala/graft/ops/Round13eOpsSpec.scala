@@ -310,6 +310,23 @@ class Round13eOpsSpec extends SparkSpec {
     assert(sigs.nonEmpty && sigs.forall(s => s.split("\\|").length == 4))
   }
 
+  test("nearDupPairs(oph = true): every emitted pair is exact-verified " +
+      "≥ threshold — the contract survives the signature swap") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " lambda"),
+      (4L, "totally different words in this one here now"))
+      .toDF("doc_id", "text")
+    def pairs(useOph: Boolean) = DedupOps.nearDupPairs(docs, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5, oph = useOph)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (classic, viaOph) = (pairs(false), pairs(true))
+    // on this fixture both signature schemes surface the same true pairs,
+    // and the verified jaccard values are identical (verification is
+    // signature-independent)
+    assert(viaOph == classic)
+    assert(viaOph.values.forall(_ >= 5000L))
+  }
+
   // ------------------------------------------------------- token entropy
 
   test("tokenEntropy: single-token docs score exactly 0; uniform beats " +
