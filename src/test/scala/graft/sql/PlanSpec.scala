@@ -328,6 +328,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"term counts not combined:\n$p")
   }
 
+  test("x123: OPH signature mins are map-side combined; no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x123_dedup_minhash_oph")
+    assert(p.contains("partial_min"), s"bucket mins not combined:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x107: config diff is one scan — no join anywhere in the plan") {
     val p = plan(ExtensionQueries.queries, "x107_filter_config_diff")
     // both configs decide off ONE signal pass; a second text scan or a
