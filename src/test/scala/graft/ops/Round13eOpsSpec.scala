@@ -327,6 +327,21 @@ class Round13eOpsSpec extends SparkSpec {
     assert(viaOph.values.forall(_ >= 5000L))
   }
 
+  test("OPH vs classic banding on the driver fixture: verified pair sets " +
+      "overlap ≥ 90% in both directions") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def verified(useOph: Boolean) = DedupOps.nearDupPairs(d, "doc_id",
+        TextOps.wordShingles(col("text"), 3), 0.5, oph = useOph)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (classic, oph) = (verified(false), verified(true))
+    assert(classic.nonEmpty)
+    val both = (classic & oph).size.toDouble
+    assert(both / classic.size >= 0.9,
+      s"OPH missed too many classic pairs: ${both.toInt}/${classic.size}")
+    assert(both / oph.size >= 0.9,
+      s"classic missed too many OPH pairs: ${both.toInt}/${oph.size}")
+  }
+
   // ------------------------------------------------------- token entropy
 
   test("tokenEntropy: single-token docs score exactly 0; uniform beats " +
