@@ -1514,6 +1514,17 @@ object ExtensionQueries {
   private def dotNSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1,${dim + 1}), k -> $a[k::INT]::DOUBLE * $b[k::INT]::DOUBLE), (x,y) -> x+y)"
 
+  /** Classic 16-hash MinHash banding over a CTE `sh(doc_id, s)` →
+    * CTEs mh, bsig. ONE definition for all seven banding oracles — a
+    * banding-semantics change edits one string (the containmentPairs
+    * lesson from ADVICE r12 applied to the SQL mirrors).
+    */
+  private lazy val minhashBsigSql =
+    """mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+      |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
+      | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
+      |   FROM mh GROUP BY doc_id, band)""".stripMargin
+
   private val word3gramShingles =
     """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
       | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1882,10 +1893,7 @@ object ExtensionQueries {
 
     "x22_dedup_minhash_lsh" ->
       s"""$word3gramShingles,
-         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-         |   FROM mh GROUP BY doc_id, band)
+         | $minhashBsigSql
          | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
          | FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -2316,10 +2324,7 @@ object ExtensionQueries {
     // exact-Jaccard verification restricted to candidate pairs.
     "x64_corpus_curation_lsh" ->
       s"""WITH RECURSIVE $curationHeadSql,
-         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-         |   FROM mh GROUP BY doc_id, band),
+         | $minhashBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -2523,10 +2528,7 @@ object ExtensionQueries {
     "x82_containment_lsh" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-         |   FROM mh GROUP BY doc_id, band),
+         | $minhashBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -2587,16 +2589,13 @@ object ExtensionQueries {
     // stopword-ratio quality desc / doc_id asc; rank 1 is canonical.
     // Singletons (docs in no edge) are their own component and keeper.
     "x84_canonical_keep" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |          range(1, greatest(len(w)-2,0)+1),
         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
         |        FROM w),
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-        |   FROM mh GROUP BY doc_id, band),
+        | $minhashBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -2629,16 +2628,13 @@ object ExtensionQueries {
     // Same banding mirror + verify threshold; pairs fold symmetrically on
     // (least, greatest) of the two sources.
     "x85_source_overlap" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |          range(1, greatest(len(w)-2,0)+1),
         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
         |        FROM w),
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-        |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-        | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-        |   FROM mh GROUP BY doc_id, band),
+        | $minhashBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -3299,10 +3295,7 @@ object ExtensionQueries {
     "x109_split_leakage" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-         |   FROM mh GROUP BY doc_id, band),
+         | $minhashBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -3358,10 +3351,7 @@ object ExtensionQueries {
          |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
          |        FROM w),
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
-         |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
-         | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-         |   FROM mh GROUP BY doc_id, band),
+         | $minhashBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
