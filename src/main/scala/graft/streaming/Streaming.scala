@@ -166,6 +166,79 @@ object Streaming {
       }
   }
 
+  /** A near-dup candidate pair emitted by [[streamingNearDupCandidates]]:
+    * doc `j` arrived and collided with already-seen doc `i` on `band`.
+    */
+  final case class StreamCand(i: Long, j: Long, band: Int)
+
+  /** STREAMING near-dup candidate detection — the streaming face of
+    * `DedupOps.minhashLshCandidatesOph`: as documents arrive, each is
+    * signed with one-permutation MinHash band signatures and checked
+    * against every previously-seen doc in its (band, sig) buckets; a
+    * collision emits a candidate pair the moment the duplicate lands,
+    * across micro-batch boundaries. The "flag re-crawled boilerplate at
+    * ingest time" stage — candidates feed the same exact verification
+    * as the batch path.
+    *
+    * The signature here is computed NARROWLY per row (higher-order
+    * array functions over the doc's own shingle array — bucket mins via
+    * filter+array_min, rotation densification via coalesce), so unlike
+    * the batch path there is NO signature shuffle at all; the only
+    * stateful stage is the (band, sig)-keyed bucket state. Per-bucket
+    * state is capped at `maxBucket` ids (the MOSS too-common rule again
+    * — an unbounded boilerplate bucket would otherwise grow state
+    * forever); beyond the cap, new arrivals still pair against the
+    * stored ids but are not themselves stored — the documented
+    * lower-bound semantics. State lives in the checkpointed state store
+    * (RocksDB at scale), never driver memory.
+    */
+  def streamingNearDupCandidates(stream: DataFrame, idCol: String,
+                                 textCol: String, k: Int = 3,
+                                 numHashes: Int = 16, bandRows: Int = 4,
+                                 maxBucket: Int = 64): Dataset[StreamCand] = {
+    require(bandRows > 0 && numHashes > 0 && numHashes % bandRows == 0,
+      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
+    import stream.sparkSession.implicits._
+    val hs = transform(graft.ops.TextOps.wordShingles(col(textCol), k),
+      s => graft.ops.TextOps.hash60(s))
+    val mins = (0 until numHashes).map(j =>
+      array_min(filter(hs, h => h % numHashes === j)).as(s"m$j"))
+    def dense(cols: Seq[org.apache.spark.sql.Column], j: Int) =
+      coalesce((0 until numHashes).map(o => cols((j + o) % numHashes)): _*)
+    // a doc with no shingles has no signature (matches the batch OPH
+    // contract) — unguarded, every sub-k-token doc would share the
+    // all-empty signature and pair with every other one
+    val signed = stream.filter(size(hs) > 0)
+      .select(col(idCol).cast("long").as("id"), struct(mins: _*).as("m"))
+    val mcols = (0 until numHashes).map(j => col(s"m.m$j"))
+    val bandStructs = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandRows).map(r =>
+          dense(mcols, b * bandRows + r).cast("string")): _*).as("sig"))
+    }
+    signed.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[StreamCand]
+          rows.foreach { case (id, band, _) =>
+            if (!seen.contains(id)) {
+              seen.foreach { p =>
+                out += StreamCand(math.min(p, id), math.max(p, id), band)
+              }
+              if (seen.size < maxBucket) seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream inner join: each side buffers only within
     * its watermark, and the time-bound condition lets the state store evict
     * — without it a stream-stream join buffers forever. Joins left rows to

@@ -181,6 +181,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: cross-batch collisions fire the " +
+      "moment the duplicate lands; disjoint and sub-k docs never pair; " +
+      "batch OPH agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[(Long, String)]
+    val cands = Streaming.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("nearcand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base), (4L, "totally different words living in this one here"),
+        (5L, "tiny"))
+      q.processAllAvailable()
+      assert(spark.table("nearcand").count() == 0, "nothing to collide yet")
+      // the duplicate arrives TWO batches later — state remembers doc 1
+      input.addData((9L, "unrelated filler content for the middle batch okay"))
+      q.processAllAvailable()
+      input.addData((2L, base))
+      q.processAllAvailable()
+      val pairs = spark.table("nearcand")
+        .select("i", "j").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+      // all four bands collide for an exact dup — same contract as batch
+      val bands = spark.table("nearcand").select("band")
+        .as[Int].collect().toSet
+      assert(bands == Set(0, 1, 2, 3))
+      // and the batch OPH path proposes the same candidate on this corpus
+      val batch = graft.ops.DedupOps.minhashLshCandidatesOph(
+          Seq((1L, base), (2L, base),
+            (4L, "totally different words living in this one here"))
+            .toDF("doc_id", "text"),
+          "doc_id", graft.ops.TextOps.wordShingles(col("text"), 3))
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(batch == pairs)
+    } finally q.stop()
+  }
+
   test("foreachBatch runs the batch step pipeline per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
