@@ -1464,6 +1464,36 @@ object ExtensionQueries {
       val (exactKept, survivors) = curationSurvivors(spread(t(s, dir, "documents")))
       curationResult(exactKept, DedupOps.nearDupPairs(survivors, "doc_id",
         TextOps.wordShingles(col("text"), 3), 0.5, oph = true))
+    },
+
+    // x125 — the REFRESH capstone (x94's incremental sibling): snapshot
+    // diff → only added+changed docs pay → blocklist + entropy quality
+    // gates → token-budget mixture over the surviving refresh. The
+    // integration exhibit for the incremental-ingest story: a corpus
+    // refresh never re-bills the unchanged 99%.
+    "x125_refresh_manifest" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents")).select("doc_id", "source", "text")
+      val nw = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val work = StatOps.snapshotDiff(d.select("doc_id", "text"),
+          nw.select("doc_id", "text"), "doc_id", "text")
+        .filter(col("status").isin("added", "changed")).select("doc_id")
+      val docs = nw.join(work, Seq("doc_id"), "left_semi")
+      val keepBl = TextOps.blocklistHits(docs, "doc_id",
+          Seq("big scan table", "slow fast agg"))
+        .filter(col("keep")).select("doc_id")
+      val ent = TextOps.tokenEntropy(docs, "doc_id")
+        .filter(col("entropy_micro") >= 1500000L)
+        .select("doc_id", "n_tokens")
+      val survivors = docs.join(keepBl, Seq("doc_id"), "left_semi")
+        .join(ent, Seq("doc_id"))
+      SampleOps.tokenBudgetMixture(survivors, "doc_id", "source",
+          "n_tokens", Seq("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
     }
   )
 
@@ -3637,7 +3667,61 @@ object ExtensionQueries {
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),
-         | $curationTailSql""".stripMargin
+         | $curationTailSql""".stripMargin,
+
+    // Refresh-capstone mirror: the x114 diff CTEs (with source carried),
+    // x116's blocklist over the work-list, x121's entropy, x108's token
+    // mixture — each stage the tested fragment, chained.
+    "x125_refresh_manifest" ->
+      """WITH nw AS (
+        |   SELECT doc_id, source,
+        |     CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END t
+        |   FROM documents WHERE doc_id % 7 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, source, text FROM documents
+        |   WHERE doc_id % 3 = 0),
+        | o AS (SELECT doc_id, md5(text) h FROM documents),
+        | n2 AS (SELECT doc_id, md5(t) h FROM nw),
+        | work AS (SELECT n2.doc_id FROM n2 LEFT JOIN o ON o.doc_id = n2.doc_id
+        |   WHERE o.doc_id IS NULL OR o.h <> n2.h),
+        | docs AS (SELECT nw.doc_id, nw.source, nw.t FROM nw
+        |   JOIN work ON work.doc_id = nw.doc_id),
+        | w2 AS (SELECT doc_id, string_split(t,' ') w FROM docs),
+        | g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(w)-2,0)+1),
+        |     k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) g
+        |   FROM w2),
+        | bl AS (SELECT * FROM (VALUES ('big scan table'),
+        |     ('slow fast agg')) b(p)),
+        | hits AS (SELECT doc_id, count(*) nh FROM g3 g
+        |   JOIN bl ON g.g = bl.p GROUP BY doc_id),
+        | keepbl AS (SELECT d.doc_id FROM docs d
+        |   LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |   WHERE coalesce(h.nh, 0) = 0),
+        | tok AS (SELECT doc_id, len(w)::BIGINT n, unnest(w) tk FROM w2),
+        | tf AS (SELECT doc_id, n, tk, count(*) tf FROM tok GROUP BY 1, 2, 3),
+        | hh AS (SELECT doc_id, n,
+        |     floor(tf::DOUBLE * ln(n::DOUBLE / tf::DOUBLE) / n::DOUBLE
+        |       * 1000000)::BIGINT e
+        |   FROM tf),
+        | ent AS (SELECT doc_id, max(n) nt, sum(e) em FROM hh GROUP BY 1
+        |   HAVING sum(e) >= 1500000),
+        | surv AS (SELECT d.doc_id, d.source, ent.nt n_tokens FROM docs d
+        |   JOIN keepbl ON keepbl.doc_id = d.doc_id
+        |   JOIN ent ON ent.doc_id = d.doc_id),
+        | wt AS (SELECT * FROM (VALUES
+        |     ('src0', 0.3::DOUBLE), ('src1', 0.3::DOUBLE),
+        |     ('src2', 0.4::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT source, sum(n_tokens) tk2 FROM surv GROUP BY 1),
+        | j AS (SELECT dom, w, tk2 FROM cnt JOIN wt ON source = dom),
+        | t AS (SELECT min(tk2::DOUBLE / w) tt FROM j),
+        | r AS (SELECT dom, floor(10000 * w * tt / tk2::DOUBLE)::BIGINT rate
+        |   FROM j, t)
+        | SELECT s.doc_id, s.source, s.n_tokens FROM surv s
+        | JOIN r ON s.source = r.dom
+        | WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+        |   % 10000 < r.rate
+        | ORDER BY s.doc_id""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
