@@ -300,9 +300,10 @@ object SampleOps {
     * of its DOCS by the shared id-hash acceptance — docs are atomic, so
     * the achieved token share matches the target in expectation (exact
     * proportionality would need document splitting, a different op).
-    * Domains not in `weights` drop; a weighted domain with zero tokens
-    * zeroes T — the mix goes loudly empty rather than silently
-    * reweighted.
+    * Domains not in `weights` drop; a weighted domain with zero tokens —
+    * including one entirely ABSENT from the corpus (weights left-join
+    * onto the sums, absent coalesced to 0) — zeroes T and the mix goes
+    * empty rather than silently reweighted over the present domains.
     *
     * Scale shape: one map-side-combined token sum per domain, two
     * bounded-metadata broadcasts, a narrow hash-mod filter — the corpus
@@ -320,12 +321,23 @@ object SampleOps {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toDF("__dom", "__w")
-    val sums = df.groupBy(col(domainCol))
-      .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L)).as("__tok"))
-      .join(broadcast(wDf), col(domainCol) === col("__dom"))
+    // weights LEFT-join onto the per-domain sums: a weighted domain the
+    // corpus lacks keeps its row with 0 tokens, so it zeroes T exactly as
+    // documented (an inner join would silently drop it and reweight the
+    // mix over the present domains). Both sides are bounded metadata.
+    val sums = wDf.join(
+        broadcast(df.groupBy(col(domainCol))
+          .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L))
+            .as("__tok"))),
+        col("__dom") === col(domainCol), "left")
+      .select(col("__dom"), col("__w"),
+        coalesce(col("__tok"), lit(0L)).as("__tok"))
     val tRow = sums.agg(
       min(col("__tok").cast("double") / col("__w")).as("__T"))
-    val rates = sums.crossJoin(broadcast(tRow)) // 1-row broadcast
+    // a zero-token domain contributes to T above but needs no rate row
+    // (no corpus doc joins to it — and its 0/0 would trap under ANSI)
+    val rates = sums.filter(col("__tok") > 0)
+      .crossJoin(broadcast(tRow)) // 1-row broadcast
       .select(col("__dom"),
         floor(lit(10000d) * col("__w") * col("__T")
           / col("__tok").cast("double")).cast(LongType).as("__rate_bp"))

@@ -198,12 +198,27 @@ object TextOps {
     * groupBy on `fp` — the same skew-immune posture as span dedup.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, k: Int = 3,
-                         w: Int = 4, textCol: String = "text"): DataFrame = {
+                         w: Int = 4, textCol: String = "text",
+                         posLimit: Long = 100000000L): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     require(w > 0, s"w must be positive (got $w)")
+    require(posLimit >= 1 && posLimit <= 100000000L,
+      s"posLimit must be in [1, 1e8] (got $posLimit)")
     val toks = split(col(textCol), " ")
+    // the (hash,pos) window-min key zero-pads pos to 8 decimal digits;
+    // lexicographic = numeric ONLY below 10^8 positions, so a doc at or
+    // past the pad width fails LOUDLY here instead of silently
+    // misordering the selection (posLimit is the guard's threshold —
+    // lower it only in tests to exercise the failure path)
+    val grams = size(toks).cast(LongType) - (k - 1)
     // guarded: sequence(0, n) DESCENDS for n < 0 (the duplicatedSpans trap)
-    val shArr = when(size(toks) >= k,
+    val shArr = when(grams >= posLimit,
+        raise_error(concat(lit("winnowFingerprints: document '"),
+          col(idCol).cast("string"), lit("' has "), grams.cast("string"),
+          lit(s" gram positions >= $posLimit — the fixed 8-digit position" +
+            " pad would misorder the window-min key; split the document" +
+            " or widen the pad"))).cast(ArrayType(LongType)))
+      .when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           p => hash60(concat_ws(" ", slice(toks, p + 1, lit(k))))))
       .otherwise(array().cast(ArrayType(LongType)))

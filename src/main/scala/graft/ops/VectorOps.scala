@@ -469,16 +469,6 @@ object VectorOps {
         norm(col(vecCol)).as("cn"))
       .filter(col("cn") > 0) // zero-norm seed would swallow every cell
 
-  /** Hard-negative mining for contrastive training: for each query
-    * vector, the k most SIMILAR corpus vectors with a DIFFERENT label —
-    * the negatives that actually move a contrastive/metric loss, vs the
-    * uninformative random negatives of in-batch sampling. Same plan as
-    * [[bruteForceTopK]] (scan the corpus once, broadcast the queries)
-    * with the label inequality fused into the join predicate, so
-    * same-label pairs never materialize. Null-safe: a null label differs
-    * from every non-null label and matches null (both engines'
-    * IS DISTINCT FROM). Output contract = [[rankTopK]].
-    */
   /** Embedding-space drift between two corpus snapshots, per group: the
     * cosine between each group's OLD and NEW centroid — the semantic
     * sibling of [[graft.ops.StatOps.mixDrift]]'s count drift (a source
@@ -526,6 +516,16 @@ object VectorOps {
       .select(col(groupCol), col("n_old"), col("n_new"), col("cos_bp"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most SIMILAR corpus vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive/metric loss, vs the
+    * uninformative random negatives of in-batch sampling. Same plan as
+    * [[bruteForceTopK]] (scan the corpus once, broadcast the queries)
+    * with the label inequality fused into the join predicate, so
+    * same-label pairs never materialize. Null-safe: a null label differs
+    * from every non-null label and matches null (both engines'
+    * IS DISTINCT FROM). Output contract = [[rankTopK]].
+    */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -562,6 +562,13 @@ object VectorOps {
                     perCell: Int = 32): DataFrame = {
     require(k > 0, s"knnLabelNoise: k must be positive (got $k)")
     require(perCell > 0, s"knnLabelNoise: perCell must be positive")
+    // loud on a non-numeric label domain (the repo's id-cast convention):
+    // a silent LongType cast would turn bad labels into nulls that flow
+    // into the majority vote as a phantom null label
+    require(vecs.schema(labelCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"knnLabelNoise: label column '$labelCol' must be numeric for the " +
+        s"majority vote (got ${vecs.schema(labelCol).dataType.simpleString})")
     val numCentroids = math.max(8L, vecs.count() / perCell)
     require(numCentroids <= Int.MaxValue, "centroid count overflows Int")
     val (cells0, _) = assignedCells(vecs, idCol, vecCol,

@@ -266,10 +266,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin") ||
-      // the final recall join keys on (qid, nid) over bounded top-k rows —
-      // a sort-merge there is fine; the VECTOR joins must not sort-merge
-      !p.contains("SortMergeJoin BuildRight"), p)
+    // the final recall join keys on (qid, nid) over bounded top-k rows —
+    // ONE sort-merge there is fine; the VECTOR joins (query × corpus)
+    // must never sort-merge, so at most one SMJ may appear in the plan
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected ≤1 SortMergeJoin (the bounded (qid,nid) " +
+      s"recall join), got $smj — a vector join regressed to sort-merge:\n$p")
   }
 
   test("x113: winnow overlap enumerates inside fp buckets — no cartesian, " +
