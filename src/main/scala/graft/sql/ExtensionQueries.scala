@@ -146,6 +146,19 @@ object ExtensionQueries {
         "embedding", m = 4, ksub = 16)
     }
 
+  /** TRAINED PQ codebooks (per-subspace kmeansCentroidsExact, 2 Lloyd
+    * rounds — [[VectorOps.pqTrainedCodebooks]]) for the x126 gate —
+    * index metadata like the seed codebooks, deterministic in (dir),
+    * trained once per (app, dir, ksub) exactly as a production pipeline
+    * trains once per corpus and persists via ModelIO.savePqCodebooks.
+    */
+  private def pqTrainedCodebooksOf(s: SparkSession, dir: String,
+                                   ksub: Int): Array[Array[Array[Float]]] =
+    memoized(s, dir, s"pqTrained_m4_k${ksub}_i2") {
+      VectorOps.pqTrainedCodebooks(spread(t(s, dir, "embeddings")),
+        "vec_id", "embedding", m = 4, ksub = ksub, iters = 2)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // x16 — token counting (whitespace, alpha runs, BPE-ish segmentation).
@@ -1499,6 +1512,37 @@ object ExtensionQueries {
           "n_tokens", Seq("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4))
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // x126 — the TRAINED-PQ recall gate, closing the index-selection
+    // table's last unmeasured row: per-subspace k-means codebooks
+    // (pqTrainedCodebooks, 2 exact Lloyd rounds) graded against the x25
+    // brute-force truth at the SAME serving plan as x87's seed-PQ
+    // (m=4 one-byte codes, identical cells, identical nProbe) — two
+    // codebook budgets, ksub=16 (byte-for-byte the seed index's storage)
+    // and ksub=32 (still one byte per code; the codebook itself is driver
+    // metadata either way). The decision this row exists to make: does
+    // training close enough of seed-PQ's 20% recall@5 gap to ship PQ at
+    // the memory floor, or does SQ8 stay the quantized serving tier?
+    "x126_ann_recall_pq_trained" -> { (s, dir) =>
+      val e = spread(t(s, dir, "embeddings"))
+      def cands(ksub: Int): DataFrame = {
+        val (schema, rows) = memoized(s, dir, s"cand|pq_trained_$ksub") {
+          val df = VectorOps.ivfTopKPq(e.filter(col("vec_id") < 20), e,
+            "vec_id", "embedding", 5, pqTrainedCodebooksOf(s, dir, ksub),
+            numCentroids = 8, nProbe = 2)
+          (df.schema, df.collect())
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      }
+      val exact = annTruth(s, dir)
+      def grade(df: DataFrame, m: String): DataFrame =
+        VectorOps.annRecall(df, exact, "qid", "nid")
+          .withColumn("method", lit(m))
+      grade(cands(16), "ivf_pq_t16")
+        .unionByName(grade(cands(32), "ivf_pq_t32"))
+        .select("method", "qid", "n_exact", "n_hit", "recall_bp")
+        .orderBy("method", "qid")
     }
   )
 
@@ -1867,6 +1911,91 @@ object ExtensionQueries {
        | r_pq AS (SELECT qid, nid, cos,
        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
        |   FROM s_pq)""".stripMargin
+
+  /** TRAINED-PQ CTEs mirroring `VectorOps.pqTrainedCodebooks` (per-
+    * subspace `kmeansCentroidsExact`: seed = ksub lowest-id SLICES with
+    * zero-norm slices dropped after the limit, `iters` unrolled Lloyd
+    * rounds of cosine-argmax assignment + exact integer-scaled mean
+    * update — the annIvfTrainedSql arithmetic, over 16-component slices)
+    * followed by the same encode/ADC plan as `annIvfPq` against the
+    * trained codewords → CTE r_<pfx>. Codeword index j = positional rank
+    * of the seed by vec_id (ties → lowest j ≡ the Scala array index).
+    * Composes after `annIvf` (needs its ic/iq cells); every CTE is
+    * pfx-prefixed so two codebook budgets coexist in one WITH.
+    */
+  private def pqTrainedSql(pfx: String, ksub: Int, iters: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    val m = 4
+    val dsub = 16
+    def dotN(a: String, b: String): String = dotNSql(a, b, dsub)
+    for (sub <- 0 until m) {
+      val lo = sub * dsub + 1
+      val hi = lo + dsub - 1
+      // sliced corpus view with per-slice norm (the frame the trainer sees)
+      ctes += s"""${pfx}v$sub AS (SELECT vec_id, sv, sqrt(${dotN("sv", "sv")}) nrm
+                 | FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) sv
+                 |   FROM embeddings))""".stripMargin
+      // seed: ksub lowest-id slices, zero-norm dropped AFTER the limit
+      ctes += s"""${pfx}s$sub AS (SELECT cid, cv, cn FROM (
+                 |   SELECT vec_id cid, sv cv, nrm cn FROM ${pfx}v$sub
+                 |   ORDER BY vec_id LIMIT $ksub) WHERE cn > 0)""".stripMargin
+      var prev = s"${pfx}s$sub"
+      for (it <- 1 to iters) {
+        val (a, u, cv, c) =
+          (s"${pfx}a${sub}_$it", s"${pfx}u${sub}_$it",
+           s"${pfx}n${sub}_$it", s"${pfx}c${sub}_$it")
+        val cvExpr = s"coalesce($cv.cv, $prev.cv)"
+        ctes += s"""$a AS (SELECT id, vec, cid FROM (
+                   |   SELECT v.vec_id id, v.sv vec, $prev.cid,
+                   |     row_number() OVER (PARTITION BY v.vec_id
+                   |       ORDER BY ${dotN("v.sv", s"$prev.cv")} / (v.nrm * $prev.cn) DESC, $prev.cid) crk
+                   |   FROM ${pfx}v$sub v CROSS JOIN $prev WHERE v.nrm > 0) WHERE crk = 1)""".stripMargin
+        ctes += s"""$u AS (SELECT cid, i,
+                   |   sum(floor(vec[i::INT]::DOUBLE * 1048576.0))::BIGINT s, count(*) n
+                   | FROM $a CROSS JOIN range(1,${dsub + 1}) r(i) GROUP BY cid, i)""".stripMargin
+        ctes += s"""$cv AS (SELECT cid,
+                   |   list((floor(s::DOUBLE / n) / 1048576.0)::FLOAT ORDER BY i) cv
+                   | FROM $u GROUP BY cid)""".stripMargin
+        ctes += s"""$c AS (SELECT $prev.cid, $cvExpr cv, sqrt(${dotN(cvExpr, cvExpr)}) cn
+                   | FROM $prev LEFT JOIN $cv USING (cid))""".stripMargin
+        prev = c
+      }
+      // codebook rows of this subspace: j = positional index by seed id
+      ctes += s"""${pfx}f$sub AS (SELECT $sub s,
+                 |   row_number() OVER (ORDER BY cid) - 1 j, cv cw,
+                 |   ${dotN("cv", "cv")} cn2 FROM $prev)""".stripMargin
+    }
+    ctes += (0 until m).map(sub => s"SELECT * FROM ${pfx}f$sub")
+      .mkString(s"${pfx}cb2 AS (", " UNION ALL ", ")")
+    // encode + ADC: the annIvfPq plan against the trained codewords
+    ctes += s"""${pfx}x AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
+               |   list_slice(ic.nv, c.s*$dsub + 1, c.s*$dsub + $dsub) xs
+               | FROM ic CROSS JOIN ${pfx}cb2 c)""".stripMargin
+    ctes += s"""${pfx}d AS (SELECT nid, cell, s, j, cn2, cw,
+               |   (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
+               |    - 2 * ${dotN("xs", "cw")}
+               |    + cn2) d2
+               | FROM ${pfx}x)""".stripMargin
+    ctes += s"""${pfx}e AS (SELECT nid, cell, s, j, cn2, cw FROM
+               |   (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
+               |    FROM ${pfx}d)
+               | WHERE rk = 1)""".stripMargin
+    ctes += s"""${pfx}q AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
+               |   list_slice(iq.qv, e.s*$dsub + 1, e.s*$dsub + $dsub) qs
+               | FROM ${pfx}e e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid)""".stripMargin
+    ctes += s"""${pfx}ip AS (SELECT qid, nid, qn, s, cn2,
+               |   ${dotN("qs", "cw")} ipsub
+               | FROM ${pfx}q)""".stripMargin
+    ctes += s"""${pfx}g AS (SELECT qid, nid, qn,
+               |   list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
+               |   sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
+               | FROM ${pfx}ip GROUP BY qid, nid, qn)""".stripMargin
+    ctes += s"s_$pfx AS (SELECT qid, nid, ip / (qn * rn) cos FROM ${pfx}g WHERE rn > 0)"
+    ctes += s"""r_$pfx AS (SELECT qid, nid, cos,
+               |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+               | FROM s_$pfx)""".stripMargin
+    ctes.mkString(",\n ")
+  }
 
   val oracle: Map[String, String] = Map(
     "x16_text_tokens" ->
@@ -3726,7 +3855,21 @@ object ExtensionQueries {
         | JOIN r ON s.source = r.dom
         | WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
         |   % 10000 < r.rate
-        | ORDER BY s.doc_id""".stripMargin
+        | ORDER BY s.doc_id""".stripMargin,
+
+    "x126_ann_recall_pq_trained" ->
+      s"""WITH $annV,
+         | $annBrute,
+         | ex AS (SELECT qid, nid FROM r_ex WHERE rk <= 5),
+         | $annIvf,
+         | ${pqTrainedSql("pt16", ksub = 16, iters = 2)},
+         | k16 AS (SELECT DISTINCT qid, nid FROM r_pt16 WHERE rk <= 5),
+         | ${pqTrainedSql("pt32", ksub = 32, iters = 2)},
+         | k32 AS (SELECT DISTINCT qid, nid FROM r_pt32 WHERE rk <= 5),
+         | ${gradeSql("ivf_pq_t16", "k16")},
+         | ${gradeSql("ivf_pq_t32", "k32")}
+         | SELECT * FROM g_k16 UNION ALL SELECT * FROM g_k32
+         | ORDER BY method, qid""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
