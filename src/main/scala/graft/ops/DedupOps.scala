@@ -803,9 +803,25 @@ object DedupOps {
                          w: Int = 4, minShared: Long = 2,
                          maxBucket: Int = 200): DataFrame = {
     requireLongId(docs, idCol)
+    winnowOverlapPairsFromIndex(
+      TextOps.winnowFingerprints(docs, idCol, k, w), idCol, minShared,
+      maxBucket)
+  }
+
+  /** [[winnowOverlapPairs]]'s pair stage over an ALREADY-SELECTED
+    * fingerprint table — the reuse path for a persisted winnow index
+    * ([[graft.ops.ModelIO.loadWinnowIndex]], whose rows are (did, pos,
+    * fp)): a production run fingerprints each corpus snapshot ONCE,
+    * persists the selection, and pairs any two snapshots (or a snapshot
+    * against itself) from the artifacts — never re-deriving grams.
+    * Identical plan and results to the from-docs form by construction
+    * (that form now delegates here).
+    */
+  def winnowOverlapPairsFromIndex(fps0: DataFrame, idCol: String,
+                                  minShared: Long = 2,
+                                  maxBucket: Int = 200): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
-    val fps = TextOps.winnowFingerprints(docs, idCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+    val fps = fps0.select(col(idCol).as("id"), col("fp")).distinct()
     fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(struct(col("id"), lit(0L)))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)

@@ -228,4 +228,24 @@ object ModelIO {
     rows.foreach { case (s, j, cw) => out(s)(j) = cw }
     out
   }
+
+  // ---- Winnowing fingerprint index -----------------------------------------
+
+  /** Persist a [[TextOps.winnowFingerprints]] selection table — one row
+    * per selected (doc, position, fingerprint), exactly the index MOSS
+    * keeps between runs so overlap detection against a new batch never
+    * re-fingerprints the old corpus. All-integer values → load-then-pair
+    * ≡ build-then-pair bit-for-bit
+    * ([[graft.ops.DedupOps.winnowOverlapPairsFromIndex]]). No coalesce:
+    * the selection is ~2/(w+1) of the corpus GRAM count — corpus-scale,
+    * written distributed like the corpus itself (the Bloom/bigram-LM
+    * class of artifact, not the k×dim-metadata class).
+    */
+  def saveWinnowIndex(fps: DataFrame, idCol: String, path: String): Unit =
+    fps.select(col(idCol).as("did"), col("pos"), col("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadWinnowIndex(spark: SparkSession, path: String): DataFrame =
+    requireColumns(spark.read.parquet(path), path,
+      Seq("did" -> LongType, "pos" -> LongType, "fp" -> LongType))
 }

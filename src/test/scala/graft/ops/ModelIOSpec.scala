@@ -187,4 +187,30 @@ class ModelIOSpec extends SparkSpec {
       loaded, numCentroids = 3, nProbe = 2).orderBy("qid", "nid").collect()
     assert(fresh.sameElements(replay))
   }
+
+  test("winnow fingerprint index round-trips: load-then-pair == " +
+      "build-then-pair") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, t1), (2L, t1 + " extra tail words here"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "totally different words in this document entirely now yes"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", k = 3, w = 4)
+    val path = tmp("winnow")
+    ModelIO.saveWinnowIndex(fps, "doc_id", path)
+    val loaded = ModelIO.loadWinnowIndex(spark, path)
+    // the artifact IS the selection: same (doc, pos, fp) rows bit-for-bit
+    val savedRows = fps.select(col("doc_id").as("did"), col("pos"), col("fp"))
+      .orderBy("did", "pos", "fp").collect()
+    assert(savedRows.sameElements(loaded.orderBy("did", "pos", "fp").collect()))
+    // load-then-pair ≡ build-then-pair (the from-docs form delegates to
+    // the from-index form, so this also pins the delegation refactor)
+    val direct = DedupOps.winnowOverlapPairs(docs, "doc_id", k = 3, w = 4)
+      .orderBy("i", "j").collect()
+    val replay = DedupOps.winnowOverlapPairsFromIndex(loaded, "did")
+      .orderBy("i", "j").collect()
+    assert(direct.nonEmpty, "fixture must produce at least one overlap pair")
+    assert(direct.sameElements(replay))
+  }
 }
