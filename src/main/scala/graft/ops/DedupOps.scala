@@ -853,8 +853,8 @@ object DedupOps {
     */
   def splitLeakage(docs: DataFrame, idCol: String, shingles: Column,
                    threshold: Double, splitCol: String,
-                   trainLabel: String): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, shingles, threshold)
+                   trainLabel: String, oph: Boolean = false): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, shingles, threshold, oph = oph)
     val labels = docs.select(col(idCol).as("__id"), col(splitCol).as("__sp"))
     // symmetric endpoint view: a leaks iff some pair partner b is train
     val ends = pairs.select(col("i").as("__a"), col("j").as("__b"))

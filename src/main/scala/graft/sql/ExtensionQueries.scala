@@ -966,7 +966,7 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       DedupOps.canonicalKeep(d, "doc_id", TextOps.stopRatioBp(col("text")),
           DedupOps.nearDupPairs(d, "doc_id",
-            TextOps.wordShingles(col("text"), 3), 0.5))
+            TextOps.wordShingles(col("text"), 3), 0.5, oph = true))
         .orderBy("doc_id")
     },
 
@@ -978,7 +978,7 @@ object ExtensionQueries {
     "x85_source_overlap" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val pairs = DedupOps.nearDupPairs(d, "doc_id",
-        TextOps.wordShingles(col("text"), 3), 0.5)
+        TextOps.wordShingles(col("text"), 3), 0.5, oph = true)
       val src = d.select(col("doc_id"), col("source"))
       val cnt = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       pairs
@@ -1296,7 +1296,8 @@ object ExtensionQueries {
       val d = SampleOps.hashSplit(spread(t(s, dir, "documents")), "doc_id",
         Seq("train" -> 8000, "eval" -> 10000))
       DedupOps.splitLeakage(d, "doc_id",
-          TextOps.wordShingles(col("text"), 3), 0.5, "split", "train")
+          TextOps.wordShingles(col("text"), 3), 0.5, "split", "train",
+          oph = true)
         .orderBy("split")
     },
 
@@ -1315,7 +1316,7 @@ object ExtensionQueries {
     "x111_cluster_histogram" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val pairs = DedupOps.nearDupPairs(d, "doc_id",
-        TextOps.wordShingles(col("text"), 3), 0.5)
+        TextOps.wordShingles(col("text"), 3), 0.5, oph = true)
       DedupOps.connectedComponents(pairs)
         .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
@@ -1603,6 +1604,28 @@ object ExtensionQueries {
       |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
       | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
       |   FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  /** One-permutation MinHash banding over a CTE `sh(doc_id, s)` → CTE
+    * bsig(doc_id, band, sig) — the OPH sibling of [[minhashBsigSql]]
+    * (ONE hash per shingle, bucket-min per slot, rotation densification
+    * for empty slots), mirroring `DedupOps.minhashBandsOph`. ONE
+    * definition for every OPH banding oracle (x123/x124 and the r14
+    * composite flips x84/x85/x109/x111) — same one-definition rule as
+    * the classic fragment. Internal columns use `jj` so the fragment
+    * composes with oracles that bind `j` elsewhere.
+    */
+  private lazy val ophBsigSql =
+    """mh1 AS (SELECT doc_id,
+      |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
+      | bkt AS (SELECT doc_id, h % 16 jj, min(h) m FROM mh1 GROUP BY 1, 2),
+      | grid AS (SELECT doc_id, k jj FROM
+      |   (SELECT DISTINCT doc_id FROM bkt) CROSS JOIN range(0,16) t(k)),
+      | dens AS (SELECT g.doc_id, g.jj,
+      |     arg_min(b.m, (b.jj - g.jj + 16) % 16) m
+      |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
+      | bsig AS (SELECT doc_id, (jj // 4)::INT band,
+      |     string_agg(m::VARCHAR, '|' ORDER BY jj) sig
+      |   FROM dens GROUP BY 1, 2)""".stripMargin
 
   private val word3gramShingles =
     """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -2759,7 +2782,7 @@ object ExtensionQueries {
         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
         |        FROM w),
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | $minhashBsigSql,
+        | $ophBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -2798,7 +2821,7 @@ object ExtensionQueries {
         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
         |        FROM w),
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | $minhashBsigSql,
+        | $ophBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -3459,7 +3482,7 @@ object ExtensionQueries {
     "x109_split_leakage" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | $minhashBsigSql,
+         | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -3515,7 +3538,7 @@ object ExtensionQueries {
          |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
          |        FROM w),
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | $minhashBsigSql,
+         | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
@@ -3766,17 +3789,7 @@ object ExtensionQueries {
     // rotation borrow via arg_min on the cyclic distance, same banding.
     "x123_dedup_minhash_oph" ->
       s"""$word3gramShingles,
-         | mh1 AS (SELECT doc_id,
-         |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
-         | bkt AS (SELECT doc_id, h % 16 j, min(h) m FROM mh1 GROUP BY 1, 2),
-         | grid AS (SELECT doc_id, k j FROM
-         |   (SELECT DISTINCT doc_id FROM bkt) CROSS JOIN range(0,16) t(k)),
-         | dens AS (SELECT g.doc_id, g.j,
-         |     arg_min(b.m, (b.j - g.j + 16) % 16) m
-         |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
-         | bsig AS (SELECT doc_id, (j // 4)::INT band,
-         |     string_agg(m::VARCHAR, '|' ORDER BY j) sig
-         |   FROM dens GROUP BY 1, 2)
+         | $ophBsigSql
          | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
          | FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -3785,17 +3798,7 @@ object ExtensionQueries {
     // x64's curation mirror with the banding CTEs swapped to OPH.
     "x124_corpus_curation_oph" ->
       s"""WITH RECURSIVE $curationHeadSql,
-         | mh1 AS (SELECT doc_id,
-         |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
-         | bkt AS (SELECT doc_id, h % 16 jj, min(h) m FROM mh1 GROUP BY 1, 2),
-         | grid AS (SELECT doc_id, k jj FROM
-         |   (SELECT DISTINCT doc_id FROM bkt) CROSS JOIN range(0,16) t(k)),
-         | dens AS (SELECT g.doc_id, g.jj,
-         |     arg_min(b.m, (b.jj - g.jj + 16) % 16) m
-         |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
-         | bsig AS (SELECT doc_id, (jj // 4)::INT band,
-         |     string_agg(m::VARCHAR, '|' ORDER BY jj) sig
-         |   FROM dens GROUP BY 1, 2),
+         | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
