@@ -125,4 +125,68 @@ class CrashResumeSpec extends SparkSpec {
       df.select(df.columns.sorted.map(col): _*).collect().map(_.toSeq).toSet
     assert(key(deduped) == key(expected))
   }
+
+  test("streaming near-dup state survives a kill: restart from the " +
+      "checkpoint reproduces the uninterrupted pair set") {
+    // The state-store contract the 100 TB ingest path rests on: the
+    // (band,sig)-keyed bucket state of streamingNearDupCandidates must be
+    // recovered from the checkpoint after a crash, so a duplicate landing
+    // AFTER the restart still pairs with a doc ingested BEFORE the kill.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "totally different words living inside this document here"
+    val filler = "unrelated filler content for the middle batch okay then"
+    val b1 = Seq((1L, base), (4L, other))
+    val b2 = Seq((9L, filler))
+    val b3 = Seq((2L, base)) // the duplicate — arrives after the crash
+
+    def pairsOf(path: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(path).select("i", "j", "band")
+        .as[(Long, Long, Int)].collect().toSet
+
+    // ---- reference: the same batches through an uninterrupted query ----
+    val refDir = Files.createTempDirectory("graft-neardup-ref").toString
+    val ref = MemoryStream[(Long, String)]
+    val qr = Streaming.streamingNearDupCandidates(
+        ref.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("parquet").outputMode(OutputMode.Append)
+      .option("path", s"$refDir/out")
+      .option("checkpointLocation", s"$refDir/cp").start()
+    try {
+      ref.addData(b1); qr.processAllAvailable()
+      ref.addData(b2); qr.processAllAvailable()
+      ref.addData(b3); qr.processAllAvailable()
+    } finally qr.stop()
+    val expected = pairsOf(s"$refDir/out")
+    assert(expected.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      "fixture must produce exactly the cross-crash pair")
+    assert(expected.map(_._3) == Set(0, 1, 2, 3), "exact dup collides on all bands")
+
+    // ---- crash run: kill with a batch PENDING, restart, then the dup ----
+    val dir = Files.createTempDirectory("graft-neardup-crash").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = Streaming.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("parquet").outputMode(OutputMode.Append)
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp").start()
+    val q1 = start()
+    try {
+      input.addData(b1)
+      q1.processAllAvailable() // b1 committed: state remembers doc 1
+      input.addData(b2)        // pending at the kill — must replay
+    } finally q1.stop()
+    val q2 = start()           // SAME checkpoint: state-store recovery
+    try {
+      input.addData(b3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // identical pair set to the uninterrupted run, band for band —
+    // (1,2) can only fire if doc 1's bucket state crossed the restart
+    assert(pairsOf(s"$dir/out") == expected)
+  }
 }
