@@ -249,7 +249,7 @@ object DedupOps {
                        threshold: Double, exact: Boolean = false,
                        numHashes: Int = 16, bandRows: Int = 4,
                        maxBucket: Int = DefaultMaxBucket,
-                       salts: Int = 1): DataFrame = {
+                       salts: Int = 1, oph: Boolean = false): DataFrame = {
     requireLongId(docs, idCol)
     if (exact) {
       val minBp = thresholdBp(threshold)
@@ -261,9 +261,16 @@ object DedupOps {
         .filter(greatest(col("cont_i_bp"), col("cont_j_bp")) >= minBp)
     } else {
       // materialized for the same reason as nearDupPairs: the verify
-      // references the candidate frame three times
-      val cand = minhashLshCandidates(docs, idCol, shingles, numHashes,
-        bandRows, maxBucket).localCheckpoint()
+      // references the candidate frame three times.
+      // oph = true swaps in the one-permutation signatures (the same
+      // trade as nearDupPairs: one hash per shingle, slightly different
+      // candidate curve, every emitted pair still exact-verified)
+      val cand = (if (oph)
+          minhashLshCandidatesOph(docs, idCol, shingles, numHashes,
+            bandRows, maxBucket)
+        else
+          minhashLshCandidates(docs, idCol, shingles, numHashes,
+            bandRows, maxBucket)).localCheckpoint()
       verifyContainmentPairs(cand, docs, idCol, shingles, threshold, salts)
     }
   }

@@ -919,15 +919,17 @@ object ExtensionQueries {
     },
 
     // x82 — containment on the DEFAULT (scale) path: MinHash-LSH banding
-    // proposes candidate pairs, exact intersection counts verify on those
-    // pairs only — work ∝ |candidates| instead of Θ(Σ bucket²). The
-    // oracle mirrors the SAME banding (the x64 pattern), so the gate is
-    // exact regardless of banding recall; differs from x80 only where
-    // banding misses a pair (J = tρ/(1+ρ−tρ) for containment t at size
-    // ratio ρ — see DedupOps.containmentPairs for the honest math).
+    // (r14: the one-permutation signatures, like every other banding
+    // consumer) proposes candidate pairs, exact intersection counts
+    // verify on those pairs only — work ∝ |candidates| instead of
+    // Θ(Σ bucket²). The oracle mirrors the SAME banding (the x124
+    // pattern), so the gate is exact regardless of banding recall;
+    // differs from x80 only where banding misses a pair
+    // (J = tρ/(1+ρ−tρ) for containment t at size ratio ρ — see
+    // DedupOps.containmentPairs for the honest math).
     "x82_containment_lsh" -> { (s, dir) =>
       DedupOps.containmentPairs(spread(t(s, dir, "documents")), "doc_id",
-          TextOps.wordShingles(col("text"), 3), 0.8)
+          TextOps.wordShingles(col("text"), 3), 0.8, oph = true)
         .orderBy("i", "j")
     },
 
@@ -2715,7 +2717,7 @@ object ExtensionQueries {
     "x82_containment_lsh" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         | $minhashBsigSql,
+         | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
