@@ -167,6 +167,24 @@ class ModelIOSpec extends SparkSpec {
     assert(fresh.sameElements(replay))
   }
 
+  test("TRAINED PQ codebooks round-trip and probe identically (the x126 " +
+      "serving artifact)") {
+    val cb = VectorOps.pqTrainedCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+    val path = tmp("pqt")
+    ModelIO.savePqCodebooks(spark, path, cb)
+    val loaded = ModelIO.loadPqCodebooks(spark, path)
+    cb.zip(loaded).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    val q = vecs.filter(col("vec_id") < 5)
+    val fresh = VectorOps.ivfTopKPq(q, vecs, "vec_id", "embedding", 3,
+      cb, numCentroids = 3, nProbe = 2).orderBy("qid", "nid").collect()
+    val replay = VectorOps.ivfTopKPq(q, vecs, "vec_id", "embedding", 3,
+      loaded, numCentroids = 3, nProbe = 2).orderBy("qid", "nid").collect()
+    assert(fresh.nonEmpty && fresh.sameElements(replay))
+  }
+
   test("PQ codebooks round-trip bit-for-bit and probe identically") {
     val cb = VectorOps.pqSeedCodebooks(vecs, "vec_id", "embedding",
       m = 2, ksub = 8)

@@ -189,4 +189,55 @@ class CrashResumeSpec extends SparkSpec {
     // (1,2) can only fire if doc 1's bucket state crossed the restart
     assert(pairsOf(s"$dir/out") == expected)
   }
+
+  test("streaming near-dup state on the ROCKSDB store: same crash " +
+      "contract on the provider a 100 TB ingest actually runs") {
+    // The scale claim ("RocksDB-backed at scale") materialized: the same
+    // kill-with-a-batch-pending / restart / late-duplicate scenario, with
+    // the state store swapped to RocksDBStateStoreProvider — bucket state
+    // must survive the restart through RocksDB's checkpoint files, not
+    // the default in-memory HDFS-backed map.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val dir = Files.createTempDirectory("graft-neardup-rocks").toString
+      val input = MemoryStream[(Long, String)]
+      def start() = Streaming.streamingNearDupCandidates(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("parquet").outputMode(OutputMode.Append)
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/cp").start()
+      val q1 = start()
+      try {
+        input.addData(Seq((1L, base),
+          (4L, "totally different words living inside this document here")))
+        q1.processAllAvailable()
+        input.addData(Seq((9L, "unrelated filler content for the middle batch")))
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(Seq((2L, base)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val pairs = spark.read.parquet(s"$dir/out")
+        .select("i", "j").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)),
+        "RocksDB-backed bucket state must survive the restart")
+      val bands = spark.read.parquet(s"$dir/out")
+        .select("band").distinct().as[Int].collect().toSet
+      assert(bands == Set(0, 1, 2, 3))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
