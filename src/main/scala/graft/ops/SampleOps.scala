@@ -321,14 +321,20 @@ object SampleOps {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toDF("__dom", "__w")
-    // weights LEFT-join onto the per-domain sums: a weighted domain the
-    // corpus lacks keeps its row with 0 tokens, so it zeroes T exactly as
+    // the per-domain sums are restricted to WEIGHTED domains (broadcast
+    // semi-join against the weights) BEFORE anything corpus-derived is
+    // broadcast — domainCol can be high-cardinality (hosts), and the raw
+    // aggregate must never ship as a broadcast. The weights then
+    // LEFT-join onto the bounded result: a weighted domain the corpus
+    // lacks keeps its row with 0 tokens, so it zeroes T exactly as
     // documented (an inner join would silently drop it and reweight the
-    // mix over the present domains). Both sides are bounded metadata.
-    val sums = wDf.join(
-        broadcast(df.groupBy(col(domainCol))
-          .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L))
-            .as("__tok"))),
+    // mix over the present domains).
+    val weightedSums = df.groupBy(col(domainCol))
+      .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L))
+        .as("__tok"))
+      .join(broadcast(wDf.select(col("__dom"))),
+        col(domainCol) === col("__dom"), "left_semi")
+    val sums = wDf.join(broadcast(weightedSums),
         col("__dom") === col(domainCol), "left")
       .select(col("__dom"), col("__w"),
         coalesce(col("__tok"), lit(0L)).as("__tok"))

@@ -206,16 +206,17 @@ object TextOps {
       s"posLimit must be in [1, 1e8] (got $posLimit)")
     val toks = split(col(textCol), " ")
     // the (hash,pos) window-min key zero-pads pos to 8 decimal digits;
-    // lexicographic = numeric ONLY below 10^8 positions, so a doc at or
-    // past the pad width fails LOUDLY here instead of silently
-    // misordering the selection (posLimit is the guard's threshold —
-    // lower it only in tests to exercise the failure path)
+    // lexicographic = numeric ONLY for positions ≤ 99,999,999, so a doc
+    // whose gram count EXCEEDS posLimit (positions run 0..grams−1 — a doc
+    // with exactly posLimit grams still fits the pad) fails LOUDLY here
+    // instead of silently misordering the selection (lower posLimit only
+    // in tests to exercise the failure path)
     val grams = size(toks).cast(LongType) - (k - 1)
     // guarded: sequence(0, n) DESCENDS for n < 0 (the duplicatedSpans trap)
-    val shArr = when(grams >= posLimit,
+    val shArr = when(grams > posLimit,
         raise_error(concat(lit("winnowFingerprints: document '"),
           col(idCol).cast("string"), lit("' has "), grams.cast("string"),
-          lit(s" gram positions >= $posLimit — the fixed 8-digit position" +
+          lit(s" gram positions > $posLimit — the fixed 8-digit position" +
             " pad would misorder the window-min key; split the document" +
             " or widen the pad"))).cast(ArrayType(LongType)))
       .when(size(toks) >= k,

@@ -65,11 +65,29 @@ object ExtensionQueries {
     */
   private val gateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** get-then-putIfAbsent, NOT computeIfAbsent: memoized blocks nest (a
+    * candidate memo's thunk trains its codebook through another memoized
+    * call on this same map — x63, x87/x91, x126), and a nested
+    * `computeIfAbsent` on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") whenever the inner key
+    * lands in the outer key's reserved bin — a probabilistic flake keyed
+    * by applicationId hashing. The race this form permits (two threads
+    * both computing) is benign: every thunk is a pure deterministic
+    * function of (dir), so duplicates are bit-identical and the loser's
+    * work is merely discarded — and the bench/verify drivers are
+    * single-threaded anyway.
+    */
   private def memoized[T <: AnyRef](s: SparkSession, dir: String,
-                                    tag: String)(f: => T): T =
-    gateMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir|$tag",
-      _ => f).asInstanceOf[T]
+                                    tag: String)(f: => T): T = {
+    val key = s"${s.sparkContext.applicationId}|$dir|$tag"
+    val existing = gateMemo.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = f
+      val prev = gateMemo.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Brute-force ANN ground truth (x25) as a driver-held literal relation:
     * computed ONCE per (app, dir), replayed as a LocalRelation for every
@@ -77,9 +95,20 @@ object ExtensionQueries {
     * top-k rows either way, and a localCheckpoint would not survive the
     * bench harness's per-query unpersist boundary.
     */
-  private def annTruth(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = memoized(s, dir, "annTruth") {
-      val df = queries("x25_ann_topk")(s, dir)
+  private def annTruth(s: SparkSession, dir: String): DataFrame =
+    memoRelation(s, dir, "annTruth")(queries("x25_ann_topk")(s, dir))
+
+  /** Driver-held literal replay of a bounded DataFrame, memoized by tag —
+    * the ONE definition of the (schema, collect) → createDataFrame
+    * convention every gate input shares (annTruth, gateCandidates, the
+    * x63 trained-IVF candidates, the x126 trained-PQ candidates). The
+    * replay survives the bench harness's per-query unpersist boundary,
+    * which a localCheckpoint would not.
+    */
+  private def memoRelation(s: SparkSession, dir: String, tag: String)
+                          (thunk: => DataFrame): DataFrame = {
+    val (schema, rows) = memoized(s, dir, tag) {
+      val df = thunk
       (df.schema, df.collect())
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -97,13 +126,8 @@ object ExtensionQueries {
     * and pays only its grading joins.
     */
   private def gateCandidates(s: SparkSession, dir: String,
-                             name: String): DataFrame = {
-    val (schema, rows) = memoized(s, dir, s"cand|$name") {
-      val df = queries(name)(s, dir)
-      (df.schema, df.collect())
-    }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+                             name: String): DataFrame =
+    memoRelation(s, dir, s"cand|$name")(queries(name)(s, dir))
 
   /** The x63 trained codebook (kmeansCentroidsExact, k=32, 2 Lloyd
     * rounds) — deterministic in (dir), k×dim driver floats, trained once
@@ -678,14 +702,10 @@ object ExtensionQueries {
       // built — the codebook is k×dim floats entering the probe as
       // literals, trained ONCE per run (gateMemo) like a production
       // pipeline trains once per corpus
-      val ivfTrained = {
-        val (schema, rows) = memoized(s, dir, "cand|ivf_trained") {
-          val df = VectorOps.ivfTopKWithCentroids(
-            e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5,
-            trainedCodebook(s, dir).toSeq, nProbe = 4)
-          (df.schema, df.collect())
-        }
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val ivfTrained = memoRelation(s, dir, "cand|ivf_trained") {
+        VectorOps.ivfTopKWithCentroids(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5,
+          trainedCodebook(s, dir).toSeq, nProbe = 4)
       }
       grade(gateCandidates(s, dir, "x26_ann_lsh"), "lsh")
         .unionByName(grade(gateCandidates(s, dir, "x62_ann_lsh_multi"), "lsh_multi"))
@@ -1529,15 +1549,12 @@ object ExtensionQueries {
     // the memory floor, or does SQ8 stay the quantized serving tier?
     "x126_ann_recall_pq_trained" -> { (s, dir) =>
       val e = spread(t(s, dir, "embeddings"))
-      def cands(ksub: Int): DataFrame = {
-        val (schema, rows) = memoized(s, dir, s"cand|pq_trained_$ksub") {
-          val df = VectorOps.ivfTopKPq(e.filter(col("vec_id") < 20), e,
+      def cands(ksub: Int): DataFrame =
+        memoRelation(s, dir, s"cand|pq_trained_$ksub") {
+          VectorOps.ivfTopKPq(e.filter(col("vec_id") < 20), e,
             "vec_id", "embedding", 5, pqTrainedCodebooksOf(s, dir, ksub),
             numCentroids = 8, nProbe = 2)
-          (df.schema, df.collect())
         }
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      }
       val exact = annTruth(s, dir)
       def grade(df: DataFrame, m: String): DataFrame =
         VectorOps.annRecall(df, exact, "qid", "nid")
@@ -1947,6 +1964,14 @@ object ExtensionQueries {
     * of the seed by vec_id (ties → lowest j ≡ the Scala array index).
     * Composes after `annIvf` (needs its ic/iq cells); every CTE is
     * pfx-prefixed so two codebook budgets coexist in one WITH.
+    *
+    * Declared asymmetry on DEGENERATE corpora (shared with
+    * `annIvfTrainedSql`): a trained centroid that collapses to zero norm
+    * makes the Scala trainer fail loudly (`require(cn > 0)`), while this
+    * SQL would carry cn = 0 into the next round's cosine — the gate then
+    * reports an engine error vs. oracle rows rather than two matching
+    * failures. The fixtures' component scale (~0.1 ≫ 2^-20 quantization)
+    * keeps both engines far from that regime.
     */
   private def pqTrainedSql(pfx: String, ksub: Int, iters: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
@@ -3469,10 +3494,11 @@ object ExtensionQueries {
         | tok AS (SELECT doc_id, source,
         |     len(string_split(text,' '))::BIGINT n_tokens FROM documents),
         | cnt AS (SELECT source, sum(n_tokens) tk FROM tok GROUP BY 1),
-        | j AS (SELECT dom, w, tk FROM cnt JOIN wt ON source = dom),
+        | j AS (SELECT dom, w, coalesce(tk, 0) tk FROM wt
+        |   LEFT JOIN cnt ON source = dom),
         | t AS (SELECT min(tk::DOUBLE / w) tt FROM j),
         | r AS (SELECT dom, floor(10000 * w * tt / tk::DOUBLE)::BIGINT rate
-        |   FROM j, t)
+        |   FROM j, t WHERE tk > 0)
         | SELECT d.doc_id, d.source, d.n_tokens FROM tok d
         | JOIN r ON d.source = r.dom
         | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
@@ -3852,10 +3878,11 @@ object ExtensionQueries {
         |     ('src0', 0.3::DOUBLE), ('src1', 0.3::DOUBLE),
         |     ('src2', 0.4::DOUBLE)) w(dom, w)),
         | cnt AS (SELECT source, sum(n_tokens) tk2 FROM surv GROUP BY 1),
-        | j AS (SELECT dom, w, tk2 FROM cnt JOIN wt ON source = dom),
+        | j AS (SELECT dom, w, coalesce(tk2, 0) tk2 FROM wt
+        |   LEFT JOIN cnt ON source = dom),
         | t AS (SELECT min(tk2::DOUBLE / w) tt FROM j),
         | r AS (SELECT dom, floor(10000 * w * tt / tk2::DOUBLE)::BIGINT rate
-        |   FROM j, t)
+        |   FROM j, t WHERE tk2 > 0)
         | SELECT s.doc_id, s.source, s.n_tokens FROM surv s
         | JOIN r ON s.source = r.dom
         | WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT

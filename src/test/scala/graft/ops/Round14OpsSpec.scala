@@ -28,21 +28,22 @@ class Round14OpsSpec extends SparkSpec {
 
   test("winnowFingerprints: a doc at the position-pad limit fails " +
       "LOUDLY instead of silently misordering the window-min key") {
-    // 12 words, k=3 → 10 gram positions; posLimit=10 triggers the guard
+    // 12 words, k=3 → 10 gram positions (0..9); posLimit=9 triggers
     val docs = Seq(
       (1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
     val e = intercept[Exception] {
       TextOps.winnowFingerprints(docs, "doc_id", k = 3, w = 4,
-        posLimit = 10L).collect()
+        posLimit = 9L).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
         Option(x.getCause).toSeq.flatMap(msgs))
     assert(msgs(e).exists(_.contains("gram positions")),
       s"expected the pad-guard message, got: $e")
-    // under the limit: same doc selects fingerprints normally
+    // AT the limit: exactly posLimit grams still fit the pad (positions
+    // 0..posLimit−1) — no spurious rejection at the boundary
     assert(TextOps.winnowFingerprints(docs, "doc_id", k = 3, w = 4,
-      posLimit = 11L).count() > 0L)
+      posLimit = 10L).count() > 0L)
   }
 
   test("knnLabelNoise: a non-numeric label column fails at plan time") {
