@@ -343,4 +343,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"config diff planned a join:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  // r14: the composites flipped to OPH signatures keep the bucket-join
+  // posture — no cartesian anywhere in the verify/downstream plan. (The
+  // signature stage itself is localCheckpointed inside nearDupPairs, so
+  // its map-side-combined partial_min property is gated where the agg is
+  // visible: the x123 test above.)
+  for (name <- Seq("x84_canonical_keep", "x85_source_overlap",
+      "x109_split_leakage", "x111_cluster_histogram",
+      "x82_containment_lsh")) {
+    test(s"$name: OPH path — no cartesian in the verify plan") {
+      val p = plan(ExtensionQueries.queries, name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
 }
