@@ -94,6 +94,43 @@ final case class CatalogSink(tablePrefix: String = "",
     }
 }
 
+/** [[CatalogSink]] with Spark BUCKETING on a join key — the co-located
+  * join layout: every table is hash-bucketed (and bucket-sorted) on its
+  * declared key into the same bucket count, so a later equi-join of two
+  * tables from this sink requires NO shuffle of either side — the
+  * sort-merge join reads aligned buckets directly (`BucketedJoinSpec`
+  * asserts Exchange-free plans). At 100 TB this is the difference between
+  * paying a corpus-sized exchange on EVERY downstream join and paying a
+  * one-time bucketed write: the standing layout for fact tables that are
+  * repeatedly joined on the same key (docs↔scores, blocks↔logs) —
+  * Spark's answer to the warehouse sinks' ORDER BY/index declarations
+  * (ClickHouse `writers/clickhouse.py:119-148`).
+  *
+  * `buckets` maps table name → (key column, bucket count). Tables not in
+  * the map write unbucketed (the CatalogSink behavior). Same loud-typo
+  * policy as ParquetSink.partitionBy: a key naming no pushed table fails
+  * instead of silently writing an unbucketed layout the consumer can't
+  * see is wrong.
+  */
+final case class BucketedCatalogSink(buckets: Map[String, (String, Int)],
+                                     tablePrefix: String = "",
+                                     anchorTable: Option[String] = None)
+    extends Sink {
+  require(buckets.values.forall(_._2 > 0), "bucket counts must be positive")
+  def push(tables: Map[String, DataFrame]): Unit = {
+    val unknown = buckets.keySet -- tables.keySet
+    require(unknown.isEmpty,
+      s"buckets names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
+        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
+    AnchorLast.push(tables, anchorTable) { (name, df) =>
+      val w = df.write.mode("append")
+      buckets.get(name)
+        .fold(w) { case (key, n) => w.bucketBy(n, key).sortBy(key) }
+        .saveAsTable(tablePrefix + name)
+    }
+  }
+}
+
 object Resume {
   /** The crash-resume watermark (cherry P5, `examples/erc20_custom.py:41-50`:
     * `SELECT MAX(block_number) FROM transfers` at startup → next from_block).

@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The co-located-join contract of [[BucketedCatalogSink]]: two tables
+  * written bucketed on the same key and count join WITHOUT shuffling
+  * either side — the plan property that turns every downstream equi-join
+  * of a 100 TB fact table from a corpus-sized exchange into a bucket-
+  * aligned local merge.
+  */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTables[T](names: String*)(f: => T): T =
+    try f finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  private def joinPlan(left: String, right: String): String = {
+    val p = spark.table(left).join(spark.table(right), "doc_id")
+      .groupBy().count()
+    p.queryExecution.executedPlan.toString
+  }
+
+  test("same-bucket tables join with NO exchange on either side") {
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val scores = (0L until 500L).map(i => (i, i % 7)).toDF("doc_id", "score")
+    withTables("bkt_docs", "bkt_scores") {
+      BucketedCatalogSink(Map(
+        "bkt_docs" -> ("doc_id", 8), "bkt_scores" -> ("doc_id", 8)))
+        .push(Map("bkt_docs" -> docs, "bkt_scores" -> scores))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = joinPlan("bkt_docs", "bkt_scores")
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"co-bucketed join still shuffles:\n$p")
+        assert(p.contains("SortMergeJoin"), p)
+        assert(p.contains("SelectedBucketsCount"), p)
+        // and the join is correct, not just shuffle-free
+        val n = spark.table("bkt_docs")
+          .join(spark.table("bkt_scores"), "doc_id").count()
+        assert(n == 500L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("mismatched bucket counts DO exchange (negative control) and an " +
+      "unknown bucketed table fails loudly") {
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val scores = (0L until 200L).map(i => (i, i)).toDF("doc_id", "s")
+    withTables("bkt_a", "bkt_b") {
+      BucketedCatalogSink(Map("bkt_a" -> ("doc_id", 8)))
+        .push(Map("bkt_a" -> docs))
+      BucketedCatalogSink(Map("bkt_b" -> ("doc_id", 3)))
+        .push(Map("bkt_b" -> scores))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = joinPlan("bkt_a", "bkt_b")
+        // Spark may shuffle one side to match the other's bucketing or
+        // shuffle both — either way at least one exchange must appear
+        assert(p.contains("Exchange hashpartitioning"),
+          s"expected a shuffle for mismatched bucket counts:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val e = intercept[IllegalArgumentException] {
+        BucketedCatalogSink(Map("nope" -> ("doc_id", 4)))
+          .push(Map("bkt_a" -> docs))
+      }
+      assert(e.getMessage.contains("unknown table"))
+    }
+  }
+}
