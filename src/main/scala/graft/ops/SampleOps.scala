@@ -261,8 +261,11 @@ object SampleOps {
     * Feasible total T = min_d(n_d / w_d) (the scarcest domain relative to
     * its share binds the mix); every domain then keeps rate_d = w_d·T/n_d
     * of its rows by the deterministic id-hash acceptance all samplers
-    * here share. Domains not in `weights` are dropped (weight 0);
-    * weighted domains with no rows simply can't bind T.
+    * here share. Domains not in `weights` are dropped (weight 0); a
+    * weighted domain ABSENT from the corpus zeroes T and the mix goes
+    * empty (r14, aligned with [[tokenBudgetMixture]] — a typo'd domain
+    * name must not silently produce a plausible mix reweighted over the
+    * present domains).
     *
     * Scale shape: one map-side-combined count per domain, two
     * domain-sized (bounded metadata) broadcasts, and a narrow hash-mod
@@ -279,11 +282,23 @@ object SampleOps {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toDF("__dom", "__w")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .join(broadcast(wDf), col(domainCol) === col("__dom"))
+    // the tokenBudgetMixture r14 pattern: bound the aggregate to weighted
+    // domains BEFORE broadcasting anything corpus-derived, then weights
+    // LEFT-join on so an absent weighted domain keeps a 0-count row and
+    // zeroes T (the zero-count rate row is excluded — Spark ANSI double
+    // division traps on the 0/0)
+    val weightedCounts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(wDf.select(col("__dom"))),
+        col(domainCol) === col("__dom"), "left_semi")
+    val counts = wDf.join(broadcast(weightedCounts),
+        col("__dom") === col(domainCol), "left")
+      .select(col("__dom"), col("__w"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
     val tRow = counts.agg(
       min(col("__n").cast("double") / col("__w")).as("__T"))
-    val rates = counts.crossJoin(broadcast(tRow)) // 1-row broadcast
+    val rates = counts.filter(col("__n") > 0)
+      .crossJoin(broadcast(tRow)) // 1-row broadcast
       .select(col("__dom"),
         floor(lit(10000d) * col("__w") * col("__T")
           / col("__n").cast("double")).cast(LongType).as("__rate_bp"))
@@ -341,7 +356,10 @@ object SampleOps {
     val tRow = sums.agg(
       min(col("__tok").cast("double") / col("__w")).as("__T"))
     // a zero-token domain contributes to T above but needs no rate row
-    // (no corpus doc joins to it — and its 0/0 would trap under ANSI)
+    // (no corpus doc joins to it) — and Spark's ANSI mode throws
+    // DIVIDE_BY_ZERO for a zero divisor even in DOUBLE division (ANSI
+    // SQL semantics, not IEEE NaN; observed from this exact expression
+    // in the absent-domain spec before this filter existed)
     val rates = sums.filter(col("__tok") > 0)
       .crossJoin(broadcast(tRow)) // 1-row broadcast
       .select(col("__dom"),
@@ -422,7 +440,11 @@ object SampleOps {
     * Output: one row per (doc, epoch), `epoch ∈ [0, full]`, all input
     * columns preserved — the loader replays epoch e by filtering on it.
     * A doc's fate in the partial epoch never changes when OTHER domains'
-    * weights move (the [[hashSample]] stability contract).
+    * weights move (the [[hashSample]] stability contract). A weighted
+    * domain with NO corpus rows contributes nothing — unlike the
+    * down-samplers there is no silent-reweighting hazard here (each
+    * domain's epoch plan is independent of the others), and the absence
+    * is visible in the output: the requested domain has zero rows.
     *
     * Scale shape: one map-side-combined count per domain, a bounded
     * domain-metadata broadcast, then a narrow `explode(sequence)` whose

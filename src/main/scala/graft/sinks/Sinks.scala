@@ -110,7 +110,10 @@ final case class CatalogSink(tablePrefix: String = "",
   * the map write unbucketed (the CatalogSink behavior). Same loud-typo
   * policy as ParquetSink.partitionBy: a key naming no pushed table fails
   * instead of silently writing an unbucketed layout the consumer can't
-  * see is wrong.
+  * see is wrong. (This relies on the engine's bundle contract: the step
+  * fold emits a STABLE key set every batch, with a no-rows table present
+  * as an empty DataFrame rather than absent — so an absent configured
+  * table really is a typo, not a quiet batch.)
   */
 final case class BucketedCatalogSink(buckets: Map[String, (String, Int)],
                                      tablePrefix: String = "",

@@ -1774,28 +1774,50 @@ object ExtensionQueries {
     * the nProbe probe phase → CTE r_it. CTE names are t-prefixed so the
     * fragment composes with `annIvf` in one WITH.
     */
-  private def annIvfTrainedSql(k: Int, iters: Int, nProbe: Int): String = {
+  /** Unrolled-Lloyd trained-centroid CTEs over an arbitrary vector CTE
+    * `vCte(vec_id, embedding, nrm)` of dimension `dim` — the ONE
+    * definition of the exact cross-engine k-means trainer mirror
+    * (`VectorOps.kmeansCentroidsExact`): cosine-argmax assignment with
+    * ties → lowest cid, 2^20 integer-scaled mean updates, empty cells
+    * keep their previous centroid. `seedCte` is a full subquery
+    * producing (cid, cv, cn). Returns (cte fragments, final centroid
+    * CTE name). Shared by [[annIvfTrainedSql]] (full 64-dim vectors,
+    * pfx "t") and [[pqTrainedSql]] (16-component subspace slices) — a
+    * Lloyd-arithmetic fix lands in every trained oracle at once.
+    */
+  private def lloydCbSql(pfx: String, vCte: String, dim: Int,
+                         seedCte: String,
+                         iters: Int): (Seq[String], String) = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    ctes += s"tc0 AS ${seedCentSql(k)}"
-    var prev = "tc0"
+    ctes += s"${pfx}c0 AS $seedCte"
+    var prev = s"${pfx}c0"
     for (it <- 1 to iters) {
-      val (a, u, cv, c) = (s"ta$it", s"tu$it", s"tcv$it", s"tc$it")
+      val (a, u, cv, c) =
+        (s"${pfx}a$it", s"${pfx}u$it", s"${pfx}cv$it", s"${pfx}c$it")
       val cvExpr = s"coalesce($cv.cv, $prev.cv)"
       ctes += s"""$a AS (SELECT id, vec, cid FROM (
                  |   SELECT v.vec_id id, v.embedding vec, $prev.cid,
                  |     row_number() OVER (PARTITION BY v.vec_id
-                 |       ORDER BY ${dotSql("v.embedding", s"$prev.cv")} / (v.nrm * $prev.cn) DESC, $prev.cid) crk
-                 |   FROM v CROSS JOIN $prev WHERE v.nrm > 0) WHERE crk = 1)""".stripMargin
+                 |       ORDER BY ${dotNSql("v.embedding", s"$prev.cv", dim)} / (v.nrm * $prev.cn) DESC, $prev.cid) crk
+                 |   FROM $vCte v CROSS JOIN $prev WHERE v.nrm > 0) WHERE crk = 1)""".stripMargin
       ctes += s"""$u AS (SELECT cid, i,
                  |   sum(floor(vec[i::INT]::DOUBLE * 1048576.0))::BIGINT s, count(*) n
-                 | FROM $a CROSS JOIN range(1,65) r(i) GROUP BY cid, i)""".stripMargin
+                 | FROM $a CROSS JOIN range(1,${dim + 1}) r(i) GROUP BY cid, i)""".stripMargin
       ctes += s"""$cv AS (SELECT cid,
                  |   list((floor(s::DOUBLE / n) / 1048576.0)::FLOAT ORDER BY i) cv
                  | FROM $u GROUP BY cid)""".stripMargin
-      ctes += s"""$c AS (SELECT $prev.cid, $cvExpr cv, ${normSql(cvExpr)} cn
+      ctes += s"""$c AS (SELECT $prev.cid, $cvExpr cv, sqrt(${dotNSql(cvExpr, cvExpr, dim)}) cn
                  | FROM $prev LEFT JOIN $cv USING (cid))""".stripMargin
       prev = c
     }
+    (ctes.toSeq, prev)
+  }
+
+  private def annIvfTrainedSql(k: Int, iters: Int, nProbe: Int): String = {
+    val (cb, fin) = lloydCbSql("t", "v", 64, seedCentSql(k), iters)
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= cb
+    val prev = fin
     ctes += s"""tca AS (SELECT v.vec_id id, v.embedding vec, v.nrm, $prev.cid,
                |   ${dotSql("v.embedding", s"$prev.cv")} / (v.nrm * $prev.cn) ccos
                | FROM v CROSS JOIN $prev WHERE v.nrm > 0)""".stripMargin
@@ -1916,43 +1938,52 @@ object ExtensionQueries {
     * folds → CTE r_pq. Composes after `annIvf` (needs its ic/iq cells);
     * shared by x87 (the index) and x91 (its recall grade).
     */
-  private lazy val annIvfPq =
+  /** PQ encode + ADC scoring CTEs over a codebook CTE `cbCte(s, j, cw,
+    * cn2)` and the `annIvf` cells (ic/iq) — the ONE definition of the
+    * argmin-d² encode (ties → lowest code) and ascending-subspace ADC
+    * fold mirroring `VectorOps.ivfTopKPq`. Emits → CTE r_<pfx>. Shared
+    * by [[annIvfPq]] (seed codebooks, pfx "pq" → r_pq) and
+    * [[pqTrainedSql]] (trained codebooks) — an ADC-arithmetic fix lands
+    * in every PQ oracle at once.
+    */
+  private def pqAdcSql(pfx: String, cbCte: String, dsub: Int): Seq[String] = Seq(
+    s"""${pfx}x AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
+       |   list_slice(ic.nv, c.s*$dsub + 1, c.s*$dsub + $dsub) xs
+       | FROM ic CROSS JOIN $cbCte c)""".stripMargin,
+    s"""${pfx}d AS (SELECT nid, cell, s, j, cn2, cw,
+       |   (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
+       |    - 2 * ${dotNSql("xs", "cw", dsub)}
+       |    + cn2) d2
+       | FROM ${pfx}x)""".stripMargin,
+    s"""${pfx}e AS (SELECT nid, cell, s, j, cn2, cw FROM
+       |   (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
+       |    FROM ${pfx}d)
+       | WHERE rk = 1)""".stripMargin,
+    s"""${pfx}q AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
+       |   list_slice(iq.qv, e.s*$dsub + 1, e.s*$dsub + $dsub) qs
+       | FROM ${pfx}e e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid)""".stripMargin,
+    s"""${pfx}ip AS (SELECT qid, nid, qn, s, cn2,
+       |   ${dotNSql("qs", "cw", dsub)} ipsub
+       | FROM ${pfx}q)""".stripMargin,
+    s"""${pfx}g AS (SELECT qid, nid, qn,
+       |   list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
+       |   sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
+       | FROM ${pfx}ip GROUP BY qid, nid, qn)""".stripMargin,
+    s"s_$pfx AS (SELECT qid, nid, ip / (qn * rn) cos FROM ${pfx}g WHERE rn > 0)",
+    s"""r_$pfx AS (SELECT qid, nid, cos,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+       | FROM s_$pfx)""".stripMargin)
+
+  private lazy val annIvfPq = (Seq(
     s"""pqseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 j, embedding e
-       |   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-       | pqcb AS (SELECT r.s, j, list_slice(e, r.s*16 + 1, r.s*16 + 16) cw
-       |   FROM pqseed CROSS JOIN range(0,4) r(s)),
-       | pqcb2 AS (SELECT s, j, cw,
+       |   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16))""".stripMargin,
+    s"""pqcb AS (SELECT r.s, j, list_slice(e, r.s*16 + 1, r.s*16 + 16) cw
+       |   FROM pqseed CROSS JOIN range(0,4) r(s))""".stripMargin,
+    s"""pqcb2 AS (SELECT s, j, cw,
        |     list_reduce(list_transform(cw, x -> x::DOUBLE * x::DOUBLE),
        |       (a,b) -> a + b) cn2
-       |   FROM pqcb),
-       | pqx AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
-       |     list_slice(ic.nv, c.s*16 + 1, c.s*16 + 16) xs
-       |   FROM ic CROSS JOIN pqcb2 c),
-       | pqd AS (SELECT nid, cell, s, j, cn2, cw,
-       |     (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
-       |      - 2 * list_reduce(list_transform(range(1,17),
-       |          k -> xs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y)
-       |      + cn2) d2
-       |   FROM pqx),
-       | pqenc AS (SELECT nid, cell, s, j, cn2, cw FROM
-       |     (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
-       |      FROM pqd)
-       |   WHERE rk = 1),
-       | pqq AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
-       |     list_slice(iq.qv, e.s*16 + 1, e.s*16 + 16) qs
-       |   FROM pqenc e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid),
-       | pqip AS (SELECT qid, nid, qn, s, cn2,
-       |     list_reduce(list_transform(range(1,17),
-       |       k -> qs[k::INT]::DOUBLE * cw[k::INT]::DOUBLE), (x,y) -> x + y) ipsub
-       |   FROM pqq),
-       | pqagg AS (SELECT qid, nid, qn,
-       |     list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
-       |     sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
-       |   FROM pqip GROUP BY qid, nid, qn),
-       | s_pq AS (SELECT qid, nid, ip / (qn * rn) cos FROM pqagg WHERE rn > 0),
-       | r_pq AS (SELECT qid, nid, cos,
-       |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-       |   FROM s_pq)""".stripMargin
+       |   FROM pqcb)""".stripMargin) ++ pqAdcSql("pq", "pqcb2", 16))
+    .mkString(",\n ")
 
   /** TRAINED-PQ CTEs mirroring `VectorOps.pqTrainedCodebooks` (per-
     * subspace `kmeansCentroidsExact`: seed = ksub lowest-id SLICES with
@@ -1977,73 +2008,29 @@ object ExtensionQueries {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     val m = 4
     val dsub = 16
-    def dotN(a: String, b: String): String = dotNSql(a, b, dsub)
     for (sub <- 0 until m) {
       val lo = sub * dsub + 1
       val hi = lo + dsub - 1
+      val vCte = s"${pfx}v$sub"
       // sliced corpus view with per-slice norm (the frame the trainer sees)
-      ctes += s"""${pfx}v$sub AS (SELECT vec_id, sv, sqrt(${dotN("sv", "sv")}) nrm
-                 | FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) sv
+      ctes += s"""$vCte AS (SELECT vec_id, embedding, sqrt(${dotNSql("embedding", "embedding", dsub)}) nrm
+                 | FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) embedding
                  |   FROM embeddings))""".stripMargin
       // seed: ksub lowest-id slices, zero-norm dropped AFTER the limit
-      ctes += s"""${pfx}s$sub AS (SELECT cid, cv, cn FROM (
-                 |   SELECT vec_id cid, sv cv, nrm cn FROM ${pfx}v$sub
-                 |   ORDER BY vec_id LIMIT $ksub) WHERE cn > 0)""".stripMargin
-      var prev = s"${pfx}s$sub"
-      for (it <- 1 to iters) {
-        val (a, u, cv, c) =
-          (s"${pfx}a${sub}_$it", s"${pfx}u${sub}_$it",
-           s"${pfx}n${sub}_$it", s"${pfx}c${sub}_$it")
-        val cvExpr = s"coalesce($cv.cv, $prev.cv)"
-        ctes += s"""$a AS (SELECT id, vec, cid FROM (
-                   |   SELECT v.vec_id id, v.sv vec, $prev.cid,
-                   |     row_number() OVER (PARTITION BY v.vec_id
-                   |       ORDER BY ${dotN("v.sv", s"$prev.cv")} / (v.nrm * $prev.cn) DESC, $prev.cid) crk
-                   |   FROM ${pfx}v$sub v CROSS JOIN $prev WHERE v.nrm > 0) WHERE crk = 1)""".stripMargin
-        ctes += s"""$u AS (SELECT cid, i,
-                   |   sum(floor(vec[i::INT]::DOUBLE * 1048576.0))::BIGINT s, count(*) n
-                   | FROM $a CROSS JOIN range(1,${dsub + 1}) r(i) GROUP BY cid, i)""".stripMargin
-        ctes += s"""$cv AS (SELECT cid,
-                   |   list((floor(s::DOUBLE / n) / 1048576.0)::FLOAT ORDER BY i) cv
-                   | FROM $u GROUP BY cid)""".stripMargin
-        ctes += s"""$c AS (SELECT $prev.cid, $cvExpr cv, sqrt(${dotN(cvExpr, cvExpr)}) cn
-                   | FROM $prev LEFT JOIN $cv USING (cid))""".stripMargin
-        prev = c
-      }
+      val seed = s"""(SELECT cid, cv, cn FROM (
+                    |   SELECT vec_id cid, embedding cv, nrm cn FROM $vCte
+                    |   ORDER BY vec_id LIMIT $ksub) WHERE cn > 0)""".stripMargin
+      val (cb, fin) = lloydCbSql(s"${pfx}t$sub", vCte, dsub, seed, iters)
+      ctes ++= cb
       // codebook rows of this subspace: j = positional index by seed id
       ctes += s"""${pfx}f$sub AS (SELECT $sub s,
                  |   row_number() OVER (ORDER BY cid) - 1 j, cv cw,
-                 |   ${dotN("cv", "cv")} cn2 FROM $prev)""".stripMargin
+                 |   ${dotNSql("cv", "cv", dsub)} cn2 FROM $fin)""".stripMargin
     }
     ctes += (0 until m).map(sub => s"SELECT * FROM ${pfx}f$sub")
       .mkString(s"${pfx}cb2 AS (", " UNION ALL ", ")")
-    // encode + ADC: the annIvfPq plan against the trained codewords
-    ctes += s"""${pfx}x AS (SELECT ic.nid, ic.cell, c.s, c.j, c.cn2, c.cw,
-               |   list_slice(ic.nv, c.s*$dsub + 1, c.s*$dsub + $dsub) xs
-               | FROM ic CROSS JOIN ${pfx}cb2 c)""".stripMargin
-    ctes += s"""${pfx}d AS (SELECT nid, cell, s, j, cn2, cw,
-               |   (list_reduce(list_transform(xs, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a + b)
-               |    - 2 * ${dotN("xs", "cw")}
-               |    + cn2) d2
-               | FROM ${pfx}x)""".stripMargin
-    ctes += s"""${pfx}e AS (SELECT nid, cell, s, j, cn2, cw FROM
-               |   (SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) rk
-               |    FROM ${pfx}d)
-               | WHERE rk = 1)""".stripMargin
-    ctes += s"""${pfx}q AS (SELECT iq.qid, e.nid, iq.qn, e.s, e.cn2, e.cw,
-               |   list_slice(iq.qv, e.s*$dsub + 1, e.s*$dsub + $dsub) qs
-               | FROM ${pfx}e e JOIN iq ON iq.cell = e.cell AND iq.qid <> e.nid)""".stripMargin
-    ctes += s"""${pfx}ip AS (SELECT qid, nid, qn, s, cn2,
-               |   ${dotN("qs", "cw")} ipsub
-               | FROM ${pfx}q)""".stripMargin
-    ctes += s"""${pfx}g AS (SELECT qid, nid, qn,
-               |   list_reduce(list(ipsub ORDER BY s), (a,b) -> a + b) ip,
-               |   sqrt(list_reduce(list(cn2 ORDER BY s), (a,b) -> a + b)) rn
-               | FROM ${pfx}ip GROUP BY qid, nid, qn)""".stripMargin
-    ctes += s"s_$pfx AS (SELECT qid, nid, ip / (qn * rn) cos FROM ${pfx}g WHERE rn > 0)"
-    ctes += s"""r_$pfx AS (SELECT qid, nid, cos,
-               |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-               | FROM s_$pfx)""".stripMargin
+    // encode + ADC: the shared annIvfPq plan against the trained codewords
+    ctes ++= pqAdcSql(pfx, s"${pfx}cb2", dsub)
     ctes.mkString(",\n ")
   }
 
@@ -2765,10 +2752,11 @@ object ExtensionQueries {
         |     ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
         |     ('src2', 0.2::DOUBLE)) w(dom, w)),
         | cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
-        | j AS (SELECT dom, w, n FROM cnt JOIN wt ON source = dom),
+        | j AS (SELECT dom, w, coalesce(n, 0) n FROM wt
+        |   LEFT JOIN cnt ON source = dom),
         | t AS (SELECT min(n::DOUBLE / w) tt FROM j),
         | r AS (SELECT dom, floor(10000 * w * tt / n::DOUBLE)::BIGINT rate
-        |   FROM j, t)
+        |   FROM j, t WHERE n > 0)
         | SELECT d.doc_id, d.source FROM documents d
         | JOIN r ON d.source = r.dom
         | WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT

@@ -26,6 +26,18 @@ class Round14OpsSpec extends SparkSpec {
     assert(ok.count() > 0L)
   }
 
+  test("mixtureSample: a weighted domain ABSENT from the corpus zeroes " +
+      "T — same loud-empty contract as tokenBudgetMixture") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "src")
+    val kept = SampleOps.mixtureSample(docs, "doc_id", "src",
+      Seq("a" -> 0.5, "b" -> 0.3, "zz_typo" -> 0.2))
+    assert(kept.count() == 0L,
+      "a typo'd domain must not yield a silently reweighted mix")
+    val ok = SampleOps.mixtureSample(docs, "doc_id", "src",
+      Seq("a" -> 0.7, "b" -> 0.3))
+    assert(ok.count() > 0L)
+  }
+
   test("winnowFingerprints: a doc at the position-pad limit fails " +
       "LOUDLY instead of silently misordering the window-min key") {
     // 12 words, k=3 → 10 gram positions (0..9); posLimit=9 triggers

@@ -50,10 +50,10 @@ class BucketedJoinSpec extends SparkSpec {
     val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val scores = (0L until 200L).map(i => (i, i)).toDF("doc_id", "s")
     withTables("bkt_a", "bkt_b") {
-      BucketedCatalogSink(Map("bkt_a" -> ("doc_id", 8)))
-        .push(Map("bkt_a" -> docs))
-      BucketedCatalogSink(Map("bkt_b" -> ("doc_id", 3)))
-        .push(Map("bkt_b" -> scores))
+      // ONE sink, two bucket counts in one push — the per-table layout map
+      BucketedCatalogSink(Map(
+          "bkt_a" -> ("doc_id", 8), "bkt_b" -> ("doc_id", 3)))
+        .push(Map("bkt_a" -> docs, "bkt_b" -> scores))
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
