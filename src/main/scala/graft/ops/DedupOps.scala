@@ -355,19 +355,24 @@ object DedupOps {
       if (!bloom) newH.join(refH, Seq("__h"), "left_anti").select(idCol)
       else {
         val sketch = StatOps.bloomSketch(refH, "__h", bloomBits, bloomHashes)
-        val probed = StatOps.bloomProbe(newH, idCol, "__h", sketch,
-          bloomBits, bloomHashes)
-        // both branches rejoin through newH so per-row MULTIPLICITY under
-        // duplicate ids matches the plain left-anti path exactly:
-        // bloomProbe ends in groupBy(id) (one row per id), and without
-        // the definiteMiss rejoin a duplicated id surviving via the
-        // bloom-miss branch would collapse to one row while the plain
-        // path keeps every input row — breaking the row-identical
-        // contract the shared oracle asserts
-        val definiteMiss = probed.filter(col("bloom_hit") === 0).select(idCol)
-          .join(newH.select(idCol), Seq(idCol))
-        val possibleHit = probed.filter(col("bloom_hit") === 1).select(idCol)
-          .join(newH, Seq(idCol))
+        // probe the HASH domain, not ids: the plain path's anti-join is
+        // row-level on __h, so the probe must be too — keyed by id, a
+        // duplicated id carrying two DIFFERENT contents (one present in
+        // the reference, one absent) would take min(hit) over both
+        // hashes, route down the definite-miss branch as a unit, and
+        // KEEP the known-duplicate row the plain path drops. Probing
+        // per-hash, every newH row routes by its own content exactly as
+        // the anti-join would, and per-row multiplicity under duplicate
+        // ids is preserved by the rejoins through newH.
+        val probed = StatOps.bloomProbe(newH.select(col("__h")), "__h",
+          "__h", sketch, bloomBits, bloomHashes)
+        val definiteMiss = newH
+          .join(probed.filter(col("bloom_hit") === 0).select("__h"),
+            Seq("__h"))
+          .select(idCol)
+        val possibleHit = newH
+          .join(probed.filter(col("bloom_hit") === 1).select("__h"),
+            Seq("__h"))
           .join(refH, Seq("__h"), "left_anti")
           .select(idCol)
         definiteMiss.unionByName(possibleHit)
@@ -989,11 +994,6 @@ object DedupOps {
     labels.select(col("id"), col("comp"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]
-    * column. Brute-force all-pairs (exact baseline); `VectorOps.lshTopK` /
-    * `semanticDedup` are the scale paths. cos emitted in basis points
-    * (floor semantics).
-    */
   /** Maximal duplicated token SPANS per document — substring-level exact
     * dedup (after Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better"): doc-level dedup (exactDedup/nearDupPairs)
@@ -1178,6 +1178,11 @@ object DedupOps {
           .as("novelty_bp"))
   }
 
+  /** Embedding near-dup pairs: cosine ≥ threshold over an Array[Float]
+    * column. Brute-force all-pairs (exact baseline); `VectorOps.lshTopK` /
+    * `semanticDedup` are the scale paths. cos emitted in basis points
+    * (floor semantics).
+    */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     // sided = (id, vec, norm) with zero-norm rows excluded (0/0 = NaN and

@@ -95,7 +95,10 @@ object DsirOps {
       .crossJoin(broadcast(totT))
       .withColumn("w_scaled", wScaled(
         coalesce(col("n_target"), lit(0L)), coalesce(col("tot_target"), lit(0L)),
-        col("n_raw"), col("tot_raw"), numBuckets))
+        // tot_raw needs the same empty-corpus coalesce as tot_target: an
+        // EMPTY raw side's sum() is null and would null every w_scaled,
+        // breaking the "every weight finite" Laplace contract one-sidedly
+        col("n_raw"), coalesce(col("tot_raw"), lit(0L)), numBuckets))
       .select(col("b"), col("n_raw"), col("n_target"), col("w_scaled"))
   }
 

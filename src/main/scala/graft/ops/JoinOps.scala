@@ -50,11 +50,15 @@ object JoinOps {
   /** Both as-of directions, ONE implementation (the two used to be
     * hand-mirrored copies and their null handling drifted apart).
     *
-    * Null semantics match the SQL predicate `right.ts <=/>= left.ts`,
-    * which is never true when either ts is null: null-ts RIGHT rows are
-    * dropped up front (Spark's NULLS FIRST ordering would otherwise seed
-    * the backward running-last as an "earlier than everything" match),
-    * and null-ts LEFT rows keep a null payload in both directions.
+    * Null semantics match the SQL predicate
+    * `right.key = left.key AND right.ts <=/>= left.ts`, which is never
+    * true when any operand is null: null-ts RIGHT rows are dropped up
+    * front (Spark's NULLS FIRST ordering would otherwise seed the
+    * backward running-last as an "earlier than everything" match),
+    * null-KEY right rows are dropped for the same reason (the window's
+    * partitionBy groups null keys together, which would fabricate
+    * null-to-null matches SQL equality never makes), and null-ts or
+    * null-key LEFT rows keep a null payload in both directions.
     * Payload names must not collide with left columns — checked here so
     * the failure is immediate, not an AMBIGUOUS_REFERENCE downstream.
     *
@@ -73,7 +77,8 @@ object JoinOps {
     val payload = struct(payloadCols.map(col): _*)
     val rightSide = if (forward) 1 else 0
     val leftSide = 1 - rightSide
-    val r = right.filter(col(tsCol).isNotNull).select(
+    val r = right.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(
       (col(keyCol) +: col(tsCol) +:
         payload.as("__r") +: lit(rightSide).as("__side") +:
         restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
@@ -93,7 +98,8 @@ object JoinOps {
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     r.unionByName(l)
       .withColumn("__match",
-        when(col(tsCol).isNull, lit(null)).otherwise(pick))
+        when(col(tsCol).isNull || col(keyCol).isNull, lit(null))
+          .otherwise(pick))
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)

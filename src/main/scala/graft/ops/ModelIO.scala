@@ -61,13 +61,23 @@ object ModelIO {
   }
 
   /** Reload a [[saveCodebook]] artifact in cid order — bit-identical to
-    * the trained array (parquet stores float32 exactly).
+    * the trained array (parquet stores float32 exactly). Cids must be
+    * contiguous 0..n−1 (the loadBpeMerges rank-hole rule): a corrupted
+    * artifact with a missing cid would otherwise silently SHIFT every
+    * later centroid to the wrong array position, and cell ids computed
+    * against the loaded codebook would no longer match train time.
     */
-  def loadCodebook(spark: SparkSession, path: String): Array[Array[Float]] =
-    requireColumns(spark.read.parquet(path), path,
+  def loadCodebook(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = requireColumns(spark.read.parquet(path), path,
         Seq("cid" -> IntegerType, "vec" -> ArrayType(FloatType, containsNull = false)))
       .orderBy("cid").collect()
-      .map(_.getSeq[Float](1).toArray)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"$path: corrupted codebook — expected contiguous cid $i, " +
+          s"found ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Float](1).toArray)
+  }
 
   /** Persist the scalar-quantization scale (one DOUBLE row) next to the
     * codebook it belongs to.
@@ -216,14 +226,22 @@ object ModelIO {
   }
 
   def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(path)
-      .select("s", "j", "cw").collect()
+    val rows = requireColumns(spark.read.parquet(path), path,
+        Seq("s" -> IntegerType, "j" -> IntegerType,
+          "cw" -> ArrayType(FloatType, containsNull = false)))
+      .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     require(rows.nonEmpty, s"empty PQ codebook at $path")
+    // distinct-cell count, not raw row count: a duplicated (s,j) row
+    // masking a missing one would pass a length check and leave a null
+    // codeword that NPEs (or silently mis-scores) at probe time
+    val cells = rows.map(r => (r._1, r._2)).toSet
+    require(cells.size == rows.length,
+      s"$path: corrupted PQ codebook — duplicate (s,j) rows")
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
-    require(rows.length == m * ksub,
-      s"ragged PQ codebook at $path: ${rows.length} rows for $m×$ksub")
+    require(cells.size == m * ksub,
+      s"ragged PQ codebook at $path: ${cells.size} cells for $m×$ksub")
     val out = Array.ofDim[Array[Float]](m, ksub)
     rows.foreach { case (s, j, cw) => out(s)(j) = cw }
     out

@@ -193,22 +193,40 @@ object MultimodalOps {
         ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
           ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
       def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-      // find box `tpe` in [from, to); returns its PAYLOAD offset or -1
-      def find(tpe: String, from: Int, to: Int): Int = {
+      // find box `tpe` in [from, to); returns (payload offset, box end)
+      // or null. Handles all three ISO-BMFF §4.2 size encodings: plain
+      // 32-bit, size = 1 (64-bit largesize follows the type — how muxers
+      // write a >4 GB mdat, the standard non-faststart layout that puts
+      // exactly such an mdat BEFORE moov; the encoding also appears on
+      // smaller files), size = 0 (box extends to the end of its
+      // enclosure — legal only for the last box).
+      def find(tpe: String, from: Int, to: Int): (Int, Int) = {
         var off = from
         while (off + 8 <= to) {
-          val size = u32(off)
-          if (size < 8 || off + size > Int.MaxValue) return -1
-          if (new String(payload, off + 4, 4, "US-ASCII") == tpe)
-            return off + 8
+          val size32 = u32(off)
+          val name = new String(payload, off + 4, 4, "US-ASCII")
+          val (hdr, size): (Int, Long) =
+            if (size32 == 1L) {
+              if (off + 16 > to) return null
+              (16, u64(off + 8))
+            } else if (size32 == 0L) (8, (to - off).toLong)
+            else (8, size32)
+          if (size < hdr) return null
+          // a box whose declared size overruns the enclosure clamps when
+          // it IS the target (truncated downloads are normal in a crawl —
+          // parse what's there) and ends the walk when it is not
+          val end = math.min(size + off, to.toLong).toInt
+          if (name == tpe) return (off + hdr, end)
+          if (size > to - off) return null
           off += size.toInt
         }
-        -1
+        null
       }
-      val moov = find("moov", 0, payload.length)
-      if (moov < 0) return -1L
-      val moovEnd = math.min(moov - 8 + u32(moov - 8), payload.length.toLong).toInt
-      val mvhd = find("mvhd", moov, moovEnd)
+      val moovBox = find("moov", 0, payload.length)
+      if (moovBox == null) return -1L
+      val (moov, moovEnd) = moovBox
+      val mvhdBox = find("mvhd", moov, moovEnd)
+      val mvhd = if (mvhdBox == null) -1 else mvhdBox._1
       if (mvhd < 0 || mvhd + 32 > payload.length) return -1L
       val (timescale, duration) = (payload(mvhd) & 0xff) match {
         case 0 => (u32(mvhd + 12), u32(mvhd + 16))          // 32-bit times

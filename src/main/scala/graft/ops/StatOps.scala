@@ -151,8 +151,11 @@ object StatOps {
   /** Mergeable per-group count-min sketch — the FREQUENCY sibling of
     * [[distinctSketch]] (heavy hitters / "how often does this token
     * appear", per shard, merged at read time without re-scanning
-    * history). The sketch is a dense array<long> of `depth`×`width`
-    * counters; item frequency is estimated as min over rows d of
+    * history). The sketch is a dense array<long> of a 2-slot
+    * [width, depth] header followed by `depth`×`width` counters (the
+    * header is what lets a probe reject a same-product factorization
+    * mismatch a bare length check cannot see); item frequency is
+    * estimated as min over rows d of
     * counter[d][hash_d(item) mod width] — a ONE-SIDED estimate (never an
     * undercount; overcounts by at most εN with ε ≈ e/width at the
     * standard depth ≈ ln(1/δ)). Spark has no builtin CMS, so this builds
@@ -178,8 +181,14 @@ object StatOps {
         (col("__d") * width + col("__b")).cast("int").as("slot"),
         col("__c").as("c")))).as("__m"))
       .select(col("__k").as(keyCol),
-        transform(sequence(lit(0), lit(slots - 1)),
-          s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L)))
+        // slots 0-1 are a [width, depth] HEADER: the length check alone
+        // cannot distinguish factorizations with the same product
+        // (256x4 vs 128x8 both have 1024 slots), and a same-product
+        // mismatched probe would silently read wrong counters — breaking
+        // the one-sided guarantee in the undetectable direction
+        concat(array(lit(width.toLong), lit(depth.toLong)),
+          transform(sequence(lit(0), lit(slots - 1)),
+            s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L))))
           .as("cms"))
   }
 
@@ -195,17 +204,25 @@ object StatOps {
                        sketchCol: String = "cms"): DataFrame =
     sketches.select(col(keyCol).as("__k"), posexplode(col(sketchCol)))
       .groupBy(col("__k"), col("pos"))
-      .agg(sum(col("col")).as("c"), count(lit(1)).as("__n"))
+      // header slots (pos 0-1) carry parameters, not counters: they must
+      // agree across contributors (min = max) and pass through un-summed;
+      // counter slots are linear and sum
+      .agg(sum(col("col")).as("c"), count(lit(1)).as("__n"),
+        min(col("col")).as("__lo"), max(col("col")).as("__hi"))
       .groupBy(col("__k"))
       .agg(map_from_entries(collect_list(struct(
-            col("pos").cast("int").as("slot"), col("c")))).as("__m"),
-        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
+            col("pos").cast("int").as("slot"),
+            when(col("pos") <= 1, col("__lo")).otherwise(col("c")).as("c"))))
+          .as("__m"),
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+        max(when(col("pos") <= 1, col("__hi") - col("__lo"))
+          .otherwise(lit(0L))).as("__hdrspread"))
       .select(col("__k").as(keyCol),
-        when(col("__nmin") === col("__nmax"),
+        when(col("__nmin") === col("__nmax") && col("__hdrspread") === 0L,
           transform(sequence(lit(0), size(col("__m")) - 1),
             s => coalesce(element_at(col("__m"), s.cast("int")), lit(0L))))
         .otherwise(raise_error(concat(
-          lit("mergeCmsSketches: mixed sketch lengths for key "),
+          lit("mergeCmsSketches: mixed sketch parameters for key "),
           col("__k").cast(StringType))))
           .as(sketchCol))
 
@@ -220,16 +237,24 @@ object StatOps {
                   sketchCol: String = "cms", width: Int = 256,
                   depth: Int = 4, as: String = "freq_est"): DataFrame =
     df.withColumn(as,
-      when(size(col(sketchCol)) === lit(depth * width),
+      // the [width, depth] header (slots 1-2 in element_at's 1-based
+      // indexing) must match the probe parameters EXACTLY — the length
+      // check alone passes same-product factorizations (128x8 vs 256x4)
+      // whose probes silently read wrong counters
+      when(size(col(sketchCol)) === lit(depth * width + 2) &&
+          element_at(col(sketchCol), 1) === lit(width.toLong) &&
+          element_at(col(sketchCol), 2) === lit(depth.toLong),
         (0 until depth).map { d =>
-          // element_at is 1-based on arrays; slots are 0-based
+          // element_at is 1-based on arrays; counters start after the
+          // 2-slot header
           element_at(col(sketchCol),
             (lit(d * width) + cmsBucket(lit(d), col(itemCol).cast(StringType),
-              width) + 1).cast("int"))
+              width) + 3).cast("int"))
         }.reduce(least(_, _)))
       .otherwise(raise_error(concat(
-        lit(s"cmsEstimate: sketch length ${depth * width} expected " +
-          s"(width=$width depth=$depth), got "),
+        lit(s"cmsEstimate: sketch built with other parameters than the " +
+          s"probe's width=$width depth=$depth (header/length mismatch); " +
+          "sketch length "),
         size(col(sketchCol)).cast(StringType)))))
 
   /** Row-d bucket of a value: hash60 of \"d<SEP>value\" mod width — ONE
@@ -307,9 +332,14 @@ object StatOps {
 
   /** Probe a Bloom sketch: (idCol, <as>) with 1 = possibly-member (all k
     * bits set), 0 = DEFINITELY absent. The bloom side is bounded (<= m/32
-    * rows) and broadcast; absent words are all-zero (left join). A
-    * sketch row whose embedded m/k disagree with the probe's parameters
-    * raises instead of silently probing wrong positions.
+    * rows) and broadcast; absent words are all-zero (left join). Sketch
+    * parameters are validated GLOBALLY (a 1-row aggregate of the bounded
+    * sketch) before any membership decision: a per-joined-row check would
+    * only fire when a probed position lands on a PRESENT word, so a
+    * wrong-parameter probe whose positions all missed would return
+    * "definitely absent" — a silent false negative on the one guarantee
+    * a Bloom filter makes. An EMPTY sketch probes as all-absent with no
+    * parameter claim (nothing was ever inserted).
     */
   def bloomProbe(df: DataFrame, idCol: String, valCol: String,
                  bloom: DataFrame, mBits: Int = 2048, kHashes: Int = 4,
@@ -317,14 +347,20 @@ object StatOps {
     val pos = df.select(col(idCol),
       explode(array((0 until kHashes).map(i =>
         bloomPos(lit(i), col(valCol).cast(StringType), mBits)): _*)).as("__p"))
+    val meta = broadcast(bloom.agg(
+      min("m_bits").as("__m0"), max("m_bits").as("__m1"),
+      min("k_hashes").as("__k0"), max("k_hashes").as("__k1")))
     pos.join(broadcast(bloom), expr("__p DIV 32") === bloom("widx"), "left")
+      .crossJoin(meta) // 1-row broadcast
       .select(col(idCol),
-        when(col("bits").isNull, lit(0L))
-          .when(col("m_bits") =!= lit(mBits) || col("k_hashes") =!= lit(kHashes),
-            raise_error(concat(lit("bloomProbe: sketch built with m/k = "),
-              col("m_bits").cast(StringType), lit("/"),
-              col("k_hashes").cast(StringType),
-              lit(s", probed with $mBits/$kHashes"))))
+        when(col("__m0").isNotNull &&
+            (col("__m0") =!= lit(mBits) || col("__m1") =!= lit(mBits) ||
+             col("__k0") =!= lit(kHashes) || col("__k1") =!= lit(kHashes)),
+          raise_error(concat(lit("bloomProbe: sketch built with m/k = "),
+            col("__m0").cast(StringType), lit("/"),
+            col("__k0").cast(StringType),
+            lit(s", probed with $mBits/$kHashes"))).cast(LongType))
+          .when(col("bits").isNull, lit(0L))
           .when(col("bits").bitwiseAND(
               expr("shiftleft(1L, CAST(__p % 32 AS INT))")) =!= 0, lit(1L))
           .otherwise(lit(0L)).as("__hit"))

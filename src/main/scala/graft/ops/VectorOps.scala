@@ -487,7 +487,11 @@ object VectorOps {
     * (group, dim) integer sums per snapshot — bounded groups × dim
     * metadata from there on; the corpora are scanned once each and
     * never shuffled. Quantized component sums stay far inside Long
-    * (|x|·10⁴ ≲ 10⁵ per row ⇒ ~10¹⁴ headroom of rows per group).
+    * (|x|·10⁴ ≲ 10⁵ per row ⇒ ~10¹⁴ headroom of rows per group); their
+    * cross-snapshot PRODUCTS run in DECIMAL(38,0) — long products would
+    * wrap around 10⁶ rows per group (r14 fix), decimal keeps ~10¹² rows
+    * of headroom and overflows loudly, still exactly and
+    * partition-order-proof.
     */
   def centroidDrift(oldSnap: DataFrame, newSnap: DataFrame, vecCol: String,
                     groupCol: String): DataFrame = {
@@ -499,12 +503,20 @@ object VectorOps {
         .agg(sum(col("__q")).as(s), count(lit(1)).as(n))
     val o = sums(oldSnap, "__so", "__no")
     val nw = sums(newSnap, "__sn", "__nn")
+    // products in DECIMAL(38,0), not LONG: the per-dim sums are bounded
+    // by ~1e4·rows (fine in Long), but their PRODUCTS cross 2^63 around
+    // 1M vectors per group — a silent wrap at exactly the 100 TB scale
+    // this op is for. Decimal sums stay exact and partition-order-proof
+    // (~1e38 headroom: |sum| ≤ 1e16 even at 1e12 rows/group ⇒ products
+    // ≤ 1e32, ×dim ≤ 1e34), and Spark raises on decimal overflow rather
+    // than wrapping. DuckDB mirrors with BIGINT→HUGEINT arithmetic.
+    val d38 = DecimalType(38, 0)
     o.join(nw, Seq(groupCol, "__d"))
       .groupBy(col(groupCol))
       .agg(max(col("__no")).as("n_old"), max(col("__nn")).as("n_new"),
-        sum(col("__so") * col("__sn")).as("__dot"),
-        sum(col("__so") * col("__so")).as("__o2"),
-        sum(col("__sn") * col("__sn")).as("__n2"))
+        sum(col("__so").cast(d38) * col("__sn").cast(d38)).as("__dot"),
+        sum(col("__so").cast(d38) * col("__so").cast(d38)).as("__o2"),
+        sum(col("__sn").cast(d38) * col("__sn").cast(d38)).as("__n2"))
       // sqrt(o2·n2), NOT sqrt(o2)·sqrt(n2): for identical snapshots
       // o2 = n2 = dot and sqrt(fl(a·a)) = a exactly (round-to-nearest),
       // so the self-drift identity cos_bp = 10000 holds bit-exactly —

@@ -123,6 +123,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == None && out(3L) == None)
   }
 
+  test("videoMeta handles largesize (size=1) and box-to-EOF (size=0) " +
+      "encodings — the standard non-faststart layout") {
+    def u64b(v: Long): Array[Byte] = u32(v >> 32) ++ u32(v & 0xffffffffL)
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+        u32(600) ++ u32(1200) ++ new Array[Byte](80))
+    val moov = mp4Box("moov", mvhd)
+    // mdat written in LARGESIZE mode (size=1, 64-bit size follows the
+    // type) sitting BEFORE moov — the layout a >4 GB clip always has
+    val mdatData = new Array[Byte](32)
+    val mdatLarge = u32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      u64b(16L + mdatData.length) ++ mdatData
+    val largeFirst = mp4Box("ftyp", "isom".getBytes ++ u32(512)) ++
+      mdatLarge ++ moov
+    // moov as the LAST box written with size=0 (extends to EOF)
+    val moovToEof = u32(0L) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    val eofLast = mp4Box("ftyp", "isom".getBytes ++ u32(512)) ++ moovToEof
+    val out = MultimodalOps.videoMeta(
+        Seq((1L, largeFirst), (2L, eofLast)).toDF("media_id", "payload"),
+        "payload")
+      .select("media_id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) == Some(2000L),
+      "largesize mdat before moov must not block the moov walk")
+    assert(out(2L) == Some(2000L), "size=0 trailing moov must parse")
+  }
+
   test("sampleVideoFrames explodes offsets only for non-null payloads") {
     val out = MultimodalOps.sampleVideoFrames(media, "media_id", "payload",
         everyN = 1)

@@ -58,6 +58,67 @@ class Round14OpsSpec extends SparkSpec {
       posLimit = 10L).count() > 0L)
   }
 
+  test("asOfJoin: null keys never match each other (SQL equality, not " +
+      "window-partition grouping)") {
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option(1L), 5L, "P"), (Option.empty[Long], 5L, "Q"))
+      .toDF("k", "ts", "p")
+    val out = JoinOps.asOfJoinBackward(left, right, "k", "ts", Seq("p"))
+      .collect().map(r => (Option(r.get(0)), r.getString(2),
+        Option(r.get(3)).map(_.toString))).toSet
+    // k=1 matches P; the null-key left row keeps a NULL payload — a
+    // null-key right row must never be fabricated as its match
+    assert(out == Set((Some(1L), "a", Some("P")), (None, "b", None)))
+  }
+
+  test("bloomProbe: wrong probe parameters fail loudly even when every " +
+      "probed position lands on an absent word") {
+    val sketch = StatOps.bloomSketch(
+      Seq("alpha").toDF("v"), "v", mBits = 4096, kHashes = 4)
+    val probe = Seq((9L, "zzz-not-present")).toDF("id", "v")
+    val e = intercept[Exception] {
+      StatOps.bloomProbe(probe, "id", "v", sketch,
+        mBits = 2048, kHashes = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(msgs))
+    assert(msgs(e).exists(_.contains("sketch built with m/k")),
+      s"expected the parameter-mismatch error, got: $e")
+    // matching parameters: non-member is definitively absent, member hits
+    val ok = StatOps.bloomProbe(
+        Seq((1L, "alpha"), (2L, "zzz-not-present")).toDF("id", "v"),
+        "id", "v", sketch, mBits = 4096, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("incrementalDedup bloom path routes per CONTENT, not per id: a " +
+      "duplicated id carrying one known and one novel content matches " +
+      "the plain path row-for-row") {
+    // the known content is SHORTER than one 3-gram shingle so only the
+    // exact-hash stage (the bloom-gated one) can drop it — the near-dup
+    // stage is id-keyed and would otherwise kill both rows of id 7 on
+    // both paths, masking the bloom-routing question this test pins
+    val ref = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // id 7 appears twice: once with the reference's exact content (must
+    // drop), once with novel content (must survive)
+    val nw = Seq(
+      (7L, "alpha beta"),
+      (7L, "totally different words living here now"))
+      .toDF("doc_id", "text")
+    def run(bloom: Boolean) =
+      DedupOps.incrementalDedup(nw, ref, "doc_id", "text",
+          TextOps.wordShingles(col("text"), 3), 0.9, bloom = bloom)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val plain = run(bloom = false)
+    val bloomed = run(bloom = true)
+    assert(plain == Seq(7L), s"plain path must keep exactly the novel row: $plain")
+    assert(bloomed == plain,
+      s"bloom path diverged: $bloomed vs $plain")
+  }
+
   test("knnLabelNoise: a non-numeric label column fails at plan time") {
     val e = Seq((1L, Seq(1.0f, 0.0f), "cat"), (2L, Seq(0.9f, 0.1f), "dog"))
       .toDF("vec_id", "embedding", "label")

@@ -169,11 +169,26 @@ class StatOpsSpec extends SparkSpec {
         width = 256, depth = 4).collect()
     }
     assert(bad.getMessage.contains("cmsEstimate"))
+    // SAME-PRODUCT factorization mismatch (64×4 = 32×8 slots) must ALSO
+    // raise — the length check alone cannot see it; the [width, depth]
+    // header can
+    val sameProduct = intercept[Exception] {
+      StatOps.cmsEstimate(Seq("t1").toDF("tok").crossJoin(sk64), "tok",
+        width = 32, depth = 8).collect()
+    }
+    assert(sameProduct.getMessage.contains("cmsEstimate"))
     // merging sketches built with different widths is meaningless
     val sk32 = StatOps.cmsSketch(df, "k", "tok", width = 32, depth = 4)
     val mixed = intercept[Exception] {
       StatOps.mergeCmsSketches(sk64.unionByName(sk32), "k").collect()
     }
     assert(mixed.getMessage.contains("mergeCmsSketches"))
+    // and a same-LENGTH merge with different factorizations raises off
+    // the header even though every position has a contributor
+    val sk32d8 = StatOps.cmsSketch(df, "k", "tok", width = 32, depth = 8)
+    val mixed2 = intercept[Exception] {
+      StatOps.mergeCmsSketches(sk64.unionByName(sk32d8), "k").collect()
+    }
+    assert(mixed2.getMessage.contains("mergeCmsSketches"))
   }
 }
