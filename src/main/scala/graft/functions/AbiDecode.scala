@@ -245,7 +245,14 @@ object Abi {
   private def decodeHead(t: AbiType, data: Array[Byte], headOff: Int, base: Int): Any =
     if (!isDynamic(t)) decodeStatic(t, data, headOff)
     else {
-      val off = base + wordToLong(word(data, headOff), signed = false).toInt
+      // the offset word is checked on the LONG before narrowing — a
+      // corrupt offset in (2^31, 2^63) would otherwise wrap through Int,
+      // possibly land in-bounds, and decode garbage as a strict-mode
+      // success (the sliceLen wrap class, applied to offsets)
+      val rawOff = wordToLong(word(data, headOff), signed = false)
+      require(rawOff >= 0 && rawOff <= data.length.toLong - base,
+        s"ABI offset out of range: $rawOff at head $headOff")
+      val off = base + rawOff.toInt
       t match {
         case AString =>
           val len = wordToLong(word(data, off), signed = false)
@@ -257,7 +264,15 @@ object Abi {
           val (n, elemBase) = sz match {
             case Some(k) => (k, off)          // fixed-size array of dynamics
             case None    =>
-              (wordToLong(word(data, off), signed = false).toInt, off + 32)
+              // length checked on the LONG (each element claims ≥ 32 head
+              // bytes after the length word) — a corrupt count ≥ 2^31
+              // would wrap through Int to 0/negative and decode as an
+              // EMPTY array in strict mode instead of failing loudly
+              val rawN = wordToLong(word(data, off), signed = false)
+              require(rawN >= 0 &&
+                  rawN <= (data.length.toLong - off - 32) / 32,
+                s"ABI array length out of range: $rawN at offset $off")
+              (rawN.toInt, off + 32)
           }
           val elems = (0 until n).map { i =>
             if (isDynamic(e)) decodeHead(e, data, elemBase + i * 32, elemBase)
@@ -345,17 +360,29 @@ case class EvmDecodeEvent(signature: String, allowFail: Boolean,
 
   override def dataType: DataType = sig.schema
   override def nullable: Boolean = true
+
+  // plan-time gate (the NGramTypeCheck rationale): topics carried as hex
+  // STRINGS are a common caller mistake that would otherwise pass
+  // analysis and die mid-job in an anonymous ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.zipWithIndex
+      .filterNot(_._1.dataType == org.apache.spark.sql.types.BinaryType)
+    if (bad.isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"evm_decode_event requires binary (topic1, topic2, topic3, " +
+          s"data); argument ${bad.head._2 + 1} is " +
+          bad.head._1.dataType.simpleString)
+  }
+
+  // interpreted eval delegates to the SAME shim codegen calls — two
+  // hand-synchronized decode bodies would let the null-topic prefix rule
+  // silently drift between execution modes
   override def eval(input: InternalRow): Any = {
-    val topics = children.take(3)
-      .map(c => c.eval(input).asInstanceOf[Array[Byte]])
-      .takeWhile(_ != null).toArray
-    val data = children(3).eval(input).asInstanceOf[Array[Byte]]
-    try {
-      new GenericInternalRow(
-        Abi.decodeEvent(sig, topics, if (data == null) Array.emptyByteArray else data))
-    } catch {
-      case e: Exception if allowFail => null
-    }
+    val v = children.map(_.eval(input).asInstanceOf[Array[Byte]])
+    AbiRuntime.decodeEvent(sig, v(0), v(1), v(2), v(3), allowFail)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

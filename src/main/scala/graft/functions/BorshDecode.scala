@@ -84,8 +84,13 @@ object Borsh {
     case other => throw new IllegalArgumentException(s"unsupported borsh type: $other")
   }
 
-  private class Cursor(data: Array[Byte]) {
-    val buf: ByteBuffer = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+  private class Cursor(data: Array[Byte], offset: Int = 0) {
+    // wrap in place from `offset` — copying the payload past the
+    // discriminator allocated a second copy of every instruction on the
+    // hot decode path (the per-row-allocation class the ThreadLocal
+    // Deflater/MessageDigest kernels exist to avoid)
+    val buf: ByteBuffer = ByteBuffer.wrap(data, offset, data.length - offset)
+      .order(ByteOrder.LITTLE_ENDIAN)
     def bytes(n: Int): Array[Byte] = {
       val out = new Array[Byte](n); buf.get(out); out
     }
@@ -139,8 +144,16 @@ object Borsh {
       java.util.Arrays.equals(
         java.util.Arrays.copyOf(data, sig.discriminator.length), sig.discriminator),
       "instruction discriminator mismatch")
-    val c = new Cursor(java.util.Arrays.copyOfRange(data, sig.discriminator.length, data.length))
-    sig.fields.map(f => decodeValue(f.tpe, c)).toArray
+    val c = new Cursor(data, sig.discriminator.length)
+    val out = sig.fields.map(f => decodeValue(f.tpe, c)).toArray
+    // strict Borsh: unconsumed trailing bytes mean the field spec does
+    // not describe this instruction (schema drift) — a silent drop would
+    // return plausible wrong rows as successes; reference deserializers
+    // reject unconsumed input
+    require(!c.buf.hasRemaining,
+      s"borsh payload has ${c.buf.remaining()} undecoded trailing bytes " +
+        "(field spec does not match the instruction layout)")
+    out
   }
 }
 
@@ -174,9 +187,22 @@ case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
   override def dataType: DataType = sig.schema
   override def nullable: Boolean = true
   override def prettyName: String = "svm_decode_instruction"
+
+  // plan-time gate + eval delegation: same rationale as EvmDecodeEvent
+  // (a hex-string data column must fail analysis by name, and the
+  // interpreted path must be the codegen shim, not a second copy)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"svm_decode_instruction requires binary data, got " +
+            other.simpleString)
+    }
   override protected def nullSafeEval(input: Any): Any =
-    try new GenericInternalRow(Borsh.decode(sig, input.asInstanceOf[Array[Byte]]))
-    catch { case e: Exception if allowFail => null }
+    BorshRuntime.decode(sig, input.asInstanceOf[Array[Byte]], allowFail)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sigRef = ctx.addReferenceObj("borshSig", sig, "Object")
     nullSafeCodeGen(ctx, ev, d => {

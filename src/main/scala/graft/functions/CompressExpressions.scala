@@ -16,6 +16,19 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "deflate_len"
 
+  // plan-time gate (the NGramTypeCheck rationale): SQL-registered, so a
+  // wrong-typed argument would otherwise pass analysis and die mid-job
+  // in an anonymous ClassCastException after the Janino fallback
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"deflate_len requires string, got ${other.simpleString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     DeflateLen.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -139,15 +139,9 @@ object Md5BottomK {
     while (i < n) {
       // null elements carry no shingle: skipped, not an NPE mid-codegen
       if (!arr.isNullAt(i)) {
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        val sb = new java.lang.StringBuilder(32)
-        var b = 0
-        while (b < d.length) {
-          sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
-          sb.append(Character.forDigit(d(b) & 0xf, 16))
-          b += 1
-        }
-        val h = sb.toString
+        // Hex.encode is THE canonical lowercase codec — a second inline
+        // hex loop here could drift from it
+        val h = Hex.encode(md.digest(arr.getUTF8String(i).getBytes))
         if (size < k || h.compareTo(top(size - 1)) < 0) {
           var j = if (size < k) size else k - 1
           while (j > 0 && top(j - 1).compareTo(h) > 0) {

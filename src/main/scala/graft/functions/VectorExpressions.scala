@@ -308,6 +308,26 @@ case class NearestCentroid(left: Expression, right: Expression,
   require(flat.length == cids.length * dim,
     s"nearest_centroid: flat codebook length ${flat.length} != " +
       s"${cids.length} centroids * $dim dims")
+
+  // structural equality over the Array params (case-class equality on
+  // arrays is REFERENCE equality): without this, two expressions built
+  // from the same codebook never compare equal and Catalyst's
+  // semanticEquals-based reuse (CSE, project collapsing) is defeated.
+  // The params stay primitive arrays — an IndexedSeq would box every
+  // access in the per-row argmax loop.
+  override def equals(o: Any): Boolean = o match {
+    case that: NearestCentroid =>
+      left == that.left && right == that.right && dim == that.dim &&
+        java.util.Arrays.equals(cids, that.cids) &&
+        java.util.Arrays.equals(flat, that.flat) &&
+        java.util.Arrays.equals(cns, that.cns)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    left, right, Integer.valueOf(dim),
+    Integer.valueOf(java.util.Arrays.hashCode(cids)),
+    Integer.valueOf(java.util.Arrays.hashCode(flat)),
+    Integer.valueOf(java.util.Arrays.hashCode(cns)))
   require(cns.length == cids.length,
     s"nearest_centroid: ${cns.length} norms for ${cids.length} centroids")
   require(cns.forall(_ > 0),
@@ -413,6 +433,21 @@ case class PqEncode(child: Expression, flat: Array[Float],
     s"pq_encode: flat codebook length ${flat.length} != $m*$ksub*$dsub")
   require(cn2.length == m * ksub,
     s"pq_encode: ${cn2.length} codeword norms for ${m * ksub} codewords")
+
+  // structural equality over the Array params — same rationale as
+  // NearestCentroid (reference equality defeats Catalyst expression reuse)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncode =>
+      child == that.child && m == that.m && ksub == that.ksub &&
+        dsub == that.dsub &&
+        java.util.Arrays.equals(flat, that.flat) &&
+        java.util.Arrays.equals(cn2, that.cn2)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(m), Integer.valueOf(ksub), Integer.valueOf(dsub),
+    Integer.valueOf(java.util.Arrays.hashCode(flat)),
+    Integer.valueOf(java.util.Arrays.hashCode(cn2)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
