@@ -36,7 +36,13 @@ final case class DeltaSink(baseDir: String,
       s"partitionBy names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
         s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
-      if (df.isEmpty) () // documented empty-table skip
+      // documented empty-table skip (the reference's delta writer skips
+      // rather than committing empty versions). Honest cost note: the
+      // isEmpty probe is its own job, so a non-empty table with a wide
+      // upstream executes that subtree twice (probe + write); callers on
+      // hot micro-batch paths should materialize the bundle first (the
+      // step-fold's localCheckpoint idiom) if the double scan shows up.
+      if (df.isEmpty) ()
       else {
       val w = df.write.format("delta").mode("append")
         .option("mergeSchema", mergeSchema)

@@ -284,8 +284,14 @@ private[sources] object ReqPushdown {
         s" (pushable: ${pushable.toSeq.sorted.mkString(", ")})")
     ChainReq(pushable.flatMap { c =>
       lower.get(s"filter.${c.toLowerCase(java.util.Locale.ROOT)}").map { v =>
-        c -> v.split(",")
-          .map(h => graft.functions.Hex.decode(h).toSeq: Seq[Byte]).toSet
+        c -> v.split(",", -1).map { h =>
+          // an empty hex value ('' or a stray double comma) decodes to
+          // the empty byte string, a constraint that matches NOTHING —
+          // the silent zero-row run this option channel must fail on
+          require(h.nonEmpty,
+            s"filter.$c: empty hex value in '$v'")
+          graft.functions.Hex.decode(h).toSeq: Seq[Byte]
+        }.toSet
       }
     }.toMap)
   }
@@ -316,6 +322,9 @@ private class ChainScanBuilder(props0: Map[String, String]) extends ScanBuilder
   require(logsPerBlock > 0, // 0 used to emit one PHANTOM row per block
     s"logsPerBlock must be positive, got $logsPerBlock")
   private val numPartitions = props.getOrElse("numpartitions", "4").toInt
+  require(numPartitions > 0, // 0 divides by zero in slice(); negative
+    // degrades the step to 1 and plans one partition PER BLOCK
+    s"numPartitions must be positive, got $numPartitions")
 
   /** Request constraints can ALSO arrive as reader options —
     * `filter.<col>` = comma-separated hex values (≙ cherry's provider
@@ -346,6 +355,20 @@ private class ChainScanBuilder(props0: Map[String, String]) extends ScanBuilder
       case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlock = math.min(toBlock, v); true
       case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
+      // a point lookup is the range [v, v+1) — without this case it fell
+      // through to the residual and the scan paged the whole default range
+      case EqualTo(c, v: Long) if c == blockCol =>
+        fromBlock = math.max(fromBlock, v)
+        toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
+      // IN brackets to [min, max+1); the set itself stays RESIDUAL (the
+      // bracket admits the gaps, Spark re-filters them) — side effect
+      // only, hence `false`
+      case In(c, vs) if c == blockCol && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        fromBlock = math.max(fromBlock, ls.min)
+        toBlock = math.min(toBlock, ReqPushdown.incSat(ls.max))
+        false
       case f =>
         parseReq(f) match {
           case Some(alts) =>
@@ -363,7 +386,8 @@ private class ChainScanBuilder(props0: Map[String, String]) extends ScanBuilder
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
-    private val blocksPerBatch = ReqPushdown.lowerOpts(props).getOrElse("blocksperbatch", "100").toLong
+    // props is already the lowered map (see the constructor)
+    private val blocksPerBatch = props.getOrElse("blocksperbatch", "100").toLong
 
     private def slice(lo0: Long, hi: Long): Array[InputPartition] = {
       val span = math.max(hi - lo0, 0L)

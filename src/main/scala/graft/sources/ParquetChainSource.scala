@@ -4,7 +4,6 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -16,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -87,6 +86,17 @@ private class ParquetChainScanBuilder(props0: Map[String, String])
       case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlock = math.min(toBlock, v); true
       case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
+      // point lookup = [v, v+1): prunes to the row groups containing v
+      case EqualTo(c, v: Long) if c == blockCol =>
+        fromBlock = math.max(fromBlock, v)
+        toBlock = math.min(toBlock, ReqPushdown.incSat(v)); true
+      // IN brackets the range; the set stays residual (side effect only)
+      case In(c, vs) if c == blockCol && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        fromBlock = math.max(fromBlock, ls.min)
+        toBlock = math.min(toBlock, ReqPushdown.incSat(ls.max))
+        false
       case f =>
         ReqPushdown.parseReq(f, pushable) match {
           case Some(alts) =>
@@ -104,11 +114,19 @@ private class ParquetChainScanBuilder(props0: Map[String, String])
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
+    // the SESSION's Hadoop configuration, not a bare new Configuration():
+    // fs.s3a credentials / endpoint overrides / io settings set via
+    // spark.hadoop.* must reach both the driver-side footer listing and
+    // the executor-side row-group reads (shipped to partitions via
+    // SerializableConfiguration — Configuration itself is not
+    // serializable)
+    private val hconf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     // Footer-only planning: list files, read row-group stats, prune groups
     // outside the pushed block range. Lazy + reused by description() and
     // planInputPartitions().
     private lazy val (partitions, totalRowGroups): (Array[InputPartition], Int) = {
-      val conf = new Configuration()
+      val conf = hconf.value
       val root = new Path(path)
       val fs = root.getFileSystem(conf)
       val files =
@@ -135,7 +153,8 @@ private class ParquetChainScanBuilder(props0: Map[String, String])
               }
               if (keep)
                 Some(ParquetChainPartition(table, f.toString, i, blockCol,
-                  fromBlock, toBlock, requests, requiredCols): InputPartition)
+                  fromBlock, toBlock, requests, requiredCols,
+                  hconf): InputPartition)
               else None
           }
         } finally reader.close()
@@ -164,7 +183,9 @@ private case class ParquetChainPartition(table: String, file: String,
                                          rowGroup: Int, blockCol: String,
                                          fromBlock: Long, toBlock: Long,
                                          requests: Seq[ChainReq],
-                                         cols: Array[String]) extends InputPartition
+                                         cols: Array[String],
+                                         conf: org.apache.spark.util.SerializableConfiguration)
+    extends InputPartition
 
 /** Reads ONE row group of one file: projects only the needed columns,
   * applies the row-level block-range check (boundary row groups overlap
@@ -175,7 +196,7 @@ private class ParquetChainReader(p: ParquetChainPartition)
 
   private val sparkSchema = ChainSource.schemaFor(p.table)
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(p.file), new Configuration()))
+    HadoopInputFile.fromPath(new Path(p.file), p.conf.value))
   // everything after open() runs under a guard: a constructor failure
   // (missing column in the file schema, corrupt row group) would leak the
   // open file handle — Spark never calls close() on an unconstructed

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -161,6 +161,9 @@ private class WireChainScanBuilder(props0: Map[String, String]) extends ScanBuil
   // exclusive; absent = provider archive height at planning time
   private var toBlockOpt: Option[Long] = props.get("toblock").map(_.toLong)
   private val numPartitions = props.getOrElse("numpartitions", "4").toInt
+  require(numPartitions > 0, // 0 divides by zero in slice(); negative
+    // plans one partition per block, each with its own HTTP pagination
+    s"numPartitions must be positive, got $numPartitions")
   // transient-failure policy (idempotent re-POST, exponential backoff)
   private val maxAttempts = props.getOrElse("maxattempts", "3").toInt
   private val retryBackoffMs = props.getOrElse("retrybackoffms", "100").toLong
@@ -178,6 +181,20 @@ private class WireChainScanBuilder(props0: Map[String, String]) extends ScanBuil
       case GreaterThan(c, v: Long) if c == blockCol        => fromBlock = math.max(fromBlock, ReqPushdown.incSat(v)); true
       case LessThan(c, v: Long) if c == blockCol           => toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue), v)); true
       case LessThanOrEqual(c, v: Long) if c == blockCol    => toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue), ReqPushdown.incSat(v))); true
+      // point lookup = [v, v+1) — otherwise the client paged the whole
+      // archive to return one block's rows filtered client-side
+      case EqualTo(c, v: Long) if c == blockCol =>
+        fromBlock = math.max(fromBlock, v)
+        toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue),
+          ReqPushdown.incSat(v))); true
+      // IN brackets the range; the set stays residual (side effect only)
+      case In(c, vs) if c == blockCol && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        fromBlock = math.max(fromBlock, ls.min)
+        toBlockOpt = Some(math.min(toBlockOpt.getOrElse(Long.MaxValue),
+          ReqPushdown.incSat(ls.max)))
+        false
       case f =>
         ReqPushdown.parseReq(f, pushable) match {
           case Some(alts) =>
@@ -195,7 +212,8 @@ private class WireChainScanBuilder(props0: Map[String, String]) extends ScanBuil
     requiredCols = requiredSchema.fieldNames
 
   override def build(): Scan = new Scan with Batch {
-    private val blocksPerBatch = ReqPushdown.lowerOpts(props).getOrElse("blocksperbatch", "100").toLong
+    // props is already the lowered map (see the constructor)
+    private val blocksPerBatch = props.getOrElse("blocksperbatch", "100").toLong
 
     private def slice(lo0: Long, hi: Long): Array[InputPartition] = {
       // provably-empty request list (contradictory pushdown): zero

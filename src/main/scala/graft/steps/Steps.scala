@@ -279,18 +279,21 @@ object Steps {
       // ONE scan of the source: without this each branch's topic0 filter
       // re-reads the input (N scans for N signatures — a glaciers-style
       // 300-signature ABI db would re-scan the logs table 300 times). The
-      // combined IN filter keeps only decodable logs, materialized once
-      // when the union plan first runs; every branch then filters the
-      // cached rows. persist(), NOT localCheckpoint: steps run once per
-      // micro-batch on the streaming path, and checkpoint blocks are the
-      // one class ContextCleaner can never reclaim — a long stream would
-      // pin one dead checkpoint per batch until the executors fill.
-      // Persisted blocks are reclaimed by the cleaner when the batch's
-      // plans are dropped, and lineage stays intact (executor loss
-      // recomputes instead of failing the query).
+      // combined IN filter keeps only decodable logs, materialized once;
+      // every branch then reads the materialized rows. localCheckpoint,
+      // NOT persist (r14 — the previous comment had Spark's cleanup
+      // semantics backwards): persist() registers the plan in the
+      // CacheManager, which holds it STRONGLY until an explicit
+      // unpersist — on the streaming path that is one leaked cache entry
+      // per micro-batch for the life of the session. localCheckpoint
+      // blocks belong to an RDD the ContextCleaner reclaims as soon as
+      // the batch's plans are dropped. The trade (lineage truncation:
+      // executor loss fails the task set instead of recomputing) is the
+      // one every other multi-consumer materialization in this engine
+      // already makes.
       val matched = in
         .filter(col("topic0").isin(parsedSigs.map(t => t._3: Any): _*))
-        .persist()
+        .localCheckpoint()
       val branches = parsedSigs.map { case (sig, parsed, t0) =>
         val decoded = matched.filter(col("topic0") === lit(t0))
           .withColumn("__d", F.evm_decode_event(
@@ -356,12 +359,18 @@ object Steps {
           val out =
             if (bucketSize > 0) {
               val slim = df.select(col(numberCol), col(hashCol), col(parentHashCol))
-              val own = df.withColumn("__b", floor(col(numberCol) / bucketSize))
+              // integral div, not floor(double /): double division loses
+              // precision above 2^53 and would misassign bucket ids near
+              // boundaries for large sequence keys (the Tables.scala
+              // nanos-timestamp rule applied here)
+              val bucket =
+                expr(s"CAST(`$numberCol` AS BIGINT) div $bucketSize")
+              val own = df.withColumn("__b", bucket)
                 .withColumn("__carrier", lit(false))
               // last possible block of each bucket rides into the next one
               val carriers = slim
                 .filter((col(numberCol) + 1) % bucketSize === 0)
-                .withColumn("__b", floor(col(numberCol) / bucketSize) + 1)
+                .withColumn("__b", bucket + 1)
                 .withColumn("__carrier", lit(true))
               val w = Window.partitionBy(col("__b")).orderBy(col(numberCol))
               val prevHash = lag(col(hashCol), 1).over(w)
