@@ -1354,9 +1354,11 @@ object ExtensionQueries {
       val tr = e.withColumn("embedding", slice(col("embedding"), 1, 16))
       val approx = VectorOps.bruteForceTopK(tr.filter(col("vec_id") < 20),
         tr, "vec_id", "embedding", 5)
-      val exact = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 20),
-        e, "vec_id", "embedding", 5)
-      VectorOps.annRecall(approx, exact, "qid", "nid").orderBy("qid")
+      // full-dim ground truth = the x25 rows the annTruth memo already
+      // holds — re-deriving it here was a second brute-force corpus scan
+      // per run (the exact sub-job class the gateMemo exists to stop)
+      VectorOps.annRecall(approx, annTruth(s, dir), "qid", "nid")
+        .orderBy("qid")
     },
 
     // x113 — overlap candidates from the x110 winnow index: docs sharing
@@ -1614,15 +1616,23 @@ object ExtensionQueries {
     s"list_reduce(list_transform(range(1,${dim + 1}), k -> $a[k::INT]::DOUBLE * $b[k::INT]::DOUBLE), (x,y) -> x+y)"
 
   /** Classic 16-hash MinHash banding over a CTE `sh(doc_id, s)` →
-    * CTEs mh, bsig. ONE definition for all seven banding oracles — a
+    * CTEs mh, bsig, okb. ONE definition for all seven banding oracles — a
     * banding-semantics change edits one string (the containmentPairs
-    * lesson from ADVICE r12 applied to the SQL mirrors).
+    * lesson from ADVICE r12 applied to the SQL mirrors). `okb` mirrors
+    * the engine's hot-bucket cap (`DedupOps.DefaultMaxBucket`): every
+    * pair-enumerating consumer joins it, so a corpus dense enough for
+    * the engine to DROP a bucket drops it in the oracle too (validated
+    * on a beyond-cap-density fixture, r14 — previously the oracle
+    * enumerated uncapped and the gate would have failed for a data
+    * reason exactly when density mattered).
     */
   private lazy val minhashBsigSql =
-    """mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
+    s"""mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) m
       |   FROM sh CROSS JOIN (SELECT unnest(range(0,16)) h) GROUP BY doc_id, h),
       | bsig AS (SELECT doc_id, (h // 4)::INT band, string_agg(m, '' ORDER BY h) sig
-      |   FROM mh GROUP BY doc_id, band)""".stripMargin
+      |   FROM mh GROUP BY doc_id, band),
+      | okb AS (SELECT band, sig FROM bsig GROUP BY band, sig
+      |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket})""".stripMargin
 
   /** One-permutation MinHash banding over a CTE `sh(doc_id, s)` → CTE
     * bsig(doc_id, band, sig) — the OPH sibling of [[minhashBsigSql]]
@@ -1634,7 +1644,7 @@ object ExtensionQueries {
     * composes with oracles that bind `j` elsewhere.
     */
   private lazy val ophBsigSql =
-    """mh1 AS (SELECT doc_id,
+    s"""mh1 AS (SELECT doc_id,
       |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
       | bkt AS (SELECT doc_id, h % 16 jj, min(h) m FROM mh1 GROUP BY 1, 2),
       | grid AS (SELECT doc_id, k jj FROM
@@ -1644,7 +1654,9 @@ object ExtensionQueries {
       |   FROM grid g JOIN bkt b ON b.doc_id = g.doc_id GROUP BY 1, 2),
       | bsig AS (SELECT doc_id, (jj // 4)::INT band,
       |     string_agg(m::VARCHAR, '|' ORDER BY jj) sig
-      |   FROM dens GROUP BY 1, 2)""".stripMargin
+      |   FROM dens GROUP BY 1, 2),
+      | okb AS (SELECT band, sig FROM bsig GROUP BY band, sig
+      |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket})""".stripMargin
 
   private val word3gramShingles =
     """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -1661,7 +1673,10 @@ object ExtensionQueries {
   private lazy val incrementalDedupSql =
     s"""$word3gramShingles,
        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       | oks AS (SELECT s FROM sh GROUP BY s
+       |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket}),
        | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+       |   JOIN oks ON oks.s = a.s
        |   JOIN sh b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250
        |   GROUP BY 1, 2),
        | near_dropped AS (SELECT j AS doc_id FROM inter
@@ -2034,6 +2049,37 @@ object ExtensionQueries {
     ctes.mkString(",\n ")
   }
 
+  /** Shared SQL head of the x94/x102/x105 manifest-family oracles —
+    * quality gate, canonical-text keep-min dedup, temperature balance
+    * (mirrors [[manifestStages]]; `bal` carries source so the by-source
+    * funnel can group on it, and x94/x102 simply ignore the column).
+    * ONE definition, same drift rule as the banding fragments.
+    */
+  private lazy val manifestHeadSql =
+    """q AS (SELECT doc_id, source, text,
+      |     string_split(text,' ') w FROM documents),
+      | ql AS (SELECT doc_id, source, text FROM q
+      |   WHERE len(w) >= 20
+      |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+      |       * 10000 / length(text)::DOUBLE) >= 7000),
+      | cn AS (SELECT doc_id, source, text,
+      |     trim(regexp_replace(regexp_replace(
+      |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+      |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
+      |   FROM ql),
+      | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
+      | surv AS (SELECT doc_id, source, text FROM cn
+      |   WHERE doc_id IN (SELECT k FROM keepd)),
+      | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
+      | m AS (SELECT min(n) nmin FROM c),
+      | r AS (SELECT source,
+      |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
+      |   FROM c, m),
+      | bal AS (SELECT s.doc_id, s.source, s.text FROM surv s
+      |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
+      |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+      |     % 10000 < r.rate_bp)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x16_text_tokens" ->
       """SELECT doc_id,
@@ -2084,7 +2130,10 @@ object ExtensionQueries {
     "x21_dedup_ngram_jaccard" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | oks AS (SELECT s FROM sh GROUP BY s
+         |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket}),
          | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN oks ON oks.s = a.s
          |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
          | SELECT i, j,
          |   floor(c::DOUBLE * 10000 / (na.n + nb.n - c)::DOUBLE)::BIGINT AS jaccard_bp
@@ -2098,6 +2147,7 @@ object ExtensionQueries {
          | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
          | FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         | JOIN okb ON okb.band = a.band AND okb.sig = a.sig
          | GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
     "x23_dedup_simhash" ->
@@ -2344,13 +2394,16 @@ object ExtensionQueries {
         | FROM lineitem""".stripMargin,
 
     "x40_dedup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |          range(1, greatest(len(w)-2,0)+1),
         |          k -> w[k::INT] || ' ' || w[k::INT+1] || ' ' || w[k::INT+2]))) s
         |        FROM w),
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | oks AS (SELECT s FROM sh GROUP BY s
+        |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket}),
         | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+        |   JOIN oks ON oks.s = a.s
         |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         | p AS (SELECT i, j FROM inter
         |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
@@ -2515,7 +2568,10 @@ object ExtensionQueries {
 
     "x34_corpus_curation" ->
       s"""WITH RECURSIVE $curationHeadSql,
+         | oks AS (SELECT s FROM sh GROUP BY s
+         |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket}),
          | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN oks ON oks.s = a.s
          |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
          | $curationTailSql""".stripMargin,
 
@@ -2527,7 +2583,8 @@ object ExtensionQueries {
       s"""WITH RECURSIVE $curationHeadSql,
          | $minhashBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),
@@ -2712,7 +2769,10 @@ object ExtensionQueries {
     "x80_containment" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         | oks AS (SELECT s FROM sh GROUP BY s
+         |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket}),
          | inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c FROM sh a
+         |   JOIN oks ON oks.s = a.s
          |   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
          | SELECT i, j, c AS inter_n,
          |   floor(c::DOUBLE * 10000 / na.n)::BIGINT AS cont_i_bp,
@@ -2722,16 +2782,17 @@ object ExtensionQueries {
          |                floor(c::DOUBLE * 10000 / nb.n)) >= 8000
          | ORDER BY i, j""".stripMargin,
 
-    // x80's scoring with the candidate set replaced by the x64 banding
-    // mirror (16 minhashes, 4 bands × 4 rows over the SAME
-    // md5(h||'|'||shingle)): intersection counts evaluated only on
+    // x80's scoring with the candidate set replaced by the OPH banding
+    // mirror (ophBsigSql — one hash per shingle, bucket mins, rotation
+    // densification; r14 flip): intersection counts evaluated only on
     // band-colliding pairs, exactly as the engine's verify arm.
     "x82_containment_lsh" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2)
@@ -2786,7 +2847,7 @@ object ExtensionQueries {
         |   floor(sum(nll)::DOUBLE / count(*)::DOUBLE)::BIGINT AS avg_nll_scaled
         | FROM big JOIN m USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // The x64 banding mirror (16 minhashes, 4 bands × 4 rows) feeding the
+    // The OPH banding mirror (ophBsigSql; r14 flip) feeding the
     // x40 reachability CTE, then the keep decision: per component, rank by
     // stopword-ratio quality desc / doc_id asc; rank 1 is canonical.
     // Singletons (docs in no edge) are their own component and keeper.
@@ -2799,7 +2860,8 @@ object ExtensionQueries {
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         | $ophBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
         |   GROUP BY 1, 2),
@@ -2827,8 +2889,8 @@ object ExtensionQueries {
         | WINDOW win AS (PARTITION BY a.component ORDER BY q.q DESC, a.doc_id)
         | ORDER BY a.doc_id""".stripMargin,
 
-    // Same banding mirror + verify threshold; pairs fold symmetrically on
-    // (least, greatest) of the two sources.
+    // Same OPH banding mirror + verify threshold; pairs fold symmetrically
+    // on (least, greatest) of the two sources.
     "x85_source_overlap" ->
       s"""WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2838,7 +2900,8 @@ object ExtensionQueries {
         | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         | $ophBsigSql,
         | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
         | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
         |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
         |   GROUP BY 1, 2),
@@ -2962,29 +3025,7 @@ object ExtensionQueries {
     // Training-manifest mirror: quality gate → canonical keep-min dedup →
     // x58 temperature rates over the SURVIVOR set → x89 packing windows.
     "x94_training_manifest" ->
-      """WITH q AS (SELECT doc_id, source, text,
-        |     string_split(text,' ') w FROM documents),
-        | ql AS (SELECT doc_id, source, text FROM q
-        |   WHERE len(w) >= 20
-        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-        |       * 10000 / length(text)::DOUBLE) >= 7000),
-        | cn AS (SELECT doc_id, source, text,
-        |     trim(regexp_replace(regexp_replace(
-        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
-        |   FROM ql),
-        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
-        | surv AS (SELECT doc_id, source, text FROM cn
-        |   WHERE doc_id IN (SELECT k FROM keepd)),
-        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
-        | m AS (SELECT min(n) nmin FROM c),
-        | r AS (SELECT source,
-        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
-        |   FROM c, m),
-        | bal AS (SELECT s.doc_id, s.text FROM surv s
-        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
-        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
-        |     % 10000 < r.rate_bp),
+      s"""WITH $manifestHeadSql,
         | d2 AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n FROM bal),
         | sto AS (SELECT doc_id, n,
         |     coalesce(sum(n) OVER (ORDER BY doc_id
@@ -3284,29 +3325,7 @@ object ExtensionQueries {
     // temperature balance) with a count/sum per stage instead of the
     // packing tail.
     "x102_funnel_report" ->
-      """WITH q AS (SELECT doc_id, source, text,
-        |     string_split(text,' ') w FROM documents),
-        | ql AS (SELECT doc_id, source, text FROM q
-        |   WHERE len(w) >= 20
-        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-        |       * 10000 / length(text)::DOUBLE) >= 7000),
-        | cn AS (SELECT doc_id, source, text,
-        |     trim(regexp_replace(regexp_replace(
-        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
-        |   FROM ql),
-        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
-        | surv AS (SELECT doc_id, source, text FROM cn
-        |   WHERE doc_id IN (SELECT k FROM keepd)),
-        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
-        | m AS (SELECT min(n) nmin FROM c),
-        | r AS (SELECT source,
-        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
-        |   FROM c, m),
-        | bal AS (SELECT s.doc_id, s.text FROM surv s
-        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
-        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
-        |     % 10000 < r.rate_bp)
+      s"""WITH $manifestHeadSql
         | SELECT * FROM (
         |   SELECT 0::BIGINT stage_idx, 'raw' stage, count(*)::BIGINT n_docs,
         |     coalesce(sum(len(string_split(text,' '))), 0)::BIGINT n_tokens
@@ -3367,29 +3386,7 @@ object ExtensionQueries {
     // Per-source funnel mirror: the x102 stage CTEs with source carried
     // through and a GROUP BY source per branch.
     "x105_funnel_by_source" ->
-      """WITH q AS (SELECT doc_id, source, text,
-        |     string_split(text,' ') w FROM documents),
-        | ql AS (SELECT doc_id, source, text FROM q
-        |   WHERE len(w) >= 20
-        |     AND floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-        |       * 10000 / length(text)::DOUBLE) >= 7000),
-        | cn AS (SELECT doc_id, source, text,
-        |     trim(regexp_replace(regexp_replace(
-        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-        |       '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) ct
-        |   FROM ql),
-        | keepd AS (SELECT min(doc_id) k FROM cn GROUP BY ct),
-        | surv AS (SELECT doc_id, source, text FROM cn
-        |   WHERE doc_id IN (SELECT k FROM keepd)),
-        | c AS (SELECT source, count(*) n FROM surv GROUP BY source),
-        | m AS (SELECT min(n) nmin FROM c),
-        | r AS (SELECT source,
-        |     floor(10000 * sqrt(nmin::DOUBLE / n::DOUBLE))::BIGINT rate_bp
-        |   FROM c, m),
-        | bal AS (SELECT s.doc_id, s.source, s.text FROM surv s
-        |   JOIN r ON s.source IS NOT DISTINCT FROM r.source
-        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
-        |     % 10000 < r.rate_bp)
+      s"""WITH $manifestHeadSql
         | SELECT * FROM (
         |   SELECT 0::BIGINT stage_idx, 'raw' stage, source,
         |     count(*)::BIGINT n_docs,
@@ -3493,14 +3490,15 @@ object ExtensionQueries {
         |   % 10000 < r.rate
         | ORDER BY d.doc_id""".stripMargin,
 
-    // Split-leakage mirror: x64's banding + candidate-verify CTEs over
-    // the full corpus, split labels by the hashSplit hash-mod cuts.
+    // Split-leakage mirror: the OPH banding + candidate-verify CTEs (r14
+    // flip) over the full corpus, split labels by hashSplit hash-mod cuts.
     "x109_split_leakage" ->
       s"""$word3gramShingles,
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),
@@ -3556,7 +3554,8 @@ object ExtensionQueries {
          | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),
@@ -3809,6 +3808,7 @@ object ExtensionQueries {
          | SELECT a.doc_id i, b.doc_id j, count(*)::BIGINT AS bands
          | FROM bsig a JOIN bsig b
          |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         | JOIN okb ON okb.band = a.band AND okb.sig = a.sig
          | GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
     // x64's curation mirror with the banding CTEs swapped to OPH.
@@ -3816,7 +3816,8 @@ object ExtensionQueries {
       s"""WITH RECURSIVE $curationHeadSql,
          | $ophBsigSql,
          | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a JOIN bsig b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
          | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
          |   JOIN sh a ON a.doc_id = cd.i JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
          |   GROUP BY 1, 2),

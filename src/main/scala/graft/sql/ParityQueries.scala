@@ -215,8 +215,13 @@ object ParityQueries {
         | WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         | ORDER BY o_orderkey""".stripMargin,
     "q06_anti_join" ->
-      """SELECT c_custkey FROM customer
-        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      // NOT EXISTS, not NOT IN: one NULL o_custkey would make every
+      // NOT IN comparison UNKNOWN and return zero rows, while Spark's
+      // left_anti keeps all unmatched customers (the
+      // incrementalDedupSql NULL rule, applied here too)
+      """SELECT c_custkey FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey)
         | ORDER BY c_custkey""".stripMargin,
     "q07_groupby_having" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
