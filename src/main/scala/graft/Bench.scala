@@ -19,12 +19,13 @@ object Bench {
     */
   private def oracleTimings(sfDir: String, names: Seq[String]): Option[String] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE", "1") == "0") return None
+    // created OUTSIDE the try so the finally can always clean it up
+    val tmp = Files.createTempDirectory("graft-bench-oracle")
     try {
       val sqls = SparkEntry.oracleSql.toSeq.sortBy(_._1)
         .filter { case (n, _) => names.contains(n) }
       if (sqls.isEmpty) return None
       val esc = Verify.jsonEscape _ // ONE escape definition for both channels
-      val tmp = Files.createTempDirectory("graft-bench-oracle")
       Files.writeString(tmp.resolve("oracle_sql.json"),
         sqls.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
       // table list derives from Tables.all (a hand-kept copy drifted
@@ -35,11 +36,12 @@ object Bench {
       Files.writeString(tmp.resolve("oracle_bench.py"),
         s"""import json, sys, time, duckdb
           |sf, sql_path, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+          |sfq = sf.replace("'", "''")  # quote-safe inside the SQL literal
           |qs = json.load(open(sql_path))
           |con = duckdb.connect()
           |for t in [$tableList]:
           |    try:
-          |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfq}/{t}.parquet')")
           |    except Exception as e:
           |        print(f"skipping view {t}: {e}", file=sys.stderr)
           |out = {}
@@ -64,20 +66,32 @@ object Bench {
           |                  "oracle_queries": out}))
           |""".stripMargin)
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "2")
-      // stderr goes to a file, not a pipe: reading stdout to EOF before
-      // stderr deadlocks if the child fills the ~64KB stderr pipe buffer
-      // first (both sides block; the bench hangs instead of degrading).
+      // named failure like SPARK_GRAFT_BENCH_REPS — reps <= 0 would leave
+      // best = None in python and die as an anonymous TypeError
+      require(reps.toIntOption.exists(_ >= 1),
+        s"SPARK_GRAFT_BENCH_ORACLE_REPS must be an integer >= 1 (got '$reps')")
+      // BOTH streams go to files: reading a stdout pipe to EOF deadlocks
+      // when the child fills the ~64KB stderr pipe first, and a blocking
+      // readAllBytes has no way to time out — a single wedged DuckDB plan
+      // must DEGRADE the oracle (its design contract), not hang the bench
       val errFile = tmp.resolve("oracle_bench.err").toFile
+      val outFile = tmp.resolve("oracle_bench.out").toFile
       val proc = new ProcessBuilder("python3",
         tmp.resolve("oracle_bench.py").toString, sfDir,
         tmp.resolve("oracle_sql.json").toString, reps)
-        .redirectError(errFile).start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      if (proc.waitFor() != 0) {
+        .redirectError(errFile).redirectOutput(outFile).start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(
+          "[bench] oracle timing skipped: timed out after 30 minutes")
+        None
+      } else if (proc.exitValue() != 0) {
         val err = Files.readString(errFile.toPath)
         System.err.println(s"[bench] oracle timing skipped: $err")
         None
       } else {
+        val out = Files.readString(outFile.toPath)
         val obj = out.trim.linesIterator.toSeq.last.trim
         Some(obj.stripPrefix("{").stripSuffix("}"))
       }
@@ -85,11 +99,21 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] oracle timing skipped: ${e.getMessage}")
         None
+    } finally {
+      // one leaked temp dir per bench run adds up across automated rounds
+      try {
+        val d = tmp.toFile
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
+      } catch { case _: Exception => () }
     }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // JSON-escaped once for every output line: a quote or backslash in
+    // the path must not make all three bench artifacts unparseable
+    val sfJ = Verify.jsonEscape(sfDir)
     // Best-of-N per query within one JVM: a single timing per query conflates
     // steady-state plan cost with whatever JIT/GC/compilation pressure the
     // 50+ preceding queries left behind (observed round 3: unchanged queries
@@ -230,7 +254,7 @@ object Bench {
         .mkString(",\"failed\":[", ",", "]")
     val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
-      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal$matchedFrag$failedFrag,"sf":"$sfDir"}"""
+      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
     // Full artifact (compact keys + the whole per-query oracle map) is
     // persisted to a file the judge can read in full: sbt prefixes stdout
     // with [info], which broke the driver's parse in round 1.
@@ -238,8 +262,8 @@ object Bench {
       .flatMap(f => { val i = f.indexOf("\"oracle_queries\"")
         if (i < 0) None else Some("," + f.substring(i)) })
       .getOrElse("")
-    val fullLine = line.dropRight(s""","sf":"$sfDir"}""".length) +
-      oracleQueriesFrag + s""","sf":"$sfDir"}"""
+    val fullLine = line.dropRight(s""","sf":$sfJ}""".length) +
+      oracleQueriesFrag + s""","sf":$sfJ}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     // an unwritable output path must not take the stdout headline down
     // with it — the two artifacts are independent channels
@@ -267,7 +291,7 @@ object Bench {
       if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
     println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
       s""""n_queries":${results.size}$oracleTotal$matchedCountFrag$failedCountFrag,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":$sfJ}""")
     spark.stop()
   }
 }

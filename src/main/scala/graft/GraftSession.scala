@@ -38,7 +38,9 @@ object GraftExtensions {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn expects a literal integer argument, got a non-literal expression")
     e.eval(null) match {
-      case i: Int  => i
+      case i: Int   => i
+      case b: Byte  => b.toInt // TINYINT/SMALLINT literals are legal
+      case sh: Short => sh.toInt
       case l: Long =>
         if (l < Int.MinValue || l > Int.MaxValue)
           throw new IllegalArgumentException(
@@ -145,21 +147,22 @@ object GraftSession {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // getOrCreate may have returned a PRE-EXISTING session on which the
-    // STATIC confs above (spark.sql.extensions, nanosAsLong) never took
-    // effect — every graft SQL function would be missing with no hint.
+    // builder confs above never took effect — every graft SQL function
+    // would be missing with no hint.
     // Repair the function registry through the temp-function channel and
     // warn about the one static conf that cannot be applied post-hoc.
     if (!s.catalog.functionExists("keccak256")) {
       graft.functions.GraftFunctions.register(s)
-      // inferTimestampNTZ IS a runtime SQL conf (unlike nanosAsLong):
-      // apply the engine posture post-hoc so NTZ-encoded fixtures read as
-      // TIMESTAMP in a reused session too
+      // every non-static engine conf is repairable post-hoc (r14: the
+      // previous code only repaired inferTimestampNTZ, warned that
+      // nanosAsLong "cannot be applied now" — it is a runtime SQLConf
+      // entry, not StaticSQLConf — and silently skipped the UTC session
+      // timezone the time operators' semantics are pinned to). Only
+      // spark.sql.extensions is genuinely static; the function registry
+      // repair above covers its SQL-function half.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-        System.err.println("[graft] WARNING: reusing a pre-existing " +
-          "SparkSession; spark.sql.legacy.parquet.nanosAsLong is not set " +
-          "and cannot be applied now — nanos-timestamp parquet (events.ts) " +
-          "will fail to read in this session")
     }
     s
   }

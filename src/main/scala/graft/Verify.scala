@@ -22,6 +22,9 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [namePrefixes] — got " +
+        s"${args.length} argument(s)")
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated name-prefix filter for local
     // iteration (driver always runs the full set with 2 args).
@@ -32,6 +35,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
+      // reclaim the previous query's pinned localCheckpoint blocks (the
+      // Bench.reclaim rationale: the cleaner can't release them while the
+      // suite map may still reference plans; without this the whole
+      // suite's blocks accumulate and late queries spill — the r3 class)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
