@@ -11,6 +11,11 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  /** The driver-generated smallest fixture — ONE definition for every
+    * spec that reads it (four hardcoded copies had to move together).
+    */
+  val testDataDir: String = "/root/testdata/sf0.001"
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -389,7 +389,7 @@ class Round13eOpsSpec extends SparkSpec {
 
   test("truncated recall: full-width truncation is the identity — " +
       "recall_bp 10000 everywhere; 16-dim recall is sane") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = graft.SparkSpec.testDataDir
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val exact = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 5), e,
       "vec_id", "embedding", 5)

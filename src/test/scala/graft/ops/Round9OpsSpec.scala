@@ -97,7 +97,7 @@ class Round9OpsSpec extends SparkSpec {
   }
 
   test("x64 curation-lsh matches x34 on the fixture and stays a kept-subset") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = graft.SparkSpec.testDataDir
     val x34 = graft.sql.ExtensionQueries.queries("x34_corpus_curation")(spark, dir)
       .collect().map(_.getLong(0)).toSet
     val x64 = graft.sql.ExtensionQueries.queries("x64_corpus_curation_lsh")(spark, dir)

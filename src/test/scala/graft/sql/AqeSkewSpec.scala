@@ -27,7 +27,13 @@ class AqeSkewSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    // capture via getAll MEMBERSHIP, not getOption: getOption returns the
+    // built-in default for never-set confs, so the unset-restore branch
+    // below would be dead and the shared session would leave all nine
+    // confs explicitly pinned to today's defaults
+    val setConfs = spark.conf.getAll
+    val prev = confs.map { case (k, _) =>
+      k -> (if (setConfs.contains(k)) Some(setConfs(k)) else None) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       // 50k rows on ONE hot key vs 10 rows each on 99 others; the right

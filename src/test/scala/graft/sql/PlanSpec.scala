@@ -10,7 +10,7 @@ import graft.SparkSpec
   * Asserted on explain text so the checks hold across AQE wrapping.
   */
 class PlanSpec extends SparkSpec {
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = graft.SparkSpec.testDataDir
 
   private def plan(queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
                    name: String): String =
@@ -46,7 +46,7 @@ class PlanSpec extends SparkSpec {
     val p = plan(ExtensionQueries.queries, "x22_dedup_minhash_lsh")
     // the band aggregation appears once: bucket-group plan, not a self-join
     // that would evaluate the 16-column min() pipeline on both branches
-    val aggCount = "partial_min".r.findAllIn(p).length
+    val aggCount = "partial_min\\(".r.findAllIn(p).length
     assert(aggCount <= 16, s"minhash agg duplicated: $aggCount partial mins")
   }
 
@@ -117,7 +117,8 @@ class PlanSpec extends SparkSpec {
     // the groupBy(shingle).min(id) build side must partial-aggregate
     // before its exchange — at 100 TB the un-combined shingle table is
     // the corpus token count
-    assert(p.contains("partial_min"), s"first-occurrence map not combined:\n$p")
+    assert("partial_min\\(".r.findFirstIn(p).isDefined,
+      s"first-occurrence map not combined:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -332,7 +333,10 @@ class PlanSpec extends SparkSpec {
 
   test("x123: OPH signature mins are map-side combined; no cartesian") {
     val p = plan(ExtensionQueries.queries, "x123_dedup_minhash_oph")
-    assert(p.contains("partial_min"), s"bucket mins not combined:\n$p")
+    // word-boundary match: a bare contains("partial_min") is substring-
+    // satisfied by partial_min_by, which is NOT the combine this gates
+    assert("partial_min\\(".r.findFirstIn(p).isDefined,
+      s"bucket mins not combined:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

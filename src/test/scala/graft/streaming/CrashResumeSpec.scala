@@ -126,35 +126,46 @@ class CrashResumeSpec extends SparkSpec {
     assert(key(deduped) == key(expected))
   }
 
-  test("streaming near-dup state survives a kill: restart from the " +
-      "checkpoint reproduces the uninterrupted pair set") {
-    // The state-store contract the 100 TB ingest path rests on: the
-    // (band,sig)-keyed bucket state of streamingNearDupCandidates must be
-    // recovered from the checkpoint after a crash, so a duplicate landing
-    // AFTER the restart still pairs with a doc ingested BEFORE the kill.
+  /** ONE choreography for the near-dup state-store crash contract, run
+    * against both store providers (a second hand copy of the scenario
+    * drifted within one round — reference comparison and fixture strings
+    * diverged — so the provider is now a parameter):
+    *
+    *  1. reference: all three batches through an uninterrupted query;
+    *  2. crash run: commit batch 1, STOP the query, then add batch 2 —
+    *     added after the stop so it is DETERMINISTICALLY pending at the
+    *     restart (adding it before the stop raced the continuous trigger,
+    *     which could commit it and silently degrade the scenario to a
+    *     clean shutdown);
+    *  3. restart from the same checkpoint, land the duplicate, assert the
+    *     pair set equals the reference band for band — the (1,2) pair can
+    *     only fire if doc 1's bucket state crossed the restart.
+    */
+  private def nearDupCrashScenario(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val other = "totally different words living inside this document here"
-    val filler = "unrelated filler content for the middle batch okay then"
-    val b1 = Seq((1L, base), (4L, other))
-    val b2 = Seq((9L, filler))
+    val b1 = Seq((1L, base),
+      (4L, "totally different words living inside this document here"))
+    val b2 = Seq((9L, "unrelated filler content for the middle batch okay"))
     val b3 = Seq((2L, base)) // the duplicate — arrives after the crash
 
     def pairsOf(path: String): Set[(Long, Long, Int)] =
       spark.read.parquet(path).select("i", "j", "band")
         .as[(Long, Long, Int)].collect().toSet
+    def start(input: MemoryStream[(Long, String)], dir: String) =
+      Streaming.streamingNearDupCandidates(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("parquet").outputMode(OutputMode.Append)
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/cp").start()
 
     // ---- reference: the same batches through an uninterrupted query ----
-    val refDir = Files.createTempDirectory("graft-neardup-ref").toString
+    val refDir = Files.createTempDirectory(s"graft-neardup-ref-$tag").toString
     val ref = MemoryStream[(Long, String)]
-    val qr = Streaming.streamingNearDupCandidates(
-        ref.toDF().toDF("doc_id", "text"), "doc_id", "text")
-      .writeStream.format("parquet").outputMode(OutputMode.Append)
-      .option("path", s"$refDir/out")
-      .option("checkpointLocation", s"$refDir/cp").start()
+    val qr = start(ref, refDir)
     try {
       ref.addData(b1); qr.processAllAvailable()
       ref.addData(b2); qr.processAllAvailable()
@@ -163,77 +174,49 @@ class CrashResumeSpec extends SparkSpec {
     val expected = pairsOf(s"$refDir/out")
     assert(expected.map(p => (p._1, p._2)) == Set((1L, 2L)),
       "fixture must produce exactly the cross-crash pair")
-    assert(expected.map(_._3) == Set(0, 1, 2, 3), "exact dup collides on all bands")
+    assert(expected.map(_._3) == Set(0, 1, 2, 3),
+      "exact dup collides on all bands")
 
-    // ---- crash run: kill with a batch PENDING, restart, then the dup ----
-    val dir = Files.createTempDirectory("graft-neardup-crash").toString
+    // ---- crash run ----
+    val dir = Files.createTempDirectory(s"graft-neardup-crash-$tag").toString
     val input = MemoryStream[(Long, String)]
-    def start() = Streaming.streamingNearDupCandidates(
-        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
-      .writeStream.format("parquet").outputMode(OutputMode.Append)
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/cp").start()
-    val q1 = start()
+    val q1 = start(input, dir)
     try {
       input.addData(b1)
       q1.processAllAvailable() // b1 committed: state remembers doc 1
-      input.addData(b2)        // pending at the kill — must replay
     } finally q1.stop()
-    val q2 = start()           // SAME checkpoint: state-store recovery
+    input.addData(b2)          // added AFTER the stop: pending, must replay
+    val q2 = start(input, dir) // SAME checkpoint: state-store recovery
     try {
       input.addData(b3)
       q2.processAllAvailable()
     } finally q2.stop()
-
-    // identical pair set to the uninterrupted run, band for band —
-    // (1,2) can only fire if doc 1's bucket state crossed the restart
     assert(pairsOf(s"$dir/out") == expected)
+  }
+
+  test("streaming near-dup state survives a kill: restart from the " +
+      "checkpoint reproduces the uninterrupted pair set") {
+    nearDupCrashScenario("hdfs")
   }
 
   test("streaming near-dup state on the ROCKSDB store: same crash " +
       "contract on the provider a 100 TB ingest actually runs") {
-    // The scale claim ("RocksDB-backed at scale") materialized: the same
-    // kill-with-a-batch-pending / restart / late-duplicate scenario, with
-    // the state store swapped to RocksDBStateStoreProvider — bucket state
-    // must survive the restart through RocksDB's checkpoint files, not
-    // the default in-memory HDFS-backed map.
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.OutputMode
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    // The scale claim ("RocksDB-backed at scale") materialized: the
+    // IDENTICAL scenario with the state store swapped to
+    // RocksDBStateStoreProvider — bucket state must survive the restart
+    // through RocksDB's checkpoint files, not the default in-memory
+    // HDFS-backed map. Conf capture uses getAll MEMBERSHIP, not
+    // getOption (getOption returns the built-in default for never-set
+    // confs, which would pin the default explicitly on restore).
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
+    val prev =
+      if (spark.conf.getAll.contains(providerKey))
+        Some(spark.conf.get(providerKey))
+      else None
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-      val dir = Files.createTempDirectory("graft-neardup-rocks").toString
-      val input = MemoryStream[(Long, String)]
-      def start() = Streaming.streamingNearDupCandidates(
-          input.toDF().toDF("doc_id", "text"), "doc_id", "text")
-        .writeStream.format("parquet").outputMode(OutputMode.Append)
-        .option("path", s"$dir/out")
-        .option("checkpointLocation", s"$dir/cp").start()
-      val q1 = start()
-      try {
-        input.addData(Seq((1L, base),
-          (4L, "totally different words living inside this document here")))
-        q1.processAllAvailable()
-        input.addData(Seq((9L, "unrelated filler content for the middle batch")))
-      } finally q1.stop()
-      val q2 = start()
-      try {
-        input.addData(Seq((2L, base)))
-        q2.processAllAvailable()
-      } finally q2.stop()
-      val pairs = spark.read.parquet(s"$dir/out")
-        .select("i", "j").distinct().as[(Long, Long)].collect().toSet
-      assert(pairs == Set((1L, 2L)),
-        "RocksDB-backed bucket state must survive the restart")
-      val bands = spark.read.parquet(s"$dir/out")
-        .select("band").distinct().as[Int].collect().toSet
-      assert(bands == Set(0, 1, 2, 3))
-    } finally {
+    try nearDupCrashScenario("rocks")
+    finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)

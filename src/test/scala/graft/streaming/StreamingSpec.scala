@@ -209,10 +209,15 @@ class StreamingSpec extends SparkSpec {
       val bands = spark.table("nearcand").select("band")
         .as[Int].collect().toSet
       assert(bands == Set(0, 1, 2, 3))
-      // and the batch OPH path proposes the same candidate on this corpus
+      // and the batch OPH path proposes the same candidate on the SAME
+      // corpus the stream saw — including the sub-k doc 5 and the filler
+      // doc 9 (a reduced corpus would mask a batch-side regression in
+      // empty-signature handling, the exact guard the engine documents)
       val batch = graft.ops.DedupOps.minhashLshCandidatesOph(
           Seq((1L, base), (2L, base),
-            (4L, "totally different words living in this one here"))
+            (4L, "totally different words living in this one here"),
+            (5L, "tiny"),
+            (9L, "unrelated filler content for the middle batch okay"))
             .toDF("doc_id", "text"),
           "doc_id", graft.ops.TextOps.wordShingles(col("text"), 3))
         .select("i", "j").as[(Long, Long)].collect().toSet
