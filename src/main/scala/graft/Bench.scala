@@ -19,8 +19,14 @@ object Bench {
     */
   private def oracleTimings(sfDir: String, names: Seq[String]): Option[String] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE", "1") == "0") return None
-    // created OUTSIDE the try so the finally can always clean it up
-    val tmp = Files.createTempDirectory("graft-bench-oracle")
+    // created OUTSIDE the main try so the finally can always clean it up —
+    // but in its OWN try: a full /tmp or bad perms is an oracle-side
+    // failure and must degrade to None (the stated contract), not crash
+    // the whole bench run
+    val tmp = try Files.createTempDirectory("graft-bench-oracle")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] oracle timing skipped: ${e.getMessage}")
+      return None }
     try {
       val sqls = SparkEntry.oracleSql.toSeq.sortBy(_._1)
         .filter { case (n, _) => names.contains(n) }

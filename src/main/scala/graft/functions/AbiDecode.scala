@@ -366,8 +366,13 @@ case class EvmDecodeEvent(signature: String, allowFail: Boolean,
   // analysis and die mid-job in an anonymous ClassCastException
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val bad = children.zipWithIndex
-      .filterNot(_._1.dataType == org.apache.spark.sql.types.BinaryType)
+    // NullType is accepted alongside BinaryType (standard Spark expression
+    // convention): the decoder's null-prefix rule exists precisely so a
+    // caller can write evm_decode_event(sig, t1, NULL, NULL, data) for a
+    // 1-indexed-param event — a literal NULL must not fail analysis
+    val bad = children.zipWithIndex.filterNot { case (c, _) =>
+      c.dataType == org.apache.spark.sql.types.BinaryType ||
+        c.dataType == org.apache.spark.sql.types.NullType }
     if (bad.isEmpty)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
@@ -388,7 +393,12 @@ case class EvmDecodeEvent(signature: String, allowFail: Boolean,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sigRef = ctx.addReferenceObj("abiSig", sig, "Object")
     val c = children.map(_.genCode(ctx))
-    def arg(e: ExprCode) = s"(${e.isNull} ? null : ${e.value})"
+    // a NullType child's generated value is Object-typed, which Janino
+    // rejects where byte[] is expected — emit a typed null constant instead
+    def arg(i: Int) =
+      if (children(i).dataType == org.apache.spark.sql.types.NullType)
+        "((byte[]) null)"
+      else s"(${c(i).isNull} ? null : ${c(i).value})"
     val row = ctx.freshName("abiRow")
     ev.copy(code = code"""
       |${c(0).code}
@@ -397,7 +407,7 @@ case class EvmDecodeEvent(signature: String, allowFail: Boolean,
       |${c(3).code}
       |org.apache.spark.sql.catalyst.InternalRow $row =
       |  graft.functions.AbiRuntime.decodeEvent($sigRef,
-      |    ${arg(c(0))}, ${arg(c(1))}, ${arg(c(2))}, ${arg(c(3))}, $allowFail);
+      |    ${arg(0)}, ${arg(1)}, ${arg(2)}, ${arg(3)}, $allowFail);
       |boolean ${ev.isNull} = ($row == null);
       |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = $row;
       """.stripMargin)

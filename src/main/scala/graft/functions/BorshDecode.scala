@@ -194,7 +194,10 @@ case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case org.apache.spark.sql.types.BinaryType =>
+      // NullType accepted alongside BinaryType (standard Spark expression
+      // convention): a literal NULL argument is a null row, not a type bug
+      case org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -207,9 +210,12 @@ case class SvmDecodeInstruction(discriminatorHex: String, fieldSpec: String,
     val sigRef = ctx.addReferenceObj("borshSig", sig, "Object")
     nullSafeCodeGen(ctx, ev, d => {
       val row = ctx.freshName("borshRow")
+      // the (byte[]) cast is a no-op for binary children but keeps the
+      // (dead) non-null branch compilable when the child is a NullType
+      // literal, whose generated value is Object-typed
       s"""
          |org.apache.spark.sql.catalyst.InternalRow $row =
-         |  graft.functions.BorshRuntime.decode($sigRef, $d, $allowFail);
+         |  graft.functions.BorshRuntime.decode($sigRef, (byte[]) $d, $allowFail);
          |${ev.isNull} = ($row == null);
          |${ev.value} = $row;
        """.stripMargin

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +23,10 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case org.apache.spark.sql.types.StringType =>
+      // NullType accepted alongside StringType (standard Spark expression
+      // convention): a literal NULL argument is a null row, not a type bug
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -32,7 +36,15 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     DeflateLen.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.compute($c)")
+    // a NullType child's generated value is Object-typed, which Janino
+    // rejects where UTF8String is expected — the result is constant null
+    if (child.dataType == org.apache.spark.sql.types.NullType)
+      ev.copy(code = code"""
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = -1L;
+        """.stripMargin)
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): DeflateLen =
     copy(child = newChild)
 }

@@ -154,7 +154,16 @@ object StatOps {
     * history). The sketch is a dense array<long> of a 2-slot
     * [width, depth] header followed by `depth`×`width` counters (the
     * header is what lets a probe reject a same-product factorization
-    * mismatch a bare length check cannot see); item frequency is
+    * mismatch a bare length check cannot see).
+    *
+    * FORMAT BREAK (r14): sketches persisted by pre-header builds
+    * (headerless, length = depth×width) are NOT readable by this build —
+    * [[cmsEstimate]] rejects them loudly, naming the legacy format. There
+    * is deliberately no silent fallback: [[mergeCmsSketches]] cannot
+    * distinguish a legacy counter in slot 0-1 from a header (it would
+    * `min` two counters instead of summing them — corruption in the
+    * undetectable direction), so legacy artifacts must be rebuilt, not
+    * half-read. Item frequency is
     * estimated as min over rows d of
     * counter[d][hash_d(item) mod width] — a ONE-SIDED estimate (never an
     * undercount; overcounts by at most εN with ε ≈ e/width at the
@@ -255,7 +264,14 @@ object StatOps {
         lit(s"cmsEstimate: sketch built with other parameters than the " +
           s"probe's width=$width depth=$depth (header/length mismatch); " +
           "sketch length "),
-        size(col(sketchCol)).cast(StringType)))))
+        size(col(sketchCol)).cast(StringType),
+        // self-diagnosing for the r14 format break: a pre-header artifact
+        // has exactly depth*width slots and must be rebuilt
+        when(size(col(sketchCol)) === lit(depth * width),
+          lit(" — this is the legacy HEADERLESS length for these " +
+            "parameters; sketches persisted by a pre-header build must " +
+            "be rebuilt with cmsSketch"))
+          .otherwise(lit(""))))))
 
   /** Row-d bucket of a value: hash60 of \"d<SEP>value\" mod width — ONE
     * definition shared by build and probe (a drifted copy would silently

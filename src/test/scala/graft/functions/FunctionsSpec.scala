@@ -332,6 +332,30 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("literal NULL arguments pass the plan-time type gates (NullType)") {
+    import spark.implicits._
+    // the decoder's null-prefix rule exists precisely so a caller can pass
+    // literal NULLs for absent topics — a NullType literal must not fail
+    // the BinaryType analysis gate (r15 ADVICE)
+    val amount = new BigInteger("7")
+    val decoded = Seq((addrTopic(0x11), addrTopic(0x22), word(amount)))
+      .toDF("t1", "t2", "data")
+      .select(F.evm_decode_event(
+        "Transfer(address indexed from, address indexed to, uint256 amount)",
+        col("t1"), col("t2"), lit(null), col("data")).as("d"))
+      .select("d.from", "d.amount")
+    val r = decoded.head()
+    assert(r.getAs[Array[Byte]]("from").forall(_ == 0x11))
+    assert(new BigInteger(1, r.getAs[Array[Byte]]("amount")) == amount)
+    // a literal-NULL data argument is a null row, not an analysis error
+    val svm = Seq(1).toDF("i")
+      .select(F.svm_decode_instruction("f8c6", "amount:u64", lit(null),
+        allowFail = true).as("d"))
+    assert(svm.head().isNullAt(0))
+    // SQL channel, where the NULL literal is the common spelling
+    assert(spark.sql("SELECT deflate_len(NULL) AS n").head().isNullAt(0))
+  }
+
   // --- Borsh instruction decode ----------------------------------------------
 
   test("svm_decode_instruction decodes scalars, strings and fixed bytes") {
