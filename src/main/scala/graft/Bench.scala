@@ -172,14 +172,29 @@ object Bench {
     def reclaim(): Unit = {
       // blocking: the GC below must run AFTER the block removal, or the
       // checkpoint blocks this boundary exists to free survive it and
-      // linger into the next query's window (this is untimed code)
+      // linger into the next query's window (this is untimed code).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      System.gc()
+      // THRESHOLD-gated full GC, not unconditional (r15): ~126 forced
+      // full collections per run put tens of seconds of collector time
+      // into the window's gc_sec — pressure the harness manufactured,
+      // which then read as "the engine was hot" in the driver artifact
+      // (r12 x62, r13 x76, r14 headline). The memory-safety goal
+      // (ContextCleaner frees shuffle/broadcast state only on GC) is kept
+      // by collecting whenever the heap is genuinely filling; below the
+      // threshold the young collector handles the churn on its own.
+      val usage = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      if (usage.getUsed * 2 > usage.getMax) System.gc()
     }
+    // GC time spent INSIDE timed reps, separated from boundary/harness
+    // collections: the one number that distinguishes "the engine's plan
+    // allocates too much" from "the window was hot" without re-running
+    // anything. Accumulated per rep around the same timer.
+    var gcTimedMs = 0L
     val results = selected.map { case (name, fn) =>
       reclaim()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { r =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation (projections, sorts, windows) —
         // count() would let Catalyst prune everything but the row count.
@@ -187,7 +202,18 @@ object Bench {
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcTimedMs += gcMillis - g0
+        // drop THIS rep's checkpoint blocks before the next rep's timer
+        // starts (untimed, blocking so the removal does not race the next
+        // rep): each invocation builds fresh plans and fresh checkpoint
+        // blocks, so the previous rep's are pure old-gen ballast — left
+        // in place they tripled retained blocks across a query's reps and
+        // promoted exactly the garbage whose eventual collection landed
+        // inside a later rep's timer.
+        if (r < reps) spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        dt
       }
       (name, times.min, times.sum / times.size)
     }
@@ -260,7 +286,8 @@ object Bench {
         .mkString(",\"failed\":[", ",", "]")
     val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
-      s""""gc_sec":${num(gcSec, 3)},"heap_mb":$heapUsedMb$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
+      s""""gc_sec":${num(gcSec, 3)},"gc_timed_sec":${num(gcTimedMs / 1e3, 3)},""" +
+      s""""heap_mb":$heapUsedMb$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
     // Full artifact (compact keys + the whole per-query oracle map) is
     // persisted to a file the judge can read in full: sbt prefixes stdout
     // with [info], which broke the driver's parse in round 1.

@@ -172,10 +172,17 @@ object BpeOps {
           else acceptBatchLoose(window.toIndexedSeq, b)
         // one vocab fold + ONE checkpoint per ROUND (not per rule): the
         // accepted merges apply left-to-right exactly as the sequential
-        // loop would, but the lineage flattens once per round
+        // loop would, but the lineage flattens once per round. The
+        // superseded round's checkpoint blocks are freed as soon as the
+        // new one has materialized (eager localCheckpoint) — at
+        // production merge counts (~1000 rounds) letting every round's
+        // vocab table pile up pinned old-gen until the session boundary
+        // was the trainer's dominant retained allocation
+        val prev = vocab
         vocab = accepted.foldLeft(vocab) { case (v, (l, r, _)) =>
           v.withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
         }.localCheckpoint()
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prev)
         accepted.foreach { case (l, r, cnt) =>
           learned += Merge(rank, l, r, cnt)
           rank += 1

@@ -978,6 +978,11 @@ object DedupOps {
         labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
           .select(labels("id"),
             least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")))
+      // `next` is materialized (checkpointProbed ran the job), so the
+      // previous round's checkpoint blocks are unreachable garbage —
+      // free them NOW instead of letting every round's label table pile
+      // up in old gen until the session/harness boundary
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(labels)
       labels = next
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -991,6 +996,9 @@ object DedupOps {
           "(component diameter exceeds maxIter); raise maxIter or pass " +
           "requireConvergence = false for partial labels")
     }
+    // the edge list is loop-scoped: the returned labels are a materialized
+    // checkpoint with no lineage into edges, so its blocks can go now
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(edges)
     labels.select(col("id"), col("comp"))
   }
 

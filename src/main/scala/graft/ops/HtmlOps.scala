@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** HTML → training-text extraction: the FIRST-MILE stage a web-scale
+  * corpus runs before any curation operator sees "clean text" — tag and
+  * script/style/comment stripping, entity decoding, then C4's line-level
+  * retention rules (Raffel et al. 2020, "Exploring the Limits of Transfer
+  * Learning with a Unified Text-to-Text Transformer", §2.2).
+  *
+  * No reference analog (engine capability, like the rest of the curation
+  * suite — the reference at /root/reference starts at decoded rows).
+  *
+  * Everything is column-expression composition (regexp_replace / replace /
+  * split — all codegen'd; zero UDFs), so extraction rides whole-stage
+  * codegen and scales as a narrow map over the corpus: no shuffle until
+  * the optional cross-corpus line dedup, which shuffles (line_hash) — one
+  * 8-byte key per KEPT line, not the raw HTML.
+  *
+  * Fidelity bounds (documented, deliberate — this is the C4 heuristic
+  * tier, not a browser): attribute values containing a literal '>' break
+  * the tag regex; CDATA is not special-cased; only the HTML entities named
+  * in [[HtmlOps.entityMap]] plus no numeric references are decoded. Each
+  * bound matches what a regex-level extractor (the C4 paper's own tier)
+  * can see.
+  */
+object HtmlOps {
+
+  /** Entity decode table, applied in order — `&amp;` LAST, so an
+    * already-escaped `&amp;lt;` decodes to the literal text `&lt;` and
+    * not to `<` (double-decode, the classic extractor bug).
+    */
+  private[graft] val entityMap: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Tags whose CLOSE (or self-close, for `<br>`) ends a text line —
+    * the block-level subset an extractor maps to newlines; everything
+    * else strips to nothing (inline tags must not split words).
+    */
+  private val lineBreakTagRe =
+    "(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|pre)[^>]*>|(?i)<br[^>]*>"
+
+  /** Raw HTML → plain text with line structure: script/style blocks and
+    * comments removed WITH their content (a style sheet leaking `{...}`
+    * into text would then trip C4's page-level brace rule on every page),
+    * block-closing tags become newlines, remaining tags strip to nothing,
+    * then entities decode. Pure column expression — no shuffle, no UDF.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val broke = regexp_replace(noComment, lineBreakTagRe, "\n")
+    val noTags = regexp_replace(broke, "<[^>]*>", "")
+    entityMap.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+  }
+
+  /** C4 §2.2 line retention over extracted HTML: per input doc, the
+    * surviving (line_no, line) rows after
+    *
+    *  - whitespace normalization (collapse runs, trim);
+    *  - the TERMINAL-PUNCTUATION rule (line must end in `.`, `!`, `?`
+    *    or a closing double quote);
+    *  - the MIN-WORDS rule (`minWords`, C4's 3);
+    *  - the "javascript" rule (any line mentioning javascript is
+    *    boilerplate "enable JS" chrome, case-insensitive);
+    *  - optional cross-corpus LINE DEDUP (`dedupLines`): boilerplate
+    *    lines repeated across pages (nav, footer, legal) keep only their
+    *    first occurrence in (docId, line_no) order — C4 §2.2's dedup
+    *    applied at line granularity. The dedup shuffles the kept lines
+    *    once, partitioned BY THE LINE TEXT; at 100 TB the hot keys are
+    *    exactly the boilerplate lines this exists to kill, and each
+    *    bucket collapses to one survivor in the same window pass.
+    *
+    * line_no is the position in the EXTRACTED line list (post tag-strip,
+    * pre filtering), so survivors keep a stable address into their page.
+    */
+  def c4KeptLines(docs: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 3, dedupLines: Boolean = true): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = docs
+      .select(col(idCol), posexplode(split(htmlToText(col(htmlCol)), "\n"))
+        .as(Seq("line_no", "__raw")))
+      .select(col(idCol), col("line_no").cast(LongType).as("line_no"),
+        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line"))
+      .filter(col("line").rlike("[.!?\"]$") &&
+        size(split(col("line"), " ")) >= minWords &&
+        !lower(col("line")).contains("javascript"))
+    if (!dedupLines) lines
+    else {
+      val w = Window.partitionBy(col("line"))
+        .orderBy(col(idCol).asc, col("line_no").asc)
+      lines.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+    }
+  }
+
+  /** Page-level C4 rules over the kept lines: reassemble each page from
+    * its surviving lines and keep only pages that
+    *
+    *  - retained at least `minLines` lines (C4 drops pages with fewer
+    *    than 5 sentences; line granularity here);
+    *  - contain no curly brace (code/templating leak — script/style are
+    *    already stripped, so a brace in TEXT is the page's own);
+    *  - do not mention "lorem ipsum" (case-insensitive).
+    *
+    * Returns (idCol, n_lines, text) for surviving pages, text = kept
+    * lines joined by `\n` in line order. One combinable aggregation.
+    */
+  def c4Pages(docs: DataFrame, idCol: String, htmlCol: String,
+              minWords: Int = 3, minLines: Int = 5,
+              dedupLines: Boolean = true): DataFrame = {
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    c4KeptLines(docs, idCol, htmlCol, minWords, dedupLines)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        concat_ws("\n", array_sort(collect_list(
+          struct(col("line_no"), col("line")))).getField("line")).as("text"))
+      .filter(col("n_lines") >= minLines &&
+        !col("text").contains("{") && !col("text").contains("}") &&
+        !lower(col("text")).contains("lorem ipsum"))
+  }
+}

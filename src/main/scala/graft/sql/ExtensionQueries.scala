@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, DedupOps, DsirOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{BpeOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1565,6 +1565,36 @@ object ExtensionQueries {
         .unionByName(grade(cands(32), "ivf_pq_t32"))
         .select("method", "qid", "n_exact", "n_hit", "recall_bp")
         .orderBy("method", "qid")
+    },
+
+    // x127 — HTML/boilerplate extraction, the FIRST-MILE stage every
+    // web-scale corpus runs before any other curation operator (r15; C4,
+    // Raffel et al. 2020 §2.2). The fixture ships clean text, so each doc
+    // is first wrapped in a deterministic HTML page — head with style
+    // (braces!) and script (angle brackets and quotes!), headings,
+    // paragraph breaks carved at ' window ' word boundaries, entity-
+    // encoded chrome, an "enable JavaScript" banner, a cross-page legal
+    // footer, and a comment hiding tagged content — IDENTICALLY in both
+    // engines. Extraction then proves: script/style/comment content never
+    // leaks, block closes become line breaks, entities decode once,
+    // no-terminal-punctuation and short lines drop, the javascript line
+    // drops, and the repeated footer survives exactly once corpus-wide
+    // (line-level dedup).
+    "x127_html_extract" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val html = concat(
+        lit("<html><head><title>t</title><style>body { margin: 0; }</style>"),
+        lit("<script>var x = \"a < b && c > d\";</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"),
+        replace(col("text"), lit(" window "), lit(".</p><p>")),
+        lit(".</p><div>Research &amp; development data here.</div>"),
+        lit("<p>Please enable JavaScript to view comments here.</p>"),
+        lit("<p>All rights reserved and terms &amp; conditions apply.</p>"),
+        lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
+      HtmlOps.c4KeptLines(d.select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .select("doc_id", "line_no", "line")
+        .orderBy("doc_id", "line_no")
     }
   )
 
@@ -3890,7 +3920,49 @@ object ExtensionQueries {
          | ${gradeSql("ivf_pq_t16", "k16")},
          | ${gradeSql("ivf_pq_t32", "k32")}
          | SELECT * FROM g_k16 UNION ALL SELECT * FROM g_k32
-         | ORDER BY method, qid""".stripMargin
+         | ORDER BY method, qid""".stripMargin,
+
+    // x127 mirror: identical HTML synthesis, then the same strip order
+    // (script → style → comments → block closes → tags → entities with
+    // &amp; decoded LAST), the same line split / whitespace collapse, the
+    // same three line rules, and first-(doc_id, line_no) dedup.
+    "x127_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |     '<html><head><title>t</title><style>body { margin: 0; }</style>'
+        |     || '<script>var x = "a < b && c > d";</script></head><body><h1>Doc '
+        |     || doc_id::VARCHAR || '</h1><p>'
+        |     || replace(text, ' window ', '.</p><p>')
+        |     || '.</p><div>Research &amp; development data here.</div>'
+        |     || '<p>Please enable JavaScript to view comments here.</p>'
+        |     || '<p>All rights reserved and terms &amp; conditions apply.</p>'
+        |     || '<!-- hidden <p>Not real content.</p> --></body></html>' AS html
+        |   FROM documents),
+        | txt AS (SELECT doc_id,
+        |     replace(replace(replace(replace(replace(replace(replace(
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(html,
+        |         '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+        |         '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        |         '(?s)<!--.*?-->', ' ', 'g'),
+        |         '(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|pre)[^>]*>|(?i)<br[^>]*>', chr(10), 'g'),
+        |         '<[^>]*>', '', 'g'),
+        |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+        |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t
+        |   FROM h),
+        | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
+        | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,
+        |     trim(regexp_replace(e.raw, '\s+', ' ', 'g')) line
+        |   FROM (SELECT doc_id, unnest(list_transform(range(0, len(parts)),
+        |       i -> struct_pack(line_no := i,
+        |                        raw := parts[(i+1)::INT]))) e FROM lp)),
+        | kept AS (SELECT * FROM ln
+        |   WHERE regexp_matches(line, '[.!?"]$')
+        |     AND len(string_split(line, ' ')) >= 3
+        |     AND NOT contains(lower(line), 'javascript')),
+        | dd AS (SELECT doc_id, line_no, line, row_number() OVER
+        |     (PARTITION BY line ORDER BY doc_id, line_no) rk FROM kept)
+        | SELECT doc_id, line_no, line FROM dd WHERE rk = 1
+        | ORDER BY doc_id, line_no""".stripMargin
   )
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →

@@ -20,4 +20,30 @@ object Bridge {
                      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist` only talks to the CacheManager; a local
+    * checkpoint's blocks belong to the underlying RDD (reachable through
+    * the plan's `LogicalRDD`, which is `private[sql]` — hence this lives
+    * in the bridge). Driver-iterated loops (connected components, BPE
+    * rounds) replace their checkpoint every round; without this the
+    * superseded rounds' blocks stay pinned until the session boundary —
+    * old-gen ballast whose eventual collection lands inside somebody
+    * else's timing window (SURVEY §6.2, r15).
+    *
+    * Caller contract: the Dataset must be SUPERSEDED — a localCheckpoint
+    * has truncated lineage, so its rows are unrecoverable after this.
+    * No-op for plans that are not a materialized checkpoint/RDD scan.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      case _ => ()
+    }
 }

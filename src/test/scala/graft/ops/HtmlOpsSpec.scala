@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HTML extraction + C4 line rules (Raffel et al. 2020 §2.2): tag
+  * stripping, script/style/comment content removal, entity decoding
+  * order, and each line-retention rule at its edge.
+  */
+class HtmlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(HtmlOps.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+
+  private def kept(rows: (Long, String)*): Seq[(Long, Long, String)] =
+    HtmlOps.c4KeptLines(rows.toDF("id", "html"), "id", "html")
+      .orderBy("id", "line_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+  test("script/style/comment content is removed, not just the tags") {
+    val t = extract(
+      "<style>p { color: red; }</style>before " +
+        "<script>if (a < b) { alert(\"x\"); }</script>after" +
+        "<!-- secret <p>tagged</p> -->done")
+    assert(!t.contains("color") && !t.contains("alert") &&
+      !t.contains("secret") && !t.contains("{"))
+    assert(t.contains("before") && t.contains("after") && t.contains("done"))
+  }
+
+  test("nested and inline tags strip without splitting words") {
+    // inline <b> inside a word must not introduce a space; block closes
+    // become newlines even when nested
+    assert(extract("bol<b>d</b> text") == "bold text")
+    val t = extract("<div><p>one.</p><p>two.</p></div>")
+    assert(t.split("\n").map(_.trim).filter(_.nonEmpty).toSeq ==
+      Seq("one.", "two."))
+  }
+
+  test("entities decode once, &amp; last (no double decode)") {
+    assert(extract("a &lt;tag&gt; &quot;q&quot; &#39;s&apos; b") ==
+      "a <tag> \"q\" 's' b")
+    // &amp;lt; is the ESCAPED text "&lt;" — decoding &amp; first would
+    // turn it into a live < and re-decode
+    assert(extract("x &amp;lt; y") == "x &lt; y")
+    assert(extract("a&nbsp;b") == "a b")
+  }
+
+  test("terminal punctuation rule: ., !, ?, closing quote pass; bare text drops") {
+    val r = kept(
+      1L -> ("<p>this line ends well.</p><p>this line ends not</p>" +
+        "<p>exclaimed line stands here!</p><p>question line stands here?</p>" +
+        "<p>quoted line ends \"here.\"</p>"))
+    assert(r.map(_._3) == Seq("this line ends well.",
+      "exclaimed line stands here!", "question line stands here?",
+      "quoted line ends \"here.\""))
+  }
+
+  test("min-words rule: exactly 3 words pass, 2 words drop") {
+    val r = kept(1L -> "<p>three words here.</p><p>two words.</p>")
+    assert(r.map(_._3) == Seq("three words here."))
+  }
+
+  test("javascript rule is case-insensitive") {
+    val r = kept(1L -> ("<p>Please enable JavaScript to continue.</p>" +
+      "<p>plain honest content line.</p>"))
+    assert(r.map(_._3) == Seq("plain honest content line."))
+  }
+
+  test("line dedup keeps the first (doc, position) occurrence only") {
+    val r = kept(
+      2L -> "<p>unique to doc two.</p><p>shared footer line here.</p>",
+      1L -> "<p>unique to doc one.</p><p>shared footer line here.</p>")
+    // the footer survives once, at doc 1 (lowest id), its own line_no
+    assert(r == Seq(
+      (1L, 0L, "unique to doc one."),
+      (1L, 1L, "shared footer line here."),
+      (2L, 0L, "unique to doc two.")))
+    // dedupLines = false keeps both
+    val all = HtmlOps.c4KeptLines(
+        Seq(2L -> "<p>shared footer line here.</p>",
+          1L -> "<p>shared footer line here.</p>").toDF("id", "html"),
+        "id", "html", dedupLines = false)
+      .collect()
+    assert(all.length == 2)
+  }
+
+  test("whitespace collapses before the word count and line_no is stable") {
+    // tags stripped mid-line leave double spaces; the 3-word count must
+    // see collapsed words. line_no addresses the extracted line list, so
+    // a dropped line still advances the counter.
+    val r = kept(1L ->
+      "<p>dropped</p><p>kept   <i>words</i>   here.</p>")
+    assert(r == Seq((1L, 1L, "kept words here.")))
+  }
+
+  test("c4Pages applies page-level rules on reassembled kept lines") {
+    val good = (1 to 6).map(i => s"<p>good content line number $i.</p>").mkString
+    val pages = HtmlOps.c4Pages(
+      Seq(1L -> good,
+        2L -> "<p>only two good lines here.</p><p>not enough lines survive.</p>",
+        3L -> (good.replace("number", "alt") +
+          "<p>this page mentions lorem ipsum sadly.</p>"),
+        4L -> (good.replace("number", "brace") + "<p>code leak { inline }.</p>"))
+        .toDF("id", "html"),
+      "id", "html")
+    val surviving = pages.select("id").as[Long].collect().toSet
+    assert(surviving == Set(1L))
+    val row = pages.filter(col("id") === 1L).head()
+    assert(row.getAs[Long]("n_lines") == 6L)
+    assert(row.getAs[String]("text").split("\n").length == 6)
+  }
+}

@@ -45,6 +45,43 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("x114 snapshot diff runs exchange-free over bucketed snapshots") {
+    // the DECLARED x114 flow (ExtensionQueries x114_snapshot_diff) over
+    // snapshots persisted through BucketedCatalogSink: both scans read
+    // bucket-aligned, the full-outer merge joins with ZERO exchange, and
+    // the rows are identical to the unbucketed path
+    val d = (0L until 500L).map(i => (i, s"text of document number $i"))
+      .toDF("doc_id", "text")
+    val nw = d.filter($"doc_id" % 7 =!= 0)
+      .withColumn("text", when($"doc_id" % 5 === 0,
+        concat($"text", lit(" updated"))).otherwise($"text"))
+      .unionByName(d.filter($"doc_id" % 3 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    withTables("snap_old", "snap_new") {
+      BucketedCatalogSink(Map(
+          "snap_old" -> ("doc_id", 8), "snap_new" -> ("doc_id", 8)))
+        .push(Map("snap_old" -> d, "snap_new" -> nw))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val diff = graft.ops.StatOps.snapshotDiff(
+          spark.table("snap_old"), spark.table("snap_new"), "doc_id", "text")
+        val p = diff.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed x114 join still shuffles:\n$p")
+        assert(p.contains("SortMergeJoin"), p)
+        val got = diff.orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val expect = graft.ops.StatOps.snapshotDiff(d, nw, "doc_id", "text")
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got == expect)
+        assert(got.nonEmpty && got.map(_._2).toSet ==
+          Set("added", "removed", "unchanged", "changed"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("mismatched bucket counts DO exchange (negative control) and an " +
       "unknown bucketed table fails loudly") {
     val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
