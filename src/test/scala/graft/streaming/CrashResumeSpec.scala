@@ -199,6 +199,105 @@ class CrashResumeSpec extends SparkSpec {
     nearDupCrashScenario("hdfs")
   }
 
+  test("streaming curation capstone: gopher gate -> dedup-vs-reference -> " +
+      "near-dup candidates + exact dedup -> pipelineWriter, killed and " +
+      "restarted mid-stream, output == uninterrupted run") {
+    // The streaming sibling of the x94 manifest pipeline, ONE flow from
+    // the declared pieces: quality gate (gopherFilter, stateless narrow),
+    // dedup against a static reference corpus (stream-static anti-join),
+    // near-dup candidate pairs at ingest (flatMapGroupsWithState bucket
+    // state), exact within-stream dedup (dropDuplicatesWithinWatermark
+    // state), and the step-fold sink (pipelineWriter -> ParquetSink).
+    // Both stateful stages must carry their state across a kill+restart:
+    // the post-restart exact duplicate can only be dropped, and can only
+    // pair, if batch-1 state survived the checkpoint round trip.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val textA = "the quick brown fox jumps over and beyond all lazy dogs " +
+      "with great speed today"
+    val textR = "the reference corpus already contains this exact document " +
+      "and its words here"
+    val textB = "and many other things happen to the world when streams " +
+      "keep flowing onward"
+    val b1 = Seq((1L, textA), (3L, textR), (4L, "bad bad bad bad bad"))
+    val b2 = Seq((9L, textB))      // pending at the restart
+    val b3 = Seq((12L, textA))     // the post-restart exact duplicate
+    val reference = Seq((100L, textR)).toDF("ref_id", "text")
+
+    def curatedStream(input: MemoryStream[(Long, String)]): DataFrame = {
+      val docs = input.toDF().toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      val quality = graft.ops.TextOps
+        .gopherFilter(docs, minWords = 10L)
+        .filter(col("keep")).select("doc_id", "text", "ts")
+      Streaming.streamingDedupVsReference(quality, reference, "text")
+    }
+    def startDocs(input: MemoryStream[(Long, String)], dir: String) =
+      Streaming.pipelineWriter(
+          Streaming.streamingDedup(
+            curatedStream(input).withColumn("__ch", md5(col("text"))),
+            "ts", "1 hour", "__ch").drop("__ch"),
+          tableName = "docs",
+          steps = Seq(Steps.SetChainId(1L)),
+          sink = ParquetSink(s"$dir/warehouse"),
+          checkpointDir = s"$dir/cp_docs")
+        .start()
+    def startPairs(input: MemoryStream[(Long, String)], dir: String) =
+      Streaming.streamingNearDupCandidates(
+          curatedStream(input), "doc_id", "text")
+        .writeStream.format("parquet")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("path", s"$dir/pairs")
+        .option("checkpointLocation", s"$dir/cp_pairs").start()
+
+    def docsOf(dir: String): Set[(Long, String, Long)] =
+      spark.read.parquet(s"$dir/warehouse/docs")
+        .select("doc_id", "text", "chain_id")
+        .as[(Long, String, Long)].collect().toSet
+    def pairsOf(dir: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$dir/pairs").select("i", "j", "band")
+        .as[(Long, Long, Int)].collect().toSet
+
+    // ---- reference: all three batches, uninterrupted ----
+    val refDir = Files.createTempDirectory("graft-capstone-ref").toString
+    val refIn = MemoryStream[(Long, String)]
+    val qd = startDocs(refIn, refDir)
+    val qp = startPairs(refIn, refDir)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        refIn.addData(b); qd.processAllAvailable(); qp.processAllAvailable()
+      }
+    } finally { qd.stop(); qp.stop() }
+    val expectDocs = docsOf(refDir)
+    val expectPairs = pairsOf(refDir)
+    // the fixture does what it claims: quality dropped 4, the reference
+    // corpus dropped 3, exact dedup dropped 12, the dup still paired
+    assert(expectDocs.map(_._1) == Set(1L, 9L), expectDocs)
+    assert(expectDocs.forall(_._3 == 1L), "step fold did not run")
+    assert(expectPairs.map(p => (p._1, p._2)) == Set((1L, 12L)), expectPairs)
+    assert(expectPairs.map(_._3) == Set(0, 1, 2, 3))
+
+    // ---- crash run: commit b1, kill BOTH queries, leave b2 pending,
+    // restart from the same checkpoints, land the duplicate ----
+    val dir = Files.createTempDirectory("graft-capstone-crash").toString
+    val in = MemoryStream[(Long, String)]
+    val qd1 = startDocs(in, dir)
+    val qp1 = startPairs(in, dir)
+    try {
+      in.addData(b1); qd1.processAllAvailable(); qp1.processAllAvailable()
+    } finally { qd1.stop(); qp1.stop() }
+    in.addData(b2) // after the stop: deterministically pending
+    val qd2 = startDocs(in, dir)
+    val qp2 = startPairs(in, dir)
+    try {
+      in.addData(b3); qd2.processAllAvailable(); qp2.processAllAvailable()
+    } finally { qd2.stop(); qp2.stop() }
+    assert(docsOf(dir) == expectDocs)
+    assert(pairsOf(dir) == expectPairs)
+  }
+
   test("streaming near-dup state on the ROCKSDB store: same crash " +
       "contract on the provider a 100 TB ingest actually runs") {
     // The scale claim ("RocksDB-backed at scale") materialized: the
