@@ -169,22 +169,30 @@ object Bench {
     // while the suite's maps might still reference the plans) and (b) one
     // GC per query boundary, which bounds retained garbage to a single
     // query's reps instead of the whole suite.
+    var sinceGc = 0
     def reclaim(): Unit = {
       // blocking: the GC below must run AFTER the block removal, or the
       // checkpoint blocks this boundary exists to free survive it and
       // linger into the next query's window (this is untimed code).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      // THRESHOLD-gated full GC, not unconditional (r15): ~126 forced
-      // full collections per run put tens of seconds of collector time
-      // into the window's gc_sec — pressure the harness manufactured,
-      // which then read as "the engine was hot" in the driver artifact
-      // (r12 x62, r13 x76, r14 headline). The memory-safety goal
-      // (ContextCleaner frees shuffle/broadcast state only on GC) is kept
-      // by collecting whenever the heap is genuinely filling; below the
-      // threshold the young collector handles the churn on its own.
+      // GATED full GC, not unconditional (r15): ~126 forced full
+      // collections per run put tens of seconds of collector time into
+      // the window's gc_sec — pressure the harness manufactured, which
+      // then read as "the engine was hot" in the driver artifact
+      // (r12 x62, r13 x76, r14 headline). Two triggers remain: heap
+      // genuinely filling (used > max/2), and a fixed every-16-queries
+      // cadence — the latter because ContextCleaner also frees
+      // DISK-side shuffle/broadcast files that the heap check cannot
+      // see; a bounded GC cadence bounds how long dead shuffle state
+      // can pin local-dir space, at ~8 forced collections per run
+      // instead of 126.
+      sinceGc += 1
       val usage = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
-      if (usage.getUsed * 2 > usage.getMax) System.gc()
+      if (usage.getUsed * 2 > usage.getMax || sinceGc >= 16) {
+        System.gc()
+        sinceGc = 0
+      }
     }
     // GC time spent INSIDE timed reps, separated from boundary/harness
     // collections: the one number that distinguishes "the engine's plan
@@ -193,6 +201,12 @@ object Bench {
     var gcTimedMs = 0L
     val results = selected.map { case (name, fn) =>
       reclaim()
+      // per-QUERY accumulator, folded into the global count only for
+      // queries that survive: a failed query's reps are excluded from
+      // every reported number, so their collector time must not appear
+      // in gc_timed_sec either (it would be GC attributable to nothing
+      // the artifact shows)
+      var qGcMs = 0L
       val times = (1 to reps).map { r =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
@@ -203,7 +217,7 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
-        gcTimedMs += gcMillis - g0
+        qGcMs += gcMillis - g0
         // drop THIS rep's checkpoint blocks before the next rep's timer
         // starts (untimed, blocking so the removal does not race the next
         // rep): each invocation builds fresh plans and fresh checkpoint
@@ -215,6 +229,7 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         dt
       }
+      if (!failed.contains(name)) gcTimedMs += qGcMs
       (name, times.min, times.sum / times.size)
     }
       // a failed query's time-to-failure must NOT flatter the headline

@@ -38,11 +38,18 @@ object HtmlOps {
     "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
   /** Tags whose CLOSE (or self-close, for `<br>`) ends a text line —
-    * the block-level subset an extractor maps to newlines; everything
-    * else strips to nothing (inline tags must not split words).
+    * the block-level subset an extractor maps to newlines (incl. table
+    * cells, so adjacent cell text never concatenates into one word);
+    * everything else strips to nothing (inline tags must not split
+    * words). Close tags take only trailing whitespace (`\s*>`), and the
+    * `<br>` arms require `/`, `>`, or whitespace right after the name —
+    * RE2 (the oracle's engine) has no lookahead, and a bare `[^>]*`
+    * suffix made `</progress>` match the `p` arm and `<brand>` match
+    * `<br` (prefix-capture bugs, r15 review).
     */
   private val lineBreakTagRe =
-    "(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|pre)[^>]*>|(?i)<br[^>]*>"
+    "(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\\s*>" +
+      "|(?i)<br\\s*/?>|(?i)<br\\s[^>]*>"
 
   /** Raw HTML → plain text with line structure: script/style blocks and
     * comments removed WITH their content (a style sheet leaking `{...}`

@@ -1376,12 +1376,8 @@ object ExtensionQueries {
     // (x60/x73) run from. The refresh is simulated deterministically.
     "x114_snapshot_diff" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents")).select("doc_id", "text")
-      val nw = d.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" updated"))).otherwise(col("text")))
-        .unionByName(d.filter(col("doc_id") % 3 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      StatOps.snapshotDiff(d, nw, "doc_id", "text").orderBy("doc_id")
+      StatOps.snapshotDiff(d, refreshSnapshot(d), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // x115 — source-mix drift between the same two snapshots: per source,
@@ -1511,11 +1507,7 @@ object ExtensionQueries {
     // refresh never re-bills the unchanged 99%.
     "x125_refresh_manifest" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents")).select("doc_id", "source", "text")
-      val nw = d.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" updated"))).otherwise(col("text")))
-        .unionByName(d.filter(col("doc_id") % 3 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val nw = refreshSnapshot(d)
       val work = StatOps.snapshotDiff(d.select("doc_id", "text"),
           nw.select("doc_id", "text"), "doc_id", "text")
         .filter(col("status").isin("added", "changed")).select("doc_id")
@@ -1597,6 +1589,22 @@ object ExtensionQueries {
         .orderBy("doc_id", "line_no")
     }
   )
+
+  /** The refresh-snapshot synthesis shared by x114 and x125 — and by the
+    * BucketedJoinSpec plan gate and the BucketedDiff measurement main,
+    * which claim to exercise "the x114 flow": drop every 7th doc, append
+    * " updated" to every 5th surviving text, re-add every 3rd under a
+    * +1e6 id (added/changed/removed/unchanged all populated). ONE
+    * definition (r15 review: three verbatim copies had decoupled the
+    * SURVEY measurement and the zero-exchange gate from the queries they
+    * mirror). Works over any frame carrying (doc_id, text, ...).
+    */
+  private[graft] def refreshSnapshot(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" updated"))).otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
 
   /** Shared head of the curation composites (x34 exact / x64 LSH-verify):
     * quality filter → exact dedup. The quality subtree (regex-heavy) and
@@ -3944,7 +3952,7 @@ object ExtensionQueries {
         |         '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
         |         '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
         |         '(?s)<!--.*?-->', ' ', 'g'),
-        |         '(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|pre)[^>]*>|(?i)<br[^>]*>', chr(10), 'g'),
+        |         '(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\s*>|(?i)<br\s*/?>|(?i)<br\s[^>]*>', chr(10), 'g'),
         |         '<[^>]*>', '', 'g'),
         |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
         |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t

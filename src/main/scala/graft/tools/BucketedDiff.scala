@@ -34,24 +34,26 @@ object BucketedDiff {
     val spark = graft.GraftSession.getOrCreate()
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
-    // the x114 synthesis, verbatim
-    val nw = d.filter(col("doc_id") % 7 =!= 0)
-      .withColumn("text", when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" updated"))).otherwise(col("text")))
-      .unionByName(d.filter(col("doc_id") % 3 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+    // the x114 synthesis — the ONE shared definition the query uses
+    val nw = graft.sql.ExtensionQueries.refreshSnapshot(d)
 
     def drop(names: String*): Unit =
       names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-    drop("bdiff_old_b", "bdiff_new_b", "bdiff_old_u", "bdiff_new_u")
+    drop("bdiff_old_b", "bdiff_new_b", "bdiff_old_u", "bdiff_new_u",
+      "bdiff_warm")
+    // warm the catalog/committer path before timing either layout: the
+    // session's FIRST saveAsTable pays warehouse init + codec/classload
+    // costs that would otherwise be charged to whichever write ran first
+    d.limit(1).write.mode("overwrite").saveAsTable("bdiff_warm")
+    drop("bdiff_warm")
+    val wPlain = time(1) {
+      d.write.mode("overwrite").saveAsTable("bdiff_old_u")
+      nw.write.mode("overwrite").saveAsTable("bdiff_new_u")
+    }
     val wBucketed = time(1) {
       BucketedCatalogSink(Map(
           "bdiff_old_b" -> ("doc_id", 32), "bdiff_new_b" -> ("doc_id", 32)))
         .push(Map("bdiff_old_b" -> d, "bdiff_new_b" -> nw))
-    }
-    val wPlain = time(1) {
-      d.write.mode("overwrite").saveAsTable("bdiff_old_u")
-      nw.write.mode("overwrite").saveAsTable("bdiff_new_u")
     }
 
     def diff(o: String, n: String): DataFrame =

@@ -32,15 +32,22 @@ object Bridge {
     * old-gen ballast whose eventual collection lands inside somebody
     * else's timing window (SURVEY §6.2, r15).
     *
-    * Caller contract: the Dataset must be SUPERSEDED — a localCheckpoint
-    * has truncated lineage, so its rows are unrecoverable after this.
-    * No-op for plans that are not a materialized checkpoint/RDD scan.
+    * Caller contract — this is a DESTRUCTIVE narrow-purpose helper, not
+    * a general cleanup: it unpersists whatever persisted RDD backs the
+    * plan's root RDD scan. The Dataset must be one the CALLER created
+    * via `localCheckpoint()` and has fully superseded (a checkpoint's
+    * lineage is truncated, so its rows are UNRECOVERABLE after this —
+    * unpersisting someone else's RDD-backed frame loses their data,
+    * not just a cache). No-op for plans that are not an RDD scan or
+    * whose RDD is not persisted.
     */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df match {
       case d: org.apache.spark.sql.classic.Dataset[_] =>
         d.queryExecution.logical match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
+          case l: org.apache.spark.sql.execution.LogicalRDD
+              if l.rdd.getStorageLevel !=
+                org.apache.spark.storage.StorageLevel.NONE =>
             l.rdd.unpersist(blocking = false)
           case _ => ()
         }

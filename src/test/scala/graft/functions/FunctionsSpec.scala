@@ -354,6 +354,18 @@ class FunctionsSpec extends SparkSpec {
     assert(svm.head().isNullAt(0))
     // SQL channel, where the NULL literal is the common spelling
     assert(spark.sql("SELECT deflate_len(NULL) AS n").head().isNullAt(0))
+    // NON-foldable NullType children (a conditional over a column):
+    // all-literal calls constant-fold before codegen, so only these
+    // actually compile the NullType doGenCode branches being shipped
+    val nf = when(col("i") > 0, lit(null)).otherwise(lit(null))
+    val svmNf = Seq(1).toDF("i")
+      .select(F.svm_decode_instruction("f8c6", "amount:u64", nf,
+        allowFail = true).as("d"))
+    assert(svmNf.head().isNullAt(0))
+    Seq(1).toDF("i").createOrReplaceTempView("nulltype_nf")
+    assert(spark.sql(
+      "SELECT deflate_len(IF(i > 0, NULL, NULL)) AS n FROM nulltype_nf")
+      .head().isNullAt(0))
   }
 
   // --- Borsh instruction decode ----------------------------------------------

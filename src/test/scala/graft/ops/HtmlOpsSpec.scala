@@ -40,6 +40,24 @@ class HtmlOpsSpec extends SparkSpec {
       Seq("one.", "two."))
   }
 
+  test("close-tag matching is exact: </progress> and <brand> are not line " +
+      "breaks, table cells are") {
+    // prefix-capture regression (r15 review): '</progress>' must not
+    // match the 'p' arm, '<brand>' must not match '<br' — the sentence
+    // must survive as ONE line (inline strip, no injected newline)
+    val one = extract("<p>See the <progress></progress> bar details here.</p>")
+    assert(one.split("\n").count(_.trim.nonEmpty) == 1, one)
+    assert(extract("our <brand>x</brand> name") == "our x name")
+    // adjacent cells must not concatenate into one word
+    val cells = extract("<table><tr><td>Price</td><td>10 USD.</td></tr></table>")
+    assert(!cells.contains("Price10"), cells)
+    assert(cells.split("\n").map(_.trim).filter(_.nonEmpty).toSeq ==
+      Seq("Price", "10 USD."))
+    // br forms: bare, self-closed, spaced, attributed
+    assert(extract("a<br>b<br/>c<br />d<br class=\"x\">e")
+      .split("\n").toSeq == Seq("a", "b", "c", "d", "e"))
+  }
+
   test("entities decode once, &amp; last (no double decode)") {
     assert(extract("a &lt;tag&gt; &quot;q&quot; &#39;s&apos; b") ==
       "a <tag> \"q\" 's' b")

@@ -52,11 +52,7 @@ class BucketedJoinSpec extends SparkSpec {
     // the rows are identical to the unbucketed path
     val d = (0L until 500L).map(i => (i, s"text of document number $i"))
       .toDF("doc_id", "text")
-    val nw = d.filter($"doc_id" % 7 =!= 0)
-      .withColumn("text", when($"doc_id" % 5 === 0,
-        concat($"text", lit(" updated"))).otherwise($"text"))
-      .unionByName(d.filter($"doc_id" % 3 === 0)
-        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val nw = graft.sql.ExtensionQueries.refreshSnapshot(d)
     withTables("snap_old", "snap_new") {
       BucketedCatalogSink(Map(
           "snap_old" -> ("doc_id", 8), "snap_new" -> ("doc_id", 8)))
