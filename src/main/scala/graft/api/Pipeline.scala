@@ -175,14 +175,24 @@ final case class BlockRangeSource(dir: String, tables: Seq[String],
   def batches(spark: SparkSession): Iterator[Map[String, DataFrame]] = {
     // loud typo guard (the AnchorLast policy): a rangeColumn matching NO
     // table would silently disable slicing — every slice emitting every
-    // table in full, N-fold duplication through an append sink
+    // table in full, N-fold duplication through an append sink.
+    // Membership follows the SESSION'S resolution rules (case-insensitive
+    // unless spark.sql.caseSensitive): a case-sensitive contains() here
+    // classified a case-differing table as a static dimension even though
+    // df(rangeColumn) below would have resolved on it fine — the exact
+    // N-fold duplication this guard exists to prevent (r15 review).
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def hasRangeCol(df: DataFrame): Boolean =
+      if (caseSensitive) df.columns.contains(rangeColumn)
+      else df.columns.exists(_.equalsIgnoreCase(rangeColumn))
     val probe = graft.sources.Tables.bundle(spark, dir, tables)
-    require(probe.values.exists(_.columns.contains(rangeColumn)),
+    require(probe.values.exists(hasRangeCol),
       s"rangeColumn '$rangeColumn' exists in none of $tables")
     (fromValue until toValue by step).iterator.map { lo =>
       val hi = math.min(lo + step, toValue)
       probe.map { case (name, df) =>
-        name -> (if (df.columns.contains(rangeColumn))
+        name -> (if (hasRangeCol(df))
           df.filter(df(rangeColumn) >= lo && df(rangeColumn) < hi)
         else df)
       }

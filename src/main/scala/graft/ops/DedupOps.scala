@@ -78,7 +78,7 @@ object DedupOps {
     * (an int id's raw 4 bytes reinterpreted) or ClassCastException — fail
     * at plan time with the actual type named instead.
     */
-  private def requireLongId(df: DataFrame, idCol: String): Unit =
+  private[graft] def requireLongId(df: DataFrame, idCol: String): Unit =
     require(df.schema(idCol).dataType == LongType,
       s"$idCol must be LongType for the pair kernels " +
         s"(got ${df.schema(idCol).dataType.simpleString})")

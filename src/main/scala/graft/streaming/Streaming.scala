@@ -167,7 +167,11 @@ object Streaming {
   }
 
   /** A near-dup candidate pair emitted by [[streamingNearDupCandidates]]:
-    * doc `j` arrived and collided with already-seen doc `i` on `band`.
+    * two docs collided on `band`, NORMALIZED to `i < j` — the batch pair
+    * convention (`DedupOps.nearDupPairs`), NOT arrival order. A consumer
+    * implementing keep-first dedup must therefore break ties by its own
+    * arrival record (or id policy), not by assuming `i` arrived first —
+    * when the later arrival has the smaller id, it lands in `i`.
     */
   final case class StreamCand(i: Long, j: Long, band: Int)
 
@@ -191,13 +195,35 @@ object Streaming {
     * stored ids but are not themselves stored — the documented
     * lower-bound semantics. State lives in the checkpointed state store
     * (RocksDB at scale), never driver memory.
+    *
+    * Delivery is at-least-once at the PAIR level: an at-cap bucket does
+    * not store new arrivals, so a redelivered (or re-crawled) doc that
+    * hit a full bucket re-emits the same pairs — consumers must treat
+    * (i, j, band) as a set (the downstream exact verification's
+    * `distinct` does exactly this).
+    *
+    * `evictAfter` bounds state for perpetual ingest: buckets idle longer
+    * than the duration are evicted (processing-time timeout), so a dup
+    * of a doc older than the horizon goes undetected — the deliberate
+    * bounded-horizon trade; leave None for replay/tests, where state
+    * must be exact. Without it, distinct band signatures accumulate in
+    * the store forever (linear in corpus size).
     */
   def streamingNearDupCandidates(stream: DataFrame, idCol: String,
                                  textCol: String, k: Int = 3,
                                  numHashes: Int = 16, bandRows: Int = 4,
-                                 maxBucket: Int = 64): Dataset[StreamCand] = {
+                                 maxBucket: Int = 64,
+                                 evictAfter: Option[String] = None)
+      : Dataset[StreamCand] = {
     require(bandRows > 0 && numHashes > 0 && numHashes % bandRows == 0,
       s"bandRows ($bandRows) must divide numHashes ($numHashes)")
+    // maxBucket = 0 would silently store nothing and emit nothing — the
+    // silent-zero-output class this codebase fails loudly on elsewhere
+    require(maxBucket > 0, s"maxBucket must be > 0, got $maxBucket")
+    // same loud plan-time gate as every batch pair kernel: a silent
+    // cast('long') turned bad ids into mid-stream decode crashes (null
+    // ids) or silently merged docs (truncating numeric ids)
+    graft.ops.DedupOps.requireLongId(stream, idCol)
     import stream.sparkSession.implicits._
     val hs = transform(graft.ops.TextOps.wordShingles(col(textCol), k),
       s => graft.ops.TextOps.hash60(s))
@@ -209,33 +235,43 @@ object Streaming {
     // contract) — unguarded, every sub-k-token doc would share the
     // all-empty signature and pair with every other one
     val signed = stream.filter(size(hs) > 0)
-      .select(col(idCol).cast("long").as("id"), struct(mins: _*).as("m"))
+      .select(col(idCol).as("id"), struct(mins: _*).as("m"))
     val mcols = (0 until numHashes).map(j => col(s"m.m$j"))
     val bandStructs = (0 until numHashes / bandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until bandRows).map(r =>
           dense(mcols, b * bandRows + r).cast("string")): _*).as("sig"))
     }
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     signed.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .as[(Long, Int, String)]
       .groupByKey { case (_, band, sig) => (band, sig) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[Seq[Long]]) =>
-          var seen = state.getOption.getOrElse(Vector.empty[Long])
-          val out = Seq.newBuilder[StreamCand]
-          rows.foreach { case (id, band, _) =>
-            if (!seen.contains(id)) {
-              seen.foreach { p =>
-                out += StreamCand(math.min(p, id), math.max(p, id), band)
+          if (state.hasTimedOut) {
+            // idle bucket past the horizon: evict silently (candidates
+            // are a side output — there is no final flush to emit)
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Vector.empty[Long])
+            val out = Seq.newBuilder[StreamCand]
+            rows.foreach { case (id, band, _) =>
+              if (!seen.contains(id)) {
+                seen.foreach { p =>
+                  out += StreamCand(math.min(p, id), math.max(p, id), band)
+                }
+                if (seen.size < maxBucket) seen = seen :+ id
               }
-              if (seen.size < maxBucket) seen = seen :+ id
             }
+            state.update(seen)
+            evictAfter.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 

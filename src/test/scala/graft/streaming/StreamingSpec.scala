@@ -223,6 +223,20 @@ class StreamingSpec extends SparkSpec {
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(batch == pairs)
     } finally q.stop()
+    // loud plan-time gates (r15 review): a non-long id must fail by name
+    // (the batch requireLongId contract), and maxBucket = 0 must not
+    // silently disable candidate detection
+    val strIds = Seq(("doc-1", base)).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Streaming.streamingNearDupCandidates(strIds, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("LongType"))
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.streamingNearDupCandidates(
+        Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+        maxBucket = 0)
+    }
+    assert(e2.getMessage.contains("maxBucket"))
   }
 
   test("foreachBatch runs the batch step pipeline per micro-batch") {
