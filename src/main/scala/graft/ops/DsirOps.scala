@@ -83,8 +83,15 @@ object DsirOps {
   private def weightTableFrom(fr: DataFrame, ft: DataFrame,
                               numBuckets: Int): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // the bucket counts are ≤ numBuckets rows of METADATA but their
+    // lineage is the corpus-scale featurization — each feeds TWO
+    // consumers (the join and its total), so lazily the md5 feature
+    // kernel re-ran per consumer and the "two corpus passes" job was
+    // four (r15 review). localCheckpoint the bounded tables instead.
     val cr = fr.groupBy(col("b")).agg(count(lit(1)).as("n_raw"))
+      .localCheckpoint()
     val ct = ft.groupBy(col("b")).agg(count(lit(1)).as("n_target"))
+      .localCheckpoint()
     val totR = cr.agg(sum(col("n_raw")).as("tot_raw"))
     val totT = ct.agg(sum(col("n_target")).as("tot_target"))
     cr.join(ct, Seq("b"), "full_outer")
@@ -99,7 +106,11 @@ object DsirOps {
         // EMPTY raw side's sum() is null and would null every w_scaled,
         // breaking the "every weight finite" Laplace contract one-sidedly
         col("n_raw"), coalesce(col("tot_raw"), lit(0L)), numBuckets))
-      .select(col("b"), col("n_raw"), col("n_target"), col("w_scaled"))
+      // nb rides in the artifact so a scorer probing with a DIFFERENT
+      // modulus fails loudly instead of looking up wrong buckets (the
+      // Bloom m_bits/k_hashes convention)
+      .select(col("b"), col("n_raw"), col("n_target"), col("w_scaled"),
+        lit(numBuckets.toLong).as("nb"))
   }
 
   /** floor((ln((nt+1)/(Nt+B)) − ln((nr+1)/(Nr+B))) · 1e6) — THE
@@ -117,18 +128,58 @@ object DsirOps {
     * [[importanceWeightTable]]: `(idCol, n_feats, logw_sum)` — the sum of
     * the doc's feature-bucket weights (occurrence-weighted). Documents
     * with empty text still featurize (one empty-string unigram), so every
-    * raw doc gets a row. The weight table is bucket-bounded → broadcast;
-    * the corpus shuffles once, on the per-doc agg.
+    * raw doc gets a row — including docs of a NEW corpus whose features
+    * hash to buckets unseen at build time: those take the derivable
+    * unseen-bucket Laplace weight (nt = nr = 0 under the table's own
+    * totals) via a left join, never a silent drop. The weight table is
+    * bucket-bounded → broadcast; the corpus shuffles once, on the
+    * per-doc agg.
     */
   def importanceWeights(docs: DataFrame, weightTable: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         numBuckets: Int = 1024): DataFrame =
-    featureBuckets(docs, idCol, textCol, numBuckets)
-      .join(broadcast(weightTable.select(col("b"), col("w_scaled"))), Seq("b"))
+    scoreFeatures(featureBuckets(docs, idCol, textCol, numBuckets),
+      weightTable, idCol, numBuckets)
+
+  /** The shared scoring tail of [[importanceWeights]] and [[selectTopN]]
+    * (one definition — the scoring join cannot drift between them):
+    * left-join features to the broadcast table, fill unseen buckets with
+    * the Laplace floor weight derived from the table's own totals, and
+    * fail LOUDLY (raise_error, riding the plan — no extra driver job)
+    * when the table's embedded `nb` or observed bucket range contradicts
+    * the probe's `numBuckets` — a modulus mismatch would otherwise look
+    * up wrong buckets and score garbage silently. Legacy tables without
+    * the `nb` column get only the bucket-range check.
+    */
+  private def scoreFeatures(feats: DataFrame, weightTable: DataFrame,
+                            idCol: String, numBuckets: Int): DataFrame = {
+    val hasNb = weightTable.columns.contains("nb")
+    val tot = weightTable.agg(
+      coalesce(sum(col("n_raw")), lit(0L)).as("tot_raw"),
+      coalesce(sum(col("n_target")), lit(0L)).as("tot_target"),
+      max(col("b")).as("__maxb"),
+      (if (hasNb) max(col("nb")) else lit(null).cast(LongType)).as("__nb"))
+    val fallback = wScaled(lit(0L), col("tot_target"),
+      lit(0L), col("tot_raw"), numBuckets)
+    feats
+      .join(broadcast(weightTable.select(col("b"), col("w_scaled"))),
+        Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__w",
+        when(col("__maxb") >= lit(numBuckets.toLong) ||
+            (col("__nb").isNotNull && col("__nb") =!= lit(numBuckets.toLong)),
+          raise_error(concat(
+            lit("importance scoring: weight table was built with a " +
+              s"different numBuckets than the probe's $numBuckets " +
+              "(table nb="),
+            coalesce(col("__nb"), lit(-1L)).cast("string"),
+            lit(", max bucket "), col("__maxb").cast("string"), lit(")"))))
+          .otherwise(coalesce(col("w_scaled"), fallback)))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("logw_sum"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__w")).as("logw_sum"))
       .select(col("id").as(idCol), col("n_feats"), col("logw_sum"))
+  }
 
   /** DSIR selection: the `n` raw documents whose hashed-n-gram profile
     * the target corpus up-weights most, ordered by (logw_sum desc, id) —
@@ -148,10 +199,7 @@ object DsirOps {
     val fr = featureBuckets(raw, idCol, textCol, numBuckets).localCheckpoint()
     val wt = weightTableFrom(fr,
       featureBuckets(target, idCol, textCol, numBuckets), numBuckets)
-    fr.join(broadcast(wt.select(col("b"), col("w_scaled"))), Seq("b"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("logw_sum"))
-      .select(col("id").as(idCol), col("n_feats"), col("logw_sum"))
+    scoreFeatures(fr, wt, idCol, numBuckets)
       .orderBy(col("logw_sum").desc, col(idCol))
       .limit(n)
   }

@@ -124,8 +124,11 @@ object LmOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll_eff")).as("nll_sum"))
       .select(col("id").as(idCol), col("n_bigrams"), col("nll_sum"),
-        floor(col("nll_sum").cast("double") / col("n_bigrams").cast("double"))
-          .cast(LongType).as("avg_nll_scaled"))
+        // integer `div`, not floor(double/double): a >2^53 nll_sum would
+        // round in the double cast and floor of the rounded quotient can
+        // miss by 1 cross-engine; nll_eff >= 0 so div == floor exactly
+        // (the `sw div n_toks` house spelling)
+        expr("nll_sum div n_bigrams").as("avg_nll_scaled"))
   }
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020, "CCNet:

@@ -153,8 +153,14 @@ object ModelIO {
     * build-then-score bit-for-bit. No coalesce: postings ∝ corpus token
     * types, a genuinely large table whose partitioning should survive.
     */
-  def saveBm25Postings(postings: DataFrame, path: String): Unit =
+  def saveBm25Postings(postings: DataFrame, path: String): Unit = {
+    // same pre-write gate as saveWinnowIndex: the loader reads did as
+    // LongType, so fail before the corpus-scale write, not on reload
+    require(postings.schema("did").dataType == LongType,
+      "did must be LongType for the BM25 postings artifact " +
+        s"(got ${postings.schema("did").dataType.simpleString})")
     postings.select("did", "t", "tf").write.mode("overwrite").parquet(path)
+  }
 
   def loadBm25Postings(spark: SparkSession, path: String): DataFrame =
     requireColumns(spark.read.parquet(path), path,
@@ -199,14 +205,24 @@ object ModelIO {
     * the two corpus passes that built this table are a whole job, and
     * every subsequent selection run reads the ~1k-row artifact instead.
     */
-  def saveDsirWeights(weights: DataFrame, path: String): Unit =
-    weights.select("b", "n_raw", "n_target", "w_scaled")
-      .write.mode("overwrite").parquet(path)
+  def saveDsirWeights(weights: DataFrame, path: String): Unit = {
+    // nb (the build modulus, r15) rides along when present so a loaded
+    // table still fails loudly on a mismatched-numBuckets probe; tables
+    // from older builds save without it (scorers then fall back to the
+    // bucket-range check only)
+    val cols = Seq("b", "n_raw", "n_target", "w_scaled") ++
+      (if (weights.columns.contains("nb")) Seq("nb") else Nil)
+    weights.select(cols.map(col): _*)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
-  def loadDsirWeights(spark: SparkSession, path: String): DataFrame =
-    requireColumns(spark.read.parquet(path), path,
+  def loadDsirWeights(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    requireColumns(df, path,
       Seq("b" -> LongType, "n_raw" -> LongType, "n_target" -> LongType,
-        "w_scaled" -> LongType))
+        "w_scaled" -> LongType) ++
+        (if (df.columns.contains("nb")) Seq("nb" -> LongType) else Nil))
+  }
 
   // ---- PQ codebooks --------------------------------------------------------
 
@@ -219,10 +235,17 @@ object ModelIO {
   def savePqCodebooks(spark: SparkSession, path: String,
                       codebooks: Array[Array[Array[Float]]]): Unit = {
     import spark.implicits._
+    // refuse at save time what loadPqCodebooks would reject at load time
+    // (the saveCodebook/saveBpeMerges convention) — an empty artifact is
+    // a bug at the producer, not something to discover on the next run
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "refusing to save an empty PQ codebook")
     codebooks.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
     }.toSeq.toDF("s", "j", "cw")
-      .write.mode("overwrite").parquet(path)
+      // m×ksub driver-local metadata — one tidy file, not a file per
+      // default-parallelism slice (the saveCodebook rationale)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
@@ -259,9 +282,17 @@ object ModelIO {
     * written distributed like the corpus itself (the Bloom/bigram-LM
     * class of artifact, not the k×dim-metadata class).
     */
-  def saveWinnowIndex(fps: DataFrame, idCol: String, path: String): Unit =
+  def saveWinnowIndex(fps: DataFrame, idCol: String, path: String): Unit = {
+    // fail BEFORE the corpus-scale write: loadWinnowIndex requires a
+    // LongType did, so a string-id corpus would complete an expensive
+    // distributed write whose artifact its own loader then rejects
+    require(fps.schema(idCol).dataType == LongType,
+      s"$idCol must be LongType for the winnow index " +
+        s"(got ${fps.schema(idCol).dataType.simpleString}); cast ids " +
+        "before saving — loadWinnowIndex reads did as LongType")
     fps.select(col(idCol).as("did"), col("pos"), col("fp"))
       .write.mode("overwrite").parquet(path)
+  }
 
   def loadWinnowIndex(spark: SparkSession, path: String): DataFrame =
     requireColumns(spark.read.parquet(path), path,

@@ -2882,7 +2882,7 @@ object ExtensionQueries {
         |   FROM c2 JOIN c1 ON split_part(c2.s,' ',1) = c1.w1 CROSS JOIN v)
         | SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |   sum(nll)::BIGINT AS nll_sum,
-        |   floor(sum(nll)::DOUBLE / count(*)::DOUBLE)::BIGINT AS avg_nll_scaled
+        |   (sum(nll)::BIGINT // count(*)::BIGINT) AS avg_nll_scaled
         | FROM big JOIN m USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The OPH banding mirror (ophBsigSql; r14 flip) feeding the
@@ -3116,7 +3116,7 @@ object ExtensionQueries {
         |     floor(ln((n1 + v.v)::DOUBLE / (n2 + 1)::DOUBLE) * 1000000)::BIGINT nll
         |   FROM c2 JOIN c1 ON split_part(c2.s,' ',1) = c1.w1 CROSS JOIN v),
         | sc AS (SELECT doc_id,
-        |     floor(sum(nll)::DOUBLE / count(*)::DOUBLE)::BIGINT avg_nll_scaled
+        |     (sum(nll)::BIGINT // count(*)::BIGINT) avg_nll_scaled
         |   FROM big JOIN m USING (s) GROUP BY doc_id),
         | t AS (SELECT sc.doc_id, d.lang, avg_nll_scaled,
         |     ntile(3) OVER (PARTITION BY d.lang

@@ -167,6 +167,39 @@ class ModelIOSpec extends SparkSpec {
     assert(fresh.sameElements(replay))
   }
 
+  test("DSIR scoring under a persisted table: unseen-bucket docs score " +
+      "via the Laplace floor, a modulus mismatch fails loudly") {
+    val raw = (0 until 30).map { i =>
+      (i.toLong, if (i % 3 == 0) "aa ab aa ab" else "zz zy zz zy")
+    }.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") % 3 === 0)
+    val wt = DsirOps.importanceWeightTable(raw, target)
+    // a NEW corpus whose features were never seen at build time: every
+    // doc must still get a row (left join + derivable fallback weight),
+    // not silently vanish from the selection
+    val novel = Seq((100L, "qq qr qs qt totally new tokens everywhere"))
+      .toDF("doc_id", "text")
+    val scored = DsirOps.importanceWeights(novel, wt).collect()
+    assert(scored.length == 1)
+    assert(scored.head.getLong(1) > 0)   // n_feats counts every feature
+    // the unseen-bucket weight is the neutral Laplace floor: per
+    // feature it must sit ABOVE a raw-only (target-disfavored) doc's
+    // weights — the mark of a finite fallback, not a silent drop or -inf
+    val rawOnly = DsirOps.importanceWeights(
+      Seq((101L, "zz zy zz zy")).toDF("doc_id", "text"), wt).collect()
+    def perFeat(r: org.apache.spark.sql.Row) =
+      r.getLong(2).toDouble / r.getLong(1).toDouble
+    assert(perFeat(scored.head) > perFeat(rawOnly.head))
+    // probing with a different modulus than the build must raise, not
+    // look up wrong buckets: nb rides in the table
+    val e = intercept[Exception] {
+      DsirOps.importanceWeights(raw, wt, numBuckets = 2048).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(t => String.valueOf(t.getMessage))
+    assert(msgs.exists(_.contains("numBuckets")), e.toString)
+  }
+
   test("TRAINED PQ codebooks round-trip and probe identically (the x126 " +
       "serving artifact)") {
     val cb = VectorOps.pqTrainedCodebooks(vecs, "vec_id", "embedding",
