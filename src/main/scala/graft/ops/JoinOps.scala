@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
+  /** Loud reserved-name gate (the SampleOps convention): these ops stage
+    * `__`-prefixed scratch columns and drop them on the way out — an
+    * input already carrying one would be silently overwritten and then
+    * deleted from the output.
+    */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal column(s) ${clash.mkString(", ")} — " +
+        "rename before calling (they would be overwritten and dropped)")
+  }
+
   /** Backward as-of join: for every left row, the single most recent right
     * row with `right.tsCol <= left.tsCol` (inclusive), per join key —
     * semantics of DuckDB/kdb ASOF JOIN, pandas merge_asof.
@@ -73,16 +85,24 @@ object JoinOps {
     require(collide.isEmpty,
       s"payload column(s) ${collide.mkString(", ")} collide with left " +
         "columns; rename before joining")
+    requireFresh(left, "__r", "__side", "__match")
     val restCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
     val payload = struct(payloadCols.map(col): _*)
     val rightSide = if (forward) 1 else 0
     val leftSide = 1 - rightSide
+    // null-key/null-ts LEFT rows exit here with a null payload instead of
+    // riding the window: partitionBy groups all null keys into ONE
+    // partition, so a null-heavy left side would sort through a single
+    // reducer to compute a running pick the null rule then discarded
+    // anyway (r15 review — the hot-partition work was 100% waste)
+    val lNull = left.filter(col(tsCol).isNull || col(keyCol).isNull)
+    val lLive = left.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
     val r = right.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(
       (col(keyCol) +: col(tsCol) +:
         payload.as("__r") +: lit(rightSide).as("__side") +:
         restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val l = left.select(
+    val l = lLive.select(
       (col(keyCol) +: col(tsCol) +:
         lit(null).cast(r.schema("__r").dataType).as("__r") +:
         lit(leftSide).as("__side") +:
@@ -96,13 +116,14 @@ object JoinOps {
       else
         last(col("__r"), ignoreNulls = true)
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val rTypes = payloadCols.map(p => p -> right.schema(p).dataType)
     r.unionByName(l)
-      .withColumn("__match",
-        when(col(tsCol).isNull || col(keyCol).isNull, lit(null))
-          .otherwise(pick))
+      .withColumn("__match", pick)
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
+      .unionByName(lNull.select(leftCols.map(col) ++
+        rTypes.map { case (p, t) => lit(null).cast(t).as(p) }: _*))
   }
 
   /** Keyed interval (range) join: pairs where `left.key = right.key` and
@@ -116,12 +137,20 @@ object JoinOps {
     * cross join. The exact range predicate filters inside the join.
     *
     * Non-key/ts column names must be disjoint across the two sides
-    * (project before joining).
+    * (project before joining) — INCLUDING the two ts columns: after the
+    * (key, bucket) join both live in one frame, so a shared name would
+    * hit AMBIGUOUS_REFERENCE in the range filter. Checked loudly here.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTsCol: String, rightTsCol: String,
                    maxGapMicros: Long): DataFrame = {
     require(maxGapMicros > 0, "maxGapMicros must be positive")
+    require(leftTsCol != rightTsCol,
+      s"leftTsCol and rightTsCol share the name '$leftTsCol' — rename " +
+        "one side before joining (the range filter runs on the joined " +
+        "frame, where a shared name is ambiguous)")
+    requireFresh(left, "__probe", "__b")
+    requireFresh(right, "__b")
     val lUs = TsCompat.micros(col(leftTsCol))
     val rUs = TsCompat.micros(col(rightTsCol))
     val l = left
@@ -134,13 +163,6 @@ object JoinOps {
       .drop("__b")
   }
 
-  /** Skew-salted inner equi-join: replicate the (small) right side
-    * `salts`× and scatter left rows across the replicas, so one hot key
-    * spreads over `salts` reducers instead of melting a single task. The
-    * left scatter uses a caller-provided deterministic expression (e.g. a
-    * row id column) — never rand(), which breaks retry idempotence.
-    * Semantically identical to `left.join(right, keyCol)`.
-    */
   /** The deterministic scatter [[saltedJoin]] applies to the left side —
     * exposed so skew specs can assert the per-reducer input bound against
     * the REAL mechanism: a hot join key's rows land on the reducer of
@@ -150,9 +172,18 @@ object JoinOps {
   def saltScatter(scatterExpr: Column, salts: Int): Column =
     pmod(xxhash64(scatterExpr), lit(salts))
 
+  /** Skew-salted inner equi-join: replicate the (small) right side
+    * `salts`× and scatter left rows across the replicas, so one hot key
+    * spreads over `salts` reducers instead of melting a single task. The
+    * left scatter uses a caller-provided deterministic expression (e.g. a
+    * row id column) — never rand(), which breaks retry idempotence.
+    * Semantically identical to `left.join(right, keyCol)`.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  scatterExpr: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    requireFresh(left, "__salt")
+    requireFresh(right, "__salt")
     val l = left.withColumn("__salt", saltScatter(scatterExpr, salts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

@@ -20,9 +20,27 @@ object SampleOps {
   private def idHash(idCol: Column): Column =
     TextOps.hash60(idCol.cast("string"))
 
+  /** Loud reserved-name gate: the ops here stage scratch columns under
+    * `__`-prefixed names and drop them on the way out — an input already
+    * carrying one would be silently overwritten and then DELETED from
+    * the output (r15 review). One definition for every op that stages.
+    */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal column(s) ${clash.mkString(", ")} — " +
+        "rename before calling (they would be overwritten and dropped)")
+  }
+
   /** Keep ~rateBp/10000 of rows, deterministically by id hash. */
-  def hashSample(df: DataFrame, idCol: String, rateBp: Int): DataFrame =
+  def hashSample(df: DataFrame, idCol: String, rateBp: Int): DataFrame = {
+    // out-of-range rates are typos, not requests for all/none (the
+    // percentileSelect convention — a silent 100%/0% slice looks
+    // plausible downstream)
+    require(rateBp >= 0 && rateBp <= 10000,
+      s"hashSample: rateBp must be in [0, 10000] (got $rateBp)")
     df.filter(idHash(col(idCol)) % 10000 < rateBp)
+  }
 
   /** Assign every row a split label by hash bucket: the first `cuts` entry
     * (label, upToBp) whose bound exceeds the row's hash-mod-10000 wins.
@@ -83,7 +101,22 @@ object SampleOps {
                           bucketSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketSize > 0, "bucketSize must be positive")
-    val withB = df.withColumn("__b", floor(col(idCol) / bucketSize))
+    requireFresh(df, "__b", "__run", "__off", "__start")
+    // data gates riding the plan (no extra driver job): a null id has no
+    // position in the packing order, and a null/negative token count
+    // shifts EVERY downstream start offset — both previously corrupted
+    // the layout silently (null ids additionally vanished through the
+    // non-null-safe offsets join while their tokens stayed in the bucket
+    // totals, r15 review)
+    val guarded = df.withColumn(tokensCol,
+      when(col(idCol).isNull, raise_error(lit(
+        s"tokenStarts: null $idCol — packing needs a total id order")))
+      .when(col(tokensCol).isNull || col(tokensCol) < 0,
+        raise_error(concat(
+          lit(s"tokenStarts: $tokensCol must be a non-negative count, got "),
+          coalesce(col(tokensCol).cast("string"), lit("null")))))
+      .otherwise(col(tokensCol)))
+    val withB = guarded.withColumn("__b", floor(col(idCol) / bucketSize))
     val wPre = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy(col("__b"))
@@ -118,6 +151,8 @@ object SampleOps {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     seqLen: Long, bucketSize: Long = 1L << 20): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    requireFresh(df, "__end", "__sstart", "seq_id", "seq_off", "doc_off",
+      "n_toks")
     val starts = tokenStarts(df, idCol, tokensCol, bucketSize)
       .filter(col(tokensCol) > 0)
       .withColumn("__end", col("__start") + col(tokensCol))
@@ -155,6 +190,7 @@ object SampleOps {
                      idxCol: String = "idx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "need at least one order column")
+    requireFresh(df, "__pid", "__off")
     val np = df.sparkSession.sparkContext.defaultParallelism
     val p = df.repartitionByRange(np, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -274,7 +310,33 @@ object SampleOps {
     * basis points, so the DuckDB oracle reproduces it bit-for-bit.
     */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
-                    weights: Seq[(String, Double)]): DataFrame = {
+                    weights: Seq[(String, Double)]): DataFrame =
+    measureMixture(df, idCol, domainCol, weights, count(lit(1)))
+
+  /** The shared core of [[mixtureSample]] (measure = doc count) and
+    * [[tokenBudgetMixture]] (measure = token sum): per weighted domain a
+    * map-side-combinable MEASURE, feasible total T = min_d(m_d / w_d),
+    * per-domain keep rates, the shared id-hash acceptance. ONE
+    * definition (r15 review: two 35-line copies had already needed the
+    * same r14 absent-domain fix applied twice).
+    *
+    * The per-domain measures are restricted to WEIGHTED domains
+    * (broadcast semi-join against the weights) BEFORE anything
+    * corpus-derived is broadcast — domainCol can be high-cardinality
+    * (hosts), and the raw aggregate must never ship as a broadcast. The
+    * weights then LEFT-join onto the bounded result: a weighted domain
+    * the corpus lacks keeps its row with measure 0, so it zeroes T
+    * exactly as documented (an inner join would silently drop it and
+    * reweight the mix over the present domains). A zero-measure domain
+    * contributes to T but gets no rate row — no corpus doc joins to it,
+    * and Spark's ANSI mode throws DIVIDE_BY_ZERO for a zero divisor
+    * even in DOUBLE division (observed from this exact expression in
+    * the absent-domain spec before the filter existed).
+    */
+  private def measureMixture(df: DataFrame, idCol: String,
+                             domainCol: String,
+                             weights: Seq[(String, Double)],
+                             measure: Column): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size,
@@ -282,26 +344,21 @@ object SampleOps {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toDF("__dom", "__w")
-    // the tokenBudgetMixture r14 pattern: bound the aggregate to weighted
-    // domains BEFORE broadcasting anything corpus-derived, then weights
-    // LEFT-join on so an absent weighted domain keeps a 0-count row and
-    // zeroes T (the zero-count rate row is excluded — Spark ANSI double
-    // division traps on the 0/0)
-    val weightedCounts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("__n"))
+    val weightedMeasures = df.groupBy(col(domainCol))
+      .agg(measure.as("__m"))
       .join(broadcast(wDf.select(col("__dom"))),
         col(domainCol) === col("__dom"), "left_semi")
-    val counts = wDf.join(broadcast(weightedCounts),
+    val sums = wDf.join(broadcast(weightedMeasures),
         col("__dom") === col(domainCol), "left")
       .select(col("__dom"), col("__w"),
-        coalesce(col("__n"), lit(0L)).as("__n"))
-    val tRow = counts.agg(
-      min(col("__n").cast("double") / col("__w")).as("__T"))
-    val rates = counts.filter(col("__n") > 0)
+        coalesce(col("__m"), lit(0L)).as("__m"))
+    val tRow = sums.agg(
+      min(col("__m").cast("double") / col("__w")).as("__T"))
+    val rates = sums.filter(col("__m") > 0)
       .crossJoin(broadcast(tRow)) // 1-row broadcast
       .select(col("__dom"),
         floor(lit(10000d) * col("__w") * col("__T")
-          / col("__n").cast("double")).cast(LongType).as("__rate_bp"))
+          / col("__m").cast("double")).cast(LongType).as("__rate_bp"))
     df.join(broadcast(rates), col(domainCol) === col("__dom"))
       .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
       .drop("__dom", "__rate_bp")
@@ -328,47 +385,9 @@ object SampleOps {
     */
   def tokenBudgetMixture(df: DataFrame, idCol: String, domainCol: String,
                          tokensCol: String,
-                         weights: Seq[(String, Double)]): DataFrame = {
-    require(weights.nonEmpty, "weights must be non-empty")
-    require(weights.forall(_._2 > 0), "weights must be positive")
-    require(weights.map(_._1).distinct.size == weights.size,
-      "duplicate domain in weights")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wDf = weights.toDF("__dom", "__w")
-    // the per-domain sums are restricted to WEIGHTED domains (broadcast
-    // semi-join against the weights) BEFORE anything corpus-derived is
-    // broadcast — domainCol can be high-cardinality (hosts), and the raw
-    // aggregate must never ship as a broadcast. The weights then
-    // LEFT-join onto the bounded result: a weighted domain the corpus
-    // lacks keeps its row with 0 tokens, so it zeroes T exactly as
-    // documented (an inner join would silently drop it and reweight the
-    // mix over the present domains).
-    val weightedSums = df.groupBy(col(domainCol))
-      .agg(coalesce(sum(col(tokensCol).cast(LongType)), lit(0L))
-        .as("__tok"))
-      .join(broadcast(wDf.select(col("__dom"))),
-        col(domainCol) === col("__dom"), "left_semi")
-    val sums = wDf.join(broadcast(weightedSums),
-        col("__dom") === col(domainCol), "left")
-      .select(col("__dom"), col("__w"),
-        coalesce(col("__tok"), lit(0L)).as("__tok"))
-    val tRow = sums.agg(
-      min(col("__tok").cast("double") / col("__w")).as("__T"))
-    // a zero-token domain contributes to T above but needs no rate row
-    // (no corpus doc joins to it) — and Spark's ANSI mode throws
-    // DIVIDE_BY_ZERO for a zero divisor even in DOUBLE division (ANSI
-    // SQL semantics, not IEEE NaN; observed from this exact expression
-    // in the absent-domain spec before this filter existed)
-    val rates = sums.filter(col("__tok") > 0)
-      .crossJoin(broadcast(tRow)) // 1-row broadcast
-      .select(col("__dom"),
-        floor(lit(10000d) * col("__w") * col("__T")
-          / col("__tok").cast("double")).cast(LongType).as("__rate_bp"))
-    df.join(broadcast(rates), col(domainCol) === col("__dom"))
-      .filter(idHash(col(idCol)) % 10000 < col("__rate_bp"))
-      .drop("__dom", "__rate_bp")
-  }
+                         weights: Seq[(String, Double)]): DataFrame =
+    measureMixture(df, idCol, domainCol, weights,
+      coalesce(sum(col(tokensCol).cast(LongType)), lit(0L)))
 
   /** Keep the top `keepBp`/10000 of each GROUP by a score — the
     * percentile-threshold selection FineWeb-style ablations run ("keep
@@ -409,6 +428,9 @@ object SampleOps {
     * standard windowed top-k per key.
     */
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    // k <= 0 is a typo, not a request for an empty corpus
+    require(k >= 1, s"topKPerKey: k must be >= 1 (got $k)")
+    requireFresh(df, "__rk")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(idHash(col(idCol)), col(idCol))

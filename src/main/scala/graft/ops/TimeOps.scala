@@ -132,11 +132,17 @@ object TimeOps {
         count(lit(1)).as("n_events"))
   }
 
-  /** Trailing time-range window aggregate: per row, the sum and count of
-    * `valueCol` over the key's rows in `(ts - windowMicros, ts]` — a RANGE
-    * frame over epoch micros, NOT a row frame: rows sharing a timestamp
-    * are peers and see each other (both engines' RANGE semantics), and
-    * gaps in event time shrink the window to what actually happened.
+  /** Trailing time-range window aggregate: per row, the value sum and
+    * ROW COUNT over the key's rows in the CLOSED interval
+    * `[ts - windowMicros, ts]` (both bounds inclusive — Spark's
+    * rangeBetween and the oracle's RANGE ... PRECEDING agree on this; a
+    * row exactly windowMicros old IS in the window). `win_n` counts
+    * frame rows, so a null `valueCol` row contributes to the count but
+    * not the sum — divide win_total_e4 by win_n only when values are
+    * non-null. A RANGE frame over epoch micros, NOT a row frame: rows
+    * sharing a timestamp are peers and see each other (both engines'
+    * RANGE semantics), and gaps in event time shrink the window to what
+    * actually happened.
     *
     * The sum runs in DECIMAL(38,6) (exact, order-independent — the x28
     * convention) and lands as e4 fixed-point; null-ts rows are dropped

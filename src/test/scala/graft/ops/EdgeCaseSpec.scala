@@ -133,4 +133,43 @@ class EdgeCaseSpec extends SparkSpec {
     val got = JoinOps.asOfJoinBackward(left, right, "k", "t", Seq("p"))
     assert(got.count() == 1 && got.head().isNullAt(got.head().fieldIndex("p")))
   }
+
+  test("asOfJoin null-key/null-ts left rows bypass the window with a " +
+      "null payload (r15: they no longer ride one hot null partition)") {
+    val left = Seq((1L, Option("k"), Option(10L)),
+      (2L, None: Option[String], Option(10L)),
+      (3L, Option("k"), None: Option[Long]))
+      .toDF("id", "k", "t")
+    val right = Seq(("k", 5L, 42)).toDF("k", "t", "p")
+    val got = JoinOps.asOfJoinBackward(left, right, "k", "t", Seq("p"))
+      .orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Int]("p") == 42)        // live row matches
+    assert(got(1).isNullAt(got(1).fieldIndex("p")))  // null key
+    assert(got(2).isNullAt(got(2).fieldIndex("p")))  // null ts
+  }
+
+  test("packing gates fail loudly on null ids and negative/null token " +
+      "counts instead of corrupting offsets (r15)") {
+    def msgs(e: Throwable) = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(10).map(t => String.valueOf(t.getMessage))
+    val nullId = Seq((Option.empty[Long], 5L), (Option(1L), 5L))
+      .toDF("doc_id", "n_toks_doc")
+    val e1 = intercept[Exception] {
+      SampleOps.packShards(nullId, "doc_id", "n_toks_doc", 100L).collect()
+    }
+    assert(msgs(e1).exists(_.contains("total id order")), e1.toString)
+    val negTok = Seq((1L, -5L), (2L, 5L)).toDF("doc_id", "n_toks_doc")
+    val e2 = intercept[Exception] {
+      SampleOps.packSequences(negTok, "doc_id", "n_toks_doc", 128L).collect()
+    }
+    assert(msgs(e2).exists(_.contains("non-negative count")), e2.toString)
+    // and the parameter gates: out-of-range bp rates / k are typos
+    intercept[IllegalArgumentException] {
+      SampleOps.hashSample(negTok, "doc_id", 20000)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.topKPerKey(negTok, "doc_id", "doc_id", 0)
+    }
+  }
 }
