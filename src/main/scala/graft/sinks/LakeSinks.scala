@@ -29,12 +29,7 @@ final case class DeltaSink(baseDir: String,
                            anchorTable: Option[String] = None,
                            mergeSchema: Boolean = true) extends Sink {
   def push(tables: Map[String, DataFrame]): Unit = {
-    // same loud-typo policy as ParquetSink: an unmatched partitionBy key
-    // silently writes that table unpartitioned
-    val unknown = partitionBy.keySet -- tables.keySet
-    require(unknown.isEmpty,
-      s"partitionBy names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
-        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
+    AnchorLast.requireKnown(partitionBy.keySet, tables, "partitionBy")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       // documented empty-table skip (the reference's delta writer skips
       // rather than committing empty versions). Honest cost note: the

@@ -43,6 +43,21 @@ private[sinks] object AnchorLast {
     outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     anchor.foreach { case (n, df) => write(n, df) }
   }
+
+  /** The shared loud-typo guard for per-table sink configuration
+    * (partitionBy / buckets / partitioning maps): a key naming NO bundle
+    * table would silently leave that table written with the DEFAULT
+    * layout — consumers lose the promised pruning/co-location and only
+    * find out by inspecting output (one definition, r15: the same
+    * 4-line block lived in three sinks).
+    */
+  def requireKnown(configured: Set[String], tables: Map[String, DataFrame],
+                   what: String): Unit = {
+    val unknown = configured -- tables.keySet
+    require(unknown.isEmpty,
+      s"$what names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
+        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
+  }
 }
 
 /** Sinks (SURVEY.md §2.6). Common semantics preserved from the reference:
@@ -64,14 +79,7 @@ final case class ParquetSink(baseDir: String,
                              anchorTable: Option[String] = None,
                              maxRecordsPerFile: Long = 1048576L) extends Sink {
   def push(tables: Map[String, DataFrame]): Unit = {
-    // same loud-typo policy as AnchorLast's anchorTable guard: a
-    // partitionBy key matching no table would silently write that table
-    // UNPARTITIONED — consumers lose the promised pruning and only find
-    // out by inspecting output layout
-    val unknown = partitionBy.keySet -- tables.keySet
-    require(unknown.isEmpty,
-      s"partitionBy names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
-        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
+    AnchorLast.requireKnown(partitionBy.keySet, tables, "partitionBy")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       val w = df.write.mode("append")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -121,10 +129,7 @@ final case class BucketedCatalogSink(buckets: Map[String, (String, Int)],
     extends Sink {
   require(buckets.values.forall(_._2 > 0), "bucket counts must be positive")
   def push(tables: Map[String, DataFrame]): Unit = {
-    val unknown = buckets.keySet -- tables.keySet
-    require(unknown.isEmpty,
-      s"buckets names unknown table(s): ${unknown.toSeq.sorted.mkString(",")} " +
-        s"(bundle has: ${tables.keySet.toSeq.sorted.mkString(",")})")
+    AnchorLast.requireKnown(buckets.keySet, tables, "buckets")
     AnchorLast.push(tables, anchorTable) { (name, df) =>
       val w = df.write.mode("append")
       buckets.get(name)
@@ -142,6 +147,15 @@ object Resume {
     * error into "no watermark", silently re-ingesting the entire history.
     * Integer-family watermark columns widen via Number (an int
     * block_number must not ClassCastException).
+    *
+    * The absence allowlist covers the path/catalog sinks (parquet,
+    * catalog tables, Delta's DELTA_PATH_DOES_NOT_EXIST). JDBC absence is
+    * deliberately NOT caught: a missing warehouse table surfaces as the
+    * driver's SQLException, indistinguishable here from a connection
+    * failure — and treating a down warehouse as "first run" is exactly
+    * the silent-full-re-ingest this method refuses. A JDBC caller probes
+    * table existence itself (e.g. JDBC metadata) and passes the known
+    * state, or lets the first run fail loudly once and creates the table.
     */
   def maxWatermark(df: => DataFrame, column: String): Option[Long] = {
     val head =
@@ -156,7 +170,11 @@ object Resume {
             if Option(e.getCondition).exists(c =>
               c.startsWith("PATH_NOT_FOUND") ||
                 c.startsWith("TABLE_OR_VIEW_NOT_FOUND") ||
-                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+                c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                // Delta raises its own condition for a missing table dir
+                // (verified against delta-spark's error classes; the jar
+                // is env-absent here, so this arm is doc-tested only)
+                c.startsWith("DELTA_PATH_DOES_NOT_EXIST")) =>
           None
       }
     head.flatMap { r =>

@@ -40,7 +40,11 @@ object WarehouseDdl {
     case MapType(kt, vt, valueContainsNull) =>
       s"Map(${chType(kt)}, ${nullable(chType(vt), valueContainsNull)})"
     case StructType(fields) =>
-      fields.map(f => s"${f.name} ${nullable(chType(f.dataType), f.nullable)}")
+      // tuple FIELD names backquote like top-level columns and ORDER BY
+      // keys (r15 review): an unquoted "block-number" or reserved word
+      // inside Tuple(...) is invalid ClickHouse DDL just as it is outside
+      fields.map(f =>
+          s"`${f.name}` ${nullable(chType(f.dataType), f.nullable)}")
         .mkString("Tuple(", ", ", ")")
     case other =>
       throw new IllegalArgumentException(s"no warehouse mapping for $other")
@@ -60,6 +64,19 @@ object WarehouseDdl {
                   orderBy: Seq[String] = Seq.empty,
                   engine: String = "MergeTree()",
                   codecs: Map[String, String] = Map.empty): String = {
+    // loud-typo policy (the package's sink-config rule): a codec keyed on
+    // a name the schema lacks would be silently dropped — the table comes
+    // up uncompressed and nobody is told; an orderBy typo would at least
+    // fail on the server, but with a far worse error than naming it here
+    val names = schema.fieldNames.toSet
+    val badCodec = codecs.keySet -- names
+    require(badCodec.isEmpty,
+      s"codecs name unknown column(s): ${badCodec.toSeq.sorted.mkString(", ")} " +
+        s"(schema has: ${schema.fieldNames.sorted.mkString(", ")})")
+    val badOrder = orderBy.filterNot(names)
+    require(badOrder.isEmpty,
+      s"orderBy names unknown column(s): ${badOrder.sorted.mkString(", ")} " +
+        s"(schema has: ${schema.fieldNames.sorted.mkString(", ")})")
     val cols = schema.fields.map { f =>
       val base = chType(f.dataType)
       val t = if (orderBy.contains(f.name)) base else nullable(base, f.nullable)

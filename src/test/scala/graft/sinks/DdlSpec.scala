@@ -32,9 +32,25 @@ class DdlSpec extends AnyFunSuite {
     assert(ddl.contains("`amount` Nullable(Decimal(38, 0))"))
     assert(ddl.contains("`topics` Array(String)"))
     assert(ddl.contains("`meta` Map(String, Nullable(Int64))"))
-    assert(ddl.contains("`pos` Tuple(tx Nullable(Int32), log Int32)"))
+    // tuple field names are backquoted like top-level columns (r15: an
+    // unquoted reserved word or dashed name inside Tuple is invalid DDL)
+    assert(ddl.contains("`pos` Tuple(`tx` Nullable(Int32), `log` Int32)"))
     assert(ddl.contains("ENGINE = MergeTree()"))
     assert(ddl.contains("ORDER BY (`block_number`)")) // keys quoted like columns
+  }
+
+  test("ClickHouse DDL: typo'd codec or orderBy columns fail loudly " +
+      "instead of silently dropping the clause (r15)") {
+    val e1 = intercept[IllegalArgumentException] {
+      WarehouseDdl.createTable("logs", schema,
+        codecs = Map("Hash" -> "ZSTD(3)")) // wrong case = wrong column
+    }
+    assert(e1.getMessage.contains("codecs") && e1.getMessage.contains("Hash"))
+    val e2 = intercept[IllegalArgumentException] {
+      WarehouseDdl.createTable("logs", schema, orderBy = Seq("block_num"))
+    }
+    assert(e2.getMessage.contains("orderBy") &&
+      e2.getMessage.contains("block_num"))
   }
 
   test("ClickHouse DDL: no ORDER BY → ORDER BY tuple(); unknown type raises") {
