@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -1574,21 +1574,43 @@ object ExtensionQueries {
     // (line-level dedup).
     "x127_html_extract" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
-      val html = concat(
-        lit("<html><head><title>t</title><style>body { margin: 0; }</style>"),
-        lit("<script>var x = \"a < b && c > d\";</script></head><body><h1>Doc "),
-        col("doc_id").cast("string"), lit("</h1><p>"),
-        replace(col("text"), lit(" window "), lit(".</p><p>")),
-        lit(".</p><div>Research &amp; development data here.</div>"),
-        lit("<p>Please enable JavaScript to view comments here.</p>"),
-        lit("<p>All rights reserved and terms &amp; conditions apply.</p>"),
-        lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
-      HtmlOps.c4KeptLines(d.select(col("doc_id"), html.as("html")),
+      HtmlOps.c4KeptLines(d.select(col("doc_id"), htmlFixture.as("html")),
           "doc_id", "html")
         .select("doc_id", "line_no", "line")
         .orderBy("doc_id", "line_no")
+    },
+
+    // x128 — the PAGE tier on the same extraction (HtmlOps.c4Pages):
+    // reassemble each page from its surviving lines and apply C4's
+    // page-level rules (≥5 kept lines; brace and lorem-ipsum page
+    // drops). The artifact a crawl ingest actually ships downstream —
+    // cleaned page text, not loose lines. Same ONE-definition synthesis
+    // and strip chain as x127 on both engines.
+    "x128_html_pages" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      HtmlOps.c4Pages(d.select(col("doc_id"), htmlFixture.as("html")),
+          "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
     }
   )
+
+  /** The planted-HTML synthesis shared by x127 and x128 — ONE definition
+    * (the refreshSnapshot rule): head with style (braces) and script
+    * (angle brackets, quotes), heading, paragraph breaks carved at
+    * ' window ' word boundaries, entity-encoded chrome, a javascript
+    * banner, a cross-page legal footer, and a comment hiding tagged
+    * content. Mirrored verbatim by [[htmlSynthSql]].
+    */
+  private def htmlFixture: Column = concat(
+    lit("<html><head><title>t</title><style>body { margin: 0; }</style>"),
+    lit("<script>var x = \"a < b && c > d\";</script></head><body><h1>Doc "),
+    col("doc_id").cast("string"), lit("</h1><p>"),
+    replace(col("text"), lit(" window "), lit(".</p><p>")),
+    lit(".</p><div>Research &amp; development data here.</div>"),
+    lit("<p>Please enable JavaScript to view comments here.</p>"),
+    lit("<p>All rights reserved and terms &amp; conditions apply.</p>"),
+    lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
 
   /** The refresh-snapshot synthesis shared by x114 and x125 — and by the
     * BucketedJoinSpec plan gate and the BucketedDiff measurement main,
@@ -3930,48 +3952,79 @@ object ExtensionQueries {
          | SELECT * FROM g_k16 UNION ALL SELECT * FROM g_k32
          | ORDER BY method, qid""".stripMargin,
 
-    // x127 mirror: identical HTML synthesis, then the same strip order
-    // (script → style → comments → block closes → tags → entities with
-    // &amp; decoded LAST), the same line split / whitespace collapse, the
-    // same three line rules, and first-(doc_id, line_no) dedup.
+    // x127 mirror: identical HTML synthesis (htmlSynthSql — the ONE
+    // definition), then the same strip order (script → style → comments
+    // → block closes → tags → entities with &amp; decoded LAST), the
+    // same line split / whitespace collapse, the same three line rules,
+    // and first-(doc_id, line_no) dedup.
     "x127_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |     '<html><head><title>t</title><style>body { margin: 0; }</style>'
-        |     || '<script>var x = "a < b && c > d";</script></head><body><h1>Doc '
-        |     || doc_id::VARCHAR || '</h1><p>'
-        |     || replace(text, ' window ', '.</p><p>')
-        |     || '.</p><div>Research &amp; development data here.</div>'
-        |     || '<p>Please enable JavaScript to view comments here.</p>'
-        |     || '<p>All rights reserved and terms &amp; conditions apply.</p>'
-        |     || '<!-- hidden <p>Not real content.</p> --></body></html>' AS html
-        |   FROM documents),
-        | txt AS (SELECT doc_id,
-        |     replace(replace(replace(replace(replace(replace(replace(
-        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |         regexp_replace(html,
-        |         '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
-        |         '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
-        |         '(?s)<!--.*?-->', ' ', 'g'),
-        |         '(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\s*>|(?i)<br\s*/?>|(?i)<br\s[^>]*>', chr(10), 'g'),
-        |         '<[^>]*>', '', 'g'),
-        |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
-        |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t
-        |   FROM h),
-        | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
-        | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,
-        |     trim(regexp_replace(e.raw, '\s+', ' ', 'g')) line
-        |   FROM (SELECT doc_id, unnest(list_transform(range(0, len(parts)),
-        |       i -> struct_pack(line_no := i,
-        |                        raw := parts[(i+1)::INT]))) e FROM lp)),
-        | kept AS (SELECT * FROM ln
-        |   WHERE regexp_matches(line, '[.!?"]$')
-        |     AND len(string_split(line, ' ')) >= 3
-        |     AND NOT contains(lower(line), 'javascript')),
-        | dd AS (SELECT doc_id, line_no, line, row_number() OVER
-        |     (PARTITION BY line ORDER BY doc_id, line_no) rk FROM kept)
+      s"""WITH $htmlKeptCtesSql
         | SELECT doc_id, line_no, line FROM dd WHERE rk = 1
-        | ORDER BY doc_id, line_no""".stripMargin
+        | ORDER BY doc_id, line_no""".stripMargin,
+
+    // x128 mirror: the same kept-line CTEs, then the page reassembly
+    // (lines joined in line_no order) and C4's page rules.
+    "x128_html_pages" ->
+      s"""WITH $htmlKeptCtesSql,
+        | k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
+        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |     string_agg(line, chr(10) ORDER BY line_no) AS text
+        |   FROM k GROUP BY doc_id)
+        | SELECT doc_id, n_lines, text FROM pg
+        | WHERE n_lines >= 5 AND NOT contains(text, '{')
+        |   AND NOT contains(text, '}')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        | ORDER BY doc_id""".stripMargin
   )
+
+  /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors
+    * [[htmlFixture]] verbatim (ONE definition per engine, referenced by
+    * both oracles through [[htmlKeptCtesSql]]).
+    */
+  private lazy val htmlSynthSql: String =
+    // `||` sits at line ENDS: this fragment is interpolated into query
+    // strings that call stripMargin AGAIN, which would eat leading pipes
+    """h AS (SELECT doc_id,
+      |     '<html><head><title>t</title><style>body { margin: 0; }</style>' ||
+      |     '<script>var x = "a < b && c > d";</script></head><body><h1>Doc ' ||
+      |     doc_id::VARCHAR || '</h1><p>' ||
+      |     replace(text, ' window ', '.</p><p>') ||
+      |     '.</p><div>Research &amp; development data here.</div>' ||
+      |     '<p>Please enable JavaScript to view comments here.</p>' ||
+      |     '<p>All rights reserved and terms &amp; conditions apply.</p>' ||
+      |     '<!-- hidden <p>Not real content.</p> --></body></html>' AS html
+      |   FROM documents)""".stripMargin
+
+  /** Shared x127/x128 kept-line CTE chain: synthesis → the HtmlOps strip
+    * order → line split with ordinality → the three C4 line rules →
+    * first-occurrence dedup (`dd`, filter `rk = 1`).
+    */
+  private lazy val htmlKeptCtesSql: String =
+    s"""$htmlSynthSql,
+      | txt AS (SELECT doc_id,
+      |     replace(replace(replace(replace(replace(replace(replace(
+      |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(html,
+      |         '(?is)<script\\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+      |         '(?is)<style\\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+      |         '(?s)<!--.*?-->', ' ', 'g'),
+      |         '(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\\s*>|(?i)<br\\s*/?>|(?i)<br\\s[^>]*>', chr(10), 'g'),
+      |         '<[^>]*>', '', 'g'),
+      |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+      |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t
+      |   FROM h),
+      | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
+      | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,
+      |     trim(regexp_replace(e.raw, '\\s+', ' ', 'g')) line
+      |   FROM (SELECT doc_id, unnest(list_transform(range(0, len(parts)),
+      |       i -> struct_pack(line_no := i,
+      |                        raw := parts[(i+1)::INT]))) e FROM lp)),
+      | kept AS (SELECT * FROM ln
+      |   WHERE regexp_matches(line, '[.!?"]$$')
+      |     AND len(string_split(line, ' ')) >= 3
+      |     AND NOT contains(lower(line), 'javascript')),
+      | dd AS (SELECT doc_id, line_no, line, row_number() OVER
+      |     (PARTITION BY line ORDER BY doc_id, line_no) rk FROM kept)""".stripMargin
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
     * exact-dedup keepers (k1) → survivors (s) → their distinct 3-gram
