@@ -282,6 +282,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"pair counts not combined:\n$p")
   }
 
+  test("x127: HTML extraction is a narrow map + exactly ONE line-keyed " +
+      "exchange (the dedup window) — no join anywhere") {
+    val p = plan(ExtensionQueries.queries, "x127_html_extract")
+    assert(!p.contains("Join"), s"extraction planned a join:\n$p")
+    // hashpartitioning only: the output orderBy adds a rangepartitioning
+    // and the fixture spread() a round-robin — neither moves with data
+    // size the way the dedup shuffle does
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the line-dedup exchange, got $exchanges:\n$p")
+  }
+
+  test("x128: the page tier adds only the doc-keyed reassembly agg — " +
+      "two hash exchanges, still no join") {
+    val p = plan(ExtensionQueries.queries, "x128_html_pages")
+    assert(!p.contains("Join"), s"page tier planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected dedup + page-agg exchanges, got $exchanges:\n$p")
+  }
+
   test("x114: snapshot diff joins hash projections, not text") {
     val p = plan(ExtensionQueries.queries, "x114_snapshot_diff")
     assert(!p.contains("CartesianProduct"), p)
