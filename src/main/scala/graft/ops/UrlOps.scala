@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and registered-domain extraction: the URL-level
+  * stage of web-corpus curation (RefinedWeb's first filter tier — Penedo
+  * et al. 2023 §3.1 runs URL dedup + domain filters BEFORE fetching text;
+  * CCNet and C4 both key dedup and provenance on normalized URLs).
+  *
+  * No reference analog (engine capability, like the rest of the
+  * first-mile tier).
+  *
+  * Everything is column-expression composition (regexp_extract /
+  * higher-order `filter` / array_sort — zero UDFs), so canonicalization
+  * is a narrow map that fuses into the scan; the dedup consumers
+  * downstream shuffle once on the canonical string.
+  *
+  * Canonical form (each rule deliberate and documented — this is the
+  * curation tier, not a browser's URL parser):
+  *
+  *  - scheme and host lowercase; userinfo (`user@`) dropped;
+  *  - host: trailing dot dropped, then a leading `www.` label dropped;
+  *  - default ports dropped (`:80` for http, `:443` for https); other
+  *    ports kept;
+  *  - path: duplicate slashes collapsed, trailing slash dropped (so `/`
+  *    alone canonicalizes to the empty path);
+  *  - query: parameters split on `&`; empties and tracking parameters
+  *    dropped (names starting `utm_`, plus the [[UrlOps.TrackingParams]]
+  *    exact set — case-sensitive, as the trackers themselves are);
+  *    survivors sorted bytewise and rejoined (parameter ORDER never
+  *    distinguishes two URLs);
+  *  - fragment dropped.
+  *
+  * Non-absolute input (no `scheme://`) canonicalizes to NULL — a crawl
+  * frontier only ever holds absolute URLs, and NULL lets callers filter
+  * malformed rows explicitly instead of receiving a half-normalized
+  * string. Percent-encoding is preserved as-is (decoding would need the
+  * full RFC 3986 reserved-set rules to stay injective).
+  */
+object UrlOps {
+
+  /** Exact-name tracking parameters dropped by [[canonicalizeUrl]] (the
+    * `utm_` prefix family is dropped by prefix, separately).
+    */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "igshid", "mc_cid", "mc_eid")
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]] — a
+    * built-in subset of the Mozilla Public Suffix List's most common
+    * ccTLD second-level registries (the full PSL is data, refreshed from
+    * publicsuffix.org in a deployment; the algorithm is what's under
+    * test — longest-known-suffix + 1 label).
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.in", "co.nz", "com.br", "com.mx",
+    "com.cn", "com.sg", "com.tr", "co.za", "com.hk")
+
+  private def nonEmpty(c: Column): Column = nullif(c, lit(""))
+
+  /** The scheme of an absolute URL (lowercased), NULL when the input has
+    * no `scheme://`.
+    */
+  def scheme(url: Column): Column =
+    lower(nonEmpty(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+
+  /** The canonical host: authority minus userinfo and port, lowercased,
+    * trailing dot then leading `www.` dropped. NULL for non-absolute
+    * input.
+    */
+  def host(url: Column): Column = {
+    val authority =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val afterUser = regexp_extract(authority, "([^@]*)$", 1)
+    val bare = regexp_extract(afterUser, "^([^:]*)", 1)
+    nonEmpty(regexp_replace(regexp_replace(lower(bare), "\\.$", ""),
+      "^www\\.", ""))
+  }
+
+  /** eTLD+1 under the built-in suffix subset: the last two labels,
+    * or the last three when the last two are a known multi-label public
+    * suffix ([[MultiLabelSuffixes]]). A host with no dot (localhost, an
+    * intranet name) is its own registered domain. NULL input → NULL.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val last2 = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(hostCol.isNull, lit(null))
+      .when(last2 === "", hostCol)
+      .when(array_contains(lit(MultiLabelSuffixes.toArray), last2) &&
+        last3 =!= "", last3)
+      .otherwise(last2)
+  }
+
+  /** Full canonicalization per the object contract. NULL for
+    * non-absolute input.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val h = host(url)
+    val authority =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val port = nonEmpty(
+      regexp_extract(regexp_extract(authority, "([^@]*)$", 1),
+        ":([0-9]+)$", 1))
+    val keepPort = port.isNotNull &&
+      !((sch === "http" && port === "80") ||
+        (sch === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val rawPath =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(regexp_replace(rawPath, "/{2,}", "/"),
+      "/$", "")
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+    val kept = filter(split(rawQuery, "&"), p =>
+      p =!= "" && !p.rlike("^utm_") &&
+        !regexp_extract(p, "^([^=]*)", 1)
+          .isin(TrackingParams.map(x => x: Any): _*))
+    val query = array_join(array_sort(kept), "&")
+    val queryPart =
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))
+    when(sch.isNull || h.isNull, lit(null))
+      .otherwise(concat(sch, lit("://"), h, portPart, path, queryPart))
+  }
+}

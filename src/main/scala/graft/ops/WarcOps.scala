@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WARC (Web ARChive, ISO 28500) container parsing: the stage a web-scale
+  * corpus runs BEFORE even [[HtmlOps]] sees raw HTML — a crawl ships as
+  * WARC files (Common Crawl's distribution format), each a concatenation
+  * of records:
+  *
+  * {{{
+  *   WARC/1.0\r\n
+  *   WARC-Type: response\r\n
+  *   WARC-Target-URI: https://...\r\n
+  *   WARC-Date: 2020-01-01T00:00:00Z\r\n
+  *   Content-Length: N\r\n
+  *   \r\n
+  *   <N bytes of payload>\r\n\r\n
+  * }}}
+  *
+  * No reference analog (engine capability, like the rest of the first-mile
+  * tier — the reference at /root/reference starts at decoded rows).
+  *
+  * Parsing is pure column-expression composition (replace / split /
+  * posexplode / regexp_extract — zero UDFs): record splitting is a
+  * sentinel replace of the `WARC/1.0\r\n` version line followed by one
+  * split, so a 1 GB WARC file parses as a narrow map over its rows with
+  * no shuffle at all; header-field extraction and Content-Length payload
+  * slicing ride whole-stage codegen.
+  *
+  * Fidelity bounds (documented, deliberate — this is the string tier):
+  * lengths are CHARACTER counts, not bytes (exact for ASCII payloads; a
+  * byte-faithful parser would start from `binaryFile` sources), and a
+  * payload that itself embeds the `\r\n\r\nWARC/1.0\r\n` record boundary
+  * false-splits. Both classes are self-diagnosing: every record carries
+  * `length_ok` (payload region length == Content-Length + the 4-char
+  * record terminator), so corrupt or boundary-embedding records surface
+  * as `length_ok = false` instead of silently wrong payloads.
+  */
+object WarcOps {
+
+  /** The record version line every WARC record starts with. */
+  val VersionLine: String = "WARC/1.0\r\n"
+
+  /** Record-boundary sentinel the version line is replaced with before
+    * the one-pass split — a control char no text payload carries (and if
+    * one did, the affected record's `length_ok` flags the damage).
+    */
+  private val Sentinel = "\u0001"
+
+  /** One named WARC header from a record body (headers are
+    * case-insensitive per ISO 28500 §5.1; values run to end of line).
+    * Absent header → NULL, so warcinfo records surface a NULL
+    * `target_uri` rather than an empty string.
+    */
+  private def header(body: Column, name: String): Column =
+    nullif(regexp_extract(body, "(?im)^" + name + ":\\s*([^\r\n]*)", 1),
+      lit(""))
+
+  /** Parse a frame of `(idCol, contentCol)` WARC files into one row per
+    * record:
+    *
+    *  - `rec_no`     — 0-based position of the record in its file;
+    *  - `warc_type`  — the WARC-Type header (response / request /
+    *                   warcinfo / ...), NULL if absent;
+    *  - `target_uri` — WARC-Target-URI, NULL if absent (warcinfo);
+    *  - `warc_date`  — WARC-Date, NULL if absent;
+    *  - `content_length` — Content-Length as a LONG, NULL if absent;
+    *  - `payload`    — the Content-Length-sized slice after the blank
+    *                   line ending the header block (NULL when
+    *                   Content-Length is missing);
+    *  - `length_ok`  — whether the region between this record's blank
+    *                   line and the next record (or end of file) is
+    *                   exactly Content-Length + the `\r\n\r\n`
+    *                   terminator. False flags truncation, a wrong
+    *                   Content-Length, or a boundary-embedding payload.
+    *
+    * Content before the first version line (a non-WARC preamble) is not
+    * a record and produces no row. An empty file produces no rows.
+    */
+  def parseRecords(files: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val bodies = files
+      .select(col(idCol),
+        posexplode(split(replace(col(contentCol), lit(VersionLine),
+          lit(Sentinel)), Sentinel))
+          .as(Seq("__i", "__body")))
+      // element 0 is whatever precedes the first version line (the empty
+      // string for a well-formed file) — never a record
+      .filter(col("__i") >= 1)
+      .select(col(idCol), (col("__i") - 1).cast(LongType).as("rec_no"),
+        col("__body"))
+    // digits-only capture: a malformed Content-Length value is NULL (→
+    // length_ok=false), never an ANSI cast error mid-job
+    val contentLength = nullif(regexp_extract(col("__body"),
+      "(?im)^Content-Length:\\s*([0-9]+)\\s*$", 1), lit("")).cast(LongType)
+    // the header block ends at the first blank line; everything after is
+    // the payload region (which still carries the \r\n\r\n terminator)
+    val payloadRegion =
+      regexp_extract(col("__body"), "(?s)^.*?\r\n\r\n(.*)$", 1)
+    bodies
+      .withColumn("warc_type", header(col("__body"), "WARC-Type"))
+      .withColumn("target_uri", header(col("__body"), "WARC-Target-URI"))
+      .withColumn("warc_date", header(col("__body"), "WARC-Date"))
+      .withColumn("content_length", contentLength)
+      .withColumn("payload", payloadRegion.substr(lit(1), contentLength))
+      .withColumn("length_ok", contentLength.isNotNull &&
+        length(payloadRegion) === contentLength + lit(4))
+      .drop("__body")
+  }
+
+  /** The rows downstream extraction actually consumes: well-formed
+    * `response` records only.
+    */
+  def responses(files: DataFrame, idCol: String,
+                contentCol: String): DataFrame =
+    parseRecords(files, idCol, contentCol)
+      .filter(col("warc_type") === "response" && col("length_ok"))
+}

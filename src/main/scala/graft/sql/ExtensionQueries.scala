@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, VectorOps}
+import graft.ops.{BpeOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1592,6 +1592,77 @@ object ExtensionQueries {
           "doc_id", "html")
         .select("doc_id", "n_lines", "text")
         .orderBy("doc_id")
+    },
+
+    // x129 — WARC container parsing (WarcOps, ISO 28500): the stage
+    // BEFORE x127 — a crawl arrives as WARC files, not loose HTML. The
+    // x127 HTML pages are wrapped into multi-record WARC files (one
+    // warcinfo per file, a request record for every third doc, a
+    // response per doc — identical synthesis in both engines), then
+    // parsed back: record splitting, header extraction (case-insensitive,
+    // absent → NULL), Content-Length payload slicing, and the length_ok
+    // self-diagnosis.
+    "x129_warc_records" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      WarcOps.parseRecords(warcFixture(d), "file_id", "content")
+        .select(col("file_id"), col("rec_no"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          md5(col("payload")).as("payload_md5"), col("length_ok"))
+        .orderBy("file_id", "rec_no")
+    },
+
+    // x130 — the full first-mile composition: WARC parse → response
+    // payloads → the SAME C4 page extraction as x128. Output must be
+    // row-identical to x128 (the container round trip adds nothing and
+    // loses nothing) — and the oracle recomputes it independently
+    // through DuckDB's own parse chain, so the equality is proven, not
+    // assumed.
+    "x130_warc_to_c4" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = WarcOps.responses(warcFixture(d), "file_id", "content")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          col("payload").as("html"))
+      HtmlOps.c4Pages(pages, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x131 — URL canonicalization + registered domain (UrlOps): the
+    // RefinedWeb/CCNet URL tier. Seven deterministic URL shapes per doc
+    // exercise every rule: case, www/userinfo/fragment drop, default
+    // vs non-default ports, slash collapse, trailing dot and slash,
+    // tracking-param drop, bytewise param sort, non-absolute → NULL,
+    // and the multi-label suffix heuristic.
+    "x131_url_canon" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      d.select(col("doc_id"), urlFixture.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.registeredDomain(UrlOps.host(col("url")))
+            .as("reg_domain"))
+        .orderBy("doc_id")
+    },
+
+    // x132 — canonical-URL dedup rolled up per registered domain: the
+    // actual consumer of x131 (RefinedWeb dedups its frontier on the
+    // canonical string — URLs differing only in tracking params, case,
+    // ports, or slashes are one fetch). One shuffle on the canonical
+    // string, one on the domain.
+    "x132_url_dedup" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val ur = d.select(col("doc_id"),
+          UrlOps.canonicalizeUrl(urlFixture).as("canon_url"),
+          UrlOps.registeredDomain(UrlOps.host(urlFixture))
+            .as("reg_domain"))
+        .filter(col("canon_url").isNotNull)
+      ur.groupBy("canon_url", "reg_domain")
+        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_docs"))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_urls"), sum("n_docs").as("n_docs"),
+          min("keep_doc").as("first_doc"))
+        .orderBy("reg_domain")
     }
   )
 
@@ -1611,6 +1682,79 @@ object ExtensionQueries {
     lit("<p>Please enable JavaScript to view comments here.</p>"),
     lit("<p>All rights reserved and terms &amp; conditions apply.</p>"),
     lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
+
+  /** WARC-file synthesis over the x127 HTML pages — ONE definition
+    * shared by x129 and x130, mirrored verbatim by [[warcSynthCtesSql]]:
+    * files of 8 docs (`doc_id / 8`), one warcinfo record per file
+    * (fixed payload, no Target-URI), a request record for every
+    * `doc_id % 3 == 0` doc, and a response record per doc whose payload
+    * is the [[htmlFixture]] page; records concatenated in
+    * (ord_doc, kind) order. Returns `(file_id, content)`.
+    */
+  private def warcFixture(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      htmlFixture.as("html"))
+    val idStr = col("doc_id").cast("string")
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    def record(tpe: String, uri: Column, date: Column,
+               payload: Column): Column =
+      concat(lit("WARC/1.0\r\nWARC-Type: " + tpe + "\r\n"),
+        when(uri.isNotNull,
+          concat(lit("WARC-Target-URI: "), uri, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("WARC-Date: "), date, lit("\r\n"),
+        lit("Content-Length: "), length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"), lit(0).as("sub"),
+        record("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val req = base.filter(col("doc_id") % 3 === 0)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        lit(0).as("sub"),
+        record("request", uriC, dateC,
+          concat(lit("GET /doc/"), idStr, lit(" HTTP/1.1"))).as("r"))
+    val resp = base.select(col("file_id"), col("doc_id").as("ord_doc"),
+      lit(1).as("sub"), record("response", uriC, dateC, col("html")).as("r"))
+    info.unionByName(req).unionByName(resp)
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("sub"), col("r")))).getField("r"))
+        .as("content"))
+  }
+
+  /** The x131/x132 URL synthesis — ONE definition, mirrored verbatim by
+    * [[urlSynthSql]]: seven deterministic shapes cycling on
+    * `doc_id % 7`, together covering every canonicalization rule. Arms
+    * 0 and 6 key their paths on `doc_id % 40` while varying only a
+    * tracking param, so canonicalization (not raw equality) merges them
+    * in x132.
+    */
+  private def urlFixture: Column = {
+    val id = col("doc_id").cast("string")
+    val idm = (col("doc_id") % 40).cast("string")
+    when(col("doc_id") % 7 === 0,
+      concat(lit("HTTP://WWW.Example.COM:80//a//b/"), idm,
+        lit("/?b=2&a=1&utm_term="), id))
+      .when(col("doc_id") % 7 === 1,
+        concat(lit("https://Shop.Example.co.uk:443/item/"), id,
+          lit("?fbclid=x"), id))
+      .when(col("doc_id") % 7 === 2,
+        concat(lit("http://user@Example.org:8080/p/"), id,
+          lit("?z=1&y=2&Y=9#frag")))
+      .when(col("doc_id") % 7 === 3,
+        concat(lit("https://news.example.com./"), id, lit("/")))
+      .when(col("doc_id") % 7 === 4,
+        concat(lit("ftp://Files.Example.NET:21/pub/"), id))
+      .when(col("doc_id") % 7 === 5, concat(lit("relative/path/"), id))
+      .otherwise(concat(lit("https://blog.example.com.au/read?id="), idm,
+        lit("&utm_campaign=x&UTM=keep")))
+  }
 
   /** The refresh-snapshot synthesis shared by x114 and x125 — and by the
     * BucketedJoinSpec plan gate and the BucketedDiff measurement main,
@@ -3966,15 +4110,58 @@ object ExtensionQueries {
     // (lines joined in line_no order) and C4's page rules.
     "x128_html_pages" ->
       s"""WITH $htmlKeptCtesSql,
-        | k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
-        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
-        |     string_agg(line, chr(10) ORDER BY line_no) AS text
-        |   FROM k GROUP BY doc_id)
-        | SELECT doc_id, n_lines, text FROM pg
-        | WHERE n_lines >= 5 AND NOT contains(text, '{')
-        |   AND NOT contains(text, '}')
-        |   AND NOT contains(lower(text), 'lorem ipsum')
-        | ORDER BY doc_id""".stripMargin
+        | $htmlPageTailSql""".stripMargin,
+
+    // x129 mirror: identical WARC synthesis over the x127 HTML pages
+    // (htmlSynthSql + warcSynthCtesSql — the ONE definitions), then the
+    // same sentinel-split record parse, header extraction, and
+    // Content-Length payload slicing.
+    "x129_warc_records" ->
+      s"""WITH $htmlSynthSql,
+        | $warcSynthCtesSql,
+        | $warcParseCtesSql
+        | SELECT file_id, rec_no, warc_type, target_uri, warc_date,
+        |   content_length, md5(payload) AS payload_md5, length_ok
+        | FROM wrecs ORDER BY file_id, rec_no""".stripMargin,
+
+    // x130 mirror: the full first-mile composition — the same WARC
+    // synthesis and parse as x129, response payloads become the HTML
+    // source CTE, then the SAME strip/line CTEs as x127 and the SAME
+    // page tail as x128 (all ONE definitions).
+    "x130_warc_to_c4" ->
+      s"""WITH $htmlSynthSql,
+        | $warcSynthCtesSql,
+        | $warcParseCtesSql,
+        | h2 AS (SELECT CAST(regexp_extract(target_uri, '/doc/([0-9]+)$$', 1)
+        |       AS BIGINT) AS doc_id, payload AS html
+        |   FROM wrecs WHERE warc_type = 'response' AND length_ok),
+        | ${htmlStripCtesSql("h2")},
+        | $htmlPageTailSql""".stripMargin,
+
+    // x131 mirror: identical URL synthesis (urlSynthSql — the ONE
+    // definition), then the same canonicalization rules (scheme/host
+    // lowercase, userinfo/fragment drop, default-port drop, slash
+    // collapse + trailing-slash drop, tracking-param drop + bytewise
+    // param sort) and the same eTLD+1 suffix heuristic, both driven by
+    // the SAME UrlOps constant lists.
+    "x131_url_canon" ->
+      s"""WITH $urlSynthSql,
+        | $urlCanonCtesSql
+        | SELECT doc_id, url, canon_url, host, reg_domain FROM ur
+        | ORDER BY doc_id""".stripMargin,
+
+    // x132 mirror: canonical-URL dedup (keep min doc_id per canonical)
+    // rolled up per registered domain — the RefinedWeb URL-dedup stage.
+    "x132_url_dedup" ->
+      s"""WITH $urlSynthSql,
+        | $urlCanonCtesSql,
+        | ku AS (SELECT canon_url, reg_domain, min(doc_id) AS keep_doc,
+        |     count(*)::BIGINT AS n_docs
+        |   FROM ur WHERE canon_url IS NOT NULL
+        |   GROUP BY canon_url, reg_domain)
+        | SELECT reg_domain, count(*)::BIGINT AS n_urls,
+        |   sum(n_docs)::BIGINT AS n_docs, min(keep_doc) AS first_doc
+        | FROM ku GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
   )
 
   /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors
@@ -4001,7 +4188,16 @@ object ExtensionQueries {
     */
   private lazy val htmlKeptCtesSql: String =
     s"""$htmlSynthSql,
-      | txt AS (SELECT doc_id,
+      | ${htmlStripCtesSql("h")}""".stripMargin
+
+  /** The HtmlOps strip order + C4 line rules as CTEs over ANY source CTE
+    * `src(doc_id, html)` — the ONE definition behind [[htmlKeptCtesSql]]
+    * (x127/x128, straight from synthesis) and the x130 WARC capstone
+    * (from parsed response payloads). Ends at `dd` (filter `rk = 1` for
+    * the kept lines).
+    */
+  private def htmlStripCtesSql(src: String): String =
+    s"""txt AS (SELECT doc_id,
       |     replace(replace(replace(replace(replace(replace(replace(
       |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |         regexp_replace(html,
@@ -4012,7 +4208,7 @@ object ExtensionQueries {
       |         '<[^>]*>', '', 'g'),
       |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
       |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t
-      |   FROM h),
+      |   FROM $src),
       | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
       | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,
       |     trim(regexp_replace(e.raw, '\\s+', ' ', 'g')) line
@@ -4025,6 +4221,187 @@ object ExtensionQueries {
       |     AND NOT contains(lower(line), 'javascript')),
       | dd AS (SELECT doc_id, line_no, line, row_number() OVER
       |     (PARTITION BY line ORDER BY doc_id, line_no) rk FROM kept)""".stripMargin
+
+  /** The C4 page tier over the kept-line CTE `dd` — ONE definition
+    * shared by x128 (straight from synthesis) and x130 (after the WARC
+    * round trip): page reassembly in line order, then the ≥5-lines,
+    * brace, and lorem-ipsum page rules. A complete query tail (ends in
+    * ORDER BY).
+    */
+  private lazy val htmlPageTailSql: String =
+    """k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
+      | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+      |     string_agg(line, chr(10) ORDER BY line_no) AS text
+      |   FROM k GROUP BY doc_id)
+      | SELECT doc_id, n_lines, text FROM pg
+      | WHERE n_lines >= 5 AND NOT contains(text, '{')
+      |   AND NOT contains(text, '}')
+      |   AND NOT contains(lower(text), 'lorem ipsum')
+      | ORDER BY doc_id""".stripMargin
+
+  /** WARC-file synthesis over the x127 HTML CTE `h`, DuckDB side —
+    * mirrors [[warcFixture]] verbatim (record layout, header order,
+    * lengths, file grouping, concatenation order). Ends at
+    * `wf(file_id, content)`.
+    */
+  private lazy val warcSynthCtesSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""wbase AS (SELECT doc_id, doc_id // 8 AS file_id, html FROM h),
+      | wrec AS (
+      |   SELECT file_id, -1 AS ord_doc, 0 AS sub,
+      |     'WARC/1.0' || $crlf ||
+      |     'WARC-Type: warcinfo' || $crlf ||
+      |     'WARC-Date: 2020-01-01T00:00:00Z' || $crlf ||
+      |     'Content-Length: ' ||
+      |       len('software: graft-synth/1.0')::VARCHAR || $crlf || $crlf ||
+      |     'software: graft-synth/1.0' || $crlf || $crlf AS r
+      |   FROM (SELECT DISTINCT file_id FROM wbase)
+      |   UNION ALL
+      |   SELECT file_id, doc_id, 0,
+      |     'WARC/1.0' || $crlf ||
+      |     'WARC-Type: request' || $crlf ||
+      |     'WARC-Target-URI: https://example.com/doc/' ||
+      |       doc_id::VARCHAR || $crlf ||
+      |     'WARC-Date: 2020-01-' ||
+      |       lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+      |       'T00:00:00Z' || $crlf ||
+      |     'Content-Length: ' ||
+      |       len('GET /doc/' || doc_id::VARCHAR || ' HTTP/1.1')::VARCHAR ||
+      |       $crlf || $crlf ||
+      |     'GET /doc/' || doc_id::VARCHAR || ' HTTP/1.1' || $crlf || $crlf
+      |   FROM wbase WHERE doc_id % 3 = 0
+      |   UNION ALL
+      |   SELECT file_id, doc_id, 1,
+      |     'WARC/1.0' || $crlf ||
+      |     'WARC-Type: response' || $crlf ||
+      |     'WARC-Target-URI: https://example.com/doc/' ||
+      |       doc_id::VARCHAR || $crlf ||
+      |     'WARC-Date: 2020-01-' ||
+      |       lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+      |       'T00:00:00Z' || $crlf ||
+      |     'Content-Length: ' || len(html)::VARCHAR || $crlf || $crlf ||
+      |     html || $crlf || $crlf
+      |   FROM wbase),
+      | wf AS (SELECT file_id,
+      |     string_agg(r, '' ORDER BY ord_doc, sub) AS content
+      |   FROM wrec GROUP BY file_id)""".stripMargin
+  }
+
+  /** WARC record parse over `wf(file_id, content)`, DuckDB side —
+    * mirrors `WarcOps.parseRecords` step for step (sentinel split,
+    * 0-based rec_no among true records, case-insensitive anchored
+    * header extraction with absent → NULL, digits-only Content-Length,
+    * payload slice, the length_ok diagnosis). Ends at `wrecs`.
+    */
+  private lazy val warcParseCtesSql: String =
+    """wb0 AS (SELECT file_id, string_split(replace(content,
+      |     'WARC/1.0' || chr(13) || chr(10), chr(1)), chr(1)) parts
+      |   FROM wf),
+      | wrb AS (SELECT file_id, (e.i - 1)::BIGINT AS rec_no, e.body FROM (
+      |     SELECT file_id, unnest(list_transform(range(1, len(parts)),
+      |       i -> struct_pack(i := i, body := parts[(i+1)::INT]))) e
+      |     FROM wb0)),
+      | wpr AS (SELECT file_id, rec_no,
+      |     nullif(regexp_extract(body,
+      |       '(?im)^WARC-Type:\s*([^\r\n]*)', 1), '') warc_type,
+      |     nullif(regexp_extract(body,
+      |       '(?im)^WARC-Target-URI:\s*([^\r\n]*)', 1), '') target_uri,
+      |     nullif(regexp_extract(body,
+      |       '(?im)^WARC-Date:\s*([^\r\n]*)', 1), '') warc_date,
+      |     CAST(nullif(regexp_extract(body,
+      |       '(?im)^Content-Length:\s*([0-9]+)\s*$', 1), '') AS BIGINT)
+      |       content_length,
+      |     regexp_extract(body, '(?s)^.*?\r\n\r\n(.*)$', 1) payload_region
+      |   FROM wrb),
+      | wrecs AS (SELECT file_id, rec_no, warc_type, target_uri, warc_date,
+      |     content_length,
+      |     substr(payload_region, 1, content_length) payload,
+      |     (content_length IS NOT NULL AND
+      |      len(payload_region) = content_length + 4) AS length_ok
+      |   FROM wpr)""".stripMargin
+
+  /** The x131/x132 URL synthesis, DuckDB side — mirrors [[urlFixture]]
+    * verbatim. Ends at `u(doc_id, url)`.
+    */
+  private lazy val urlSynthSql: String =
+    """u AS (SELECT doc_id,
+      |   CASE (doc_id % 7)
+      |     WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//b/' ||
+      |       (doc_id % 40)::VARCHAR || '/?b=2&a=1&utm_term=' ||
+      |       doc_id::VARCHAR
+      |     WHEN 1 THEN 'https://Shop.Example.co.uk:443/item/' ||
+      |       doc_id::VARCHAR || '?fbclid=x' || doc_id::VARCHAR
+      |     WHEN 2 THEN 'http://user@Example.org:8080/p/' ||
+      |       doc_id::VARCHAR || '?z=1&y=2&Y=9#frag'
+      |     WHEN 3 THEN 'https://news.example.com./' ||
+      |       doc_id::VARCHAR || '/'
+      |     WHEN 4 THEN 'ftp://Files.Example.NET:21/pub/' || doc_id::VARCHAR
+      |     WHEN 5 THEN 'relative/path/' || doc_id::VARCHAR
+      |     ELSE 'https://blog.example.com.au/read?id=' ||
+      |       (doc_id % 40)::VARCHAR || '&utm_campaign=x&UTM=keep'
+      |   END AS url
+      | FROM documents)""".stripMargin
+
+  /** URL canonicalization + registered domain over `u(doc_id, url)`,
+    * DuckDB side — mirrors `UrlOps.canonicalizeUrl` / `host` /
+    * `registeredDomain` rule for rule, with the tracking-param and
+    * multi-label-suffix lists interpolated from THE UrlOps constants
+    * (one definition across engines, the DefaultMaxBucket pattern).
+    * Ends at `ur(doc_id, url, canon_url, host, reg_domain)`.
+    */
+  private lazy val urlCanonCtesSql: String = {
+    val track = graft.ops.UrlOps.TrackingParams
+      .map(p => s"'$p'").mkString(", ")
+    val multi = graft.ops.UrlOps.MultiLabelSuffixes
+      .map(p => s"'$p'").mkString(", ")
+    s"""up AS (SELECT doc_id, url,
+      |     lower(nullif(regexp_extract(url,
+      |       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) sch,
+      |     regexp_extract(url,
+      |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) auth,
+      |     regexp_extract(url,
+      |       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) rawpath,
+      |     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) rawq
+      |   FROM u),
+      | uh AS (SELECT *, nullif(regexp_replace(regexp_replace(
+      |       lower(regexp_extract(regexp_extract(auth, '([^@]*)$$', 1),
+      |         '^([^:]*)', 1)),
+      |       '\\.$$', ''), '^www\\.', ''), '') AS host,
+      |     nullif(regexp_extract(regexp_extract(auth, '([^@]*)$$', 1),
+      |       ':([0-9]+)$$', 1), '') AS port
+      |   FROM up),
+      | uq AS (SELECT *, array_to_string(list_sort(list_filter(
+      |       string_split(rawq, '&'),
+      |       p -> p <> '' AND NOT regexp_matches(p, '^utm_') AND
+      |            regexp_extract(p, '^([^=]*)', 1) NOT IN ($track))),
+      |     '&') q
+      |   FROM uh),
+      | uc AS (SELECT doc_id, url, host,
+      |     CASE WHEN sch IS NULL OR host IS NULL THEN NULL ELSE
+      |       sch || '://' || host ||
+      |       CASE WHEN port IS NOT NULL AND
+      |            NOT ((sch = 'http' AND port = '80') OR
+      |                 (sch = 'https' AND port = '443'))
+      |            THEN ':' || port ELSE '' END ||
+      |       regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+      |         '/$$', '') ||
+      |       CASE WHEN q <> '' THEN '?' || q ELSE '' END
+      |     END AS canon_url
+      |   FROM uq),
+      | ur AS (SELECT doc_id, url, canon_url, host,
+      |     CASE WHEN host IS NULL THEN NULL
+      |          WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
+      |            THEN host
+      |          WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+      |              IN ($multi) AND
+      |            regexp_extract(host,
+      |              '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+      |            THEN regexp_extract(host,
+      |              '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+      |          ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+      |     END AS reg_domain
+      |   FROM uc)""".stripMargin
+  }
 
   /** Shared curation-oracle CTE head (x34/x64): quality filter (q) →
     * exact-dedup keepers (k1) → survivors (s) → their distinct 3-gram

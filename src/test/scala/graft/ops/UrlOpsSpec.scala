@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** URL canonicalization and registered-domain extraction: each canonical
+  * rule at its edge, the NULL contract for non-absolute input, and the
+  * suffix-list heuristic.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): Option[String] =
+    Option(Seq(url).toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .head().getString(0))
+
+  private def reg(host: String): String =
+    Seq(host).toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("r"))
+      .head().getString(0)
+
+  test("scheme and host lowercase; www, default port, fragment drop") {
+    assert(canon("HTTP://WWW.Example.COM:80/Path#frag") ==
+      Some("http://example.com/Path"))
+    assert(canon("https://Shop.Example.co.uk:443/a") ==
+      Some("https://shop.example.co.uk/a"))
+  }
+
+  test("non-default ports and path CASE are preserved") {
+    assert(canon("http://example.org:8080/A/B") ==
+      Some("http://example.org:8080/A/B"))
+    assert(canon("https://example.org:80/x") ==
+      Some("https://example.org:80/x")) // 80 is not https' default
+  }
+
+  test("userinfo and trailing host dot drop") {
+    assert(canon("http://user:pw@example.net./p") ==
+      Some("http://example.net/p"))
+  }
+
+  test("path slashes collapse and trailing slash drops; root becomes " +
+      "empty path") {
+    assert(canon("http://e.com//a///b/") == Some("http://e.com/a/b"))
+    assert(canon("http://e.com/") == Some("http://e.com"))
+  }
+
+  test("query: tracking params drop, empties drop, survivors sort " +
+      "bytewise, all-dropped query loses its '?'") {
+    assert(canon("http://e.com/p?b=2&utm_source=x&a=1&fbclid=y&&z") ==
+      Some("http://e.com/p?a=1&b=2&z"))
+    assert(canon("http://e.com/p?utm_campaign=only") ==
+      Some("http://e.com/p"))
+    // bytewise sort: uppercase before lowercase; utm_ match is
+    // case-sensitive (UTM=x is not a tracking param)
+    assert(canon("http://e.com/p?b=1&UTM=x") ==
+      Some("http://e.com/p?UTM=x&b=1"))
+  }
+
+  test("a '?' inside the fragment is not a query") {
+    assert(canon("http://e.com/p#a?notquery=1") == Some("http://e.com/p"))
+  }
+
+  test("non-absolute input canonicalizes to NULL") {
+    assert(canon("relative/path/only").isEmpty)
+    assert(canon("example.com/no-scheme").isEmpty)
+  }
+
+  test("registered domain: eTLD+1, multi-label suffixes, dotless hosts") {
+    assert(reg("news.example.com") == "example.com")
+    assert(reg("a.b.shop.example.co.uk") == "example.co.uk")
+    assert(reg("example.com.au") == "example.com.au")
+    assert(reg("localhost") == "localhost")
+    // exactly a multi-label suffix with nothing left: stays last-3 fallback
+    assert(reg("co.uk") == "co.uk")
+  }
+
+  test("canonicalization is a narrow map: no shuffle in the plan") {
+    val df = Seq("http://e.com/a").toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC (ISO 28500) record parsing: field extraction, Content-Length
+  * payload slicing, the length_ok self-diagnosis, and each documented
+  * fidelity bound at its edge.
+  */
+class WarcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(tpe: String, payload: String,
+                  uri: Option[String] = None,
+                  lengthOverride: Option[Int] = None): String = {
+    val len = lengthOverride.getOrElse(payload.length)
+    "WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      uri.map(u => s"WARC-Target-URI: $u\r\n").getOrElse("") +
+      "WARC-Date: 2020-01-01T00:00:00Z\r\n" +
+      s"Content-Length: $len\r\n" +
+      "\r\n" + payload + "\r\n\r\n"
+  }
+
+  private def parse(content: String) =
+    WarcOps.parseRecords(Seq((1L, content)).toDF("file_id", "content"),
+        "file_id", "content")
+      .orderBy("rec_no").collect()
+
+  test("a three-record file parses into ordered typed records") {
+    val content = rec("warcinfo", "software: graft/1.0") +
+      rec("request", "GET /a HTTP/1.1", Some("https://e.com/a")) +
+      rec("response", "<html>hi</html>", Some("https://e.com/a"))
+    val rows = parse(content)
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("rec_no")).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "request", "response"))
+    // warcinfo has no Target-URI: NULL, not empty string
+    assert(rows(0).isNullAt(rows(0).fieldIndex("target_uri")))
+    assert(rows(2).getAs[String]("target_uri") == "https://e.com/a")
+    assert(rows(2).getAs[String]("payload") == "<html>hi</html>")
+    assert(rows(2).getAs[Long]("content_length") == 15L)
+    assert(rows.forall(_.getAs[Boolean]("length_ok")))
+  }
+
+  test("a payload containing a bare blank line still slices exactly") {
+    // \r\n\r\n INSIDE the payload is fine — Content-Length governs the
+    // slice; only the record-boundary sequence (version line) breaks
+    val p = "part one\r\n\r\npart two"
+    val rows = parse(rec("response", p, Some("https://e.com/b")))
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("payload") == p)
+    assert(rows(0).getAs[Boolean]("length_ok"))
+  }
+
+  test("truncated payload and wrong Content-Length flag length_ok=false") {
+    val truncated = rec("response", "full payload text",
+      Some("https://e.com/c")).dropRight(9)
+    assert(!parse(truncated)(0).getAs[Boolean]("length_ok"))
+    val wrongLen = rec("response", "short", Some("https://e.com/d"),
+      lengthOverride = Some(999))
+    assert(!parse(wrongLen)(0).getAs[Boolean]("length_ok"))
+  }
+
+  test("a payload embedding the record boundary false-splits — and is " +
+      "flagged, not silently wrong") {
+    val evil = "before WARC/1.0\r\nafter"
+    val rows = parse(rec("response", evil, Some("https://e.com/e")))
+    // the embedded version line splits the record in two; the real
+    // record's payload region is now short of its Content-Length
+    assert(rows.length == 2)
+    assert(!rows(0).getAs[Boolean]("length_ok"))
+  }
+
+  test("header names match case-insensitively; missing Content-Length " +
+      "yields NULL payload and length_ok=false") {
+    val lower = "WARC/1.0\r\nwarc-type: response\r\n" +
+      "content-length: 2\r\n\r\nok\r\n\r\n"
+    val r = parse(lower)(0)
+    assert(r.getAs[String]("warc_type") == "response")
+    assert(r.getAs[String]("payload") == "ok")
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    val r2 = parse(noLen)(0)
+    assert(r2.isNullAt(r2.fieldIndex("payload")) &&
+      !r2.getAs[Boolean]("length_ok"))
+    // malformed (non-numeric) length: NULL, flagged — never a cast error
+    val badLen = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: abc\r\n\r\nbody\r\n\r\n"
+    val r3 = parse(badLen)(0)
+    assert(r3.isNullAt(r3.fieldIndex("content_length")) &&
+      !r3.getAs[Boolean]("length_ok"))
+  }
+
+  test("empty file and non-WARC preamble produce no record rows") {
+    assert(parse("").isEmpty)
+    val withPreamble = "garbage preamble\n" +
+      rec("response", "x.", Some("https://e.com/f"))
+    val rows = parse(withPreamble)
+    assert(rows.length == 1 && rows(0).getAs[Long]("rec_no") == 0L)
+  }
+
+  test("responses() keeps only well-formed response records") {
+    val content = rec("warcinfo", "i") +
+      rec("response", "good.", Some("https://e.com/g")) +
+      rec("request", "GET /g HTTP/1.1", Some("https://e.com/g")) +
+      rec("response", "bad", Some("https://e.com/h"),
+        lengthOverride = Some(999))
+    val rows = WarcOps.responses(
+        Seq((1L, content)).toDF("file_id", "content"), "file_id", "content")
+      .collect()
+    assert(rows.length == 1 &&
+      rows(0).getAs[String]("target_uri") == "https://e.com/g")
+  }
+
+  test("parsing is a narrow map: no shuffle in the plan") {
+    val df = WarcOps.parseRecords(
+      Seq((1L, rec("response", "x.", Some("https://e.com/i"))))
+        .toDF("file_id", "content"), "file_id", "content")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
