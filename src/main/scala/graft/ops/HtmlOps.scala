@@ -110,6 +110,24 @@ object HtmlOps {
     }
   }
 
+  /** All `href` targets of `<a>` tags, in document order — the link
+    * tier of the first mile: a crawl discovers its frontier from
+    * exactly these, and a corpus's link graph (in-degree as a quality
+    * prior, anchor provenance) starts here. Double-quoted hrefs only
+    * (the dominant form; single-quoted/bare attributes are a documented
+    * fidelity bound of the regex tier, like the `>`-in-attribute bound
+    * above). Empty hrefs are dropped. Pure codegen'd column expression —
+    * resolve against the page URL with [[UrlOps.resolveUrl]], then
+    * canonicalize.
+    */
+  def extractLinks(html: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(html,
+          lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+        r => trim(r)),
+      r => r =!= "")
+
   /** Page-level C4 rules over the kept lines: reassemble each page from
     * its surviving lines and keep only pages that
     *

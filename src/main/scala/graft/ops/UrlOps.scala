@@ -93,6 +93,43 @@ object UrlOps {
       .otherwise(last2)
   }
 
+  /** Resolve a link reference against its page's ABSOLUTE base URL —
+    * the RFC 3986 §5 merge at the fidelity a crawl frontier needs
+    * (feed the result to [[canonicalizeUrl]]; dot-segment removal
+    * beyond the canonicalizer's slash collapse is not performed):
+    *
+    *  - absolute reference (`scheme://...`) → itself;
+    *  - protocol-relative (`//host/...`) → base scheme + `:` + ref;
+    *  - root-relative (`/path`) → base origin (scheme://authority) +
+    *    ref;
+    *  - fragment-only (`#...`) or empty → the base itself (fragments
+    *    never reach the wire);
+    *  - anything else (a relative path) → base origin + base path's
+    *    directory + `/` + ref.
+    *
+    * NULL when the base is not absolute (a frontier resolves against
+    * fetched pages, whose URLs are absolute by construction — NULL
+    * keeps a malformed provenance row loud instead of emitting a
+    * half-joined string).
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val sch = scheme(base)
+    val origin =
+      regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val basePath =
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // directory of the base path: drop the last segment ("/a/b" -> "/a",
+    // "/a/" -> "/a", "" -> "")
+    val baseDir = regexp_replace(basePath, "/[^/]*$", "")
+    when(sch.isNull, lit(null).cast("string"))
+      .when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
+      .when(ref.startsWith("//"), concat(sch, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref === "" || ref.startsWith("#"), base)
+      .otherwise(concat(origin, baseDir, lit("/"),
+        regexp_replace(ref, "#.*$", "")))
+  }
+
   /** Full canonicalization per the object contract. NULL for
     * non-absolute input.
     */

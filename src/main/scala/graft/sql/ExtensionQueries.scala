@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
+import graft.ops.{BpeOps, ClassifyOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1663,6 +1663,146 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_urls"), sum("n_docs").as("n_docs"),
           min("keep_doc").as("first_doc"))
         .orderBy("reg_domain")
+    },
+
+    // x133 — robots.txt admission (RobotsOps): parse per-domain robots
+    // bodies into the rules governing agent "graftbot" (exact-token
+    // groups beat `*` domain-wide; multi-agent headers; comments; the
+    // empty-Disallow idiom), then admit the x131 canonical URLs by
+    // longest-prefix-match with Allow winning ties. The fixture plants a
+    // megabot-only Disallow-everything group (agent scoping must ignore
+    // it), a `*` group that must be ignored wherever the graftbot group
+    // exists, and drops the graftbot group on example.org only — the
+    // RFC 9309 fallback path, observable as that domain going fully
+    // blocked under `Disallow: /`.
+    "x133_robots_filter" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val urls = d.select(col("doc_id"),
+          UrlOps.canonicalizeUrl(urlFixture).as("canon_url"),
+          UrlOps.registeredDomain(UrlOps.host(urlFixture)).as("reg_domain"))
+        .filter(col("canon_url").isNotNull)
+        .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+      val robots = urls.select("reg_domain").distinct()
+        .withColumn("robots_txt", robotsFixture(col("reg_domain")))
+      val rules = RobotsOps.parseRules(robots, "graftbot")
+      val flags = RobotsOps.allowedFlags(urls, rules, Seq("doc_id"))
+      urls.join(flags, Seq("doc_id"))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"),
+          min(when(!col("allowed"), col("doc_id"))).as("first_blocked_doc"))
+        .orderBy("reg_domain")
+    },
+
+    // x134 — the link graph (HtmlOps.extractLinks → UrlOps.resolveUrl →
+    // canonicalize): every <a href> of each synthesized page resolved
+    // against the page's own URL (absolute, protocol-relative,
+    // root-relative, path-relative, and fragment-only arms all planted),
+    // canonicalized, and rolled up per (source domain, target domain) —
+    // the corpus link graph whose in-degree is a quality prior and whose
+    // edges seed the crawl frontier. Two chained combinable aggs (per-
+    // target then per-pair) — no count_distinct Expand (the x56 lesson).
+    "x134_link_graph" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      val edges = pages.select(
+          UrlOps.registeredDomain(UrlOps.host(col("base"))).as("src_domain"),
+          col("base"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref"))
+        .select(col("src_domain"),
+          UrlOps.canonicalizeUrl(UrlOps.resolveUrl(col("base"), col("ref")))
+            .as("canon_url"))
+        .filter(col("canon_url").isNotNull)
+        .withColumn("dst_domain",
+          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+      edges.groupBy("src_domain", "dst_domain", "canon_url")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(sum(col("n")).as("n_links"), count(lit(1)).as("n_targets"),
+          min(col("canon_url")).as("sample_target"))
+        .orderBy("src_domain", "dst_domain")
+    },
+
+    // x135 — token Naive Bayes quality classifier (ClassifyOps): the
+    // model-based filter tier (the fastText-classifier role in
+    // CCNet/DataComp curation). Labels come from the x34 quality rule on
+    // the even-id half, the model scores the odd-id half, and the output
+    // is the confusion rollup with exact integer score sums (micro-nat
+    // scaled-long weights — the x90 BM25 convention, so the DuckDB
+    // mirror is hash-exact regardless of summation order).
+    "x135_nb_quality" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val labeled = TextOps.qualityScore(d)
+        .withColumn("pos",
+          col("n_words") >= 20 && col("alpha_ratio_bp") >= 7000)
+        .select("doc_id", "text", "pos")
+      val train = labeled.filter(col("doc_id") % 2 === 0)
+      val test = labeled.filter(col("doc_id") % 2 =!= 0)
+      val model = ClassifyOps.trainTokenNb(train, "pos")
+      ClassifyOps.scoreTokenNb(test, model)
+        .join(test.select(col("doc_id"), col("pos").as("actual")),
+          Seq("doc_id"))
+        .groupBy("actual", "pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("actual", "pred")
+    },
+
+    // x136 — the crawl-frontier capstone: the first-mile DISCOVERY loop
+    // end-to-end. Pages → extracted links → resolved + canonicalized
+    // targets → frontier dedup (one row per canonical URL, keep the
+    // first discoverer) → already-crawled anti-set → robots admission
+    // (RobotsOps, agent graftbot) → per-domain politeness cap (4 fetches
+    // per domain, canonical order). Per-domain funnel counts out — every
+    // stage's survivors visible in one row, the crawl-scheduler report.
+    "x136_crawl_frontier" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      val resolved = pages.select(col("doc_id"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref"), col("base"))
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(UrlOps.resolveUrl(col("base"), col("ref")))
+            .as("canon_url"))
+        .filter(col("canon_url").isNotNull)
+      val cand = resolved.groupBy("canon_url")
+        .agg(min("doc_id").as("discovered_by"), count(lit(1)).as("n_refs"))
+        .withColumn("reg_domain",
+          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+        .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+      val crawled = pages
+        .select(UrlOps.canonicalizeUrl(col("base")).as("canon_url"))
+        .distinct().withColumn("seen", lit(true))
+      val marked = cand.join(crawled, Seq("canon_url"), "left")
+        .withColumn("is_new", col("seen").isNull).drop("seen")
+      val robots = marked.select("reg_domain").distinct()
+        .withColumn("robots_txt", frontierRobotsFixture)
+      val rules = RobotsOps.parseRules(robots, "graftbot")
+      val flags = RobotsOps
+        .allowedFlags(marked.filter(col("is_new")), rules, Seq("canon_url"))
+      val staged = marked.join(flags, Seq("canon_url"), "left")
+        .withColumn("admitted",
+          col("is_new") && coalesce(col("allowed"), lit(false)))
+        .drop("allowed")
+      val sched = staged.filter(col("admitted"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("reg_domain").orderBy("canon_url")))
+        .withColumn("scheduled", col("rn") <= 4)
+        .select("canon_url", "scheduled")
+      staged.join(sched, Seq("canon_url"), "left")
+        .withColumn("scheduled", coalesce(col("scheduled"), lit(false)))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("n_refs")).as("n_refs"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("scheduled"), 1L).otherwise(0L)).as("n_scheduled"),
+          min(when(col("scheduled"), col("canon_url")))
+            .as("first_scheduled"))
+        .orderBy("reg_domain")
     }
   )
 
@@ -1754,6 +1894,79 @@ object ExtensionQueries {
       .when(col("doc_id") % 7 === 5, concat(lit("relative/path/"), id))
       .otherwise(concat(lit("https://blog.example.com.au/read?id="), idm,
         lit("&utm_campaign=x&UTM=keep")))
+  }
+
+  /** The x133 robots.txt synthesis — ONE body per registered domain,
+    * mirrored verbatim by the x133 oracle: a comment line, a
+    * megabot-only Disallow-everything group (tests agent scoping), the
+    * graftbot/helper group with prefix rules over the x131 path shapes
+    * plus the empty-Disallow idiom — OMITTED on example.org so that
+    * domain exercises the RFC 9309 `*`-fallback — and a trailing `*`
+    * group that governs only where the exact group is absent.
+    */
+  private def robotsFixture(domain: Column): Column = {
+    val exact =
+      "User-agent: graftbot\nUser-agent: helper\n" +
+        "Disallow: /a/b\nAllow: /a/b/1\n" +
+        "Disallow: /item\nAllow: /item/1\n" +
+        "Disallow:\n\n"
+    concat(
+      lit("# graft robots fixture\n\nUser-agent: megabot\nDisallow: /\n\n"),
+      when(domain === "example.org", lit("")).otherwise(lit(exact)),
+      lit("User-agent: *\nDisallow: /read\nDisallow: /\n"))
+  }
+
+  /** The x136 frontier robots body (same for every domain): graftbot
+    * rules over the LINK fixture's path shapes (`/root/...`, `/lib/...`)
+    * with allow-exceptions, behind the same scoping groups.
+    */
+  private def frontierRobotsFixture: Column =
+    lit("User-agent: megabot\nDisallow: /\n\n" +
+      "User-agent: graftbot\n" +
+      "Disallow: /root\nAllow: /root/1\n" +
+      "Disallow: /lib\nAllow: /lib/1\n\n" +
+      "User-agent: *\nDisallow: /\n")
+
+  /** The x134/x136 page-URL synthesis: five sites on five distinct
+    * registered domains, one page per doc. Mirrored by the SQL oracles.
+    */
+  private def linkBase: Column = {
+    val m = (col("doc_id") % 5).cast("string")
+    concat(lit("https://s"), m, lit(".example-"), m, lit(".com/dir/page/"),
+      col("doc_id").cast("string"))
+  }
+
+  /** The x134/x136 link-HTML synthesis — every resolveUrl arm planted:
+    * an absolute link to the next site (with a tracking param the
+    * canonicalizer must strip), an UPPERCASE absolute link with a
+    * doubled slash and trailing slash (canonicalization work), a
+    * root-relative link, a path-relative link, a protocol-relative CDN
+    * link, a fragment-only link (resolves to the page itself), plus a
+    * single-quoted href and an href-less anchor that the double-quote
+    * extractor must NOT emit (its documented fidelity bound, asserted).
+    */
+  private def linkHtmlFixture: Column = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val n1 = ((id + 1) % 5).cast("string")
+    val n2 = ((id + 2) % 5).cast("string")
+    concat(
+      lit("<html><body><p>Doc "), idS, lit("</p>"),
+      lit("<a href=\"https://s"), n1, lit(".example-"), n1,
+      lit(".com/dir/page/"), (id + 1).cast("string"),
+      lit("?utm_source=feed\">next</a>"),
+      lit("<A HREF=\"HTTPS://S"), n2, lit(".Example-"), n2,
+      lit(".COM/dir//page/"), (id + 2).cast("string"),
+      lit("/\">caps</A>"),
+      lit("<a href=\"/root/"), (id % 10).cast("string"),
+      lit("\">rooted</a>"),
+      lit("<a href=\"sub/"), (id % 3).cast("string"), lit("\">rel</a>"),
+      lit("<a href=\"//cdn.example.net/lib/"), (id % 4).cast("string"),
+      lit("\">cdn</a>"),
+      lit("<a href=\"#top\">top</a>"),
+      lit("<a href='single"), idS, lit("'>sq</a>"),
+      lit("<a name=\"anchor\">no href</a>"),
+      lit("</body></html>"))
   }
 
   /** The refresh-snapshot synthesis shared by x114 and x125 — and by the
@@ -4161,7 +4374,149 @@ object ExtensionQueries {
         |   GROUP BY canon_url, reg_domain)
         | SELECT reg_domain, count(*)::BIGINT AS n_urls,
         |   sum(n_docs)::BIGINT AS n_docs, min(keep_doc) AS first_doc
-        | FROM ku GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
+        | FROM ku GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // x133 mirror: the same URL synthesis + canonicalization, the same
+    // per-domain robots body (robotsBodySql — ONE definition), DuckDB's
+    // own RFC 9309 parse (line split with ordinality, comment strip,
+    // group segmentation via lag + running sum, exact-token-beats-star
+    // group selection), then longest-prefix admission with Allow winning
+    // ties via a window over the hits.
+    "x133_robots_filter" ->
+      s"""WITH $urlSynthSql,
+        | ${urlCanonCtesOver("u", "doc_id")},
+        | updt AS (SELECT doc_id, reg_domain, canon_url,
+        |     coalesce(nullif(regexp_extract(canon_url,
+        |       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$$', 1), ''), '/') mp
+        |   FROM ur WHERE canon_url IS NOT NULL),
+        | rb AS (SELECT reg_domain, $robotsBodySql AS robots_txt
+        |   FROM (SELECT DISTINCT reg_domain FROM updt)),
+        | ${robotsParseCtesSql("rb", "graftbot")},
+        | hits AS (SELECT u.doc_id, len(r.prefix) l,
+        |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
+        |   FROM updt u JOIN rrules r ON u.reg_domain = r.reg_domain
+        |     AND starts_with(u.mp, r.prefix)),
+        | b1 AS (SELECT doc_id, a FROM (SELECT doc_id, a, row_number()
+        |     OVER (PARTITION BY doc_id ORDER BY l DESC, a DESC) rn
+        |   FROM hits) WHERE rn = 1),
+        | fl AS (SELECT u.doc_id, u.reg_domain,
+        |     coalesce(b1.a, 1) = 1 AS allowed
+        |   FROM updt u LEFT JOIN b1 USING (doc_id))
+        | SELECT reg_domain, count(*)::BIGINT n_urls,
+        |   sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT n_allowed,
+        |   sum(CASE WHEN allowed THEN 0 ELSE 1 END)::BIGINT n_blocked,
+        |   min(CASE WHEN NOT allowed THEN doc_id END) first_blocked_doc
+        | FROM fl GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // x134 mirror: the same page/link synthesis (linkSynthCtesSql — ONE
+    // definition), DuckDB's own href extraction + RFC 3986 resolve +
+    // canonicalization, then the two-stage per-target/per-pair rollup.
+    "x134_link_graph" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "src_domain")},
+        | e AS (SELECT src_domain, canon_url, reg_domain AS dst_domain
+        |   FROM ur WHERE canon_url IS NOT NULL),
+        | g1 AS (SELECT src_domain, dst_domain, canon_url,
+        |     count(*)::BIGINT n FROM e
+        |   GROUP BY src_domain, dst_domain, canon_url)
+        | SELECT src_domain, dst_domain, sum(n)::BIGINT n_links,
+        |   count(*)::BIGINT n_targets, min(canon_url) sample_target
+        | FROM g1 GROUP BY src_domain, dst_domain
+        | ORDER BY src_domain, dst_domain""".stripMargin,
+
+    // x135 mirror: the same even/odd split and x34 quality label, the
+    // full multinomial-NB estimation in DuckDB (Laplace counts, micro-
+    // nat floored log-odds — the x90 scaled-long convention, so scores
+    // are exact integer sums), then the same confusion rollup.
+    "x135_nb_quality" ->
+      s"""WITH lab AS (SELECT doc_id, text,
+        |     (len(string_split(text, ' ')) >= 20 AND
+        |      floor(len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |        * 10000 / len(text)::DOUBLE)::BIGINT >= 7000) AS pos
+        |   FROM documents),
+        | tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+        | te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
+        | tt AS (SELECT pos, unnest(string_split(lower(text), ' ')) token
+        |   FROM tr),
+        | tc AS (SELECT token,
+        |     sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT c_pos,
+        |     sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT c_neg
+        |   FROM tt GROUP BY token),
+        | tot AS (SELECT sum(c_pos)::BIGINT n_pos, sum(c_neg)::BIGINT n_neg,
+        |     count(*)::BIGINT vocab FROM tc),
+        | dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT d_pos,
+        |     sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT d_neg FROM tr),
+        | wt AS (SELECT token,
+        |     floor(1000000.0 * ln((c_pos + 1)::DOUBLE
+        |       / (n_pos + vocab)::DOUBLE))::BIGINT -
+        |     floor(1000000.0 * ln((c_neg + 1)::DOUBLE
+        |       / (n_neg + vocab)::DOUBLE))::BIGINT AS w
+        |   FROM tc CROSS JOIN tot),
+        | cs AS (SELECT
+        |     floor(1000000.0 * ln(1.0 / (n_pos + vocab)::DOUBLE))::BIGINT -
+        |     floor(1000000.0 * ln(1.0 / (n_neg + vocab)::DOUBLE))::BIGINT
+        |       AS w_default,
+        |     floor(1000000.0 * ln(d_pos::DOUBLE))::BIGINT -
+        |     floor(1000000.0 * ln(d_neg::DOUBLE))::BIGINT AS prior
+        |   FROM tot CROSS JOIN dc),
+        | st AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) token
+        |   FROM te),
+        | sc AS (SELECT doc_id,
+        |     (max(prior) + sum(coalesce(w, w_default)))::BIGINT score
+        |   FROM st LEFT JOIN wt USING (token) CROSS JOIN cs
+        |   GROUP BY doc_id)
+        | SELECT te.pos AS actual, score > 0 AS pred,
+        |   count(*)::BIGINT n_docs, sum(score)::BIGINT sum_score,
+        |   min(te.doc_id) min_doc, max(te.doc_id) max_doc
+        | FROM sc JOIN te USING (doc_id)
+        | GROUP BY actual, pred ORDER BY actual, pred""".stripMargin,
+
+    // x136 mirror: links → resolve → canonicalize (the x134 chain), then
+    // DuckDB's own frontier: per-canonical dedup, crawled anti-set,
+    // robots admission over the frontier body, and the per-domain cap-4
+    // politeness window.
+    "x136_crawl_frontier" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | cand AS (SELECT canon_url, min(doc_id) discovered_by,
+        |     count(*)::BIGINT n_refs, min(reg_domain) AS reg_domain,
+        |     coalesce(nullif(regexp_extract(canon_url,
+        |       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$$', 1), ''), '/') mp
+        |   FROM ur WHERE canon_url IS NOT NULL GROUP BY canon_url),
+        | crawled AS (SELECT DISTINCT
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |     (doc_id % 5)::VARCHAR || '.com/dir/page/' ||
+        |     doc_id::VARCHAR AS canon_url
+        |   FROM documents),
+        | marked AS (SELECT c.*, cr.canon_url IS NULL AS is_new
+        |   FROM cand c LEFT JOIN crawled cr USING (canon_url)),
+        | rb AS (SELECT reg_domain, $frontierRobotsBodySql AS robots_txt
+        |   FROM (SELECT DISTINCT reg_domain FROM marked)),
+        | ${robotsParseCtesSql("rb", "graftbot")},
+        | hits AS (SELECT m.canon_url, len(r.prefix) l,
+        |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
+        |   FROM marked m JOIN rrules r ON m.reg_domain = r.reg_domain
+        |     AND starts_with(m.mp, r.prefix)
+        |   WHERE m.is_new),
+        | b1 AS (SELECT canon_url, a FROM (SELECT canon_url, a,
+        |     row_number() OVER (PARTITION BY canon_url
+        |       ORDER BY l DESC, a DESC) rn FROM hits) WHERE rn = 1),
+        | staged AS (SELECT m.*,
+        |     m.is_new AND coalesce(b1.a, 1) = 1 AS admitted
+        |   FROM marked m LEFT JOIN b1 USING (canon_url)),
+        | sch AS (SELECT canon_url, rn <= 4 AS scheduled
+        |   FROM (SELECT canon_url, row_number() OVER
+        |       (PARTITION BY reg_domain ORDER BY canon_url) rn
+        |     FROM staged WHERE admitted)),
+        | fin AS (SELECT s.*, coalesce(sch.scheduled, FALSE) scheduled
+        |   FROM staged s LEFT JOIN sch USING (canon_url))
+        | SELECT reg_domain, count(*)::BIGINT n_candidates,
+        |   sum(n_refs)::BIGINT n_refs,
+        |   sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT n_new,
+        |   sum(CASE WHEN admitted THEN 1 ELSE 0 END)::BIGINT n_admitted,
+        |   sum(CASE WHEN scheduled THEN 1 ELSE 0 END)::BIGINT n_scheduled,
+        |   min(CASE WHEN scheduled THEN canon_url END) first_scheduled
+        | FROM fin GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
   )
 
   /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors
@@ -4349,12 +4704,150 @@ object ExtensionQueries {
     * (one definition across engines, the DefaultMaxBucket pattern).
     * Ends at `ur(doc_id, url, canon_url, host, reg_domain)`.
     */
-  private lazy val urlCanonCtesSql: String = {
+  private lazy val urlCanonCtesSql: String = urlCanonCtesOver("u", "doc_id")
+
+  /** The x133 robots.txt body, DuckDB side — mirrors [[robotsFixture]]
+    * verbatim (an expression over column `reg_domain`).
+    */
+  private lazy val robotsBodySql: String =
+    """'# graft robots fixture' || chr(10) || chr(10) ||
+      |     'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) ||
+      |     chr(10) ||
+      |     CASE WHEN reg_domain = 'example.org' THEN '' ELSE
+      |       'User-agent: graftbot' || chr(10) ||
+      |       'User-agent: helper' || chr(10) ||
+      |       'Disallow: /a/b' || chr(10) || 'Allow: /a/b/1' || chr(10) ||
+      |       'Disallow: /item' || chr(10) || 'Allow: /item/1' || chr(10) ||
+      |       'Disallow:' || chr(10) || chr(10) END ||
+      |     'User-agent: *' || chr(10) || 'Disallow: /read' || chr(10) ||
+      |     'Disallow: /' || chr(10)""".stripMargin
+
+  /** The x136 frontier robots body, DuckDB side — mirrors
+    * [[frontierRobotsFixture]] verbatim.
+    */
+  private lazy val frontierRobotsBodySql: String =
+    """'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) ||
+      |     chr(10) || 'User-agent: graftbot' || chr(10) ||
+      |     'Disallow: /root' || chr(10) || 'Allow: /root/1' || chr(10) ||
+      |     'Disallow: /lib' || chr(10) || 'Allow: /lib/1' || chr(10) ||
+      |     chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /' ||
+      |     chr(10)""".stripMargin
+
+  /** RobotsOps.parseRules as DuckDB CTEs over `src(reg_domain,
+    * robots_txt)` for one agent token — line split with ordinality,
+    * comment strip, directive extraction, group segmentation (lag +
+    * running sum), exact-token-beats-star group selection, empty-value
+    * rule drop. Ends at `rrules(reg_domain, is_allow, prefix)`. ONE
+    * definition shared by the x133 and x136 mirrors.
+    */
+  private def robotsParseCtesSql(src: String, agent: String): String =
+    s"""rlp AS (SELECT reg_domain, string_split(robots_txt, chr(10)) parts
+      |   FROM $src),
+      | rl AS (SELECT reg_domain, e.ln::BIGINT line_no,
+      |     trim(regexp_replace(e.raw, '#.*$$', '')) line
+      |   FROM (SELECT reg_domain, unnest(list_transform(
+      |       range(0, len(parts)), i -> struct_pack(ln := i,
+      |         raw := parts[(i+1)::INT]))) e FROM rlp)),
+      | rd AS (SELECT reg_domain, line_no,
+      |     lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) directive,
+      |     trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1))
+      |       AS value
+      |   FROM rl
+      |   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+      |     IN ('user-agent', 'allow', 'disallow')),
+      | rg AS (SELECT *, sum(CASE WHEN is_ua = 1 AND coalesce(prev_ua, 0)
+      |       = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY reg_domain
+      |       ORDER BY line_no) grp
+      |   FROM (SELECT *,
+      |       CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END is_ua,
+      |       lag(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY reg_domain ORDER BY line_no) prev_ua
+      |     FROM rd)),
+      | ru AS (SELECT reg_domain, grp,
+      |     max(CASE WHEN lower(value) = '${agent.toLowerCase}' THEN 1
+      |       ELSE 0 END) grp_exact,
+      |     max(CASE WHEN value = '*' THEN 1 ELSE 0 END) grp_star
+      |   FROM rg WHERE is_ua = 1 GROUP BY reg_domain, grp),
+      | rx AS (SELECT reg_domain, max(grp_exact) dom_exact FROM ru
+      |   GROUP BY reg_domain),
+      | rgov AS (SELECT ru.reg_domain, ru.grp FROM ru JOIN rx
+      |     USING (reg_domain)
+      |   WHERE (dom_exact = 1 AND grp_exact = 1)
+      |      OR (dom_exact = 0 AND grp_star = 1)),
+      | rrules AS (SELECT DISTINCT rg.reg_domain,
+      |     directive = 'allow' AS is_allow, value AS prefix
+      |   FROM rg JOIN rgov ON rg.reg_domain = rgov.reg_domain
+      |     AND rg.grp = rgov.grp
+      |   WHERE is_ua = 0 AND value <> '')""".stripMargin
+
+  /** The x134/x136 page + link synthesis, href extraction, and RFC 3986
+    * resolve, DuckDB side — mirrors [[linkBase]], [[linkHtmlFixture]],
+    * [[graft.ops.HtmlOps.extractLinks]], and
+    * [[graft.ops.UrlOps.resolveUrl]] (same regexes). Ends at
+    * `lr(doc_id, src_domain, url)`.
+    */
+  private lazy val linkSynthCtesSql: String =
+    s"""lb AS (SELECT doc_id,
+      |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+      |     (doc_id % 5)::VARCHAR || '.com/dir/page/' || doc_id::VARCHAR
+      |       AS base,
+      |     'example-' || (doc_id % 5)::VARCHAR || '.com' AS src_domain,
+      |     '<html><body><p>Doc ' || doc_id::VARCHAR || '</p>' ||
+      |     '<a href="https://s' || ((doc_id + 1) % 5)::VARCHAR ||
+      |       '.example-' || ((doc_id + 1) % 5)::VARCHAR ||
+      |       '.com/dir/page/' || (doc_id + 1)::VARCHAR ||
+      |       '?utm_source=feed">next</a>' ||
+      |     '<A HREF="HTTPS://S' || ((doc_id + 2) % 5)::VARCHAR ||
+      |       '.Example-' || ((doc_id + 2) % 5)::VARCHAR ||
+      |       '.COM/dir//page/' || (doc_id + 2)::VARCHAR ||
+      |       '/">caps</A>' ||
+      |     '<a href="/root/' || (doc_id % 10)::VARCHAR ||
+      |       '">rooted</a>' ||
+      |     '<a href="sub/' || (doc_id % 3)::VARCHAR || '">rel</a>' ||
+      |     '<a href="//cdn.example.net/lib/' || (doc_id % 4)::VARCHAR ||
+      |       '">cdn</a>' ||
+      |     '<a href="#top">top</a>' ||
+      |     '<a href=''single' || doc_id::VARCHAR || '''>sq</a>' ||
+      |     '<a name="anchor">no href</a>' ||
+      |     '</body></html>' AS html
+      |   FROM documents),
+      | lx AS (SELECT doc_id, src_domain, base,
+      |     unnest(list_filter(list_transform(regexp_extract_all(html,
+      |       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+      |       r -> trim(r)), r -> r <> '')) AS ref
+      |   FROM lb),
+      | lr AS (SELECT doc_id, src_domain,
+      |     CASE
+      |       WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |         THEN ref
+      |       WHEN ref LIKE '//%' THEN
+      |         lower(regexp_extract(base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || ref
+      |       WHEN ref LIKE '/%' THEN
+      |         regexp_extract(base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || ref
+      |       WHEN ref = '' OR ref LIKE '#%' THEN base
+      |       ELSE regexp_extract(base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+      |         regexp_replace(regexp_extract(base,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/[^/]*$$', '') || '/' ||
+      |         regexp_replace(ref, '#.*$$', '')
+      |     END AS url
+      |   FROM lx)""".stripMargin
+
+  /** The [[urlCanonCtesSql]] chain over ANY source CTE `src(keys..., url)`
+    * — the ONE canonicalization definition, reused by the x133 robots
+    * gate (over the x131 synthesis) and the x134/x136 link tiers (over
+    * resolved hrefs). `keys` are carried through untouched; the chain
+    * ends at `ur(keys..., url, canon_url, host, reg_domain)`.
+    */
+  private def urlCanonCtesOver(src: String, keys: String): String = {
     val track = graft.ops.UrlOps.TrackingParams
       .map(p => s"'$p'").mkString(", ")
     val multi = graft.ops.UrlOps.MultiLabelSuffixes
       .map(p => s"'$p'").mkString(", ")
-    s"""up AS (SELECT doc_id, url,
+    s"""up AS (SELECT $keys, url,
       |     lower(nullif(regexp_extract(url,
       |       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) sch,
       |     regexp_extract(url,
@@ -4362,7 +4855,7 @@ object ExtensionQueries {
       |     regexp_extract(url,
       |       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) rawpath,
       |     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) rawq
-      |   FROM u),
+      |   FROM $src),
       | uh AS (SELECT *, nullif(regexp_replace(regexp_replace(
       |       lower(regexp_extract(regexp_extract(auth, '([^@]*)$$', 1),
       |         '^([^:]*)', 1)),
@@ -4376,7 +4869,7 @@ object ExtensionQueries {
       |            regexp_extract(p, '^([^=]*)', 1) NOT IN ($track))),
       |     '&') q
       |   FROM uh),
-      | uc AS (SELECT doc_id, url, host,
+      | uc AS (SELECT $keys, url, host,
       |     CASE WHEN sch IS NULL OR host IS NULL THEN NULL ELSE
       |       sch || '://' || host ||
       |       CASE WHEN port IS NOT NULL AND
@@ -4388,7 +4881,7 @@ object ExtensionQueries {
       |       CASE WHEN q <> '' THEN '?' || q ELSE '' END
       |     END AS canon_url
       |   FROM uq),
-      | ur AS (SELECT doc_id, url, canon_url, host,
+      | ur AS (SELECT $keys, url, canon_url, host,
       |     CASE WHEN host IS NULL THEN NULL
       |          WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
       |            THEN host

@@ -115,6 +115,18 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r == Seq((1L, 1L, "kept words here.")))
   }
 
+  test("extractLinks: double-quoted hrefs in order, case-insensitive " +
+      "tag/attr, trims, drops empties; single-quoted/bare/no-href are " +
+      "the documented bound") {
+    val html = "<a href=\"/a\">x</a><A HREF=\" /B \">y</A>" +
+      "<a class=\"z\" href=\"c/d\">w</a><a href=\"\">e</a>" +
+      "<a href='sq'>s</a><a href=bare>b</a><a name=\"n\">n</a>"
+    val links = Seq(html).toDF("h")
+      .select(HtmlOps.extractLinks(col("h")).as("l"))
+      .as[Seq[String]].head()
+    assert(links == Seq("/a", "/B", "c/d"))
+  }
+
   test("c4Pages applies page-level rules on reassembled kept lines") {
     val good = (1 to 6).map(i => s"<p>good content line number $i.</p>").mkString
     val pages = HtmlOps.c4Pages(

@@ -76,6 +76,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(reg("co.uk") == "co.uk")
   }
 
+  private def resolve(base: String, ref: String): Option[String] =
+    Option(Seq((base, ref)).toDF("b", "r")
+      .select(UrlOps.resolveUrl(col("b"), col("r")).as("u"))
+      .head().getString(0))
+
+  test("resolveUrl: absolute, protocol-relative, root-relative, " +
+      "fragment, and path-relative arms") {
+    val base = "https://s.example.com/dir/page/7"
+    assert(resolve(base, "http://other.net/x") == Some("http://other.net/x"))
+    assert(resolve(base, "//cdn.net/lib") == Some("https://cdn.net/lib"))
+    assert(resolve(base, "/root/3") ==
+      Some("https://s.example.com/root/3"))
+    assert(resolve(base, "#top") == Some(base))
+    assert(resolve(base, "") == Some(base))
+    assert(resolve(base, "sub/1") ==
+      Some("https://s.example.com/dir/page/sub/1"))
+    // relative ref's own fragment is dropped before the join
+    assert(resolve(base, "sub/1#sec") ==
+      Some("https://s.example.com/dir/page/sub/1"))
+    // base with an empty path: directory is empty, origin + / + ref
+    assert(resolve("https://e.com", "a/b") == Some("https://e.com/a/b"))
+  }
+
+  test("resolveUrl: non-absolute base is NULL (loud provenance)") {
+    assert(resolve("not-a-url", "/x").isEmpty)
+  }
+
   test("canonicalization is a narrow map: no shuffle in the plan") {
     val df = Seq("http://e.com/a").toDF("u")
       .select(UrlOps.canonicalizeUrl(col("u")))
