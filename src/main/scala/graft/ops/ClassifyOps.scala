@@ -44,22 +44,26 @@ object ClassifyOps {
     */
   def trainTokenNb(train: DataFrame, labelCol: String,
                    textCol: String = "text"): NbModel = {
+    // localCheckpoint: the vocab-sized count table is the model's core —
+    // materialize it once for its two consumers (the totals reduce and
+    // the weight projection) instead of re-running the corpus explode
     val toks = train.select(col(labelCol).as("pos"),
         explode(split(lower(col(textCol)), " ")).as("token"))
       .groupBy("token")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
-    // Bounded driver state: 4 scalars (token totals per class, vocab
-    // size) + 2 doc counts — the one .first() is a k-scalar reduce.
+      .localCheckpoint()
+    // Bounded driver state: 7 scalars in ONE action (token totals per
+    // class + vocab size, crossJoined with the two doc counts).
     val tot = toks.agg(sum(col("c_pos")).as("n_pos"),
-      sum(col("c_neg")).as("n_neg"),
-      count(lit(1)).as("vocab")).first()
+        sum(col("c_neg")).as("n_neg"), count(lit(1)).as("vocab"))
+      .crossJoin(train.agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("d_neg")))
+      .first()
     val (nPos, nNeg, vocab) =
       (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-    val docs = train.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
-      sum(when(col(labelCol), 0L).otherwise(1L)).as("d_neg")).first()
-    val (dPos, dNeg) = (docs.getLong(0), docs.getLong(1))
+    val (dPos, dNeg) = (tot.getLong(3), tot.getLong(4))
     require(dPos > 0 && dNeg > 0,
       s"trainTokenNb needs both classes in the training set, got " +
         s"positive=$dPos negative=$dNeg")

@@ -179,6 +179,37 @@ object ModelIO {
     requireColumns(spark.read.parquet(path), path,
       Seq("w" -> StringType, "w_bp" -> LongType))
 
+  // ---- Token Naive Bayes model ---------------------------------------------
+
+  /** Persist a [[ClassifyOps.trainTokenNb]] model as TWO parquet
+    * directories under `path` — `weights/` (one row per vocab token)
+    * and `consts/` (one row). All-integer weights (micro-nat scaled
+    * longs) → load-then-score ≡ train-then-score bit-for-bit
+    * (ModelIOSpec). No coalesce on weights: vocab rows on a web corpus
+    * are a genuinely large table.
+    */
+  def saveNbModel(model: ClassifyOps.NbModel, path: String): Unit = {
+    model.weights.select("token", "c_pos", "c_neg", "w")
+      .write.mode("overwrite").parquet(s"$path/weights")
+    model.consts
+      .select("w_default", "prior", "n_pos", "n_neg", "vocab",
+        "d_pos", "d_neg")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+  }
+
+  def loadNbModel(spark: SparkSession, path: String): ClassifyOps.NbModel = {
+    val weights = requireColumns(spark.read.parquet(s"$path/weights"),
+      s"$path/weights",
+      Seq("token" -> StringType, "c_pos" -> LongType,
+        "c_neg" -> LongType, "w" -> LongType))
+    val consts = requireColumns(spark.read.parquet(s"$path/consts"),
+      s"$path/consts",
+      Seq("w_default" -> LongType, "prior" -> LongType,
+        "n_pos" -> LongType, "n_neg" -> LongType, "vocab" -> LongType,
+        "d_pos" -> LongType, "d_neg" -> LongType))
+    ClassifyOps.NbModel(weights, consts)
+  }
+
   // ---- Bigram language model -----------------------------------------------
 
   /** Persist a [[LmOps.trainBigramLm]] model (one row per observed bigram,

@@ -115,7 +115,7 @@ object RobotsOps {
                    domainCol: String = "reg_domain",
                    pathCol: String = "match_path"): DataFrame = {
     val joined = urls
-      .select((keyCols :+ domainCol :+ pathCol).map(col): _*)
+      .select((keyCols :+ domainCol :+ pathCol).distinct.map(col): _*)
       .join(rules.withColumnRenamed("reg_domain", domainCol),
         Seq(domainCol), "left")
       .withColumn("hit", col("prefix").isNotNull &&

@@ -1677,16 +1677,23 @@ object ExtensionQueries {
     // blocked under `Disallow: /`.
     "x133_robots_filter" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
+      // localCheckpoint: the canonicalized frontier feeds THREE consumers
+      // (robots domains, the admission join, the final rollup join) —
+      // materialize the regex-heavy canonicalization once instead of
+      // re-running it per branch (the curationSurvivors pattern)
       val urls = d.select(col("doc_id"),
           UrlOps.canonicalizeUrl(urlFixture).as("canon_url"),
           UrlOps.registeredDomain(UrlOps.host(urlFixture)).as("reg_domain"))
         .filter(col("canon_url").isNotNull)
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+        .localCheckpoint()
       val robots = urls.select("reg_domain").distinct()
         .withColumn("robots_txt", robotsFixture(col("reg_domain")))
       val rules = RobotsOps.parseRules(robots, "graftbot")
-      val flags = RobotsOps.allowedFlags(urls, rules, Seq("doc_id"))
-      urls.join(flags, Seq("doc_id"))
+      // reg_domain rides the admission keys (unique per doc_id row), so
+      // the per-domain rollup reads the flags frame directly — no
+      // join-back shuffle
+      RobotsOps.allowedFlags(urls, rules, Seq("doc_id", "reg_domain"))
         .groupBy("reg_domain")
         .agg(count(lit(1)).as("n_urls"),
           sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
@@ -1776,24 +1783,32 @@ object ExtensionQueries {
       val crawled = pages
         .select(UrlOps.canonicalizeUrl(col("base")).as("canon_url"))
         .distinct().withColumn("seen", lit(true))
+      // localCheckpoint: the marked frontier (one row per canonical URL —
+      // far smaller than the link stream) feeds the robots-domain
+      // distinct, the admission join, AND the staged rollup; without it
+      // each branch re-runs link extraction + resolution + the
+      // canonical-dedup shuffle over the whole corpus
       val marked = cand.join(crawled, Seq("canon_url"), "left")
         .withColumn("is_new", col("seen").isNull).drop("seen")
+        .localCheckpoint()
       val robots = marked.select("reg_domain").distinct()
         .withColumn("robots_txt", frontierRobotsFixture)
       val rules = RobotsOps.parseRules(robots, "graftbot")
-      val flags = RobotsOps
-        .allowedFlags(marked.filter(col("is_new")), rules, Seq("canon_url"))
-      val staged = marked.join(flags, Seq("canon_url"), "left")
-        .withColumn("admitted",
-          col("is_new") && coalesce(col("allowed"), lit(false)))
+      // the funnel columns all ride the admission keys (unique per
+      // canonical URL), so no join-back; ONE window then does the
+      // per-domain politeness cap: admitted rows sort first inside their
+      // domain, so row_number ranks exactly the admitted set — no
+      // schedule self-join (deterministic: (admitted, canon_url) is
+      // unique within a domain)
+      val staged = RobotsOps.allowedFlags(marked, rules,
+          Seq("canon_url", "reg_domain", "n_refs", "is_new"))
+        .withColumn("admitted", col("is_new") && col("allowed"))
         .drop("allowed")
-      val sched = staged.filter(col("admitted"))
+      staged
         .withColumn("rn", row_number().over(
-          Window.partitionBy("reg_domain").orderBy("canon_url")))
-        .withColumn("scheduled", col("rn") <= 4)
-        .select("canon_url", "scheduled")
-      staged.join(sched, Seq("canon_url"), "left")
-        .withColumn("scheduled", coalesce(col("scheduled"), lit(false)))
+          Window.partitionBy("reg_domain")
+            .orderBy(col("admitted").desc, col("canon_url"))))
+        .withColumn("scheduled", col("admitted") && col("rn") <= 4)
         .groupBy("reg_domain")
         .agg(count(lit(1)).as("n_candidates"),
           sum(col("n_refs")).as("n_refs"),

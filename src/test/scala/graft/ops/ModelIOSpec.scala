@@ -264,4 +264,28 @@ class ModelIOSpec extends SparkSpec {
     assert(direct.nonEmpty, "fixture must produce at least one overlap pair")
     assert(direct.sameElements(replay))
   }
+
+  test("token NB model round-trips: load-then-score == train-then-score") {
+    val train = Seq(
+      (1L, "good good fine", true), (2L, "good stuff", true),
+      (3L, "bad bad stuff", false), (4L, "bad junk", false))
+      .toDF("doc_id", "text", "pos")
+    val test = Seq((10L, "good bad unseen"), (11L, "stuff fine"))
+      .toDF("doc_id", "text")
+    val model = ClassifyOps.trainTokenNb(train, "pos")
+    val path = tmp("nb")
+    ModelIO.saveNbModel(model, path)
+    val loaded = ModelIO.loadNbModel(spark, path)
+    val direct = ClassifyOps.scoreTokenNb(test, model)
+      .orderBy("doc_id").collect()
+    val replay = ClassifyOps.scoreTokenNb(test, loaded)
+      .orderBy("doc_id").collect()
+    assert(direct.sameElements(replay))
+    // integer scores: persisted weights ARE the weights
+    val w0 = model.weights.select("token", "w").as[(String, Long)]
+      .collect().toMap
+    val w1 = loaded.weights.select("token", "w").as[(String, Long)]
+      .collect().toMap
+    assert(w0 == w1)
+  }
 }

@@ -382,4 +382,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
     }
   }
+
+  test("x134: link graph is extraction + two chained combinable aggs — " +
+      "no join, no Expand (the x56 count-distinct lesson)") {
+    val p = plan(ExtensionQueries.queries, "x134_link_graph")
+    assert(!p.contains("Join"), s"link graph planned a join:\n$p")
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected per-target + per-pair exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"first agg not combined:\n$p")
+  }
+
+  test("x135: NB scoring joins the weight table token-keyed and the " +
+      "1-row consts broadcast — no cartesian of data") {
+    val p = plan(ExtensionQueries.queries, "x135_nb_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    // the consts crossJoin is an explicit broadcast of ONE row
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  // the robots tiers: rule parsing is window passes over KB-sized
+  // per-domain bodies; admission joins stay keyed (domain, then the URL
+  // key) — nothing may plan a cartesian
+  for (name <- Seq("x133_robots_filter", "x136_crawl_frontier")) {
+    test(s"$name: admission stays keyed — no cartesian anywhere") {
+      val p = plan(ExtensionQueries.queries, name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
 }
