@@ -124,7 +124,11 @@ object HtmlOps {
     filter(
       transform(
         regexp_extract_all(html,
-          lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+          // href must FOLLOW whitespace (directly after `<a`, or after a
+          // prior attribute): a bare `[^>]*?href` would also match the
+          // suffix of `data-href="..."` and emit a false link (\b cannot
+          // help — `-` is already a word boundary)
+          lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
         r => trim(r)),
       r => r =!= "")
 

@@ -1981,6 +1981,7 @@ object ExtensionQueries {
       lit("<a href=\"#top\">top</a>"),
       lit("<a href='single"), idS, lit("'>sq</a>"),
       lit("<a name=\"anchor\">no href</a>"),
+      lit("<a data-href=\"/fake/"), idS, lit("\">not a link</a>"),
       lit("</body></html>"))
   }
 
@@ -4824,11 +4825,13 @@ object ExtensionQueries {
       |     '<a href="#top">top</a>' ||
       |     '<a href=''single' || doc_id::VARCHAR || '''>sq</a>' ||
       |     '<a name="anchor">no href</a>' ||
+      |     '<a data-href="/fake/' || doc_id::VARCHAR ||
+      |       '">not a link</a>' ||
       |     '</body></html>' AS html
       |   FROM documents),
       | lx AS (SELECT doc_id, src_domain, base,
       |     unnest(list_filter(list_transform(regexp_extract_all(html,
-      |       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+      |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1),
       |       r -> trim(r)), r -> r <> '')) AS ref
       |   FROM lb),
       | lr AS (SELECT doc_id, src_domain,

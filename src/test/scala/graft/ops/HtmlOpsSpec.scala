@@ -120,7 +120,8 @@ class HtmlOpsSpec extends SparkSpec {
       "the documented bound") {
     val html = "<a href=\"/a\">x</a><A HREF=\" /B \">y</A>" +
       "<a class=\"z\" href=\"c/d\">w</a><a href=\"\">e</a>" +
-      "<a href='sq'>s</a><a href=bare>b</a><a name=\"n\">n</a>"
+      "<a href='sq'>s</a><a href=bare>b</a><a name=\"n\">n</a>" +
+      "<a data-href=\"/fake\">not a link</a>"
     val links = Seq(html).toDF("h")
       .select(HtmlOps.extractLinks(col("h")).as("l"))
       .as[Seq[String]].head()
