@@ -132,6 +132,32 @@ object HtmlOps {
         r => trim(r)),
       r => r =!= "")
 
+  /** `<a>` elements with BOTH their href target and their anchor TEXT —
+    * the link-description signal (anchor text is how the web labels a
+    * target page; WebText-style corpora and link-graph quality priors
+    * both consume it). Returns array<struct<href, atext>>: href as
+    * [[extractLinks]] extracts it (double-quoted, trimmed), atext with
+    * inner tags stripped to spaces and whitespace collapsed. Elements
+    * whose href is empty are dropped. An unclosed `<a>` swallows text
+    * up to the NEXT `</a>` (lazy match) — the same regex-tier fidelity
+    * bound class as the rest of this object. Pure codegen'd column
+    * expression.
+    */
+  def extractAnchors(html: Column): Column = {
+    val elem = regexp_extract_all(html,
+      lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a\\s*>"),
+      lit(0))
+    filter(
+      transform(elem, e => struct(
+        trim(regexp_extract(e,
+          "(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"", 1))
+          .as("href"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(e, "(?is)^<a[^>]*>(.*)</a\\s*>$", 1),
+          "<[^>]*>", " "), "\\s+", " ")).as("atext"))),
+      e => e.getField("href") =!= "")
+  }
+
   /** Page-level C4 rules over the kept lines: reassemble each page from
     * its surviving lines and keep only pages that
     *

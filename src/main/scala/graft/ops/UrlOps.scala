@@ -41,10 +41,12 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Exact-name tracking parameters dropped by [[canonicalizeUrl]] (the
-    * `utm_` prefix family is dropped by prefix, separately).
+    * `utm_` prefix family is dropped by prefix, separately). ONE list:
+    * the kernel expression owns it; this alias serves the DuckDB
+    * mirror interpolation and the column reference form.
     */
   val TrackingParams: Seq[String] =
-    Seq("fbclid", "gclid", "msclkid", "igshid", "mc_cid", "mc_eid")
+    graft.functions.CanonicalizeUrl.TrackingParams.toSeq
 
   /** Multi-label public suffixes recognized by [[registeredDomain]] — a
     * built-in subset of the Mozilla Public Suffix List's most common
@@ -132,8 +134,28 @@ object UrlOps {
 
   /** Full canonicalization per the object contract. NULL for
     * non-absolute input.
+    *
+    * Implemented as ONE native Catalyst expression
+    * ([[graft.functions.CanonicalizeUrl]]): the column-composition
+    * form below references its input ~15 times, so composing it over
+    * a non-trivial tree (resolveUrl) or letting predicate pushdown
+    * substitute it into a filter MULTIPLIES the whole subtree — the
+    * x137 plan reached a 3,244-regexp-node Filter over the exploded
+    * link stream. The kernel is one node: composition and pushdown
+    * copy one static call. [[canonicalizeUrlColumns]] keeps the
+    * reference semantics; UrlOpsSpec pins bit-equivalence.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CanonicalizeUrl(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
+
+  /** The canonicalization REFERENCE as column composition — the
+    * documentation of record for the rule set, and the equivalence
+    * oracle for the kernel ([[canonicalizeUrl]]). Not used in query
+    * plans (see the kernel's scaladoc for why).
+    */
+  private[graft] def canonicalizeUrlColumns(url: Column): Column = {
     val sch = scheme(url)
     val h = host(url)
     val authority =

@@ -1714,18 +1714,21 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       val pages = d.select(col("doc_id"), linkBase.as("base"),
         linkHtmlFixture.as("html"))
-      val edges = pages.select(
+      // aggregate on the canonical string FIRST, then derive the target
+      // domain on the per-target frame: dst_domain is a regexp chain
+      // over canon_url, and computing it pre-agg re-inlines the whole
+      // canonicalization tree into every reference on the exploded link
+      // stream (project collapse duplicates the expression, not the
+      // value) — post-agg it runs once per DISTINCT target
+      val edges = resolvedCanon(pages.select(
           UrlOps.registeredDomain(UrlOps.host(col("base"))).as("src_domain"),
           col("base"),
-          explode(HtmlOps.extractLinks(col("html"))).as("ref"))
-        .select(col("src_domain"),
-          UrlOps.canonicalizeUrl(UrlOps.resolveUrl(col("base"), col("ref")))
-            .as("canon_url"))
-        .filter(col("canon_url").isNotNull)
+          explode(HtmlOps.extractLinks(col("html"))).as("ref")),
+        Seq("src_domain"), "ref")
+      edges.groupBy("src_domain", "canon_url")
+        .agg(count(lit(1)).as("n"))
         .withColumn("dst_domain",
           UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
-      edges.groupBy("src_domain", "dst_domain", "canon_url")
-        .agg(count(lit(1)).as("n"))
         .groupBy("src_domain", "dst_domain")
         .agg(sum(col("n")).as("n_links"), count(lit(1)).as("n_targets"),
           min(col("canon_url")).as("sample_target"))
@@ -1769,12 +1772,9 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       val pages = d.select(col("doc_id"), linkBase.as("base"),
         linkHtmlFixture.as("html"))
-      val resolved = pages.select(col("doc_id"),
-          explode(HtmlOps.extractLinks(col("html"))).as("ref"), col("base"))
-        .select(col("doc_id"),
-          UrlOps.canonicalizeUrl(UrlOps.resolveUrl(col("base"), col("ref")))
-            .as("canon_url"))
-        .filter(col("canon_url").isNotNull)
+      val resolved = resolvedCanon(pages.select(col("doc_id"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref"), col("base")),
+        Seq("doc_id"), "ref")
       val cand = resolved.groupBy("canon_url")
         .agg(min("doc_id").as("discovered_by"), count(lit(1)).as("n_refs"))
         .withColumn("reg_domain",
@@ -1818,6 +1818,84 @@ object ExtensionQueries {
           min(when(col("scheduled"), col("canon_url")))
             .as("first_scheduled"))
         .orderBy("reg_domain")
+    },
+
+    // x137 — the per-domain card: content stats (pages, quality passes,
+    // tokens — the x34 rule over each site's docs) full-outer-joined
+    // with link-graph authority (cross-domain in-links and distinct
+    // referring domains from the x134 edges). The domain-level quality
+    // prior RefinedWeb/C4-style pipelines gate fetches and weight
+    // sampling with; a link-only domain (the CDN) and a page-only
+    // domain both appear, each with the other side zeroed.
+    "x137_domain_card" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val content = d.select(
+          UrlOps.registeredDomain(UrlOps.host(linkBase)).as("domain"),
+          col("text"))
+        .withColumn("n_words",
+          size(split(col("text"), " ")).cast(LongType))
+        .withColumn("q_pass",
+          col("n_words") >= 20 &&
+            TextOps.bp(length(regexp_replace(col("text"), "[^a-z]", "")),
+              length(col("text"))) >= 7000)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(col("n_words")).as("n_toks"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      // per-target agg first, domain derivation + cross filter on the
+      // aggregated frame (the x134 expression-duplication rationale)
+      val inlinks = resolvedCanon(pages.select(
+            UrlOps.registeredDomain(UrlOps.host(col("base")))
+              .as("src_domain"),
+            explode(HtmlOps.extractLinks(col("html"))).as("ref"),
+            col("base")),
+          Seq("src_domain"), "ref")
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+        .filter(col("domain") =!= col("src_domain"))
+        .groupBy("domain", "src_domain")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("domain")
+        .agg(sum(col("n")).as("in_links_cross"),
+          count(lit(1)).as("in_domains"))
+      content.join(inlinks, Seq("domain"), "full_outer")
+        .select(col("domain"),
+          coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("in_links_cross"), lit(0L)).as("in_links_cross"),
+          coalesce(col("in_domains"), lit(0L)).as("in_domains"))
+        .orderBy("domain")
+    },
+
+    // x138 — anchor-text rollup: every <a> element's target resolved +
+    // canonicalized and its ANCHOR TEXT kept (inner tags stripped) —
+    // the label the web puts on each target, rolled up per (target
+    // domain, anchor text). The WebText-style signal: anchor text is
+    // curated human description of the linked page.
+    "x138_anchor_text" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      // two chained combinable aggs, not count_distinct (the x56
+      // Expand lesson)
+      resolvedCanon(
+          pages.select(col("base"),
+              explode(HtmlOps.extractAnchors(col("html"))).as("a"))
+            .select(col("base"), col("a.href").as("href"),
+              col("a.atext").as("atext"))
+            .filter(col("atext") =!= ""),
+          Seq("atext"), "href")
+        .groupBy("atext", "canon_url")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dst_domain",
+          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+        .groupBy("dst_domain", "atext")
+        .agg(sum(col("n")).as("n_anchors"),
+          count(lit(1)).as("n_targets"))
+        .orderBy("dst_domain", "atext")
     }
   )
 
@@ -1984,6 +2062,22 @@ object ExtensionQueries {
       lit("<a data-href=\"/fake/"), idS, lit("\">not a link</a>"),
       lit("</body></html>"))
   }
+
+  /** Resolve + canonicalize + non-null filter over a link stream
+    * carrying (base, refCol): keys + canon_url out. Safe to compose
+    * and filter ONLY because canonicalizeUrl is a single kernel
+    * expression ([[graft.functions.CanonicalizeUrl]]) — its
+    * column-composition ancestor inflated the x137 plan to a
+    * 3,244-regexp-node pushed-down Filter (each of its ~15 input
+    * references re-inlined the resolve tree, and predicate pushdown
+    * substituted the lot below the projections).
+    */
+  private def resolvedCanon(df: DataFrame, keys: Seq[String],
+                            refCol: String): DataFrame =
+    df.select(keys.map(col) :+
+        UrlOps.canonicalizeUrl(
+          UrlOps.resolveUrl(col("base"), col(refCol))).as("canon_url"): _*)
+      .filter(col("canon_url").isNotNull)
 
   /** The refresh-snapshot synthesis shared by x114 and x125 — and by the
     * BucketedJoinSpec plan gate and the BucketedDiff measurement main,
@@ -4532,7 +4626,88 @@ object ExtensionQueries {
         |   sum(CASE WHEN admitted THEN 1 ELSE 0 END)::BIGINT n_admitted,
         |   sum(CASE WHEN scheduled THEN 1 ELSE 0 END)::BIGINT n_scheduled,
         |   min(CASE WHEN scheduled THEN canon_url END) first_scheduled
-        | FROM fin GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
+        | FROM fin GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // x137 mirror: content stats synthesized per site domain (the same
+    // doc_id % 5 site map), the x134 edge chain filtered to cross-domain
+    // links, full-outer joined with both sides zeroed via coalesce.
+    "x137_domain_card" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "src_domain")},
+        | content AS (SELECT 'example-' || (doc_id % 5)::VARCHAR ||
+        |       '.com' AS domain,
+        |     len(string_split(text, ' '))::BIGINT n_words,
+        |     (len(string_split(text, ' ')) >= 20 AND
+        |      floor(len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |        * 10000 / len(text)::DOUBLE)::BIGINT >= 7000) AS q_pass
+        |   FROM documents),
+        | cagg AS (SELECT domain, count(*)::BIGINT n_pages,
+        |     sum(CASE WHEN q_pass THEN 1 ELSE 0 END)::BIGINT n_quality,
+        |     sum(n_words)::BIGINT n_toks
+        |   FROM content GROUP BY domain),
+        | xd AS (SELECT reg_domain AS domain, src_domain,
+        |     count(*)::BIGINT n
+        |   FROM ur WHERE canon_url IS NOT NULL
+        |     AND reg_domain <> src_domain
+        |   GROUP BY reg_domain, src_domain),
+        | lagg AS (SELECT domain, sum(n)::BIGINT in_links_cross,
+        |     count(*)::BIGINT in_domains
+        |   FROM xd GROUP BY domain)
+        | SELECT coalesce(c.domain, l.domain) AS domain,
+        |   coalesce(n_pages, 0)::BIGINT n_pages,
+        |   coalesce(n_quality, 0)::BIGINT n_quality,
+        |   coalesce(n_toks, 0)::BIGINT n_toks,
+        |   coalesce(in_links_cross, 0)::BIGINT in_links_cross,
+        |   coalesce(in_domains, 0)::BIGINT in_domains
+        | FROM cagg c FULL OUTER JOIN lagg l ON c.domain = l.domain
+        | ORDER BY domain""".stripMargin,
+
+    // x138 mirror: anchor ELEMENTS extracted whole (group 0), href and
+    // inner text re-extracted per element, inner tags stripped to
+    // spaces, whitespace collapsed — then resolve + canonicalize (the
+    // x134 chain) and the two-stage rollup.
+    "x138_anchor_text" ->
+      s"""WITH $linkSynthCtesSql,
+        | ae AS (SELECT doc_id, src_domain, base,
+        |     unnest(regexp_extract_all(html,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"[^"]*"[^>]*>.*?</a\\s*>'
+        |       )) AS elem
+        |   FROM lb),
+        | ax AS (SELECT doc_id, base,
+        |     trim(regexp_extract(elem,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1)) href,
+        |     trim(regexp_replace(regexp_replace(regexp_extract(elem,
+        |       '(?is)^<a[^>]*>(.*)</a\\s*>$$', 1),
+        |       '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) atext
+        |   FROM ae),
+        | ar AS (SELECT doc_id, atext,
+        |     CASE
+        |       WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |         THEN href
+        |       WHEN href LIKE '//%' THEN
+        |         lower(regexp_extract(base,
+        |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || href
+        |       WHEN href LIKE '/%' THEN
+        |         regexp_extract(base,
+        |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+        |       WHEN href = '' OR href LIKE '#%' THEN base
+        |       ELSE regexp_extract(base,
+        |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+        |         regexp_replace(regexp_extract(base,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/[^/]*$$', '') || '/' ||
+        |         regexp_replace(href, '#.*$$', '')
+        |     END AS url
+        |   FROM ax WHERE href <> ''),
+        | ${urlCanonCtesOver("ar", "doc_id, atext")},
+        | ag1 AS (SELECT reg_domain AS dst_domain, atext, canon_url,
+        |     count(*)::BIGINT n
+        |   FROM ur WHERE canon_url IS NOT NULL AND atext <> ''
+        |   GROUP BY reg_domain, atext, canon_url)
+        | SELECT dst_domain, atext, sum(n)::BIGINT n_anchors,
+        |   count(*)::BIGINT n_targets
+        | FROM ag1 GROUP BY dst_domain, atext
+        | ORDER BY dst_domain, atext""".stripMargin
   )
 
   /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors

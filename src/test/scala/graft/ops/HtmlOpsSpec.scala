@@ -128,6 +128,21 @@ class HtmlOpsSpec extends SparkSpec {
     assert(links == Seq("/a", "/B", "c/d"))
   }
 
+  test("extractAnchors: href + inner-tag-stripped text per element; " +
+      "empty-href and href-less elements drop; case-insensitive close") {
+    val html = "<a href=\"/a\"><b>Bold</b> link</a>" +
+      "<A HREF=\"/b\">CAPS</A>" +
+      "<a href=\"/c\">  spaced   text </a>" +
+      "<a href=\"\">empty</a><a name=\"n\">no href</a>" +
+      "<a data-href=\"/fake\">fake</a>"
+    val anchors = Seq(html).toDF("h")
+      .select(explode(HtmlOps.extractAnchors(col("h"))).as("a"))
+      .select("a.href", "a.atext")
+      .as[(String, String)].collect().toSeq
+    assert(anchors == Seq(("/a", "Bold link"), ("/b", "CAPS"),
+      ("/c", "spaced text")))
+  }
+
   test("c4Pages applies page-level rules on reassembled kept lines") {
     val good = (1 to 6).map(i => s"<p>good content line number $i.</p>").mkString
     val pages = HtmlOps.c4Pages(

@@ -103,6 +103,32 @@ class UrlOpsSpec extends SparkSpec {
     assert(resolve("not-a-url", "/x").isEmpty)
   }
 
+  test("kernel expression ≡ column-composition reference on every rule " +
+      "arm and a URL-shaped generator") {
+    val arms = Seq(
+      "HTTP://WWW.Example.COM:80//a//b/7/?b=2&a=1&utm_term=9",
+      "https://Shop.Example.co.uk:443/item/3?fbclid=x3",
+      "http://user@Example.org:8080/p/5?z=1&y=2&Y=9#frag",
+      "https://news.example.com./17/", "ftp://Files.Example.NET:21/pub/4",
+      "relative/path/9", "https://blog.example.com.au/read?id=6&UTM=keep",
+      "http://e.com//a///b/?x&&y=1", "https://e.com.", "http://:80/x",
+      "http://e.com/p?", "http://e.com/p?utm_campaign=only", "", "#",
+      "http://h/p?a=1&a=1&A=2", "scheme+x.y://Host.Dot./p//q/")
+    val rnd = new scala.util.Random(7)
+    val pieces = Seq("http://", "HTTPS://", "//", "www.", "e.com", ":80",
+      ":8080", "/a", "//b", "?", "&", "utm_x=1", "fbclid=2", "#f", ".",
+      "@u", ":", "了", "x=У")
+    val fuzz = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(6)).map(_ => pieces(rnd.nextInt(pieces.size)))
+        .mkString)
+    val df = (arms ++ fuzz).toDF("u")
+    val diff = df.select(
+        UrlOps.canonicalizeUrl(col("u")).as("k"),
+        UrlOps.canonicalizeUrlColumns(col("u")).as("c"))
+      .filter(!(col("k") <=> col("c")))
+    assert(diff.isEmpty, diff.collect().mkString("\n"))
+  }
+
   test("canonicalization is a narrow map: no shuffle in the plan") {
     val df = Seq("http://e.com/a").toDF("u")
       .select(UrlOps.canonicalizeUrl(col("u")))

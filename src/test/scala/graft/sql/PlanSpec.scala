@@ -402,10 +402,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x138: anchor rollup — two chained combinable aggs, no Expand, " +
+      "no join") {
+    val p = plan(ExtensionQueries.queries, "x138_anchor_text")
+    assert(!p.contains("Join"), s"anchor rollup planned a join:\n$p")
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+  }
+
   // the robots tiers: rule parsing is window passes over KB-sized
   // per-domain bodies; admission joins stay keyed (domain, then the URL
-  // key) — nothing may plan a cartesian
-  for (name <- Seq("x133_robots_filter", "x136_crawl_frontier")) {
+  // key) — nothing may plan a cartesian; x137's only join is the
+  // domain-keyed full-outer card merge
+  for (name <- Seq("x133_robots_filter", "x136_crawl_frontier",
+      "x137_domain_card")) {
     test(s"$name: admission stays keyed — no cartesian anywhere") {
       val p = plan(ExtensionQueries.queries, name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
