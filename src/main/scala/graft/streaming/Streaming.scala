@@ -99,6 +99,35 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming crawl frontier — the streaming face of the x136
+    * discovery loop's dedup core: arriving discovered-URL events are
+    * canonicalized ([[graft.ops.UrlOps.canonicalizeUrl]], the kernel
+    * expression — a narrow per-row map, so it adds no streaming
+    * state), non-absolute references dropped loudly by the NULL
+    * contract, deduplicated on the CANONICAL string within the
+    * watermark horizon (two tracking-param variants of one URL are one
+    * fetch), and anti-joined against the static already-crawled set
+    * (re-read per micro-batch, like [[streamingDedupVsReference]]).
+    * Output carries `canon_url` + `reg_domain`, ready for the
+    * per-domain politeness scheduler. State: one row per canonical URL
+    * inside the watermark — the frontier's own working set, expiring
+    * with the horizon.
+    */
+  def streamingFrontier(events: DataFrame, tsCol: String, lateness: String,
+                        urlCol: String, crawled: DataFrame): DataFrame = {
+    require(crawled.columns.contains("canon_url"),
+      "crawled reference must carry canon_url")
+    val canon = events
+      .withColumn("canon_url", graft.ops.UrlOps.canonicalizeUrl(col(urlCol)))
+      .filter(col("canon_url").isNotNull)
+    canon.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("canon_url"))
+      .join(crawled.select("canon_url"), Seq("canon_url"), "left_anti")
+      .withColumn("reg_domain",
+        graft.ops.UrlOps.registeredDomain(
+          graft.ops.UrlOps.host(col("canon_url"))))
+  }
+
   /** Streaming incremental dedup vs a STATIC reference corpus — the
     * streaming face of DedupOps.incrementalDedup's exact probe: arriving
     * docs whose content hash exists in the reference are dropped before

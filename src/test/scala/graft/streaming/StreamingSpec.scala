@@ -102,6 +102,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frontier: canonical dedup within the watermark, " +
+      "non-absolute refs dropped, crawled set anti-joined, domain out") {
+    implicit val sqlCtx = spark.sqlContext
+    val crawled = Seq("https://e.com/seen").toDF("canon_url")
+    val input = MemoryStream[(Timestamp, String)]
+    val frontier = Streaming.streamingFrontier(
+      input.toDF().toDF("ts", "url"), "ts", "10 minutes", "url", crawled)
+    val q = frontier.writeStream.format("memory").queryName("frontier")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(1), "https://E.com/a?utm_source=x"), // canonical variant 1
+        (ts(2), "https://e.com/a"),              // same canonical → one
+        (ts(3), "relative/ref"),                 // non-absolute → dropped
+        (ts(4), "https://e.com/seen?utm_medium=y")) // crawled → dropped
+      q.processAllAvailable()
+      val rows = spark.table("frontier")
+        .select("canon_url", "reg_domain").as[(String, String)]
+        .collect().toSeq
+      assert(rows == Seq(("https://e.com/a", "e.com")))
+    } finally q.stop()
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "known doc one"), (2L, "known doc two"))
