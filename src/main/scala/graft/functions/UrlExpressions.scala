@@ -64,10 +64,108 @@ case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** eTLD+1 of a URL's canonical host, as ONE expression — the fused
+  * `registeredDomain(host(url))` composition every link/frontier query
+  * keys on (same plan-size rationale as [[CanonicalizeUrl]]: the
+  * column composition re-inlines the host tree ~3× and the input ~9×
+  * when pushdown substitutes it into a filter). NULL for non-absolute
+  * input or an empty host; bit-equivalent to the column form
+  * (UrlOpsSpec pins it on the same generator).
+  */
+case class RegisteredDomainOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "registered_domain_of"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RegisteredDomainOf.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (child.dataType == NullType)
+      ev.copy(code = code"""
+        |boolean ${ev.isNull} = true;
+        |UTF8String ${ev.value} = null;
+        """.stripMargin)
+    else
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.RegisteredDomainOf.compute($c);
+        |${ev.isNull} = (${ev.value} == null);
+        """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomainOf =
+    copy(child = newChild)
+}
+
+object RegisteredDomainOf {
+  /** Multi-label public-suffix subset (mirrors UrlOps.MultiLabelSuffixes
+    * — the ops constant delegates here, one list for both layers and
+    * the DuckDB mirrors).
+    */
+  val MultiLabelSuffixes: Array[String] = Array(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.in", "co.nz", "com.br", "com.mx",
+    "com.cn", "com.sg", "com.tr", "co.za", "com.hk")
+
+  private val multiSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    MultiLabelSuffixes.foreach(s.add)
+    s
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val host = CanonicalizeUrl.hostOf(input.toString)
+    if (host == null) return null
+    // last2: the `([^.]+\.[^.]+)$` extract — two trailing NONEMPTY
+    // labels; no match → the host itself (dotless/degenerate hosts)
+    val d2 = host.lastIndexOf('.')
+    val last2ok = d2 > 0 && d2 < host.length - 1 &&
+      host.charAt(d2 - 1) != '.'
+    if (!last2ok) return UTF8String.fromString(host)
+    val d1 = host.lastIndexOf('.', d2 - 1)
+    val last2 = host.substring(d1 + 1)
+    if (multiSet.contains(last2)) {
+      // last3: three trailing nonempty labels, else fall back to last2
+      val d0 = if (d1 <= 0) -2 else host.lastIndexOf('.', d1 - 1)
+      val last3ok = d1 > 0 && d1 - 1 >= d0 + 1
+      if (last3ok) return UTF8String.fromString(host.substring(d0 + 1))
+    }
+    UTF8String.fromString(last2)
+  }
+}
+
 object CanonicalizeUrl {
   // the exact patterns of the column form (same java.util.regex engine
   // Spark's regexp_* expressions use)
   private val SchemeRe = Pattern.compile("^([A-Za-z][A-Za-z0-9+.-]*)://")
+
+  /** Canonical host of an absolute URL (the column-form `host()` rules:
+    * authority minus userinfo/port, lowercase, one trailing dot then
+    * one leading `www.` stripped; null for non-absolute input or an
+    * empty result). Shared by [[RegisteredDomainOf]].
+    */
+  private[functions] def hostOf(s: String): String = {
+    val m = SchemeRe.matcher(s)
+    if (!m.find() || m.start() != 0) return null
+    var i = m.end()
+    while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?' &&
+      s.charAt(i) != '#') i += 1
+    val auth = s.substring(m.end(), i)
+    val afterUser = auth.substring(auth.lastIndexOf('@') + 1)
+    val colon = afterUser.indexOf(':')
+    var host = (if (colon < 0) afterUser else afterUser.substring(0, colon))
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.startsWith("www.")) host = host.substring(4)
+    if (host.isEmpty) null else host
+  }
 
   /** Exact tracking-param names (mirrors UrlOps.TrackingParams — the ops
     * constant delegates HERE so one list serves both layers and the

@@ -54,10 +54,8 @@ object UrlOps {
     * publicsuffix.org in a deployment; the algorithm is what's under
     * test — longest-known-suffix + 1 label).
     */
-  val MultiLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "co.in", "co.nz", "com.br", "com.mx",
-    "com.cn", "com.sg", "com.tr", "co.za", "com.hk")
+  val MultiLabelSuffixes: Seq[String] =
+    graft.functions.RegisteredDomainOf.MultiLabelSuffixes.toSeq
 
   private def nonEmpty(c: Column): Column = nullif(c, lit(""))
 
@@ -94,6 +92,17 @@ object UrlOps {
         last3 =!= "", last3)
       .otherwise(last2)
   }
+
+  /** eTLD+1 straight from a URL — the fused
+    * `registeredDomain(host(url))` composition as ONE kernel expression
+    * ([[graft.functions.RegisteredDomainOf]]; the [[canonicalizeUrl]]
+    * plan-size rationale). Use this form in query plans; the column
+    * composition remains the reference, equivalence-specced.
+    */
+  def domainOf(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RegisteredDomainOf(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
 
   /** Resolve a link reference against its page's ABSOLUTE base URL —
     * the RFC 3986 §5 merge at the fidelity a crawl frontier needs

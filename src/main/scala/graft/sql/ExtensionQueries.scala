@@ -1640,7 +1640,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("url"),
           UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
           UrlOps.host(col("url")).as("host"),
-          UrlOps.registeredDomain(UrlOps.host(col("url")))
+          UrlOps.domainOf(col("url"))
             .as("reg_domain"))
         .orderBy("doc_id")
     },
@@ -1654,7 +1654,7 @@ object ExtensionQueries {
       val d = spread(t(s, dir, "documents"))
       val ur = d.select(col("doc_id"),
           UrlOps.canonicalizeUrl(urlFixture).as("canon_url"),
-          UrlOps.registeredDomain(UrlOps.host(urlFixture))
+          UrlOps.domainOf(urlFixture)
             .as("reg_domain"))
         .filter(col("canon_url").isNotNull)
       ur.groupBy("canon_url", "reg_domain")
@@ -1683,7 +1683,7 @@ object ExtensionQueries {
       // re-running it per branch (the curationSurvivors pattern)
       val urls = d.select(col("doc_id"),
           UrlOps.canonicalizeUrl(urlFixture).as("canon_url"),
-          UrlOps.registeredDomain(UrlOps.host(urlFixture)).as("reg_domain"))
+          UrlOps.domainOf(urlFixture).as("reg_domain"))
         .filter(col("canon_url").isNotNull)
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
         .localCheckpoint()
@@ -1721,14 +1721,14 @@ object ExtensionQueries {
       // stream (project collapse duplicates the expression, not the
       // value) — post-agg it runs once per DISTINCT target
       val edges = resolvedCanon(pages.select(
-          UrlOps.registeredDomain(UrlOps.host(col("base"))).as("src_domain"),
+          UrlOps.domainOf(col("base")).as("src_domain"),
           col("base"),
           explode(HtmlOps.extractLinks(col("html"))).as("ref")),
         Seq("src_domain"), "ref")
       edges.groupBy("src_domain", "canon_url")
         .agg(count(lit(1)).as("n"))
         .withColumn("dst_domain",
-          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+          UrlOps.domainOf(col("canon_url")))
         .groupBy("src_domain", "dst_domain")
         .agg(sum(col("n")).as("n_links"), count(lit(1)).as("n_targets"),
           min(col("canon_url")).as("sample_target"))
@@ -1778,7 +1778,7 @@ object ExtensionQueries {
       val cand = resolved.groupBy("canon_url")
         .agg(min("doc_id").as("discovered_by"), count(lit(1)).as("n_refs"))
         .withColumn("reg_domain",
-          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+          UrlOps.domainOf(col("canon_url")))
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
       val crawled = pages
         .select(UrlOps.canonicalizeUrl(col("base")).as("canon_url"))
@@ -1830,7 +1830,7 @@ object ExtensionQueries {
     "x137_domain_card" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val content = d.select(
-          UrlOps.registeredDomain(UrlOps.host(linkBase)).as("domain"),
+          UrlOps.domainOf(linkBase).as("domain"),
           col("text"))
         .withColumn("n_words",
           size(split(col("text"), " ")).cast(LongType))
@@ -1847,13 +1847,13 @@ object ExtensionQueries {
       // per-target agg first, domain derivation + cross filter on the
       // aggregated frame (the x134 expression-duplication rationale)
       val inlinks = resolvedCanon(pages.select(
-            UrlOps.registeredDomain(UrlOps.host(col("base")))
+            UrlOps.domainOf(col("base"))
               .as("src_domain"),
             explode(HtmlOps.extractLinks(col("html"))).as("ref"),
             col("base")),
           Seq("src_domain"), "ref")
         .withColumn("domain",
-          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+          UrlOps.domainOf(col("canon_url")))
         .filter(col("domain") =!= col("src_domain"))
         .groupBy("domain", "src_domain")
         .agg(count(lit(1)).as("n"))
@@ -1891,7 +1891,7 @@ object ExtensionQueries {
         .groupBy("atext", "canon_url")
         .agg(count(lit(1)).as("n"))
         .withColumn("dst_domain",
-          UrlOps.registeredDomain(UrlOps.host(col("canon_url"))))
+          UrlOps.domainOf(col("canon_url")))
         .groupBy("dst_domain", "atext")
         .agg(sum(col("n")).as("n_anchors"),
           count(lit(1)).as("n_targets"))

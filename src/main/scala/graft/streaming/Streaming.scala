@@ -124,8 +124,7 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("canon_url"))
       .join(crawled.select("canon_url"), Seq("canon_url"), "left_anti")
       .withColumn("reg_domain",
-        graft.ops.UrlOps.registeredDomain(
-          graft.ops.UrlOps.host(col("canon_url"))))
+        graft.ops.UrlOps.domainOf(col("canon_url")))
   }
 
   /** Streaming incremental dedup vs a STATIC reference corpus — the

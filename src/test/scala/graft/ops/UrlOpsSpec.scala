@@ -127,6 +127,17 @@ class UrlOpsSpec extends SparkSpec {
         UrlOps.canonicalizeUrlColumns(col("u")).as("c"))
       .filter(!(col("k") <=> col("c")))
     assert(diff.isEmpty, diff.collect().mkString("\n"))
+    // the fused domain kernel vs the registeredDomain(host(u))
+    // composition, same corpus + degenerate-host shapes
+    val hostEdges = Seq("http://a..b/x", "http://.a.b/", "http://co.uk/",
+      "https://x.CO.UK.", "http://a.b.c.co.jp/p", "http://localhost/",
+      "http://a.b../", "http://@/x")
+    val ddf = (arms ++ fuzz ++ hostEdges).toDF("u")
+    val ddiff = ddf.select(
+        UrlOps.domainOf(col("u")).as("k"),
+        UrlOps.registeredDomain(UrlOps.host(col("u"))).as("c"))
+      .filter(!(col("k") <=> col("c")))
+    assert(ddiff.isEmpty, ddiff.collect().mkString("\n"))
   }
 
   test("canonicalization is a narrow map: no shuffle in the plan") {
