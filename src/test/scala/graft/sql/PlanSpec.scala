@@ -402,6 +402,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("URL tier plans carry the kernel expressions, not the column " +
+      "compositions (the 3,244-node pushed-filter regression pin)") {
+    val p131 = plan(ExtensionQueries.queries, "x131_url_canon")
+    assert(p131.contains("canonicalize_url"), p131.take(2000))
+    val p134 = plan(ExtensionQueries.queries, "x134_link_graph")
+    assert(p134.contains("canonicalize_url"), p134.take(2000))
+    assert(p134.contains("registered_domain_of"), p134.take(2000))
+    // the blowup signature: a reverted composition re-inflates regexp
+    // node counts by an order of magnitude
+    val regexps = "regexp_extract".r.findAllIn(p134).length
+    assert(regexps < 200,
+      s"x134 plan carries $regexps regexp nodes — composition crept back")
+  }
+
   test("x138: anchor rollup — two chained combinable aggs, no Expand, " +
       "no join") {
     val p = plan(ExtensionQueries.queries, "x138_anchor_text")
