@@ -146,6 +146,20 @@ object CanonicalizeUrl {
   // Spark's regexp_* expressions use)
   private val SchemeRe = Pattern.compile("^([A-Za-z][A-Za-z0-9+.-]*)://")
 
+  /** Lowercase through the SAME path the column form's `lower()` takes
+    * (`UTF8String.toLowerCase`): for ASCII it is a branchless byte map,
+    * and for non-ASCII it falls back to whatever `String.toLowerCase`
+    * does on THIS JVM — so kernel and column form stay bit-equivalent
+    * per host by construction. `String.toLowerCase(Locale.ROOT)` here
+    * (r15) was subtly different: on a Turkish-locale JVM a non-ASCII
+    * host containing 'I' lowercased differently in the two forms
+    * (ADVICE r15). Hosts are ASCII in practice (IDNs arrive
+    * punycode-encoded), so both paths agree on real data; this keeps
+    * the pinned equivalence locale-independent too.
+    */
+  private[functions] def lowerLikeColumn(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
   /** Canonical host of an absolute URL (the column-form `host()` rules:
     * authority minus userinfo/port, lowercase, one trailing dot then
     * one leading `www.` stripped; null for non-absolute input or an
@@ -160,8 +174,9 @@ object CanonicalizeUrl {
     val auth = s.substring(m.end(), i)
     val afterUser = auth.substring(auth.lastIndexOf('@') + 1)
     val colon = afterUser.indexOf(':')
-    var host = (if (colon < 0) afterUser else afterUser.substring(0, colon))
-      .toLowerCase(java.util.Locale.ROOT)
+    var host = lowerLikeColumn(
+      if (colon < 0) afterUser else afterUser.substring(0, colon))
+      
     if (host.endsWith(".")) host = host.substring(0, host.length - 1)
     if (host.startsWith("www.")) host = host.substring(4)
     if (host.isEmpty) null else host
@@ -184,7 +199,7 @@ object CanonicalizeUrl {
     val s = input.toString
     val m = SchemeRe.matcher(s)
     if (!m.find() || m.start() != 0) return null // non-absolute → NULL
-    val sch = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    val sch = lowerLikeColumn(m.group(1))
     val authEnd = {
       var i = m.end()
       while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?' &&
@@ -196,8 +211,9 @@ object CanonicalizeUrl {
     val afterUser = auth.substring(auth.lastIndexOf('@') + 1)
     // bare host: before the first ':' (the `^([^:]*)` extract)
     val colon = afterUser.indexOf(':')
-    var host = (if (colon < 0) afterUser else afterUser.substring(0, colon))
-      .toLowerCase(java.util.Locale.ROOT)
+    var host = lowerLikeColumn(
+      if (colon < 0) afterUser else afterUser.substring(0, colon))
+      
     // ONE trailing dot, then ONE leading www. (regexp_replace with
     // anchored patterns can substitute at most once)
     if (host.endsWith(".")) host = host.substring(0, host.length - 1)

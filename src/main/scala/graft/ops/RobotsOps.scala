@@ -19,20 +19,28 @@ import org.apache.spark.sql.functions._
   *  - lines split on newline; `#` comments stripped; directive names
   *    case-insensitive; values trimmed;
   *  - consecutive `User-agent:` lines form ONE group header (a rule
-  *    block can be addressed to several agents);
+  *    block can be addressed to several agents); ANY other directive
+  *    line between two `User-agent:` lines ENDS the header run — an
+  *    unrecognized directive (`Crawl-delay:`, `Sitemap:`) splits the
+  *    groups exactly as RFC 9309-style parsers (google/robotstxt) do
+  *    (r15 segmented after filtering to known directives, silently
+  *    merging such headers — ADVICE r15);
   *  - group selection per RFC 9309 §2.2.1 at token granularity: if any
   *    group on the domain names the crawler's exact token
   *    (case-insensitive), ONLY those groups govern it; otherwise the
   *    `*` groups do; a domain with neither allows everything;
-  *  - `Allow`/`Disallow` values are path prefixes; an empty value is
+  *  - `Allow`/`Disallow` values are path patterns; an empty value is
   *    no rule (the standard "Disallow:" = allow-all idiom);
-  *  - admission per URL: the longest matching prefix wins; on a length
-  *    tie `Allow` wins; no matching rule = allowed (RFC 9309 §2.2.2);
-  *  - matching is against path + query of the canonical URL
-  *    ([[matchPath]]), `$`/`*` wildcards NOT interpreted (documented
-  *    subset: prefix matching is the normative core; wildcard support
-  *    is a data-dependent extension a deployment adds to the same
-  *    longest-match frame).
+  *  - pattern matching per RFC 9309 §2.2.3 ([[ruleMatches]]): a rule
+  *    matches when its pattern matches a PREFIX of the URL's
+  *    path+query, with `*` matching any character run and a trailing
+  *    `$` anchoring the match to the END of the path (a mid-pattern
+  *    `$` is literal, as in google/robotstxt); patterns without
+  *    wildcards keep the plain starts-with fast path;
+  *  - admission per URL: the longest matching rule VALUE (its raw
+  *    character length, wildcards counted — the google/robotstxt
+  *    priority) wins; on a length tie `Allow` wins; no matching rule
+  *    = allowed (RFC 9309 §2.2.2).
   *
   * Scale shape: parsing is a per-domain explode + two window passes
   * partitioned by domain (robots bodies are KB-sized per domain — the
@@ -73,7 +81,11 @@ object RobotsOps {
           .as("directive"),
         trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
           .as("value"))
-      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+      // EVERY directive-formed line participates in group segmentation
+      // (so a Crawl-delay between two User-agent lines ends the header
+      // run, per google/robotstxt); the unknown directives are dropped
+      // AFTER the boundaries are computed, below
+      .filter(col("directive") =!= "")
     // Group ids: a user-agent line starts a new group unless the
     // previous directive line was also user-agent (multi-agent header).
     val wOrd = Window.partitionBy("reg_domain").orderBy("line_no")
@@ -83,6 +95,7 @@ object RobotsOps {
         (col("is_ua") === 1 && lag(col("is_ua"), 1, 0).over(wOrd) === 0)
           .cast("long"))
       .withColumn("grp", sum(col("new_grp")).over(wOrd))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
     // RFC 9309 §2.2.1 at token granularity: exact-token groups beat `*`
     // groups domain-wide.
     val uaGroups = grouped.filter(col("is_ua") === 1)
@@ -105,10 +118,33 @@ object RobotsOps {
       .distinct()
   }
 
+  /** RFC 9309 §2.2.3 rule-pattern match of `path` against a rule
+    * `pattern` column: plain patterns are a starts-with (the fast
+    * path — no per-row regex compile for the dominant rule class);
+    * patterns containing `*` or ending in `$` compile to an anchored
+    * regex (`*` → `.*`; a TRAILING `$` → end anchor; every other
+    * regex metachar — including a mid-pattern `$` — escaped to its
+    * literal self, the google/robotstxt reading). The DuckDB mirror
+    * builds the same regex with the same escape set, and both engines
+    * evaluate it with find-semantics over the `^`-anchored pattern, so
+    * "pattern matches a prefix of path" is expressed identically.
+    */
+  private[graft] def ruleMatches(path: Column, pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(body, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val re = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    when(!pattern.contains("*") && !anchored, path.startsWith(pattern))
+      .otherwise(regexp_like(path, re))
+  }
+
   /** Per-URL admission flags against a [[parseRules]] table:
     * `(keyCols..., allowed)` — one row per input row (the caller's
-    * `keyCols` must be unique). Longest matching prefix wins; `Allow`
-    * wins length ties; no match = allowed.
+    * `keyCols` must be unique). Longest matching rule wins ([[ruleMatches]]
+    * pattern semantics, raw value length as priority); `Allow` wins
+    * length ties; no match = allowed.
     */
   def allowedFlags(urls: DataFrame, rules: DataFrame,
                    keyCols: Seq[String],
@@ -119,7 +155,7 @@ object RobotsOps {
       .join(rules.withColumnRenamed("reg_domain", domainCol),
         Seq(domainCol), "left")
       .withColumn("hit", col("prefix").isNotNull &&
-        col(pathCol).startsWith(col("prefix")))
+        ruleMatches(col(pathCol), col("prefix")))
     joined.groupBy(keyCols.map(col): _*)
       .agg(max(when(col("hit"),
         struct(length(col("prefix")).as("l"),

@@ -113,6 +113,11 @@ object UrlOps {
     *  - protocol-relative (`//host/...`) → base scheme + `:` + ref;
     *  - root-relative (`/path`) → base origin (scheme://authority) +
     *    ref;
+    *  - query-only (`?page=2` — the common pagination form) → base
+    *    origin + the FULL base path + ref (RFC 3986 §5.3 keeps the
+    *    whole base path for query-only references; r15 sent these
+    *    through the relative-path arm, dropping the base's last
+    *    segment — ADVICE r15);
     *  - fragment-only (`#...`) or empty → the base itself (fragments
     *    never reach the wire);
     *  - anything else (a relative path) → base origin + base path's
@@ -136,6 +141,7 @@ object UrlOps {
       .when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
       .when(ref.startsWith("//"), concat(sch, lit(":"), ref))
       .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref.startsWith("?"), concat(origin, basePath, ref))
       .when(ref === "" || ref.startsWith("#"), base)
       .otherwise(concat(origin, baseDir, lit("/"),
         regexp_replace(ref, "#.*$", "")))

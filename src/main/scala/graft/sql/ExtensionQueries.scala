@@ -1990,21 +1990,32 @@ object ExtensionQueries {
   }
 
   /** The x133 robots.txt synthesis — ONE body per registered domain,
-    * mirrored verbatim by the x133 oracle: a comment line, a
+    * mirrored verbatim by the x133 oracle: a comment + Sitemap line, a
     * megabot-only Disallow-everything group (tests agent scoping), the
-    * graftbot/helper group with prefix rules over the x131 path shapes
-    * plus the empty-Disallow idiom — OMITTED on example.org so that
-    * domain exercises the RFC 9309 `*`-fallback — and a trailing `*`
-    * group that governs only where the exact group is absent.
+    * graftbot/helper group with rules over the x131 path shapes —
+    * wildcard patterns included (a mid-path `*` Allow, a `$`-anchored
+    * Disallow AND a `$`-anchored Allow, a `?`+`*` query pattern) plus
+    * the empty-Disallow idiom — OMITTED on example.org so that domain
+    * exercises the RFC 9309 `*`-fallback; a second graftbot header
+    * broken off by a Crawl-delay line (the RFC 9309 group-boundary
+    * rule: the Disallow after the OTHERBOT header must NOT bind
+    * graftbot — r15 merged such headers, ADVICE r15); and a trailing
+    * `*` group that governs only where the exact group is absent.
     */
   private def robotsFixture(domain: Column): Column = {
     val exact =
       "User-agent: graftbot\nUser-agent: helper\n" +
-        "Disallow: /a/b\nAllow: /a/b/1\n" +
-        "Disallow: /item\nAllow: /item/1\n" +
-        "Disallow:\n\n"
+        "Disallow: /a/b\nAllow: /a/b/1\nAllow: /a/*/2\n" +
+        "Disallow: /a/b/16$\n" +
+        "Disallow: /item\nAllow: /item/1\nAllow: /item/9$\n" +
+        "Disallow: /read\nAllow: /read?*id=1\n" +
+        "Disallow:\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 3\n" +
+        "User-agent: otherbot\nDisallow: /pub\n\n"
     concat(
-      lit("# graft robots fixture\n\nUser-agent: megabot\nDisallow: /\n\n"),
+      lit("# graft robots fixture\n\n" +
+        "Sitemap: https://example.com/sitemap.xml\n\n" +
+        "User-agent: megabot\nDisallow: /\n\n"),
       when(domain === "example.org", lit("")).otherwise(lit(exact)),
       lit("User-agent: *\nDisallow: /read\nDisallow: /\n"))
   }
@@ -2034,7 +2045,9 @@ object ExtensionQueries {
     * canonicalizer must strip), an UPPERCASE absolute link with a
     * doubled slash and trailing slash (canonicalization work), a
     * root-relative link, a path-relative link, a protocol-relative CDN
-    * link, a fragment-only link (resolves to the page itself), plus a
+    * link, a query-only pagination link (`?page=N` — keeps the FULL
+    * base path, the RFC 3986 §5.3 arm), a fragment-only link (resolves
+    * to the page itself), plus a
     * single-quoted href and an href-less anchor that the double-quote
     * extractor must NOT emit (its documented fidelity bound, asserted).
     */
@@ -2056,6 +2069,8 @@ object ExtensionQueries {
       lit("<a href=\"sub/"), (id % 3).cast("string"), lit("\">rel</a>"),
       lit("<a href=\"//cdn.example.net/lib/"), (id % 4).cast("string"),
       lit("\">cdn</a>"),
+      lit("<a href=\"?page="), (id % 3).cast("string"),
+      lit("\">pg</a>"),
       lit("<a href=\"#top\">top</a>"),
       lit("<a href='single"), idS, lit("'>sq</a>"),
       lit("<a name=\"anchor\">no href</a>"),
@@ -4505,7 +4520,7 @@ object ExtensionQueries {
         | hits AS (SELECT u.doc_id, len(r.prefix) l,
         |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
         |   FROM updt u JOIN rrules r ON u.reg_domain = r.reg_domain
-        |     AND starts_with(u.mp, r.prefix)),
+        |     AND ${ruleMatchSql("u.mp", "r.prefix")}),
         | b1 AS (SELECT doc_id, a FROM (SELECT doc_id, a, row_number()
         |     OVER (PARTITION BY doc_id ORDER BY l DESC, a DESC) rn
         |   FROM hits) WHERE rn = 1),
@@ -4606,7 +4621,7 @@ object ExtensionQueries {
         | hits AS (SELECT m.canon_url, len(r.prefix) l,
         |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
         |   FROM marked m JOIN rrules r ON m.reg_domain = r.reg_domain
-        |     AND starts_with(m.mp, r.prefix)
+        |     AND ${ruleMatchSql("m.mp", "r.prefix")}
         |   WHERE m.is_new),
         | b1 AS (SELECT canon_url, a FROM (SELECT canon_url, a,
         |     row_number() OVER (PARTITION BY canon_url
@@ -4690,6 +4705,11 @@ object ExtensionQueries {
         |       WHEN href LIKE '/%' THEN
         |         regexp_extract(base,
         |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+        |       WHEN href LIKE '?%' THEN
+        |         regexp_extract(base,
+        |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+        |         regexp_extract(base,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) || href
         |       WHEN href = '' OR href LIKE '#%' THEN base
         |       ELSE regexp_extract(base,
         |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
@@ -4902,14 +4922,25 @@ object ExtensionQueries {
     */
   private lazy val robotsBodySql: String =
     """'# graft robots fixture' || chr(10) || chr(10) ||
+      |     'Sitemap: https://example.com/sitemap.xml' || chr(10) ||
+      |     chr(10) ||
       |     'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) ||
       |     chr(10) ||
       |     CASE WHEN reg_domain = 'example.org' THEN '' ELSE
       |       'User-agent: graftbot' || chr(10) ||
       |       'User-agent: helper' || chr(10) ||
       |       'Disallow: /a/b' || chr(10) || 'Allow: /a/b/1' || chr(10) ||
+      |       'Allow: /a/*/2' || chr(10) ||
+      |       'Disallow: /a/b/16$' || chr(10) ||
       |       'Disallow: /item' || chr(10) || 'Allow: /item/1' || chr(10) ||
-      |       'Disallow:' || chr(10) || chr(10) END ||
+      |       'Allow: /item/9$' || chr(10) ||
+      |       'Disallow: /read' || chr(10) ||
+      |       'Allow: /read?*id=1' || chr(10) ||
+      |       'Disallow:' || chr(10) || chr(10) ||
+      |       'User-agent: graftbot' || chr(10) ||
+      |       'Crawl-delay: 3' || chr(10) ||
+      |       'User-agent: otherbot' || chr(10) ||
+      |       'Disallow: /pub' || chr(10) || chr(10) END ||
       |     'User-agent: *' || chr(10) || 'Disallow: /read' || chr(10) ||
       |     'Disallow: /' || chr(10)""".stripMargin
 
@@ -4927,9 +4958,12 @@ object ExtensionQueries {
   /** RobotsOps.parseRules as DuckDB CTEs over `src(reg_domain,
     * robots_txt)` for one agent token — line split with ordinality,
     * comment strip, directive extraction, group segmentation (lag +
-    * running sum), exact-token-beats-star group selection, empty-value
-    * rule drop. Ends at `rrules(reg_domain, is_allow, prefix)`. ONE
-    * definition shared by the x133 and x136 mirrors.
+    * running sum over ALL directive-formed lines, so an unknown
+    * directive between two User-agent lines ends the header run —
+    * mirroring the r16 RobotsOps fix), exact-token-beats-star group
+    * selection, empty-value rule drop. Ends at
+    * `rrules(reg_domain, is_allow, prefix)`. ONE definition shared by
+    * the x133 and x136 mirrors.
     */
   private def robotsParseCtesSql(src: String, agent: String): String =
     s"""rlp AS (SELECT reg_domain, string_split(robots_txt, chr(10)) parts
@@ -4944,8 +4978,7 @@ object ExtensionQueries {
       |     trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1))
       |       AS value
       |   FROM rl
-      |   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
-      |     IN ('user-agent', 'allow', 'disallow')),
+      |   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) <> ''),
       | rg AS (SELECT *, sum(CASE WHEN is_ua = 1 AND coalesce(prev_ua, 0)
       |       = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY reg_domain
       |       ORDER BY line_no) grp
@@ -4969,7 +5002,24 @@ object ExtensionQueries {
       |     directive = 'allow' AS is_allow, value AS prefix
       |   FROM rg JOIN rgov ON rg.reg_domain = rgov.reg_domain
       |     AND rg.grp = rgov.grp
-      |   WHERE is_ua = 0 AND value <> '')""".stripMargin
+      |   WHERE directive IN ('allow', 'disallow') AND value <> '')""".stripMargin
+
+  /** `RobotsOps.ruleMatches` as a DuckDB boolean expression over a path
+    * expression and a rule-pattern expression — the same two-tier match
+    * (plain starts_with fast path; `*`/trailing-`$` patterns compiled
+    * to an anchored regex with the same escape set, `*` → `.*`, a
+    * trailing `$` → end anchor, mid-pattern `$` literal). ONE
+    * definition for the x133 and x136 admission joins.
+    */
+  private def ruleMatchSql(path: String, pat: String): String =
+    s"""CASE WHEN $pat NOT LIKE '%*%' AND $pat NOT LIKE '%$$'
+      |       THEN starts_with($path, $pat)
+      |       ELSE regexp_matches($path, '^' || replace(regexp_replace(
+      |         CASE WHEN $pat LIKE '%$$'
+      |              THEN substr($pat, 1, len($pat) - 1) ELSE $pat END,
+      |         '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
+      |         CASE WHEN $pat LIKE '%$$' THEN '$$' ELSE '' END)
+      |  END""".stripMargin
 
   /** The x134/x136 page + link synthesis, href extraction, and RFC 3986
     * resolve, DuckDB side — mirrors [[linkBase]], [[linkHtmlFixture]],
@@ -4997,6 +5047,7 @@ object ExtensionQueries {
       |     '<a href="sub/' || (doc_id % 3)::VARCHAR || '">rel</a>' ||
       |     '<a href="//cdn.example.net/lib/' || (doc_id % 4)::VARCHAR ||
       |       '">cdn</a>' ||
+      |     '<a href="?page=' || (doc_id % 3)::VARCHAR || '">pg</a>' ||
       |     '<a href="#top">top</a>' ||
       |     '<a href=''single' || doc_id::VARCHAR || '''>sq</a>' ||
       |     '<a name="anchor">no href</a>' ||
@@ -5019,6 +5070,11 @@ object ExtensionQueries {
       |       WHEN ref LIKE '/%' THEN
       |         regexp_extract(base,
       |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || ref
+      |       WHEN ref LIKE '?%' THEN
+      |         regexp_extract(base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+      |         regexp_extract(base,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) || ref
       |       WHEN ref = '' OR ref LIKE '#%' THEN base
       |       ELSE regexp_extract(base,
       |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||

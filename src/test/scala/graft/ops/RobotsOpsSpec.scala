@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** RFC 9309 robots parsing and admission: group segmentation
-  * (multi-agent headers), exact-token-beats-star selection, the
-  * empty-Disallow idiom, comment stripping, longest-prefix admission
-  * with Allow winning length ties, and the no-rule / no-robots allows.
+  * (multi-agent headers; unknown directives END a header run),
+  * exact-token-beats-star selection, the empty-Disallow idiom, comment
+  * stripping, longest-match admission with Allow winning length ties,
+  * `*`/trailing-`$` wildcard patterns (§2.2.3), and the no-rule /
+  * no-robots allows.
   */
 class RobotsOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -95,5 +97,60 @@ class RobotsOpsSpec extends SparkSpec {
       .allowedUrls(urls, rules("graftbot", "d.com" -> body), Seq("id"))
       .as[(Long, String, String, String)].collect().toSeq
     assert(kept == Seq((2L, "d.com", "/free", "extra2")))
+  }
+
+  // --- RFC 9309 §2.2.3 wildcard patterns (r16) -----------------------------
+
+  test("mid-path * matches any run; trailing $ anchors to path end") {
+    val b = "User-agent: *\nDisallow: /a\nAllow: /a/*/z\nDisallow: /a/b$"
+    assert(flags("any", b,
+      Seq("/a/x/z", "/a/x/zz", "/a/q", "/a/b", "/a/bc")) ==
+      // /a/x/z and /a/x/zz: Allow /a/*/z (len 7) beats Disallow /a;
+      // /a/b: Disallow /a/b$ (len 5) anchors exactly; /a/bc: the $ rule
+      // does not match a longer path, Disallow /a stands
+      Seq(true, true, false, false, false))
+  }
+
+  test("a mid-pattern $ is literal; regex metachars in rules are escaped") {
+    val b = "User-agent: *\nDisallow: /p$q*x\nDisallow: /r.s*"
+    // '$' not at the end is a literal char; '*' still wildcards
+    assert(flags("any", b, Seq("/p$qAAx/t", "/pq/x")) == Seq(false, true))
+    // '.' must not act as regex any-char (the rule has a '*', so it
+    // takes the regex arm — the arm where escaping could go wrong)
+    assert(flags("any", b, Seq("/r.s/t", "/rxs/t")) == Seq(false, true))
+  }
+
+  test("a wildcard rule and a literal rule tie on value length: Allow wins") {
+    val b = "User-agent: *\nDisallow: /ab/c\nAllow: /ab/*"
+    // both values are 5 chars; the wildcard Allow ties and wins
+    assert(flags("any", b, Seq("/ab/c")) == Seq(true))
+    // and the mirror-image tie (wildcard Disallow vs literal Allow)
+    val b2 = "User-agent: *\nAllow: /ab/c\nDisallow: /ab/*"
+    assert(flags("any", b2, Seq("/ab/c")) == Seq(true))
+  }
+
+  test("'Disallow: /$' blocks exactly the root; 'Allow: *' is everything") {
+    val b = "User-agent: *\nDisallow: /$\nDisallow: /x\nAllow: *x"
+    assert(flags("any", b, Seq("/", "/y", "/x")) == Seq(false, true, true))
+  }
+
+  // --- RFC 9309 group boundaries (r16, ADVICE r15) -------------------------
+
+  test("an unknown directive between two User-agent lines ends the run") {
+    val b = "User-agent: graftbot\nCrawl-delay: 3\n" +
+      "User-agent: otherbot\nDisallow: /pub"
+    // graftbot's group holds only the crawl-delay (no rules): /pub is
+    // NOT bound to graftbot (a merged header would block it)
+    assert(rules("graftbot", "d.com" -> b).isEmpty)
+    assert(flags("graftbot", b, Seq("/pub/x")) == Seq(true))
+    // otherbot still gets its own rule
+    assert(flags("otherbot", b, Seq("/pub/x")) == Seq(false))
+  }
+
+  test("blank and comment-only lines do NOT end a User-agent run") {
+    val b = "User-agent: graftbot\n\n# note\nUser-agent: helper\n" +
+      "Disallow: /x"
+    assert(flags("graftbot", b, Seq("/x/y")) == Seq(false))
+    assert(flags("helper", b, Seq("/x/y")) == Seq(false))
   }
 }

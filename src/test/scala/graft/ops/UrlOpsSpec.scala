@@ -97,6 +97,12 @@ class UrlOpsSpec extends SparkSpec {
       Some("https://s.example.com/dir/page/sub/1"))
     // base with an empty path: directory is empty, origin + / + ref
     assert(resolve("https://e.com", "a/b") == Some("https://e.com/a/b"))
+    // query-only ref (pagination): keeps the FULL base path (RFC 3986
+    // §5.3 — r15 routed this through the relative arm and dropped the
+    // base's last segment, ADVICE r15)
+    assert(resolve(base, "?page=2") ==
+      Some("https://s.example.com/dir/page/7?page=2"))
+    assert(resolve("https://e.com", "?q=1") == Some("https://e.com?q=1"))
   }
 
   test("resolveUrl: non-absolute base is NULL (loud provenance)") {

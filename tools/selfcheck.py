@@ -11,6 +11,11 @@ import pyarrow as pa
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# --only-dumped: restrict to queries Verify actually dumped (subset runs
+# via Verify's prefix filter leave the rest of the oracle map dump-less)
+if "--only-dumped" in sys.argv[3:]:
+    oracle = {k: v for k, v in oracle.items()
+              if glob.glob(f"{out_dir}/{k}/*.parquet")}
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
