@@ -22,20 +22,14 @@ import org.apache.spark.sql.types.LongType
   *
   * Fidelity bounds (documented, deliberate — this is the C4 heuristic
   * tier, not a browser): attribute values containing a literal '>' break
-  * the tag regex; CDATA is not special-cased; only the HTML entities named
-  * in [[HtmlOps.entityMap]] plus no numeric references are decoded. Each
-  * bound matches what a regex-level extractor (the C4 paper's own tier)
-  * can see.
+  * the tag regex; CDATA is not special-cased; entity decoding covers the
+  * [[graft.functions.DecodeHtmlEntities]] surface — the 6 core named
+  * entities plus `&#NNN;`/`&#xHH;` numeric references over printable
+  * ASCII and the common-punctuation set (leading-zero and uppercase-hex
+  * forms stay literal; see the kernel's scaladoc). Each bound matches
+  * what a regex-level extractor (the C4 paper's own tier) can see.
   */
 object HtmlOps {
-
-  /** Entity decode table, applied in order — `&amp;` LAST, so an
-    * already-escaped `&amp;lt;` decodes to the literal text `&lt;` and
-    * not to `<` (double-decode, the classic extractor bug).
-    */
-  private[graft] val entityMap: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
   /** Tags whose CLOSE (or self-close, for `<br>`) ends a text line —
     * the block-level subset an extractor maps to newlines (incl. table
@@ -55,7 +49,10 @@ object HtmlOps {
     * comments removed WITH their content (a style sheet leaking `{...}`
     * into text would then trip C4's page-level brace rule on every page),
     * block-closing tags become newlines, remaining tags strip to nothing,
-    * then entities decode. Pure column expression — no shuffle, no UDF.
+    * then entities decode in ONE pass (named + numeric references —
+    * [[graft.functions.DecodeHtmlEntities]], which replaced the r15
+    * 7-entity replace-chain). Pure column expression — no shuffle, no
+    * UDF.
     */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html,
@@ -65,9 +62,9 @@ object HtmlOps {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val broke = regexp_replace(noComment, lineBreakTagRe, "\n")
     val noTags = regexp_replace(broke, "<[^>]*>", "")
-    entityMap.foldLeft(noTags) { case (c, (from, to)) =>
-      replace(c, lit(from), lit(to))
-    }
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DecodeHtmlEntities(
+        org.apache.spark.sql.graftbridge.Bridge.expression(noTags)))
   }
 
   /** C4 §2.2 line retention over extracted HTML: per input doc, the

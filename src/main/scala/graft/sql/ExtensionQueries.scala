@@ -1902,18 +1902,23 @@ object ExtensionQueries {
   /** The planted-HTML synthesis shared by x127 and x128 — ONE definition
     * (the refreshSnapshot rule): head with style (braces) and script
     * (angle brackets, quotes), heading, paragraph breaks carved at
-    * ' window ' word boundaries, entity-encoded chrome, a javascript
-    * banner, a cross-page legal footer, and a comment hiding tagged
-    * content. Mirrored verbatim by [[htmlSynthSql]].
+    * ' window ' word boundaries, entity-encoded chrome — named AND
+    * numeric references (decimal, hex, punct-range, plus a
+    * leading-zero and an out-of-range ref that must STAY literal, the
+    * r16 DecodeHtmlEntities bounds) — a javascript banner, a
+    * cross-page legal footer, and a comment hiding tagged content.
+    * Mirrored verbatim by [[htmlSynthSql]].
     */
   private def htmlFixture: Column = concat(
     lit("<html><head><title>t</title><style>body { margin: 0; }</style>"),
     lit("<script>var x = \"a < b && c > d\";</script></head><body><h1>Doc "),
     col("doc_id").cast("string"), lit("</h1><p>"),
     replace(col("text"), lit(" window "), lit(".</p><p>")),
-    lit(".</p><div>Research &amp; development data here.</div>"),
+    lit(".</p><div>Research &amp; development data here&#46;</div>"),
     lit("<p>Please enable JavaScript to view comments here.</p>"),
-    lit("<p>All rights reserved and terms &amp; conditions apply.</p>"),
+    lit("<p>Teams&#8217; data &#8212; all rights reserved&#44; " +
+      "terms &amp; conditions apply&#x2e;</p>"),
+    lit("<p>Raw refs &#039; and &#1500; must stay literal here.</p>"),
     lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
 
   /** WARC-file synthesis over the x127 HTML pages — ONE definition
@@ -4742,9 +4747,11 @@ object ExtensionQueries {
       |     '<script>var x = "a < b && c > d";</script></head><body><h1>Doc ' ||
       |     doc_id::VARCHAR || '</h1><p>' ||
       |     replace(text, ' window ', '.</p><p>') ||
-      |     '.</p><div>Research &amp; development data here.</div>' ||
+      |     '.</p><div>Research &amp; development data here&#46;</div>' ||
       |     '<p>Please enable JavaScript to view comments here.</p>' ||
-      |     '<p>All rights reserved and terms &amp; conditions apply.</p>' ||
+      |     '<p>Teams&#8217; data &#8212; all rights reserved&#44; ' ||
+      |     'terms &amp; conditions apply&#x2e;</p>' ||
+      |     '<p>Raw refs &#039; and &#1500; must stay literal here.</p>' ||
       |     '<!-- hidden <p>Not real content.</p> --></body></html>' AS html
       |   FROM documents)""".stripMargin
 
@@ -4762,19 +4769,46 @@ object ExtensionQueries {
     * (from parsed response payloads). Ends at `dd` (filter `rk = 1` for
     * the kept lines).
     */
-  private def htmlStripCtesSql(src: String): String =
-    s"""txt AS (SELECT doc_id,
-      |     replace(replace(replace(replace(replace(replace(replace(
+  private def htmlStripCtesSql(src: String): String = {
+    // DecodeHtmlEntities mirror (the sentinel construction its scaladoc
+    // names): mark numeric refs as \x01<code>\x02 so the named chain
+    // cannot touch them, run the named replaces with '&amp;' LAST, then
+    // reconstruct each marked ref — in-range codepoints become chr(),
+    // out-of-range/overlong ones their literal '&#code;' selves. The
+    // membership test interpolates THE kernel's PunctCodepoints list.
+    val punct = graft.functions.DecodeHtmlEntities.PunctCodepoints
+      .mkString(", ")
+    val code = "string_split(q, chr(2))[1]"
+    val v = "CASE WHEN q LIKE 'x%' THEN try_cast(('0x' || substr(" + code +
+      ", 2)) AS BIGINT) ELSE try_cast(" + code + " AS BIGINT) END"
+    s"""tx0 AS (SELECT doc_id,
       |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |         regexp_replace(html,
       |         '(?is)<script\\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
       |         '(?is)<style\\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
       |         '(?s)<!--.*?-->', ' ', 'g'),
       |         '(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\\s*>|(?i)<br\\s*/?>|(?i)<br\\s[^>]*>', chr(10), 'g'),
-      |         '<[^>]*>', '', 'g'),
-      |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
-      |       '&apos;',''''), '&nbsp;',' '), '&amp;','&') AS t
+      |         '<[^>]*>', '', 'g') AS t0
       |   FROM $src),
+      | tx1 AS (SELECT doc_id, regexp_replace(regexp_replace(t0,
+      |     '&#([1-9][0-9]{0,6});', chr(1) || '\\1' || chr(2), 'g'),
+      |     '&#x([1-9a-f][0-9a-f]{0,5});', chr(1) || 'x\\1' || chr(2), 'g')
+      |       AS t1
+      |   FROM tx0),
+      | tx2 AS (SELECT doc_id,
+      |     replace(replace(replace(replace(replace(replace(t1,
+      |       '&lt;','<'), '&gt;','>'), '&quot;','"'), '&apos;',''''),
+      |       '&nbsp;',' '), '&amp;','&') AS t2
+      |   FROM tx1),
+      | txp AS (SELECT doc_id, string_split(t2, chr(1)) p FROM tx2),
+      | txt AS (SELECT doc_id, p[1] || array_to_string(list_transform(p[2:],
+      |     q -> (CASE WHEN ($v) IS NOT NULL AND ((($v) BETWEEN 32 AND 126)
+      |              OR ($v) IN ($punct))
+      |          THEN CASE WHEN ($v) = 160 THEN ' '
+      |               ELSE chr(($v)::INT) END
+      |          ELSE '&#' || $code || ';' END) ||
+      |       substr(q, len($code) + 2)), '') AS t
+      |   FROM txp),
       | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
       | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,
       |     trim(regexp_replace(e.raw, '\\s+', ' ', 'g')) line
@@ -4787,6 +4821,7 @@ object ExtensionQueries {
       |     AND NOT contains(lower(line), 'javascript')),
       | dd AS (SELECT doc_id, line_no, line, row_number() OVER
       |     (PARTITION BY line ORDER BY doc_id, line_no) rk FROM kept)""".stripMargin
+  }
 
   /** The C4 page tier over the kept-line CTE `dd` — ONE definition
     * shared by x128 (straight from synthesis) and x130 (after the WARC

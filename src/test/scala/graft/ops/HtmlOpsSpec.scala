@@ -67,6 +67,21 @@ class HtmlOpsSpec extends SparkSpec {
     assert(extract("a&nbsp;b") == "a b")
   }
 
+  test("numeric character references: decimal, hex, punct range, bounds") {
+    // printable-ASCII decimal and lowercase-hex forms
+    assert(extract("It&#39;s &#46; and &#x21; here") == "It's . and ! here")
+    // common punctuation beyond ASCII; 160 normalizes to a plain space
+    assert(extract("a&#8212;b &#8217;q&#8217; c&#160;d &#x2122;") ==
+      "a—b ’q’ c d ™")
+    // documented literal bounds: leading zero, uppercase hex / X,
+    // out-of-range codepoint, missing semicolon
+    assert(extract("&#039; &#x2A; &#X27; &#1500; &#38") ==
+      "&#039; &#x2A; &#X27; &#1500; &#38")
+    // non-recursive: a decoded '&' never starts a second decode
+    assert(extract("x &#38;lt; y") == "x &lt; y")
+    assert(extract("x &#x26;amp; y") == "x &amp; y")
+  }
+
   test("terminal punctuation rule: ., !, ?, closing quote pass; bare text drops") {
     val r = kept(
       1L -> ("<p>this line ends well.</p><p>this line ends not</p>" +
