@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** HTTP/1.1 response-envelope splitting: the stage between WARC record
+  * payloads and raw HTML in a REAL crawl — a Common Crawl `response`
+  * record's payload is an HTTP message (status line, headers, blank
+  * line, body), not bare HTML, so extraction must strip the envelope
+  * and route on status code / Content-Type before [[HtmlOps]] ever
+  * sees the body ([[graft.functions.GunzipToString]] is the sibling
+  * byte-tier entry for the `.warc.gz` member framing).
+  *
+  * No reference analog (engine capability — the reference at
+  * /root/reference starts at decoded rows).
+  *
+  * Same tier and guarantees as [[WarcOps]]: pure codegen'd column
+  * expressions (regexp_extract over the head region — zero UDFs, no
+  * shuffle), case-insensitive header names, absent header → NULL.
+  * Fidelity bounds (documented, deliberate): the envelope is split at
+  * the FIRST `\r\n\r\n` (multi-line folded headers — deprecated by
+  * RFC 7230 — are not unfolded); `Transfer-Encoding: chunked` bodies
+  * are passed through un-dechunked (Common Crawl stores payloads
+  * de-chunked already); lengths are character counts (the WarcOps
+  * string-tier bound).
+  */
+object HttpOps {
+
+  /** The header block: everything before the first blank line
+    * (status line included). Empty when the message has no blank
+    * line.
+    */
+  def headRegion(msg: Column): Column =
+    regexp_extract(msg, "(?s)^(.*?)\r\n\r\n", 1)
+
+  /** The body: everything after the first blank line ('' when the
+    * message has no blank line — a header-only or malformed message).
+    */
+  def body(msg: Column): Column =
+    regexp_extract(msg, "(?s)^.*?\r\n\r\n(.*)$", 1)
+
+  /** The 3-digit status code of the status line, NULL when the
+    * message does not start with an HTTP/x.y status line.
+    */
+  def statusCode(msg: Column): Column =
+    nullif(regexp_extract(msg, "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit(""))
+      .cast(IntegerType)
+
+  /** One named header from the head region (case-insensitive per RFC
+    * 9110 §5.1; value runs to end of line, trimmed by the `\s*`).
+    * Absent → NULL.
+    */
+  def header(msg: Column, name: String): Column =
+    nullif(regexp_extract(headRegion(msg),
+      "(?im)^" + name + ":\\s*([^\r\n]*)", 1), lit(""))
+
+  /** The media type of the Content-Type header (before any `;`
+    * parameter), lowercased and trimmed — the routing key (text/html
+    * vs everything else). NULL when the header is absent.
+    */
+  def contentType(msg: Column): Column =
+    nullif(lower(trim(regexp_extract(header(msg, "Content-Type"),
+      "^([^;]*)", 1))), lit(""))
+
+  /** The `charset=` parameter of Content-Type (lowercased, optional
+    * quotes tolerated), NULL when absent — the decode hint a
+    * byte-tier ingest keys transcoding on.
+    */
+  def charset(msg: Column): Column =
+    nullif(lower(regexp_extract(header(msg, "Content-Type"),
+      "(?i)charset=\"?([A-Za-z0-9._-]+)", 1)), lit(""))
+
+  /** Split a frame's `msgCol` HTTP response messages into the columns
+    * downstream extraction routes on: `status_code`, `content_type`,
+    * `charset`, `location` (redirect target), `body`. One narrow
+    * projection — composes with [[WarcOps.responses]] payloads.
+    */
+  def parseResponses(df: DataFrame, msgCol: String): DataFrame =
+    df.withColumn("status_code", statusCode(col(msgCol)))
+      .withColumn("content_type", contentType(col(msgCol)))
+      .withColumn("charset", charset(col(msgCol)))
+      .withColumn("location", header(col(msgCol), "Location"))
+      .withColumn("body", body(col(msgCol)))
+}

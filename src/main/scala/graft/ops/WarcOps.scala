@@ -43,6 +43,24 @@ object WarcOps {
   /** The record version line every WARC record starts with. */
   val VersionLine: String = "WARC/1.0\r\n"
 
+  /** gzip a record into one member ([[graft.functions.GzipBytes]]) —
+    * the `.warc.gz` framing is one gzip member PER RECORD, so a reader
+    * can seek to a record without decompressing the file.
+    */
+  def gzipMember(record: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GzipBytes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(record)))
+
+  /** Decompress a full `.warc.gz` file's bytes — concatenated members
+    * included — back to the WARC text [[parseRecords]] consumes
+    * ([[graft.functions.GunzipToString]]; malformed gzip → NULL).
+    */
+  def gunzipText(fileBytes: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GunzipToString(
+        org.apache.spark.sql.graftbridge.Bridge.expression(fileBytes)))
+
   /** Record-boundary sentinel the version line is replaced with before
     * the one-pass split — a control char no text payload carries (and if
     * one did, the affected record's `length_ok` flags the damage).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, ClassifyOps, DedupOps, DsirOps, HtmlOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
+import graft.ops.{BpeOps, ClassifyOps, DedupOps, DsirOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1896,6 +1896,56 @@ object ExtensionQueries {
         .agg(sum(col("n")).as("n_anchors"),
           count(lit(1)).as("n_targets"))
         .orderBy("dst_domain", "atext")
+    },
+
+    // x139 — the BYTE/HTTP-faithful first mile (r16; VERDICT r15 #1):
+    // a real Common Crawl file is `.warc.gz` — one gzip member per
+    // record — and each response payload is an HTTP/1.1 message, not
+    // bare HTML. The fixture builds exactly that (per-record gzip
+    // members, concatenated per file), and the query runs the REAL
+    // chain: gunzip the file (multi-member, GunzipToString) → WARC
+    // record parse → HTTP envelope split → route on status 200 +
+    // text/html → body → the SAME C4 page extraction as x128. The
+    // oracle is the x128 mirror: DuckDB cannot gunzip, so it
+    // recomputes the target output independently from the documents
+    // table — row-identity proves the whole container+envelope round
+    // trip is lossless (the x130 proof, one tier deeper).
+    "x139_warc_gz_http" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val files = warcGzHttpFixture(d)
+      val pages = WarcOps.responses(
+        files.select(col("file_id"),
+          WarcOps.gunzipText(col("gz")).as("content")),
+        "file_id", "content")
+      val routed = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          col("body").as("html"))
+      HtmlOps.c4Pages(routed, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x140 — the HTTP envelope split on its own cross-engine oracle
+    // (the regex tier IS mirrorable, unlike gzip): four synthesized
+    // response shapes (200+charset, 301+Location, 404, lowercase
+    // content-type with quoted charset), split into status /
+    // media type / charset / redirect / body in both engines, rolled
+    // up per envelope shape. The routing table a crawl ingest
+    // partitions its fetch results by.
+    "x140_http_headers" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      HttpOps.parseResponses(
+          d.select(col("doc_id"), httpFixture.as("msg")), "msg")
+        .groupBy("status_code", "content_type", "charset")
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(length(col("body")).cast(LongType)).as("body_chars"),
+          sum(when(col("location").isNotNull, 1L).otherwise(0L))
+            .as("n_redirects"),
+          min("doc_id").as("min_doc"))
+        .orderBy("status_code", "content_type")
     }
   )
 
@@ -1929,6 +1979,21 @@ object ExtensionQueries {
     * is the [[htmlFixture]] page; records concatenated in
     * (ord_doc, kind) order. Returns `(file_id, content)`.
     */
+  /** One synthesized WARC record (version line, headers, blank line,
+    * payload, record terminator) — shared by [[warcFixture]] (x129/
+    * x130, plain-text files) and [[warcGzHttpFixture]] (x139, gzip
+    * members).
+    */
+  private def warcRecordSynth(tpe: String, uri: Column, date: Column,
+                              payload: Column): Column =
+    concat(lit("WARC/1.0\r\nWARC-Type: " + tpe + "\r\n"),
+      when(uri.isNotNull,
+        concat(lit("WARC-Target-URI: "), uri, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("Content-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+
   private def warcFixture(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"),
       (col("doc_id") / 8).cast(LongType).as("file_id"),
@@ -1940,13 +2005,7 @@ object ExtensionQueries {
       lit("T00:00:00Z"))
     def record(tpe: String, uri: Column, date: Column,
                payload: Column): Column =
-      concat(lit("WARC/1.0\r\nWARC-Type: " + tpe + "\r\n"),
-        when(uri.isNotNull,
-          concat(lit("WARC-Target-URI: "), uri, lit("\r\n")))
-          .otherwise(lit("")),
-        lit("WARC-Date: "), date, lit("\r\n"),
-        lit("Content-Length: "), length(payload).cast("string"),
-        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      warcRecordSynth(tpe, uri, date, payload)
     val info = base.select(col("file_id")).distinct()
       .select(col("file_id"), lit(-1L).as("ord_doc"), lit(0).as("sub"),
         record("warcinfo", lit(null).cast("string"),
@@ -1964,6 +2023,79 @@ object ExtensionQueries {
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("sub"), col("r")))).getField("r"))
         .as("content"))
+  }
+
+  /** The `.warc.gz`+HTTP synthesis for x139 — the BYTE/HTTP-faithful
+    * tier a real Common Crawl file ships: each doc's x127 HTML page
+    * wrapped in an HTTP/1.1 200 message (status line, Content-Type
+    * with charset, Content-Length, blank line, body), that message as
+    * a WARC response record's payload, EACH record gzipped into its
+    * own member ([[graft.ops.WarcOps.gzipMember]] — per-record members
+    * are what make `.warc.gz` seekable), members concatenated per file
+    * (the `doc_id / 8` warcFixture grouping) in record order, plus a
+    * gzipped warcinfo member per file. Returns `(file_id, gz)`.
+    * Deliberately NOT SQL-mirrored — DuckDB cannot gunzip; the x139
+    * oracle is the independently-recomputed x128 target (see the
+    * query comment).
+    */
+  private def warcGzHttpFixture(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      htmlFixture.as("html"))
+    val idStr = col("doc_id").cast("string")
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val httpMsg = concat(
+      lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        "Content-Length: "), length(col("html")).cast("string"),
+      lit("\r\n\r\n"), col("html"))
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"),
+        warcRecordSynth("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val resp = base.withColumn("__http", httpMsg)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
+    info.unionByName(resp)
+      .select(col("file_id"), col("ord_doc"),
+        WarcOps.gzipMember(col("r")).as("g"))
+      .groupBy("file_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("ord_doc"), col("g"))))
+          .getField("g"),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("gz"))
+  }
+
+  /** The x140 HTTP response-message synthesis — four envelope shapes
+    * cycling on `doc_id % 4`: a 200 text/html with charset, a 301
+    * redirect with Location, a 404 text/plain, and a 200 JSON arm
+    * whose header name is LOWERCASE with a quoted uppercase charset
+    * (case-insensitivity proven through the oracle). Mirrored
+    * verbatim by the x140 oracle.
+    */
+  private def httpFixture: Column = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    when(id % 4 === 0, concat(
+      lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\nServer: graft\r\n" +
+        "\r\n<html>page "), idS, lit("</html>")))
+      .when(id % 4 === 1, concat(
+        lit("HTTP/1.1 301 Moved Permanently\r\n" +
+          "Location: https://example.com/new/"), idS,
+        lit("\r\nContent-Type: text/html\r\n\r\nmoved")))
+      .when(id % 4 === 2, concat(
+        lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+          "\r\nnot found "), idS))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\n" +
+          "content-type: application/json; charset=\"UTF-8\"\r\n" +
+          "\r\n{\"id\": "), idS, lit("}")))
   }
 
   /** The x131/x132 URL synthesis — ONE definition, mirrored verbatim by
@@ -4732,7 +4864,68 @@ object ExtensionQueries {
         | SELECT dst_domain, atext, sum(n)::BIGINT n_anchors,
         |   count(*)::BIGINT n_targets
         | FROM ag1 GROUP BY dst_domain, atext
-        | ORDER BY dst_domain, atext""".stripMargin
+        | ORDER BY dst_domain, atext""".stripMargin,
+
+    // x139 mirror: the x128 target recomputed independently from the
+    // documents table (DuckDB has no gunzip — the gzip/WARC/HTTP round
+    // trip is the Spark side's to prove; row-identity with this
+    // independently-derived target is exactly the x130 losslessness
+    // proof, one container tier deeper). The Spark-side gzip and HTTP
+    // kernels are additionally spec-gated (FunctionsSpec round-trip +
+    // multi-member tests, HttpOpsSpec goldens).
+    "x139_warc_gz_http" ->
+      s"""WITH $htmlKeptCtesSql,
+        | $htmlPageTailSql""".stripMargin,
+
+    // x140 mirror: identical envelope synthesis, DuckDB's own split
+    // (same regexes: first-blank-line head/body split, anchored status
+    // line, case-insensitive headers, media-type + charset params).
+    "x140_http_headers" -> {
+      val crlf = "chr(13) || chr(10)"
+      s"""WITH hm AS (SELECT doc_id,
+        |   CASE (doc_id % 4)
+        |     WHEN 0 THEN 'HTTP/1.1 200 OK' || $crlf ||
+        |       'Content-Type: text/html; charset=utf-8' || $crlf ||
+        |       'Server: graft' || $crlf || $crlf ||
+        |       '<html>page ' || doc_id::VARCHAR || '</html>'
+        |     WHEN 1 THEN 'HTTP/1.1 301 Moved Permanently' || $crlf ||
+        |       'Location: https://example.com/new/' || doc_id::VARCHAR ||
+        |       $crlf || 'Content-Type: text/html' || $crlf || $crlf ||
+        |       'moved'
+        |     WHEN 2 THEN 'HTTP/1.1 404 Not Found' || $crlf ||
+        |       'Content-Type: text/plain' || $crlf || $crlf ||
+        |       'not found ' || doc_id::VARCHAR
+        |     ELSE 'HTTP/1.1 200 OK' || $crlf ||
+        |       'content-type: application/json; charset="UTF-8"' ||
+        |       $crlf || $crlf || '{"id": ' || doc_id::VARCHAR || '}'
+        |   END AS msg
+        | FROM documents),
+        | hp AS (SELECT doc_id,
+        |     try_cast(nullif(regexp_extract(msg,
+        |       '^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS INTEGER) status_code,
+        |     regexp_extract(msg, '(?s)^(.*?)\r\n\r\n', 1) head,
+        |     regexp_extract(msg, '(?s)^.*?\r\n\r\n(.*)$$', 1) body
+        |   FROM hm),
+        | hh AS (SELECT doc_id, status_code, body,
+        |     nullif(regexp_extract(head,
+        |       '(?im)^Content-Type:\\s*([^\r\n]*)', 1), '') ct,
+        |     nullif(regexp_extract(head,
+        |       '(?im)^Location:\\s*([^\r\n]*)', 1), '') AS loc
+        |   FROM hp),
+        | hx AS (SELECT doc_id, status_code, body, loc,
+        |     nullif(lower(trim(regexp_extract(ct, '^([^;]*)', 1))), '')
+        |       content_type,
+        |     nullif(lower(regexp_extract(ct,
+        |       '(?i)charset="?([A-Za-z0-9._-]+)', 1)), '') charset
+        |   FROM hh)
+        | SELECT status_code, content_type, charset,
+        |   count(*)::BIGINT n_msgs, sum(len(body))::BIGINT body_chars,
+        |   sum(CASE WHEN loc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |     n_redirects,
+        |   min(doc_id) min_doc
+        | FROM hx GROUP BY 1, 2, 3
+        | ORDER BY status_code, content_type""".stripMargin
+    }
   )
 
   /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HTTP envelope split (HttpOps) and the gzip member tier
+  * (GzipBytes/GunzipToString via WarcOps): the byte/HTTP-faithful
+  * entry of the first mile — round trips, multi-member `.warc.gz`
+  * framing, malformed-input NULLs, and the envelope goldens.
+  */
+class HttpOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val msg200 =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Server: g\r\n\r\n<html>hi</html>"
+
+  private def one(msg: String) =
+    HttpOps.parseResponses(Seq(msg).toDF("msg"), "msg").head()
+
+  test("envelope split: status, media type, charset, body") {
+    val r = one(msg200)
+    assert(r.getAs[Int]("status_code") == 200)
+    assert(r.getAs[String]("content_type") == "text/html")
+    assert(r.getAs[String]("charset") == "utf-8")
+    assert(r.getAs[String]("body") == "<html>hi</html>")
+    assert(r.getAs[String]("location") == null)
+  }
+
+  test("header names are case-insensitive; quoted charset is unquoted " +
+      "and lowercased") {
+    val r = one("HTTP/1.1 200 OK\r\n" +
+      "content-type: application/json; charset=\"UTF-8\"\r\n\r\n{}")
+    assert(r.getAs[String]("content_type") == "application/json")
+    assert(r.getAs[String]("charset") == "utf-8")
+  }
+
+  test("redirect Location surfaces; header-like lines in the BODY do not") {
+    val r = one("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://e.com/new\r\n\r\n" +
+      "Location: https://evil.example/в-body\r\nContent-Type: fake\r\n")
+    assert(r.getAs[Int]("status_code") == 301)
+    assert(r.getAs[String]("location") == "https://e.com/new")
+    // Content-Type appears only in the body → header is absent → NULL
+    assert(r.getAs[String]("content_type") == null)
+  }
+
+  test("malformed messages degrade to NULLs/empty, never errors") {
+    val r = one("not an http message at all")
+    assert(r.getAs[Integer]("status_code") == null)
+    assert(r.getAs[String]("content_type") == null)
+    // no blank line → no body region
+    assert(r.getAs[String]("body") == "")
+  }
+
+  // --- gzip member tier ----------------------------------------------------
+
+  private def gunzip(df: org.apache.spark.sql.DataFrame) =
+    df.select(WarcOps.gunzipText(col("gz")).as("t"))
+      .as[Option[String]].collect().toSeq
+
+  test("gzip → gunzip round-trips exactly, including CRLFs and unicode") {
+    val texts = Seq("plain", "a\r\n\r\nb", "curly ’ and — dash", "")
+    val got = texts.toDF("s")
+      .select(WarcOps.gunzipText(WarcOps.gzipMember(col("s"))).as("t"))
+      .as[String].collect().toSeq
+    assert(got == texts)
+  }
+
+  test("concatenated members decompress as one stream (.warc.gz framing)") {
+    val got = Seq(("r1\r\n\r\n", "r2\r\n\r\n"))
+      .toDF("a", "b")
+      .select(concat(WarcOps.gzipMember(col("a")),
+        WarcOps.gzipMember(col("b"))).as("gz"))
+    assert(gunzip(got) == Seq(Some("r1\r\n\r\nr2\r\n\r\n")))
+  }
+
+  test("malformed gzip decodes to NULL (filterable, not fatal)") {
+    val got = Seq(Array[Byte](1, 2, 3), Array.emptyByteArray)
+      .toDF("gz")
+    assert(gunzip(got) == Seq(None, None))
+  }
+
+  test("a .warc.gz file (per-record members) parses back to its records") {
+    // two records, each its own gzip member — the seekable framing
+    val rec1 = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2020-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    val rec2 = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://e.com/1\r\n" +
+      "WARC-Date: 2020-01-02T00:00:00Z\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    val files = Seq((0L, rec1, rec2)).toDF("file_id", "a", "b")
+      .select(col("file_id"), WarcOps.gunzipText(
+        concat(WarcOps.gzipMember(col("a")),
+          WarcOps.gzipMember(col("b")))).as("content"))
+    val recs = WarcOps.parseRecords(files, "file_id", "content")
+      .orderBy("rec_no")
+      .select("warc_type", "payload", "length_ok")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(recs == Seq(("warcinfo", "info", true), ("response", "hello", true)))
+  }
+}
