@@ -78,17 +78,19 @@ object UrlOps {
       "^www\\.", ""))
   }
 
-  /** eTLD+1 under the built-in suffix subset: the last two labels,
-    * or the last three when the last two are a known multi-label public
-    * suffix ([[MultiLabelSuffixes]]). A host with no dot (localhost, an
-    * intranet name) is its own registered domain. NULL input → NULL.
+  /** eTLD+1 under a multi-label suffix set (default: the built-in
+    * subset): the last two labels, or the last three when the last two
+    * are a known multi-label public suffix. A host with no dot
+    * (localhost, an intranet name) is its own registered domain. NULL
+    * input → NULL.
     */
-  def registeredDomain(hostCol: Column): Column = {
+  def registeredDomain(hostCol: Column,
+                       suffixes: Seq[String] = MultiLabelSuffixes): Column = {
     val last2 = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     when(hostCol.isNull, lit(null))
       .when(last2 === "", hostCol)
-      .when(array_contains(lit(MultiLabelSuffixes.toArray), last2) &&
+      .when(array_contains(lit(suffixes.toArray), last2) &&
         last3 =!= "", last3)
       .otherwise(last2)
   }
@@ -103,6 +105,38 @@ object UrlOps {
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.RegisteredDomainOf(
         org.apache.spark.sql.graftbridge.Bridge.expression(url)))
+
+  /** [[domainOf]] under a LOADED multi-label suffix set — how a
+    * deployment ships the real ~9k-rule Public Suffix List without a
+    * source change (pair with [[loadPsl]]).
+    */
+  def domainOf(url: Column, suffixes: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RegisteredDomainOf(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url), suffixes))
+
+  /** Load a Public Suffix List file (publicsuffix.org format) into the
+    * suffix set [[domainOf]]/[[registeredDomain]] consult: `//`
+    * comments and blank lines dropped, entries lowercased and
+    * whitespace-trimmed, and only MULTI-label rules kept (single-label
+    * TLDs are the algorithm's implicit default — last2 already wins).
+    * Wildcard (`*.`) and exception (`!`) rules are a documented
+    * unsupported subset of the rule grammar and are SKIPPED (the
+    * longest-known-suffix+1 frame cannot express them; ~98% of the
+    * real list is plain rules). Driver-side read — the loaded set is
+    * plan state (the codebook class), shipped to executors with the
+    * expression.
+    */
+  def loadPsl(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.iterator
+      .map(l => l.replaceFirst("//.*$", "").trim
+        .toLowerCase(java.util.Locale.ROOT))
+      .filter(l => l.nonEmpty && !l.startsWith("*") && !l.startsWith("!") &&
+        l.contains('.'))
+      .distinct.toSeq
+  }
 
   /** Resolve a link reference against its page's ABSOLUTE base URL —
     * the RFC 3986 §5 merge at the fidelity a crawl frontier needs

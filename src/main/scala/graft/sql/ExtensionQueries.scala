@@ -1629,18 +1629,23 @@ object ExtensionQueries {
     },
 
     // x131 — URL canonicalization + registered domain (UrlOps): the
-    // RefinedWeb/CCNet URL tier. Seven deterministic URL shapes per doc
+    // RefinedWeb/CCNet URL tier. Eight deterministic URL shapes per doc
     // exercise every rule: case, www/userinfo/fragment drop, default
     // vs non-default ports, slash collapse, trailing dot and slash,
     // tracking-param drop, bytewise param sort, non-absolute → NULL,
-    // and the multi-label suffix heuristic.
+    // and the multi-label suffix heuristic — with the suffix set
+    // LOADED from a PSL file (UrlOps.loadPsl → RegisteredDomainOf's
+    // data parameter, r16): arm 7's `co.kr` resolves to example.co.kr
+    // only through the loaded list, proving the data path end-to-end
+    // through the oracle.
     "x131_url_canon" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
+      val suffixes = UrlOps.loadPsl(pslFixturePath)
       d.select(col("doc_id"), urlFixture.as("url"))
         .select(col("doc_id"), col("url"),
           UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
           UrlOps.host(col("url")).as("host"),
-          UrlOps.domainOf(col("url"))
+          UrlOps.domainOf(col("url"), suffixes)
             .as("reg_domain"))
         .orderBy("doc_id")
     },
@@ -2099,31 +2104,51 @@ object ExtensionQueries {
   }
 
   /** The x131/x132 URL synthesis — ONE definition, mirrored verbatim by
-    * [[urlSynthSql]]: seven deterministic shapes cycling on
-    * `doc_id % 7`, together covering every canonicalization rule. Arms
+    * [[urlSynthSql]]: eight deterministic shapes cycling on
+    * `doc_id % 8`, together covering every canonicalization rule. Arms
     * 0 and 6 key their paths on `doc_id % 40` while varying only a
     * tracking param, so canonicalization (not raw equality) merges them
-    * in x132.
+    * in x132. Arm 7 sits on `co.kr` — a suffix OUTSIDE the built-in
+    * subset, resolvable only through the x131 loaded-PSL path (r16).
     */
   private def urlFixture: Column = {
     val id = col("doc_id").cast("string")
     val idm = (col("doc_id") % 40).cast("string")
-    when(col("doc_id") % 7 === 0,
+    when(col("doc_id") % 8 === 0,
       concat(lit("HTTP://WWW.Example.COM:80//a//b/"), idm,
         lit("/?b=2&a=1&utm_term="), id))
-      .when(col("doc_id") % 7 === 1,
+      .when(col("doc_id") % 8 === 1,
         concat(lit("https://Shop.Example.co.uk:443/item/"), id,
           lit("?fbclid=x"), id))
-      .when(col("doc_id") % 7 === 2,
+      .when(col("doc_id") % 8 === 2,
         concat(lit("http://user@Example.org:8080/p/"), id,
           lit("?z=1&y=2&Y=9#frag")))
-      .when(col("doc_id") % 7 === 3,
+      .when(col("doc_id") % 8 === 3,
         concat(lit("https://news.example.com./"), id, lit("/")))
-      .when(col("doc_id") % 7 === 4,
+      .when(col("doc_id") % 8 === 4,
         concat(lit("ftp://Files.Example.NET:21/pub/"), id))
-      .when(col("doc_id") % 7 === 5, concat(lit("relative/path/"), id))
-      .otherwise(concat(lit("https://blog.example.com.au/read?id="), idm,
-        lit("&utm_campaign=x&UTM=keep")))
+      .when(col("doc_id") % 8 === 5, concat(lit("relative/path/"), id))
+      .when(col("doc_id") % 8 === 6,
+        concat(lit("https://blog.example.com.au/read?id="), idm,
+          lit("&utm_campaign=x&UTM=keep")))
+      .otherwise(concat(lit("https://Files.Example.Co.KR/k/"), id,
+        lit("?b=2&a=1")))
+  }
+
+  /** Write the x131 PSL fixture (publicsuffix.org format: a comment,
+    * the built-in subset, `co.kr` beyond it, plus a wildcard and an
+    * exception rule the loader must SKIP) and return its path — the
+    * loaded-data path of `RegisteredDomainOf` exercised through the
+    * oracle gate.
+    */
+  private def pslFixturePath: String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_psl_fixture.dat")
+    val body = "// graft PSL fixture (subset of publicsuffix.org)\n" +
+      graft.ops.UrlOps.MultiLabelSuffixes.mkString("\n") +
+      "\nco.kr\n*.ck\n!www.ck\n"
+    java.nio.file.Files.writeString(p, body)
+    p.toString
   }
 
   /** The x133 robots.txt synthesis — ONE body per registered domain,
@@ -4617,11 +4642,14 @@ object ExtensionQueries {
     // definition), then the same canonicalization rules (scheme/host
     // lowercase, userinfo/fragment drop, default-port drop, slash
     // collapse + trailing-slash drop, tracking-param drop + bytewise
-    // param sort) and the same eTLD+1 suffix heuristic, both driven by
-    // the SAME UrlOps constant lists.
+    // param sort) and the same eTLD+1 suffix heuristic — the suffix
+    // set interpolated from the SAME loadPsl read the Spark side
+    // performs (the loaded-data path, both engines consuming one
+    // artifact).
     "x131_url_canon" ->
       s"""WITH $urlSynthSql,
-        | $urlCanonCtesSql
+        | ${urlCanonCtesOver("u", "doc_id",
+             graft.ops.UrlOps.loadPsl(pslFixturePath))}
         | SELECT doc_id, url, canon_url, host, reg_domain FROM ur
         | ORDER BY doc_id""".stripMargin,
 
@@ -5119,7 +5147,7 @@ object ExtensionQueries {
     */
   private lazy val urlSynthSql: String =
     """u AS (SELECT doc_id,
-      |   CASE (doc_id % 7)
+      |   CASE (doc_id % 8)
       |     WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//b/' ||
       |       (doc_id % 40)::VARCHAR || '/?b=2&a=1&utm_term=' ||
       |       doc_id::VARCHAR
@@ -5131,8 +5159,10 @@ object ExtensionQueries {
       |       doc_id::VARCHAR || '/'
       |     WHEN 4 THEN 'ftp://Files.Example.NET:21/pub/' || doc_id::VARCHAR
       |     WHEN 5 THEN 'relative/path/' || doc_id::VARCHAR
-      |     ELSE 'https://blog.example.com.au/read?id=' ||
+      |     WHEN 6 THEN 'https://blog.example.com.au/read?id=' ||
       |       (doc_id % 40)::VARCHAR || '&utm_campaign=x&UTM=keep'
+      |     ELSE 'https://Files.Example.Co.KR/k/' || doc_id::VARCHAR ||
+      |       '?b=2&a=1'
       |   END AS url
       | FROM documents)""".stripMargin
 
@@ -5318,11 +5348,15 @@ object ExtensionQueries {
     * gate (over the x131 synthesis) and the x134/x136 link tiers (over
     * resolved hrefs). `keys` are carried through untouched; the chain
     * ends at `ur(keys..., url, canon_url, host, reg_domain)`.
+    * `suffixes` mirrors RegisteredDomainOf's data parameter (default:
+    * the built-in subset; x131 passes its loaded-PSL set).
     */
-  private def urlCanonCtesOver(src: String, keys: String): String = {
+  private def urlCanonCtesOver(src: String, keys: String,
+      suffixes: Seq[String] =
+        graft.ops.UrlOps.MultiLabelSuffixes): String = {
     val track = graft.ops.UrlOps.TrackingParams
       .map(p => s"'$p'").mkString(", ")
-    val multi = graft.ops.UrlOps.MultiLabelSuffixes
+    val multi = suffixes
       .map(p => s"'$p'").mkString(", ")
     s"""up AS (SELECT $keys, url,
       |     lower(nullif(regexp_extract(url,

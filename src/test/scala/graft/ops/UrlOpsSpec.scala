@@ -152,4 +152,45 @@ class UrlOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // --- loadable PSL data (r16) ---------------------------------------------
+
+  test("loadPsl: comments, blanks, case, wildcard/exception skip, dedup") {
+    val p = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(p,
+      "// comment header\n\nCO.KR // inline note\n  com.br  \ncom.br\n" +
+        "*.ck\n!www.ck\nsinglelabel\nco.uk\n")
+    val got = UrlOps.loadPsl(p.toString)
+    // lowercased, trimmed, deduped; wildcard/exception/single-label
+    // rules skipped (documented unsupported subset)
+    assert(got == Seq("co.kr", "com.br", "co.uk"))
+    java.nio.file.Files.delete(p)
+  }
+
+  test("loaded suffix set: kernel ≡ column form, and the built-in list " +
+      "loaded from a file changes nothing") {
+    val p = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(p,
+      "// psl\n" + UrlOps.MultiLabelSuffixes.mkString("\n") + "\nco.kr\n")
+    val loaded = UrlOps.loadPsl(p.toString)
+    val urls = Seq("https://a.example.co.kr/x", "https://b.example.co.uk/y",
+      "http://example.com/", "http://co.kr/", "relative").toDF("u")
+    // kernel with the loaded set ≡ column composition with the same set
+    val diff = urls.select(
+        UrlOps.domainOf(col("u"), loaded).as("k"),
+        UrlOps.registeredDomain(UrlOps.host(col("u")), loaded).as("c"))
+      .filter(!(col("k") <=> col("c")))
+    assert(diff.isEmpty, diff.collect().mkString("\n"))
+    // the beyond-builtin entry actually takes effect
+    val kr = urls.select(UrlOps.domainOf(col("u"), loaded).as("d"))
+      .as[Option[String]].collect().toSeq
+    assert(kr.head == Some("example.co.kr"))
+    // a file holding exactly the built-in list reproduces the default
+    val builtinLoaded = loaded.filterNot(_ == "co.kr")
+    val same = urls.select(UrlOps.domainOf(col("u")).as("a"),
+        UrlOps.domainOf(col("u"), builtinLoaded).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(same.isEmpty, same.collect().mkString("\n"))
+    java.nio.file.Files.delete(p)
+  }
 }
