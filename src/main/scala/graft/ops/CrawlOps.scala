@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-depth crawl DISCOVERY iteration: the multi-hop composition
+  * of the first-mile stages — a real crawl is not one discovery hop
+  * (the x136 shape) but a loop of frontier → fetch → extract →
+  * frontier, deduplicating every hop against everything already
+  * crawled OR scheduled (a URL is fetched at most once, ever).
+  *
+  * No reference analog (engine capability, like the rest of the
+  * first-mile tier).
+  *
+  * Scale shape (the [[DedupOps.connectedComponents]] iteration
+  * discipline): every per-hop stage is keyed on the canonical URL or
+  * the registered domain — the link explode is a narrow map over the
+  * FETCHED pages only (the frontier's, not the corpus's), the
+  * candidate dedup is one canonical-URL shuffle, admission is the
+  * [[RobotsOps.allowedFlags]] domain-keyed join, and the politeness
+  * cap is ONE window per hop. The cumulative crawled set and each
+  * hop's scheduled rows are `localCheckpoint`ed so the lineage stays
+  * O(1) per hop instead of O(hops) (at cluster scale the same role is
+  * played by reliable checkpointing); `maxHops` bounds the loop and an
+  * empty hop stops it early.
+  */
+object CrawlOps {
+
+  /** Iterate the discovery loop over a CLOSED page corpus (the
+    * fetchable universe — a test double for live fetching, exactly how
+    * a recrawl against an existing WARC store works):
+    *
+    *  - `pages`: one row per fetchable page — `(urlCol, htmlCol)`,
+    *    `urlCol` CANONICAL ([[UrlOps.canonicalizeUrl]] form) and
+    *    unique;
+    *  - `seeds`: the canonical URLs fetched at hop 0;
+    *  - `rules`: a [[RobotsOps.parseRules]] table for the crawl agent
+    *    (domains absent from it are unrestricted, RFC 9309's default);
+    *  - per hop: extract links from the pages fetched in the previous
+    *    hop, resolve against the page URL + canonicalize, drop
+    *    everything already crawled OR scheduled, admit via robots,
+    *    cap at `perDomainCap` fetches per registered domain in
+    *    canonical order (the x136 politeness window).
+    *
+    * Returns one row per SCHEDULED fetch: `(hop, canon_url,
+    * reg_domain, fetched)` — `fetched` = the URL exists in `pages`
+    * (a scheduled miss is a 404-class outcome and still counts as
+    * crawled; only fetched pages feed the next hop's extraction).
+    */
+  def crawlFrontierIterate(pages: DataFrame, seeds: DataFrame,
+                           rules: DataFrame, maxHops: Int,
+                           perDomainCap: Int = 4,
+                           urlCol: String = "canon_url",
+                           htmlCol: String = "html"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    require(perDomainCap >= 1, s"perDomainCap must be >= 1, got $perDomainCap")
+    val corpus = pages.select(col(urlCol).as("canon_url"),
+      col(htmlCol).as("html"))
+    val corpusUrls = corpus.select("canon_url").distinct()
+    var crawled = seeds.select(col(urlCol).as("canon_url")).distinct()
+      .localCheckpoint()
+    var frontier = crawled
+    var out: DataFrame = null
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val fetched = corpus.join(frontier, Seq("canon_url"), "left_semi")
+      val links = fetched
+        .select(col("canon_url").as("base"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref"))
+        .select(UrlOps.canonicalizeUrl(
+          UrlOps.resolveUrl(col("base"), col("ref"))).as("canon_url"))
+        .filter(col("canon_url").isNotNull)
+      val cand = links.distinct()
+        .join(crawled, Seq("canon_url"), "left_anti")
+        .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
+        .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+      val scheduled = RobotsOps
+        .allowedFlags(cand, rules, Seq("canon_url", "reg_domain"))
+        .filter(col("allowed")).drop("allowed")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("reg_domain").orderBy("canon_url")))
+        .filter(col("__rn") <= perDomainCap).drop("__rn")
+        .join(corpusUrls.withColumn("fetched", lit(true)),
+          Seq("canon_url"), "left")
+        .withColumn("fetched", coalesce(col("fetched"), lit(false)))
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      out = if (out == null) scheduled else out.unionByName(scheduled)
+      if (scheduled.isEmpty) done = true
+      else {
+        crawled = crawled.unionByName(scheduled.select("canon_url"))
+          .localCheckpoint()
+        frontier = scheduled.filter(col("fetched")).select("canon_url")
+      }
+      hop += 1
+    }
+    out.select("hop", "canon_url", "reg_domain", "fetched")
+  }
+}

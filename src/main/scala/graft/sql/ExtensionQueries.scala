@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, ClassifyOps, DedupOps, DsirOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
+import graft.ops.{BpeOps, ClassifyOps, CrawlOps, DedupOps, DsirOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1951,6 +1951,36 @@ object ExtensionQueries {
             .as("n_redirects"),
           min("doc_id").as("min_doc"))
         .orderBy("status_code", "content_type")
+    },
+
+    // x141 — the multi-hop crawl loop (CrawlOps.crawlFrontierIterate;
+    // VERDICT r15 #7): x136 is ONE discovery hop, a crawl iterates.
+    // Seeds = every 10th page of the link corpus; two hops of
+    // frontier → fetch → extract → dedup-against-everything-crawled →
+    // robots admission (agent graftbot) → per-domain cap-4 politeness,
+    // rolled up per (hop, domain) with the fetched/404 split. The
+    // oracle unrolls both hops as CTEs — the same links, the same
+    // rules, the same cumulative crawled set.
+    "x141_crawl_hops" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(linkBase.as("canon_url"),
+        linkHtmlFixture.as("html"))
+      val seeds = d.filter(col("doc_id") % 10 === 0)
+        .select(linkBase.as("canon_url"))
+      // robots coverage: the five site domains plus the CDN's (a
+      // domain absent from the rule table is unrestricted — RFC 9309)
+      val doms = pages
+        .select(UrlOps.domainOf(col("canon_url")).as("reg_domain"))
+        .distinct()
+        .unionByName(s.range(1).select(lit("example.net").as("reg_domain")))
+      val rules = RobotsOps.parseRules(
+        doms.withColumn("robots_txt", frontierRobotsFixture), "graftbot")
+      CrawlOps.crawlFrontierIterate(pages, seeds, rules, maxHops = 2)
+        .groupBy("hop", "reg_domain")
+        .agg(count(lit(1)).as("n_scheduled"),
+          sum(when(col("fetched"), 1L).otherwise(0L)).as("n_fetched"),
+          min("canon_url").as("first_url"))
+        .orderBy("hop", "reg_domain")
     }
   )
 
@@ -4953,8 +4983,74 @@ object ExtensionQueries {
         |   min(doc_id) min_doc
         | FROM hx GROUP BY 1, 2, 3
         | ORDER BY status_code, content_type""".stripMargin
-    }
+    },
+
+    // x141 mirror: the same link corpus and robots rules, both hops
+    // unrolled as CTEs (crawlHopCtesSql — one generator, so hop 1 and
+    // hop 2 cannot drift): per hop, links of the previous frontier's
+    // fetched pages → NOT EXISTS against the cumulative crawled set →
+    // longest-match admission → per-domain cap-4 window; the crawled
+    // set then grows by the hop's scheduled URLs and the next frontier
+    // is its fetched subset.
+    "x141_crawl_hops" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | l2 AS (SELECT DISTINCT doc_id, canon_url, reg_domain FROM ur
+        |   WHERE canon_url IS NOT NULL),
+        | c0 AS (SELECT DISTINCT base AS canon_url FROM lb
+        |   WHERE doc_id % 10 = 0),
+        | f0 AS (SELECT canon_url FROM c0),
+        | rdoms AS (SELECT DISTINCT src_domain AS reg_domain FROM lb
+        |   UNION SELECT 'example.net'),
+        | rb AS (SELECT reg_domain, $frontierRobotsBodySql AS robots_txt
+        |   FROM rdoms),
+        | ${robotsParseCtesSql("rb", "graftbot")},
+        | ${crawlHopCtesSql(1)},
+        | ${crawlHopCtesSql(2)},
+        | sched AS (SELECT 1 AS hop, canon_url, reg_domain FROM f1s
+        |   UNION ALL SELECT 2 AS hop, canon_url, reg_domain FROM f2s)
+        | SELECT hop, reg_domain, count(*)::BIGINT n_scheduled,
+        |   sum(CASE WHEN EXISTS (SELECT 1 FROM lb
+        |       WHERE lb.base = s.canon_url) THEN 1 ELSE 0 END)::BIGINT
+        |     n_fetched,
+        |   min(canon_url) first_url
+        | FROM sched s GROUP BY 1, 2
+        | ORDER BY hop, reg_domain""".stripMargin
   )
+
+  /** One unrolled crawl hop for the x141 mirror, over the previous
+    * crawled set `c{h-1}` and frontier `f{h-1}` — ends at `f{h}s`
+    * (the hop's scheduled rows), `c{h}` (the grown crawled set), and
+    * `f{h}` (the next frontier: scheduled ∩ fetchable). ONE generator
+    * for every hop (the bpeTrainSql pattern).
+    */
+  private def crawlHopCtesSql(h: Int): String = {
+    val mp = "coalesce(nullif(regexp_extract(canon_url, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1), ''), '/')"
+    s"""f${h}d AS (SELECT DISTINCT l.doc_id FROM lb l
+      |   JOIN f${h - 1} f ON l.base = f.canon_url),
+      | f${h}c AS (SELECT canon_url, reg_domain, $mp mp
+      |   FROM (SELECT DISTINCT u.canon_url, u.reg_domain
+      |       FROM l2 u JOIN f${h}d d ON u.doc_id = d.doc_id) c
+      |   WHERE NOT EXISTS (SELECT 1 FROM c${h - 1} cc
+      |     WHERE cc.canon_url = c.canon_url)),
+      | f${h}h AS (SELECT c.canon_url, len(r.prefix) l,
+      |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
+      |   FROM f${h}c c JOIN rrules r ON c.reg_domain = r.reg_domain
+      |     AND ${ruleMatchSql("c.mp", "r.prefix")}),
+      | f${h}b AS (SELECT canon_url, a FROM (SELECT canon_url, a,
+      |     row_number() OVER (PARTITION BY canon_url
+      |       ORDER BY l DESC, a DESC) rn FROM f${h}h) WHERE rn = 1),
+      | f${h}s AS (SELECT canon_url, reg_domain FROM (
+      |     SELECT c.canon_url, c.reg_domain, row_number() OVER (
+      |       PARTITION BY c.reg_domain ORDER BY c.canon_url) rn
+      |     FROM f${h}c c LEFT JOIN f${h}b b USING (canon_url)
+      |     WHERE coalesce(b.a, 1) = 1) WHERE rn <= 4),
+      | c$h AS (SELECT canon_url FROM c${h - 1}
+      |   UNION SELECT canon_url FROM f${h}s),
+      | f$h AS (SELECT canon_url FROM f${h}s WHERE EXISTS (
+      |   SELECT 1 FROM lb WHERE lb.base = f${h}s.canon_url))""".stripMargin
+  }
 
   /** The x127/x128 planted-HTML synthesis, DuckDB side — mirrors
     * [[htmlFixture]] verbatim (ONE definition per engine, referenced by
