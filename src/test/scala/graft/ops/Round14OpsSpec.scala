@@ -127,4 +127,20 @@ class Round14OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("must be numeric"))
   }
+
+  test("semanticDedupScaled fails LOUDLY past the plan-embedded codebook " +
+      "regime (MaxPlanCentroids), naming the handoff") {
+    // perCell 1 makes k = n, so a corpus barely past the bound trips the
+    // guard without materializing anything expensive: the count() runs,
+    // the codebook collect must NOT
+    val n = VectorOps.MaxPlanCentroids + 1
+    val vecs = spark.range(n)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.semanticDedupScaled(vecs, "vec_id", "embedding", perCell = 1)
+    }
+    assert(ex.getMessage.contains("MaxPlanCentroids"), ex.getMessage)
+    assert(ex.getMessage.contains("two-level assignment"), ex.getMessage)
+  }
 }
