@@ -434,4 +434,41 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
     }
   }
+
+  test("x139: the gzip→WARC→HTTP chain stays a narrow map — the kernels " +
+      "live inside the projections, no join, no extra exchange class") {
+    val df = ExtensionQueries.queries("x139_warc_gz_http")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the container chain planned a join:\n$p")
+    // the byte tier must plan as expressions, not lose codegen shape:
+    // gzip rides the fixture projection; gunzip sits in the per-file
+    // aggregate's result expressions (which the physical node's
+    // toString elides — assert it on the analyzed plan instead)
+    assert(p.contains("gzip_bytes"), s"gzip kernel not in plan:\n$p")
+    val lp = df.queryExecution.analyzed.toString
+    assert(lp.contains("gunzip_to_string"),
+      s"gunzip kernel not in logical plan:\n$lp")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x140: the HTTP envelope split is ONE combinable agg over a " +
+      "narrow projection — one hash exchange, no join") {
+    val p = plan(ExtensionQueries.queries, "x140_http_headers")
+    assert(!p.contains("Join"), s"envelope split planned a join:\n$p")
+    assert(p.contains("partial_count"), s"rollup not map-side combined:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the one rollup exchange, got " +
+      s"$exchanges:\n$p")
+  }
+
+  test("x141: the crawl loop's final plan reads localCheckpointed hop " +
+      "scans — no cartesian, no re-derivation of the link stream") {
+    val p = plan(ExtensionQueries.queries, "x141_crawl_hops")
+    assert(!p.contains("CartesianProduct"), s"crawl loop cartesian:\n$p")
+    // each hop materialized once: the rollup consumes checkpoint scans,
+    // not a re-expanded extraction pipeline (no regexp work may remain)
+    assert(p.contains("Scan ExistingRDD"), s"hops not checkpointed:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"link extraction re-derived above the checkpoints:\n$p")
+  }
 }
