@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl first mile's edge stream —
+  * the priority signal a frontier scheduler ranks its fetch queue by
+  * (Page, Brin et al. 1999; Cho/Garcia-Molina/Page WWW'98 used exactly
+  * this to order a crawl). No reference analog (engine capability,
+  * like the rest of the first-mile tier).
+  *
+  * All arithmetic is scaled-BIGINT (the x90/x135 micro-unit
+  * convention): ranks live at a fixed integer `scale`, per-edge
+  * contributions and the damping step use integral `div`, so every
+  * intermediate is an exact Long and summation order cannot matter —
+  * the DuckDB oracle is hash-exact by construction, not by rounding
+  * luck.
+  */
+object GraphOps {
+
+  /** Damped PageRank over a weighted directed edge list, computed in
+    * exact integer arithmetic.
+    *
+    * Semantics (documented variant — deterministic and engine-portable):
+    *
+    *  - nodes = distinct sources ∪ distinct targets;
+    *  - `rank_0(v) = scale`;
+    *  - along edge (s→d, w): `contrib = (rank_i(s) * w) div out_w(s)`
+    *    where `out_w(s)` = total outgoing weight of `s`;
+    *  - `rank_{i+1}(d) = (scale * (dampDen - dampNum)) div dampDen
+    *    + (dampNum * Σ contrib(d)) div dampDen`;
+    *  - a node with no in-edges holds the base term; DANGLING mass (a
+    *    node with no out-edges) is DROPPED, not redistributed — the
+    *    crawl-prioritization reading (relative order is the product;
+    *    redistribution adds a uniform term that cannot reorder nodes).
+    *
+    * Self-loops are dropped up front (`src = dst` contributes nothing
+    * to a fetch-priority order and inflates a page's own rank).
+    *
+    * Scale shape: the edge list (with its per-source `out_w` folded in)
+    * materializes ONCE via localCheckpoint; each iteration is one
+    * src-keyed join of the node-sized rank table against the edges
+    * (AQE broadcasts the rank side while it fits) + one map-side
+    * combinable sum keyed by target + one left join back to the node
+    * table — the canonical distributed power iteration, O(1) lineage
+    * per round via the [[DedupOps.connectedComponents]] checkpoint
+    * discipline. Driver state: nothing but the loop counter.
+    *
+    * Overflow bound: ranks are ≤ scale·N in the worst all-edges-in
+    * case; `dampNum · Σ contrib` must stay under 2^63 — the default
+    * scale of 10^6 leaves room for ~10^11 nodes before the bound
+    * matters, and the require below keeps callers inside it.
+    *
+    * Input: `edges(srcCol, dstCol, wCol)` with positive Long weights.
+    * Output: `(node, rank)` — one row per node, `rank` at `scale`.
+    */
+  def pageRankInt(edges: DataFrame, iterations: Int,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  wCol: String = "w", scale: Long = 1000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64], got $iterations")
+    require(scale >= 1000L && scale <= 1000000000L,
+      s"scale must be in [10^3, 10^9], got $scale")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen >= 1,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got " +
+        s"$dampNum/$dampDen")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    // out_w folded into the edge row once — the per-iteration join then
+    // needs only the rank table
+    val e = e0.join(
+        e0.groupBy("src").agg(sum("w").as("out_w")), Seq("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(scale))
+      .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) div out_w").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    ranks
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, ClassifyOps, CrawlOps, DedupOps, DsirOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
+import graft.ops.{BpeOps, ClassifyOps, CrawlOps, DedupOps, DsirOps, GraphOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -1981,6 +1981,43 @@ object ExtensionQueries {
           sum(when(col("fetched"), 1L).otherwise(0L)).as("n_fetched"),
           min("canon_url").as("first_url"))
         .orderBy("hop", "reg_domain")
+    },
+
+    // x142 — link-authority PageRank (GraphOps.pageRankInt; the
+    // Cho/Garcia-Molina/Page WWW'98 crawl-ordering signal): the x134
+    // edge stream (resolve + canonicalize, self-loops dropped), edge
+    // weight = href multiplicity, two damped power iterations in exact
+    // scaled-BIGINT arithmetic (rank at 10^6, integral div throughout,
+    // so summation order cannot matter and the DuckDB mirror unrolling
+    // the same two iterations as CTEs is hash-exact by construction).
+    // Rolled up per target domain with the argmax node — the
+    // per-domain authority table a frontier scheduler orders its fetch
+    // queue by.
+    "x142_pagerank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      val edges = resolvedCanon(pages.select(col("base"),
+            explode(HtmlOps.extractLinks(col("html"))).as("ref")),
+          Seq("base"), "ref")
+        .filter(col("canon_url") =!= col("base"))
+        .groupBy(col("base").as("src"), col("canon_url").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ranks = GraphOps.pageRankInt(edges, iterations = 2)
+        .withColumn("reg_domain", UrlOps.domainOf(col("node")))
+      // argmax with a deterministic tie-break: min node among the
+      // rank_max holders (one window + the rollup — no self-join)
+      ranks
+        .withColumn("rmax",
+          max("rank").over(Window.partitionBy("reg_domain")))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("rank").as("rank_sum"),
+          max("rank").as("rank_max"),
+          min(when(col("rank") === col("rmax"), col("node")))
+            .as("top_node"))
+        .orderBy("reg_domain")
     }
   )
 
@@ -5015,7 +5052,51 @@ object ExtensionQueries {
         |     n_fetched,
         |   min(canon_url) first_url
         | FROM sched s GROUP BY 1, 2
-        | ORDER BY hop, reg_domain""".stripMargin
+        | ORDER BY hop, reg_domain""".stripMargin,
+
+    // x142 mirror: the x134 edge chain (self-loops dropped, href
+    // multiplicity as weight), then the SAME two power iterations
+    // unrolled as CTEs in the same scaled-BIGINT arithmetic — `//` in
+    // DuckDB and `div` in Spark both truncate on the non-negative
+    // values here, so every intermediate is the identical Long. Node
+    // domains ride the edge endpoints (lb.src_domain for sources,
+    // ur.reg_domain for targets — provably equal where a node is
+    // both, the x134 equivalence).
+    "x142_pagerank" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | e0 AS (SELECT lb.base AS src, lb.src_domain AS sdom,
+        |     u.canon_url AS dst, u.reg_domain AS ddom
+        |   FROM ur u JOIN lb USING (doc_id)
+        |   WHERE u.canon_url IS NOT NULL AND u.canon_url <> lb.base),
+        | e AS (SELECT src, dst, count(*)::BIGINT w FROM e0
+        |   GROUP BY src, dst),
+        | nodes AS (SELECT node, min(dom) AS reg_domain FROM (
+        |     SELECT src AS node, sdom AS dom FROM e0
+        |     UNION ALL SELECT dst, ddom FROM e0) GROUP BY node),
+        | ow AS (SELECT src, sum(w)::BIGINT out_w FROM e GROUP BY src),
+        | r0 AS (SELECT node, 1000000::BIGINT r FROM nodes),
+        | i1 AS (SELECT e.dst AS node,
+        |     sum((r0.r * e.w) // ow.out_w)::BIGINT s
+        |   FROM e JOIN r0 ON e.src = r0.node JOIN ow ON e.src = ow.src
+        |   GROUP BY e.dst),
+        | r1 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(i1.s, 0)) // 100)::BIGINT r
+        |   FROM nodes n LEFT JOIN i1 USING (node)),
+        | i2 AS (SELECT e.dst AS node,
+        |     sum((r1.r * e.w) // ow.out_w)::BIGINT s
+        |   FROM e JOIN r1 ON e.src = r1.node JOIN ow ON e.src = ow.src
+        |   GROUP BY e.dst),
+        | r2 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(i2.s, 0)) // 100)::BIGINT r
+        |   FROM nodes n LEFT JOIN i2 USING (node)),
+        | rm AS (SELECT n.node, n.reg_domain, r2.r,
+        |     max(r2.r) OVER (PARTITION BY n.reg_domain) rmax
+        |   FROM nodes n JOIN r2 USING (node))
+        | SELECT reg_domain, count(*)::BIGINT n_nodes,
+        |   sum(r)::BIGINT rank_sum, max(r)::BIGINT rank_max,
+        |   min(CASE WHEN r = rmax THEN node END) top_node
+        | FROM rm GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous
