@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.ops.{BpeOps, ClassifyOps, CrawlOps, DedupOps, DsirOps, GraphOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
+import graft.ops.{BpeOps, ClassifyOps, CrawlOps, DedupOps, DsirOps, GraphOps, HtmlOps, HttpOps, JoinOps, LmOps, RobotsOps, SampleOps, SitemapOps, StatOps, TextOps, TimeOps, UrlOps, VectorOps, WarcOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension operators (BASELINE.json north star),
@@ -2017,6 +2017,92 @@ object ExtensionQueries {
           max("rank").as("rank_max"),
           min(when(col("rank") === col("rmax"), col("node")))
             .as("top_node"))
+        .orderBy("reg_domain")
+    },
+
+    // x143 — sitemap discovery (SitemapOps; sitemaps.org protocol):
+    // the OTHER half of the crawl's URL-discovery plane. Four of the
+    // five site domains advertise a sitemap INDEX from robots.txt
+    // (key case varies, one pointer carries a trailing comment, the
+    // fifth domain has no directive), each index references two child
+    // urlsets, each child packs its domain's pages as <url> entries
+    // with XML-escaped tracking params in the loc and optional
+    // lastmod/priority. The chain: Sitemap: directives → index parse →
+    // child fetch (closed-corpus double, the CrawlOps convention) →
+    // urlset parse → canonicalize → anti-flag against the crawled set
+    // → two-stage per-sitemap/per-domain rollup (no count_distinct
+    // Expand — the x56 lesson).
+    "x143_sitemap_discovery" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val m = (col("doc_id") % 5).cast("string")
+      val site = concat(lit("https://s"), m, lit(".example-"), m,
+        lit(".com"))
+      val dom = concat(lit("example-"), m, lit(".com"))
+      val idS = col("doc_id").cast("string")
+      val robots = d.select((col("doc_id") % 5).as("mnum"),
+          dom.as("reg_domain"), site.as("site")).distinct()
+        .withColumn("robots_txt",
+          when(col("reg_domain") =!= "example-4.com", concat(
+            lit("User-agent: *\nDisallow: /private\n\n"),
+            when(col("mnum") % 2 === 0, lit("Sitemap: "))
+              .otherwise(lit("SITEMAP: ")),
+            col("site"), lit("/sitemap_index.xml # autogen\n")))
+          .otherwise(lit("User-agent: *\nAllow: /\n")))
+      val ptr = SitemapOps.sitemapUrls(robots)
+      val idxXml = ptr.withColumn("xml", concat(
+        lit("<sitemapindex><sitemap><loc>"),
+        regexp_replace(col("sitemap_url"), "sitemap_index\\.xml$",
+          "maps/s1.xml"),
+        lit("</loc></sitemap><sitemap><loc>"),
+        regexp_replace(col("sitemap_url"), "sitemap_index\\.xml$",
+          "maps/s2.xml"),
+        lit("</loc></sitemap></sitemapindex>")))
+      val children = SitemapOps.parseIndex(idxXml, Seq("reg_domain"))
+      val entry = concat(lit("<url><loc>"), site, lit("/dir/page/"), idS,
+        lit("?utm_source=map&amp;utm_medium=xml</loc>"),
+        when(col("doc_id") % 3 === 0, concat(lit("<lastmod>2020-01-"),
+          lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("<priority>0.9</priority>"))
+          .when(col("doc_id") % 2 === 0, lit("<priority>0.5</priority>"))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val content = d.select(
+          concat(site, lit("/maps/s"),
+            ((col("doc_id") % 2) + 1).cast("string"), lit(".xml"))
+            .as("sitemap_loc"),
+          col("doc_id"), entry.as("e"))
+        .groupBy("sitemap_loc")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", array_sort(collect_list(
+            struct(col("doc_id"), col("e")))).getField("e")),
+          lit("</urlset>")).as("xml"))
+      val entries = SitemapOps.parseUrlset(
+        children.join(content, Seq("sitemap_loc")),
+        Seq("reg_domain", "sitemap_loc"))
+      val crawled = d.filter(col("doc_id") % 10 === 0)
+        .select(linkBase.as("canon_url"), lit(true).as("__crawled"))
+      val flagged = entries
+        .withColumn("canon_url", UrlOps.canonicalizeUrl(col("loc")))
+        .filter(col("canon_url").isNotNull)
+        .join(crawled, Seq("canon_url"), "left")
+        .withColumn("is_new", col("__crawled").isNull)
+      flagged.groupBy("reg_domain", "sitemap_loc")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("lastmod").isNotNull, 1L).otherwise(0L))
+            .as("n_lastmod"),
+          sum(when(col("priority") >= "0.8", 1L).otherwise(0L))
+            .as("n_high"),
+          min("lastmod").as("min_lastmod"),
+          min("canon_url").as("first_loc"))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_sitemaps"),
+          sum("n_entries").as("n_entries"), sum("n_new").as("n_new"),
+          sum("n_lastmod").as("n_lastmod"),
+          sum("n_high").as("n_high_priority"),
+          min("min_lastmod").as("min_lastmod"),
+          min("first_loc").as("first_loc"))
         .orderBy("reg_domain")
     }
   )
@@ -5096,7 +5182,121 @@ object ExtensionQueries {
         | SELECT reg_domain, count(*)::BIGINT n_nodes,
         |   sum(r)::BIGINT rank_sum, max(r)::BIGINT rank_max,
         |   min(CASE WHEN r = rmax THEN node END) top_node
-        | FROM rm GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
+        | FROM rm GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // x143 mirror: the same robots/index/urlset synthesis, DuckDB's own
+    // directive extraction (line split + comment strip + case-folded
+    // key), regex element/child parses with the same patterns and the
+    // same five-entity un-escape order (`&amp;` last), the shared
+    // canonicalization chain, and the identical two-stage rollup.
+    "x143_sitemap_discovery" ->
+      s"""WITH dm AS (SELECT DISTINCT (doc_id % 5) AS mnum,
+        |     'example-' || (doc_id % 5)::VARCHAR || '.com' AS reg_domain,
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |       (doc_id % 5)::VARCHAR || '.com' AS site
+        |   FROM documents),
+        | rb AS (SELECT reg_domain, site,
+        |     CASE WHEN reg_domain <> 'example-4.com' THEN
+        |       'User-agent: *' || chr(10) || 'Disallow: /private' ||
+        |       chr(10) || chr(10) ||
+        |       (CASE WHEN mnum % 2 = 0 THEN 'Sitemap: '
+        |             ELSE 'SITEMAP: ' END) ||
+        |       site || '/sitemap_index.xml # autogen' || chr(10)
+        |     ELSE 'User-agent: *' || chr(10) || 'Allow: /' || chr(10)
+        |     END AS robots_txt FROM dm),
+        | rl AS (SELECT reg_domain, trim(regexp_replace(
+        |       unnest(string_split(robots_txt, chr(10))), '#.*$$', ''))
+        |     AS line FROM rb),
+        | ptr AS (SELECT DISTINCT reg_domain,
+        |     trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1))
+        |       AS sitemap_url
+        |   FROM rl
+        |   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        |       = 'sitemap'
+        |     AND trim(regexp_extract(line,
+        |       '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) <> ''),
+        | idx AS (SELECT reg_domain, '<sitemapindex><sitemap><loc>' ||
+        |     regexp_replace(sitemap_url, 'sitemap_index\\.xml$$',
+        |       'maps/s1.xml') ||
+        |     '</loc></sitemap><sitemap><loc>' ||
+        |     regexp_replace(sitemap_url, 'sitemap_index\\.xml$$',
+        |       'maps/s2.xml') ||
+        |     '</loc></sitemap></sitemapindex>' AS xml FROM ptr),
+        | ch AS (SELECT reg_domain, replace(replace(replace(replace(
+        |       replace(trim(regexp_extract(e,
+        |         '(?is)<loc\\b[^>]*>\\s*(.*?)\\s*</loc\\s*>', 1)),
+        |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |       '&apos;', ''''), '&amp;', '&') AS sitemap_loc
+        |   FROM (SELECT reg_domain, unnest(regexp_extract_all(xml,
+        |       '(?is)<sitemap\\b[^>]*>.*?</sitemap\\s*>', 0)) e
+        |     FROM idx)
+        |   WHERE trim(regexp_extract(e,
+        |     '(?is)<loc\\b[^>]*>\\s*(.*?)\\s*</loc\\s*>', 1)) <> ''),
+        | ent AS (SELECT
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |       (doc_id % 5)::VARCHAR || '.com/maps/s' ||
+        |       ((doc_id % 2) + 1)::VARCHAR || '.xml' AS sitemap_loc,
+        |     doc_id,
+        |     '<url><loc>https://s' || (doc_id % 5)::VARCHAR ||
+        |       '.example-' || (doc_id % 5)::VARCHAR ||
+        |       '.com/dir/page/' || doc_id::VARCHAR ||
+        |       '?utm_source=map&amp;utm_medium=xml</loc>' ||
+        |     (CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2020-01-' ||
+        |         lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+        |         '</lastmod>' ELSE '' END) ||
+        |     (CASE WHEN doc_id % 7 = 0 THEN '<priority>0.9</priority>'
+        |           WHEN doc_id % 2 = 0 THEN '<priority>0.5</priority>'
+        |           ELSE '' END) || '</url>' AS e
+        |   FROM documents),
+        | cx AS (SELECT sitemap_loc, '<urlset>' ||
+        |     string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |   FROM ent GROUP BY sitemap_loc),
+        | fx AS (SELECT ch.reg_domain, ch.sitemap_loc, cx.xml
+        |   FROM ch JOIN cx USING (sitemap_loc)),
+        | ue AS (SELECT reg_domain, sitemap_loc,
+        |     unnest(regexp_extract_all(xml,
+        |       '(?is)<url\\b[^>]*>.*?</url\\s*>', 0)) e
+        |   FROM fx),
+        | ux AS (SELECT reg_domain, sitemap_loc,
+        |     replace(replace(replace(replace(replace(
+        |       trim(regexp_extract(e,
+        |         '(?is)<loc\\b[^>]*>\\s*(.*?)\\s*</loc\\s*>', 1)),
+        |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |       '&apos;', ''''), '&amp;', '&') AS url,
+        |     nullif(trim(regexp_extract(e,
+        |       '(?is)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod\\s*>', 1)),
+        |       '') AS lastmod,
+        |     nullif(trim(regexp_extract(e,
+        |       '(?is)<priority\\b[^>]*>\\s*(.*?)\\s*</priority\\s*>', 1)),
+        |       '') AS priority
+        |   FROM ue
+        |   WHERE trim(regexp_extract(e,
+        |     '(?is)<loc\\b[^>]*>\\s*(.*?)\\s*</loc\\s*>', 1)) <> ''),
+        | ${urlCanonCtesOver("ux", "reg_domain, sitemap_loc, lastmod, priority")},
+        | cr AS (SELECT DISTINCT 'https://s' || (doc_id % 5)::VARCHAR ||
+        |       '.example-' || (doc_id % 5)::VARCHAR || '.com/dir/page/'
+        |       || doc_id::VARCHAR AS canon_url
+        |   FROM documents WHERE doc_id % 10 = 0),
+        | fl AS (SELECT u.reg_domain, u.sitemap_loc, u.canon_url,
+        |     u.lastmod, u.priority,
+        |     NOT EXISTS (SELECT 1 FROM cr
+        |       WHERE cr.canon_url = u.canon_url) AS is_new
+        |   FROM ur u WHERE u.canon_url IS NOT NULL),
+        | g1 AS (SELECT reg_domain, sitemap_loc,
+        |     count(*)::BIGINT n_entries,
+        |     sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT n_new,
+        |     sum(CASE WHEN lastmod IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |       n_lastmod,
+        |     sum(CASE WHEN priority >= '0.8' THEN 1 ELSE 0 END)::BIGINT
+        |       n_high,
+        |     min(lastmod) min_lastmod, min(canon_url) first_loc
+        |   FROM fl GROUP BY reg_domain, sitemap_loc)
+        | SELECT reg_domain, count(*)::BIGINT n_sitemaps,
+        |   sum(n_entries)::BIGINT n_entries, sum(n_new)::BIGINT n_new,
+        |   sum(n_lastmod)::BIGINT n_lastmod,
+        |   sum(n_high)::BIGINT n_high_priority,
+        |   min(min_lastmod) min_lastmod, min(first_loc) first_loc
+        | FROM g1 GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous
