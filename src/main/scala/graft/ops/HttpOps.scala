@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.IntegerType
   * shuffle), case-insensitive header names, absent header → NULL.
   * Fidelity bounds (documented, deliberate): the envelope is split at
   * the FIRST `\r\n\r\n` (multi-line folded headers — deprecated by
-  * RFC 7230 — are not unfolded); `Transfer-Encoding: chunked` bodies
-  * are passed through un-dechunked (Common Crawl stores payloads
-  * de-chunked already); lengths are character counts (the WarcOps
-  * string-tier bound).
+  * RFC 7230 — are not unfolded); lengths are character counts (the
+  * WarcOps string-tier bound). `Transfer-Encoding: chunked` bodies ARE
+  * de-chunked (r16, [[graft.functions.DechunkBody]] — live fetches
+  * deliver chunked framing even though Common Crawl stores payloads
+  * de-chunked); a chunked body with malformed framing surfaces as a
+  * NULL body row.
   */
 object HttpOps {
 
@@ -71,15 +73,37 @@ object HttpOps {
     nullif(lower(regexp_extract(header(msg, "Content-Type"),
       "(?i)charset=\"?([A-Za-z0-9._-]+)", 1)), lit(""))
 
+  /** The final transfer coding of the Transfer-Encoding header
+    * (lowercased, last `,`-separated token per RFC 9112 §6.1 — chunked
+    * MUST be final when present), NULL when absent.
+    */
+  def transferEncoding(msg: Column): Column =
+    nullif(lower(trim(regexp_extract(header(msg, "Transfer-Encoding"),
+      "([^,]*)$", 1))), lit(""))
+
+  /** De-chunk `bodyCol` when the transfer coding says chunked, pass it
+    * through otherwise ([[graft.functions.DechunkBody]]; malformed
+    * chunked framing → NULL body).
+    */
+  def dechunkIfChunked(bodyCol: Column, te: Column): Column =
+    when(te === "chunked",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.DechunkBody(
+          org.apache.spark.sql.graftbridge.Bridge.expression(bodyCol))))
+      .otherwise(bodyCol)
+
   /** Split a frame's `msgCol` HTTP response messages into the columns
     * downstream extraction routes on: `status_code`, `content_type`,
-    * `charset`, `location` (redirect target), `body`. One narrow
-    * projection — composes with [[WarcOps.responses]] payloads.
+    * `charset`, `location` (redirect target), `transfer_encoding`, and
+    * `body` (de-chunked when the transfer coding is chunked). One
+    * narrow projection — composes with [[WarcOps.responses]] payloads.
     */
   def parseResponses(df: DataFrame, msgCol: String): DataFrame =
     df.withColumn("status_code", statusCode(col(msgCol)))
       .withColumn("content_type", contentType(col(msgCol)))
       .withColumn("charset", charset(col(msgCol)))
       .withColumn("location", header(col(msgCol), "Location"))
-      .withColumn("body", body(col(msgCol)))
+      .withColumn("transfer_encoding", transferEncoding(col(msgCol)))
+      .withColumn("body",
+        dechunkIfChunked(body(col(msgCol)), col("transfer_encoding")))
 }

@@ -2104,6 +2104,33 @@ object ExtensionQueries {
           min("min_lastmod").as("min_lastmod"),
           min("first_loc").as("first_loc"))
         .orderBy("reg_domain")
+    },
+
+    // x144 — chunked transfer decoding (DechunkBody; RFC 9112 §7.1):
+    // the LAST envelope layer of the byte tier. A LIVE fetch (unlike
+    // Common Crawl's de-chunked store) delivers chunked framing, so
+    // the fixture wraps each x127 page in a chunked HTTP message
+    // (hex sizes from Spark's uppercase hex(), a chunk extension and
+    // a trailer field planted, one chunk boundary mid-document) inside
+    // plain-text WARC records, and the query runs WARC parse → HTTP
+    // split (which de-chunks on Transfer-Encoding routing) → the SAME
+    // C4 page extraction as x128. Oracle = the independently
+    // recomputed x128 target (the x139 losslessness proof for the
+    // chunked layer).
+    "x144_http_chunked" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = WarcOps.responses(
+        warcChunkedHttpFixture(d), "file_id", "content")
+      val routed = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html" &&
+          col("transfer_encoding") === "chunked")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          col("body").as("html"))
+      HtmlOps.c4Pages(routed, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -2227,6 +2254,52 @@ object ExtensionQueries {
           .getField("g"),
         lit(Array.emptyByteArray),
         (acc, x) => concat(acc, x)).as("gz"))
+  }
+
+  /** The chunked-HTTP synthesis for x144: each doc's x127 page split at
+    * a fixed 64-character boundary into two chunks (the htmlFixture
+    * chrome guarantees length > 64), sizes as Spark's uppercase hex of
+    * the OCTET length (chunk sizes are byte counts), a chunk extension
+    * on the first chunk and a trailer field after the terminal chunk
+    * (both must be dropped by the decoder), wrapped in a 200 response
+    * with `Transfer-Encoding: chunked` (and NO Content-Length — RFC
+    * 9112 §6.2 forbids both), framed as plain-text WARC records per
+    * the warcFixture grouping. Returns `(file_id, content)`.
+    * Deliberately NOT SQL-mirrored — the x144 oracle is the
+    * independently-recomputed x128 target (the x139 convention).
+    */
+  private def warcChunkedHttpFixture(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      htmlFixture.as("html"))
+    val idStr = col("doc_id").cast("string")
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val c1 = substring(col("html"), 1, 64)
+    val c2 = substring(col("html"), 65, Int.MaxValue - 64)
+    val chunked = concat(
+      hex(octet_length(c1)), lit(";p=graft\r\n"), c1, lit("\r\n"),
+      hex(octet_length(c2)), lit("\r\n"), c2,
+      lit("\r\n0\r\nX-Graft-Trailer: t\r\n\r\n"))
+    val httpMsg = concat(
+      lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n"), chunked)
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"),
+        warcRecordSynth("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val resp = base.withColumn("__http", httpMsg)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
+    info.unionByName(resp)
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("r")))).getField("r"))
+        .as("content"))
   }
 
   /** The x140 HTTP response-message synthesis — four envelope shapes
@@ -5296,7 +5369,18 @@ object ExtensionQueries {
         |   sum(n_lastmod)::BIGINT n_lastmod,
         |   sum(n_high)::BIGINT n_high_priority,
         |   min(min_lastmod) min_lastmod, min(first_loc) first_loc
-        | FROM g1 GROUP BY reg_domain ORDER BY reg_domain""".stripMargin
+        | FROM g1 GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // x144 mirror: the x128 target recomputed independently (DuckDB
+    // does not de-chunk — the WARC/HTTP/chunked round trip is the
+    // Spark side's to prove; row-identity with the independent target
+    // is the x139 losslessness proof for the chunked layer). The
+    // decoder is additionally spec-gated (HttpOpsSpec goldens:
+    // byte-count sizes across a multi-byte boundary, extension/trailer
+    // drops, malformed-framing NULLs).
+    "x144_http_chunked" ->
+      s"""WITH $htmlKeptCtesSql,
+        | $htmlPageTailSql""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous

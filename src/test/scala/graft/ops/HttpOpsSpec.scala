@@ -99,4 +99,66 @@ class HttpOpsSpec extends SparkSpec {
       .as[(String, String, Boolean)].collect().toSeq
     assert(recs == Seq(("warcinfo", "info", true), ("response", "hello", true)))
   }
+
+  private def dechunk(s: String): Option[String] = {
+    val v = graft.functions.DechunkBody.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    Option(v).map(_.toString)
+  }
+
+  test("dechunk: sizes of either hex case, extensions and trailers " +
+      "dropped, data reassembled in order") {
+    assert(dechunk("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+      == Some("hello world"))
+    assert(dechunk("B;ext=1\r\nhello world\r\n0\r\nX-Trailer: t\r\n\r\n")
+      == Some("hello world"))
+    assert(dechunk("a\r\n0123456789\r\n0\r\n\r\n") == Some("0123456789"))
+    assert(dechunk("0\r\n\r\n") == Some(""))
+  }
+
+  test("dechunk: chunk sizes are BYTE counts — a boundary inside a " +
+      "multi-byte sequence reassembles exactly") {
+    // '€' is 3 UTF-8 bytes; split its encoding across two chunks
+    val euro = "€".getBytes("UTF-8")
+    val part1 = new String(Array('2'.toByte, '\r'.toByte, '\n'.toByte) ++
+      euro.take(2), "ISO-8859-1")
+    val part2 = new String("\r\n1\r\n".getBytes("ISO-8859-1") ++
+      euro.drop(2), "ISO-8859-1")
+    // build the chunked stream at the byte level, then re-read as UTF-8
+    val raw = (part1 + part2 + "\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    val v = graft.functions.DechunkBody.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(raw))
+    assert(v.toString == "€")
+  }
+
+  test("dechunk: malformed framing decodes to NULL, never throws") {
+    assert(dechunk("zz\r\nhi\r\n0\r\n\r\n").isEmpty)   // non-hex size
+    assert(dechunk("5\r\nhel").isEmpty)                // truncated chunk
+    assert(dechunk("5\r\nhelloXX0\r\n\r\n").isEmpty)   // missing CRLF
+    assert(dechunk("5\r\nhello\r\n").isEmpty)          // no terminal chunk
+    assert(dechunk("FFFFFFFFF\r\nx\r\n0\r\n\r\n").isEmpty) // size overflow
+    assert(dechunk("").isEmpty)
+  }
+
+  test("parseResponses routes on Transfer-Encoding: chunked bodies " +
+      "de-chunk, identity bodies pass through") {
+    val chunked = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "6\r\n<html>\r\n7\r\nchunked\r\n7\r\n</html>\r\n0\r\n\r\n"
+    val r = one(chunked)
+    assert(r.getAs[String]("transfer_encoding") == "chunked")
+    assert(r.getAs[String]("body") == "<html>chunked</html>")
+    // gzip, chunked: the FINAL coding decides (RFC 9112 §6.1)
+    val r2 = one("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: gzip, chunked\r\n\r\n2\r\nok\r\n0\r\n\r\n")
+    assert(r2.getAs[String]("transfer_encoding") == "chunked")
+    assert(r2.getAs[String]("body") == "ok")
+    val r3 = one(msg200)
+    assert(r3.getAs[String]("transfer_encoding") == null)
+    assert(r3.getAs[String]("body") == "<html>hi</html>")
+    // malformed chunked framing surfaces as a NULL body row
+    val r4 = one("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nnot chunked at all")
+    assert(r4.getAs[String]("body") == null)
+  }
 }
