@@ -461,6 +461,36 @@ class PlanSpec extends SparkSpec {
       s"$exchanges:\n$p")
   }
 
+  test("x142: PageRank iterations read the checkpointed edge list — " +
+      "no cartesian, link extraction never re-derives above the " +
+      "checkpoints") {
+    val p = plan(ExtensionQueries.queries, "x142_pagerank")
+    assert(!p.contains("CartesianProduct"), s"pagerank cartesian:\n$p")
+    // the edge list (with folded out-weights) and rank tables are
+    // localCheckpointed: the final plan consumes RDD scans, not a
+    // re-expanded extraction pipeline
+    assert(p.contains("Scan ExistingRDD"), s"edges not checkpointed:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"link extraction re-derived above the checkpoints:\n$p")
+  }
+
+  test("x143: sitemap discovery joins stay equi-joins and the rollup " +
+      "is two chained combinable aggs — no Expand, no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x143_sitemap_discovery")
+    assert(!p.contains("CartesianProduct"), s"sitemap cartesian:\n$p")
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+    assert(p.contains("partial_count"), s"rollup not map-side combined:\n$p")
+  }
+
+  test("x144: the chunked chain stays a narrow map — the dechunk " +
+      "kernel rides the projections, no join") {
+    val df = ExtensionQueries.queries("x144_http_chunked")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the chunked chain planned a join:\n$p")
+    assert(p.contains("dechunk_body"), s"dechunk kernel not in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x141: the crawl loop's final plan reads localCheckpointed hop " +
       "scans — no cartesian, no re-derivation of the link stream") {
     val p = plan(ExtensionQueries.queries, "x141_crawl_hops")
