@@ -70,7 +70,49 @@ object RobotsOps {
     */
   def parseRules(robots: DataFrame, agent: String,
                  domainCol: String = "reg_domain",
-                 textCol: String = "robots_txt"): DataFrame = {
+                 textCol: String = "robots_txt"): DataFrame =
+    governingDirectives(robots, agent, domainCol, textCol)
+      .filter(col("directive").isin("allow", "disallow") &&
+        col("value") =!= "")
+      .select(col("reg_domain"),
+        (col("directive") === "allow").as("is_allow"),
+        col("value").as("prefix"))
+      .distinct()
+
+  /** `Crawl-delay` for ONE crawler token (the de-facto directive
+    * Bing/Yandex honor — group-scoped like Allow/Disallow, so the same
+    * RFC 9309 §2.2.1 group selection applies). Output: `(reg_domain,
+    * delay_ms)` — the MINIMUM delay among the governing groups' parsed
+    * values (the conservative politeness read is the LARGEST delay, but
+    * duplicate directives in one governing set are a publisher error;
+    * min is deterministic and matches the first-wins reading of
+    * single-valued directives), in integral milliseconds
+    * (`floor(seconds × 1000)` — fractional seconds are common in the
+    * wild; floor on the IEEE product is the cross-engine basis-point
+    * convention). Non-numeric values are ignored; a domain with no
+    * parseable governing delay is absent (callers coalesce their own
+    * default slot spacing).
+    */
+  def crawlDelays(robots: DataFrame, agent: String,
+                  domainCol: String = "reg_domain",
+                  textCol: String = "robots_txt"): DataFrame =
+    governingDirectives(robots, agent, domainCol, textCol)
+      .filter(col("directive") === "crawl-delay")
+      .withColumn("delay_ms",
+        floor(expr("try_cast(value AS DOUBLE)") * 1000).cast("long"))
+      .filter(col("delay_ms").isNotNull && col("delay_ms") >= 0)
+      .groupBy("reg_domain")
+      .agg(min(col("delay_ms")).as("delay_ms"))
+
+  /** The shared parse front: line split, comment strip, directive
+    * split, group segmentation (ANY directive line between two
+    * User-agent lines ends a header run), and RFC 9309 §2.2.1 group
+    * selection for `agent` — returning every non-UA directive row of
+    * the governing groups as `(reg_domain, directive, value)`.
+    */
+  private def governingDirectives(robots: DataFrame, agent: String,
+                                  domainCol: String,
+                                  textCol: String): DataFrame = {
     val lines = robots
       .select(col(domainCol).as("reg_domain"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "raw")))
@@ -83,8 +125,7 @@ object RobotsOps {
           .as("value"))
       // EVERY directive-formed line participates in group segmentation
       // (so a Crawl-delay between two User-agent lines ends the header
-      // run, per google/robotstxt); the unknown directives are dropped
-      // AFTER the boundaries are computed, below
+      // run, per google/robotstxt)
       .filter(col("directive") =!= "")
     // Group ids: a user-agent line starts a new group unless the
     // previous directive line was also user-agent (multi-agent header).
@@ -95,7 +136,6 @@ object RobotsOps {
         (col("is_ua") === 1 && lag(col("is_ua"), 1, 0).over(wOrd) === 0)
           .cast("long"))
       .withColumn("grp", sum(col("new_grp")).over(wOrd))
-      .filter(col("directive").isin("user-agent", "allow", "disallow"))
     // RFC 9309 §2.2.1 at token granularity: exact-token groups beat `*`
     // groups domain-wide.
     val uaGroups = grouped.filter(col("is_ua") === 1)
@@ -110,12 +150,9 @@ object RobotsOps {
       .filter((col("dom_exact") === 1 && col("grp_exact") === 1) ||
         (col("dom_exact") === 0 && col("grp_star") === 1))
       .select("reg_domain", "grp")
-    grouped.filter(col("is_ua") === 0 && col("value") =!= "")
+    grouped.filter(col("is_ua") === 0)
       .join(governing, Seq("reg_domain", "grp"), "left_semi")
-      .select(col("reg_domain"),
-        (col("directive") === "allow").as("is_allow"),
-        col("value").as("prefix"))
-      .distinct()
+      .select(col("reg_domain"), col("directive"), col("value"))
   }
 
   /** RFC 9309 §2.2.3 rule-pattern match of `path` against a rule

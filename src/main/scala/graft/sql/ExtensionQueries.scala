@@ -2131,6 +2131,68 @@ object ExtensionQueries {
       HtmlOps.c4Pages(routed, "doc_id", "html")
         .select("doc_id", "n_lines", "text")
         .orderBy("doc_id")
+    },
+
+    // x145 — the prioritized frontier SCHEDULE (the round's capstone
+    // composition): what a crawl scheduler actually emits — candidate
+    // URLs from link discovery (the x136 frontier: links minus the
+    // crawled corpus), admitted by robots (graftbot; /root disallowed
+    // everywhere), ranked by link authority (the x142 integer
+    // PageRank, un-ranked candidates at 0), capped at 4 fetch slots
+    // per registered domain, each slot offset by the domain's
+    // governing Crawl-delay (RobotsOps.crawlDelays; site 0 publishes
+    // none and the CDN domain has no robots at all — both fall to the
+    // 200 ms default spacing). Integer ranks + integral ms make every
+    // output column exact in both engines.
+    "x145_frontier_schedule" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      // one materialization feeds BOTH the rank edges and the
+      // candidate stream (the x136 localCheckpoint discipline)
+      val resolved = resolvedCanon(pages.select(col("base"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref")),
+        Seq("base"), "ref").localCheckpoint()
+      val edges = resolved.filter(col("canon_url") =!= col("base"))
+        .groupBy(col("base").as("src"), col("canon_url").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ranks = GraphOps.pageRankInt(edges, iterations = 2)
+      val cand = resolved.select("canon_url").distinct()
+        .join(pages.select(col("base").as("canon_url")),
+          Seq("canon_url"), "left_anti")
+        .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
+        .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+      val doms = pages
+        .select(UrlOps.domainOf(col("base")).as("reg_domain")).distinct()
+        .withColumn("mnum",
+          regexp_extract(col("reg_domain"), "example-([0-9])", 1))
+      val robots = doms.withColumn("robots_txt", concat(
+        lit("User-agent: megabot\nDisallow: /\n\n"),
+        lit("User-agent: graftbot\n"),
+        when(col("mnum") === "0", lit(""))
+          .otherwise(concat(lit("Crawl-delay: "), col("mnum"),
+            lit(".5\n"))),
+        lit("Disallow: /root\n\n"),
+        lit("User-agent: *\nCrawl-delay: 30\nDisallow: /\n")))
+      val rules = RobotsOps.parseRules(robots, "graftbot")
+      val delays = RobotsOps.crawlDelays(robots, "graftbot")
+      RobotsOps.allowedFlags(cand, rules, Seq("canon_url", "reg_domain"))
+        .filter(col("allowed")).drop("allowed")
+        .join(ranks.select(col("node").as("canon_url"), col("rank")),
+          Seq("canon_url"), "left")
+        .withColumn("rank", coalesce(col("rank"), lit(0L)))
+        .withColumn("slot", row_number().over(
+            Window.partitionBy("reg_domain")
+              .orderBy(col("rank").desc, col("canon_url")))
+          .cast(LongType))
+        .filter(col("slot") <= 4)
+        .join(delays, Seq("reg_domain"), "left")
+        .withColumn("fetch_offset_ms",
+          (col("slot") - 1) * coalesce(col("delay_ms"), lit(200L)))
+        .select("reg_domain", "slot", "canon_url", "rank",
+          "fetch_offset_ms")
+        .orderBy("reg_domain", "slot")
     }
   )
 
@@ -5380,7 +5442,86 @@ object ExtensionQueries {
     // drops, malformed-framing NULLs).
     "x144_http_chunked" ->
       s"""WITH $htmlKeptCtesSql,
-        | $htmlPageTailSql""".stripMargin
+        | $htmlPageTailSql""".stripMargin,
+
+    // x145 mirror: the x142 rank CTEs, the x136 candidate/admission
+    // chain, DuckDB's own governing-group Crawl-delay extraction (the
+    // rg/rgov CTEs robotsParseCtesSql already builds), and the same
+    // slot window + delay spacing.
+    "x145_frontier_schedule" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | e0 AS (SELECT lb.base AS src, u.canon_url AS dst
+        |   FROM ur u JOIN lb USING (doc_id)
+        |   WHERE u.canon_url IS NOT NULL AND u.canon_url <> lb.base),
+        | e AS (SELECT src, dst, count(*)::BIGINT w FROM e0
+        |   GROUP BY src, dst),
+        | nodes AS (SELECT DISTINCT node FROM (
+        |     SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        | ow AS (SELECT src, sum(w)::BIGINT out_w FROM e GROUP BY src),
+        | r0 AS (SELECT node, 1000000::BIGINT r FROM nodes),
+        | i1 AS (SELECT e.dst AS node,
+        |     sum((r0.r * e.w) // ow.out_w)::BIGINT s
+        |   FROM e JOIN r0 ON e.src = r0.node JOIN ow ON e.src = ow.src
+        |   GROUP BY e.dst),
+        | r1 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(i1.s, 0)) // 100)::BIGINT r
+        |   FROM nodes n LEFT JOIN i1 USING (node)),
+        | i2 AS (SELECT e.dst AS node,
+        |     sum((r1.r * e.w) // ow.out_w)::BIGINT s
+        |   FROM e JOIN r1 ON e.src = r1.node JOIN ow ON e.src = ow.src
+        |   GROUP BY e.dst),
+        | r2 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(i2.s, 0)) // 100)::BIGINT r
+        |   FROM nodes n LEFT JOIN i2 USING (node)),
+        | cand AS (SELECT canon_url, reg_domain,
+        |     coalesce(nullif(regexp_extract(canon_url,
+        |       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$$', 1), ''), '/') mp
+        |   FROM (SELECT DISTINCT canon_url, reg_domain FROM ur
+        |     WHERE canon_url IS NOT NULL) c
+        |   WHERE NOT EXISTS (SELECT 1 FROM lb
+        |     WHERE lb.base = c.canon_url)),
+        | pdoms AS (SELECT DISTINCT src_domain AS reg_domain,
+        |     regexp_extract(src_domain, 'example-([0-9])', 1) mnum
+        |   FROM lb),
+        | rb AS (SELECT reg_domain,
+        |     'User-agent: megabot' || chr(10) || 'Disallow: /' ||
+        |     chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) ||
+        |     (CASE WHEN mnum = '0' THEN ''
+        |           ELSE 'Crawl-delay: ' || mnum || '.5' || chr(10) END) ||
+        |     'Disallow: /root' || chr(10) || chr(10) ||
+        |     'User-agent: *' || chr(10) || 'Crawl-delay: 30' ||
+        |     chr(10) || 'Disallow: /' || chr(10) AS robots_txt
+        |   FROM pdoms),
+        | ${robotsParseCtesSql("rb", "graftbot")},
+        | rdel AS (SELECT rg.reg_domain,
+        |     min(floor(try_cast(value AS DOUBLE) * 1000))::BIGINT
+        |       delay_ms
+        |   FROM rg JOIN rgov ON rg.reg_domain = rgov.reg_domain
+        |     AND rg.grp = rgov.grp
+        |   WHERE directive = 'crawl-delay'
+        |     AND floor(try_cast(value AS DOUBLE) * 1000) IS NOT NULL
+        |     AND floor(try_cast(value AS DOUBLE) * 1000) >= 0
+        |   GROUP BY rg.reg_domain),
+        | hits AS (SELECT c.canon_url, len(r.prefix) l,
+        |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
+        |   FROM cand c JOIN rrules r ON c.reg_domain = r.reg_domain
+        |     AND ${ruleMatchSql("c.mp", "r.prefix")}),
+        | b1 AS (SELECT canon_url, a FROM (SELECT canon_url, a,
+        |     row_number() OVER (PARTITION BY canon_url
+        |       ORDER BY l DESC, a DESC) rn FROM hits) WHERE rn = 1),
+        | adm AS (SELECT c.canon_url, c.reg_domain FROM cand c
+        |   LEFT JOIN b1 USING (canon_url) WHERE coalesce(b1.a, 1) = 1),
+        | sc AS (SELECT a.reg_domain, a.canon_url,
+        |     coalesce(r2.r, 0)::BIGINT AS rank,
+        |     row_number() OVER (PARTITION BY a.reg_domain
+        |       ORDER BY coalesce(r2.r, 0) DESC, a.canon_url) AS slot
+        |   FROM adm a LEFT JOIN r2 ON a.canon_url = r2.node)
+        | SELECT sc.reg_domain, slot::BIGINT slot, canon_url, rank,
+        |   ((slot - 1) * coalesce(rdel.delay_ms, 200))::BIGINT
+        |     fetch_offset_ms
+        | FROM sc LEFT JOIN rdel ON sc.reg_domain = rdel.reg_domain
+        | WHERE slot <= 4 ORDER BY sc.reg_domain, slot""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous

@@ -153,4 +153,44 @@ class RobotsOpsSpec extends SparkSpec {
     assert(flags("graftbot", b, Seq("/x/y")) == Seq(false))
     assert(flags("helper", b, Seq("/x/y")) == Seq(false))
   }
+
+  private def delays(agent: String, domains: (String, String)*) =
+    RobotsOps.crawlDelays(
+        domains.toSeq.toDF("reg_domain", "robots_txt"), agent)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("crawlDelays: group-scoped, exact token beats star, fractional " +
+      "seconds floor to ms") {
+    val b = "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(delays("graftbot", "a.com" -> b) == Map("a.com" -> 1500L))
+    assert(delays("other", "a.com" -> b) == Map("a.com" -> 10000L))
+  }
+
+  test("crawlDelays: non-numeric and negative values ignored; a domain " +
+      "with no parseable governing delay is absent") {
+    val b = "User-agent: *\nCrawl-delay: soon\n"
+    val c = "User-agent: *\nCrawl-delay: -2\n"
+    val d = "User-agent: *\nDisallow: /\n"
+    assert(delays("graftbot", "a.com" -> b, "b.com" -> c,
+      "c.com" -> d).isEmpty)
+  }
+
+  test("crawlDelays: duplicate directives in the governing set take " +
+      "the minimum; a delay in a non-governing group does not leak") {
+    val b = "User-agent: graftbot\nCrawl-delay: 5\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+      "User-agent: megabot\nCrawl-delay: 60\n"
+    assert(delays("graftbot", "a.com" -> b) == Map("a.com" -> 2000L))
+  }
+
+  test("parseRules is unchanged by the shared-front refactor: the " +
+      "Crawl-delay line still splits header runs and never becomes " +
+      "a rule") {
+    val b = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    val r = RobotsOps.parseRules(
+        Seq(("a.com", b)).toDF("reg_domain", "robots_txt"), "a")
+      .collect()
+    assert(r.isEmpty) // the Disallow binds only agent b
+  }
 }

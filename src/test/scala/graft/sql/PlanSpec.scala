@@ -491,6 +491,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x145: the schedule consumes the ONE checkpointed link stream — " +
+      "no cartesian, extraction never re-derives, one politeness " +
+      "window") {
+    val p = plan(ExtensionQueries.queries, "x145_frontier_schedule")
+    assert(!p.contains("CartesianProduct"), s"schedule cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"link stream not checkpointed:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"link extraction re-derived above the checkpoints:\n$p")
+    // exactly one slot-assignment window over the admitted candidates
+    // (the robots admission itself is agg-based, not window-based)
+    val windows = "Window \\[row_number".r.findAllIn(p).length
+    assert(windows == 1, s"expected the one slot window, got $windows:\n$p")
+  }
+
   test("x141: the crawl loop's final plan reads localCheckpointed hop " +
       "scans — no cartesian, no re-derivation of the link stream") {
     val p = plan(ExtensionQueries.queries, "x141_crawl_hops")
