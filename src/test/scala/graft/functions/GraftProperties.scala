@@ -142,4 +142,43 @@ object GraftProperties extends Properties("graft") {
       out(1).toString == s &&
       out(2).asInstanceOf[Array[Byte]].length == 4
   }
+
+  // chunked transfer framing: arbitrary bytes, arbitrary cut points —
+  // encode per RFC 9112 §7.1 (mixed-case hex, an extension and a
+  // trailer sprinkled in), decode must return the exact original bytes
+  private val chunkedCase: Gen[(Array[Byte], List[Int], Boolean)] = for {
+    n <- Gen.chooseNum(0, 200)
+    body <- Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127))
+    cuts <- Gen.listOf(Gen.chooseNum(0, math.max(0, n)))
+    ext <- Gen.oneOf(true, false)
+  } yield (body, cuts.distinct.sorted, ext)
+
+  property("DechunkBody round-trips arbitrary bytes under arbitrary " +
+      "chunkings") = forAll(chunkedCase) { case (body, cuts, ext) =>
+    val bounds = (0 +: cuts :+ body.length).distinct.sorted
+    val chunks = bounds.zip(bounds.tail)
+      .map { case (a, b) => body.slice(a, b) }
+      .filter(_.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val hex = if (i % 2 == 0) c.length.toHexString
+                else c.length.toHexString.toUpperCase
+      val extS = if (ext && i == 0) ";name=v" else ""
+      bos.write((hex + extS + "\r\n").getBytes("ISO-8859-1"))
+      bos.write(c)
+      bos.write("\r\n".getBytes("ISO-8859-1"))
+    }
+    bos.write((if (ext) "0\r\nX-T: 1\r\n\r\n" else "0\r\n\r\n")
+      .getBytes("ISO-8859-1"))
+    val decoded = DechunkBody.compute(UTF8String.fromBytes(bos.toByteArray))
+    decoded != null && decoded.getBytes.sameElements(body)
+  }
+
+  property("DechunkBody never throws on arbitrary garbage (null, not " +
+      "an exception)") = forAll(
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127)))) { b =>
+    DechunkBody.compute(UTF8String.fromBytes(b)) // must not throw
+    true
+  }
 }
