@@ -90,7 +90,10 @@ object CrawlOps {
         .localCheckpoint()
       out = if (out == null) scheduled else out.unionByName(scheduled)
       if (scheduled.isEmpty) done = true
-      else {
+      else if (hop < maxHops) {
+        // the grown crawled set only matters if another hop will read
+        // it — materializing it after the FINAL hop was a wasted
+        // checkpoint job per call
         crawled = crawled.unionByName(scheduled.select("canon_url"))
           .localCheckpoint()
         frontier = scheduled.filter(col("fetched")).select("canon_url")

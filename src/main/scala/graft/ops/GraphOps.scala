@@ -79,8 +79,11 @@ object GraphOps {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
+    // the seed rank table is a literal projection of the checkpointed
+    // node table — materializing it separately was a wasted job; only
+    // ITERATION RESULTS checkpoint (each replaces the previous)
     var ranks = nodes.withColumn("rank", lit(scale))
-      .localCheckpoint()
+    var checkpointed = false
     var it = 0
     while (it < iterations) {
       val inflow = e.join(ranks, e("src") === ranks("node"))
@@ -91,10 +94,18 @@ object GraphOps {
           (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
         .localCheckpoint()
-      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(ranks)
+      if (checkpointed) {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(ranks)
+      }
       ranks = next
+      checkpointed = true
       it += 1
     }
+    // the edge and node lists are loop-scoped: the returned ranks are a
+    // materialized checkpoint (iterations >= 1) with no lineage into
+    // them, so their blocks can go now
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(e)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(nodes)
     ranks
   }
 }
