@@ -84,6 +84,10 @@ object WarcOps {
     *                   warcinfo / ...), NULL if absent;
     *  - `target_uri` — WARC-Target-URI, NULL if absent (warcinfo);
     *  - `warc_date`  — WARC-Date, NULL if absent;
+    *  - `payload_digest` — WARC-Payload-Digest, NULL if absent (the
+    *                   content-identity key [[resolveRevisits]] joins
+    *                   on);
+    *  - `refers_to`  — WARC-Refers-To-Target-URI, NULL if absent;
     *  - `content_length` — Content-Length as a LONG, NULL if absent;
     *  - `payload`    — the Content-Length-sized slice after the blank
     *                   line ending the header block (NULL when
@@ -121,6 +125,10 @@ object WarcOps {
       .withColumn("warc_type", header(col("__body"), "WARC-Type"))
       .withColumn("target_uri", header(col("__body"), "WARC-Target-URI"))
       .withColumn("warc_date", header(col("__body"), "WARC-Date"))
+      .withColumn("payload_digest",
+        header(col("__body"), "WARC-Payload-Digest"))
+      .withColumn("refers_to",
+        header(col("__body"), "WARC-Refers-To-Target-URI"))
       .withColumn("content_length", contentLength)
       .withColumn("payload", payloadRegion.substr(lit(1), contentLength))
       .withColumn("length_ok", contentLength.isNotNull &&
@@ -135,4 +143,45 @@ object WarcOps {
                 contentCol: String): DataFrame =
     parseRecords(files, idCol, contentCol)
       .filter(col("warc_type") === "response" && col("length_ok"))
+
+  /** Resolve `revisit` records to the capture they duplicate — WARC
+    * 1.1 §6.7.2: a crawler that re-fetches a URL and finds the payload
+    * unchanged (or finds the SAME payload at a different URL) writes a
+    * body-less revisit record carrying the payload's digest instead of
+    * re-storing the content. Resolution is by CONTENT identity (the
+    * digest), not by trusting `WARC-Refers-To-Target-URI` — the header
+    * rides through as `refers_to` for auditing, but a revisit whose
+    * digest matches a different capture resolves to that capture.
+    *
+    * Input: [[parseRecords]] rows. Output: one row per digest-carrying
+    * revisit — `(target_uri, warc_date, payload_digest, refers_to,
+    * original_uri, original_date)`, where the original is the EARLIEST
+    * `response` sharing the digest (ties on date break by URI — both
+    * deterministic); a revisit whose digest matches no stored response
+    * keeps NULL originals (a dangling revisit is a store-consistency
+    * finding, not a dropped row).
+    *
+    * Scale shape: one digest-keyed top-1 window over the responses
+    * (WindowGroupLimit — no full sort materializes; a viral payload's
+    * digest group is exactly the duplication the op exists to expose)
+    * + one digest equi-join. No other shuffle.
+    */
+  def resolveRevisits(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val originals = records
+      .filter(col("warc_type") === "response" &&
+        col("payload_digest").isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("payload_digest")
+          .orderBy("warc_date", "target_uri")))
+      .filter(col("__rk") === 1)
+      .select(col("payload_digest"),
+        col("target_uri").as("original_uri"),
+        col("warc_date").as("original_date"))
+    records
+      .filter(col("warc_type") === "revisit" &&
+        col("payload_digest").isNotNull)
+      .select("target_uri", "warc_date", "payload_digest", "refers_to")
+      .join(originals, Seq("payload_digest"), "left")
+  }
 }

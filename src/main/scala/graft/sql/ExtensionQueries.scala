@@ -2193,6 +2193,28 @@ object ExtensionQueries {
         .select("reg_domain", "slot", "canon_url", "rank",
           "fetch_offset_ms")
         .orderBy("reg_domain", "slot")
+    },
+
+    // x146 — WARC revisit resolution (WARC 1.1 §6.7.2): a crawler that
+    // re-fetches unchanged content writes a BODY-LESS revisit record
+    // carrying the payload digest — the container-level dedup a
+    // recrawl store ships with. The fixture groups docs by 3: the head
+    // stores the payload as a response, the second stores the SAME
+    // payload at a different URL (duplicate content — also a
+    // response), the third is a revisit with the group digest, no
+    // body, and a Refers-To header. Resolution is by CONTENT identity:
+    // earliest response per digest (date then URI — the 28-day date
+    // wrap makes some duplicate-URL responses the original, exercising
+    // the rule), revisits left-joined on. Both engines parse the same
+    // synthesized WARC bytes and resolve with the same window.
+    "x146_warc_revisit" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val recs = WarcOps.parseRecords(
+        warcRevisitFixture(d), "file_id", "content")
+      WarcOps.resolveRevisits(recs)
+        .select("target_uri", "warc_date", "payload_digest",
+          "refers_to", "original_uri", "original_date")
+        .orderBy("target_uri")
     }
   )
 
@@ -2232,12 +2254,13 @@ object ExtensionQueries {
     * members).
     */
   private def warcRecordSynth(tpe: String, uri: Column, date: Column,
-                              payload: Column): Column =
+                              payload: Column,
+                              extra: Column = lit("")): Column =
     concat(lit("WARC/1.0\r\nWARC-Type: " + tpe + "\r\n"),
       when(uri.isNotNull,
         concat(lit("WARC-Target-URI: "), uri, lit("\r\n")))
         .otherwise(lit("")),
-      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("WARC-Date: "), date, lit("\r\n"), extra,
       lit("Content-Length: "), length(payload).cast("string"),
       lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
 
@@ -2358,6 +2381,44 @@ object ExtensionQueries {
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
     info.unionByName(resp)
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("r")))).getField("r"))
+        .as("content"))
+  }
+
+  /** The revisit synthesis for x146 — docs grouped by 3: head stores
+    * the group payload as a `response`, the next doc stores the SAME
+    * payload at its own URL (duplicate content, also a response), the
+    * third is a body-less `revisit` carrying the group digest
+    * (`md5:<hex>` — md5 is the portable digest both engines compute
+    * identically; real crawls use sha1:BASE32) and a Refers-To header
+    * naming the head. Returns `(file_id, content)`; mirrored verbatim
+    * by the x146 oracle CTEs.
+    */
+  private def warcRevisitFixture(d: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val grp = col("doc_id") - (col("doc_id") % 3)
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      concat(lit("snapshot of group "), grp.cast("string"),
+        lit(" stable content")).as("pay"),
+      grp.as("grp"))
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val digest = concat(lit("WARC-Payload-Digest: md5:"), md5(col("pay")),
+      lit("\r\n"))
+    val refers = concat(lit("WARC-Refers-To-Target-URI: "),
+      lit("https://example.com/doc/"), col("grp").cast("string"),
+      lit("\r\n"))
+    val rec = when(col("doc_id") % 3 < 2,
+        warcRecordSynth("response", uriC, dateC, col("pay"), digest))
+      .otherwise(
+        warcRecordSynth("revisit", uriC, dateC, lit(""),
+          concat(digest, refers)))
+    base.select(col("file_id"), col("doc_id").as("ord_doc"), rec.as("r"))
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
@@ -5521,7 +5582,55 @@ object ExtensionQueries {
         |   ((slot - 1) * coalesce(rdel.delay_ms, 200))::BIGINT
         |     fetch_offset_ms
         | FROM sc LEFT JOIN rdel ON sc.reg_domain = rdel.reg_domain
-        | WHERE slot <= 4 ORDER BY sc.reg_domain, slot""".stripMargin
+        | WHERE slot <= 4 ORDER BY sc.reg_domain, slot""".stripMargin,
+
+    // x146 mirror: the same revisit synthesis byte for byte, the shared
+    // WARC parse CTEs (now surfacing payload_digest/refers_to), and the
+    // same earliest-response-per-digest window + left join.
+    "x146_warc_revisit" -> {
+      val crlf = "chr(13) || chr(10)"
+      s"""WITH wbase AS (SELECT doc_id, doc_id // 8 AS file_id,
+        |     'snapshot of group ' || (doc_id - (doc_id % 3))::VARCHAR ||
+        |       ' stable content' AS pay,
+        |     (doc_id - (doc_id % 3)) AS grp
+        |   FROM documents),
+        | wrec AS (SELECT file_id, doc_id AS ord_doc,
+        |     'WARC/1.0' || $crlf ||
+        |     'WARC-Type: ' || (CASE WHEN doc_id % 3 < 2 THEN 'response'
+        |       ELSE 'revisit' END) || $crlf ||
+        |     'WARC-Target-URI: https://example.com/doc/' ||
+        |       doc_id::VARCHAR || $crlf ||
+        |     'WARC-Date: 2020-01-' ||
+        |       lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+        |       'T00:00:00Z' || $crlf ||
+        |     'WARC-Payload-Digest: md5:' || md5(pay) || $crlf ||
+        |     (CASE WHEN doc_id % 3 < 2 THEN ''
+        |       ELSE 'WARC-Refers-To-Target-URI: https://example.com/doc/'
+        |         || grp::VARCHAR || $crlf END) ||
+        |     'Content-Length: ' ||
+        |       (CASE WHEN doc_id % 3 < 2 THEN len(pay) ELSE 0
+        |        END)::VARCHAR || $crlf || $crlf ||
+        |     (CASE WHEN doc_id % 3 < 2 THEN pay ELSE '' END) ||
+        |     $crlf || $crlf AS r
+        |   FROM wbase),
+        | wf AS (SELECT file_id,
+        |     string_agg(r, '' ORDER BY ord_doc) AS content
+        |   FROM wrec GROUP BY file_id),
+        | $warcParseCtesSql,
+        | wresp AS (SELECT payload_digest, target_uri AS original_uri,
+        |     warc_date AS original_date
+        |   FROM (SELECT payload_digest, target_uri, warc_date,
+        |       row_number() OVER (PARTITION BY payload_digest
+        |         ORDER BY warc_date, target_uri) rk
+        |     FROM wrecs
+        |     WHERE warc_type = 'response' AND payload_digest IS NOT NULL)
+        |   WHERE rk = 1)
+        | SELECT r.target_uri, r.warc_date, r.payload_digest,
+        |   r.refers_to, wresp.original_uri, wresp.original_date
+        | FROM wrecs r LEFT JOIN wresp USING (payload_digest)
+        | WHERE r.warc_type = 'revisit' AND r.payload_digest IS NOT NULL
+        | ORDER BY r.target_uri""".stripMargin
+    }
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous
@@ -5732,13 +5841,19 @@ object ExtensionQueries {
       |       '(?im)^WARC-Target-URI:\s*([^\r\n]*)', 1), '') target_uri,
       |     nullif(regexp_extract(body,
       |       '(?im)^WARC-Date:\s*([^\r\n]*)', 1), '') warc_date,
+      |     nullif(regexp_extract(body,
+      |       '(?im)^WARC-Payload-Digest:\s*([^\r\n]*)', 1), '')
+      |       payload_digest,
+      |     nullif(regexp_extract(body,
+      |       '(?im)^WARC-Refers-To-Target-URI:\s*([^\r\n]*)', 1), '')
+      |       refers_to,
       |     CAST(nullif(regexp_extract(body,
       |       '(?im)^Content-Length:\s*([0-9]+)\s*$', 1), '') AS BIGINT)
       |       content_length,
       |     regexp_extract(body, '(?s)^.*?\r\n\r\n(.*)$', 1) payload_region
       |   FROM wrb),
       | wrecs AS (SELECT file_id, rec_no, warc_type, target_uri, warc_date,
-      |     content_length,
+      |     payload_digest, refers_to, content_length,
       |     substr(payload_region, 1, content_length) payload,
       |     (content_length IS NOT NULL AND
       |      len(payload_region) = content_length + 4) AS length_ok

@@ -121,4 +121,46 @@ class WarcOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  private def revRec(tpe: String, uri: String, date: String,
+                     digest: String, payload: String,
+                     refersTo: Option[String] = None): String =
+    "WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Payload-Digest: $digest\r\n" +
+      refersTo.map(u => s"WARC-Refers-To-Target-URI: $u\r\n")
+        .getOrElse("") +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n" + payload + "\r\n\r\n"
+
+  test("resolveRevisits: digest identity beats the Refers-To header, " +
+      "earliest response wins, dangling revisits keep NULL originals") {
+    val content =
+      revRec("response", "https://e.com/b", "2020-01-05T00:00:00Z",
+        "md5:d1", "same") +
+      revRec("response", "https://e.com/a", "2020-01-02T00:00:00Z",
+        "md5:d1", "same") +
+      revRec("revisit", "https://e.com/b2", "2020-01-09T00:00:00Z",
+        "md5:d1", "", Some("https://e.com/b")) +
+      revRec("revisit", "https://e.com/x", "2020-01-10T00:00:00Z",
+        "md5:gone", "")
+    val out = WarcOps.resolveRevisits(WarcOps.parseRecords(
+        Seq((1L, content)).toDF("file_id", "content"),
+        "file_id", "content"))
+      .orderBy("target_uri")
+      .select("target_uri", "refers_to", "original_uri", "original_date")
+      .collect()
+    assert(out.length == 2)
+    // /b2's digest resolves to the EARLIEST capture (/a, Jan 02), even
+    // though its Refers-To header names /b
+    assert(out(0).getString(0) == "https://e.com/b2")
+    assert(out(0).getString(1) == "https://e.com/b")
+    assert(out(0).getString(2) == "https://e.com/a")
+    assert(out(0).getString(3) == "2020-01-02T00:00:00Z")
+    // dangling digest: NULL originals, row kept
+    assert(out(1).getString(0) == "https://e.com/x")
+    assert(out(1).getString(2) == null && out(1).getString(3) == null)
+  }
 }
