@@ -144,6 +144,29 @@ object WarcOps {
     parseRecords(files, idCol, contentCol)
       .filter(col("warc_type") === "response" && col("length_ok"))
 
+  /** Production ingest entry for a `.warc.gz` store: read files from
+    * `path` (a directory, glob, or single file) through Spark's
+    * `binaryFile` source — one row per FILE, the unit a crawl store
+    * shards by (Common Crawl segments are ~1 GB `.warc.gz` files) —
+    * and decode the concatenated gzip members to the record stream
+    * [[parseRecords]] consumes. Returns `(file_id, content)` where
+    * `file_id` is the file path (corrupt gzip → NULL content row, the
+    * GunzipToString rule — filter or audit, the stage never dies).
+    *
+    * Scale shape: binaryFile assigns one task per file (up to
+    * `spark.sql.files.maxPartitionBytes` grouping for small files);
+    * gunzip and the record split are narrow per-file work, so a
+    * 1000-executor cluster decodes 1000 segments at a time with no
+    * shuffle before the caller's first keyed stage. The 2 GiB
+    * `binaryFile` per-file cap matches the WARC ecosystem's ~1 GB
+    * segment convention.
+    */
+  def readWarcGzFiles(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").as("file_id"),
+        gunzipText(col("content")).as("content"))
+
   /** Resolve `revisit` records to the capture they duplicate — WARC
     * 1.1 §6.7.2: a crawler that re-fetches a URL and finds the payload
     * unchanged (or finds the SAME payload at a different URL) writes a

@@ -163,4 +163,46 @@ class WarcOpsSpec extends SparkSpec {
     assert(out(1).getString(0) == "https://e.com/x")
     assert(out(1).getString(2) == null && out(1).getString(3) == null)
   }
+
+  test("readWarcGzFiles: REAL .warc.gz files on disk round-trip " +
+      "through the binaryFile source to the same records") {
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toFile
+    try {
+      def gzMember(s: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(s.getBytes("UTF-8")); gz.close(); bos.toByteArray
+      }
+      // two files, two members each (per-record members, the seekable
+      // framing), plus one corrupt file that must surface as NULL
+      val recs = Seq(
+        ("f1.warc.gz", Seq(
+          rec("warcinfo", "software: t"),
+          rec("response", "hello one", Some("https://e.com/1")))),
+        ("f2.warc.gz", Seq(
+          rec("response", "hello two", Some("https://e.com/2")))))
+      recs.foreach { case (name, rs) =>
+        val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+        rs.foreach(r => out.write(gzMember(r)))
+        out.close()
+      }
+      val bad = new java.io.FileOutputStream(
+        new java.io.File(dir, "bad.warc.gz"))
+      bad.write(Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)); bad.close()
+      val files = WarcOps.readWarcGzFiles(spark, dir.getAbsolutePath)
+      assert(files.count() == 3)
+      assert(files.filter(org.apache.spark.sql.functions.col("content")
+        .isNull).count() == 1) // the corrupt file, not a dead stage
+      val parsed = WarcOps.responses(
+          files.filter(org.apache.spark.sql.functions.col("content")
+            .isNotNull), "file_id", "content")
+        .select("target_uri", "payload")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(parsed == Set(
+        "https://e.com/1" -> "hello one",
+        "https://e.com/2" -> "hello two"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
