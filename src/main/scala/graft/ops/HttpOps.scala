@@ -92,6 +92,35 @@ object HttpOps {
           org.apache.spark.sql.graftbridge.Bridge.expression(bodyCol))))
       .otherwise(bodyCol)
 
+  /** Decode a body carried in the LATIN1-VIEW convention to real text.
+    *
+    * The byte-faithful ingest trick (x147): decode raw fetch/record
+    * bytes as ISO-8859-1 FIRST — a 1:1 byte↔char map, so every
+    * delimiter split, Content-Length slice, and header regex in
+    * [[WarcOps]]/[[HttpOps]] operates on exact BYTE offsets while
+    * staying in string expressions — then, once the envelope is off,
+    * re-encode the body's chars back to its original bytes and decode
+    * with the charset the Content-Type header declared:
+    *
+    *  - `iso-8859-1`/`latin1`/`us-ascii`/`ascii`/ABSENT → the view IS
+    *    the text (identity — latin1 chars are their own codepoints);
+    *  - `utf-8` → `decode(encode(view, ISO-8859-1), UTF-8)` — the
+    *    original bytes reinterpreted (malformed sequences become
+    *    U+FFFD, Spark's lenient decode — a broken page yields
+    *    replacement chars, not a dead stage);
+    *  - anything else (shift_jis, windows-1252, …) → NULL: an honest
+    *    routing miss to audit, never silent mojibake. (Spark's codegen
+    *    `decode` ships the ISO/UTF families only; exotic charsets are
+    *    the documented boundary of the built-in tier.)
+    */
+  def decodeBody(body: Column, charsetCol: Column): Column = {
+    val cs = lower(coalesce(charsetCol, lit("iso-8859-1")))
+    when(cs.isin("iso-8859-1", "latin1", "us-ascii", "ascii"), body)
+      .when(cs.isin("utf-8", "utf8"),
+        decode(encode(body, "ISO-8859-1"), "UTF-8"))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Split a frame's `msgCol` HTTP response messages into the columns
     * downstream extraction routes on: `status_code`, `content_type`,
     * `charset`, `location` (redirect target), `transfer_encoding`, and

@@ -2215,6 +2215,34 @@ object ExtensionQueries {
         .select("target_uri", "warc_date", "payload_digest",
           "refers_to", "original_uri", "original_date")
         .orderBy("target_uri")
+    },
+
+    // x147 — charset-faithful byte decoding via the LATIN1-VIEW
+    // convention (HttpOps.decodeBody): raw record bytes decoded as
+    // ISO-8859-1 give a 1:1 byte↔char string, so every WARC/HTTP
+    // length and delimiter is an exact BYTE offset (the string-tier
+    // char-count bound disappears); once the envelope is off, the body
+    // re-encodes to its original bytes and decodes with the charset
+    // the Content-Type header declared. The fixture appends an
+    // accented paragraph to each x127 page and ships half the corpus
+    // as REAL UTF-8 bytes (mojibake in the view until decodeBody
+    // reinterprets them) and half as latin1 bytes (the view IS the
+    // text); both arms must land on the identical C4 target. Oracle =
+    // the independent recompute over the accent-modified synthesis
+    // (the x139 convention — DuckDB does not transcode).
+    "x147_charset_bytes" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = WarcOps.responses(
+        warcCharsetFixture(d), "file_id", "content")
+      val routed = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          HttpOps.decodeBody(col("body"), col("charset")).as("html"))
+      HtmlOps.c4Pages(routed, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -2419,6 +2447,57 @@ object ExtensionQueries {
         warcRecordSynth("revisit", uriC, dateC, lit(""),
           concat(digest, refers)))
     base.select(col("file_id"), col("doc_id").as("ord_doc"), rec.as("r"))
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("r")))).getField("r"))
+        .as("content"))
+  }
+
+  /** The accented-page line appended for x147 — ONE definition, quoted
+    * verbatim by the oracle's `h2` CTE.
+    */
+  private val AccentLineHead = "<p>Le résumé du café "
+  private val AccentLineTail = " est prêt.</p></body></html>"
+
+  /** The charset synthesis for x147: each x127 page gets an accented
+    * paragraph (latin1-range chars — é/ê — so BOTH charset arms can
+    * carry it), then ships in the LATIN1-VIEW convention: even docs as
+    * REAL UTF-8 bytes (the view shows mojibake until
+    * [[graft.ops.HttpOps.decodeBody]] reinterprets), odd docs as
+    * latin1 bytes (view == text). HTTP Content-Length is the exact
+    * BYTE count (the view's char count — the whole point of the
+    * convention). Returns `(file_id, content)`; oracle = independent
+    * recompute (DuckDB does not transcode).
+    */
+  private def warcCharsetFixture(d: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(AccentLineHead), idStr, lit(AccentLineTail)))
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      htmlAcc.as("html"))
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val cs = when(col("doc_id") % 2 === 0, lit("utf-8"))
+      .otherwise(lit("iso-8859-1"))
+    val view = when(col("doc_id") % 2 === 0,
+        decode(encode(col("html"), "UTF-8"), "ISO-8859-1"))
+      .otherwise(col("html"))
+    val httpMsg = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="), cs,
+      lit("\r\nContent-Length: "), length(view).cast("string"),
+      lit("\r\n\r\n"), view)
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"),
+        warcRecordSynth("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val resp = base.withColumn("__http", httpMsg)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
+    info.unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
@@ -5630,7 +5709,20 @@ object ExtensionQueries {
         | FROM wrecs r LEFT JOIN wresp USING (payload_digest)
         | WHERE r.warc_type = 'revisit' AND r.payload_digest IS NOT NULL
         | ORDER BY r.target_uri""".stripMargin
-    }
+    },
+
+    // x147 mirror: the C4 target recomputed independently over the
+    // accent-modified synthesis (DuckDB does not transcode — the
+    // byte/charset round trip is the Spark side's to prove; row
+    // identity across BOTH charset arms is the x139 losslessness proof
+    // for the decode layer).
+    "x147_charset_bytes" ->
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
+        | $htmlPageTailSql""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous

@@ -161,4 +161,24 @@ class HttpOpsSpec extends SparkSpec {
       "Transfer-Encoding: chunked\r\n\r\nnot chunked at all")
     assert(r4.getAs[String]("body") == null)
   }
+
+  test("decodeBody: the latin1-view convention recovers UTF-8 text " +
+      "from its mojibake view; latin1/absent are identity; exotic " +
+      "charsets route to NULL") {
+    val text = "café — prêt € ✓"
+    // the latin1 VIEW of the text's UTF-8 bytes (what a byte-faithful
+    // reader sees before charset routing)
+    val view = new String(text.getBytes("UTF-8"), "ISO-8859-1")
+    val df = Seq(
+      (view, "utf-8"), (view, "UTF8"),
+      ("café latin", "iso-8859-1"), ("plain ascii", null),
+      ("something", "shift_jis"))
+      .toDF("body", "charset")
+      .select(HttpOps.decodeBody(col("body"), col("charset")).as("out"))
+    val out = df.collect().map(r => Option(r.getString(0)))
+    assert(out(0) == Some(text) && out(1) == Some(text))
+    assert(out(2) == Some("café latin"))
+    assert(out(3) == Some("plain ascii"))
+    assert(out(4).isEmpty)
+  }
 }
