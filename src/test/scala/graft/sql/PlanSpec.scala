@@ -506,6 +506,26 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected the one slot window, got $windows:\n$p")
   }
 
+  test("x146: revisit resolution is a top-1 group limit plus one " +
+      "digest equi-join — no full per-digest sort, no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x146_warc_revisit")
+    assert(!p.contains("CartesianProduct"), s"revisit cartesian:\n$p")
+    // the earliest-response window must plan as WindowGroupLimit (rank
+    // pushdown), not a full sort of every digest group
+    assert(p.contains("WindowGroupLimit"), s"top-1 not pushed down:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x147: the charset chain stays join-free — the decode routing " +
+      "rides the projections") {
+    val p = plan(ExtensionQueries.queries, "x147_charset_bytes")
+    assert(!p.contains("Join"), s"the charset chain planned a join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the latin1-view re-encode/decode pair is in-plan (StaticInvoke
+    // renders the charset name)
+    assert(p.contains("ISO-8859-1"), s"charset routing not in plan:\n$p")
+  }
+
   test("x141: the crawl loop's final plan reads localCheckpointed hop " +
       "scans — no cartesian, no re-derivation of the link stream") {
     val p = plan(ExtensionQueries.queries, "x141_crawl_hops")
