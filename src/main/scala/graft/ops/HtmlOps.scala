@@ -117,6 +117,17 @@ object HtmlOps {
     * resolve against the page URL with [[UrlOps.resolveUrl]], then
     * canonicalize.
     */
+  /** The document's `<base href>` value — HTML's base-URL override: when
+    * present, EVERY relative reference on the page resolves against it,
+    * not the page URL (HTML5 §4.2.3; only the FIRST base element with an
+    * href counts, which is exactly what the first regexp match gives).
+    * Trimmed; NULL when absent or empty. Compose with
+    * [[UrlOps.effectiveBase]] before [[UrlOps.resolveUrl]].
+    */
+  def baseHref(html: Column): Column =
+    nullif(trim(regexp_extract(html,
+      "(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"", 1)), lit(""))
+
   def extractLinks(html: Column): Column =
     filter(
       transform(

@@ -181,6 +181,16 @@ object UrlOps {
         regexp_replace(ref, "#.*$", "")))
   }
 
+  /** The base URL a page's references ACTUALLY resolve against: the
+    * `<base href>` value ([[HtmlOps.baseHref]]) resolved against the
+    * page URL when present (the href itself may be absolute,
+    * root-relative, or path-relative — HTML5 §4.2.3 resolves it
+    * against the document's own URL), the page URL otherwise.
+    */
+  def effectiveBase(pageUrl: Column, baseHref: Column): Column =
+    when(baseHref.isNull, pageUrl)
+      .otherwise(resolveUrl(pageUrl, baseHref))
+
   /** Full canonicalization per the object contract. NULL for
     * non-absolute input.
     *

@@ -2243,6 +2243,45 @@ object ExtensionQueries {
       HtmlOps.c4Pages(routed, "doc_id", "html")
         .select("doc_id", "n_lines", "text")
         .orderBy("doc_id")
+    },
+
+    // x148 — <base href> resolution (HTML5 §4.2.3): when a page
+    // declares a base element, EVERY relative reference resolves
+    // against IT, not the page URL — a link tier that ignores it
+    // mis-attributes every relative link on such pages. Four page
+    // shapes cycle: no base, an absolute CDN base (relative links
+    // leave the page's domain entirely), a root-relative base, and a
+    // path-relative base (itself resolved against the page URL
+    // first); each page carries a path-relative, a root-relative, and
+    // a query-only link, all of which must resolve against the
+    // EFFECTIVE base. Rolled up per (base shape, target domain).
+    "x148_base_href" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val id = col("doc_id")
+      val baseTag = when(id % 4 === 1,
+          lit("<base href=\"https://cdn.example.net/assets/\">"))
+        .when(id % 4 === 2, lit("<base href=\"/b/\">"))
+        .when(id % 4 === 3, lit("<base href=\"sub/\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), baseTag,
+        lit("</head><body><a href=\"x/"), (id % 5).cast("string"),
+        lit("\">r</a><a href=\"/abs/"), (id % 7).cast("string"),
+        lit("\">a</a><a href=\"?p="), (id % 3).cast("string"),
+        lit("\">q</a></body></html>"))
+      val pages = d.select((id % 4).as("base_kind"),
+        linkBase.as("page"), html.as("html"))
+      val resolved = pages
+        .select(col("base_kind"),
+          UrlOps.effectiveBase(col("page"),
+            HtmlOps.baseHref(col("html"))).as("base"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref"))
+      resolvedCanon(resolved, Seq("base_kind"), "ref")
+        .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
+        .groupBy("base_kind", "reg_domain")
+        .agg(count(lit(1)).as("n_links"),
+          min(col("canon_url")).as("first_target"),
+          max(col("canon_url")).as("last_target"))
+        .orderBy("base_kind", "reg_domain")
     }
   )
 
@@ -5722,7 +5761,53 @@ object ExtensionQueries {
         |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
         |     AS html FROM h),
         | ${htmlStripCtesSql("h2")},
-        | $htmlPageTailSql""".stripMargin
+        | $htmlPageTailSql""".stripMargin,
+
+    // x148 mirror: the same four-shape synthesis, DuckDB's own base
+    // extraction (first match) and href extraction, the shared
+    // resolve CASE applied TWICE (base href vs page URL, then each
+    // ref vs the effective base), the shared canon chain, the same
+    // rollup.
+    "x148_base_href" ->
+      s"""WITH bp AS (SELECT doc_id, (doc_id % 4) AS base_kind,
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |       (doc_id % 5)::VARCHAR || '.com/dir/page/' ||
+        |       doc_id::VARCHAR AS page,
+        |     '<html><head>' ||
+        |     (CASE (doc_id % 4)
+        |       WHEN 1 THEN
+        |         '<base href="https://cdn.example.net/assets/">'
+        |       WHEN 2 THEN '<base href="/b/">'
+        |       WHEN 3 THEN '<base href="sub/">'
+        |       ELSE '' END) ||
+        |     '</head><body><a href="x/' || (doc_id % 5)::VARCHAR ||
+        |     '">r</a><a href="/abs/' || (doc_id % 7)::VARCHAR ||
+        |     '">a</a><a href="?p=' || (doc_id % 3)::VARCHAR ||
+        |     '">q</a></body></html>' AS html
+        |   FROM documents),
+        | bh AS (SELECT doc_id, base_kind, page, html,
+        |     nullif(trim(regexp_extract(html,
+        |       '(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1)),
+        |       '') AS bhref
+        |   FROM bp),
+        | eb AS (SELECT doc_id, base_kind, html,
+        |     CASE WHEN bhref IS NULL THEN page
+        |          ELSE ${resolveCaseSql("page", "bhref")} END AS base
+        |   FROM bh),
+        | ex AS (SELECT base_kind, base,
+        |     unnest(list_filter(list_transform(regexp_extract_all(html,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1),
+        |       r -> trim(r)), r -> r <> '')) AS ref
+        |   FROM eb),
+        | lr2 AS (SELECT base_kind,
+        |     ${resolveCaseSql("base", "ref")} AS url
+        |   FROM ex),
+        | ${urlCanonCtesOver("lr2", "base_kind")}
+        | SELECT base_kind, reg_domain, count(*)::BIGINT n_links,
+        |   min(canon_url) first_target, max(canon_url) last_target
+        | FROM ur WHERE canon_url IS NOT NULL
+        | GROUP BY base_kind, reg_domain
+        | ORDER BY base_kind, reg_domain""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous
@@ -6087,6 +6172,35 @@ object ExtensionQueries {
       |         '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
       |         CASE WHEN $pat LIKE '%$$' THEN '$$' ELSE '' END)
       |  END""".stripMargin
+
+  /** `UrlOps.resolveUrl` as a DuckDB CASE over a base expression and a
+    * ref expression — the same six arms the inline copies in
+    * [[linkSynthCtesSql]] and the x138 mirror carry (those predate
+    * this helper and stay verbatim; new oracles compose THIS).
+    */
+  private def resolveCaseSql(base: String, ref: String): String =
+    s"""CASE
+      |       WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |         THEN $ref
+      |       WHEN $ref LIKE '//%' THEN
+      |         lower(regexp_extract($base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || $ref
+      |       WHEN $ref LIKE '/%' THEN
+      |         regexp_extract($base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || $ref
+      |       WHEN $ref LIKE '?%' THEN
+      |         regexp_extract($base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+      |         regexp_extract($base,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) || $ref
+      |       WHEN $ref = '' OR $ref LIKE '#%' THEN $base
+      |       ELSE regexp_extract($base,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+      |         regexp_replace(regexp_extract($base,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/[^/]*$$', '') || '/' ||
+      |         regexp_replace($ref, '#.*$$', '')
+      |     END""".stripMargin
 
   /** The x134/x136 page + link synthesis, href extraction, and RFC 3986
     * resolve, DuckDB side — mirrors [[linkBase]], [[linkHtmlFixture]],

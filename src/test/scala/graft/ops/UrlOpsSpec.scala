@@ -193,4 +193,31 @@ class UrlOpsSpec extends SparkSpec {
     assert(same.isEmpty, same.collect().mkString("\n"))
     java.nio.file.Files.delete(p)
   }
+
+  test("effectiveBase: <base href> overrides the page URL — absolute, " +
+      "root-relative, and path-relative forms; first base wins; " +
+      "absent is identity") {
+    val page = "https://a.com/dir/page/7"
+    def eb(html: String): String =
+      Seq((page, html)).toDF("p", "h")
+        .select(UrlOps.effectiveBase(col("p"),
+          HtmlOps.baseHref(col("h"))))
+        .head().getString(0)
+    assert(eb("""<head><base href="https://cdn.x.io/a/"></head>""")
+      == "https://cdn.x.io/a/")
+    assert(eb("""<head><base href="/b/"></head>""") == "https://a.com/b/")
+    assert(eb("""<head><base href="sub/"></head>""")
+      == "https://a.com/dir/page/sub/")
+    assert(eb("<head></head>") == page)
+    // HTML5 §4.2.3: only the FIRST base element with an href counts
+    assert(eb("""<base href="/one/"><base href="/two/">""")
+      == "https://a.com/one/")
+    // a relative link then resolves against the effective base
+    val resolved = Seq((page, """<base href="https://cdn.x.io/a/">"""))
+      .toDF("p", "h")
+      .select(UrlOps.resolveUrl(UrlOps.effectiveBase(col("p"),
+        HtmlOps.baseHref(col("h"))), lit("img/1.png")))
+      .head().getString(0)
+    assert(resolved == "https://cdn.x.io/a/img/1.png")
+  }
 }
