@@ -67,8 +67,12 @@ object CrawlOps {
     var done = false
     while (hop <= maxHops && !done) {
       val fetched = corpus.join(frontier, Seq("canon_url"), "left_semi")
+      // references resolve against the page's EFFECTIVE base — the
+      // <base href> override when the page declares one (HTML5
+      // §4.2.3, the x148 tier), its own URL otherwise
       val links = fetched
-        .select(col("canon_url").as("base"),
+        .select(UrlOps.effectiveBase(col("canon_url"),
+            HtmlOps.baseHref(col("html"))).as("base"),
           explode(HtmlOps.extractLinks(col("html"))).as("ref"))
         .select(UrlOps.canonicalizeUrl(
           UrlOps.resolveUrl(col("base"), col("ref"))).as("canon_url"))

@@ -74,4 +74,14 @@ class CrawlOpsSpec extends SparkSpec {
     assert(crawl(pages, Seq("https://a.com/1"), 2, rules).map(_._2) ==
       Seq("https://a.com/open/y"))
   }
+
+  test("a page's <base href> redirects its relative links (HTML5 " +
+      "§4.2.3) — the next hop schedules against the base, not the " +
+      "page path") {
+    val withBase = "https://a.com/dir/1" ->
+      ("<html><head><base href=\"https://cdn.b.net/lib/\"></head>" +
+        "<body><a href=\"x/2\">r</a></body></html>")
+    val got = crawl(Seq(withBase), Seq("https://a.com/dir/1"), 1)
+    assert(got.map(_._2) == Seq("https://cdn.b.net/lib/x/2"))
+  }
 }
