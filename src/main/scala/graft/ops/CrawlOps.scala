@@ -106,4 +106,58 @@ object CrawlOps {
     }
     out.select("hop", "canon_url", "reg_domain", "fetched")
   }
+
+  /** Freshness-driven recrawl scheduling (the Cho/Garcia-Molina 2000
+    * question: which stored URLs to re-fetch first): estimate each
+    * URL's change rate from its CAPTURE HISTORY — consecutive captures
+    * whose payload digests differ are observed changes — and rank by
+    * staleness × change rate, all in exact integer arithmetic (the
+    * x142 convention: BIGINT days and basis points, `div` throughout,
+    * so the DuckDB mirror is hash-exact).
+    *
+    * Input: one row per capture — `(urlCol, dateCol 'yyyy-MM-dd',
+    * digestCol)`. Output per URL:
+    *
+    *  - `n_captures`, `n_changes` (digest differs from the PREVIOUS
+    *    capture in date order — an order statistic, not a distinct
+    *    count: A→B→A is two changes);
+    *  - `span_days` (first→last capture), `staleness_days`
+    *    (last capture→`now`);
+    *  - `change_rate_bp = n_changes · 10000 div max(span_days, 1)`;
+    *  - `priority = staleness_days · change_rate_bp` — a never-changing
+    *    URL scores 0 no matter how stale; a single-capture URL has no
+    *    change evidence and also scores 0 (schedule those by a
+    *    discovery-side prior such as [[GraphOps.pageRankInt]] instead).
+    *
+    * Scale shape: ONE url-keyed shuffle serves both the lag window and
+    * the aggregation (same partitioning); everything after is narrow
+    * integer arithmetic. Capture histories are bounded by crawl policy
+    * (a URL is fetched at most once per revisit interval), so the
+    * window partitions cannot skew.
+    */
+  def recrawlPriority(captures: DataFrame, now: String,
+                      urlCol: String = "url",
+                      dateCol: String = "capture_date",
+                      digestCol: String = "digest"): DataFrame = {
+    val w = Window.partitionBy(urlCol).orderBy(dateCol)
+    captures
+      .withColumn("__prev", lag(col(digestCol), 1).over(w))
+      .groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_captures"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col(digestCol), 1L).otherwise(0L))
+          .as("n_changes"),
+        min(col(dateCol)).as("__first"),
+        max(col(dateCol)).as("__last"))
+      .withColumn("span_days",
+        datediff(to_date(col("__last")), to_date(col("__first")))
+          .cast("long"))
+      .withColumn("staleness_days",
+        datediff(to_date(lit(now)), to_date(col("__last"))).cast("long"))
+      .withColumn("change_rate_bp",
+        expr("n_changes * 10000 div greatest(span_days, 1L)"))
+      .withColumn("priority",
+        col("staleness_days") * col("change_rate_bp"))
+      .drop("__first", "__last")
+  }
 }

@@ -2282,6 +2282,35 @@ object ExtensionQueries {
           min(col("canon_url")).as("first_target"),
           max(col("canon_url")).as("last_target"))
         .orderBy("base_kind", "reg_domain")
+    },
+
+    // x149 — freshness-driven recrawl scheduling
+    // (CrawlOps.recrawlPriority; Cho/Garcia-Molina 2000): which stored
+    // URLs to re-fetch first. Three captures per URL at weekly
+    // spacing; a third of URLs change every capture, a third change
+    // once, a third never (digest = md5 of a version counter) — the
+    // observed-change lag statistic, integral change-rate basis
+    // points, and staleness × rate priority must agree exactly (a
+    // never-changing URL scores 0 no matter how stale).
+    "x149_recrawl_priority" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val caps = d
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("k"))
+        .withColumn("url", concat(lit("https://example.com/doc/"),
+          col("doc_id").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-01-"),
+          lpad((lit(1) + col("doc_id") % 9 + col("k") * 7)
+            .cast("string"), 2, "0")))
+        .withColumn("version",
+          when(col("doc_id") % 3 === 0, col("k"))
+            .when(col("doc_id") % 3 === 1,
+              when(col("k") >= 2, lit(1)).otherwise(lit(0)))
+            .otherwise(lit(0)))
+        .withColumn("digest", md5(concat(col("doc_id").cast("string"),
+          lit("_v"), col("version").cast("string"))))
+      CrawlOps.recrawlPriority(caps, "2020-02-15")
+        .orderBy("url")
     }
   )
 
@@ -5807,7 +5836,45 @@ object ExtensionQueries {
         |   min(canon_url) first_target, max(canon_url) last_target
         | FROM ur WHERE canon_url IS NOT NULL
         | GROUP BY base_kind, reg_domain
-        | ORDER BY base_kind, reg_domain""".stripMargin
+        | ORDER BY base_kind, reg_domain""".stripMargin,
+
+    // x149 mirror: the same three-capture synthesis, DuckDB's own lag
+    // window for observed changes, and the same integral day/bp/priority
+    // arithmetic.
+    "x149_recrawl_priority" ->
+      s"""WITH caps AS (SELECT
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     '2020-01-' ||
+        |       lpad((1 + (doc_id % 9) + t.k * 7)::VARCHAR, 2, '0')
+        |       AS capture_date,
+        |     md5(doc_id::VARCHAR || '_v' ||
+        |       (CASE WHEN doc_id % 3 = 0 THEN t.k
+        |             WHEN doc_id % 3 = 1 THEN
+        |               (CASE WHEN t.k >= 2 THEN 1 ELSE 0 END)
+        |             ELSE 0 END)::VARCHAR) AS digest
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | lg AS (SELECT url, capture_date, digest,
+        |     lag(digest) OVER (PARTITION BY url ORDER BY capture_date)
+        |       AS prev
+        |   FROM caps),
+        | ag AS (SELECT url, count(*)::BIGINT n_captures,
+        |     sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+        |       THEN 1 ELSE 0 END)::BIGINT n_changes,
+        |     min(capture_date) f, max(capture_date) l
+        |   FROM lg GROUP BY url),
+        | ag2 AS (SELECT url, n_captures, n_changes,
+        |     date_diff('day', f::DATE, l::DATE)::BIGINT span_days,
+        |     date_diff('day', l::DATE, DATE '2020-02-15')::BIGINT
+        |       staleness_days
+        |   FROM ag)
+        | SELECT url, n_captures, n_changes, span_days, staleness_days,
+        |   ((n_changes * 10000) // greatest(span_days, 1))::BIGINT
+        |     change_rate_bp,
+        |   (staleness_days *
+        |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
+        |     priority
+        | FROM ag2 ORDER BY url""".stripMargin
   )
 
   /** One unrolled crawl hop for the x141 mirror, over the previous

@@ -75,6 +75,30 @@ class CrawlOpsSpec extends SparkSpec {
       Seq("https://a.com/open/y"))
   }
 
+  test("recrawlPriority: observed changes are an order statistic " +
+      "(A→B→A = two changes), never-changing and single-capture URLs " +
+      "score 0, rates floor integrally") {
+    val caps = Seq(
+      ("u1", "2020-01-01", "a"), ("u1", "2020-01-08", "b"),
+      ("u1", "2020-01-15", "a"),                    // A→B→A: 2 changes
+      ("u2", "2020-01-01", "x"), ("u2", "2020-01-31", "x"), // never
+      ("u3", "2020-01-10", "y"),                    // single capture
+      ("u4", "2020-01-01", "p"), ("u4", "2020-01-04", "q")  // 1 in 3d
+    ).toDF("url", "capture_date", "digest")
+    val out = CrawlOps.recrawlPriority(caps, "2020-02-15")
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // u1: 2 changes over 14 days → 1428 bp; stale 31d → 44268
+    assert(out(0) == ("u1", 3L, 2L, 14L, 31L, 1428L, 44268L))
+    // u2: stale 15d but 0 changes → priority 0
+    assert(out(1) == ("u2", 2L, 0L, 30L, 15L, 0L, 0L))
+    // u3: no change evidence → rate 0, priority 0 (span guards at 1)
+    assert(out(2) == ("u3", 1L, 0L, 0L, 36L, 0L, 0L))
+    // u4: 1 change / 3 days = 3333 bp; stale 42d → 139986
+    assert(out(3) == ("u4", 2L, 1L, 3L, 42L, 3333L, 139986L))
+  }
+
   test("a page's <base href> redirects its relative links (HTML5 " +
       "§4.2.3) — the next hop schedules against the base, not the " +
       "page path") {
