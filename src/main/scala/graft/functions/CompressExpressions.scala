@@ -6,6 +6,43 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The LATIN1-VIEW byte⇄string conversions every compression kernel in
+  * this file shares (the x147 convention, made kernel-level in r17 —
+  * ADVICE r16): a string carrying raw bytes holds each byte as the
+  * char with the same codepoint (0x00–0xFF), so char offsets ARE byte
+  * offsets and every downstream `length`/`substr`/delimiter regex in
+  * [[graft.ops.WarcOps]]/[[graft.ops.HttpOps]] operates on exact byte
+  * positions while staying in string expressions. A char above 0xFF is
+  * not a byte view — encoders return NULL for it (loud, filterable)
+  * rather than silently substituting '?' the way
+  * `String.getBytes(ISO_8859_1)` would.
+  */
+private[functions] object Latin1View {
+  /** bytes → view string (1:1, total). */
+  def toView(bytes: Array[Byte], off: Int, len: Int): String = {
+    val cs = new Array[Char](len)
+    var i = 0
+    while (i < len) { cs(i) = (bytes(off + i) & 0xFF).toChar; i += 1 }
+    new String(cs)
+  }
+  def toView(bytes: Array[Byte]): String = toView(bytes, 0, bytes.length)
+
+  /** view string → bytes; null when a char is outside the byte range
+    * (the input was never a byte view).
+    */
+  def toBytes(view: String): Array[Byte] = {
+    val out = new Array[Byte](view.length)
+    var i = 0
+    while (i < view.length) {
+      val c = view.charAt(i)
+      if (c > 0xFF) return null
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+}
+
 /** DEFLATE-compressed byte length of a string — the kernel behind the
   * compression-ratio quality signal (Gopher §A.1.1 uses exactly this:
   * highly compressible text is boilerplate/repetition, incompressible text
@@ -49,115 +86,239 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** gzip-compress a string's UTF-8 bytes into one gzip member — the
-  * producer side of the `.warc.gz` tier (fixtures, tests, and sinks
-  * that ship gzip members). Pure JDK (`GZIPOutputStream` — NOT
-  * jar-gated like Delta/Iceberg); deterministic: the JDK writes
-  * MTIME=0 and fixed flags, so equal inputs give equal bytes within a
-  * JDK, and every consumer round-trips through [[GunzipToString]]
-  * rather than comparing raw members across JVMs.
+/** Shared shape of the four latin1-view compression kernels: a unary,
+  * nullable, string-or-binary-typed expression whose compute() returns
+  * null on any malformed input (the 100 TB rule — corruption surfaces
+  * as a filterable NULL row, never a dead stage).
   */
-case class GzipBytes(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
-  override def prettyName: String = "gzip_bytes"
+private[functions] trait ViewCodecExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+  /** fully-qualified static compute call for codegen */
+  protected def computeCall(c: String): String
+  protected def acceptedType: DataType
+  protected def nullValueJava: String
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.NullType =>
+      case t if t == acceptedType ||
+          t == org.apache.spark.sql.types.NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires string, got ${other.simpleString}")
+          s"$prettyName requires ${acceptedType.simpleString}, " +
+            s"got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(input: Any): Any =
-    GzipBytes.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (child.dataType == org.apache.spark.sql.types.NullType)
       ev.copy(code = code"""
         |boolean ${ev.isNull} = true;
-        |byte[] ${ev.value} = null;
+        |$nullValueJava ${ev.value} = null;
         """.stripMargin)
     else
-      defineCodeGen(ctx, ev, c => s"graft.functions.GzipBytes.compute($c)")
+      // compute() returns null for malformed input — explicit re-check
+      // (the CanonicalizeUrl nullSafeCodeGen pattern)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = ${computeCall(c)};
+        |${ev.isNull} = (${ev.value} == null);
+        """.stripMargin)
+}
+
+/** gzip-compress a LATIN1-VIEW string's bytes into one gzip member —
+  * the producer side of the `.warc.gz` tier (fixtures, tests, and
+  * sinks that ship gzip members). The input is read as a byte view
+  * (char i = byte i — the [[Latin1View]] convention, so the member is
+  * the exact bytes the view carries); a char above 0xFF is not a byte
+  * view and yields NULL (r17 — r16 encoded UTF-8 bytes, which broke
+  * view⇄byte identity for non-ASCII content, ADVICE r16). Pure JDK
+  * (`GZIPOutputStream` — NOT jar-gated like Delta/Iceberg);
+  * deterministic within a JDK (MTIME=0, fixed flags); every consumer
+  * round-trips through [[GunzipToString]] rather than comparing raw
+  * members across JVMs.
+  */
+case class GzipBytes(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "gzip_bytes"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.StringType
+  override protected def nullValueJava: String = "byte[]"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.GzipBytes.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    GzipBytes.compute(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): GzipBytes =
     copy(child = newChild)
 }
 
 object GzipBytes {
   def compute(s: UTF8String): Array[Byte] = {
+    val raw = Latin1View.toBytes(s.toString)
+    if (raw == null) return null
     val bos = new java.io.ByteArrayOutputStream(256)
     val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(s.getBytes)
+    gz.write(raw)
     gz.close()
     bos.toByteArray
   }
 }
 
+/** zlib-compress a LATIN1-VIEW string's bytes (RFC 1950 — the HTTP
+  * `deflate` content coding) — the producer side of the x150
+  * Content-Encoding tier, [[GzipBytes]]'s sibling. Same view contract:
+  * a char above 0xFF → NULL. Fixed BEST_COMPRESSION level for
+  * within-JDK determinism; consumers round-trip through
+  * [[InflateToString]].
+  */
+case class DeflateBytes(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "deflate_bytes"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.StringType
+  override protected def nullValueJava: String = "byte[]"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.DeflateBytes.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateBytes.compute(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): DeflateBytes =
+    copy(child = newChild)
+}
+
+object DeflateBytes {
+  def compute(s: UTF8String): Array[Byte] = {
+    val raw = Latin1View.toBytes(s.toString)
+    if (raw == null) return null
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val bos = new java.io.ByteArrayOutputStream(
+        math.max(64, raw.length / 2))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        bos.write(buf, 0, n)
+      }
+      bos.toByteArray
+    } finally d.end()
+  }
+}
+
 /** Decompress a gzip STREAM — including the concatenated-member form a
   * real `.warc.gz` ships (one gzip member per WARC record; the JDK's
-  * `GZIPInputStream` reads successive members transparently) — to a
-  * string. Malformed input decodes to NULL rather than failing the
-  * job: at 100 TB a corrupt member must surface as a filterable NULL
-  * row (the WarcOps `length_ok` self-diagnosis class), not kill the
-  * stage. Pure JDK; the byte-faithful entry the r15 string-tier WARC
-  * parser documented as its boundary (`WarcOps` scaladoc).
+  * `GZIPInputStream` reads successive members transparently) — to its
+  * LATIN1-VIEW string: each decompressed byte becomes the char with
+  * the same codepoint, so the result obeys the byte-faithful
+  * convention every WARC/HTTP consumer assumes — `length` equals byte
+  * count, `Content-Length` slices are exact, and a UTF-8 body recovers
+  * through [[graft.ops.HttpOps.decodeBody]] (r17 — r16 reinterpreted
+  * the raw bytes as UTF-8, which broke all three for non-ASCII
+  * content; ADVICE r16).
+  *
+  * Malformed input decodes to NULL rather than failing the job: at
+  * 100 TB a corrupt member must surface as a filterable NULL row (the
+  * WarcOps `length_ok` self-diagnosis class), not kill the stage. The
+  * same contract bounds MEMORY: output beyond
+  * [[GunzipToString.MaxDecompressedBytes]] (256 MiB — far above any
+  * sane single WARC record or HTTP body, far below the 2 GiB JVM
+  * array limit a multi-GB decompression would hit as an uncatchable
+  * OutOfMemoryError) returns NULL instead of letting allocation kill
+  * the executor (ADVICE r16). Whole ~1 GB `.warc.gz` SEGMENTS (3–5 GB
+  * decompressed) do not fit one cell by design — ingest them with
+  * [[graft.ops.WarcOps.readWarcGzRecords]], which streams the
+  * decompression and emits per-record rows.
   */
-case class GunzipToString(child: Expression) extends UnaryExpression {
+case class GunzipToString(child: Expression) extends ViewCodecExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
-  override def nullable: Boolean = true
   override def prettyName: String = "gunzip_to_string"
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.BinaryType |
-           org.apache.spark.sql.types.NullType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires binary, got ${other.simpleString}")
-    }
-
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override protected def nullValueJava: String = "UTF8String"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.GunzipToString.compute($c)"
   override protected def nullSafeEval(input: Any): Any =
     GunzipToString.compute(input.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (child.dataType == org.apache.spark.sql.types.NullType)
-      ev.copy(code = code"""
-        |boolean ${ev.isNull} = true;
-        |UTF8String ${ev.value} = null;
-        """.stripMargin)
-    else
-      // compute() returns null for malformed input — explicit re-check
-      // (the CanonicalizeUrl nullSafeCodeGen pattern)
-      nullSafeCodeGen(ctx, ev, c => s"""
-        |${ev.value} = graft.functions.GunzipToString.compute($c);
-        |${ev.isNull} = (${ev.value} == null);
-        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): GunzipToString =
     copy(child = newChild)
 }
 
 object GunzipToString {
+  /** Decompressed-size cap per cell; past it the cell is NULL (see the
+    * expression scaladoc). Shared with [[InflateToString]].
+    */
+  val MaxDecompressedBytes: Int = 256 << 20
+
+  private[functions] def drain(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      bos.write(buf, 0, n)
+      if (bos.size() > MaxDecompressedBytes) return null
+      n = in.read(buf)
+    }
+    bos.toByteArray
+  }
+
   def compute(bytes: Array[Byte]): UTF8String = {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val bos = new java.io.ByteArrayOutputStream(
-        math.max(256, bytes.length * 4))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        bos.write(buf, 0, n)
-        n = in.read(buf)
-      }
+      val out = drain(in)
       in.close()
-      UTF8String.fromBytes(bos.toByteArray)
+      if (out == null) null
+      else UTF8String.fromString(Latin1View.toView(out))
     } catch {
       case _: java.io.IOException => null
     }
+  }
+}
+
+/** Decompress a DEFLATE body (the HTTP `deflate` content coding) to
+  * its latin1-view string — [[GunzipToString]]'s sibling for the x150
+  * Content-Encoding tier. RFC 9110 §8.4.1.2 defines `deflate` as the
+  * zlib format (RFC 1950); a well-documented class of real servers
+  * ships RAW deflate streams (RFC 1951, no zlib wrapper) under the
+  * same token, so a failed zlib parse retries nowrap before giving up
+  * — both arms deterministic, NULL only when neither format parses.
+  * Same never-throw + [[GunzipToString.MaxDecompressedBytes]] cap
+  * contract.
+  */
+case class InflateToString(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "inflate_to_string"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override protected def nullValueJava: String = "UTF8String"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.InflateToString.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    InflateToString.compute(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): InflateToString =
+    copy(child = newChild)
+}
+
+object InflateToString {
+  private def tryInflate(bytes: Array[Byte], nowrap: Boolean): Array[Byte] =
+    try {
+      val in = new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new java.util.zip.Inflater(nowrap))
+      val out = GunzipToString.drain(in)
+      in.close()
+      out
+    } catch {
+      case _: java.io.IOException => null
+    }
+
+  def compute(bytes: Array[Byte]): UTF8String = {
+    // empty input is not a valid stream in either format
+    if (bytes.length == 0) return null
+    val zlib = tryInflate(bytes, nowrap = false)
+    val out = if (zlib != null) zlib else tryInflate(bytes, nowrap = true)
+    if (out == null) null
+    else UTF8String.fromString(Latin1View.toView(out))
   }
 }
 

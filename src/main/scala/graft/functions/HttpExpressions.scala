@@ -12,15 +12,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * store) delivers `<hex-size>[;ext]\r\n<data>\r\n` frames terminated
   * by a zero-size chunk and optional trailer fields.
   *
-  * Semantics: chunk sizes are BYTE counts over the string's UTF-8
-  * bytes (the [[GunzipToString]] byte discipline — a chunk boundary
-  * may fall inside a multi-byte sequence and the reassembled output is
-  * still exact); hex digits of either case; chunk extensions and
-  * trailer fields are dropped (RFC 9110 §6.5: a recipient MAY discard
-  * trailers). Malformed framing — a missing CRLF, a truncated chunk, a
-  * non-hex size, no terminal chunk — decodes to NULL rather than
-  * failing the job (the GunzipToString 100 TB rule: corruption must
-  * surface as a filterable NULL row, not kill the stage).
+  * Semantics: chunk sizes count VIEW CHARS — under the latin1-view
+  * convention every byte-carrying string obeys
+  * ([[graft.functions.Latin1View]], the x147/GunzipToString
+  * discipline), char i IS byte i, so the declared byte count and the
+  * char count coincide exactly, including when a chunk boundary falls
+  * inside what will later decode as a multi-byte UTF-8 sequence (r17 —
+  * r16 counted the string's re-encoded UTF-8 bytes, which diverges
+  * from the original byte offsets precisely on the non-ASCII views the
+  * convention exists for; ADVICE r16). Hex digits of either case;
+  * chunk extensions and trailer fields are dropped (RFC 9110 §6.5: a
+  * recipient MAY discard trailers). Malformed framing — a missing
+  * CRLF, a truncated chunk, a non-hex size, no terminal chunk —
+  * decodes to NULL rather than failing the job (the GunzipToString
+  * 100 TB rule: corruption must surface as a filterable NULL row, not
+  * kill the stage).
   */
 case class DechunkBody(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -58,7 +64,7 @@ case class DechunkBody(child: Expression) extends UnaryExpression {
 }
 
 object DechunkBody {
-  private def hexVal(b: Byte): Int = b match {
+  private def hexVal(c: Char): Int = c match {
     case d if d >= '0' && d <= '9' => d - '0'
     case d if d >= 'a' && d <= 'f' => d - 'a' + 10
     case d if d >= 'A' && d <= 'F' => d - 'A' + 10
@@ -66,31 +72,33 @@ object DechunkBody {
   }
 
   def compute(s: UTF8String): UTF8String = {
-    val b = s.getBytes
-    val out = new java.io.ByteArrayOutputStream(b.length)
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n)
     var i = 0
     while (true) {
-      // hex chunk size (at least one digit; 2^28-byte cap — a single
-      // declared chunk beyond 256 MiB in a string column is corruption,
+      // hex chunk size (at least one digit; 2^28 cap — a single
+      // declared chunk beyond 256 Mi in a string column is corruption,
       // and the cap keeps size arithmetic safely in Int range)
       var size = 0L
       var digits = 0
-      while (i < b.length && hexVal(b(i)) >= 0 && size <= (1L << 28)) {
-        size = size * 16L + hexVal(b(i)); digits += 1; i += 1
+      while (i < n && hexVal(str.charAt(i)) >= 0 && size <= (1L << 28)) {
+        size = size * 16L + hexVal(str.charAt(i)); digits += 1; i += 1
       }
       if (digits == 0 || size > (1L << 28)) return null
       // optional chunk extension up to the CR; then mandatory CRLF
-      while (i < b.length && b(i) != '\r') i += 1
-      if (i + 1 >= b.length || b(i + 1) != '\n') return null
+      while (i < n && str.charAt(i) != '\r') i += 1
+      if (i + 1 >= n || str.charAt(i + 1) != '\n') return null
       i += 2
       if (size == 0L) {
         // terminal chunk: optional trailer fields dropped (doc'd bound)
-        return UTF8String.fromBytes(out.toByteArray)
+        return UTF8String.fromString(out.toString)
       }
-      if (i + size > b.length) return null
-      out.write(b, i, size.toInt)
+      if (i + size > n) return null
+      out.append(str, i, i + size.toInt)
       i += size.toInt
-      if (i + 1 >= b.length || b(i) != '\r' || b(i + 1) != '\n') return null
+      if (i + 1 >= n || str.charAt(i) != '\r' || str.charAt(i + 1) != '\n')
+        return null
       i += 2
     }
     null // unreachable

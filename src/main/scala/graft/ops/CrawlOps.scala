@@ -41,35 +41,64 @@ object CrawlOps {
     *    hop, resolve against the page URL + canonicalize, drop
     *    everything already crawled OR scheduled, admit via robots,
     *    cap at `perDomainCap` fetches per registered domain in
-    *    canonical order (the x136 politeness window).
+    *    canonical order (the x136 politeness window);
+    *  - `redirects` (optional, r17 — VERDICT r16 #3): the fetch
+    *    outcomes that are 3xx rather than pages — `(urlCol, location)`
+    *    rows, `location` the RAW Location header value. A fetched
+    *    redirect contributes its target to the NEXT hop's candidates:
+    *    the Location resolves against the redirect's own URL
+    *    ([[UrlOps.resolveUrl]] — relative Locations are legal and
+    *    common) and canonicalizes, then runs the SAME dedup + robots
+    *    admission as any discovered URL (so a cross-domain redirect is
+    *    re-checked against the TARGET domain's rules). Each URL
+    *    carries a redirect DEPTH: targets inherit depth+1 (content
+    *    links reset to 0) and candidates past `redirectCap` are
+    *    dropped — the RFC 9110 §15.4 "a client SHOULD detect and
+    *    intervene in cyclical redirections" chain bound; redirect
+    *    LOOPS need no special case because the cumulative crawled-set
+    *    dedup already refuses any URL fetched before.
     *
     * Returns one row per SCHEDULED fetch: `(hop, canon_url,
-    * reg_domain, fetched)` — `fetched` = the URL exists in `pages`
-    * (a scheduled miss is a 404-class outcome and still counts as
-    * crawled; only fetched pages feed the next hop's extraction).
+    * reg_domain, fetched)` — `fetched` = the URL exists in `pages` OR
+    * `redirects` (a scheduled miss is a 404-class outcome and still
+    * counts as crawled; only fetched pages feed the next hop's
+    * extraction, only fetched redirects its target injection).
     */
   def crawlFrontierIterate(pages: DataFrame, seeds: DataFrame,
                            rules: DataFrame, maxHops: Int,
                            perDomainCap: Int = 4,
                            urlCol: String = "canon_url",
-                           htmlCol: String = "html"): DataFrame = {
+                           htmlCol: String = "html",
+                           redirects: DataFrame = null,
+                           redirectCap: Int = 5): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1, 64], got $maxHops")
     require(perDomainCap >= 1, s"perDomainCap must be >= 1, got $perDomainCap")
+    require(redirectCap >= 1, s"redirectCap must be >= 1, got $redirectCap")
     val corpus = pages.select(col(urlCol).as("canon_url"),
       col(htmlCol).as("html"))
     val corpusUrls = corpus.select("canon_url").distinct()
+    val redirs = Option(redirects).map(_.select(
+      col(urlCol).as("canon_url"), col("location").as("__loc")))
+    // a 3xx answer IS a successful fetch — both outcome tables count
+    val fetchable = redirs match {
+      case Some(r) =>
+        corpusUrls.unionByName(r.select("canon_url")).distinct()
+      case None => corpusUrls
+    }
     var crawled = seeds.select(col(urlCol).as("canon_url")).distinct()
       .localCheckpoint()
-    var frontier = crawled
+    var frontier = crawled.withColumn("__rdepth", lit(0))
     var out: DataFrame = null
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
-      val fetched = corpus.join(frontier, Seq("canon_url"), "left_semi")
+      val fetched = corpus.join(frontier.select("canon_url"),
+        Seq("canon_url"), "left_semi")
       // references resolve against the page's EFFECTIVE base — the
       // <base href> override when the page declares one (HTML5
-      // §4.2.3, the x148 tier), its own URL otherwise
+      // §4.2.3, the x148 tier), its own URL otherwise. Content links
+      // reset the redirect depth: a real page was reached.
       val links = fetched
         .select(UrlOps.effectiveBase(col("canon_url"),
             HtmlOps.baseHref(col("html"))).as("base"),
@@ -77,17 +106,37 @@ object CrawlOps {
         .select(UrlOps.canonicalizeUrl(
           UrlOps.resolveUrl(col("base"), col("ref"))).as("canon_url"))
         .filter(col("canon_url").isNotNull)
-      val cand = links.distinct()
+        .withColumn("__rdepth", lit(0))
+      // fetched redirects inject their resolved target at depth+1,
+      // chain-capped BEFORE dedup/admission (a capped candidate must
+      // not even consume a politeness slot)
+      val allCand = redirs match {
+        case Some(r) =>
+          val redirLinks = r.join(frontier, Seq("canon_url"))
+            .select(UrlOps.canonicalizeUrl(
+                UrlOps.resolveUrl(col("canon_url"), col("__loc")))
+                .as("canon_url"),
+              (col("__rdepth") + 1).as("__rdepth"))
+            .filter(col("canon_url").isNotNull &&
+              col("__rdepth") <= redirectCap)
+          links.unionByName(redirLinks)
+        case None => links
+      }
+      // one URL, one candidate row: discovered both ways keeps the
+      // SMALLER depth (content discovery beats chain inheritance)
+      val cand = allCand
+        .groupBy("canon_url").agg(min(col("__rdepth")).as("__rdepth"))
         .join(crawled, Seq("canon_url"), "left_anti")
         .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
       val scheduled = RobotsOps
-        .allowedFlags(cand, rules, Seq("canon_url", "reg_domain"))
+        .allowedFlags(cand, rules,
+          Seq("canon_url", "reg_domain", "__rdepth"))
         .filter(col("allowed")).drop("allowed")
         .withColumn("__rn", row_number().over(
           Window.partitionBy("reg_domain").orderBy("canon_url")))
         .filter(col("__rn") <= perDomainCap).drop("__rn")
-        .join(corpusUrls.withColumn("fetched", lit(true)),
+        .join(fetchable.withColumn("fetched", lit(true)),
           Seq("canon_url"), "left")
         .withColumn("fetched", coalesce(col("fetched"), lit(false)))
         .withColumn("hop", lit(hop))
@@ -100,7 +149,8 @@ object CrawlOps {
         // checkpoint job per call
         crawled = crawled.unionByName(scheduled.select("canon_url"))
           .localCheckpoint()
-        frontier = scheduled.filter(col("fetched")).select("canon_url")
+        frontier = scheduled.filter(col("fetched"))
+          .select("canon_url", "__rdepth")
       }
       hop += 1
     }

@@ -51,11 +51,16 @@ object HttpOps {
 
   /** One named header from the head region (case-insensitive per RFC
     * 9110 §5.1; value runs to end of line, trimmed by the `\s*`).
-    * Absent → NULL.
+    * Absent → NULL. The name is quoted into the regex literally
+    * (`Pattern.quote`), so a user-supplied header name containing
+    * regex metachars cannot alter the pattern (r17 hardening — every
+    * internal call site passes literal names, but the helper is
+    * public API).
     */
   def header(msg: Column, name: String): Column =
     nullif(regexp_extract(headRegion(msg),
-      "(?im)^" + name + ":\\s*([^\r\n]*)", 1), lit(""))
+      "(?im)^" + java.util.regex.Pattern.quote(name) + ":\\s*([^\r\n]*)", 1),
+      lit(""))
 
   /** The media type of the Content-Type header (before any `;`
     * parameter), lowercased and trimmed — the routing key (text/html
@@ -92,6 +97,39 @@ object HttpOps {
           org.apache.spark.sql.graftbridge.Bridge.expression(bodyCol))))
       .otherwise(bodyCol)
 
+  /** The final content coding of the Content-Encoding header
+    * (lowercased, last `,`-separated token — codings apply in order,
+    * so the LAST applied is the first to remove, RFC 9110 §8.4), NULL
+    * when absent.
+    */
+  def contentEncoding(msg: Column): Column =
+    nullif(lower(trim(regexp_extract(header(msg, "Content-Encoding"),
+      "([^,]*)$", 1))), lit(""))
+
+  /** Remove the content coding from a latin1-view body: `gzip`/
+    * `x-gzip` bodies route through [[graft.functions.GunzipToString]]
+    * and `deflate` through [[graft.functions.InflateToString]] (both
+    * over the view's exact original bytes — `encode(body, ISO-8859-1)`
+    * inverts the view; both return a latin1 view of the decompressed
+    * bytes, malformed streams → NULL); absent/`identity` pass through.
+    * Any other coding (`br`, `zstd` — no codec in the bare JDK) → NULL:
+    * an honest routing miss to audit, the decodeBody boundary rule.
+    * Applied AFTER de-chunking — RFC 9112 removes the transfer coding
+    * first, then RFC 9110 the content coding.
+    */
+  def decodeContentCoding(bodyCol: Column, ce: Column): Column = {
+    def bridge(f: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        f(org.apache.spark.sql.graftbridge.Bridge.expression(
+          encode(bodyCol, "ISO-8859-1"))))
+    when(ce.isNull || ce === "identity", bodyCol)
+      .when(ce.isin("gzip", "x-gzip"),
+        bridge(graft.functions.GunzipToString(_)))
+      .when(ce === "deflate", bridge(graft.functions.InflateToString(_)))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Decode a body carried in the LATIN1-VIEW convention to real text.
     *
     * The byte-faithful ingest trick (x147): decode raw fetch/record
@@ -108,24 +146,50 @@ object HttpOps {
     *    original bytes reinterpreted (malformed sequences become
     *    U+FFFD, Spark's lenient decode — a broken page yields
     *    replacement chars, not a dead stage);
-    *  - anything else (shift_jis, windows-1252, …) → NULL: an honest
-    *    routing miss to audit, never silent mojibake. (Spark's codegen
-    *    `decode` ships the ISO/UTF families only; exotic charsets are
-    *    the documented boundary of the built-in tier.)
+    *  - `windows-1252`/`cp1252` (the most common declared charset on
+    *    the real web after UTF-8) → a 27-codepoint `translate`:
+    *    cp1252 IS latin1 except at 0x80–0x9F, where it maps the 27
+    *    defined bytes to printable punctuation/letters (€ ‚ ƒ „ … † ‡
+    *    ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ — the WHATWG encoding
+    *    table; the 5 undefined bytes stay their C1 selves, also the
+    *    WHATWG rule) — so the view translates to the text in one
+    *    codegen'd pass (r17, VERDICT r16 #2);
+    *  - anything else (shift_jis, gbk, …) → NULL: an honest routing
+    *    miss to audit, never silent mojibake. (Spark's codegen
+    *    `decode` ships the ISO/UTF families only; multi-byte legacy
+    *    charsets are the documented boundary of the built-in tier.)
     */
   def decodeBody(body: Column, charsetCol: Column): Column = {
     val cs = lower(coalesce(charsetCol, lit("iso-8859-1")))
     when(cs.isin("iso-8859-1", "latin1", "us-ascii", "ascii"), body)
       .when(cs.isin("utf-8", "utf8"),
         decode(encode(body, "ISO-8859-1"), "UTF-8"))
+      .when(cs.isin("windows-1252", "cp1252"),
+        translate(body, Cp1252ViewChars, Cp1252Chars))
       .otherwise(lit(null).cast("string"))
   }
 
+  /** The 27 bytes in 0x80–0x9F that windows-1252 defines, as their
+    * latin1-view chars, and the chars they decode to (same order) —
+    * the WHATWG windows-1252 index. ONE definition; the x147 fixture
+    * and oracle interpolate these to build/expect the same mapping.
+    */
+  val Cp1252ViewChars: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089" +
+      "\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095" +
+      "\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+  val Cp1252Chars: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030" +
+      "\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022" +
+      "\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+
   /** Split a frame's `msgCol` HTTP response messages into the columns
     * downstream extraction routes on: `status_code`, `content_type`,
-    * `charset`, `location` (redirect target), `transfer_encoding`, and
-    * `body` (de-chunked when the transfer coding is chunked). One
-    * narrow projection — composes with [[WarcOps.responses]] payloads.
+    * `charset`, `location` (redirect target), `transfer_encoding`,
+    * `content_encoding`, and `body` (de-chunked when the transfer
+    * coding is chunked, then content-decoded when a content coding is
+    * declared — the RFC layer order). One narrow projection — composes
+    * with [[WarcOps.responses]] payloads.
     */
   def parseResponses(df: DataFrame, msgCol: String): DataFrame =
     df.withColumn("status_code", statusCode(col(msgCol)))
@@ -133,6 +197,9 @@ object HttpOps {
       .withColumn("charset", charset(col(msgCol)))
       .withColumn("location", header(col(msgCol), "Location"))
       .withColumn("transfer_encoding", transferEncoding(col(msgCol)))
+      .withColumn("content_encoding", contentEncoding(col(msgCol)))
       .withColumn("body",
-        dechunkIfChunked(body(col(msgCol)), col("transfer_encoding")))
+        decodeContentCoding(
+          dechunkIfChunked(body(col(msgCol)), col("transfer_encoding")),
+          col("content_encoding")))
 }

@@ -82,16 +82,16 @@ object RobotsOps {
   /** `Crawl-delay` for ONE crawler token (the de-facto directive
     * Bing/Yandex honor — group-scoped like Allow/Disallow, so the same
     * RFC 9309 §2.2.1 group selection applies). Output: `(reg_domain,
-    * delay_ms)` — the MINIMUM delay among the governing groups' parsed
-    * values (the conservative politeness read is the LARGEST delay, but
-    * duplicate directives in one governing set are a publisher error;
-    * min is deterministic and matches the first-wins reading of
-    * single-valued directives), in integral milliseconds
-    * (`floor(seconds × 1000)` — fractional seconds are common in the
-    * wild; floor on the IEEE product is the cross-engine basis-point
-    * convention). Non-numeric values are ignored; a domain with no
-    * parseable governing delay is absent (callers coalesce their own
-    * default slot spacing).
+    * delay_ms)` — the MAXIMUM delay among the governing groups' parsed
+    * values (duplicate directives in one governing set are a publisher
+    * error; taking the largest is the conservative politeness read —a
+    * crawler that under-throttles on a publisher's typo is the
+    * failure mode that gets it blocked; r17, ADVICE r16 — and equally
+    * deterministic), in integral milliseconds (`floor(seconds × 1000)`
+    * — fractional seconds are common in the wild; floor on the IEEE
+    * product is the cross-engine basis-point convention). Non-numeric
+    * values are ignored; a domain with no parseable governing delay is
+    * absent (callers coalesce their own default slot spacing).
     */
   def crawlDelays(robots: DataFrame, agent: String,
                   domainCol: String = "reg_domain",
@@ -102,7 +102,7 @@ object RobotsOps {
         floor(expr("try_cast(value AS DOUBLE)") * 1000).cast("long"))
       .filter(col("delay_ms").isNotNull && col("delay_ms") >= 0)
       .groupBy("reg_domain")
-      .agg(min(col("delay_ms")).as("delay_ms"))
+      .agg(max(col("delay_ms")).as("delay_ms"))
 
   /** The shared parse front: line split, comment strip, directive
     * split, group segmentation (ANY directive line between two

@@ -62,10 +62,22 @@ object WarcOps {
         org.apache.spark.sql.graftbridge.Bridge.expression(fileBytes)))
 
   /** Record-boundary sentinel the version line is replaced with before
-    * the one-pass split — a control char no text payload carries (and if
-    * one did, the affected record's `length_ok` flags the damage).
+    * the one-pass split. Payload bytes that COLLIDE with the sentinel
+    * machinery are escaped first (r17): a gzip/deflate content-coded
+    * HTTP body inside a record is arbitrary binary in the latin1 view,
+    * and its 0x01 bytes false-split records under the bare r16 scheme
+    * (~1 payload in 3 at page sizes — found by the x150 gate). The
+    * standard prefix-free escape makes the split total over ARBITRARY
+    * content: pre-split, `\u0002` → `\u0002\u0004` and `\u0001` →
+    * `\u0002\u0003` (now no `\u0001` remains and every `\u0002` leads
+    * an escape pair); post-split each piece decodes with the two
+    * inverse replaces. Five narrow codegen'd replaces total; the
+    * DuckDB mirror runs the identical chain.
     */
   private val Sentinel = "\u0001"
+  private val Esc = "\u0002"
+  private val EscEsc = "\u0002\u0004"
+  private val EscSen = "\u0002\u0003"
 
   /** One named WARC header from a record body (headers are
     * case-insensitive per ISO 28500 §5.1; values run to end of line).
@@ -103,16 +115,21 @@ object WarcOps {
     */
   def parseRecords(files: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
+    // escape → mark version lines → split → decode (see Sentinel doc):
+    // total over arbitrary payload bytes, identity on sentinel-free text
+    val escaped = replace(replace(col(contentCol), lit(Esc), lit(EscEsc)),
+      lit(Sentinel), lit(EscSen))
     val bodies = files
       .select(col(idCol),
-        posexplode(split(replace(col(contentCol), lit(VersionLine),
+        posexplode(split(replace(escaped, lit(VersionLine),
           lit(Sentinel)), Sentinel))
-          .as(Seq("__i", "__body")))
+          .as(Seq("__i", "__piece")))
       // element 0 is whatever precedes the first version line (the empty
       // string for a well-formed file) — never a record
       .filter(col("__i") >= 1)
       .select(col(idCol), (col("__i") - 1).cast(LongType).as("rec_no"),
-        col("__body"))
+        replace(replace(col("__piece"), lit(EscSen), lit(Sentinel)),
+          lit(EscEsc), lit(Esc)).as("__body"))
     // digits-only capture: a malformed Content-Length value is NULL (→
     // length_ok=false), never an ANSI cast error mid-job
     val contentLength = nullif(regexp_extract(col("__body"),

@@ -1908,13 +1908,16 @@ object ExtensionQueries {
     // record — and each response payload is an HTTP/1.1 message, not
     // bare HTML. The fixture builds exactly that (per-record gzip
     // members, concatenated per file), and the query runs the REAL
-    // chain: gunzip the file (multi-member, GunzipToString) → WARC
-    // record parse → HTTP envelope split → route on status 200 +
-    // text/html → body → the SAME C4 page extraction as x128. The
-    // oracle is the x128 mirror: DuckDB cannot gunzip, so it
+    // chain: gunzip the file (multi-member, GunzipToString → the
+    // latin1 VIEW of the record bytes, r17) → WARC record parse → HTTP
+    // envelope split → route on status 200 + text/html → charset
+    // decode (the pages ship as REAL UTF-8 bytes with an accented
+    // paragraph, so the gz tier is now gated on non-ASCII content —
+    // ADVICE r16) → the SAME C4 page extraction as x128. The oracle is
+    // the accent-modified x128 recompute: DuckDB cannot gunzip, so it
     // recomputes the target output independently from the documents
-    // table — row-identity proves the whole container+envelope round
-    // trip is lossless (the x130 proof, one tier deeper).
+    // table — row-identity proves the whole container+envelope+byte
+    // round trip is lossless (the x130 proof, one tier deeper).
     "x139_warc_gz_http" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val files = warcGzHttpFixture(d)
@@ -1927,7 +1930,7 @@ object ExtensionQueries {
           col("content_type") === "text/html")
         .select(nullif(regexp_extract(col("target_uri"),
             "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
-          col("body").as("html"))
+          HttpOps.decodeBody(col("body"), col("charset")).as("html"))
       HtmlOps.c4Pages(routed, "doc_id", "html")
         .select("doc_id", "n_lines", "text")
         .orderBy("doc_id")
@@ -2223,13 +2226,14 @@ object ExtensionQueries {
     // length and delimiter is an exact BYTE offset (the string-tier
     // char-count bound disappears); once the envelope is off, the body
     // re-encodes to its original bytes and decodes with the charset
-    // the Content-Type header declared. The fixture appends an
-    // accented paragraph to each x127 page and ships half the corpus
-    // as REAL UTF-8 bytes (mojibake in the view until decodeBody
-    // reinterprets them) and half as latin1 bytes (the view IS the
-    // text); both arms must land on the identical C4 target. Oracle =
-    // the independent recompute over the accent-modified synthesis
-    // (the x139 convention — DuckDB does not transcode).
+    // the Content-Type header declared. Three arms (doc_id % 3): REAL
+    // UTF-8 bytes (mojibake in the view until decodeBody
+    // reinterprets), latin1 bytes (the view IS the text), and — r17,
+    // VERDICT r16 #2 — REAL windows-1252 bytes carrying smart quotes /
+    // em dash / ellipsis, decoded by the 27-codepoint translate arm.
+    // All arms must land on the per-arm C4 target. Oracle = the
+    // independent recompute over the same per-arm synthesis (the x139
+    // convention — DuckDB does not transcode).
     "x147_charset_bytes" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val pages = WarcOps.responses(
@@ -2311,6 +2315,101 @@ object ExtensionQueries {
           lit("_v"), col("version").cast("string"))))
       CrawlOps.recrawlPriority(caps, "2020-02-15")
         .orderBy("url")
+    },
+
+    // x150 — `Content-Encoding: gzip/deflate` response bodies (r17,
+    // VERDICT r16 #1 — the one HTTP envelope layer r16 left
+    // unhandled; the MAJORITY of live fetches ship gzip-coded
+    // bodies). The fixture wraps each accent page's REAL UTF-8 bytes
+    // in gzip (even docs) or zlib-deflate (odd docs), ships the coded
+    // bytes as the body's latin1 view inside plain-text WARC records,
+    // and the query runs WARC parse → HTTP split (which now removes
+    // the content coding after the transfer coding —
+    // HttpOps.decodeContentCoding) → charset decode → the SAME C4
+    // page extraction as x128. Oracle = the accent-modified recompute
+    // (the x139 convention — DuckDB cannot gunzip): row-identity
+    // proves compress → view → decompress → transcode is lossless on
+    // non-ASCII content.
+    "x150_content_encoding" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = WarcOps.responses(
+        warcContentEncodingFixture(d), "file_id", "content")
+      val routed = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html" &&
+          col("content_encoding").isin("gzip", "deflate"))
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          HttpOps.decodeBody(col("body"), col("charset")).as("html"))
+      HtmlOps.c4Pages(routed, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x152 — redirect following in the crawl loop (r17, VERDICT r16
+    // #3): ~15-20% of live fetches answer 3xx, and a frontier that
+    // drops them loses the target URLs entirely. Four arms per doc
+    // (doc_id % 4): a single 301 with a ROOT-RELATIVE Location
+    // (resolved against the redirect's own URL) landing on a stored
+    // page; a 3-step chain cut by redirectCap=2 (the RFC 9110 §15.4
+    // chain bound — its final target must NOT be scheduled); a
+    // redirect LOOP back to the crawled seed (terminated by the
+    // crawled-set dedup, not the cap); and a CROSS-DOMAIN redirect to
+    // a CDN whose robots disallow the target path (admission re-runs
+    // on the TARGET domain). maxHops=4 yet only hops 1-2 can emit —
+    // the loop's early-stop on an empty hop is part of what the row
+    // set proves. Oracle: both hops unrolled as CTEs with the same
+    // resolve/dedup/cap/admission chain (locations land in canonical
+    // form by construction, so the mirror's resolve IS the canon —
+    // the Spark side still runs canonicalizeUrl over them).
+    "x152_redirect_follow" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val m = (col("doc_id") % 5).cast("string")
+      val site = concat(lit("https://s"), m, lit(".example-"), m,
+        lit(".com"))
+      val idS = col("doc_id").cast("string")
+      val arm = col("doc_id") % 4
+      val rUrl = concat(site, lit("/r/"), idS)
+      val seeds = d.select(rUrl.as("canon_url"))
+      val redirects = d.select(rUrl.as("canon_url"),
+          when(arm === 0, concat(lit("/t/"), idS))
+            .when(arm === 1, concat(lit("/c1/"), idS))
+            .when(arm === 2, concat(lit("/la/"), idS))
+            .otherwise(concat(lit("https://cdn.example.net/x/"), idS))
+            .as("location"))
+        .unionByName(d.filter(arm === 1).select(
+          concat(site, lit("/c1/"), idS).as("canon_url"),
+          concat(lit("/c2/"), idS).as("location")))
+        .unionByName(d.filter(arm === 1).select(
+          concat(site, lit("/c2/"), idS).as("canon_url"),
+          concat(lit("/t/"), idS).as("location")))
+        .unionByName(d.filter(arm === 2).select(
+          concat(site, lit("/la/"), idS).as("canon_url"),
+          concat(lit("/r/"), idS).as("location")))
+      val pages = d.filter(arm <= 1).select(
+        concat(site, lit("/t/"), idS).as("canon_url"),
+        lit("<html><body></body></html>").as("html"))
+      val doms = d.select(concat(lit("example-"), m, lit(".com"))
+          .as("reg_domain")).distinct()
+        .unionByName(s.range(1).select(lit("example.net").as("reg_domain")))
+      val robots = doms.withColumn("robots_txt",
+        when(col("reg_domain") === "example.net",
+          lit("User-agent: graftbot\nDisallow: /x\n\n" +
+            "User-agent: *\nDisallow: /\n"))
+        .otherwise(
+          lit("User-agent: graftbot\nDisallow: /private\n\n" +
+            "User-agent: *\nDisallow: /\n")))
+      val rules = RobotsOps.parseRules(robots, "graftbot")
+      CrawlOps.crawlFrontierIterate(pages, seeds, rules, maxHops = 4,
+          perDomainCap = 1000000, redirects = redirects, redirectCap = 2)
+        .withColumn("path_kind",
+          regexp_extract(col("canon_url"), "/(t|c1|c2|la|x)/", 1))
+        .groupBy("hop", "path_kind")
+        .agg(count(lit(1)).as("n_scheduled"),
+          sum(when(col("fetched"), 1L).otherwise(0L)).as("n_fetched"),
+          min("canon_url").as("first_url"),
+          max("canon_url").as("last_url"))
+        .orderBy("hop", "path_kind")
     }
   )
 
@@ -2405,9 +2504,16 @@ object ExtensionQueries {
     * query comment).
     */
   private def warcGzHttpFixture(d: DataFrame): DataFrame = {
+    // the accent-line page (the x147 synthesis), shipped as REAL UTF-8
+    // bytes: the record carries the latin1 VIEW of those bytes, so the
+    // gzip member, the WARC/HTTP lengths, and the charset decode are
+    // all exercised on non-ASCII content (ADVICE r16)
+    val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(AccentLineHead), col("doc_id").cast("string"),
+        lit(AccentLineTail)))
     val base = d.select(col("doc_id"),
       (col("doc_id") / 8).cast(LongType).as("file_id"),
-      htmlFixture.as("html"))
+      decode(encode(htmlAcc, "UTF-8"), "ISO-8859-1").as("html"))
     val idStr = col("doc_id").cast("string")
     val uriC = concat(lit("https://example.com/doc/"), idStr)
     val dateC = concat(lit("2020-01-"),
@@ -2458,11 +2564,13 @@ object ExtensionQueries {
     val dateC = concat(lit("2020-01-"),
       lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
       lit("T00:00:00Z"))
+    // chunk sizes count view chars (= original bytes, the r17
+    // DechunkBody convention; this ASCII fixture's chars ARE its bytes)
     val c1 = substring(col("html"), 1, 64)
     val c2 = substring(col("html"), 65, Int.MaxValue - 64)
     val chunked = concat(
-      hex(octet_length(c1)), lit(";p=graft\r\n"), c1, lit("\r\n"),
-      hex(octet_length(c2)), lit("\r\n"), c2,
+      hex(length(c1)), lit(";p=graft\r\n"), c1, lit("\r\n"),
+      hex(length(c2)), lit("\r\n"), c2,
       lit("\r\n0\r\nX-Graft-Trailer: t\r\n\r\n"))
     val httpMsg = concat(
       lit("HTTP/1.1 200 OK\r\n" +
@@ -2521,42 +2629,121 @@ object ExtensionQueries {
         .as("content"))
   }
 
-  /** The accented-page line appended for x147 — ONE definition, quoted
-    * verbatim by the oracle's `h2` CTE.
+  /** The accented-page line appended for x147/x139 — ONE definition,
+    * quoted verbatim by the oracles' `h2` CTEs.
     */
   private val AccentLineHead = "<p>Le résumé du café "
   private val AccentLineTail = " est prêt.</p></body></html>"
 
-  /** The charset synthesis for x147: each x127 page gets an accented
-    * paragraph (latin1-range chars — é/ê — so BOTH charset arms can
-    * carry it), then ships in the LATIN1-VIEW convention: even docs as
-    * REAL UTF-8 bytes (the view shows mojibake until
-    * [[graft.ops.HttpOps.decodeBody]] reinterprets), odd docs as
-    * latin1 bytes (view == text). HTTP Content-Length is the exact
-    * BYTE count (the view's char count — the whole point of the
-    * convention). Returns `(file_id, content)`; oracle = independent
-    * recompute (DuckDB does not transcode).
+  /** The windows-1252 page line for the x147 cp1252 arm — smart
+    * quotes, an em dash, an ellipsis, a curly apostrophe (all in
+    * cp1252's 0x80–0x9F range, where it DIFFERS from latin1) plus
+    * latin1-range accents (identical in both charsets). ONE
+    * definition, quoted verbatim by the oracle.
+    */
+  private val Cp1252LineHead =
+    "<p>Smart “quotes” — the café’s menu "
+  private val Cp1252LineTail =
+    " is prêt… ready.</p></body></html>"
+
+  /** The charset synthesis for x147, three arms on `doc_id % 3`, each
+    * shipping in the LATIN1-VIEW convention:
+    *
+    *  - arm 0: the accented page as REAL UTF-8 bytes (the view shows
+    *    mojibake until [[graft.ops.HttpOps.decodeBody]] reinterprets);
+    *  - arm 1: the same page as latin1 bytes (view == text);
+    *  - arm 2 (r17, VERDICT r16 #2): a page with cp1252-only
+    *    punctuation (curly quotes, em dash, ellipsis) as REAL
+    *    windows-1252 bytes — its 0x80–0x9F view chars differ from the
+    *    text in exactly the 27 codepoints decodeBody's translate arm
+    *    maps ([[graft.ops.HttpOps.Cp1252ViewChars]], the ONE table
+    *    shared with the decoder).
+    *
+    * HTTP Content-Length is the exact BYTE count (the view's char
+    * count — the whole point of the convention). Returns
+    * `(file_id, content)`; oracle = independent recompute (DuckDB
+    * does not transcode).
     */
   private def warcCharsetFixture(d: DataFrame): DataFrame = {
     val idStr = col("doc_id").cast("string")
+    val arm = col("doc_id") % 3
     val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
       concat(lit(AccentLineHead), idStr, lit(AccentLineTail)))
+    val htmlCp = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(Cp1252LineHead), idStr, lit(Cp1252LineTail)))
     val base = d.select(col("doc_id"),
       (col("doc_id") / 8).cast(LongType).as("file_id"),
-      htmlAcc.as("html"))
+      when(arm === 2, htmlCp).otherwise(htmlAcc).as("html"))
     val uriC = concat(lit("https://example.com/doc/"), idStr)
     val dateC = concat(lit("2020-01-"),
       lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
       lit("T00:00:00Z"))
-    val cs = when(col("doc_id") % 2 === 0, lit("utf-8"))
-      .otherwise(lit("iso-8859-1"))
-    val view = when(col("doc_id") % 2 === 0,
+    val cs = when(arm === 0, lit("utf-8"))
+      .when(arm === 1, lit("iso-8859-1"))
+      .otherwise(lit("windows-1252"))
+    val view = when(arm === 0,
         decode(encode(col("html"), "UTF-8"), "ISO-8859-1"))
-      .otherwise(col("html"))
+      .when(arm === 1, col("html"))
+      // cp1252 ENCODE as a translate: the 27 special chars map to
+      // their byte-view selves; latin1-range chars are their own bytes
+      .otherwise(translate(col("html"),
+        HttpOps.Cp1252Chars, HttpOps.Cp1252ViewChars))
     val httpMsg = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="), cs,
       lit("\r\nContent-Length: "), length(view).cast("string"),
       lit("\r\n\r\n"), view)
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"),
+        warcRecordSynth("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val resp = base.withColumn("__http", httpMsg)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
+    info.unionByName(resp)
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("r")))).getField("r"))
+        .as("content"))
+  }
+
+  /** The Content-Encoding synthesis for x150: the accent page's REAL
+    * UTF-8 bytes, content-coded — even docs gzip
+    * ([[graft.functions.GzipBytes]] over the UTF-8 view), odd docs
+    * zlib-deflate ([[graft.functions.DeflateBytes]]) — with the coded
+    * bytes as the body's latin1 view, `Content-Encoding` declared, and
+    * `Content-Length` = the coded BYTE count (the view's char count).
+    * Plain-text WARC framing (the warcCharsetFixture shape). Returns
+    * `(file_id, content)`; oracle = independent recompute (DuckDB
+    * cannot gunzip).
+    */
+  private def warcContentEncodingFixture(d: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(AccentLineHead), idStr, lit(AccentLineTail)))
+    def bridge1(mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+        c: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        mk(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+    val utf8View = decode(encode(htmlAcc, "UTF-8"), "ISO-8859-1")
+    val coded = when(col("doc_id") % 2 === 0,
+        bridge1(graft.functions.GzipBytes(_), utf8View))
+      .otherwise(bridge1(graft.functions.DeflateBytes(_), utf8View))
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"),
+      decode(coded, "ISO-8859-1").as("body_view"),
+      when(col("doc_id") % 2 === 0, lit("gzip")).otherwise(lit("deflate"))
+        .as("ce"))
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val httpMsg = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Content-Encoding: "), col("ce"),
+      lit("\r\nContent-Length: "), length(col("body_view")).cast("string"),
+      lit("\r\n\r\n"), col("body_view"))
     val info = base.select(col("file_id")).distinct()
       .select(col("file_id"), lit(-1L).as("ord_doc"),
         warcRecordSynth("warcinfo", lit(null).cast("string"),
@@ -2637,9 +2824,15 @@ object ExtensionQueries {
     * loaded-data path of `RegisteredDomainOf` exercised through the
     * oracle gate.
     */
-  private def pslFixturePath: String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_psl_fixture.dat")
+  private lazy val pslFixturePath: String = {
+    // written ONCE per JVM into a createTempDirectory-scoped path —
+    // a fixed, predictable name in the shared global tmpdir raced
+    // concurrent runs/users and was symlink-clobber-able (ADVICE r16);
+    // lazy val = the memo, the random directory = the isolation
+    val dir = java.nio.file.Files.createTempDirectory("graft_psl")
+    dir.toFile.deleteOnExit()
+    val p = dir.resolve("psl_fixture.dat")
+    p.toFile.deleteOnExit()
     val body = "// graft PSL fixture (subset of publicsuffix.org)\n" +
       graft.ops.UrlOps.MultiLabelSuffixes.mkString("\n") +
       "\nco.kr\n*.ck\n!www.ck\n"
@@ -5390,15 +5583,20 @@ object ExtensionQueries {
         | FROM ag1 GROUP BY dst_domain, atext
         | ORDER BY dst_domain, atext""".stripMargin,
 
-    // x139 mirror: the x128 target recomputed independently from the
-    // documents table (DuckDB has no gunzip — the gzip/WARC/HTTP round
-    // trip is the Spark side's to prove; row-identity with this
+    // x139 mirror: the ACCENT-modified x128 target recomputed
+    // independently from the documents table (DuckDB has no gunzip —
+    // the gzip/WARC/HTTP/charset round trip is the Spark side's to
+    // prove on real UTF-8 bytes; row-identity with this
     // independently-derived target is exactly the x130 losslessness
     // proof, one container tier deeper). The Spark-side gzip and HTTP
-    // kernels are additionally spec-gated (FunctionsSpec round-trip +
-    // multi-member tests, HttpOpsSpec goldens).
+    // kernels are additionally spec-gated (HttpOpsSpec round-trip +
+    // multi-member + view tests).
     "x139_warc_gz_http" ->
-      s"""WITH $htmlKeptCtesSql,
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
         | $htmlPageTailSql""".stripMargin,
 
     // x140 mirror: identical envelope synthesis, DuckDB's own split
@@ -5703,7 +5901,7 @@ object ExtensionQueries {
         |   FROM pdoms),
         | ${robotsParseCtesSql("rb", "graftbot")},
         | rdel AS (SELECT rg.reg_domain,
-        |     min(floor(try_cast(value AS DOUBLE) * 1000))::BIGINT
+        |     max(floor(try_cast(value AS DOUBLE) * 1000))::BIGINT
         |       delay_ms
         |   FROM rg JOIN rgov ON rg.reg_domain = rgov.reg_domain
         |     AND rg.grp = rgov.grp
@@ -5780,14 +5978,18 @@ object ExtensionQueries {
     },
 
     // x147 mirror: the C4 target recomputed independently over the
-    // accent-modified synthesis (DuckDB does not transcode — the
+    // same per-arm synthesis (DuckDB does not transcode — the
     // byte/charset round trip is the Spark side's to prove; row
-    // identity across BOTH charset arms is the x139 losslessness proof
-    // for the decode layer).
+    // identity across ALL THREE charset arms, windows-1252 included,
+    // is the x139 losslessness proof for the decode layer).
     "x147_charset_bytes" ->
       s"""WITH $htmlSynthSql,
         | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
-        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     CASE WHEN doc_id % 3 = 2
+        |       THEN '$Cp1252LineHead' || doc_id::VARCHAR ||
+        |         '$Cp1252LineTail'
+        |       ELSE '$AccentLineHead' || doc_id::VARCHAR ||
+        |         '$AccentLineTail' END)
         |     AS html FROM h),
         | ${htmlStripCtesSql("h2")},
         | $htmlPageTailSql""".stripMargin,
@@ -5874,8 +6076,126 @@ object ExtensionQueries {
         |   (staleness_days *
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
-        | FROM ag2 ORDER BY url""".stripMargin
+        | FROM ag2 ORDER BY url""".stripMargin,
+
+    // x150 mirror: the accent-modified x128 target recomputed
+    // independently (DuckDB cannot gunzip/inflate — the content-coding
+    // round trip is the Spark side's to prove; row-identity across the
+    // gzip AND deflate arms is the x139 losslessness proof for the
+    // Content-Encoding layer).
+    "x150_content_encoding" ->
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
+        | $htmlPageTailSql""".stripMargin,
+
+    // x152 mirror: the same redirect/page/robots synthesis, both
+    // productive hops unrolled by ONE generator (redirectHopCtesSql —
+    // resolve via the shared resolve CASE, depth+1 with the cap, min
+    // depth per URL, NOT-EXISTS dedup against the cumulative crawled
+    // set, longest-match admission on the TARGET domain), plus the
+    // provably-empty hop 3 for loop-termination fidelity.
+    "x152_redirect_follow" ->
+      s"""WITH rdq AS (SELECT doc_id, doc_id % 4 AS arm,
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |       (doc_id % 5)::VARCHAR || '.com' AS site
+        |   FROM documents),
+        | seeds AS (SELECT site || '/r/' || doc_id::VARCHAR AS canon_url
+        |   FROM rdq),
+        | redirs AS (
+        |   SELECT site || '/r/' || doc_id::VARCHAR AS canon_url,
+        |     CASE arm WHEN 0 THEN '/t/' || doc_id::VARCHAR
+        |              WHEN 1 THEN '/c1/' || doc_id::VARCHAR
+        |              WHEN 2 THEN '/la/' || doc_id::VARCHAR
+        |              ELSE 'https://cdn.example.net/x/' ||
+        |                doc_id::VARCHAR END AS location
+        |   FROM rdq
+        |   UNION ALL SELECT site || '/c1/' || doc_id::VARCHAR,
+        |     '/c2/' || doc_id::VARCHAR FROM rdq WHERE arm = 1
+        |   UNION ALL SELECT site || '/c2/' || doc_id::VARCHAR,
+        |     '/t/' || doc_id::VARCHAR FROM rdq WHERE arm = 1
+        |   UNION ALL SELECT site || '/la/' || doc_id::VARCHAR,
+        |     '/r/' || doc_id::VARCHAR FROM rdq WHERE arm = 2),
+        | pt AS (SELECT site || '/t/' || doc_id::VARCHAR AS canon_url
+        |   FROM rdq WHERE arm <= 1),
+        | fetchable AS (SELECT canon_url FROM pt
+        |   UNION SELECT canon_url FROM redirs),
+        | rdoms AS (SELECT DISTINCT 'example-' || (doc_id % 5)::VARCHAR ||
+        |     '.com' AS reg_domain FROM documents
+        |   UNION SELECT 'example.net'),
+        | rb AS (SELECT reg_domain,
+        |     CASE WHEN reg_domain = 'example.net'
+        |       THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /x'
+        |         || chr(10) || chr(10) || 'User-agent: *' || chr(10) ||
+        |         'Disallow: /' || chr(10)
+        |       ELSE 'User-agent: graftbot' || chr(10) ||
+        |         'Disallow: /private' || chr(10) || chr(10) ||
+        |         'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+        |     END AS robots_txt
+        |   FROM rdoms),
+        | ${robotsParseCtesSql("rb", "graftbot")},
+        | c0 AS (SELECT canon_url FROM seeds),
+        | f0 AS (SELECT canon_url, 0 AS rdepth FROM seeds),
+        | ${redirectHopCtesSql(1)},
+        | ${redirectHopCtesSql(2)},
+        | ${redirectHopCtesSql(3)},
+        | sched AS (SELECT 1 AS hop, canon_url, fetched FROM f1s
+        |   UNION ALL SELECT 2, canon_url, fetched FROM f2s
+        |   UNION ALL SELECT 3, canon_url, fetched FROM f3s)
+        | SELECT hop, regexp_extract(canon_url, '/(t|c1|c2|la|x)/', 1)
+        |     AS path_kind,
+        |   count(*)::BIGINT n_scheduled,
+        |   sum(CASE WHEN fetched THEN 1 ELSE 0 END)::BIGINT n_fetched,
+        |   min(canon_url) first_url, max(canon_url) last_url
+        | FROM sched GROUP BY 1, 2 ORDER BY hop, path_kind""".stripMargin
   )
+
+  /** One unrolled REDIRECT-following hop for the x152 mirror, over the
+    * previous crawled set `c{h-1}` and depth-carrying frontier
+    * `f{h-1}` — resolve each fetched redirect's Location against its
+    * own URL (the shared resolve CASE; the synthesis guarantees the
+    * result is already canonical), inherit depth+1 under the cap (2),
+    * keep the min depth per URL, dedup against everything crawled,
+    * admit on the TARGET domain's rules, flag fetchability. Ends at
+    * `f{h}s` (scheduled), `c{h}`, `f{h}` (next frontier). ONE
+    * generator for every hop (the crawlHopCtesSql pattern).
+    */
+  private def redirectHopCtesSql(h: Int): String = {
+    val mp = "coalesce(nullif(regexp_extract(canon_url, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1), ''), '/')"
+    s"""g${h}r AS (SELECT
+      |     ${resolveCaseSql("r.canon_url", "r.location")} AS canon_url,
+      |     f.rdepth + 1 AS rdepth
+      |   FROM redirs r JOIN f${h - 1} f USING (canon_url)
+      |   WHERE f.rdepth + 1 <= 2),
+      | g${h}c AS (SELECT canon_url, min(rdepth) AS rdepth FROM g${h}r
+      |   GROUP BY canon_url),
+      | g${h}n AS (SELECT c.canon_url, c.rdepth,
+      |     regexp_extract(regexp_extract(c.canon_url,
+      |       '^[a-z]+://([^/]+)', 1), '([^.]+\\.[^.]+)$$', 1)
+      |       AS reg_domain,
+      |     $mp AS mp
+      |   FROM g${h}c c
+      |   WHERE NOT EXISTS (SELECT 1 FROM c${h - 1} cc
+      |     WHERE cc.canon_url = c.canon_url)),
+      | g${h}h AS (SELECT c.canon_url, len(r.prefix) l,
+      |     CASE WHEN r.is_allow THEN 1 ELSE 0 END a
+      |   FROM g${h}n c JOIN rrules r ON c.reg_domain = r.reg_domain
+      |     AND ${ruleMatchSql("c.mp", "r.prefix")}),
+      | g${h}b AS (SELECT canon_url, a FROM (SELECT canon_url, a,
+      |     row_number() OVER (PARTITION BY canon_url
+      |       ORDER BY l DESC, a DESC) rn FROM g${h}h) WHERE rn = 1),
+      | f${h}s AS (SELECT c.canon_url, c.rdepth,
+      |     EXISTS (SELECT 1 FROM fetchable ft
+      |       WHERE ft.canon_url = c.canon_url) AS fetched
+      |   FROM g${h}n c LEFT JOIN g${h}b b USING (canon_url)
+      |   WHERE coalesce(b.a, 1) = 1),
+      | c$h AS (SELECT canon_url FROM c${h - 1}
+      |   UNION SELECT canon_url FROM f${h}s),
+      | f$h AS (SELECT canon_url, rdepth FROM f${h}s WHERE fetched)""".stripMargin
+  }
 
   /** One unrolled crawl hop for the x141 mirror, over the previous
     * crawled set `c{h-1}` and frontier `f{h-1}` — ends at `f{h}s`
@@ -6071,10 +6391,14 @@ object ExtensionQueries {
     * payload slice, the length_ok diagnosis). Ends at `wrecs`.
     */
   private lazy val warcParseCtesSql: String =
-    """wb0 AS (SELECT file_id, string_split(replace(content,
+    """wb0 AS (SELECT file_id, string_split(replace(replace(replace(
+      |     content, chr(2), chr(2) || chr(4)),
+      |     chr(1), chr(2) || chr(3)),
       |     'WARC/1.0' || chr(13) || chr(10), chr(1)), chr(1)) parts
       |   FROM wf),
-      | wrb AS (SELECT file_id, (e.i - 1)::BIGINT AS rec_no, e.body FROM (
+      | wrb AS (SELECT file_id, (e.i - 1)::BIGINT AS rec_no,
+      |     replace(replace(e.body, chr(2) || chr(3), chr(1)),
+      |       chr(2) || chr(4), chr(2)) AS body FROM (
       |     SELECT file_id, unnest(list_transform(range(1, len(parts)),
       |       i -> struct_pack(i := i, body := parts[(i+1)::INT]))) e
       |     FROM wb0)),

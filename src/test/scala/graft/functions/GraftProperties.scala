@@ -153,31 +153,36 @@ object GraftProperties extends Properties("graft") {
     ext <- Gen.oneOf(true, false)
   } yield (body, cuts.distinct.sorted, ext)
 
-  property("DechunkBody round-trips arbitrary bytes under arbitrary " +
-      "chunkings") = forAll(chunkedCase) { case (body, cuts, ext) =>
-    val bounds = (0 +: cuts :+ body.length).distinct.sorted
-    val chunks = bounds.zip(bounds.tail)
-      .map { case (a, b) => body.slice(a, b) }
-      .filter(_.nonEmpty)
-    val bos = new java.io.ByteArrayOutputStream()
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      val hex = if (i % 2 == 0) c.length.toHexString
-                else c.length.toHexString.toUpperCase
-      val extS = if (ext && i == 0) ";name=v" else ""
-      bos.write((hex + extS + "\r\n").getBytes("ISO-8859-1"))
-      bos.write(c)
-      bos.write("\r\n".getBytes("ISO-8859-1"))
-    }
-    bos.write((if (ext) "0\r\nX-T: 1\r\n\r\n" else "0\r\n\r\n")
-      .getBytes("ISO-8859-1"))
-    val decoded = DechunkBody.compute(UTF8String.fromBytes(bos.toByteArray))
-    decoded != null && decoded.getBytes.sameElements(body)
+  property("DechunkBody round-trips arbitrary bytes (as their latin1 " +
+      "views) under arbitrary chunkings") = forAll(chunkedCase) {
+    case (body, cuts, ext) =>
+      val bounds = (0 +: cuts :+ body.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail)
+        .map { case (a, b) => body.slice(a, b) }
+        .filter(_.nonEmpty)
+      // the view convention: byte-carrying strings hold byte i as char i,
+      // and chunk sizes (byte counts) therefore equal view-char counts
+      val sb = new StringBuilder
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val hex = if (i % 2 == 0) c.length.toHexString
+                  else c.length.toHexString.toUpperCase
+        val extS = if (ext && i == 0) ";name=v" else ""
+        sb.append(hex).append(extS).append("\r\n")
+        sb.append(new String(c, "ISO-8859-1")).append("\r\n")
+      }
+      sb.append(if (ext) "0\r\nX-T: 1\r\n\r\n" else "0\r\n\r\n")
+      val decoded = DechunkBody.compute(UTF8String.fromString(sb.toString))
+      decoded != null &&
+        decoded.toString.map(_.toByte).toArray.sameElements(body)
   }
 
   property("DechunkBody never throws on arbitrary garbage (null, not " +
       "an exception)") = forAll(
     Gen.chooseNum(0, 120).flatMap(n =>
       Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127)))) { b =>
+    // both entry shapes: a latin1 view of the bytes, and the raw bytes
+    // force-read as a UTF8String (invalid sequences included)
+    DechunkBody.compute(UTF8String.fromString(new String(b, "ISO-8859-1")))
     DechunkBody.compute(UTF8String.fromBytes(b)) // must not throw
     true
   }

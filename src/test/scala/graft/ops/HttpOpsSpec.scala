@@ -60,12 +60,39 @@ class HttpOpsSpec extends SparkSpec {
     df.select(WarcOps.gunzipText(col("gz")).as("t"))
       .as[Option[String]].collect().toSeq
 
-  test("gzip → gunzip round-trips exactly, including CRLFs and unicode") {
-    val texts = Seq("plain", "a\r\n\r\nb", "curly ’ and — dash", "")
+  test("gzip → gunzip round-trips latin1-view strings exactly, " +
+      "including CRLFs and non-ASCII byte views") {
+    // unicode text enters the view world as its UTF-8 bytes viewed as
+    // latin1 chars (the Latin1View convention) — the round trip must
+    // return the identical view, not a UTF-8 reinterpretation
+    val view = new String("curly ’ and — dash €".getBytes("UTF-8"),
+      "ISO-8859-1")
+    val texts = Seq("plain", "a\r\n\r\nb", view, "café prêt", "")
     val got = texts.toDF("s")
       .select(WarcOps.gunzipText(WarcOps.gzipMember(col("s"))).as("t"))
       .as[String].collect().toSeq
     assert(got == texts)
+  }
+
+  test("gzip of a non-view string (chars above 0xFF) is NULL, not a " +
+      "silent '?' substitution") {
+    val got = Seq("curly ’ quote").toDF("s")
+      .select(WarcOps.gzipMember(col("s")).as("g"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(None))
+  }
+
+  test("gunzip output past the decompressed-size cap is NULL (the " +
+      "ADVICE r16 allocation guard), not an OOM") {
+    // 300 MiB of zeros compresses to ~300 KB; decompression must refuse
+    val raw = new Array[Byte](8192)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val reps = (graft.functions.GunzipToString.MaxDecompressedBytes.toLong
+      + (8 << 20)) / raw.length
+    (0L until reps).foreach(_ => gz.write(raw))
+    gz.close()
+    assert(graft.functions.GunzipToString.compute(bos.toByteArray) == null)
   }
 
   test("concatenated members decompress as one stream (.warc.gz framing)") {
@@ -116,19 +143,19 @@ class HttpOpsSpec extends SparkSpec {
     assert(dechunk("0\r\n\r\n") == Some(""))
   }
 
-  test("dechunk: chunk sizes are BYTE counts — a boundary inside a " +
-      "multi-byte sequence reassembles exactly") {
-    // '€' is 3 UTF-8 bytes; split its encoding across two chunks
-    val euro = "€".getBytes("UTF-8")
-    val part1 = new String(Array('2'.toByte, '\r'.toByte, '\n'.toByte) ++
-      euro.take(2), "ISO-8859-1")
-    val part2 = new String("\r\n1\r\n".getBytes("ISO-8859-1") ++
-      euro.drop(2), "ISO-8859-1")
-    // build the chunked stream at the byte level, then re-read as UTF-8
-    val raw = (part1 + part2 + "\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+  test("dechunk: chunk sizes count VIEW chars (original bytes) — a " +
+      "boundary inside a multi-byte sequence reassembles the exact view") {
+    // '€' is 3 UTF-8 bytes = 3 latin1-view chars; split the view across
+    // two chunks whose declared sizes are the BYTE counts
+    val view = new String("€".getBytes("UTF-8"), "ISO-8859-1")
+    assert(view.length == 3)
+    val stream = "2\r\n" + view.take(2) + "\r\n1\r\n" + view.drop(2) +
+      "\r\n0\r\n\r\n"
     val v = graft.functions.DechunkBody.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromBytes(raw))
-    assert(v.toString == "€")
+      org.apache.spark.unsafe.types.UTF8String.fromString(stream))
+    // the reassembled view decodes back to the original text
+    assert(v.toString == view)
+    assert(new String(v.toString.map(_.toByte).toArray, "UTF-8") == "€")
   }
 
   test("dechunk: malformed framing decodes to NULL, never throws") {
@@ -180,5 +207,90 @@ class HttpOpsSpec extends SparkSpec {
     assert(out(2) == Some("café latin"))
     assert(out(3) == Some("plain ascii"))
     assert(out(4).isEmpty)
+  }
+
+  test("decodeBody: windows-1252 translates the 27 defined 0x80-0x9F " +
+      "bytes; latin1-range bytes pass through; undefined C1 bytes stay") {
+    val text = "smart “quotes” — café’s €9"
+    // cp1252 bytes of the text, as the latin1 view a byte reader sees
+    val view = new String(text.getBytes("windows-1252"), "ISO-8859-1")
+    assert(view != text) // the arm must actually do work
+    val got = Seq((view, "windows-1252"), (view, "cp1252"),
+        (" undefined", "windows-1252"))
+      .toDF("body", "charset")
+      .select(HttpOps.decodeBody(col("body"), col("charset")).as("out"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == text && got(1) == text)
+    assert(got(2) == " undefined") // WHATWG: undefined → C1 self
+  }
+
+  test("decodeContentCoding: gzip and deflate bodies decompress from " +
+      "their views; identity/absent pass through; unknown codings NULL") {
+    val text = "gzipped body — prêt"
+    val view = new String(text.getBytes("UTF-8"), "ISO-8859-1")
+    val df = Seq(view).toDF("s")
+      .select(
+        WarcOps.gzipMember(col("s")).as("gz"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.DeflateBytes(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("s"))))
+          .as("df"))
+      .select(
+        decode(col("gz"), "ISO-8859-1").as("gz_view"),
+        decode(col("df"), "ISO-8859-1").as("df_view"))
+    val r = df.select(
+      HttpOps.decodeContentCoding(col("gz_view"), lit("gzip")).as("a"),
+      HttpOps.decodeContentCoding(col("gz_view"), lit("x-gzip")).as("b"),
+      HttpOps.decodeContentCoding(col("df_view"), lit("deflate")).as("c"),
+      HttpOps.decodeContentCoding(lit("as is"),
+        lit(null).cast("string")).as("d"),
+      HttpOps.decodeContentCoding(lit("as is"), lit("identity")).as("e"),
+      HttpOps.decodeContentCoding(col("gz_view"), lit("br")).as("f"),
+      HttpOps.decodeContentCoding(lit("not gzip"), lit("gzip")).as("g"))
+      .head()
+    assert(r.getAs[String]("a") == view && r.getAs[String]("b") == view)
+    assert(r.getAs[String]("c") == view)
+    assert(r.getAs[String]("d") == "as is" && r.getAs[String]("e") == "as is")
+    assert(r.getAs[String]("f") == null) // no brotli codec — honest NULL
+    assert(r.getAs[String]("g") == null) // corrupt stream → NULL
+  }
+
+  test("InflateToString accepts BOTH zlib-wrapped and raw deflate " +
+      "streams (the real-server split RFC 9110 §8.4.1.2 notes)") {
+    val body = "raw deflate body".getBytes("ISO-8859-1")
+    def compress(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, nowrap)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    for (nowrap <- Seq(false, true)) {
+      val got = graft.functions.InflateToString.compute(compress(nowrap))
+      assert(got != null && got.toString == "raw deflate body")
+    }
+    assert(graft.functions.InflateToString.compute(
+      "garbage".getBytes("ISO-8859-1")) == null)
+    assert(graft.functions.InflateToString.compute(
+      Array.emptyByteArray) == null)
+  }
+
+  test("parseResponses: a gzip Content-Encoding body decodes through " +
+      "the full envelope (status/type/charset routing intact)") {
+    val html = "<html>prêt — body</html>"
+    val view = new String(html.getBytes("UTF-8"), "ISO-8859-1")
+    val msg = Seq(view).toDF("s")
+      .select(decode(WarcOps.gzipMember(col("s")), "ISO-8859-1").as("gzv"))
+      .select(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Content-Encoding: gzip\r\n\r\n"), col("gzv")).as("msg"))
+    val r = HttpOps.parseResponses(msg, "msg").head()
+    assert(r.getAs[String]("content_encoding") == "gzip")
+    assert(r.getAs[String]("body") == view)
+    // and the charset arm then recovers the text
+    val txt = HttpOps.parseResponses(msg, "msg")
+      .select(HttpOps.decodeBody(col("body"), col("charset")).as("t"))
+      .head().getString(0)
+    assert(txt == html)
   }
 }

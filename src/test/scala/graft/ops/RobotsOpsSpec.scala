@@ -177,11 +177,12 @@ class RobotsOpsSpec extends SparkSpec {
   }
 
   test("crawlDelays: duplicate directives in the governing set take " +
-      "the minimum; a delay in a non-governing group does not leak") {
+      "the MAXIMUM (the conservative politeness read, ADVICE r16); a " +
+      "delay in a non-governing group does not leak") {
     val b = "User-agent: graftbot\nCrawl-delay: 5\n\n" +
       "User-agent: graftbot\nCrawl-delay: 2\n\n" +
       "User-agent: megabot\nCrawl-delay: 60\n"
-    assert(delays("graftbot", "a.com" -> b) == Map("a.com" -> 2000L))
+    assert(delays("graftbot", "a.com" -> b) == Map("a.com" -> 5000L))
   }
 
   test("parseRules is unchanged by the shared-front refactor: the " +
