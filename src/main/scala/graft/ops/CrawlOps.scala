@@ -174,23 +174,38 @@ object CrawlOps {
     *  - `span_days` (first→last capture), `staleness_days`
     *    (last capture→`now`);
     *  - `change_rate_bp = n_changes · 10000 div max(span_days, 1)`;
-    *  - `priority = staleness_days · change_rate_bp` — a never-changing
-    *    URL scores 0 no matter how stale; a single-capture URL has no
-    *    change evidence and also scores 0 (schedule those by a
-    *    discovery-side prior such as [[GraphOps.pageRankInt]] instead).
+    *  - `declared_newer` (r17, VERDICT r16 #5) — when a
+    *    `sitemapLastmod` table is supplied (`(urlCol, lastmod)` rows,
+    *    'yyyy-MM-dd' — the x143 discovery tier's output), whether the
+    *    publisher DECLARES a change after the last capture. This is
+    *    the change-evidence source for the zero-score classes below:
+    *    capture history can say nothing about a single-capture or
+    *    never-observed-changing URL, but a newer sitemap lastmod is a
+    *    positive claim the page changed;
+    *  - `priority = staleness_days · change_rate_bp + (declared_newer
+    *    ? 10000 : 0)` — the bonus equals the priority of one observed
+    *    change over the full staleness window (n=1, span=staleness ⇒
+    *    staleness · (10000 div staleness) ≈ 10000), so a declared
+    *    change ranks like one more observed change — additive, exact,
+    *    and zero when no sitemap evidence exists. Without the bonus a
+    *    never-changing URL scores 0 no matter how stale, a
+    *    single-capture URL likewise (schedule those by a
+    *    discovery-side prior such as [[GraphOps.pageRankInt]]).
     *
     * Scale shape: ONE url-keyed shuffle serves both the lag window and
-    * the aggregation (same partitioning); everything after is narrow
-    * integer arithmetic. Capture histories are bounded by crawl policy
-    * (a URL is fetched at most once per revisit interval), so the
-    * window partitions cannot skew.
+    * the aggregation (same partitioning; the optional lastmod join is
+    * url-keyed too and co-partitions with it); everything after is
+    * narrow integer arithmetic. Capture histories are bounded by crawl
+    * policy (a URL is fetched at most once per revisit interval), so
+    * the window partitions cannot skew.
     */
   def recrawlPriority(captures: DataFrame, now: String,
                       urlCol: String = "url",
                       dateCol: String = "capture_date",
-                      digestCol: String = "digest"): DataFrame = {
+                      digestCol: String = "digest",
+                      sitemapLastmod: DataFrame = null): DataFrame = {
     val w = Window.partitionBy(urlCol).orderBy(dateCol)
-    captures
+    val agg = captures
       .withColumn("__prev", lag(col(digestCol), 1).over(w))
       .groupBy(col(urlCol).as("url"))
       .agg(count(lit(1)).as("n_captures"),
@@ -199,6 +214,13 @@ object CrawlOps {
           .as("n_changes"),
         min(col(dateCol)).as("__first"),
         max(col(dateCol)).as("__last"))
+    val withLm = Option(sitemapLastmod) match {
+      case Some(sm) => agg.join(
+        sm.select(col(urlCol).as("url"), col("lastmod").as("__lm")),
+        Seq("url"), "left")
+      case None => agg.withColumn("__lm", lit(null).cast("string"))
+    }
+    withLm
       .withColumn("span_days",
         datediff(to_date(col("__last")), to_date(col("__first")))
           .cast("long"))
@@ -206,8 +228,12 @@ object CrawlOps {
         datediff(to_date(lit(now)), to_date(col("__last"))).cast("long"))
       .withColumn("change_rate_bp",
         expr("n_changes * 10000 div greatest(span_days, 1L)"))
+      .withColumn("declared_newer", col("__lm").isNotNull &&
+        to_date(col("__lm")) > to_date(col("__last")))
       .withColumn("priority",
-        col("staleness_days") * col("change_rate_bp"))
-      .drop("__first", "__last")
+        col("staleness_days") * col("change_rate_bp") +
+          when(col("declared_newer"), lit(10000L)).otherwise(lit(0L)))
+      .select("url", "n_captures", "n_changes", "span_days",
+        "staleness_days", "change_rate_bp", "priority", "declared_newer")
   }
 }

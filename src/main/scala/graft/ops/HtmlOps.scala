@@ -151,10 +151,14 @@ object HtmlOps {
     * bound class as the rest of this object. Pure codegen'd column
     * expression.
     */
+  /** A complete `<a href="...">...</a>` element — ONE pattern, shared
+    * by [[extractAnchors]] and the [[blockScores]] link-density sum.
+    */
+  private val anchorElemRe =
+    "(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a\\s*>"
+
   def extractAnchors(html: Column): Column = {
-    val elem = regexp_extract_all(html,
-      lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a\\s*>"),
-      lit(0))
+    val elem = regexp_extract_all(html, lit(anchorElemRe), lit(0))
     filter(
       transform(elem, e => struct(
         trim(regexp_extract(e,
@@ -164,6 +168,101 @@ object HtmlOps {
           regexp_extract(e, "(?is)^<a[^>]*>(.*)</a\\s*>$", 1),
           "<[^>]*>", " "), "\\s+", " ")).as("atext"))),
       e => e.getField("href") =!= "")
+  }
+
+  /** Per-BLOCK text-vs-link density scores — the block tier published
+    * pipelines run BEFORE line rules (RefinedWeb §3.1 via trafilatura;
+    * boilerpipe's densitometric classifier): navigation, sidebars, and
+    * footers are made of links, so a block whose characters are mostly
+    * anchor text is chrome even when its sentences would pass every
+    * line-level rule. Blocks are the [[c4KeptLines]] line units (the
+    * same block-close split, after script/style/comment removal);
+    * per block:
+    *
+    *  - `block_text`   — tags stripped, whitespace collapsed, trimmed
+    *    (NO entity decode — that happens once, in the line tier);
+    *  - `text_chars`   — its length (empty blocks produce no row);
+    *  - `anchor_chars` — summed lengths of the block's `<a
+    *    href>`-element inner texts (same cleanup), the
+    *    [[anchorElemRe]] surface;
+    *  - `link_density_bp = anchor_chars · 10000 div max(text_chars,1)`
+    *    (integral basis points — the cross-engine convention);
+    *  - `is_content`   — at least `minChars` chars AND density at most
+    *    `maxLinkBp` (defaults 25 / 3333: boilerpipe's ~1/3 link-density
+    *    boundary, a floor that keeps "Home | About"-style fragments
+    *    out even when unlinked).
+    *
+    * Pure narrow map after the explode — no shuffle; zero UDFs.
+    */
+  def blockScores(docs: DataFrame, idCol: String, htmlCol: String,
+                  minChars: Int = 25, maxLinkBp: Long = 3333): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(maxLinkBp >= 0 && maxLinkBp <= 10000,
+      s"maxLinkBp must be in [0, 10000], got $maxLinkBp")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val broke = regexp_replace(noComment, lineBreakTagRe, "\n")
+    val anchorLens = transform(
+      regexp_extract_all(col("__raw"), lit(anchorElemRe), lit(0)),
+      e => length(trim(regexp_replace(regexp_replace(
+        regexp_extract(e, "(?is)^<a[^>]*>(.*)</a\\s*>$", 1),
+        "<[^>]*>", " "), "\\s+", " "))).cast(LongType))
+    docs
+      .select(col(idCol), posexplode(split(broke, "\n"))
+        .as(Seq("block_no", "__raw")))
+      .withColumn("block_text",
+        trim(regexp_replace(regexp_replace(col("__raw"), "<[^>]*>", ""),
+          "\\s+", " ")))
+      .withColumn("text_chars", length(col("block_text")).cast(LongType))
+      .filter(col("text_chars") > 0)
+      .withColumn("anchor_chars",
+        aggregate(anchorLens, lit(0L), (a, x) => a + x))
+      .drop("__raw")
+      .withColumn("block_no", col("block_no").cast(LongType))
+      .withColumn("link_density_bp",
+        expr("anchor_chars * 10000 div greatest(text_chars, 1L)"))
+      .withColumn("is_content", col("text_chars") >= minChars &&
+        col("link_density_bp") <= maxLinkBp)
+  }
+
+  /** Main-content extraction: the best RUN of consecutive content
+    * blocks ([[blockScores]]) per page, reassembled in block order —
+    * trafilatura-class "keep the main block, drop the chrome" without
+    * leaving the zero-UDF regex/window tier. Runs are maximal
+    * consecutive `is_content` stretches over the page's non-empty
+    * blocks; the run with the most total text chars wins (ties break
+    * to the EARLIEST run — deterministic). A page with no content
+    * block produces no row (all-chrome pages have no main content —
+    * a finding, not a default). Returns `(idCol, main_html)`; feed to
+    * [[c4Pages]] for the line/page rules (the x151 composition).
+    *
+    * Scale shape: ONE id-keyed shuffle serves the run window, the
+    * per-run rollup, and the reassembly (same partitioning); the
+    * best-run pick is a WindowGroupLimit-class top-1, never a
+    * self-join on the corpus.
+    */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                  minChars: Int = 25, maxLinkBp: Long = 3333): DataFrame = {
+    val wOrd = Window.partitionBy(idCol).orderBy("block_no")
+    val runs = blockScores(docs, idCol, htmlCol, minChars, maxLinkBp)
+      .withColumn("__run",
+        sum(when(col("is_content"), 0L).otherwise(1L)).over(wOrd))
+      .filter(col("is_content"))
+    val best = runs.groupBy(col(idCol), col("__run"))
+      .agg(sum("text_chars").as("__chars"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__chars").desc, col("__run").asc)))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__run"))
+    runs.join(best, Seq(idCol, "__run"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n", array_sort(collect_list(
+          struct(col("block_no"), col("block_text"))))
+        .getField("block_text")).as("main_html"))
   }
 
   /** Page-level C4 rules over the kept lines: reassemble each page from

@@ -2294,8 +2294,13 @@ object ExtensionQueries {
     // spacing; a third of URLs change every capture, a third change
     // once, a third never (digest = md5 of a version counter) — the
     // observed-change lag statistic, integral change-rate basis
-    // points, and staleness × rate priority must agree exactly (a
-    // never-changing URL scores 0 no matter how stale).
+    // points, and staleness × rate priority must agree exactly. r17
+    // arm (VERDICT r16 #5): a sitemap-lastmod table joins in as the
+    // publisher's declared change evidence — doc_id % 5 == 4 declares
+    // a lastmod NEWER than every last capture (raising priority by
+    // the one-observed-change bonus, which RESCUES never-changing
+    // URLs from their zero score), % 5 == 2 declares an OLDER lastmod
+    // (no effect), the rest declare nothing.
     "x149_recrawl_priority" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val caps = d
@@ -2313,7 +2318,14 @@ object ExtensionQueries {
             .otherwise(lit(0)))
         .withColumn("digest", md5(concat(col("doc_id").cast("string"),
           lit("_v"), col("version").cast("string"))))
-      CrawlOps.recrawlPriority(caps, "2020-02-15")
+      val lastmods = d.filter(col("doc_id") % 5 === 4 ||
+          col("doc_id") % 5 === 2)
+        .select(concat(lit("https://example.com/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          when(col("doc_id") % 5 === 4, lit("2020-02-10"))
+            .otherwise(lit("2020-01-01")).as("lastmod"))
+      CrawlOps.recrawlPriority(caps, "2020-02-15",
+          sitemapLastmod = lastmods)
         .orderBy("url")
     },
 
@@ -2342,6 +2354,27 @@ object ExtensionQueries {
             "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
           HttpOps.decodeBody(col("body"), col("charset")).as("html"))
       HtmlOps.c4Pages(routed, "doc_id", "html")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x151 — block-density main-content extraction (r17, VERDICT r16
+    // #4; trafilatura-class, RefinedWeb §3.1): nav/sidebar/footer
+    // chrome whose sentences PASS every C4 line rule (terminal
+    // punctuation, ≥3 words) but whose characters are mostly anchor
+    // text. The fixture plants exactly that — two link-bar divs above
+    // the article, a link footer below, and a trailing content island
+    // that must LOSE the best-run contest to the article body (run
+    // selection, not per-block filtering); the article itself carries
+    // one low-density inline link that must survive. Both engines
+    // compute the same integral block scores (chars, anchor chars,
+    // density basis points), the same run segmentation, the same
+    // argmax run, then the SAME C4 line/page tier as x128.
+    "x151_main_content" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), mainContentFixture.as("html"))
+      val main = HtmlOps.mainContent(pages, "doc_id", "html")
+      HtmlOps.c4Pages(main, "doc_id", "main_html")
         .select("doc_id", "n_lines", "text")
         .orderBy("doc_id")
     },
@@ -2434,6 +2467,34 @@ object ExtensionQueries {
       "terms &amp; conditions apply&#x2e;</p>"),
     lit("<p>Raw refs &#039; and &#1500; must stay literal here.</p>"),
     lit("<!-- hidden <p>Not real content.</p> --></body></html>"))
+
+  /** The chrome-heavy page synthesis for x151 — ONE definition,
+    * mirrored verbatim by the x151 oracle's `h` CTE: two link-bar divs
+    * (header nav + sidebar) whose sentences pass the C4 LINE rules but
+    * are ~100% anchor text, the article body (the htmlFixture
+    * paragraph carving) plus one LOW-density inline link, a link
+    * footer, and a trailing single-block content island that must lose
+    * the best-run contest.
+    */
+  private def mainContentFixture: Column = concat(
+    lit("<html><head><style>nav { margin: 0; }</style></head><body>" +
+      "<div><a href=\"/home\">Home is where you always start browsing " +
+      "today.</a> <a href=\"/about\">About the team behind everything " +
+      "we publish here.</a></div>" +
+      "<div><a href=\"/feed\">Read another interesting article right " +
+      "now.</a> <a href=\"/news\">Follow our popular newsletter for " +
+      "updates here.</a></div><p>"),
+    replace(col("text"), lit(" window "), lit(".</p><p>")),
+    lit(".</p><p>See the complete and current <a href=\"/ref\">" +
+      "reference guide</a> for all further details about entry "),
+    col("doc_id").cast("string"),
+    lit(" today.</p>" +
+      "<div><a href=\"/contact\">Contact our support department for " +
+      "more information.</a> <a href=\"/legal\">Legal notices and " +
+      "privacy policy all live here.</a></div>" +
+      "<p>Subscribe to our monthly newsletter for curated updates soon "),
+    col("doc_id").cast("string"),
+    lit(".</p></body></html>"))
 
   /** WARC-file synthesis over the x127 HTML pages — ONE definition
     * shared by x129 and x130, mirrored verbatim by [[warcSynthCtesSql]]:
@@ -6041,8 +6102,9 @@ object ExtensionQueries {
         | ORDER BY base_kind, reg_domain""".stripMargin,
 
     // x149 mirror: the same three-capture synthesis, DuckDB's own lag
-    // window for observed changes, and the same integral day/bp/priority
-    // arithmetic.
+    // window for observed changes, the same integral day/bp/priority
+    // arithmetic, and the same sitemap-lastmod join + declared-change
+    // bonus (r17 arm).
     "x149_recrawl_priority" ->
       s"""WITH caps AS (SELECT
         |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
@@ -6056,6 +6118,11 @@ object ExtensionQueries {
         |             ELSE 0 END)::VARCHAR) AS digest
         |   FROM documents
         |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | sm AS (SELECT
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     CASE WHEN doc_id % 5 = 4 THEN '2020-02-10'
+        |          ELSE '2020-01-01' END AS lastmod
+        |   FROM documents WHERE doc_id % 5 IN (2, 4)),
         | lg AS (SELECT url, capture_date, digest,
         |     lag(digest) OVER (PARTITION BY url ORDER BY capture_date)
         |       AS prev
@@ -6065,17 +6132,21 @@ object ExtensionQueries {
         |       THEN 1 ELSE 0 END)::BIGINT n_changes,
         |     min(capture_date) f, max(capture_date) l
         |   FROM lg GROUP BY url),
-        | ag2 AS (SELECT url, n_captures, n_changes,
+        | ag2 AS (SELECT ag.url, n_captures, n_changes,
         |     date_diff('day', f::DATE, l::DATE)::BIGINT span_days,
         |     date_diff('day', l::DATE, DATE '2020-02-15')::BIGINT
-        |       staleness_days
-        |   FROM ag)
+        |       staleness_days,
+        |     (sm.lastmod IS NOT NULL AND sm.lastmod::DATE > l::DATE)
+        |       AS declared_newer
+        |   FROM ag LEFT JOIN sm ON ag.url = sm.url)
         | SELECT url, n_captures, n_changes, span_days, staleness_days,
         |   ((n_changes * 10000) // greatest(span_days, 1))::BIGINT
         |     change_rate_bp,
         |   (staleness_days *
-        |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
-        |     priority
+        |     ((n_changes * 10000) // greatest(span_days, 1)) +
+        |     (CASE WHEN declared_newer THEN 10000 ELSE 0 END))::BIGINT
+        |     priority,
+        |   declared_newer
         | FROM ag2 ORDER BY url""".stripMargin,
 
     // x150 mirror: the accent-modified x128 target recomputed
@@ -6089,6 +6160,78 @@ object ExtensionQueries {
         |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
         |     AS html FROM h),
         | ${htmlStripCtesSql("h2")},
+        | $htmlPageTailSql""".stripMargin,
+
+    // x151 mirror: the same chrome-heavy synthesis, DuckDB's own block
+    // split (the shared strip order + block-close regex), per-block
+    // text/anchor char counts and integral density, the same run
+    // segmentation window and argmax-run pick, then the shared C4
+    // line/page CTEs over the reassembled main content.
+    "x151_main_content" ->
+      s"""WITH h AS (SELECT doc_id,
+        |     '<html><head><style>nav { margin: 0; }</style></head><body>' ||
+        |     '<div><a href="/home">Home is where you always start browsing ' ||
+        |     'today.</a> <a href="/about">About the team behind everything ' ||
+        |     'we publish here.</a></div>' ||
+        |     '<div><a href="/feed">Read another interesting article right ' ||
+        |     'now.</a> <a href="/news">Follow our popular newsletter for ' ||
+        |     'updates here.</a></div><p>' ||
+        |     replace(text, ' window ', '.</p><p>') ||
+        |     '.</p><p>See the complete and current <a href="/ref">' ||
+        |     'reference guide</a> for all further details about entry ' ||
+        |     doc_id::VARCHAR || ' today.</p>' ||
+        |     '<div><a href="/contact">Contact our support department for ' ||
+        |     'more information.</a> <a href="/legal">Legal notices and ' ||
+        |     'privacy policy all live here.</a></div>' ||
+        |     '<p>Subscribe to our monthly newsletter for curated updates soon ' ||
+        |     doc_id::VARCHAR || '.</p></body></html>' AS html
+        |   FROM documents),
+        | mb0 AS (SELECT doc_id,
+        |     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |       html,
+        |       '(?is)<script\\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+        |       '(?is)<style\\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        |       '(?s)<!--.*?-->', ' ', 'g'),
+        |       '(?i)</(?:p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre)\\s*>|(?i)<br\\s*/?>|(?i)<br\\s[^>]*>', chr(10), 'g') AS t0
+        |   FROM h),
+        | mb1 AS (SELECT doc_id, e.bn::BIGINT block_no, e.raw FROM (
+        |     SELECT doc_id, unnest(list_transform(range(0, len(parts)),
+        |       i -> struct_pack(bn := i, raw := parts[(i+1)::INT]))) e
+        |     FROM (SELECT doc_id, string_split(t0, chr(10)) parts
+        |       FROM mb0))),
+        | mb2 AS (SELECT doc_id, block_no,
+        |     trim(regexp_replace(regexp_replace(raw, '<[^>]*>', '', 'g'),
+        |       '\\s+', ' ', 'g')) block_text,
+        |     coalesce(list_aggregate(list_transform(regexp_extract_all(
+        |       raw,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"[^"]*"[^>]*>.*?</a\\s*>',
+        |       0),
+        |       e -> len(trim(regexp_replace(regexp_replace(regexp_extract(
+        |         e, '(?is)^<a[^>]*>(.*)</a\\s*>$$', 1),
+        |         '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))),
+        |       'sum'), 0)::BIGINT anchor_chars
+        |   FROM mb1),
+        | mb3 AS (SELECT doc_id, block_no, block_text, anchor_chars,
+        |     len(block_text)::BIGINT text_chars
+        |   FROM mb2 WHERE len(block_text) > 0),
+        | mb4 AS (SELECT *,
+        |     (text_chars >= 25 AND
+        |      (anchor_chars * 10000) // greatest(text_chars, 1) <= 3333)
+        |       AS is_content
+        |   FROM mb3),
+        | mb5 AS (SELECT *, sum(CASE WHEN is_content THEN 0 ELSE 1 END)
+        |       OVER (PARTITION BY doc_id ORDER BY block_no) AS run
+        |   FROM mb4),
+        | mb6 AS (SELECT doc_id, run, sum(text_chars) chars FROM mb5
+        |   WHERE is_content GROUP BY 1, 2),
+        | mb7 AS (SELECT doc_id, run FROM (SELECT doc_id, run,
+        |     row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY chars DESC, run) rk FROM mb6) WHERE rk = 1),
+        | mc AS (SELECT m.doc_id,
+        |     string_agg(m.block_text, chr(10) ORDER BY m.block_no) AS html
+        |   FROM mb5 m JOIN mb7 USING (doc_id, run) WHERE m.is_content
+        |   GROUP BY m.doc_id),
+        | ${htmlStripCtesSql("mc")},
         | $htmlPageTailSql""".stripMargin,
 
     // x152 mirror: the same redirect/page/robots synthesis, both
@@ -6297,13 +6440,15 @@ object ExtensionQueries {
       |       '&nbsp;',' '), '&amp;','&') AS t2
       |   FROM tx1),
       | txp AS (SELECT doc_id, string_split(t2, chr(1)) p FROM tx2),
-      | txt AS (SELECT doc_id, p[1] || array_to_string(list_transform(p[2:],
+      | -- coalesce: DuckDB's array_to_string([]) is NULL (unlike Spark's
+      | -- array_join), which nullified pages with NO numeric refs (x151)
+      | txt AS (SELECT doc_id, p[1] || coalesce(array_to_string(list_transform(p[2:],
       |     q -> (CASE WHEN ($v) IS NOT NULL AND ((($v) BETWEEN 32 AND 126)
       |              OR ($v) IN ($punct))
       |          THEN CASE WHEN ($v) = 160 THEN ' '
       |               ELSE chr(($v)::INT) END
       |          ELSE '&#' || $code || ';' END) ||
-      |       substr(q, len($code) + 2)), '') AS t
+      |       substr(q, len($code) + 2)), ''), '') AS t
       |   FROM txp),
       | lp AS (SELECT doc_id, string_split(t, chr(10)) parts FROM txt),
       | ln AS (SELECT doc_id, e.line_no::BIGINT line_no,

@@ -99,6 +99,25 @@ class CrawlOpsSpec extends SparkSpec {
     assert(out(3) == ("u4", 2L, 1L, 3L, 42L, 3333L, 139986L))
   }
 
+  test("recrawlPriority: a sitemap lastmod NEWER than the last capture " +
+      "adds the one-observed-change bonus — rescuing the zero-score " +
+      "classes; an older lastmod and absent rows change nothing") {
+    val caps = Seq(
+      ("u1", "2020-01-01", "x"), ("u1", "2020-01-31", "x"), // never changes
+      ("u2", "2020-01-10", "y"),                            // single capture
+      ("u3", "2020-01-01", "p"), ("u3", "2020-01-04", "q")  // 1 change
+    ).toDF("url", "capture_date", "digest")
+    val sm = Seq(("u1", "2020-02-10"), ("u2", "2020-01-05"))
+      .toDF("url", "lastmod")
+    val out = CrawlOps.recrawlPriority(caps, "2020-02-15",
+        sitemapLastmod = sm)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(6), r.getBoolean(7)))
+    assert(out(0) == ("u1", 10000L, true))   // 0 history + declared bonus
+    assert(out(1) == ("u2", 0L, false))      // lastmod OLDER than capture
+    assert(out(2) == ("u3", 139986L, false)) // no sitemap row: unchanged
+  }
+
   test("a page's <base href> redirects its relative links (HTML5 " +
       "§4.2.3) — the next hop schedules against the base, not the " +
       "page path") {
@@ -107,5 +126,73 @@ class CrawlOpsSpec extends SparkSpec {
         "<body><a href=\"x/2\">r</a></body></html>")
     val got = crawl(Seq(withBase), Seq("https://a.com/dir/1"), 1)
     assert(got.map(_._2) == Seq("https://cdn.b.net/lib/x/2"))
+  }
+
+  private def crawlR(pages: Seq[(String, String)], seeds: Seq[String],
+                     redirects: Seq[(String, String)], maxHops: Int,
+                     rules: org.apache.spark.sql.DataFrame = emptyRules,
+                     redirectCap: Int = 5) =
+    CrawlOps.crawlFrontierIterate(pages.toDF("canon_url", "html"),
+        seeds.toDF("canon_url"), rules, maxHops, perDomainCap = 100,
+        redirects = redirects.toDF("canon_url", "location"),
+        redirectCap = redirectCap)
+      .orderBy("hop", "canon_url")
+      .select("hop", "canon_url", "fetched")
+      .as[(Int, String, Boolean)].collect().toSeq
+
+  test("redirects: a relative Location resolves against the redirect's " +
+      "own URL and the target is scheduled on the next hop") {
+    val got = crawlR(Seq(page("https://a.com/t/1")),
+      Seq("https://a.com/r/1"),
+      Seq("https://a.com/r/1" -> "/t/1"), maxHops = 3)
+    assert(got == Seq((1, "https://a.com/t/1", true)))
+  }
+
+  test("redirects: the chain cap drops the tail (RFC 9110 §15.4) — a " +
+      "3-step chain under cap 2 never schedules its final target") {
+    val got = crawlR(Seq(page("https://a.com/t/1")),
+      Seq("https://a.com/r/1"),
+      Seq("https://a.com/r/1" -> "/c1/1",
+        "https://a.com/c1/1" -> "/c2/1",
+        "https://a.com/c2/1" -> "/t/1"),
+      maxHops = 6, redirectCap = 2)
+    // c1 (depth 1) and c2 (depth 2) schedule; /t/1 at depth 3 is cut
+    assert(got == Seq((1, "https://a.com/c1/1", true),
+      (2, "https://a.com/c2/1", true)))
+  }
+
+  test("redirects: a loop terminates through the crawled-set dedup, " +
+      "not the cap — and content discovery resets the chain depth") {
+    // r -> la -> r is a cycle back to the crawled seed
+    val got = crawlR(Seq.empty[(String, String)],
+      Seq("https://a.com/r/1"),
+      Seq("https://a.com/r/1" -> "/la/1",
+        "https://a.com/la/1" -> "/r/1"), maxHops = 6)
+    assert(got == Seq((1, "https://a.com/la/1", true)))
+    // a page at the END of a depth-2 chain links onward: the link's
+    // depth is 0, so the next target is NOT cut by redirectCap 2
+    val got2 = crawlR(Seq(page("https://a.com/t/1", "/next/1"),
+        page("https://a.com/next/1")),
+      Seq("https://a.com/r/1"),
+      Seq("https://a.com/r/1" -> "/c1/1",
+        "https://a.com/c1/1" -> "/t/1"),
+      maxHops = 6, redirectCap = 2)
+    assert(got2 == Seq((1, "https://a.com/c1/1", true),
+      (2, "https://a.com/t/1", true),
+      (3, "https://a.com/next/1", true)))
+  }
+
+  test("redirects: a cross-domain target is re-admitted against the " +
+      "TARGET domain's robots rules") {
+    import spark.implicits._
+    val rules = Seq(("b.net", false, "/x"))
+      .toDF("reg_domain", "is_allow", "prefix")
+    val got = crawlR(Seq(page("https://a.com/t/1")),
+      Seq("https://a.com/r/1", "https://a.com/r/2"),
+      Seq("https://a.com/r/1" -> "https://cdn.b.net/x/1",
+        "https://a.com/r/2" -> "https://cdn.b.net/ok/2"),
+      maxHops = 2, rules = rules)
+    // /x/1 disallowed on b.net; /ok/2 admitted (scheduled, unfetched)
+    assert(got == Seq((1, "https://cdn.b.net/ok/2", false)))
   }
 }

@@ -174,4 +174,74 @@ class HtmlOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_lines") == 6L)
     assert(row.getAs[String]("text").split("\n").length == 6)
   }
+
+  // a chrome-heavy page whose nav/footer sentences PASS every C4 line
+  // rule — the class the block-density tier exists for
+  private val chromePage =
+    "<html><body>" +
+      "<div><a href=\"/home\">Home is where you always start today.</a> " +
+      "<a href=\"/about\">About all the things we publish here.</a></div>" +
+      (1 to 6).map(i => s"<p>real article sentence number $i stands alone.</p>")
+        .mkString +
+      "<div><a href=\"/legal\">Legal notices and privacy policy here.</a></div>" +
+      "<p>Subscribe to our newsletter for more updates soon.</p>" +
+      "</body></html>"
+
+  test("blockScores: link-bar blocks score near-10000 bp and are not " +
+      "content; article blocks score 0; a small inline link stays " +
+      "under the density bound") {
+    val inline = "<p>See the complete and current <a href=\"/r\">guide" +
+      "</a> for all the details published today.</p>"
+    val scores = HtmlOps.blockScores(
+        Seq(1L -> (chromePage.replace("</body></html>",
+          inline + "</body></html>"))).toDF("id", "html"), "id", "html")
+      .orderBy("block_no")
+      .select("block_text", "link_density_bp", "is_content")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(scores.head._2 > 9000 && !scores.head._3)       // nav bar
+    assert(scores(1)._2 == 0 && scores(1)._3)              // article
+    val inl = scores.find(_._1.startsWith("See the complete")).get
+    assert(inl._2 > 0 && inl._2 <= 3333 && inl._3)         // inline link
+  }
+
+  test("mainContent keeps the best run only: chrome and the trailing " +
+      "content island drop; the x128-tier c4Pages on the SAME page " +
+      "keeps the chrome sentences (the gap the block tier closes)") {
+    val docs = Seq(1L -> chromePage).toDF("id", "html")
+    val main = HtmlOps.mainContent(docs, "id", "html")
+      .head().getAs[String]("main_html")
+    assert(main.split("\n").length == 6) // the 6 article sentences
+    assert(!main.contains("Home is where") && !main.contains("Legal"))
+    assert(!main.contains("Subscribe")) // island run of 1 loses
+    // the line tier ALONE keeps the chrome (every rule passes) — the
+    // documented x128 behavior on chrome-heavy pages
+    val x128Text = HtmlOps.c4Pages(docs, "id", "html")
+      .head().getAs[String]("text")
+    assert(x128Text.contains("Home is where you always start today."))
+    assert(x128Text.contains("Subscribe to our newsletter"))
+    // composed: block tier then line tier = only the article
+    val composed = HtmlOps.c4Pages(
+      HtmlOps.mainContent(docs, "id", "html"), "id", "main_html")
+      .head()
+    assert(composed.getAs[Long]("n_lines") == 6L)
+    assert(!composed.getAs[String]("text").contains("Home is where"))
+  }
+
+  test("mainContent: an all-chrome page yields no row (a finding, not " +
+      "an empty default); ties break to the earliest run") {
+    val allChrome = "<html><body><div><a href=\"/a\">Only linked " +
+      "navigation sentences live on this page.</a></div></body></html>"
+    assert(HtmlOps.mainContent(
+      Seq(1L -> allChrome).toDF("id", "html"), "id", "html").isEmpty)
+    // two runs of identical total chars, separated by a chrome block:
+    // the EARLIER run wins deterministically
+    val line = "<p>twelve equal chars here now okay fine.</p>"
+    val twoRuns = "<html><body>" + line.replace("now", "one") +
+      "<div><a href=\"/x\">A linked navigation sentence sits here.</a></div>" +
+      line.replace("now", "two") + "</body></html>"
+    val got = HtmlOps.mainContent(
+      Seq(1L -> twoRuns).toDF("id", "html"), "id", "html")
+      .head().getAs[String]("main_html")
+    assert(got.contains("one") && !got.contains("two"))
+  }
 }
