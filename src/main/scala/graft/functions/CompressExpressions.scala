@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rather than silently substituting '?' the way
   * `String.getBytes(ISO_8859_1)` would.
   */
-private[functions] object Latin1View {
+private[graft] object Latin1View {
   /** bytes → view string (1:1, total). */
   def toView(bytes: Array[Byte], off: Int, len: Int): String = {
     val cs = new Array[Char](len)

@@ -130,6 +130,16 @@ object WarcOps {
       .select(col(idCol), (col("__i") - 1).cast(LongType).as("rec_no"),
         replace(replace(col("__piece"), lit(EscSen), lit(Sentinel)),
           lit(EscEsc), lit(Esc)).as("__body"))
+    parseRecordBodies(bodies, idCol)
+  }
+
+  /** The shared record-field tier over pre-split record bodies
+    * `(idCol, rec_no, __body)` — one definition behind BOTH splitters
+    * ([[parseRecords]]' sentinel split and [[readWarcGzRecords]]'
+    * streaming split), so the two ingest paths cannot drift.
+    */
+  private def parseRecordBodies(bodies: DataFrame,
+                                idCol: String): DataFrame = {
     // digits-only capture: a malformed Content-Length value is NULL (→
     // length_ok=false), never an ANSI cast error mid-job
     val contentLength = nullif(regexp_extract(col("__body"),
@@ -183,6 +193,147 @@ object WarcOps {
     spark.read.format("binaryFile").load(path)
       .select(col("path").as("file_id"),
         gunzipText(col("content")).as("content"))
+
+  /** STREAMING ingest for full-size `.warc.gz` segments (r17, ADVICE
+    * r16): [[readWarcGzFiles]] decompresses a whole file into one
+    * string cell, which the [[graft.functions.GunzipToString]] size
+    * cap deliberately refuses past 256 MiB — a real ~1 GB Common
+    * Crawl segment decompresses to 3–5 GB and cannot be one JVM
+    * value. This path never materializes the file: per file, a
+    * streaming gunzip feeds an incremental record splitter
+    * ([[streamRecordBodies]]) that scans for `WARC/1.0\r\n`
+    * boundaries and emits ONE RECORD AT A TIME, so peak memory per
+    * task is the compressed file buffer plus the largest single
+    * record — not the decompressed segment. Output schema and
+    * semantics are IDENTICAL to `parseRecords(readWarcGzFiles(...))`
+    * (both splitters feed the same field tier; spec-pinned), with
+    * `rec_no` assigned in stream order.
+    *
+    * This is the one `flatMap` in the ingest tier — a per-partition
+    * stateful byte scanner is exactly the imperative-iterator case the
+    * Dataset API exists for; everything downstream stays in column
+    * expressions. Corrupt gzip or a record past the size cap ends
+    * THAT FILE's record stream at the damage point (records already
+    * decoded still surface; the stage never dies — the 100 TB rule).
+    *
+    * Scale shape: binaryFile assigns one task per file; decompression
+    * and splitting are narrow per-file work with bounded memory, so a
+    * 1000-executor cluster decodes 1000 segments at a time with no
+    * shuffle before the caller's first keyed stage.
+    */
+  def readWarcGzRecords(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    import spark.implicits._
+    val bodies = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        streamRecordBodies(bytes).zipWithIndex
+          .map { case (b, i) => (p, i.toLong, b) }
+      }
+      .toDF("file_id", "rec_no", "__body")
+    parseRecordBodies(bodies, "file_id")
+  }
+
+  /** Incrementally split one `.warc.gz` file's bytes into record
+    * bodies (version line removed — the [[parseRecords]] `__body`
+    * convention), decompressing through a streaming
+    * `GZIPInputStream` (concatenated members read transparently) and
+    * viewing bytes as latin1 chars (the byte-faithful convention).
+    * Lazy: each `next()` reads only until the following record
+    * boundary. Content before the first version line (a preamble) is
+    * skipped. A gzip error or a single record growing past
+    * [[graft.functions.GunzipToString.MaxDecompressedBytes]] ends the
+    * iterator at the damage point — emit-then-stop, never throw.
+    */
+  private[ops] def streamRecordBodies(
+      gzBytes: Array[Byte]): Iterator[String] = new Iterator[String] {
+    private val Marker = VersionLine.getBytes("ISO-8859-1")
+    private val MaxRec = graft.functions.GunzipToString.MaxDecompressedBytes
+    private val in: java.io.InputStream =
+      try new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gzBytes))
+      catch { case _: java.io.IOException => null }
+    private val chunk = new Array[Byte](64 * 1024)
+    private var arr = new Array[Byte](64 * 1024)
+    private var len = 0
+    private var eof = in == null
+    private var dead = in == null          // damage: stop emitting
+    private var sawFirst = false
+    private var scanned = 0                // boundary-scan resume point
+    private var pending: String = null
+
+    private def readMore(): Unit = {
+      if (eof) return
+      val n = try in.read(chunk)
+      catch { case _: java.io.IOException => dead = true; -1 }
+      if (n < 0) { eof = true; try in.close() catch { case _: Exception => () } }
+      else {
+        if (len + n > arr.length) {
+          if (len + n > MaxRec) { dead = true; eof = true; return }
+          var cap = arr.length
+          while (cap < len + n) cap = math.min(cap * 2, MaxRec)
+          arr = java.util.Arrays.copyOf(arr, cap)
+        }
+        System.arraycopy(chunk, 0, arr, len, n)
+        len += n
+      }
+    }
+
+    /** first marker index at or after `from`, or -1 */
+    private def findMarker(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + Marker.length <= len) {
+        var j = 0
+        while (j < Marker.length && arr(i + j) == Marker(j)) j += 1
+        if (j == Marker.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    private def shift(to: Int): Unit = {
+      System.arraycopy(arr, to, arr, 0, len - to)
+      len -= to
+      scanned = 0
+    }
+
+    private def advance(): Unit = {
+      while (pending == null && !dead) {
+        if (!sawFirst) {
+          val i = findMarker(0)
+          if (i >= 0) { shift(i + Marker.length); sawFirst = true }
+          else if (eof) { dead = true }       // no record in file
+          else {
+            // keep only a possible marker prefix at the tail
+            if (len > Marker.length - 1) shift(len - (Marker.length - 1))
+            readMore()
+          }
+        } else {
+          val i = findMarker(scanned)
+          if (i >= 0) {
+            pending = graft.functions.Latin1View.toView(arr, 0, i)
+            shift(i + Marker.length)
+          } else if (eof) {
+            // the final record runs to end of stream
+            pending = graft.functions.Latin1View.toView(arr, 0, len)
+            len = 0
+            dead = true
+          } else {
+            scanned = math.max(len - (Marker.length - 1), 0)
+            readMore()
+          }
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): String = {
+      advance()
+      if (pending == null) throw new NoSuchElementException("record stream")
+      val r = pending; pending = null; r
+    }
+  }
 
   /** Resolve `revisit` records to the capture they duplicate — WARC
     * 1.1 §6.7.2: a crawler that re-fetches a URL and finds the payload

@@ -536,4 +536,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("regexp_extract_all"),
       s"link extraction re-derived above the checkpoints:\n$p")
   }
+
+  test("x150: the content-coding chain stays a narrow map — gunzip/" +
+      "inflate ride the projections, no join") {
+    val df = ExtensionQueries.queries("x150_content_encoding")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the coding chain planned a join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // BOTH decoders are in-plan (the gzip/deflate routing CASE)
+    assert(p.contains("gunzip_to_string"), s"gunzip not in plan:\n$p")
+    assert(p.contains("inflate_to_string"), s"inflate not in plan:\n$p")
+  }
+
+  test("x151: main-content extraction is windows + id-keyed " +
+      "aggregation — the best-run pick is never a corpus self-join, " +
+      "no cartesian, no Expand") {
+    val p = plan(ExtensionQueries.queries, "x151_main_content")
+    assert(!p.contains("CartesianProduct"), s"block tier cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+    // the run window and the best-run top-1 window both present
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows >= 2, s"expected run + best-run windows:\n$p")
+  }
+
+  test("x152: redirect hops stay keyed — no cartesian; the loop's " +
+      "final plan reads checkpointed hop scans") {
+    val p = plan(ExtensionQueries.queries, "x152_redirect_follow")
+    assert(!p.contains("CartesianProduct"), s"redirect loop cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"hops not checkpointed:\n$p")
+  }
 }
