@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * FETCHED pages only (the frontier's, not the corpus's), the
   * candidate dedup is one canonical-URL shuffle, admission is the
   * [[RobotsOps.allowedFlags]] domain-keyed join, and the politeness
-  * cap is ONE window per hop. The cumulative crawled set and each
-  * hop's scheduled rows are `localCheckpoint`ed so the lineage stays
-  * O(1) per hop instead of O(hops) (at cluster scale the same role is
-  * played by reliable checkpointing); `maxHops` bounds the loop and an
-  * empty hop stops it early.
+  * cap is ONE window per hop. Each hop's scheduled rows are
+  * `localCheckpoint`ed; the cumulative crawled set is then a UNION of
+  * those checkpoint scans — O(maxHops ≤ 64) cheap leaves, never a
+  * recomputation chain, and no extra materialization job per hop
+  * (r17; at cluster scale the same role is played by reliable
+  * checkpointing); `maxHops` bounds the loop and an empty hop stops
+  * it early.
   */
 object CrawlOps {
 
@@ -144,11 +146,14 @@ object CrawlOps {
       out = if (out == null) scheduled else out.unionByName(scheduled)
       if (scheduled.isEmpty) done = true
       else if (hop < maxHops) {
-        // the grown crawled set only matters if another hop will read
-        // it — materializing it after the FINAL hop was a wasted
-        // checkpoint job per call
+        // the grown crawled set stays a UNION OF CHECKPOINT SCANS —
+        // every leaf (the seeds and each hop's scheduled rows) is
+        // already localCheckpointed, so the plan is h cheap RDD scans
+        // and needs no checkpoint of its own (r17: the per-hop crawled
+        // checkpoint was one materialization job per hop for rows
+        // that were all materialized already; lineage stays bounded —
+        // O(maxHops ≤ 64) scan leaves, never a recomputation chain)
         crawled = crawled.unionByName(scheduled.select("canon_url"))
-          .localCheckpoint()
         frontier = scheduled.filter(col("fetched"))
           .select("canon_url", "__rdepth")
       }

@@ -2404,21 +2404,28 @@ object ExtensionQueries {
       val arm = col("doc_id") % 4
       val rUrl = concat(site, lit("/r/"), idS)
       val seeds = d.select(rUrl.as("canon_url"))
-      val redirects = d.select(rUrl.as("canon_url"),
-          when(arm === 0, concat(lit("/t/"), idS))
-            .when(arm === 1, concat(lit("/c1/"), idS))
-            .when(arm === 2, concat(lit("/la/"), idS))
-            .otherwise(concat(lit("https://cdn.example.net/x/"), idS))
-            .as("location"))
-        .unionByName(d.filter(arm === 1).select(
-          concat(site, lit("/c1/"), idS).as("canon_url"),
-          concat(lit("/c2/"), idS).as("location")))
-        .unionByName(d.filter(arm === 1).select(
-          concat(site, lit("/c2/"), idS).as("canon_url"),
-          concat(lit("/t/"), idS).as("location")))
-        .unionByName(d.filter(arm === 2).select(
-          concat(site, lit("/la/"), idS).as("canon_url"),
-          concat(lit("/r/"), idS).as("location")))
+      // ONE scan builds all redirect rows (the loop re-reads this
+      // frame every hop — a 4-branch union re-ran 4 scans per hop)
+      val redirects = d.select(explode(array(
+          struct(rUrl.as("canon_url"),
+            when(arm === 0, concat(lit("/t/"), idS))
+              .when(arm === 1, concat(lit("/c1/"), idS))
+              .when(arm === 2, concat(lit("/la/"), idS))
+              .otherwise(concat(lit("https://cdn.example.net/x/"), idS))
+              .as("location")),
+          struct(when(arm === 1, concat(site, lit("/c1/"), idS))
+              .when(arm === 2, concat(site, lit("/la/"), idS))
+              .as("canon_url"),
+            when(arm === 1, concat(lit("/c2/"), idS))
+              .when(arm === 2, concat(lit("/r/"), idS))
+              .as("location")),
+          struct(when(arm === 1, concat(site, lit("/c2/"), idS))
+              .as("canon_url"),
+            when(arm === 1, concat(lit("/t/"), idS)).as("location"))))
+          .as("e"))
+        .select(col("e.canon_url").as("canon_url"),
+          col("e.location").as("location"))
+        .filter(col("canon_url").isNotNull)
       val pages = d.filter(arm <= 1).select(
         concat(site, lit("/t/"), idS).as("canon_url"),
         lit("<html><body></body></html>").as("html"))

@@ -176,6 +176,37 @@ object GraftProperties extends Properties("graft") {
         decoded.toString.map(_.toByte).toArray.sameElements(body)
   }
 
+  property("gzip and deflate kernels round-trip ARBITRARY bytes " +
+      "through their latin1 views (GzipBytes→GunzipToString, " +
+      "DeflateBytes→InflateToString)") = forAll(
+    Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127)))) { b =>
+    val view = UTF8String.fromString(new String(b, "ISO-8859-1"))
+    val gz = GzipBytes.compute(view)
+    val df = DeflateBytes.compute(view)
+    val backGz = GunzipToString.compute(gz)
+    val backDf = InflateToString.compute(df)
+    backGz != null && backDf != null &&
+      backGz.toString.map(_.toByte).toArray.sameElements(b) &&
+      backDf.toString.map(_.toByte).toArray.sameElements(b)
+  }
+
+  property("gunzip/inflate never throw on arbitrary garbage bytes " +
+      "(null, not an exception)") = forAll(
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127)))) { b =>
+    GunzipToString.compute(b)   // must not throw
+    InflateToString.compute(b)  // must not throw (zlib then raw retry)
+    true
+  }
+
+  property("view encoders refuse non-view strings: any char above " +
+      "0xFF makes GzipBytes/DeflateBytes NULL") = forAll(
+    Gen.chooseNum(0x100, 0xD7FF)) { cp => // below the surrogate range
+    val s = UTF8String.fromString("ab" + cp.toChar + "cd")
+    GzipBytes.compute(s) == null && DeflateBytes.compute(s) == null
+  }
+
   property("DechunkBody never throws on arbitrary garbage (null, not " +
       "an exception)") = forAll(
     Gen.chooseNum(0, 120).flatMap(n =>
