@@ -176,9 +176,17 @@ object Bench {
     // only) for fresh-JVM subset runs when diagnosing cross-query pressure.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Optional EXACT-name exclusion (r17): the sf1+ decade runs must
+    // drop the declared quadratic calibration exhibits (x21-exact/x34/
+    // x40/x42/x80) from BOTH engines — their DuckDB mirrors alone
+    // exceed the oracle window at 50k docs, and a prefix filter cannot
+    // express "everything but five names".
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = GraftSession.getOrCreate()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith)) }
+      only.forall(_.exists(n.startsWith)) && !skip.contains(n) }
     // Warmup pass: run every query once untimed so the timed pass measures
     // steady-state execution, not one-time JVM/JIT/codegen compilation —
     // the standard methodology for JVM engine benchmarks (a long-running
