@@ -241,4 +241,112 @@ object CrawlOps {
       .select("url", "n_captures", "n_changes", "span_days",
         "staleness_days", "change_rate_bp", "priority", "declared_newer")
   }
+
+  /** Crawler-TRAP detection by URL-template explosion (Heydon &
+    * Najork's Mercator §3.3 names the problem; calendar pages, session
+    * ids, and faceted navigation mint unbounded URL spaces whose pages
+    * are near-identical): collapse each URL to its TEMPLATE — path
+    * with every digit run replaced by `{n}`, plus the SORTED query
+    * parameter NAMES (values stripped; the canonicalizer already
+    * dropped tracking params) — and measure, per (registered domain,
+    * template), how many distinct URLs it mints vs how many distinct
+    * payloads those URLs actually serve. A template minting many URLs
+    * over few payloads is a trap: the frontier should cap or skip it.
+    *
+    * Input: ONE row per distinct URL — `(urlCol, digestCol)`, the
+    * payload digest of its capture (dedupe upstream; a URL inventory,
+    * not a capture log). Output per (reg_domain, template):
+    *
+    *  - `n_urls`, `n_digests` (exact distinct payload count);
+    *  - `distinct_bp = n_digests · 10000 div n_urls` — integral basis
+    *    points (the cross-engine convention);
+    *  - `is_trap` — at least `minUrls` URLs AND `distinct_bp` at most
+    *    `maxDistinctBp` (defaults 20 / 2000: ≥20 URLs serving ≤20%
+    *    distinct content).
+    *
+    * Scale shape: ONE (domain, template, digest)-keyed combinable
+    * pre-aggregation, then one (domain, template) rollup — the
+    * two-stage form of `count(DISTINCT digest)` (no Expand, the x56
+    * lesson), both map-side combinable. Templates are bounded by site
+    * structure, not corpus size; the hot templates are the traps
+    * themselves, each collapsing to one row per distinct digest.
+    */
+  def trapTemplates(urls: DataFrame, urlCol: String = "url",
+                    digestCol: String = "digest", minUrls: Long = 20L,
+                    maxDistinctBp: Long = 2000L): DataFrame = {
+    require(minUrls >= 2, s"minUrls must be >= 2, got $minUrls")
+    require(maxDistinctBp >= 0 && maxDistinctBp <= 10000,
+      s"maxDistinctBp must be in [0, 10000], got $maxDistinctBp")
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val rawQuery = regexp_extract(col(urlCol), "^[^#]*?\\?([^#]*)", 1)
+    val qNames = array_join(array_sort(transform(
+      filter(split(rawQuery, "&"), p => p =!= ""),
+      p => regexp_extract(p, "^([^=]*)", 1))), "&")
+    val tmpl = concat(
+      regexp_replace(path, "[0-9]+", "{n}"),
+      when(qNames =!= "", concat(lit("?"), qNames)).otherwise(lit("")))
+    val perDigest = urls
+      .select(UrlOps.domainOf(col(urlCol)).as("reg_domain"),
+        tmpl.as("template"), col(digestCol).as("__digest"))
+      .groupBy("reg_domain", "template", "__digest")
+      .agg(count(lit(1)).as("__n_urls"))
+    perDigest
+      .groupBy("reg_domain", "template")
+      .agg(sum("__n_urls").as("n_urls"),
+        count(lit(1)).as("n_digests"))
+      .withColumn("distinct_bp",
+        expr("n_digests * 10000 div greatest(n_urls, 1L)"))
+      .withColumn("is_trap", col("n_urls") >= minUrls &&
+        col("distinct_bp") <= maxDistinctBp)
+  }
+
+  /** Conditional-revalidation planning: turn the LAST capture's cache
+    * validators into the If-None-Match / If-Modified-Since plan the
+    * next fetch should carry (RFC 9111 §4.3.1 — a 304 answer costs
+    * headers, not a body; at crawl scale most refetches of unchanged
+    * pages should be 304s), ranked by [[recrawlPriority]]. Per URL:
+    *
+    *  - the validators of the LATEST capture (capture-date order,
+    *    ties broken by `digestCol` descending — deterministic);
+    *  - `mode` — `if-none-match` when that capture carried an ETag
+    *    (the stronger validator, RFC 9110 §13.1.1's preference),
+    *    `if-modified-since` when only Last-Modified, `unconditional`
+    *    when the server sent neither;
+    *  - `validator` — the header value the conditional carries (NULL
+    *    for unconditional);
+    *  - `priority` — the [[recrawlPriority]] score over the same
+    *    capture history (`sitemapLastmod` passed through).
+    *
+    * Input: one row per capture — `(urlCol, dateCol, digestCol,
+    * etagCol, lastModCol)`; validator columns NULL when the response
+    * lacked the header. Scale shape: the latest-capture window, the
+    * priority aggregation, and the final join are ALL url-keyed — one
+    * shuffle family, co-partitioned end to end.
+    */
+  def revalidationPlan(captures: DataFrame, now: String,
+                       urlCol: String = "url",
+                       dateCol: String = "capture_date",
+                       digestCol: String = "digest",
+                       etagCol: String = "etag",
+                       lastModCol: String = "last_modified",
+                       sitemapLastmod: DataFrame = null): DataFrame = {
+    val w = Window.partitionBy(urlCol)
+      .orderBy(col(dateCol).desc, col(digestCol).desc)
+    val latest = captures
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(urlCol).as("url"), col(etagCol).as("__etag"),
+        col(lastModCol).as("__lm"))
+    val pri = recrawlPriority(captures, now, urlCol, dateCol, digestCol,
+      sitemapLastmod)
+    latest.join(pri, Seq("url"))
+      .withColumn("mode",
+        when(col("__etag").isNotNull, lit("if-none-match"))
+          .when(col("__lm").isNotNull, lit("if-modified-since"))
+          .otherwise(lit("unconditional")))
+      .withColumn("validator", coalesce(col("__etag"), col("__lm")))
+      .select("url", "mode", "validator", "staleness_days",
+        "change_rate_bp", "priority")
+  }
 }

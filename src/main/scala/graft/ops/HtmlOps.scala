@@ -90,14 +90,7 @@ object HtmlOps {
   def c4KeptLines(docs: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 3, dedupLines: Boolean = true): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
-    val lines = docs
-      .select(col(idCol), posexplode(split(htmlToText(col(htmlCol)), "\n"))
-        .as(Seq("line_no", "__raw")))
-      .select(col(idCol), col("line_no").cast(LongType).as("line_no"),
-        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line"))
-      .filter(col("line").rlike("[.!?\"]$") &&
-        size(split(col("line"), " ")) >= minWords &&
-        !lower(col("line")).contains("javascript"))
+    val lines = keptLineStage(docs, idCol, Nil, htmlCol, minWords)
     if (!dedupLines) lines
     else {
       val w = Window.partitionBy(col("line"))
@@ -105,6 +98,82 @@ object HtmlOps {
       lines.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1).drop("__rk")
     }
+  }
+
+  /** The shared line stage of [[c4KeptLines]] and [[domainCleanPages]]:
+    * extract → split → normalize → the three line rules, with optional
+    * carried columns (a provenance key like the page's domain) riding
+    * along the narrow map. ONE definition of the line rules.
+    */
+  private def keptLineStage(docs: DataFrame, idCol: String,
+                            carry: Seq[String], htmlCol: String,
+                            minWords: Int): DataFrame = {
+    val keys = col(idCol) +: carry.map(col)
+    docs
+      .select(keys :+ posexplode(split(htmlToText(col(htmlCol)), "\n"))
+        .as(Seq("line_no", "__raw")): _*)
+      .select(keys ++ Seq(col("line_no").cast(LongType).as("line_no"),
+        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line")): _*)
+      .filter(col("line").rlike("[.!?\"]$") &&
+        size(split(col("line"), " ")) >= minWords &&
+        !lower(col("line")).contains("javascript"))
+  }
+
+  /** The shared page tier of [[c4Pages]] and [[domainCleanPages]]:
+    * reassemble each page from its surviving lines (line order) and
+    * apply the page rules — ≥ `minLines` lines, no curly brace, no
+    * "lorem ipsum". ONE definition.
+    */
+  private def pageStage(lines: DataFrame, idCol: String,
+                        minLines: Int): DataFrame = {
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    lines
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        concat_ws("\n", array_sort(collect_list(
+          struct(col("line_no"), col("line")))).getField("line")).as("text"))
+      .filter(col("n_lines") >= minLines &&
+        !col("text").contains("{") && !col("text").contains("}") &&
+        !lower(col("text")).contains("lorem ipsum"))
+  }
+
+  /** Per-DOMAIN boilerplate-line removal, then the C4 page tier: a
+    * line appearing on at least `minPages` DISTINCT pages of the same
+    * domain is site chrome (footers, legal banners, cookie notices —
+    * sentences that PASS every line rule on every page) and is dropped
+    * from ALL of them — the frequency-based removal published
+    * pipelines run at site granularity (CCNet §3.1 dedups paragraphs
+    * by hash across shards; RefinedWeb §3.1's line-wise corrections;
+    * C4's three-sentence policy is the cross-corpus cousin —
+    * [[c4KeptLines]]' dedupLines keeps ONE copy, this keeps NONE,
+    * because a site-repeated line is boilerplate everywhere, including
+    * its first page). Input must carry the page's domain in
+    * `domainCol` ([[UrlOps.domainOf]] upstream).
+    *
+    * Returns the [[c4Pages]] shape: `(idCol, n_lines, text)` for pages
+    * surviving the page rules after removal.
+    *
+    * Scale shape: ONE (domain, line)-keyed shuffle serves both the
+    * census (countDistinct page per line — a two-stage combinable
+    * aggregate) and the anti-join (same key, co-partitioned); the
+    * census output holds only lines crossing `minPages` — the
+    * boilerplate set, tiny by construction. Then one id-keyed shuffle
+    * reassembles pages. The hot (domain, line) keys are exactly the
+    * boilerplate lines this exists to kill, and each collapses to one
+    * census row.
+    */
+  def domainCleanPages(docs: DataFrame, idCol: String, htmlCol: String,
+                       domainCol: String, minPages: Int = 3,
+                       minWords: Int = 3, minLines: Int = 5): DataFrame = {
+    require(minPages >= 2, s"minPages must be >= 2, got $minPages")
+    val lines = keptLineStage(docs, idCol, Seq(domainCol), htmlCol, minWords)
+    val census = lines
+      .groupBy(col(domainCol), col("line"))
+      .agg(countDistinct(col(idCol)).as("__n_pages"))
+      .filter(col("__n_pages") >= minPages)
+      .select(col(domainCol), col("line"))
+    pageStage(lines.join(census, Seq(domainCol, "line"), "left_anti"),
+      idCol, minLines)
   }
 
   /** All `href` targets of `<a>` tags, in document order — the link
@@ -127,6 +196,98 @@ object HtmlOps {
   def baseHref(html: Column): Column =
     nullif(trim(regexp_extract(html,
       "(?is)<base\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"", 1)), lit(""))
+
+  /** The `content` list of the page's robots META tag (`<meta
+    * name="robots" content="...">` — the per-page indexing-directive
+    * channel every search/corpus pipeline honors alongside robots.txt;
+    * RFC 9309 §2.3.1 points to it, Google/Bing document the token
+    * set). Both attribute orders are matched (name-first and
+    * content-first — real pages emit both); the FIRST robots meta wins
+    * (the [[baseHref]] first-match convention). NULL when the page has
+    * no robots meta. The name value match is case-insensitive
+    * (`NAME="ROBOTS"` counts); a meta with a DIFFERENT name whose
+    * content merely contains the word "noindex" does NOT count — the
+    * name is part of the pattern, not a post-filter.
+    */
+  def metaRobotsContent(html: Column): Column =
+    nullif(coalesce(
+      nullif(regexp_extract(html,
+        "(?is)<meta\\s(?:[^>]*?\\s)?name\\s*=\\s*\"robots\"" +
+          "\\s(?:[^>]*?\\s)?content\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(html,
+        "(?is)<meta\\s(?:[^>]*?\\s)?content\\s*=\\s*\"([^\"]*)\"" +
+          "\\s(?:[^>]*?\\s)?name\\s*=\\s*\"robots\"", 1), lit(""))),
+      lit(""))
+
+  /** Whether `listStr`'s `sep`-separated token list contains `token`
+    * after per-token trim + lowercase — the robots-meta / rel-attribute
+    * token test (`noindex, nofollow` and `ugc nofollow` both hit their
+    * tokens; `noopener` does NOT contain `nofollow` — token equality,
+    * never substring).
+    */
+  private def hasToken(listStr: Column, sep: String, token: String): Column =
+    array_contains(transform(split(listStr, sep), t => lower(trim(t))),
+      token)
+
+  /** Page-level noindex: the robots meta declares `noindex` (or `none`,
+    * which means noindex + nofollow). false when no robots meta — the
+    * indexable default.
+    */
+  def metaNoindex(html: Column): Column = {
+    val c = metaRobotsContent(html)
+    when(c.isNull, lit(false))
+      .otherwise(hasToken(c, ",", "noindex") || hasToken(c, ",", "none"))
+  }
+
+  /** Page-level nofollow: the robots meta declares `nofollow` or
+    * `none` — EVERY link on the page is then excluded from the link
+    * graph (the page-level form of the per-anchor `rel="nofollow"`,
+    * [[extractAnchorRels]]). false when no robots meta.
+    */
+  def metaNofollow(html: Column): Column = {
+    val c = metaRobotsContent(html)
+    when(c.isNull, lit(false))
+      .otherwise(hasToken(c, ",", "nofollow") || hasToken(c, ",", "none"))
+  }
+
+  /** The page's declared canonical URL (`<link rel="canonical"
+    * href="...">` — RFC 6596; the publisher's own statement of which
+    * URL variant is the page of record, the signal URL-level dedup
+    * clusters on BEYOND syntactic canonicalization: `?page=2`, `/amp`,
+    * and `m.`-host variants all declare the same canonical). Both
+    * attribute orders matched; first match wins; NULL when absent or
+    * empty. The href may itself be relative — resolve against the
+    * page's effective base ([[UrlOps.effectiveBase]] +
+    * [[UrlOps.resolveUrl]]) before use.
+    */
+  def canonicalHref(html: Column): Column =
+    nullif(trim(coalesce(
+      nullif(regexp_extract(html,
+        "(?is)<link\\s(?:[^>]*?\\s)?rel\\s*=\\s*\"canonical\"" +
+          "\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(html,
+        "(?is)<link\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"" +
+          "\\s(?:[^>]*?\\s)?rel\\s*=\\s*\"canonical\"", 1), lit("")))),
+      lit(""))
+
+  /** The charset the PAGE declares, sniffed from the latin1-view bytes
+    * (meta tags are ASCII, so the view reads them exactly) — the
+    * WHATWG fallback when the HTTP Content-Type carries no `charset=`
+    * parameter (most real servers omit it; the bytes then self-declare
+    * via `<meta charset="utf-8">` or the legacy `<meta
+    * http-equiv="Content-Type" content="text/html; charset=...">`).
+    * ONE pattern covers both forms: the legacy form's `; charset=`
+    * inside the content attribute satisfies the same
+    * whitespace-then-`charset=` shape. Lowercased; NULL when the page
+    * declares nothing. Compose as `coalesce(headerCharset,
+    * metaCharset(view))` — the HTTP header WINS when present (WHATWG
+    * §13.2.3.2 precedence). Fidelity bound (regex tier): a non-meta
+    * attribute value containing ` charset=` would also match.
+    */
+  def metaCharset(html: Column): Column =
+    nullif(lower(regexp_extract(html,
+      "(?is)<meta\\s(?:[^>]*?\\s)?charset\\s*=\\s*\"?([A-Za-z0-9._-]+)",
+      1)), lit(""))
 
   def extractLinks(html: Column): Column =
     filter(
@@ -167,6 +328,35 @@ object HtmlOps {
         trim(regexp_replace(regexp_replace(
           regexp_extract(e, "(?is)^<a[^>]*>(.*)</a\\s*>$", 1),
           "<[^>]*>", " "), "\\s+", " ")).as("atext"))),
+      e => e.getField("href") =!= "")
+  }
+
+  /** `<a>` elements with their href AND their follow/nofollow status —
+    * the edge-admission signal of the link-graph tier:
+    * `rel="nofollow"` (and its `ugc`/`sponsored`-era token-list forms,
+    * e.g. `rel="ugc nofollow"`) tells crawlers the link conveys no
+    * endorsement, so ranking graphs (PageRank and kin) drop the edge
+    * while extraction keeps the text. Returns array<struct<href,
+    * nofollow>>: href as [[extractLinks]] extracts it; nofollow = the
+    * open tag's `rel` attribute token list (whitespace-separated, per
+    * the HTML spec) contains the `nofollow` TOKEN — `rel="noopener"`
+    * does not count (token equality, never substring). The rel is read
+    * from the element's OPEN tag only. Empty-href elements dropped;
+    * pure codegen'd column expression.
+    */
+  def extractAnchorRels(html: Column): Column = {
+    val elem = regexp_extract_all(html, lit(anchorElemRe), lit(0))
+    filter(
+      transform(elem, e => {
+        val open = regexp_extract(e, "(?is)^(<a[^>]*>)", 1)
+        struct(
+          trim(regexp_extract(open,
+            "(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\"", 1))
+            .as("href"),
+          hasToken(regexp_extract(open,
+            "(?is)\\srel\\s*=\\s*\"([^\"]*)\"", 1), "\\s+", "nofollow")
+            .as("nofollow"))
+      }),
       e => e.getField("href") =!= "")
   }
 
@@ -279,15 +469,7 @@ object HtmlOps {
     */
   def c4Pages(docs: DataFrame, idCol: String, htmlCol: String,
               minWords: Int = 3, minLines: Int = 5,
-              dedupLines: Boolean = true): DataFrame = {
-    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
-    c4KeptLines(docs, idCol, htmlCol, minWords, dedupLines)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        concat_ws("\n", array_sort(collect_list(
-          struct(col("line_no"), col("line")))).getField("line")).as("text"))
-      .filter(col("n_lines") >= minLines &&
-        !col("text").contains("{") && !col("text").contains("}") &&
-        !lower(col("text")).contains("lorem ipsum"))
-  }
+              dedupLines: Boolean = true): DataFrame =
+    pageStage(c4KeptLines(docs, idCol, htmlCol, minWords, dedupLines),
+      idCol, minLines)
 }
