@@ -2450,6 +2450,241 @@ object ExtensionQueries {
           min("canon_url").as("first_url"),
           max("canon_url").as("last_url"))
         .orderBy("hop", "path_kind")
+    },
+
+    // x153 — per-page robots META directives (r17; RFC 9309 §2.3.1's
+    // HTML channel): the noindex/nofollow admission flags an indexing
+    // or corpus pipeline honors alongside robots.txt. Seven arms
+    // cycle attribute order (name-first / content-first), case
+    // (NAME="ROBOTS", content="NONE"), the `none` combined token, an
+    // explicit allow, a DIFFERENT meta whose content contains the
+    // word "noindex" (name selectivity — must NOT count), and a
+    // `noindex-x` near-token (token equality, never substring).
+    "x153_meta_robots" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      d.select(col("doc_id"), metaRobotsFixture.as("html"))
+        .select(col("doc_id"),
+          HtmlOps.metaRobotsContent(col("html")).as("robots_content"),
+          HtmlOps.metaNoindex(col("html")).as("noindex"),
+          HtmlOps.metaNofollow(col("html")).as("nofollow"))
+        .orderBy("doc_id")
+    },
+
+    // x154 — nofollow-aware link graph (r17): `rel="nofollow"` anchors
+    // and page-level meta-nofollow pages contribute NO ranking edges
+    // (the endorsement rule PageRank-class graphs run on), while plain
+    // anchors do. Four anchors per page (plain cross-site, rel=
+    // nofollow cross-site, rel="ugc nofollow" token list same-site,
+    // rel="noopener noreferrer" same-site — which must NOT count);
+    // every 7th page declares meta nofollow, excluding ALL its edges.
+    // Rolled up per (src_domain, dst_domain).
+    "x154_nofollow_edges" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), nofollowBase.as("base"),
+        nofollowLinkFixture.as("html"))
+      val anchors = pages.select(col("base"),
+        HtmlOps.metaNofollow(col("html")).as("page_nofollow"),
+        explode(HtmlOps.extractAnchorRels(col("html"))).as("a"))
+      anchors
+        .select(col("base"), col("page_nofollow"),
+          col("a.nofollow").as("anchor_nofollow"),
+          UrlOps.canonicalizeUrl(UrlOps.resolveUrl(col("base"),
+            col("a.href"))).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(UrlOps.domainOf(col("base")).as("src_domain"),
+          UrlOps.domainOf(col("dst")).as("dst_domain"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(!col("page_nofollow") && !col("anchor_nofollow"), 1L)
+            .otherwise(0L)).as("n_followed"),
+          sum(when(col("anchor_nofollow"), 1L).otherwise(0L))
+            .as("n_anchor_nofollow"),
+          sum(when(col("page_nofollow"), 1L).otherwise(0L))
+            .as("n_page_nofollow"))
+        .orderBy("src_domain", "dst_domain")
+    },
+
+    // x155 — canonical-link clustering (r17; RFC 6596): URL variants
+    // that SYNTACTIC canonicalization cannot merge (?page=2 is a real
+    // query param, m.-host is a real host) all declare the same
+    // `<link rel="canonical">`, so declared-canonical clustering is
+    // the dedup tier ABOVE UrlOps.canonicalizeUrl. Three variants per
+    // article: the article itself (no canonical link — self by
+    // default), a ?page=2 variant with a ROOT-RELATIVE canonical
+    // href, and an m.-host variant with a PROTOCOL-RELATIVE one
+    // (href-before-rel attribute order) — both resolve through
+    // effectiveBase + resolveUrl like any reference.
+    "x155_canonical_cluster" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val v = col("doc_id") % 3
+      val gS = expr("doc_id div 3").cast("string")
+      val gm = expr("(doc_id div 3) % 5").cast("string")
+      val article = concat(lit("https://s"), gm, lit(".example-"), gm,
+        lit(".com/article/"), gS)
+      val pageUrl = when(v === 0, article)
+        .when(v === 1, concat(article, lit("?page=2")))
+        .otherwise(concat(lit("https://m.s"), gm, lit(".example-"), gm,
+          lit(".com/article/"), gS))
+      val canonTag = when(v === 1,
+          concat(lit("<link rel=\"canonical\" href=\"/article/"), gS,
+            lit("\">")))
+        .when(v === 2,
+          concat(lit("<link href=\"//s"), gm, lit(".example-"), gm,
+            lit(".com/article/"), gS, lit("\" rel=\"canonical\">")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), canonTag,
+        lit("</head><body><p>Variant "), v.cast("string"),
+        lit(" of article "), gS, lit(".</p></body></html>"))
+      d.select(pageUrl.as("url"), html.as("html"))
+        .select(col("url"),
+          UrlOps.canonicalizeUrl(coalesce(
+            UrlOps.resolveUrl(
+              UrlOps.effectiveBase(col("url"),
+                HtmlOps.baseHref(col("html"))),
+              HtmlOps.canonicalHref(col("html"))),
+            col("url"))).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"),
+          sum(when(col("url") === col("canonical"), 1L).otherwise(0L))
+            .as("n_self"),
+          min("url").as("first_variant"),
+          max("url").as("last_variant"))
+        .orderBy("canonical")
+    },
+
+    // x156 — meta-charset sniffing (r17; WHATWG §13.2.3.2): most real
+    // servers send `Content-Type: text/html` with NO charset — the
+    // bytes then self-declare via `<meta charset>` or the legacy
+    // http-equiv form, and the HTTP header WINS when present. Three
+    // arms: headerless UTF-8 bytes + modern meta; headerless
+    // windows-1252 bytes + legacy meta; a header-wins conflict
+    // (header iso-8859-1 beats a planted meta utf-8 — mis-precedence
+    // would mojibake the accent line). Same WARC → HTTP → decode →
+    // C4 chain as x147; oracle = the independent recompute.
+    "x156_meta_charset" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = WarcOps.responses(
+        warcMetaCharsetFixture(d), "file_id", "content")
+      val decoded = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          coalesce(col("charset"), HtmlOps.metaCharset(col("body")))
+            .as("charset_used"),
+          col("body"))
+        .select(col("doc_id"), col("charset_used"),
+          HttpOps.decodeBody(col("body"), col("charset_used")).as("html"))
+      HtmlOps.c4Pages(decoded, "doc_id", "html")
+        .join(decoded.select("doc_id", "charset_used"), Seq("doc_id"))
+        .select("doc_id", "charset_used", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x157 — per-domain boilerplate-line removal (r17;
+    // HtmlOps.domainCleanPages — the site-granularity frequency rule
+    // of CCNet §3.1 / RefinedWeb §3.1): two footer sentences repeat on
+    // EVERY page of a domain (dropped from all of them, first page
+    // included — unlike x128's keep-first corpus dedup), while a
+    // pair-keyed promo line appears on exactly TWO same-domain pages
+    // (under minPages — kept on both). Unique article paragraphs must
+    // survive untouched.
+    "x157_domain_boilerplate" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"),
+        concat(lit("example-"), (col("doc_id") % 5).cast("string"),
+          lit(".com")).as("dom"),
+        boilerplateFixture.as("html"))
+      HtmlOps.domainCleanPages(pages, "doc_id", "html", "dom")
+        .select("doc_id", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
+    // x158 — crawler-trap detection (r17; CrawlOps.trapTemplates —
+    // Mercator §3.3's trap problem): per (domain, URL template), how
+    // many URLs minted vs distinct payloads served. Three spaces per
+    // domain: articles (every URL its own payload — never a trap), a
+    // calendar space (every URL the SAME payload — flags once the
+    // domain mints >= 20), and a session-id query space (3 payloads —
+    // the sorted-param-NAMES template collapses every sid). Integral
+    // basis points; exact two-stage distinct.
+    "x158_trap_templates" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val m = (col("doc_id") % 5).cast("string")
+      val site = concat(lit("https://s"), m, lit(".example-"), m,
+        lit(".com"))
+      val idS = col("doc_id").cast("string")
+      val urls = d.select(explode(array(
+          struct(concat(site, lit("/art/"), idS).as("url"),
+            md5(concat(lit("a"), idS)).as("digest")),
+          struct(concat(site, lit("/cal/2020/"), idS).as("url"),
+            md5(concat(lit("cal"), m)).as("digest")),
+          struct(concat(site, lit("/list?sid="), idS, lit("&page=1"))
+              .as("url"),
+            md5(concat(lit("s"), m, (col("doc_id") % 3).cast("string")))
+              .as("digest")))).as("e"))
+        .select(col("e.url").as("url"), col("e.digest").as("digest"))
+      CrawlOps.trapTemplates(urls)
+        .orderBy("reg_domain", "template")
+    },
+
+    // x159 — conditional-revalidation planning (r17;
+    // CrawlOps.revalidationPlan — RFC 9111 §4.3.1): the next fetch of
+    // each stored URL carries If-None-Match when its LATEST capture
+    // had an ETag, If-Modified-Since when only Last-Modified,
+    // unconditional otherwise — ranked by the same capture-history
+    // priority as x149. The x149 three-capture synthesis, with ETags
+    // on a third of URLs and Last-Modified on two thirds (so every
+    // mode arm is populated and etag-beats-lastmod is exercised).
+    "x159_revalidation_plan" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val caps = d
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .withColumn("url", concat(lit("https://example.com/doc/"),
+          col("doc_id").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-01-"),
+          lpad((lit(1) + col("doc_id") % 9 + col("k") * 7)
+            .cast("string"), 2, "0")))
+        .withColumn("version",
+          when(col("doc_id") % 3 === 0, col("k"))
+            .when(col("doc_id") % 3 === 1,
+              when(col("k") >= 2, lit(1)).otherwise(lit(0)))
+            .otherwise(lit(0)))
+        .withColumn("digest", md5(concat(col("doc_id").cast("string"),
+          lit("_v"), col("version").cast("string"))))
+        .withColumn("etag",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\"v"), col("k").cast("string"), lit("-"),
+              col("doc_id").cast("string"), lit("\"")))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("last_modified",
+          when(col("doc_id") % 3 <= 1,
+            concat(lit("Wed, 0"), (lit(1) + col("k") * 2).cast("string"),
+              lit(" Jan 2020 00:00:00 GMT")))
+            .otherwise(lit(null).cast("string")))
+      CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
+    },
+
+    // x160 — domain-level PageRank (r17): collapse the page link
+    // graph to registered domains (inter-domain edges only, weight =
+    // page-edge count) and run the same exact integer power iteration
+    // — the domain ranking crawl schedulers actually prioritize by
+    // (Common Crawl publishes exactly this artifact). Same link
+    // synthesis as x142; 3 iterations over the 6-node domain graph.
+    "x160_domain_rank" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      val links = resolvedCanon(pages.select(col("base"),
+          explode(HtmlOps.extractLinks(col("html"))).as("ref")),
+        Seq("base"), "ref")
+      val domEdges = links
+        .select(UrlOps.domainOf(col("base")).as("src"),
+          UrlOps.domainOf(col("canon_url")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+      GraphOps.pageRankInt(domEdges, iterations = 3)
+        .orderBy("node")
     }
   )
 
@@ -2812,6 +3047,145 @@ object ExtensionQueries {
         "Content-Encoding: "), col("ce"),
       lit("\r\nContent-Length: "), length(col("body_view")).cast("string"),
       lit("\r\n\r\n"), col("body_view"))
+    val info = base.select(col("file_id")).distinct()
+      .select(col("file_id"), lit(-1L).as("ord_doc"),
+        warcRecordSynth("warcinfo", lit(null).cast("string"),
+          lit("2020-01-01T00:00:00Z"),
+          lit("software: graft-synth/1.0")).as("r"))
+    val resp = base.withColumn("__http", httpMsg)
+      .select(col("file_id"), col("doc_id").as("ord_doc"),
+        warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
+    info.unionByName(resp)
+      .groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ord_doc"), col("r")))).getField("r"))
+        .as("content"))
+  }
+
+  /** The robots-META synthesis for x153 — seven arms on `doc_id % 7`
+    * (see the query comment), mirrored verbatim by the x153 oracle.
+    */
+  private def metaRobotsFixture: Column = {
+    val arm = col("doc_id") % 7
+    concat(
+      lit("<html><head><title>t</title>"),
+      when(arm === 0,
+          lit("<meta name=\"viewport\" content=\"noindex trap\">"))
+        .when(arm === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+        .when(arm === 2, lit("<meta content=\"nofollow\" name=\"robots\">"))
+        .when(arm === 3,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(arm === 4, lit("<meta NAME=\"ROBOTS\" content=\"NONE\">"))
+        .when(arm === 5,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit("<meta name=\"robots\" content=\"noindex-x\">")),
+      lit("</head><body><p>Doc "), col("doc_id").cast("string"),
+      lit(" body text here.</p></body></html>"))
+  }
+
+  /** The page URL for the x154 nofollow fixture. */
+  private def nofollowBase: Column = {
+    val m = (col("doc_id") % 5).cast("string")
+    concat(lit("https://s"), m, lit(".example-"), m, lit(".com/p/"),
+      col("doc_id").cast("string"))
+  }
+
+  /** The anchor-rel synthesis for x154 — four anchors per page (plain
+    * cross-site, rel="nofollow" cross-site, rel="ugc nofollow"
+    * root-relative, rel="noopener noreferrer" root-relative) plus a
+    * meta-nofollow head on every 7th page. Mirrored verbatim by the
+    * x154 oracle.
+    */
+  private def nofollowLinkFixture: Column = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val n1 = ((id + 1) % 5).cast("string")
+    val nextSite = concat(lit("https://s"), n1, lit(".example-"), n1,
+      lit(".com"))
+    concat(
+      lit("<html><head>"),
+      when(id % 7 === 0,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .otherwise(lit("")),
+      lit("</head><body>"),
+      lit("<a href=\""), nextSite, lit("/f/"), idS, lit("\">plain</a>"),
+      lit("<a href=\""), nextSite, lit("/nf/"), idS,
+      lit("\" rel=\"nofollow\">nf</a>"),
+      lit("<a rel=\"ugc nofollow\" href=\"/ugc/"), idS, lit("\">ugc</a>"),
+      lit("<a href=\"/ok/"), idS,
+      lit("\" rel=\"noopener noreferrer\">ok</a>"),
+      lit("</body></html>"))
+  }
+
+  /** The per-doc-unique-paragraphs + planted-boilerplate synthesis for
+    * x157: two footer sentences keyed by the page's domain (repeat on
+    * every page of the domain → dropped), one promo line keyed by
+    * (doc_id div 10, doc_id % 5) — exactly TWO same-domain pages share
+    * it (doc_id and doc_id+5 within each block of 10) → under
+    * minPages, kept. Mirrored verbatim by the x157 oracle.
+    */
+  private def boilerplateFixture: Column = {
+    val m = (col("doc_id") % 5).cast("string")
+    val pair = concat(expr("doc_id div 10").cast("string"), lit("-"), m)
+    concat(
+      lit("<html><body><p>"),
+      replace(col("text"), lit(" window "), lit(".</p><p>")),
+      lit(".</p>"),
+      lit("<p>Every visitor must accept the cookie policy of site "),
+      m, lit(" now.</p>"),
+      lit("<p>All content on site "), m,
+      lit(" is reserved by the owners.</p>"),
+      lit("<p>Pair "), pair,
+      lit(" subscribers receive the special promo today.</p>"),
+      lit("</body></html>"))
+  }
+
+  /** The meta-charset synthesis for x156, three arms on `doc_id % 3`,
+    * each in the LATIN1-VIEW convention (the warcCharsetFixture
+    * mechanics):
+    *
+    *  - arm 0: the accent page as REAL UTF-8 bytes, header
+    *    `Content-Type: text/html` (NO charset), `<meta
+    *    charset="utf-8">` planted — decode must route via the meta;
+    *  - arm 1: the cp1252 page as REAL windows-1252 bytes, headerless
+    *    again, the LEGACY `http-equiv` meta form planted;
+    *  - arm 2: the accent page as latin1 bytes, header DECLARES
+    *    iso-8859-1 while a planted meta claims utf-8 — the header
+    *    must win (WHATWG precedence; mis-precedence turns every
+    *    accent byte into U+FFFD and the hash catches it).
+    */
+  private def warcMetaCharsetFixture(d: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val arm = col("doc_id") % 3
+    val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(AccentLineHead), idStr, lit(AccentLineTail)))
+    val htmlCp = regexp_replace(htmlFixture, lit("</body></html>$"),
+      concat(lit(Cp1252LineHead), idStr, lit(Cp1252LineTail)))
+    val metaModern = "<meta charset=\"utf-8\">"
+    val metaLegacy = "<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\">"
+    val html = when(arm === 1,
+        regexp_replace(htmlCp, lit("^<html><head>"),
+          lit("<html><head>" + metaLegacy)))
+      .otherwise(regexp_replace(htmlAcc, lit("^<html><head>"),
+        lit("<html><head>" + metaModern)))
+    val base = d.select(col("doc_id"),
+      (col("doc_id") / 8).cast(LongType).as("file_id"), html.as("html"))
+    val uriC = concat(lit("https://example.com/doc/"), idStr)
+    val dateC = concat(lit("2020-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val view = when(arm === 0,
+        decode(encode(col("html"), "UTF-8"), "ISO-8859-1"))
+      .when(arm === 1, translate(col("html"),
+        HttpOps.Cp1252Chars, HttpOps.Cp1252ViewChars))
+      .otherwise(col("html"))
+    val ct = when(arm === 2, lit("text/html; charset=iso-8859-1"))
+      .otherwise(lit("text/html"))
+    val httpMsg = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+      lit("\r\nContent-Length: "), length(view).cast("string"),
+      lit("\r\n\r\n"), view)
     val info = base.select(col("file_id")).distinct()
       .select(col("file_id"), lit(-1L).as("ord_doc"),
         warcRecordSynth("warcinfo", lit(null).cast("string"),
@@ -6299,7 +6673,322 @@ object ExtensionQueries {
         |   count(*)::BIGINT n_scheduled,
         |   sum(CASE WHEN fetched THEN 1 ELSE 0 END)::BIGINT n_fetched,
         |   min(canon_url) first_url, max(canon_url) last_url
-        | FROM sched GROUP BY 1, 2 ORDER BY hop, path_kind""".stripMargin
+        | FROM sched GROUP BY 1, 2 ORDER BY hop, path_kind""".stripMargin,
+
+    // x153 mirror: the same seven-arm synthesis, DuckDB's own
+    // two-order robots-meta extraction (identical patterns) and the
+    // same per-token trim+lower list test.
+    "x153_meta_robots" ->
+      s"""WITH mr AS (SELECT doc_id,
+        |     '<html><head><title>t</title>' ||
+        |     (CASE (doc_id % 7)
+        |       WHEN 0 THEN '<meta name="viewport" content="noindex trap">'
+        |       WHEN 1 THEN '<meta name="robots" content="noindex">'
+        |       WHEN 2 THEN '<meta content="nofollow" name="robots">'
+        |       WHEN 3 THEN '<meta name="robots" content="noindex, nofollow">'
+        |       WHEN 4 THEN '<meta NAME="ROBOTS" content="NONE">'
+        |       WHEN 5 THEN '<meta name="robots" content="index, follow">'
+        |       ELSE '<meta name="robots" content="noindex-x">' END) ||
+        |     '</head><body><p>Doc ' || doc_id::VARCHAR ||
+        |     ' body text here.</p></body></html>' AS html
+        |   FROM documents),
+        | mc AS (SELECT doc_id, nullif(coalesce(
+        |     nullif(regexp_extract(html,
+        |       '(?is)<meta\\s(?:[^>]*?\\s)?name\\s*=\\s*"robots"\\s(?:[^>]*?\\s)?content\\s*=\\s*"([^"]*)"',
+        |       1), ''),
+        |     nullif(regexp_extract(html,
+        |       '(?is)<meta\\s(?:[^>]*?\\s)?content\\s*=\\s*"([^"]*)"\\s(?:[^>]*?\\s)?name\\s*=\\s*"robots"',
+        |       1), '')), '') AS rc
+        |   FROM mr)
+        | SELECT doc_id, rc AS robots_content,
+        |   CASE WHEN rc IS NULL THEN false ELSE
+        |     list_contains(list_transform(string_split(rc, ','),
+        |       t -> lower(trim(t))), 'noindex') OR
+        |     list_contains(list_transform(string_split(rc, ','),
+        |       t -> lower(trim(t))), 'none') END AS noindex,
+        |   CASE WHEN rc IS NULL THEN false ELSE
+        |     list_contains(list_transform(string_split(rc, ','),
+        |       t -> lower(trim(t))), 'nofollow') OR
+        |     list_contains(list_transform(string_split(rc, ','),
+        |       t -> lower(trim(t))), 'none') END AS nofollow
+        | FROM mc ORDER BY doc_id""".stripMargin,
+
+    // x154 mirror: the same four-anchor synthesis, DuckDB's own
+    // anchor-element extraction, open-tag slice, whitespace-token rel
+    // test, page-meta test, the absolute/root-relative resolve arms
+    // the fixture plants, and the identical rollup.
+    "x154_nofollow_edges" ->
+      s"""WITH nf1 AS (SELECT doc_id,
+        |     'https://s' || (doc_id % 5)::VARCHAR || '.example-' ||
+        |       (doc_id % 5)::VARCHAR || '.com/p/' || doc_id::VARCHAR
+        |       AS base,
+        |     '<html><head>' ||
+        |     (CASE WHEN doc_id % 7 = 0
+        |       THEN '<meta name="robots" content="nofollow">'
+        |       ELSE '' END) ||
+        |     '</head><body>' ||
+        |     '<a href="https://s' || ((doc_id + 1) % 5)::VARCHAR ||
+        |       '.example-' || ((doc_id + 1) % 5)::VARCHAR || '.com/f/' ||
+        |       doc_id::VARCHAR || '">plain</a>' ||
+        |     '<a href="https://s' || ((doc_id + 1) % 5)::VARCHAR ||
+        |       '.example-' || ((doc_id + 1) % 5)::VARCHAR || '.com/nf/' ||
+        |       doc_id::VARCHAR || '" rel="nofollow">nf</a>' ||
+        |     '<a rel="ugc nofollow" href="/ugc/' || doc_id::VARCHAR ||
+        |       '">ugc</a>' ||
+        |     '<a href="/ok/' || doc_id::VARCHAR ||
+        |       '" rel="noopener noreferrer">ok</a>' ||
+        |     '</body></html>' AS html
+        |   FROM documents),
+        | nfp AS (SELECT doc_id, base, html,
+        |     nullif(coalesce(
+        |       nullif(regexp_extract(html,
+        |         '(?is)<meta\\s(?:[^>]*?\\s)?name\\s*=\\s*"robots"\\s(?:[^>]*?\\s)?content\\s*=\\s*"([^"]*)"',
+        |         1), ''),
+        |       nullif(regexp_extract(html,
+        |         '(?is)<meta\\s(?:[^>]*?\\s)?content\\s*=\\s*"([^"]*)"\\s(?:[^>]*?\\s)?name\\s*=\\s*"robots"',
+        |         1), '')), '') AS rc
+        |   FROM nf1),
+        | nfm AS (SELECT doc_id, base, html,
+        |     CASE WHEN rc IS NULL THEN false ELSE
+        |       list_contains(list_transform(string_split(rc, ','),
+        |         t -> lower(trim(t))), 'nofollow') OR
+        |       list_contains(list_transform(string_split(rc, ','),
+        |         t -> lower(trim(t))), 'none') END AS pnf
+        |   FROM nfp),
+        | ae AS (SELECT base, pnf, unnest(regexp_extract_all(html,
+        |     '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"[^"]*"[^>]*>.*?</a\\s*>',
+        |     0)) e
+        |   FROM nfm),
+        | ao AS (SELECT base, pnf,
+        |     regexp_extract(e, '(?is)^(<a[^>]*>)', 1) op FROM ae),
+        | ax AS (SELECT base, pnf,
+        |     trim(regexp_extract(op,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1)) href,
+        |     list_contains(list_transform(string_split_regex(
+        |       regexp_extract(op, '(?is)\\srel\\s*=\\s*"([^"]*)"', 1),
+        |       '\\s+'), t -> lower(trim(t))), 'nofollow') anf
+        |   FROM ao),
+        | ax2 AS (SELECT base, pnf, anf,
+        |     CASE WHEN regexp_matches(href,
+        |         '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+        |       ELSE regexp_extract(base,
+        |         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+        |     END AS dst
+        |   FROM ax WHERE href <> '')
+        | SELECT
+        |   regexp_extract(regexp_extract(base, '^[a-z]+://([^/]+)', 1),
+        |     '([^.]+\\.[^.]+)$$', 1) AS src_domain,
+        |   regexp_extract(regexp_extract(dst, '^[a-z]+://([^/]+)', 1),
+        |     '([^.]+\\.[^.]+)$$', 1) AS dst_domain,
+        |   count(*)::BIGINT n_edges,
+        |   sum(CASE WHEN NOT pnf AND NOT anf THEN 1 ELSE 0 END)::BIGINT
+        |     n_followed,
+        |   sum(CASE WHEN anf THEN 1 ELSE 0 END)::BIGINT n_anchor_nofollow,
+        |   sum(CASE WHEN pnf THEN 1 ELSE 0 END)::BIGINT n_page_nofollow
+        | FROM ax2 GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin,
+
+    // x155 mirror: the same three-variant synthesis; the canonical is
+    // the article URL by construction for every variant (v=0 self,
+    // v=1 root-relative resolve, v=2 protocol-relative resolve), so
+    // the mirror groups on it directly — a Spark-side extraction or
+    // resolve defect lands on a different canonical and the hash
+    // catches it.
+    "x155_canonical_cluster" ->
+      s"""WITH cc AS (SELECT doc_id, (doc_id % 3) v,
+        |     (doc_id // 3) g, ((doc_id // 3) % 5) gm FROM documents),
+        | cu AS (SELECT doc_id, v,
+        |     'https://s' || gm::VARCHAR || '.example-' || gm::VARCHAR ||
+        |       '.com/article/' || g::VARCHAR AS article,
+        |     CASE v
+        |       WHEN 0 THEN 'https://s' || gm::VARCHAR || '.example-' ||
+        |         gm::VARCHAR || '.com/article/' || g::VARCHAR
+        |       WHEN 1 THEN 'https://s' || gm::VARCHAR || '.example-' ||
+        |         gm::VARCHAR || '.com/article/' || g::VARCHAR || '?page=2'
+        |       ELSE 'https://m.s' || gm::VARCHAR || '.example-' ||
+        |         gm::VARCHAR || '.com/article/' || g::VARCHAR
+        |     END AS url
+        |   FROM cc)
+        | SELECT article AS canonical, count(*)::BIGINT n_variants,
+        |   sum(CASE WHEN url = article THEN 1 ELSE 0 END)::BIGINT n_self,
+        |   min(url) first_variant, max(url) last_variant
+        | FROM cu GROUP BY article ORDER BY canonical""".stripMargin,
+
+    // x156 mirror: the independently-recomputed page target (the x147
+    // convention — the byte round trips are the Spark side's to
+    // prove) plus the arm-determined charset the sniff must land on.
+    "x156_meta_charset" ->
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     CASE WHEN doc_id % 3 = 1
+        |       THEN '$Cp1252LineHead' || doc_id::VARCHAR ||
+        |         '$Cp1252LineTail'
+        |       ELSE '$AccentLineHead' || doc_id::VARCHAR ||
+        |         '$AccentLineTail' END)
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
+        | k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
+        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |     string_agg(line, chr(10) ORDER BY line_no) AS text
+        |   FROM k GROUP BY doc_id)
+        | SELECT doc_id,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'utf-8'
+        |     WHEN 1 THEN 'windows-1252'
+        |     ELSE 'iso-8859-1' END AS charset_used,
+        |   n_lines, text FROM pg
+        | WHERE n_lines >= 5 AND NOT contains(text, '{')
+        |   AND NOT contains(text, '}')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        | ORDER BY doc_id""".stripMargin,
+
+    // x157 mirror: the same synthesis, the shared strip/line CTEs,
+    // DuckDB's own per-domain line census (count DISTINCT pages per
+    // (domain, line), >= 3), NOT-EXISTS removal, and the same page
+    // tail WITHOUT the corpus keep-first dedup (domainCleanPages
+    // removes, never keeps-first).
+    "x157_domain_boilerplate" ->
+      s"""WITH hb AS (SELECT doc_id,
+        |     '<html><body><p>' ||
+        |     replace(text, ' window ', '.</p><p>') || '.</p>' ||
+        |     '<p>Every visitor must accept the cookie policy of site ' ||
+        |       (doc_id % 5)::VARCHAR || ' now.</p>' ||
+        |     '<p>All content on site ' || (doc_id % 5)::VARCHAR ||
+        |       ' is reserved by the owners.</p>' ||
+        |     '<p>Pair ' || (doc_id // 10)::VARCHAR || '-' ||
+        |       (doc_id % 5)::VARCHAR ||
+        |       ' subscribers receive the special promo today.</p>' ||
+        |     '</body></html>' AS html
+        |   FROM documents),
+        | ${htmlStripCtesSql("hb")},
+        | cen AS (SELECT (doc_id % 5) dom, line FROM kept
+        |   GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+        | kl AS (SELECT k.doc_id, k.line_no, k.line FROM kept k
+        |   WHERE NOT EXISTS (SELECT 1 FROM cen c
+        |     WHERE c.dom = (k.doc_id % 5) AND c.line = k.line)),
+        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |     string_agg(line, chr(10) ORDER BY line_no) AS text
+        |   FROM kl GROUP BY doc_id)
+        | SELECT doc_id, n_lines, text FROM pg
+        | WHERE n_lines >= 5 AND NOT contains(text, '{')
+        |   AND NOT contains(text, '}')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        | ORDER BY doc_id""".stripMargin,
+
+    // x158 mirror: the synthesis constructs the templates the Spark
+    // side must COMPUTE (digit runs -> {n}, sorted query names) — a
+    // template-kernel defect lands on different strings and the hash
+    // catches it; the rollup is the same exact two-stage distinct.
+    "x158_trap_templates" ->
+      s"""WITH tu AS (
+        |   SELECT (doc_id % 5) m, '/art/{n}' tmpl,
+        |     md5('a' || doc_id::VARCHAR) digest FROM documents
+        |   UNION ALL SELECT (doc_id % 5), '/cal/{n}/{n}',
+        |     md5('cal' || (doc_id % 5)::VARCHAR) FROM documents
+        |   UNION ALL SELECT (doc_id % 5), '/list?page&sid',
+        |     md5('s' || (doc_id % 5)::VARCHAR || (doc_id % 3)::VARCHAR)
+        |     FROM documents),
+        | g AS (SELECT 'example-' || m::VARCHAR || '.com' reg_domain,
+        |     tmpl AS "template", count(*)::BIGINT n_urls,
+        |     count(DISTINCT digest)::BIGINT n_digests
+        |   FROM tu GROUP BY 1, 2)
+        | SELECT reg_domain, "template", n_urls, n_digests,
+        |   ((n_digests * 10000) // greatest(n_urls, 1))::BIGINT
+        |     distinct_bp,
+        |   (n_urls >= 20 AND
+        |    ((n_digests * 10000) // greatest(n_urls, 1)) <= 2000)
+        |     AS is_trap
+        | FROM g ORDER BY reg_domain, "template"""".stripMargin,
+
+    // x159 mirror: the x149 capture synthesis with validator arms,
+    // DuckDB's own latest-capture window (same date-desc digest-desc
+    // tie-break), the etag-beats-lastmod mode CASE, and the same
+    // integral priority chain (no sitemap table -> no bonus).
+    "x159_revalidation_plan" ->
+      s"""WITH caps AS (SELECT
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     '2020-01-' ||
+        |       lpad((1 + (doc_id % 9) + t.k * 7)::VARCHAR, 2, '0')
+        |       AS capture_date,
+        |     md5(doc_id::VARCHAR || '_v' ||
+        |       (CASE WHEN doc_id % 3 = 0 THEN t.k
+        |             WHEN doc_id % 3 = 1 THEN
+        |               (CASE WHEN t.k >= 2 THEN 1 ELSE 0 END)
+        |             ELSE 0 END)::VARCHAR) AS digest,
+        |     CASE WHEN doc_id % 3 = 0 THEN '"v' || t.k::VARCHAR || '-' ||
+        |       doc_id::VARCHAR || '"' END AS etag,
+        |     CASE WHEN doc_id % 3 <= 1 THEN 'Wed, 0' ||
+        |       (1 + t.k * 2)::VARCHAR || ' Jan 2020 00:00:00 GMT'
+        |       END AS lm
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | lt AS (SELECT url, etag, lm, row_number() OVER
+        |     (PARTITION BY url ORDER BY capture_date DESC, digest DESC)
+        |     rk FROM caps),
+        | l1 AS (SELECT url, etag, lm FROM lt WHERE rk = 1),
+        | lg AS (SELECT url, capture_date, digest,
+        |     lag(digest) OVER (PARTITION BY url ORDER BY capture_date)
+        |       AS prev
+        |   FROM caps),
+        | ag AS (SELECT url, count(*)::BIGINT n_captures,
+        |     sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+        |       THEN 1 ELSE 0 END)::BIGINT n_changes,
+        |     min(capture_date) f, max(capture_date) l
+        |   FROM lg GROUP BY url),
+        | ag2 AS (SELECT url, n_changes,
+        |     date_diff('day', f::DATE, l::DATE)::BIGINT span_days,
+        |     date_diff('day', l::DATE, DATE '2020-02-15')::BIGINT
+        |       staleness_days
+        |   FROM ag)
+        | SELECT a.url,
+        |   CASE WHEN l1.etag IS NOT NULL THEN 'if-none-match'
+        |        WHEN l1.lm IS NOT NULL THEN 'if-modified-since'
+        |        ELSE 'unconditional' END AS mode,
+        |   coalesce(l1.etag, l1.lm) AS validator,
+        |   staleness_days,
+        |   ((n_changes * 10000) // greatest(span_days, 1))::BIGINT
+        |     change_rate_bp,
+        |   (staleness_days *
+        |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
+        |     priority
+        | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x160 mirror: the x142 link synthesis and canon chain, collapsed
+    // to inter-domain edges (weight = page-edge count), then THREE
+    // unrolled integer power iterations with the same base/damping
+    // constants.
+    "x160_domain_rank" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | de0 AS (SELECT lb.src_domain AS s, u.reg_domain AS t
+        |   FROM ur u JOIN lb USING (doc_id)
+        |   WHERE u.canon_url IS NOT NULL AND lb.src_domain <> u.reg_domain),
+        | de AS (SELECT s AS src, t AS dst, count(*)::BIGINT w FROM de0
+        |   GROUP BY s, t),
+        | dn AS (SELECT src AS node FROM de
+        |   UNION SELECT dst FROM de),
+        | dow AS (SELECT src, sum(w)::BIGINT out_w FROM de GROUP BY src),
+        | dr0 AS (SELECT node, 1000000::BIGINT r FROM dn),
+        | di1 AS (SELECT de.dst AS node,
+        |     sum((dr0.r * de.w) // dow.out_w)::BIGINT s
+        |   FROM de JOIN dr0 ON de.src = dr0.node
+        |   JOIN dow ON de.src = dow.src GROUP BY de.dst),
+        | dr1 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(di1.s, 0)) // 100)::BIGINT r
+        |   FROM dn n LEFT JOIN di1 USING (node)),
+        | di2 AS (SELECT de.dst AS node,
+        |     sum((dr1.r * de.w) // dow.out_w)::BIGINT s
+        |   FROM de JOIN dr1 ON de.src = dr1.node
+        |   JOIN dow ON de.src = dow.src GROUP BY de.dst),
+        | dr2 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(di2.s, 0)) // 100)::BIGINT r
+        |   FROM dn n LEFT JOIN di2 USING (node)),
+        | di3 AS (SELECT de.dst AS node,
+        |     sum((dr2.r * de.w) // dow.out_w)::BIGINT s
+        |   FROM de JOIN dr2 ON de.src = dr2.node
+        |   JOIN dow ON de.src = dow.src GROUP BY de.dst),
+        | dr3 AS (SELECT n.node,
+        |     (150000 + (85 * coalesce(di3.s, 0)) // 100)::BIGINT r
+        |   FROM dn n LEFT JOIN di3 USING (node))
+        | SELECT node, r AS rank FROM dr3 ORDER BY node""".stripMargin
   )
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the
