@@ -566,4 +566,77 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"redirect loop cartesian:\n$p")
     assert(p.contains("Scan ExistingRDD"), s"hops not checkpointed:\n$p")
   }
+
+  test("x153: the robots-meta tier is join-free — flags ride the " +
+      "projections as narrow regex work") {
+    val p = plan(ExtensionQueries.queries, "x153_meta_robots")
+    assert(!p.contains("Join"), s"the meta tier planned a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"narrow map planned a hash shuffle:\n$p")
+  }
+
+  test("x154: the nofollow rollup is ONE combinable aggregation over " +
+      "the exploded anchors — no join, no Expand") {
+    val p = plan(ExtensionQueries.queries, "x154_nofollow_edges")
+    assert(!p.contains("Join"), s"the edge rollup planned a join:\n$p")
+    assert(!p.contains("Expand"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("x155: canonical clustering is ONE canonical-keyed aggregation " +
+      "— the resolve/extract work rides the projections") {
+    val p = plan(ExtensionQueries.queries, "x155_canonical_cluster")
+    assert(!p.contains("Join"), s"clustering planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("x156: the meta-charset chain keeps the decode routing in-plan " +
+      "and every join id-keyed — no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x156_meta_charset")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ISO-8859-1"), s"charset routing not in plan:\n$p")
+  }
+
+  test("x157: domain boilerplate removal is an anti-join on the census " +
+      "key — no Expand (single-distinct census), no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x157_domain_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+    assert(p.contains("LeftAnti"), s"census removal is not an anti-join:\n$p")
+  }
+
+  test("x158: trap detection is the two-stage distinct — combinable " +
+      "aggs only, no Expand, no join") {
+    val p = plan(ExtensionQueries.queries, "x158_trap_templates")
+    assert(!p.contains("Join"), s"trap rollup planned a join:\n$p")
+    assert(!p.contains("Expand"), s"count_distinct Expand crept in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected pre-agg + rollup exchanges, got $exchanges:\n$p")
+  }
+
+  test("x159: the revalidation plan stays url-keyed end to end — the " +
+      "latest-capture window, priority agg, and join share one key") {
+    val p = plan(ExtensionQueries.queries, "x159_revalidation_plan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every hash exchange is keyed on url
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("url")),
+      s"non-url exchange key in $keys:\n$p")
+  }
+
+  test("x160: domain PageRank iterations read the checkpointed edge " +
+      "list — no re-derivation of the link extraction") {
+    val p = plan(ExtensionQueries.queries, "x160_domain_rank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), s"edges not checkpointed:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"link extraction re-derived above the checkpoint:\n$p")
+  }
 }
