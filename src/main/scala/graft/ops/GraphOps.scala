@@ -108,4 +108,95 @@ object GraphOps {
     org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(nodes)
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg JACM 1999) in exact integer
+    * arithmetic — the OTHER classic link signal a crawl scheduler
+    * consumes: PageRank ranks by endorsement flow, HITS separates
+    * DIRECTORY pages (hubs: point at good authorities) from CONTENT
+    * pages (authorities: pointed at by good hubs) — the two lists a
+    * seed-selection or frontier-mix policy wants separately.
+    *
+    * Semantics (documented variant — deterministic and
+    * engine-portable):
+    *
+    *  - nodes = distinct sources ∪ targets; self-loops dropped;
+    *  - `hub_0(v) = scale`;
+    *  - per iteration: `auth(v) = Σ_{u→v} hub(u)·w`, then normalize
+    *    `auth' = auth·scale div max(auth)` (max-normalization — the
+    *    power iteration needs SOME normalization to stay bounded, and
+    *    integral div by the max is exact and order-preserving where
+    *    the textbook L2 norm is not portable across engines);
+    *    `hub(v) = Σ_{v→w} auth'(w)·w`, normalized the same way;
+    *  - a node with no in-edges holds authority 0, no out-edges hub 0.
+    *
+    * Scale shape: the [[pageRankInt]] discipline — edges materialize
+    * ONCE (localCheckpoint); each iteration is two node-sized keyed
+    * joins + two map-side-combinable sums + two 1-ROW max aggregates
+    * broadcast back (a crossJoin of a single row — never a shuffle of
+    * the node table). Iteration results checkpoint and replace;
+    * driver state is the loop counter.
+    *
+    * Overflow bound: normalized scores are ≤ scale, so a sum is ≤
+    * scale · (max weighted degree); the default 10^6 scale leaves
+    * room for degree·w up to ~9·10^12.
+    *
+    * Output: `(node, authority, hub)` — one row per node, both at
+    * `scale`.
+    */
+  def hitsInt(edges: DataFrame, iterations: Int,
+              srcCol: String = "src", dstCol: String = "dst",
+              wCol: String = "w", scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64], got $iterations")
+    require(scale >= 1000L && scale <= 1000000000L,
+      s"scale must be in [10^3, 10^9], got $scale")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // normalize a raw score column against its 1-row max (broadcast
+    // cross join; max of an all-zero round is 0 -> greatest(..,1)
+    // keeps the div total and the zeros zero)
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(coalesce($c, 0L) * $scale) div greatest(__mx, 1L)")
+            .as(c))
+    }
+    var hubs = nodes.withColumn("hub", lit(scale))
+    var auths: DataFrame = null
+    var prevH: DataFrame = null
+    var prevA: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val aRaw = e.join(hubs, e("src") === hubs("node"))
+        .select(col("dst"), expr("hub * w").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("authority"))
+      val aN = normalized(aRaw, "authority").localCheckpoint()
+      val hRaw = e.join(aN, e("dst") === aN("node"))
+        .select(col("src"), expr("authority * w").as("c"))
+        .groupBy(col("src").as("node")).agg(sum("c").as("hub"))
+      val hN = normalized(hRaw, "hub").localCheckpoint()
+      if (prevA != null) {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevA)
+      }
+      if (prevH != null) {
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevH)
+      }
+      auths = aN
+      hubs = hN
+      prevA = aN
+      prevH = hN
+      it += 1
+    }
+    val out = auths.join(hubs, Seq("node"))
+    out
+  }
 }

@@ -2664,6 +2664,28 @@ object ExtensionQueries {
       CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
     },
 
+    // x161 — HITS hubs & authorities (r17; Kleinberg 1999): the OTHER
+    // classic link signal — hubs (directory pages pointing at good
+    // authorities) vs authorities (content pages good hubs point at),
+    // the two lists a seed-selection policy wants separately. Exact
+    // integer power iteration with max-normalization per half-step
+    // (order-preserving and engine-portable where the textbook L2
+    // norm is not); same page-level edge stream as x142; 2 iterations
+    // unrolled in the mirror.
+    "x161_hits" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val pages = d.select(col("doc_id"), linkBase.as("base"),
+        linkHtmlFixture.as("html"))
+      val edges = resolvedCanon(pages.select(col("base"),
+            explode(HtmlOps.extractLinks(col("html"))).as("ref")),
+          Seq("base"), "ref")
+        .filter(col("canon_url") =!= col("base"))
+        .groupBy(col("base").as("src"), col("canon_url").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.hitsInt(edges, iterations = 2)
+        .orderBy("node")
+    },
+
     // x160 — domain-level PageRank (r17): collapse the page link
     // graph to registered domains (inter-domain edges only, weight =
     // page-edge count) and run the same exact integer power iteration
@@ -6950,6 +6972,49 @@ object ExtensionQueries {
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x161 mirror: the x142 link synthesis, canon chain, and page
+    // edge CTEs, then TWO unrolled HITS iterations — each half-step a
+    // keyed join + sum + 1-row max normalization with the same
+    // integral div.
+    "x161_hits" ->
+      s"""WITH $linkSynthCtesSql,
+        | ${urlCanonCtesOver("lr", "doc_id")},
+        | e0 AS (SELECT lb.base AS src, u.canon_url AS dst
+        |   FROM ur u JOIN lb USING (doc_id)
+        |   WHERE u.canon_url IS NOT NULL AND u.canon_url <> lb.base),
+        | e AS (SELECT src, dst, count(*)::BIGINT w FROM e0
+        |   GROUP BY src, dst),
+        | nodes AS (SELECT src AS node FROM e
+        |   UNION SELECT dst FROM e),
+        | h0 AS (SELECT node, 1000000::BIGINT h FROM nodes),
+        | a1r AS (SELECT e.dst AS node, sum(h0.h * e.w)::BIGINT a
+        |   FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+        | a1m AS (SELECT greatest(max(a), 1) m FROM a1r),
+        | a1 AS (SELECT n.node,
+        |     ((coalesce(a1r.a, 0) * 1000000) // a1m.m)::BIGINT a
+        |   FROM nodes n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+        | h1r AS (SELECT e.src AS node, sum(a1.a * e.w)::BIGINT h
+        |   FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        | h1m AS (SELECT greatest(max(h), 1) m FROM h1r),
+        | h1 AS (SELECT n.node,
+        |     ((coalesce(h1r.h, 0) * 1000000) // h1m.m)::BIGINT h
+        |   FROM nodes n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+        | a2r AS (SELECT e.dst AS node, sum(h1.h * e.w)::BIGINT a
+        |   FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        | a2m AS (SELECT greatest(max(a), 1) m FROM a2r),
+        | a2 AS (SELECT n.node,
+        |     ((coalesce(a2r.a, 0) * 1000000) // a2m.m)::BIGINT a
+        |   FROM nodes n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+        | h2r AS (SELECT e.src AS node, sum(a2.a * e.w)::BIGINT h
+        |   FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        | h2m AS (SELECT greatest(max(h), 1) m FROM h2r),
+        | h2 AS (SELECT n.node,
+        |     ((coalesce(h2r.h, 0) * 1000000) // h2m.m)::BIGINT h
+        |   FROM nodes n LEFT JOIN h2r USING (node) CROSS JOIN h2m)
+        | SELECT n.node, a2.a AS authority, h2.h AS hub
+        | FROM nodes n JOIN a2 USING (node) JOIN h2 USING (node)
+        | ORDER BY node""".stripMargin,
 
     // x160 mirror: the x142 link synthesis and canon chain, collapsed
     // to inter-domain edges (weight = page-edge count), then THREE

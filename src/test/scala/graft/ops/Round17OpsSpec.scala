@@ -189,4 +189,31 @@ class Round17OpsSpec extends SparkSpec {
     // 22 * (1*10000 div 9) = 22 * 1111
     assert(pri == 22L * 1111L)
   }
+
+  test("hitsInt: one iteration on A->B, A->C, B->C matches the " +
+      "hand-computed max-normalized integer scores") {
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))
+      .toDF("src", "dst", "w")
+    val out = GraphOps.hitsInt(edges, iterations = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // auth raw: B = 1e6, C = 2e6; max 2e6 -> B 500000, C 1000000, A 0
+    // hub raw: A = a'(B)+a'(C) = 1.5e6, B = a'(C) = 1e6; max 1.5e6
+    //   -> A 1000000, B 666666, C 0
+    assert(out == Seq(("A", 0L, 1000000L), ("B", 500000L, 666666L),
+      ("C", 1000000L, 0L)))
+    // a second iteration keeps scores bounded at scale and the same
+    // relative order on this graph
+    val out2 = GraphOps.hitsInt(edges, iterations = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out2.forall(r => r._2 <= 1000000L && r._3 <= 1000000L))
+    assert(out2.map(_._1) == Seq("A", "B", "C"))
+    // authorities: C > B > A; hubs: A > B > C — the structure is stable
+    val byNode = out2.map(r => r._1 -> r).toMap
+    assert(byNode("C")._2 > byNode("B")._2 &&
+      byNode("B")._2 > byNode("A")._2)
+    assert(byNode("A")._3 > byNode("B")._3 &&
+      byNode("B")._3 > byNode("C")._3)
+  }
 }

@@ -631,6 +631,17 @@ class PlanSpec extends SparkSpec {
       s"non-url exchange key in $keys:\n$p")
   }
 
+  test("x161: HITS half-steps read the checkpointed edge list and the " +
+      "max normalization is a broadcast 1-row join — no re-derivation, " +
+      "no cartesian blowup") {
+    val p = plan(ExtensionQueries.queries, "x161_hits")
+    assert(p.contains("Scan ExistingRDD"), s"edges not checkpointed:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"link extraction re-derived above the checkpoint:\n$p")
+    // the only nested-loop joins are the 1-row max broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x160: domain PageRank iterations read the checkpointed edge " +
       "list — no re-derivation of the link extraction") {
     val p = plan(ExtensionQueries.queries, "x160_domain_rank")
