@@ -301,6 +301,44 @@ object CrawlOps {
         col("distinct_bp") <= maxDistinctBp)
   }
 
+  /** Soft-404 detection: pages that answer 200 but ARE error pages —
+    * a well-known crawl-quality hazard (Bar-Yossef et al. WWW'04,
+    * "Sic transit gloria telae", measured ~25%+ of dead links hiding
+    * behind soft 404s): a status-code filter keeps them, and every
+    * downstream corpus counts garbage "not found" boilerplate as
+    * content. Two industrial signals, in precedence order:
+    *
+    *  - `probe-digest` — the page's payload digest equals the digest
+    *    its domain serves for a KNOWN-bogus URL (`probes`: one row per
+    *    domain, `probe_digest` — a crawler fetches a random
+    *    nonexistent path per host and records what comes back; any
+    *    page matching it is the error page, whatever its title);
+    *  - `title-pattern` — the lowercased `<title>` matches
+    *    `titlePattern` ("not found", "does not exist", "error 404" by
+    *    default — the heuristic arm for domains with no probe).
+    *
+    * Returns pages with `soft404` / `soft404_reason` attached (NULL
+    * reason = clean). Scale shape: the probe table is domain-sized —
+    * broadcast; the title regex rides the scan projection; no shuffle
+    * at all (plan-gated in the query tier).
+    */
+  def soft404Flags(pages: DataFrame, probes: DataFrame,
+                   urlCol: String = "url",
+                   domainCol: String = "reg_domain",
+                   digestCol: String = "digest",
+                   htmlCol: String = "html",
+                   titlePattern: String =
+                     "not found|does not exist|error 404"): DataFrame =
+    pages.join(broadcast(probes), Seq(domainCol), "left")
+      .withColumn("soft404_reason",
+        when(col(digestCol) === col("probe_digest"), lit("probe-digest"))
+          .when(lower(HtmlOps.title(col(htmlCol))).rlike(titlePattern),
+            lit("title-pattern"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("soft404", col("soft404_reason").isNotNull)
+      .select(col(urlCol), col(domainCol), col("soft404"),
+        col("soft404_reason"))
+
   /** Conditional-revalidation planning: turn the LAST capture's cache
     * validators into the If-None-Match / If-Modified-Since plan the
     * next fetch should carry (RFC 9111 §4.3.1 — a 304 answer costs

@@ -183,6 +183,49 @@ object HttpOps {
       "\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022" +
       "\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
 
+  /** The media type the BYTES declare — file-signature (magic-byte)
+    * sniffing over the latin1 view, the WHATWG MIME-sniffing idea at
+    * the signature tier: real servers mislabel constantly (PDFs as
+    * text/html, gzip blobs as text/plain), and a pipeline that trusts
+    * Content-Type routes binary garbage into the HTML tier. Matches
+    * the common web signatures (PDF, PNG, JPEG, GIF, RIFF/WAVE,
+    * RIFF/WEBP, gzip, zip) on exact view-char prefixes (char i = byte
+    * i under the latin1 convention), then a permissive
+    * leading-whitespace `<` heuristic for markup; anything else →
+    * NULL (unknown — fall back to the declared type). Pure codegen'd
+    * expression.
+    */
+  def sniffMediaType(view: Column): Column = {
+    def sig(prefix: String): Column = view.startsWith(prefix)
+    when(sig("%PDF-"), lit("application/pdf"))
+      .when(sig("\u0089PNG\r\n\u001a\n"), lit("image/png"))
+      .when(sig("\u00ff\u00d8\u00ff"), lit("image/jpeg"))
+      .when(sig("GIF87a") || sig("GIF89a"), lit("image/gif"))
+      .when(sig("RIFF") && substring(view, 9, 4) === "WAVE",
+        lit("audio/wav"))
+      .when(sig("RIFF") && substring(view, 9, 4) === "WEBP",
+        lit("image/webp"))
+      .when(sig("\u001f\u008b"), lit("application/gzip"))
+      .when(sig("PK\u0003\u0004"), lit("application/zip"))
+      .when(view.rlike("^\\s*<"), lit("text/html"))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** The media type routing should TRUST, given the header's declared
+    * type and the sniffed one (the documented simplification of
+    * WHATWG §7: a confident BINARY signature overrides any
+    * declaration — a PDF served as text/html is a PDF; when the
+    * server declared nothing or the unsniffable
+    * `application/octet-stream`, any sniff wins; otherwise the
+    * declaration stands (the `<`-heuristic is too weak to overrule an
+    * explicit text type)).
+    */
+  def effectiveMediaType(declared: Column, sniffed: Column): Column =
+    when(sniffed.isNotNull && sniffed =!= "text/html", sniffed)
+      .when(declared.isNull || declared === "application/octet-stream",
+        coalesce(sniffed, declared))
+      .otherwise(declared)
+
   /** Split a frame's `msgCol` HTTP response messages into the columns
     * downstream extraction routes on: `status_code`, `content_type`,
     * `charset`, `location` (redirect target), `transfer_encoding`,

@@ -2664,6 +2664,79 @@ object ExtensionQueries {
       CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
     },
 
+    // x162 — magic-byte media-type sniffing (r17; the WHATWG
+    // MIME-sniffing idea at the signature tier): real servers
+    // mislabel constantly — a pipeline that trusts Content-Type
+    // routes PDFs and gzip blobs into the HTML tier. Five arms: an
+    // honest html page; a PDF served as text/html (the lying server —
+    // the signature must OVERRIDE); a PNG served as image/png
+    // (agreement); a gzip blob served as text/plain (override); and
+    // an html page served as application/octet-stream (the sniffable
+    // declaration — the `<` heuristic rescues it). Signature bytes
+    // travel as latin1-view chars, constructed with chr() in the
+    // mirror.
+    "x162_media_sniff" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val arm = col("doc_id") % 5
+      val idS = col("doc_id").cast("string")
+      val body = when(arm === 0,
+          concat(lit("<html><body>page "), idS, lit("</body></html>")))
+        .when(arm === 1, concat(lit("%PDF-1.7 obj "), idS))
+        .when(arm === 2,
+          concat(lit("\u0089PNG\r\n\u001a\nIHDRfake"), idS))
+        .when(arm === 3, concat(lit("\u001f\u008bgzblob "), idS))
+        .otherwise(concat(lit("  <!DOCTYPE html><p>octet "), idS,
+          lit("</p>")))
+      val ct = when(arm === 0 || arm === 1, lit("text/html"))
+        .when(arm === 2, lit("image/png"))
+        .when(arm === 3, lit("text/plain"))
+        .otherwise(lit("application/octet-stream"))
+      val msgs = d.select(col("doc_id"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n"), body).as("msg"))
+      HttpOps.parseResponses(msgs, "msg")
+        .select(col("doc_id"), col("content_type").as("declared"),
+          HttpOps.sniffMediaType(col("body")).as("sniffed"))
+        .withColumn("final_type",
+          HttpOps.effectiveMediaType(col("declared"), col("sniffed")))
+        .withColumn("mislabeled", col("final_type") =!= col("declared"))
+        .orderBy("doc_id")
+    },
+
+    // x163 — soft-404 detection (r17; Bar-Yossef et al. WWW'04): 200
+    // answers that ARE error pages. Four arms per domain: a normal
+    // article (clean); a page whose digest equals the domain's
+    // known-bogus-URL probe digest (probe-digest — whatever its
+    // title); a "Page Not Found" title with a unique digest
+    // (title-pattern); and a "does not exist" phrasing (the second
+    // pattern arm). Probe table broadcast; precedence probe > title.
+    "x163_soft404" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val m = (col("doc_id") % 5).cast("string")
+      val arm = col("doc_id") % 4
+      val idS = col("doc_id").cast("string")
+      val title = when(arm === 2, lit("Page Not Found"))
+        .when(arm === 3,
+          lit("Oops, this article does not exist anymore"))
+        .otherwise(concat(lit("Article "), idS))
+      val pages = d.select(
+        concat(lit("https://s"), m, lit(".example-"), m, lit(".com/a/"),
+          idS).as("url"),
+        concat(lit("example-"), m, lit(".com")).as("reg_domain"),
+        when(arm === 1, md5(concat(lit("err"), m)))
+          .otherwise(md5(concat(lit("p"), idS))).as("digest"),
+        concat(lit("<html><head><title>"), title,
+          lit("</title></head><body>x</body></html>")).as("html"))
+      val probes = d.select(
+          concat(lit("example-"), m, lit(".com")).as("reg_domain"))
+        .distinct()
+        .withColumn("probe_digest",
+          md5(concat(lit("err"), regexp_extract(col("reg_domain"),
+            "example-([0-9]+)", 1))))
+      CrawlOps.soft404Flags(pages, probes)
+        .orderBy("url")
+    },
+
     // x161 — HITS hubs & authorities (r17; Kleinberg 1999): the OTHER
     // classic link signal — hubs (directory pages pointing at good
     // authorities) vs authorities (content pages good hubs point at),
@@ -6972,6 +7045,95 @@ object ExtensionQueries {
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x162 mirror: the same five-arm synthesis (signature bytes via
+    // chr()), DuckDB's own prefix/heuristic sniff CASE, the same
+    // override precedence, the same mislabel test.
+    "x162_media_sniff" ->
+      s"""WITH sm AS (SELECT doc_id,
+        |     CASE (doc_id % 5)
+        |       WHEN 0 THEN '<html><body>page ' || doc_id::VARCHAR ||
+        |         '</body></html>'
+        |       WHEN 1 THEN '%PDF-1.7 obj ' || doc_id::VARCHAR
+        |       WHEN 2 THEN chr(137) || 'PNG' || chr(13) || chr(10) ||
+        |         chr(26) || chr(10) || 'IHDRfake' || doc_id::VARCHAR
+        |       WHEN 3 THEN chr(31) || chr(139) || 'gzblob ' ||
+        |         doc_id::VARCHAR
+        |       ELSE '  <!DOCTYPE html><p>octet ' || doc_id::VARCHAR ||
+        |         '</p>' END AS body,
+        |     CASE (doc_id % 5)
+        |       WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+        |       WHEN 2 THEN 'image/png' WHEN 3 THEN 'text/plain'
+        |       ELSE 'application/octet-stream' END AS declared
+        |   FROM documents),
+        | sn AS (SELECT doc_id, declared,
+        |     CASE
+        |       WHEN starts_with(body, '%PDF-') THEN 'application/pdf'
+        |       WHEN starts_with(body, chr(137) || 'PNG' || chr(13) ||
+        |         chr(10) || chr(26) || chr(10)) THEN 'image/png'
+        |       WHEN starts_with(body, chr(255) || chr(216) || chr(255))
+        |         THEN 'image/jpeg'
+        |       WHEN starts_with(body, 'GIF87a') OR
+        |         starts_with(body, 'GIF89a') THEN 'image/gif'
+        |       WHEN starts_with(body, 'RIFF') AND
+        |         substr(body, 9, 4) = 'WAVE' THEN 'audio/wav'
+        |       WHEN starts_with(body, 'RIFF') AND
+        |         substr(body, 9, 4) = 'WEBP' THEN 'image/webp'
+        |       WHEN starts_with(body, chr(31) || chr(139))
+        |         THEN 'application/gzip'
+        |       WHEN starts_with(body, 'PK' || chr(3) || chr(4))
+        |         THEN 'application/zip'
+        |       WHEN regexp_matches(body, '^\\s*<') THEN 'text/html'
+        |       ELSE NULL END AS sniffed
+        |   FROM sm),
+        | sf AS (SELECT doc_id, declared, sniffed,
+        |     CASE WHEN sniffed IS NOT NULL AND sniffed <> 'text/html'
+        |         THEN sniffed
+        |       WHEN declared IS NULL OR
+        |         declared = 'application/octet-stream'
+        |         THEN coalesce(sniffed, declared)
+        |       ELSE declared END AS final_type
+        |   FROM sn)
+        | SELECT doc_id, declared, sniffed, final_type,
+        |   (final_type <> declared) AS mislabeled
+        | FROM sf ORDER BY doc_id""".stripMargin,
+
+    // x163 mirror: the same four-arm synthesis, DuckDB's own title
+    // extraction (same regex + whitespace collapse), the same probe
+    // join and precedence.
+    "x163_soft404" ->
+      s"""WITH sp AS (SELECT doc_id, (doc_id % 5) m, (doc_id % 4) arm,
+        |     CASE (doc_id % 4)
+        |       WHEN 2 THEN 'Page Not Found'
+        |       WHEN 3 THEN 'Oops, this article does not exist anymore'
+        |       ELSE 'Article ' || doc_id::VARCHAR END AS title
+        |   FROM documents),
+        | pg AS (SELECT
+        |     'https://s' || m::VARCHAR || '.example-' || m::VARCHAR ||
+        |       '.com/a/' || doc_id::VARCHAR AS url,
+        |     'example-' || m::VARCHAR || '.com' AS reg_domain,
+        |     CASE WHEN arm = 1 THEN md5('err' || m::VARCHAR)
+        |          ELSE md5('p' || doc_id::VARCHAR) END AS digest,
+        |     '<html><head><title>' || title ||
+        |       '</title></head><body>x</body></html>' AS html,
+        |     m
+        |   FROM sp),
+        | pr AS (SELECT DISTINCT 'example-' || m::VARCHAR || '.com'
+        |       AS reg_domain, md5('err' || m::VARCHAR) AS probe
+        |   FROM sp),
+        | fl AS (SELECT pg.url, pg.reg_domain,
+        |     CASE WHEN pg.digest = pr.probe THEN 'probe-digest'
+        |       WHEN regexp_matches(lower(trim(regexp_replace(
+        |           regexp_extract(pg.html,
+        |             '(?is)<title[^>]*>(.*?)</title\\s*>', 1),
+        |           '\\s+', ' ', 'g'))),
+        |         'not found|does not exist|error 404')
+        |         THEN 'title-pattern'
+        |       ELSE NULL END AS soft404_reason
+        |   FROM pg LEFT JOIN pr USING (reg_domain))
+        | SELECT url, reg_domain,
+        |   (soft404_reason IS NOT NULL) AS soft404, soft404_reason
+        | FROM fl ORDER BY url""".stripMargin,
 
     // x161 mirror: the x142 link synthesis, canon chain, and page
     // edge CTEs, then TWO unrolled HITS iterations — each half-step a

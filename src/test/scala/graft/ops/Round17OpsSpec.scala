@@ -190,6 +190,68 @@ class Round17OpsSpec extends SparkSpec {
     assert(pri == 22L * 1111L)
   }
 
+  test("sniffMediaType + effectiveMediaType: signatures override a " +
+      "lying declaration; the < heuristic only rescues sniffable " +
+      "declarations") {
+    def sniff(body: String): Any =
+      one(body, HttpOps.sniffMediaType(col("h")))
+    assert(sniff("%PDF-1.7 x") == "application/pdf")
+    assert(sniff("\u0089PNG\r\n\u001a\nrest") == "image/png")
+    assert(sniff("\u00ff\u00d8\u00ffjpeg") == "image/jpeg")
+    assert(sniff("GIF89a...") == "image/gif")
+    assert(sniff("RIFF1234WAVEdata") == "audio/wav")
+    assert(sniff("RIFF1234WEBPdata") == "image/webp")
+    assert(sniff("\u001f\u008bgz") == "application/gzip")
+    assert(sniff("PK\u0003\u0004zip") == "application/zip")
+    assert(sniff("  \n<!DOCTYPE html>") == "text/html")
+    assert(sniff("plain text here") == null)
+    def eff(d: String, s: String): Any = {
+      val dc = if (d == null) lit(null).cast("string") else lit(d)
+      val sc = if (s == null) lit(null).cast("string") else lit(s)
+      one("x", HttpOps.effectiveMediaType(dc, sc))
+    }
+    // binary signature overrides any declaration
+    assert(eff("text/html", "application/pdf") == "application/pdf")
+    // the weak < heuristic does NOT overrule an explicit text type
+    assert(eff("text/plain", "text/html") == "text/plain")
+    // octet-stream and absent declarations are sniffable
+    assert(eff("application/octet-stream", "text/html") == "text/html")
+    assert(eff(null, "text/html") == "text/html")
+    // nothing sniffed -> declaration stands
+    assert(eff("text/css", null) == "text/css")
+    assert(eff(null, null) == null)
+  }
+
+  test("title: first match, whitespace collapsed, absent -> NULL") {
+    assert(one("<html><head><title>  A   Title \n here </title></head>",
+      HtmlOps.title(col("h"))) == "A Title here")
+    assert(one("<TITLE lang=\"en\">Caps</TITLE>",
+      HtmlOps.title(col("h"))) == "Caps")
+    assert(one("<html><body>x</body></html>",
+      HtmlOps.title(col("h"))) == null)
+  }
+
+  test("soft404Flags: probe-digest beats title-pattern; a clean page " +
+      "stays clean; a domain without a probe still title-flags") {
+    val pages = Seq(
+      ("https://a.com/1", "a.com", "d_err", "<title>Welcome Home</title>"),
+      ("https://a.com/2", "a.com", "d_ok",
+        "<title>Page Not Found</title>"),
+      ("https://a.com/3", "a.com", "d_x", "<title>Article 3</title>"),
+      ("https://b.com/1", "b.com", "d_y",
+        "<title>Error 404 - oops</title>"))
+      .toDF("url", "reg_domain", "digest", "html")
+    val probes = Seq(("a.com", "d_err")).toDF("reg_domain", "probe_digest")
+    val out = CrawlOps.soft404Flags(pages, probes)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      ("https://a.com/1", true, "probe-digest"),
+      ("https://a.com/2", true, "title-pattern"),
+      ("https://a.com/3", false, null),
+      ("https://b.com/1", true, "title-pattern")))
+  }
+
   test("hitsInt: one iteration on A->B, A->C, B->C matches the " +
       "hand-computed max-normalized integer scores") {
     val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))

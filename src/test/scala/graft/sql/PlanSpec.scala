@@ -642,6 +642,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x162: media sniffing is a join-free narrow map — the " +
+      "signature CASE rides the projections") {
+    val p = plan(ExtensionQueries.queries, "x162_media_sniff")
+    assert(!p.contains("Join"), s"the sniff tier planned a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"narrow map planned a hash shuffle:\n$p")
+  }
+
+  test("x163: the soft-404 probe table broadcasts — the page corpus " +
+      "never shuffles") {
+    val p = plan(ExtensionQueries.queries, "x163_soft404")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the probe side's domain-sized distinct
+    // (below its BroadcastExchange); the page corpus itself must not
+    // shuffle on a key
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("reg_domain")),
+      s"the corpus shuffled for a domain-sized probe table: $keys\n$p")
+  }
+
   test("x160: domain PageRank iterations read the checkpointed edge " +
       "list — no re-derivation of the link extraction") {
     val p = plan(ExtensionQueries.queries, "x160_domain_rank")
