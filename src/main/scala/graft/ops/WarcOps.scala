@@ -163,6 +163,29 @@ object WarcOps {
       .drop("__body")
   }
 
+  /** A WET-style `conversion` record for one extracted page — the
+    * OUTPUT direction of the first mile (Common Crawl ships exactly
+    * this artifact: extracted text re-wrapped as WARC `conversion`
+    * records with `WARC-Refers-To-Target-URI` pointing at the source
+    * response). The text travels as its UTF-8 bytes' latin1 view
+    * (char i = byte i), so `Content-Length` is the exact BYTE count
+    * the spec requires even for non-latin1 text — and the read path
+    * recovers the text with `decodeBody(payload, 'utf-8')`, closing
+    * the loop through the same byte convention the ingest tier uses.
+    * Payloads containing record-marker look-alikes are safe: the
+    * [[parseRecords]] splitter escapes before splitting.
+    */
+  def conversionRecord(uri: Column, date: Column, text: Column): Column = {
+    val view = decode(encode(text, "UTF-8"), "ISO-8859-1")
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nWARC-Refers-To-Target-URI: "), uri,
+      lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+      length(view).cast("string"),
+      lit("\r\n\r\n"), view, lit("\r\n\r\n"))
+  }
+
   /** The rows downstream extraction actually consumes: well-formed
     * `response` records only.
     */

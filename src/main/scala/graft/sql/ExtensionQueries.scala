@@ -2664,6 +2664,42 @@ object ExtensionQueries {
       CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
     },
 
+    // x164 — WET conversion-record round trip (r17): the OUTPUT
+    // direction of the first mile — extracted pages re-wrapped as
+    // WARC `conversion` records (the Common Crawl WET artifact),
+    // grouped into files, then parsed BACK through the same ingest
+    // tier and utf-8-decoded. Text carries real non-ASCII (the accent
+    // line), so Content-Length is a true BYTE count via the UTF-8
+    // view; row-identity of the recovered text against the
+    // independently-recomputed C4 target proves write → parse →
+    // decode lossless, and length_ok=true on every row proves the
+    // byte accounting.
+    "x164_wet_roundtrip" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+        concat(lit(AccentLineHead), idS, lit(AccentLineTail)))
+      val pages = HtmlOps.c4Pages(
+        d.select(col("doc_id"), htmlAcc.as("html")), "doc_id", "html")
+      val wet = pages.select(col("doc_id"),
+        expr("doc_id div 8").as("file_id"),
+        WarcOps.conversionRecord(
+          concat(lit("https://example.com/doc/"),
+            col("doc_id").cast("string")),
+          lit("2020-02-01T00:00:00Z"), col("text")).as("r"))
+      val files = wet.groupBy("file_id")
+        .agg(concat_ws("", array_sort(collect_list(
+            struct(col("doc_id"), col("r")))).getField("r"))
+          .as("content"))
+      WarcOps.parseRecords(files, "file_id", "content")
+        .filter(col("warc_type") === "conversion")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          col("refers_to"), col("content_length"), col("length_ok"),
+          HttpOps.decodeBody(col("payload"), lit("utf-8")).as("text"))
+        .orderBy("doc_id")
+    },
+
     // x162 — magic-byte media-type sniffing (r17; the WHATWG
     // MIME-sniffing idea at the signature tier): real servers
     // mislabel constantly — a pipeline that trusts Content-Type
@@ -7045,6 +7081,31 @@ object ExtensionQueries {
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x164 mirror: the independently-recomputed C4 accent target (the
+    // x150 convention), with Content-Length as DuckDB's own UTF-8
+    // byte count (octet_length) and length_ok true by construction —
+    // the Spark side must land the SAME bytes through write → split →
+    // slice → decode.
+    "x164_wet_roundtrip" ->
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
+        | k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
+        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |     string_agg(line, chr(10) ORDER BY line_no) AS text
+        |   FROM k GROUP BY doc_id)
+        | SELECT doc_id,
+        |   'https://example.com/doc/' || doc_id::VARCHAR AS refers_to,
+        |   octet_length(encode(text))::BIGINT AS content_length,
+        |   true AS length_ok, text
+        | FROM pg
+        | WHERE n_lines >= 5 AND NOT contains(text, '{')
+        |   AND NOT contains(text, '}')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        | ORDER BY doc_id""".stripMargin,
 
     // x162 mirror: the same five-arm synthesis (signature bytes via
     // chr()), DuckDB's own prefix/heuristic sniff CASE, the same

@@ -252,6 +252,28 @@ class Round17OpsSpec extends SparkSpec {
       ("https://b.com/1", true, "title-pattern")))
   }
 
+  test("conversionRecord: WET write -> parseRecords -> utf-8 decode " +
+      "round-trips non-latin1 text with a true BYTE Content-Length") {
+    val text = "The café menu €5 — ready."
+    val pages = Seq((1L, text)).toDF("doc_id", "text")
+    val wet = pages.select(lit(0L).as("file_id"),
+      WarcOps.conversionRecord(lit("https://e.com/1"),
+        lit("2020-02-01T00:00:00Z"), col("text")).as("content"))
+    val back = WarcOps.parseRecords(wet, "file_id", "content")
+      .select(col("warc_type"), col("refers_to"), col("content_length"),
+        col("length_ok"),
+        HttpOps.decodeBody(col("payload"), lit("utf-8")).as("text"))
+      .collect()(0)
+    assert(back.getString(0) == "conversion")
+    assert(back.getString(1) == "https://e.com/1")
+    // é = 2 UTF-8 bytes, € = 3, — = 3: byte count, not char count
+    assert(back.getLong(2) ==
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    assert(back.getLong(2) > text.length)
+    assert(back.getBoolean(3), "length_ok must hold on the round trip")
+    assert(back.getString(4) == text)
+  }
+
   test("hitsInt: one iteration on A->B, A->C, B->C matches the " +
       "hand-computed max-normalized integer scores") {
     val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))

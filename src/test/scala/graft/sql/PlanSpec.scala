@@ -642,6 +642,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x164: the WET round trip stays keyed — no cartesian, no " +
+      "nested-loop blowup through write/parse/decode") {
+    val p = plan(ExtensionQueries.queries, "x164_wet_roundtrip")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x162: media sniffing is a join-free narrow map — the " +
       "signature CASE rides the projections") {
     val p = plan(ExtensionQueries.queries, "x162_media_sniff")
