@@ -202,9 +202,11 @@ object HtmlOps {
     * channel every search/corpus pipeline honors alongside robots.txt;
     * RFC 9309 §2.3.1 points to it, Google/Bing document the token
     * set). Both attribute orders are matched (name-first and
-    * content-first — real pages emit both); the FIRST robots meta wins
-    * (the [[baseHref]] first-match convention). NULL when the page has
-    * no robots meta. The name value match is case-insensitive
+    * content-first — real pages emit both); WITHIN each order the
+    * first match wins (the [[baseHref]] convention), and when a page
+    * carries robots metas in BOTH attribute orders the name-first
+    * form is preferred — a documented tie rule for a degenerate page,
+    * not a fidelity claim. NULL when the page has no robots meta. The name value match is case-insensitive
     * (`NAME="ROBOTS"` counts); a meta with a DIFFERENT name whose
     * content merely contains the word "noindex" does NOT count — the
     * name is part of the pattern, not a post-filter.

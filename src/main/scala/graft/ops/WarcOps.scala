@@ -358,6 +358,53 @@ object WarcOps {
     }
   }
 
+  /** Deduplicated-store WRITING — the other half of [[resolveRevisits]]
+    * (WARC 1.1 §6.7.2, exactly how Common Crawl stores re-fetches): the
+    * FIRST capture of each payload digest writes a full `response`
+    * record; every other capture of the same digest writes a body-less
+    * `revisit` record carrying the digest and
+    * `WARC-Refers-To-Target-URI` pointing at the original — the
+    * storage-dedup that makes a 100 TB archive hold mostly headers for
+    * its unchanged majority. "First" = earliest (dateCol, uriCol) per
+    * digest — the SAME rule [[resolveRevisits]] resolves by, so a
+    * store written here always resolves to its own originals.
+    *
+    * Input: one row per capture — `(uriCol, dateCol, payloadCol
+    * latin1-view, digestCol)`. Output: the input keys + `record` (the
+    * WARC record string) + `is_revisit`.
+    *
+    * Scale shape: ONE digest-keyed shuffle serves both the first-pick
+    * window and the original-uri join (co-partitioned); the record
+    * synthesis is a narrow map. A viral payload's digest group is
+    * exactly the duplication the op collapses.
+    */
+  def dedupStoreRecords(captures: DataFrame, uriCol: String = "url",
+                        dateCol: String = "capture_date",
+                        payloadCol: String = "payload",
+                        digestCol: String = "digest"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digestCol).orderBy(dateCol, uriCol)
+    val ranked = captures.withColumn("__rk", row_number().over(w))
+    val originals = ranked.filter(col("__rk") === 1)
+      .select(col(digestCol), col(uriCol).as("__orig_uri"))
+    def head(tpe: String): Column = concat(
+      lit("WARC/1.0\r\nWARC-Type: " + tpe + "\r\nWARC-Target-URI: "),
+      col(uriCol), lit("\r\nWARC-Date: "), col(dateCol),
+      lit("\r\nWARC-Payload-Digest: "), col(digestCol))
+    val response = concat(head("response"),
+      lit("\r\nContent-Length: "),
+      length(col(payloadCol)).cast("string"),
+      lit("\r\n\r\n"), col(payloadCol), lit("\r\n\r\n"))
+    val revisit = concat(head("revisit"),
+      lit("\r\nWARC-Refers-To-Target-URI: "), col("__orig_uri"),
+      lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+    ranked.join(originals, Seq(digestCol))
+      .withColumn("record",
+        when(col("__rk") === 1, response).otherwise(revisit))
+      .withColumn("is_revisit", col("__rk") > 1)
+      .drop("__rk", "__orig_uri")
+  }
+
   /** Resolve `revisit` records to the capture they duplicate — WARC
     * 1.1 §6.7.2: a crawler that re-fetches a URL and finds the payload
     * unchanged (or finds the SAME payload at a different URL) writes a

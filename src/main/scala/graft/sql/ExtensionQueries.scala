@@ -2664,6 +2664,58 @@ object ExtensionQueries {
       CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
     },
 
+    // x165 — deduplicated WARC store round trip (r17; WARC 1.1
+    // §6.7.2, the Common Crawl storage convention): write the x149
+    // capture history as a DEDUPLICATED store — first capture per
+    // payload digest a full response, every refetch of unchanged
+    // content a body-less revisit — then parse back, resolve the
+    // revisits by digest, and recover every capture's payload from
+    // its original. A third of URLs change every capture (no
+    // revisits), a third once (one revisit then a new response), a
+    // third never (two revisits); row-identity of the recovered
+    // payloads proves the write/resolve pair is a lossless inverse.
+    "x165_dedup_store" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val caps = d
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .withColumn("url", concat(lit("https://example.com/doc/"),
+          col("doc_id").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-01-"),
+          lpad((lit(1) + col("doc_id") % 9 + col("k") * 7)
+            .cast("string"), 2, "0")))
+        .withColumn("version",
+          when(col("doc_id") % 3 === 0, col("k"))
+            .when(col("doc_id") % 3 === 1,
+              when(col("k") >= 2, lit(1)).otherwise(lit(0)))
+            .otherwise(lit(0)))
+        .withColumn("payload", concat(lit("Body v"),
+          col("version").cast("string"), lit(" of doc "),
+          col("doc_id").cast("string"), lit(".")))
+        .withColumn("digest", md5(col("payload")))
+      val recs = WarcOps.dedupStoreRecords(caps)
+        .withColumn("file_id", expr("doc_id div 8"))
+      val files = recs.groupBy("file_id")
+        .agg(concat_ws("", array_sort(collect_list(
+            struct(col("doc_id"), col("k"), col("record"))))
+          .getField("record")).as("content"))
+      val parsed = WarcOps.parseRecords(files, "file_id", "content")
+      val resp = parsed.filter(col("warc_type") === "response")
+      val responses = resp.select(col("target_uri").as("url"),
+        col("warc_date").as("capture_date"),
+        lit("response").as("warc_type"),
+        lit(null).cast("string").as("original_uri"),
+        col("payload").as("payload_text"))
+      val revisits = WarcOps.resolveRevisits(parsed)
+        .join(resp.select(col("payload_digest"),
+          col("payload").as("payload_text")), Seq("payload_digest"))
+        .select(col("target_uri").as("url"),
+          col("warc_date").as("capture_date"),
+          lit("revisit").as("warc_type"), col("original_uri"),
+          col("payload_text"))
+      responses.unionByName(revisits)
+        .orderBy("url", "capture_date")
+    },
+
     // x164 — WET conversion-record round trip (r17): the OUTPUT
     // direction of the first mile — extracted pages re-wrapped as
     // WARC `conversion` records (the Common Crawl WET artifact),
@@ -7081,6 +7133,44 @@ object ExtensionQueries {
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x165 mirror: the same capture/payload synthesis, DuckDB's own
+    // first-per-digest window (same date/url order), the same
+    // response/revisit classification, and payload recovery through
+    // the digest join — the store strings themselves are the Spark
+    // side's to prove.
+    "x165_dedup_store" ->
+      s"""WITH dsc AS (SELECT doc_id, t.k,
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     '2020-01-' ||
+        |       lpad((1 + (doc_id % 9) + t.k * 7)::VARCHAR, 2, '0')
+        |       AS capture_date,
+        |     (CASE WHEN doc_id % 3 = 0 THEN t.k
+        |           WHEN doc_id % 3 = 1 THEN
+        |             (CASE WHEN t.k >= 2 THEN 1 ELSE 0 END)
+        |           ELSE 0 END) AS ver
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | dsp AS (SELECT url, capture_date,
+        |     'Body v' || ver::VARCHAR || ' of doc ' ||
+        |       regexp_extract(url, '/doc/([0-9]+)$$', 1) || '.'
+        |       AS payload
+        |   FROM dsc),
+        | dsr AS (SELECT *, md5(payload) AS digest,
+        |     row_number() OVER (PARTITION BY md5(payload)
+        |       ORDER BY capture_date, url) AS rn
+        |   FROM dsp),
+        | dso AS (SELECT digest, url AS orig_uri,
+        |     payload AS orig_payload
+        |   FROM dsr WHERE rn = 1)
+        | SELECT r.url, r.capture_date,
+        |   CASE WHEN r.rn = 1 THEN 'response' ELSE 'revisit' END
+        |     AS warc_type,
+        |   CASE WHEN r.rn = 1 THEN NULL ELSE o.orig_uri END
+        |     AS original_uri,
+        |   o.orig_payload AS payload_text
+        | FROM dsr r JOIN dso o USING (digest)
+        | ORDER BY url, capture_date""".stripMargin,
 
     // x164 mirror: the independently-recomputed C4 accent target (the
     // x150 convention), with Content-Length as DuckDB's own UTF-8

@@ -274,6 +274,42 @@ class Round17OpsSpec extends SparkSpec {
     assert(back.getString(4) == text)
   }
 
+  test("dedupStoreRecords: the first capture per digest writes a " +
+      "response, refetches write revisits pointing at it; " +
+      "resolveRevisits inverts the store") {
+    val caps = Seq(
+      ("https://e.com/a", "2020-01-01", "Payload P.", ""),
+      ("https://e.com/a", "2020-01-08", "Payload P.", ""),
+      // same payload at a DIFFERENT url — still a revisit of /a
+      ("https://e.com/b", "2020-01-09", "Payload P.", ""),
+      ("https://e.com/c", "2020-01-02", "Other Q.", ""))
+      .toDF("url", "capture_date", "payload", "unused")
+      .withColumn("digest", md5(col("payload"))).drop("unused")
+    val recs = WarcOps.dedupStoreRecords(caps)
+    val byKey = recs.collect().map(r => (r.getString(1), r.getString(2))
+      -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(byKey(("https://e.com/a", "2020-01-01"))._2 == false)
+    assert(byKey(("https://e.com/a", "2020-01-08"))._2 == true)
+    assert(byKey(("https://e.com/b", "2020-01-09"))._2 == true)
+    assert(byKey(("https://e.com/c", "2020-01-02"))._2 == false)
+    val revisitRec = byKey(("https://e.com/b", "2020-01-09"))._1
+    assert(revisitRec.contains("WARC-Type: revisit"))
+    assert(revisitRec.contains(
+      "WARC-Refers-To-Target-URI: https://e.com/a"))
+    assert(revisitRec.contains("Content-Length: 0"))
+    // the store round-trips: parse + resolve finds the original
+    val files = recs.select(lit(0L).as("file_id"), col("record"))
+      .groupBy("file_id")
+      .agg(concat_ws("", collect_list(col("record"))).as("content"))
+    val resolved = WarcOps.resolveRevisits(
+      WarcOps.parseRecords(files, "file_id", "content"))
+      .orderBy("target_uri").collect()
+      .map(r => (r.getString(1), r.getString(4))).toSeq
+    assert(resolved == Seq(
+      ("https://e.com/a", "https://e.com/a"),
+      ("https://e.com/b", "https://e.com/a")))
+  }
+
   test("hitsInt: one iteration on A->B, A->C, B->C matches the " +
       "hand-computed max-normalized integer scores") {
     val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))

@@ -642,6 +642,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x165: the dedup store stays digest-keyed — the first-pick " +
+      "window and the original join share one key; no cartesian") {
+    val p = plan(ExtensionQueries.queries, "x165_dedup_store")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x164: the WET round trip stays keyed — no cartesian, no " +
       "nested-loop blowup through write/parse/decode") {
     val p = plan(ExtensionQueries.queries, "x164_wet_roundtrip")
