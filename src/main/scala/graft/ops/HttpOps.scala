@@ -166,8 +166,33 @@ object HttpOps {
         decode(encode(body, "ISO-8859-1"), "UTF-8"))
       .when(cs.isin("windows-1252", "cp1252"),
         translate(body, Cp1252ViewChars, Cp1252Chars))
+      .when(cs === "utf-16le",
+        decode(encode(body, "ISO-8859-1"), "UTF-16LE"))
+      .when(cs === "utf-16be",
+        decode(encode(body, "ISO-8859-1"), "UTF-16BE"))
       .otherwise(lit(null).cast("string"))
   }
+
+  /** The charset the body's BYTE-ORDER MARK declares, from the latin1
+    * view's first chars: `EF BB BF` → utf-8, `FF FE` → utf-16le,
+    * `FE FF` → utf-16be; NULL when no BOM. Per WHATWG §13.2.3.2 the
+    * BOM outranks EVERYTHING — the Content-Type header included — so
+    * compose as `coalesce(bomCharset(view), headerCharset,
+    * metaCharset(view))` and strip the decoded U+FEFF with
+    * [[stripBom]].
+    */
+  def bomCharset(view: Column): Column =
+    when(view.startsWith("\u00ef\u00bb\u00bf"), lit("utf-8"))
+      .when(view.startsWith("\u00ff\u00fe"), lit("utf-16le"))
+      .when(view.startsWith("\u00fe\u00ff"), lit("utf-16be"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Drop a leading U+FEFF from DECODED text (the BOM survives the
+    * charset decode as a real codepoint; it is markup noise, not
+    * content).
+    */
+  def stripBom(text: Column): Column =
+    regexp_replace(text, "^\uFEFF", "")
 
   /** The 27 bytes in 0x80–0x9F that windows-1252 defines, as their
     * latin1-view chars, and the chars they decode to (same order) —

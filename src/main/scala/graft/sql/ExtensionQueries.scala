@@ -2674,6 +2674,48 @@ object ExtensionQueries {
     // revisits), a third once (one revisit then a new response), a
     // third never (two revisits); row-identity of the recovered
     // payloads proves the write/resolve pair is a lossless inverse.
+    // x166 — BOM charset precedence (r17; WHATWG §13.2.3.2's ACTUAL
+    // order: byte-order mark > Content-Type header > meta): a UTF-8
+    // BOM must beat a LYING iso-8859-1 header (mis-precedence
+    // mojibakes the accent line), and UTF-16LE/BE bodies — whose
+    // interleaved NULs make header/meta sniffing useless, exactly why
+    // the BOM outranks them — must decode through their BOMs with the
+    // leading U+FEFF stripped. Fourth arm = no BOM, header utf-8 (the
+    // coalesce falls through). All four arms land row-identical on
+    // the same recomputed C4 target.
+    "x166_bom_charset" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val bomArm = col("doc_id") % 4
+      val htmlAcc = regexp_replace(htmlFixture, lit("</body></html>$"),
+        concat(lit(AccentLineHead), idS, lit(AccentLineTail)))
+      val view = when(bomArm === 0, concat(lit("ï»¿"),
+          decode(encode(htmlAcc, "UTF-8"), "ISO-8859-1")))
+        .when(bomArm === 1, concat(lit("ÿþ"),
+          decode(encode(htmlAcc, "UTF-16LE"), "ISO-8859-1")))
+        .when(bomArm === 2, concat(lit("þÿ"),
+          decode(encode(htmlAcc, "UTF-16BE"), "ISO-8859-1")))
+        .otherwise(decode(encode(htmlAcc, "UTF-8"), "ISO-8859-1"))
+      val ct = when(bomArm === 0, lit("text/html; charset=iso-8859-1"))
+        .when(bomArm === 3, lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html"))
+      val msgs = d.select(col("doc_id"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n"), view).as("msg"))
+      val routed = HttpOps.parseResponses(msgs, "msg")
+        .select(col("doc_id"),
+          coalesce(HttpOps.bomCharset(col("body")), col("charset"),
+            HtmlOps.metaCharset(col("body"))).as("charset_used"),
+          col("body"))
+        .select(col("doc_id"), col("charset_used"),
+          HttpOps.stripBom(HttpOps.decodeBody(col("body"),
+            col("charset_used"))).as("html"))
+      HtmlOps.c4Pages(routed, "doc_id", "html")
+        .join(routed.select("doc_id", "charset_used"), Seq("doc_id"))
+        .select("doc_id", "charset_used", "n_lines", "text")
+        .orderBy("doc_id")
+    },
+
     "x165_dedup_store" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val caps = d
@@ -7133,6 +7175,30 @@ object ExtensionQueries {
         |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
+
+    // x166 mirror: the independently-recomputed accent target (DuckDB
+    // cannot decode UTF-16 — the byte round trips are the Spark
+    // side's to prove) plus the arm-determined charset the precedence
+    // chain must land on.
+    "x166_bom_charset" ->
+      s"""WITH $htmlSynthSql,
+        | h2 AS (SELECT doc_id, regexp_replace(html, '</body></html>$$',
+        |     '$AccentLineHead' || doc_id::VARCHAR || '$AccentLineTail')
+        |     AS html FROM h),
+        | ${htmlStripCtesSql("h2")},
+        | k AS (SELECT doc_id, line_no, line FROM dd WHERE rk = 1),
+        | pg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |     string_agg(line, chr(10) ORDER BY line_no) AS text
+        |   FROM k GROUP BY doc_id)
+        | SELECT doc_id,
+        |   CASE (doc_id % 4) WHEN 1 THEN 'utf-16le'
+        |     WHEN 2 THEN 'utf-16be'
+        |     ELSE 'utf-8' END AS charset_used,
+        |   n_lines, text FROM pg
+        | WHERE n_lines >= 5 AND NOT contains(text, '{')
+        |   AND NOT contains(text, '}')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        | ORDER BY doc_id""".stripMargin,
 
     // x165 mirror: the same capture/payload synthesis, DuckDB's own
     // first-per-digest window (same date/url order), the same

@@ -310,6 +310,36 @@ class Round17OpsSpec extends SparkSpec {
       ("https://e.com/b", "https://e.com/a")))
   }
 
+  test("bomCharset + decodeBody utf-16: the BOM identifies the " +
+      "charset from the view bytes and the decode round-trips with " +
+      "the U+FEFF stripped") {
+    import java.nio.charset.StandardCharsets
+    val text = "Le café €5."
+    def viewOf(bytes: Array[Byte]): String =
+      new String(bytes, StandardCharsets.ISO_8859_1)
+    val utf8 = viewOf("ï»¿".getBytes(
+      StandardCharsets.ISO_8859_1)) + viewOf(
+      text.getBytes(StandardCharsets.UTF_8))
+    val le = "ÿþ" + viewOf(
+      text.getBytes(StandardCharsets.UTF_16LE))
+    val be = "þÿ" + viewOf(
+      text.getBytes(StandardCharsets.UTF_16BE))
+    val rows = Seq(("u8", utf8), ("le", le), ("be", be),
+      ("none", "plain view"))
+      .toDF("k", "v")
+      .select(col("k"), HttpOps.bomCharset(col("v")).as("cs"),
+        HttpOps.stripBom(HttpOps.decodeBody(col("v"),
+          HttpOps.bomCharset(col("v")))).as("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(rows("u8") == ("utf-8", text))
+    assert(rows("le") == ("utf-16le", text))
+    assert(rows("be") == ("utf-16be", text))
+    assert(rows("none")._1 == null)
+    // no BOM -> NULL charset -> decodeBody's latin1 default (identity)
+    assert(rows("none")._2 == "plain view")
+  }
+
   test("hitsInt: one iteration on A->B, A->C, B->C matches the " +
       "hand-computed max-normalized integer scores") {
     val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))

@@ -642,6 +642,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x166: the BOM precedence chain keeps every join id-keyed and " +
+      "the UTF-16 decode routing in-plan") {
+    val p = plan(ExtensionQueries.queries, "x166_bom_charset")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("UTF-16LE"), s"utf-16 routing not in plan:\n$p")
+  }
+
   test("x165: the dedup store stays digest-keyed — the first-pick " +
       "window and the original join share one key; no cartesian") {
     val p = plan(ExtensionQueries.queries, "x165_dedup_store")
