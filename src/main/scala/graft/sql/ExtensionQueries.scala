@@ -2758,6 +2758,46 @@ object ExtensionQueries {
         .orderBy("url", "capture_date")
     },
 
+    // x167 — dedup-store savings audit (r17): the table a storage
+    // owner reads before turning revisit-writing on — per change
+    // class (never / once / every-capture), how many payload chars
+    // the dedup store avoided writing. Expected shape by
+    // construction: the always-changing third saves 0 bp, the
+    // change-once third ~1/3 of its payload bytes, the never-changing
+    // third ~2/3 (two of three captures collapse to revisits).
+    "x167_store_savings" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val caps = d
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .withColumn("url", concat(lit("https://example.com/doc/"),
+          col("doc_id").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-01-"),
+          lpad((lit(1) + col("doc_id") % 9 + col("k") * 7)
+            .cast("string"), 2, "0")))
+        .withColumn("version",
+          when(col("doc_id") % 3 === 0, col("k"))
+            .when(col("doc_id") % 3 === 1,
+              when(col("k") >= 2, lit(1)).otherwise(lit(0)))
+            .otherwise(lit(0)))
+        .withColumn("payload", concat(lit("Body v"),
+          col("version").cast("string"), lit(" of doc "),
+          col("doc_id").cast("string"), lit(".")))
+        .withColumn("digest", md5(col("payload")))
+      WarcOps.dedupStoreRecords(caps)
+        .groupBy((col("doc_id") % 3).as("change_class"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("is_revisit"), 1L).otherwise(0L))
+            .as("n_revisits"),
+          sum(length(col("payload")).cast(LongType)).as("payload_chars"),
+          sum(when(!col("is_revisit"),
+            length(col("payload")).cast(LongType)).otherwise(0L))
+            .as("stored_payload_chars"))
+        .withColumn("saved_bp", expr(
+          "(payload_chars - stored_payload_chars) * 10000" +
+            " div greatest(payload_chars, 1L)"))
+        .orderBy("change_class")
+    },
+
     // x164 — WET conversion-record round trip (r17): the OUTPUT
     // direction of the first mile — extracted pages re-wrapped as
     // WARC `conversion` records (the Common Crawl WET artifact),
@@ -7237,6 +7277,38 @@ object ExtensionQueries {
         |   o.orig_payload AS payload_text
         | FROM dsr r JOIN dso o USING (digest)
         | ORDER BY url, capture_date""".stripMargin,
+
+    // x167 mirror: the x165 synthesis + window, rolled up per change
+    // class with the same integral savings arithmetic.
+    "x167_store_savings" ->
+      s"""WITH ssc AS (SELECT doc_id, t.k,
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     '2020-01-' ||
+        |       lpad((1 + (doc_id % 9) + t.k * 7)::VARCHAR, 2, '0')
+        |       AS capture_date,
+        |     'Body v' || (CASE WHEN doc_id % 3 = 0 THEN t.k
+        |           WHEN doc_id % 3 = 1 THEN
+        |             (CASE WHEN t.k >= 2 THEN 1 ELSE 0 END)
+        |           ELSE 0 END)::VARCHAR || ' of doc ' ||
+        |       doc_id::VARCHAR || '.' AS payload
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | ssr AS (SELECT doc_id, payload,
+        |     row_number() OVER (PARTITION BY md5(payload)
+        |       ORDER BY capture_date, url) AS rn
+        |   FROM ssc),
+        | ssg AS (SELECT (doc_id % 3) AS change_class,
+        |     count(*)::BIGINT n_records,
+        |     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT n_revisits,
+        |     sum(length(payload))::BIGINT payload_chars,
+        |     sum(CASE WHEN rn = 1 THEN length(payload)
+        |       ELSE 0 END)::BIGINT stored_payload_chars
+        |   FROM ssr GROUP BY 1)
+        | SELECT change_class, n_records, n_revisits, payload_chars,
+        |   stored_payload_chars,
+        |   ((payload_chars - stored_payload_chars) * 10000 //
+        |     greatest(payload_chars, 1))::BIGINT AS saved_bp
+        | FROM ssg ORDER BY change_class""".stripMargin,
 
     // x164 mirror: the independently-recomputed C4 accent target (the
     // x150 convention), with Content-Length as DuckDB's own UTF-8
