@@ -309,10 +309,15 @@ object CrawlOps {
     * content. Two industrial signals, in precedence order:
     *
     *  - `probe-digest` — the page's payload digest equals the digest
-    *    its domain serves for a KNOWN-bogus URL (`probes`: one row per
-    *    domain, `probe_digest` — a crawler fetches a random
+    *    its domain serves for a KNOWN-bogus URL (`probes`:
+    *    `(domainCol, probe_digest)` — a crawler fetches a random
     *    nonexistent path per host and records what comes back; any
-    *    page matching it is the error page, whatever its title);
+    *    page matching it is the error page, whatever its title).
+    *    Duplicate probe rows per domain are collapsed (max digest —
+    *    deterministic) so a re-probed domain can never multiply page
+    *    rows, and the digest rides an internal `__probe_digest`
+    *    alias so a `probe_digest` column already on `pages` cannot
+    *    collide;
     *  - `title-pattern` — the lowercased `<title>` matches
     *    `titlePattern` ("not found", "does not exist", "error 404" by
     *    default — the heuristic arm for domains with no probe).
@@ -329,9 +334,13 @@ object CrawlOps {
                    htmlCol: String = "html",
                    titlePattern: String =
                      "not found|does not exist|error 404"): DataFrame =
-    pages.join(broadcast(probes), Seq(domainCol), "left")
+    pages.join(
+        broadcast(probes.groupBy(domainCol)
+          .agg(max(col("probe_digest")).as("__probe_digest"))),
+        Seq(domainCol), "left")
       .withColumn("soft404_reason",
-        when(col(digestCol) === col("probe_digest"), lit("probe-digest"))
+        when(col(digestCol) === col("__probe_digest"),
+          lit("probe-digest"))
           .when(lower(HtmlOps.title(col(htmlCol))).rlike(titlePattern),
             lit("title-pattern"))
           .otherwise(lit(null).cast("string")))

@@ -196,6 +196,12 @@ object GraphOps {
       prevH = hN
       it += 1
     }
+    // mirror pageRankInt: the returned frames join the FINAL
+    // checkpointed aN/hN (materialized, no lineage into e/nodes), so
+    // the edge and node blocks can go now — repeated calls in a
+    // long-lived session must not pin them in executor storage
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(e)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(nodes)
     val out = auths.join(hubs, Seq("node"))
     out
   }

@@ -286,6 +286,11 @@ object HtmlOps {
     * §13.2.3.2 precedence). Fidelity bound (regex tier): a non-meta
     * attribute value containing ` charset=` would also match.
     */
+  def metaCharset(html: Column): Column =
+    nullif(lower(regexp_extract(html,
+      "(?is)<meta\\s(?:[^>]*?\\s)?charset\\s*=\\s*\"?([A-Za-z0-9._-]+)",
+      1)), lit(""))
+
   /** The page's `<title>` text — first match, inner whitespace
     * collapsed, trimmed; NULL when absent or empty. The
     * soft-404/quality tier's cheapest signal.
@@ -293,11 +298,6 @@ object HtmlOps {
   def title(html: Column): Column =
     nullif(trim(regexp_replace(regexp_extract(html,
       "(?is)<title[^>]*>(.*?)</title\\s*>", 1), "\\s+", " ")), lit(""))
-
-  def metaCharset(html: Column): Column =
-    nullif(lower(regexp_extract(html,
-      "(?is)<meta\\s(?:[^>]*?\\s)?charset\\s*=\\s*\"?([A-Za-z0-9._-]+)",
-      1)), lit(""))
 
   def extractLinks(html: Column): Column =
     filter(

@@ -172,8 +172,12 @@ object WarcOps {
     * the spec requires even for non-latin1 text — and the read path
     * recovers the text with `decodeBody(payload, 'utf-8')`, closing
     * the loop through the same byte convention the ingest tier uses.
-    * Payloads containing record-marker look-alikes are safe: the
-    * [[parseRecords]] splitter escapes before splitting.
+    * Sentinel-char collisions (/) in the payload are
+    * escaped by the [[parseRecords]] splitter before splitting; an
+    * embedded literal `WARC/1.0\r\n` version line remains the
+    * documented `length_ok`-diagnosed fidelity boundary (see the
+    * module scaladoc) — C4-extracted text cannot carry one, since
+    * whitespace collapse removes every \r.
     */
   def conversionRecord(uri: Column, date: Column, text: Column): Column = {
     val view = decode(encode(text, "UTF-8"), "ISO-8859-1")
