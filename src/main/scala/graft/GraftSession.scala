@@ -86,7 +86,11 @@ object GraftExtensions {
     ("md5_bottom_k", "md5_bottom_k(arr, k) - k smallest md5 digests, concat",
       checked("md5_bottom_k", 2)(es => Md5BottomK(es.head, foldToInt("md5_bottom_k", es(1))))),
     ("deflate_len", "deflate_len(str) - DEFLATE-compressed byte length",
-      checked("deflate_len", 1)(es => DeflateLen(es.head))))
+      checked("deflate_len", 1)(es => DeflateLen(es.head))),
+    ("decode_charset",
+      "decode_charset(view, name) - decode a latin1-view body with a " +
+        "java.nio charset (WHATWG web labels), null on malformed",
+      checked("decode_charset", 2)(es => DecodeCharset(es.head, es(1)))))
 }
 
 /** Engine session bootstrap: the scale-posture defaults every entry point

@@ -21,7 +21,7 @@ class GraftSessionSpec extends AnyFunSuite {
     for (name <- Seq("base58_encode", "base58_decode", "keccak256",
         "u256_to_decimal", "u256_to_string", "u256_from_string",
         "float_vec_dot", "char_ngrams", "word_ngrams", "md5_bottom_k",
-        "deflate_len")) {
+        "deflate_len", "decode_charset")) {
       assert(registered.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name missing from extension registry")

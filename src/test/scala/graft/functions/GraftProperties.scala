@@ -217,4 +217,43 @@ object GraftProperties extends Properties("graft") {
     DechunkBody.compute(UTF8String.fromBytes(b)) // must not throw
     true
   }
+
+  private val cjkLabels =
+    Seq("shift_jis", "euc-jp", "gbk", "gb18030", "big5", "euc-kr")
+
+  property("DecodeCharset never throws on arbitrary garbage bytes " +
+      "under every CJK label (null or a decoded string, no exception)") =
+    forAll(
+      Gen.chooseNum(0, 120).flatMap(n =>
+        Gen.containerOfN[Array, Byte](n, Gen.choose[Byte](-128, 127))),
+      Gen.oneOf(cjkLabels)) { (b, label) =>
+      val view = UTF8String.fromString(new String(b, "ISO-8859-1"))
+      DecodeCharset.compute(view, UTF8String.fromString(label)) // no throw
+      true
+    }
+
+  property("DecodeCharset inverts the JDK encoder: any encodable text " +
+      "round-trips bit-exactly through each CJK charset's bytes") = {
+    // a pool of chars every one of the six charsets can encode is tiny;
+    // instead, per label, draw text from chars ITS encoder covers
+    val pools: Map[String, String] = Map(
+      "shift_jis" -> "日本語のテキストです。カナ混じりabc 123",
+      "euc-jp" -> "日本語のテキストです。abc",
+      "gbk" -> "中文网页内容测试abc 123",
+      "gb18030" -> "中文㐀内容abc",
+      "big5" -> "中文網頁內容abc",
+      "euc-kr" -> "한국어 웹 페이지 abc")
+    forAll(Gen.oneOf(cjkLabels), Gen.chooseNum(1, 20), Gen.long) {
+      (label, n, seed) =>
+        val pool = pools(label)
+        val rnd = new scala.util.Random(seed)
+        val text = Seq.fill(n)(pool.charAt(rnd.nextInt(pool.length))).mkString
+        val cs = java.nio.charset.Charset.forName(
+          DecodeCharset.WhatwgLabels(label))
+        val view = new String(text.getBytes(cs), "ISO-8859-1")
+        val got = DecodeCharset.compute(
+          UTF8String.fromString(view), UTF8String.fromString(label))
+        got != null && got.toString == text
+    }
+  }
 }

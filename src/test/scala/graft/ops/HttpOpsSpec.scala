@@ -190,8 +190,8 @@ class HttpOpsSpec extends SparkSpec {
   }
 
   test("decodeBody: the latin1-view convention recovers UTF-8 text " +
-      "from its mojibake view; latin1/absent are identity; exotic " +
-      "charsets route to NULL") {
+      "from its mojibake view; latin1/absent are identity; unknown " +
+      "charset names route to NULL") {
     val text = "café — prêt € ✓"
     // the latin1 VIEW of the text's UTF-8 bytes (what a byte-faithful
     // reader sees before charset routing)
@@ -199,13 +199,15 @@ class HttpOpsSpec extends SparkSpec {
     val df = Seq(
       (view, "utf-8"), (view, "UTF8"),
       ("café latin", "iso-8859-1"), ("plain ascii", null),
-      ("something", "shift_jis"))
+      ("something", "x-no-such-charset"))
       .toDF("body", "charset")
       .select(HttpOps.decodeBody(col("body"), col("charset")).as("out"))
     val out = df.collect().map(r => Option(r.getString(0)))
     assert(out(0) == Some(text) && out(1) == Some(text))
     assert(out(2) == Some("café latin"))
     assert(out(3) == Some("plain ascii"))
+    // r18: known legacy charsets now DECODE (CharsetDecodeSpec); only
+    // genuinely unknown names stay the NULL routing miss
     assert(out(4).isEmpty)
   }
 
