@@ -100,6 +100,67 @@ object HtmlOps {
     }
   }
 
+  /** LANGUAGE-AWARE C4 line retention (the CCNet discipline, VERDICT
+    * r17 #2): the [[c4KeptLines]] rules with the language-sensitive
+    * parameters read from a per-language `profiles` table joined on the
+    * page's `langCol` — C4's line rules are English-tuned (terminal
+    * `.!?"`, ≥3 space-split words), and running them unparameterized
+    * silently drops every space-free CJK page (a Japanese sentence
+    * ends in `。` and space-splits to ONE "word") and most lines of
+    * any language with different sentence punctuation.
+    *
+    * `profiles` columns (NULLable — missing values fall back to the C4
+    * English defaults):
+    *
+    *  - `lang` — join key;
+    *  - `term_chars` (array of single-char strings) — accepted LAST
+    *    chars (default `. ! ? "`; a ja/zh profile adds `。 ！ ？ 」`);
+    *  - `min_line_words` (default 3) — space-split word floor (a CJK
+    *    profile sets 1: whitespace is the wrong unit);
+    *  - `min_line_chars` (default 1) — character floor, the CJK
+    *    substitute for the word rule.
+    *
+    * The "javascript" boilerplate rule stays global (the string is
+    * language-independent chrome). A page whose language has no
+    * profile row gets exactly [[c4KeptLines]]' English decisions.
+    * No cross-page line dedup here — compose with [[c4KeptLines]]'
+    * dedup window or [[domainCleanPages]] downstream if needed.
+    *
+    * Scale shape: `profiles` is language-count-sized → BROADCAST; the
+    * explode and every rule stay narrow — one fused scan stage, the
+    * [[keptLineStage]] shape (plan-gated in the query tier).
+    *
+    * Output: `(idCol, langCol, line_no, line)` survivors.
+    */
+  def c4KeptLinesByLang(docs: DataFrame, idCol: String, htmlCol: String,
+                        profiles: DataFrame,
+                        langCol: String = "lang"): DataFrame = {
+    val prof = broadcast(profiles.select(col("lang").as(langCol),
+      col("term_chars").as("__p_term_chars"),
+      col("min_line_words").as("__p_min_line_words"),
+      col("min_line_chars").as("__p_min_line_chars")))
+    docs.join(prof, Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("__p_term_chars"),
+        col("__p_min_line_words"), col("__p_min_line_chars"),
+        posexplode(split(htmlToText(col(htmlCol)), "\n"))
+          .as(Seq("line_no", "__raw")))
+      .select(col(idCol), col(langCol), col("__p_term_chars"),
+        col("__p_min_line_words"), col("__p_min_line_chars"),
+        col("line_no").cast(LongType).as("line_no"),
+        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line"))
+      .filter(
+        array_contains(
+          coalesce(col("__p_term_chars"),
+            array(Seq(".", "!", "?", "\"").map(lit): _*)),
+          substring(col("line"), -1, 1)) &&
+        size(split(col("line"), " ")) >=
+          coalesce(col("__p_min_line_words"), lit(3L)) &&
+        length(col("line")) >=
+          coalesce(col("__p_min_line_chars"), lit(1L)) &&
+        !lower(col("line")).contains("javascript"))
+      .select(col(idCol), col(langCol), col("line_no"), col("line"))
+  }
+
   /** The shared line stage of [[c4KeptLines]] and [[domainCleanPages]]:
     * extract → split → normalize → the three line rules, with optional
     * carried columns (a provenance key like the page's domain) riding

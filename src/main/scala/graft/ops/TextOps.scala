@@ -763,7 +763,7 @@ object TextOps {
     // chars-in-words via single-space removal: robust to texts that are
     // not perfectly single-space-joined (unlike length − n + 1)
     val wordChars = length(regexp_replace(col(textCol), " ", "")).cast(LongType)
-    val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopProbe = GopherStopProbe
     val symCount = (length(col(textCol))
       - length(regexp_replace(col(textCol), "[#…]", ""))).cast(LongType)
     docs
@@ -790,6 +790,95 @@ object TextOps {
       .withColumn("keep",
         col("keep_n_words") && col("keep_word_len") && col("keep_dup") &&
           col("keep_alpha") && col("keep_sym") && col("keep_stop"))
+  }
+
+  /** Gopher's English defaults as profile values — ONE definition shared
+    * by [[gopherFilter]], [[gopherFilterByLang]]'s fallback arm, and the
+    * x168 oracle mirror.
+    */
+  val GopherStopProbe: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** LANGUAGE-AWARE Gopher battery (the CCNet discipline — CCNet §3.2 /
+    * RefinedWeb run their quality rules per language): the same decision
+    * table as [[gopherFilter]], but the stopword probe and the
+    * language-sensitive thresholds come from a per-language `profiles`
+    * table joined on `langCol` (key it off [[langId]]'s `pred_lang`, an
+    * HTTP Content-Language header, or a domain card — the op does not
+    * care how the label was derived). An English-only config silently
+    * eats low-resource languages: every French page fails an English
+    * stopword probe, and short-function-word languages fail an
+    * English-tuned mean-word-length floor — exactly the per-group
+    * collapse [[StatOps.funnelReportBy]] exists to surface.
+    *
+    * `profiles` columns (every one NULLable — a missing value falls back
+    * to the Gopher English default, so a one-column override works):
+    *
+    *  - `lang` — join key;
+    *  - `stop_words` (array) — the whole-word stopword probe
+    *    (default: the 8 English Gopher stopwords);
+    *  - `min_stop_hits` (default 2), `min_words` (50),
+    *    `max_words` (100000);
+    *  - `min_word_len_centi` (300) / `max_word_len_centi` (1000) — the
+    *    mean-word-length band (French/German function words pull the
+    *    mean under the English floor);
+    *  - `min_alpha_bp` (8000) — the alphabetic-word floor (a future
+    *    space-free CJK profile sets it to 0: "words" by whitespace is
+    *    the wrong unit there).
+    *
+    * A doc whose language has NO profile row gets the full English
+    * defaults (the documented conservative fallback — identical to
+    * [[gopherFilter]]'s decisions). The non-language rules (dup-word,
+    * symbol ratio) keep their global Gopher bounds.
+    *
+    * Scale shape: `profiles` is language-count-sized → BROADCAST; the
+    * corpus never shuffles — every signal and rule fuses into the scan
+    * exactly like [[gopherFilter]] (plan-gated in the query tier).
+    */
+  def gopherFilterByLang(docs: DataFrame, profiles: DataFrame,
+                         textCol: String = "text",
+                         langCol: String = "lang"): DataFrame = {
+    val pcols = Seq("stop_words", "min_stop_hits", "min_words",
+      "max_words", "min_word_len_centi", "max_word_len_centi",
+      "min_alpha_bp")
+    val prof = broadcast(profiles.select(
+      col("lang").as(langCol) +:
+        pcols.map(c => col(c).as(s"__p_$c")): _*))
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast(LongType)
+    val wordChars = length(regexp_replace(col(textCol), " ", "")).cast(LongType)
+    val symCount = (length(col(textCol))
+      - length(regexp_replace(col(textCol), "[#…]", ""))).cast(LongType)
+    def p(c: String, default: Long): Column =
+      coalesce(col(s"__p_$c"), lit(default))
+    docs.join(prof, Seq(langCol), "left")
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len_centi",
+        floor(wordChars.cast(DoubleType) * 100d / nWords.cast(DoubleType))
+          .cast(LongType))
+      .withColumn("dup_word_bp", bp(nWords - size(array_distinct(words)), nWords))
+      .withColumn("alpha_word_bp",
+        bp(size(filter(words, w =>
+          length(regexp_replace(w, "[^a-zA-Z]", "")) > 0)), nWords))
+      .withColumn("sym_bp", bp(symCount, nWords))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(words),
+          coalesce(col("__p_stop_words"),
+            array(GopherStopProbe.map(lit): _*)))).cast(LongType))
+      .withColumn("keep_n_words",
+        col("n_words") >= p("min_words", 50L) &&
+          col("n_words") <= p("max_words", 100000L))
+      .withColumn("keep_word_len",
+        col("mean_word_len_centi") >= p("min_word_len_centi", 300L) &&
+          col("mean_word_len_centi") <= p("max_word_len_centi", 1000L))
+      .withColumn("keep_dup", col("dup_word_bp") <= 3000L)
+      .withColumn("keep_alpha", col("alpha_word_bp") >= p("min_alpha_bp", 8000L))
+      .withColumn("keep_sym", col("sym_bp") <= 1000L)
+      .withColumn("keep_stop", col("stop_hits") >= p("min_stop_hits", 2L))
+      .withColumn("keep",
+        col("keep_n_words") && col("keep_word_len") && col("keep_dup") &&
+          col("keep_alpha") && col("keep_sym") && col("keep_stop"))
+      .drop(pcols.map(c => s"__p_$c"): _*)
   }
 
   /** Feature-hashed bag-of-words document vectors (the hashing trick,

@@ -2950,8 +2950,92 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("w"))
       GraphOps.pageRankInt(domEdges, iterations = 3)
         .orderBy("node")
+    },
+
+    // x168 — LANGUAGE-AWARE Gopher battery (r18, VERDICT r17 #2 — the
+    // CCNet discipline): three planted language arms (en/fr/de,
+    // labeled by the REAL x18 langId), filtered once under the
+    // English-only config and once under per-language profiles, with
+    // the x105 per-group funnel showing the difference: the English
+    // config silently eats BOTH non-English arms (their stopword
+    // probes miss), the language-aware pass keeps all three. Profiles
+    // broadcast; the corpus never shuffles for the filter (plan-gated).
+    "x168_lang_gopher" -> { (s, dir) =>
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val txt = when(col("doc_id") % 3 === 0, lit(langEnText))
+        .when(col("doc_id") % 3 === 1, lit(langFrText))
+        .otherwise(lit(langDeText))
+      val docs = d.select(col("doc_id"), txt.as("text"))
+      val lang = TextOps.langId(docs)
+        .select(col("doc_id"), col("text"), col("pred_lang").as("lang"))
+      val profiles = Seq(
+        ("en", TextOps.GopherStopProbe, 2L, 10L, 100000L, 300L, 1000L, 8000L),
+        ("fr", langFrStops, 2L, 10L, 100000L, 250L, 1000L, 8000L),
+        ("de", langDeStops, 2L, 10L, 100000L, 250L, 1000L, 8000L))
+        .toDF("lang", "stop_words", "min_stop_hits", "min_words",
+          "max_words", "min_word_len_centi", "max_word_len_centi",
+          "min_alpha_bp")
+      val eng = TextOps.gopherFilter(lang, "text", minWords = 10L)
+        .filter(col("keep"))
+      val aware = TextOps.gopherFilterByLang(lang, profiles)
+        .filter(col("keep"))
+      StatOps.funnelReportBy(
+          Seq("raw" -> lang, "english_cfg" -> eng, "lang_aware" -> aware),
+          size(split(col("text"), " ")), "lang")
+        .orderBy("stage_idx", "lang")
+    },
+
+    // x169 — LANGUAGE-AWARE C4 line rules (r18, the x168 sibling at
+    // the LINE tier): an en/ja page fixture through c4KeptLinesByLang —
+    // the English terminal-punctuation and ≥3-words rules drop EVERY
+    // line of a space-free Japanese page (sentences end in 。 and
+    // space-split to one "word"); the ja profile (term 。！？」,
+    // min_line_words 1, min_line_chars 3) keeps exactly the real
+    // sentences. The en arm carries NO profile row, proving the
+    // English-defaults fallback bit-for-bit.
+    "x169_c4_lang_lines" -> { (s, dir) =>
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val arm = col("doc_id") % 2
+      val docs = d.select(col("doc_id"),
+        when(arm === 0, lit("en")).otherwise(lit("ja")).as("lang"),
+        when(arm === 0, lit(langEnHtml)).otherwise(lit(langJaHtml))
+          .as("html"))
+      val profiles = Seq(
+        ("ja", Seq("。", "！", "？", "」"), 1L, 3L))
+        .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
+      HtmlOps.c4KeptLinesByLang(docs, "doc_id", "html", profiles)
+        .orderBy("doc_id", "line_no")
     }
   )
+
+  /** The x168/x169 language fixtures — ONE definition each, mirrored
+    * verbatim in the oracle SQL (interpolated, so they cannot drift).
+    * Texts are hand-built so the x18 trigram profiles label them
+    * correctly and the Gopher signal arithmetic is hand-checkable.
+    */
+  private val langEnText = "the quick study of the river and the stone " +
+    "that people have kept with care over time."
+  private val langFrText = "le temps et la vie de la mer ont été un " +
+    "moment prudent dans le coin du monde."
+  private val langDeText = "der weg und die zeit durch den wald sind " +
+    "ein stück von dem leben geworden und bleiben."
+  private val langFrStops =
+    Seq("le", "la", "les", "de", "du", "des", "et", "un", "une", "en")
+  private val langDeStops =
+    Seq("der", "die", "und", "das", "von", "mit", "den", "dem", "ein", "zu")
+  private val langEnHtml = "<html><body>" +
+    "<p>this line has enough words to pass.</p>" +
+    "<p>too short.</p>" +
+    "<p>enable javascript to continue please now.</p>" +
+    "</body></html>"
+  private val langJaHtml = "<html><body>" +
+    "<p>これは日本語の文です。</p>" +
+    "<p>はい。</p>" +
+    "<p>あ。</p>" +
+    "<p>これはテストです</p>" +
+    "</body></html>"
 
   /** The planted-HTML synthesis shared by x127 and x128 — ONE definition
     * (the refreshSnapshot rule): head with style (braces) and script
@@ -7504,7 +7588,110 @@ object ExtensionQueries {
         | dr3 AS (SELECT n.node,
         |     (150000 + (85 * coalesce(di3.s, 0)) // 100)::BIGINT r
         |   FROM dn n LEFT JOIN di3 USING (node))
-        | SELECT node, r AS rank FROM dr3 ORDER BY node""".stripMargin
+        | SELECT node, r AS rank FROM dr3 ORDER BY node""".stripMargin,
+
+    // x168 mirror: the same three planted texts, the x18 trigram
+    // langId, an inline profile VALUES table, the Gopher signal
+    // arithmetic (all integral), and the three funnel stages unioned.
+    "x168_lang_gopher" -> {
+      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map {
+        case (lang, prof) =>
+          val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
+          s"struct_pack(hits := len(list_filter(tri, x -> " +
+            s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
+      }.mkString(", ")
+      def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+      val engArr = sqlArr(TextOps.GopherStopProbe)
+      s"""WITH d AS (SELECT doc_id,
+        |     CASE (doc_id % 3) WHEN 0 THEN '$langEnText'
+        |       WHEN 1 THEN '$langFrText'
+        |       ELSE '$langDeText' END AS text
+        |   FROM documents),
+        | tr AS (SELECT doc_id, text, list_distinct(list_transform(
+        |     range(1, greatest(len(text)-2,0)+1),
+        |     i -> substr(text,i::INT,3))) tri FROM d),
+        | lg AS (SELECT doc_id, text, list_max([$profs]) m FROM tr),
+        | l AS (SELECT doc_id, text,
+        |     CASE WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
+        |   FROM lg),
+        | prof AS (SELECT * FROM (VALUES
+        |     ('en', $engArr, 2, 10, 300),
+        |     ('fr', ${sqlArr(langFrStops)}, 2, 10, 250),
+        |     ('de', ${sqlArr(langDeStops)}, 2, 10, 250))
+        |   p(lang, stop_words, min_stop_hits, min_words,
+        |     min_word_len_centi)),
+        | sig AS (SELECT doc_id, text, lang,
+        |     len(string_split(text, ' '))::BIGINT n_words,
+        |     floor(len(replace(text, ' ', ''))::DOUBLE * 100
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT wl,
+        |     floor((len(string_split(text, ' '))
+        |         - len(list_distinct(string_split(text, ' '))))::DOUBLE
+        |       * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT dup_bp,
+        |     floor(len(list_filter(string_split(text, ' '),
+        |         w -> len(regexp_replace(w, '[^a-zA-Z]', '', 'g')) > 0))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT alpha_bp,
+        |     floor((len(text) - len(regexp_replace(text, '[#…]', '', 'g')))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT sym_bp,
+        |     len(list_filter(list_distinct(string_split(text, ' ')),
+        |       w -> list_contains($engArr, w)))::BIGINT eng_stops
+        |   FROM l),
+        | aware AS (SELECT s.*,
+        |     len(list_filter(list_distinct(string_split(s.text, ' ')),
+        |       w -> list_contains(coalesce(p.stop_words, $engArr), w)))
+        |       ::BIGINT lang_stops,
+        |     coalesce(p.min_stop_hits, 2) msh,
+        |     coalesce(p.min_words, 50) mw,
+        |     coalesce(p.min_word_len_centi, 300) mwl
+        |   FROM sig s LEFT JOIN prof p USING (lang)),
+        | keng AS (SELECT * FROM sig
+        |   WHERE n_words >= 10 AND n_words <= 100000
+        |     AND wl BETWEEN 300 AND 1000 AND dup_bp <= 3000
+        |     AND alpha_bp >= 8000 AND sym_bp <= 1000 AND eng_stops >= 2),
+        | kaw AS (SELECT * FROM aware
+        |   WHERE n_words >= mw AND n_words <= 100000
+        |     AND wl >= mwl AND wl <= 1000 AND dup_bp <= 3000
+        |     AND alpha_bp >= 8000 AND sym_bp <= 1000
+        |     AND lang_stops >= msh)
+        | SELECT 0::BIGINT stage_idx, 'raw' AS stage, lang,
+        |     count(*)::BIGINT n_docs, sum(n_words)::BIGINT n_tokens
+        |   FROM sig GROUP BY lang
+        | UNION ALL SELECT 1::BIGINT, 'english_cfg', lang,
+        |     count(*)::BIGINT, sum(n_words)::BIGINT FROM keng GROUP BY lang
+        | UNION ALL SELECT 2::BIGINT, 'lang_aware', lang,
+        |     count(*)::BIGINT, sum(n_words)::BIGINT FROM kaw GROUP BY lang
+        | ORDER BY stage_idx, lang""".stripMargin
+    },
+
+    // x169 mirror: the same en/ja page synthesis, the SAME strip/line
+    // CTEs as x127 (htmlStripCtesSql — the ONE definition, used through
+    // `ln`; its English `kept` tail is unused here), then the
+    // language-parameterized line rules over an inline profile table.
+    "x169_c4_lang_lines" ->
+      s"""WITH d0 AS (SELECT doc_id,
+        |     CASE (doc_id % 2) WHEN 0 THEN 'en' ELSE 'ja' END AS lang,
+        |     CASE (doc_id % 2) WHEN 0 THEN '$langEnHtml'
+        |       ELSE '$langJaHtml' END AS html
+        |   FROM documents),
+        | h2 AS (SELECT doc_id, html FROM d0),
+        | ${htmlStripCtesSql("h2")},
+        | prof AS (SELECT * FROM (VALUES
+        |     ('ja', ['。','！','？','」'], 1, 3))
+        |   p(lang, term_chars, min_line_words, min_line_chars)),
+        | lx AS (SELECT ln.doc_id, d0.lang, ln.line_no, ln.line
+        |   FROM ln JOIN d0 USING (doc_id)),
+        | keptl AS (SELECT lx.doc_id, lx.lang, lx.line_no, lx.line
+        |   FROM lx LEFT JOIN prof p USING (lang)
+        |   WHERE list_contains(coalesce(p.term_chars, ['.','!','?','"']),
+        |       substr(line, length(line), 1))
+        |     AND len(string_split(line, ' ')) >=
+        |       coalesce(p.min_line_words, 3)
+        |     AND length(line) >= coalesce(p.min_line_chars, 1)
+        |     AND NOT contains(lower(line), 'javascript'))
+        | SELECT doc_id, lang, line_no, line FROM keptl
+        | ORDER BY doc_id, line_no""".stripMargin
   )
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the

@@ -694,4 +694,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("regexp_extract_all"),
       s"link extraction re-derived above the checkpoint:\n$p")
   }
+
+  test("x168: the language-profile table broadcasts and the corpus " +
+      "never shuffles for the filter — only the funnel's " +
+      "language-count-sized groupBy exchanges") {
+    val p = plan(ExtensionQueries.queries, "x168_lang_gopher")
+    assert(!p.contains("SortMergeJoin"), s"profile join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every hash exchange is the funnel aggregation on the lang key
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("lang")),
+      s"the corpus shuffled on a non-lang key: $keys\n$p")
+  }
+
+  test("x169: the line-rule profile table broadcasts; the explode and " +
+      "rules stay narrow (no hash shuffle at all)") {
+    val p = plan(ExtensionQueries.queries, "x169_c4_lang_lines")
+    assert(p.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the line stage shuffled:\n$p")
+  }
 }
