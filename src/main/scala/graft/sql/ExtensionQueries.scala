@@ -3007,6 +3007,53 @@ object ExtensionQueries {
         .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
       HtmlOps.c4KeptLinesByLang(docs, "doc_id", "html", profiles)
         .orderBy("doc_id", "line_no")
+    },
+
+    // x170 — WAT metadata records (r18, VERDICT r17 #3): the third leg
+    // of the Common Crawl WARC/WAT/WET artifact triple — per-page JSON
+    // metadata (links, title, headers) wrapped as WARC `metadata`
+    // records, grouped into files, then parsed BACK through the same
+    // ingest tier, utf-8-decoded, and from_json'd. The title carries a
+    // real non-ASCII em dash, so Content-Length is a true BYTE count
+    // (length_ok=true on every row proves the accounting); row-identity
+    // of the recovered fields against the independently-recomputed
+    // targets proves write → parse → decode → JSON-decode lossless.
+    "x170_wat_roundtrip" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val html = concat(lit("<head><title>Page "), idS,
+        lit(" — News</title></head>"), linkHtmlFixture)
+      val meta = d.select(col("doc_id"), linkBase.as("uri"),
+        html.as("html"))
+        .select(col("doc_id"), col("uri"),
+          HtmlOps.title(col("html")).as("title"),
+          HtmlOps.extractLinks(col("html")).as("links"),
+          map(lit("content-type"), lit("text/html"),
+            lit("status"), lit("200")).as("headers"))
+      val wat = meta.select(col("doc_id"),
+        expr("doc_id div 8").as("file_id"),
+        WarcOps.watRecord(col("uri"), lit("2020-03-01T00:00:00Z"),
+          to_json(struct(col("uri"), col("title"), col("links"),
+            col("headers")))).as("r"))
+      val files = wat.groupBy("file_id")
+        .agg(concat_ws("", array_sort(collect_list(
+            struct(col("doc_id"), col("r")))).getField("r"))
+          .as("content"))
+      WarcOps.parseRecords(files, "file_id", "content")
+        .filter(col("warc_type") === "metadata")
+        .withColumn("j", HttpOps.decodeBody(col("payload"), lit("utf-8")))
+        .withColumn("m", expr("from_json(j, 'uri STRING, title STRING, " +
+          "links ARRAY<STRING>, headers MAP<STRING,STRING>')"))
+        .select(
+          expr("CAST(regexp_extract(target_uri, '/dir/page/([0-9]+)$', 1)" +
+            " AS BIGINT)").as("doc_id"),
+          col("target_uri").as("uri"),
+          col("m.title").as("title"),
+          size(col("m.links")).cast(LongType).as("n_links"),
+          concat_ws("|", col("m.links")).as("links"),
+          element_at(col("m.headers"), "content-type").as("content_type"),
+          col("length_ok"))
+        .orderBy("doc_id")
     }
   )
 
@@ -7691,7 +7738,27 @@ object ExtensionQueries {
         |     AND length(line) >= coalesce(p.min_line_chars, 1)
         |     AND NOT contains(lower(line), 'javascript'))
         | SELECT doc_id, lang, line_no, line FROM keptl
-        | ORDER BY doc_id, line_no""".stripMargin
+        | ORDER BY doc_id, line_no""".stripMargin,
+
+    // x170 mirror: the recovered WAT fields are the Spark side's to
+    // prove (DuckDB cannot replay the WARC envelope or Spark's JSON
+    // serialization) — the oracle independently recomputes every
+    // TARGET: the same link synthesis (linkSynthCtesSql, the ONE
+    // definition), the links list in document order, the em-dash
+    // title, and the constant header; length_ok true by construction.
+    "x170_wat_roundtrip" ->
+      s"""WITH $linkSynthCtesSql,
+        | wl AS (SELECT doc_id, base,
+        |     list_filter(list_transform(regexp_extract_all(html,
+        |       '(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*"([^"]*)"', 1),
+        |       r -> trim(r)), r -> r <> '') AS links
+        |   FROM lb)
+        | SELECT doc_id, base AS uri,
+        |   'Page ' || doc_id::VARCHAR || ' — News' AS title,
+        |   len(links)::BIGINT AS n_links,
+        |   array_to_string(links, '|') AS links,
+        |   'text/html' AS content_type, true AS length_ok
+        | FROM wl ORDER BY doc_id""".stripMargin
   )
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the

@@ -96,6 +96,39 @@ class Round18OpsSpec extends SparkSpec {
     assert(engOnly == 0L)
   }
 
+  test("watRecord: WAT write -> parseRecords -> utf-8 decode -> " +
+      "from_json round-trips links/title/headers with a true BYTE " +
+      "Content-Length") {
+    val title = "Page 1 — News" // em dash: 3 UTF-8 bytes
+    val pages = Seq((1L, title, Seq("https://e.com/n", "/root/x"),
+        Map("content-type" -> "text/html", "status" -> "200")))
+      .toDF("doc_id", "title", "links", "headers")
+    val wat = pages.select(lit(0L).as("file_id"),
+      WarcOps.watRecord(lit("https://e.com/1"),
+        lit("2020-03-01T00:00:00Z"),
+        to_json(struct(col("title"), col("links"), col("headers"))))
+        .as("content"))
+    val back = WarcOps.parseRecords(wat, "file_id", "content")
+      .withColumn("j", HttpOps.decodeBody(col("payload"), lit("utf-8")))
+      .withColumn("m", expr("from_json(j, 'title STRING, " +
+        "links ARRAY<STRING>, headers MAP<STRING,STRING>')"))
+      .select(col("warc_type"), col("refers_to"), col("content_length"),
+        col("length_ok"), col("j"), col("m.title"), col("m.links"),
+        element_at(col("m.headers"), "status").as("st"))
+      .collect()(0)
+    assert(back.getString(0) == "metadata")
+    assert(back.getString(1) == "https://e.com/1")
+    val json = back.getString(4)
+    // Content-Length is the JSON's BYTE count (em dash = 3 bytes)
+    assert(back.getLong(2) ==
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    assert(back.getLong(2) > json.length)
+    assert(back.getBoolean(3), "length_ok must hold on the round trip")
+    assert(back.getString(5) == title)
+    assert(back.getSeq[String](6) == Seq("https://e.com/n", "/root/x"))
+    assert(back.getString(7) == "200")
+  }
+
   test("c4KeptLinesByLang: the javascript rule stays global across " +
       "profiles") {
     val docs = Seq((1L, "ja",
