@@ -42,8 +42,10 @@ object CrawlOps {
     *  - per hop: extract links from the pages fetched in the previous
     *    hop, resolve against the page URL + canonicalize, drop
     *    everything already crawled OR scheduled, admit via robots,
-    *    cap at `perDomainCap` fetches per registered domain in
-    *    canonical order (the x136 politeness window);
+    *    cap at `perHostCap` fetches per HOST in canonical order (r18,
+    *    VERDICT r17 #5 — real crawlers throttle per authority, so two
+    *    hosts on one registered domain schedule independently; the
+    *    x136 politeness window, re-keyed);
     *  - `redirects` (optional, r17 — VERDICT r16 #3): the fetch
     *    outcomes that are 3xx rather than pages — `(urlCol, location)`
     *    rows, `location` the RAW Location header value. A fetched
@@ -60,7 +62,7 @@ object CrawlOps {
     *    LOOPS need no special case because the cumulative crawled-set
     *    dedup already refuses any URL fetched before.
     *
-    * Returns one row per SCHEDULED fetch: `(hop, canon_url,
+    * Returns one row per SCHEDULED fetch: `(hop, canon_url, host,
     * reg_domain, fetched)` — `fetched` = the URL exists in `pages` OR
     * `redirects` (a scheduled miss is a 404-class outcome and still
     * counts as crawled; only fetched pages feed the next hop's
@@ -68,14 +70,14 @@ object CrawlOps {
     */
   def crawlFrontierIterate(pages: DataFrame, seeds: DataFrame,
                            rules: DataFrame, maxHops: Int,
-                           perDomainCap: Int = 4,
+                           perHostCap: Int = 4,
                            urlCol: String = "canon_url",
                            htmlCol: String = "html",
                            redirects: DataFrame = null,
                            redirectCap: Int = 5): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1, 64], got $maxHops")
-    require(perDomainCap >= 1, s"perDomainCap must be >= 1, got $perDomainCap")
+    require(perHostCap >= 1, s"perHostCap must be >= 1, got $perHostCap")
     require(redirectCap >= 1, s"redirectCap must be >= 1, got $redirectCap")
     val corpus = pages.select(col(urlCol).as("canon_url"),
       col(htmlCol).as("html"))
@@ -129,15 +131,21 @@ object CrawlOps {
       val cand = allCand
         .groupBy("canon_url").agg(min(col("__rdepth")).as("__rdepth"))
         .join(crawled, Seq("canon_url"), "left_anti")
+        .withColumn("host", UrlOps.host(col("canon_url")))
         .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
+      // politeness caps per HOST (r18, VERDICT r17 #5): real crawlers
+      // throttle per authority — `blog.example.com` and
+      // `shop.example.com` are different servers and must not share
+      // one budget (robots groups are per-authority too); the
+      // registered domain stays in the output for rollups
       val scheduled = RobotsOps
         .allowedFlags(cand, rules,
-          Seq("canon_url", "reg_domain", "__rdepth"))
+          Seq("canon_url", "host", "reg_domain", "__rdepth"))
         .filter(col("allowed")).drop("allowed")
         .withColumn("__rn", row_number().over(
-          Window.partitionBy("reg_domain").orderBy("canon_url")))
-        .filter(col("__rn") <= perDomainCap).drop("__rn")
+          Window.partitionBy("host").orderBy("canon_url")))
+        .filter(col("__rn") <= perHostCap).drop("__rn")
         .join(fetchable.withColumn("fetched", lit(true)),
           Seq("canon_url"), "left")
         .withColumn("fetched", coalesce(col("fetched"), lit(false)))
@@ -159,7 +167,7 @@ object CrawlOps {
       }
       hop += 1
     }
-    out.select("hop", "canon_url", "reg_domain", "fetched")
+    out.select("hop", "canon_url", "host", "reg_domain", "fetched")
   }
 
   /** Freshness-driven recrawl scheduling (the Cho/Garcia-Molina 2000

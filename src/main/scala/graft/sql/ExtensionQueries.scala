@@ -2164,6 +2164,7 @@ object ExtensionQueries {
       val cand = resolved.select("canon_url").distinct()
         .join(pages.select(col("base").as("canon_url")),
           Seq("canon_url"), "left_anti")
+        .withColumn("host", UrlOps.host(col("canon_url")))
         .withColumn("reg_domain", UrlOps.domainOf(col("canon_url")))
         .withColumn("match_path", RobotsOps.matchPath(col("canon_url")))
       val doms = pages
@@ -2180,22 +2181,28 @@ object ExtensionQueries {
         lit("User-agent: *\nCrawl-delay: 30\nDisallow: /\n")))
       val rules = RobotsOps.parseRules(robots, "graftbot")
       val delays = RobotsOps.crawlDelays(robots, "graftbot")
-      RobotsOps.allowedFlags(cand, rules, Seq("canon_url", "reg_domain"))
+      RobotsOps.allowedFlags(cand, rules,
+          Seq("canon_url", "host", "reg_domain"))
         .filter(col("allowed")).drop("allowed")
         .join(ranks.select(col("node").as("canon_url"), col("rank")),
           Seq("canon_url"), "left")
         .withColumn("rank", coalesce(col("rank"), lit(0L)))
+        // slots per HOST (r18, VERDICT r17 #5): the fetch queue is a
+        // per-server schedule — two hosts on one registered domain
+        // fill their slot windows independently; the domain stays for
+        // the rollup and the Crawl-delay spacing (robots are fetched
+        // per authority; this fixture publishes them per domain)
         .withColumn("slot", row_number().over(
-            Window.partitionBy("reg_domain")
+            Window.partitionBy("host")
               .orderBy(col("rank").desc, col("canon_url")))
           .cast(LongType))
         .filter(col("slot") <= 4)
         .join(delays, Seq("reg_domain"), "left")
         .withColumn("fetch_offset_ms",
           (col("slot") - 1) * coalesce(col("delay_ms"), lit(200L)))
-        .select("reg_domain", "slot", "canon_url", "rank",
+        .select("reg_domain", "host", "slot", "canon_url", "rank",
           "fetch_offset_ms")
-        .orderBy("reg_domain", "slot")
+        .orderBy("reg_domain", "host", "slot")
     },
 
     // x146 — WARC revisit resolution (WARC 1.1 §6.7.2): a crawler that
@@ -2441,7 +2448,7 @@ object ExtensionQueries {
             "User-agent: *\nDisallow: /\n")))
       val rules = RobotsOps.parseRules(robots, "graftbot")
       CrawlOps.crawlFrontierIterate(pages, seeds, rules, maxHops = 4,
-          perDomainCap = 1000000, redirects = redirects, redirectCap = 2)
+          perHostCap = 1000000, redirects = redirects, redirectCap = 2)
         .withColumn("path_kind",
           regexp_extract(col("canon_url"), "/(t|c1|c2|la|x)/", 1))
         .groupBy("hop", "path_kind")
@@ -3054,6 +3061,43 @@ object ExtensionQueries {
           element_at(col("m.headers"), "content-type").as("content_type"),
           col("length_ok"))
         .orderBy("doc_id")
+    },
+
+    // x171 — per-HOST politeness (r18, VERDICT r17 #5): two hosts on
+    // one registered domain schedule INDEPENDENTLY — ten hub pages on
+    // blog./shop. subdomains of five domains, each linking six URLs on
+    // its own host; with the cap keyed on host every (domain, host)
+    // slot window fills to 4 (8 scheduled per domain), where a
+    // domain-keyed cap would stop at 4 total. Robots cover a dummy
+    // domain only (absent domains are unrestricted — RFC 9309), so
+    // the window is the only gate.
+    "x171_crawl_per_host" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val hubs = d.filter(col("doc_id") < 10)
+        .select(col("doc_id"), (col("doc_id") % 5).cast("string").as("m"),
+          when(expr("doc_id div 5") === 0, lit("blog"))
+            .otherwise(lit("shop")).as("sub"))
+        .withColumn("origin", concat(lit("https://"), col("sub"),
+          lit(".example-"), col("m"), lit(".com")))
+      val pages = hubs.select(
+        concat(col("origin"), lit("/hub")).as("canon_url"),
+        concat(lit("<html><body>"),
+          concat_ws("", transform(sequence(lit(0), lit(5)),
+            k => concat(lit("<a href=\"/a/"), k.cast("string"),
+              lit("\">l</a>")))),
+          lit("</body></html>")).as("html"))
+      val seeds = pages.select("canon_url")
+      val rules = RobotsOps.parseRules(
+        d.sparkSession.range(1)
+          .select(lit("unrelated.example").as("reg_domain"),
+            lit("User-agent: *\nDisallow: /private\n").as("robots_txt")),
+        "graftbot")
+      CrawlOps.crawlFrontierIterate(pages, seeds, rules, maxHops = 2)
+        .groupBy("hop", "reg_domain", "host")
+        .agg(count(lit(1)).as("n_scheduled"),
+          sum(when(col("fetched"), 1L).otherwise(0L)).as("n_fetched"),
+          min("canon_url").as("first_url"))
+        .orderBy("hop", "reg_domain", "host")
     }
   )
 
@@ -6497,8 +6541,8 @@ object ExtensionQueries {
     "x141_crawl_hops" ->
       s"""WITH $linkSynthCtesSql,
         | ${urlCanonCtesOver("lr", "doc_id")},
-        | l2 AS (SELECT DISTINCT doc_id, canon_url, reg_domain FROM ur
-        |   WHERE canon_url IS NOT NULL),
+        | l2 AS (SELECT DISTINCT doc_id, canon_url, host, reg_domain
+        |   FROM ur WHERE canon_url IS NOT NULL),
         | c0 AS (SELECT DISTINCT base AS canon_url FROM lb
         |   WHERE doc_id % 10 = 0),
         | f0 AS (SELECT canon_url FROM c0),
@@ -6718,10 +6762,10 @@ object ExtensionQueries {
         | r2 AS (SELECT n.node,
         |     (150000 + (85 * coalesce(i2.s, 0)) // 100)::BIGINT r
         |   FROM nodes n LEFT JOIN i2 USING (node)),
-        | cand AS (SELECT canon_url, reg_domain,
+        | cand AS (SELECT canon_url, host, reg_domain,
         |     coalesce(nullif(regexp_extract(canon_url,
         |       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$$', 1), ''), '/') mp
-        |   FROM (SELECT DISTINCT canon_url, reg_domain FROM ur
+        |   FROM (SELECT DISTINCT canon_url, host, reg_domain FROM ur
         |     WHERE canon_url IS NOT NULL) c
         |   WHERE NOT EXISTS (SELECT 1 FROM lb
         |     WHERE lb.base = c.canon_url)),
@@ -6754,18 +6798,20 @@ object ExtensionQueries {
         | b1 AS (SELECT canon_url, a FROM (SELECT canon_url, a,
         |     row_number() OVER (PARTITION BY canon_url
         |       ORDER BY l DESC, a DESC) rn FROM hits) WHERE rn = 1),
-        | adm AS (SELECT c.canon_url, c.reg_domain FROM cand c
+        | adm AS (SELECT c.canon_url, c.host, c.reg_domain FROM cand c
         |   LEFT JOIN b1 USING (canon_url) WHERE coalesce(b1.a, 1) = 1),
-        | sc AS (SELECT a.reg_domain, a.canon_url,
+        | sc AS (SELECT a.reg_domain, a.host, a.canon_url,
         |     coalesce(r2.r, 0)::BIGINT AS rank,
-        |     row_number() OVER (PARTITION BY a.reg_domain
+        |     row_number() OVER (PARTITION BY a.host
         |       ORDER BY coalesce(r2.r, 0) DESC, a.canon_url) AS slot
         |   FROM adm a LEFT JOIN r2 ON a.canon_url = r2.node)
-        | SELECT sc.reg_domain, slot::BIGINT slot, canon_url, rank,
+        | SELECT sc.reg_domain, sc.host, slot::BIGINT slot, canon_url,
+        |   rank,
         |   ((slot - 1) * coalesce(rdel.delay_ms, 200))::BIGINT
         |     fetch_offset_ms
         | FROM sc LEFT JOIN rdel ON sc.reg_domain = rdel.reg_domain
-        | WHERE slot <= 4 ORDER BY sc.reg_domain, slot""".stripMargin,
+        | WHERE slot <= 4
+        | ORDER BY sc.reg_domain, sc.host, slot""".stripMargin,
 
     // x146 mirror: the same revisit synthesis byte for byte, the shared
     // WARC parse CTEs (now surfacing payload_digest/refers_to), and the
@@ -7758,7 +7804,33 @@ object ExtensionQueries {
         |   len(links)::BIGINT AS n_links,
         |   array_to_string(links, '|') AS links,
         |   'text/html' AS content_type, true AS length_ok
-        | FROM wl ORDER BY doc_id""".stripMargin
+        | FROM wl ORDER BY doc_id""".stripMargin,
+
+    // x171 mirror: the same hub synthesis, six per-host candidates,
+    // the per-HOST cap-4 window; no robots table touches these
+    // domains so the window is the only gate. All candidates are
+    // misses (the corpus holds only hubs) — n_fetched 0 by
+    // construction, hop 2 empty.
+    "x171_crawl_per_host" ->
+      s"""WITH hb AS (SELECT doc_id, (doc_id % 5)::VARCHAR m,
+        |     (CASE WHEN doc_id // 5 = 0 THEN 'blog' ELSE 'shop' END) sub
+        |   FROM documents WHERE doc_id < 10),
+        | org AS (SELECT doc_id,
+        |     'https://' || sub || '.example-' || m || '.com' AS origin,
+        |     sub || '.example-' || m || '.com' AS host,
+        |     'example-' || m || '.com' AS reg_domain
+        |   FROM hb),
+        | cand AS (SELECT DISTINCT
+        |     origin || '/a/' || k::VARCHAR AS canon_url, host, reg_domain
+        |   FROM org CROSS JOIN (SELECT unnest(range(0, 6)) k)),
+        | sched AS (SELECT canon_url, host, reg_domain,
+        |     row_number() OVER (PARTITION BY host ORDER BY canon_url) rn
+        |   FROM cand)
+        | SELECT 1::BIGINT hop, reg_domain, host,
+        |   count(*)::BIGINT n_scheduled, 0::BIGINT n_fetched,
+        |   min(canon_url) first_url
+        | FROM sched WHERE rn <= 4 GROUP BY reg_domain, host
+        | ORDER BY hop, reg_domain, host""".stripMargin
   )
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the
@@ -7817,8 +7889,8 @@ object ExtensionQueries {
       "'^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1), ''), '/')"
     s"""f${h}d AS (SELECT DISTINCT l.doc_id FROM lb l
       |   JOIN f${h - 1} f ON l.base = f.canon_url),
-      | f${h}c AS (SELECT canon_url, reg_domain, $mp mp
-      |   FROM (SELECT DISTINCT u.canon_url, u.reg_domain
+      | f${h}c AS (SELECT canon_url, host, reg_domain, $mp mp
+      |   FROM (SELECT DISTINCT u.canon_url, u.host, u.reg_domain
       |       FROM l2 u JOIN f${h}d d ON u.doc_id = d.doc_id) c
       |   WHERE NOT EXISTS (SELECT 1 FROM c${h - 1} cc
       |     WHERE cc.canon_url = c.canon_url)),
@@ -7831,7 +7903,7 @@ object ExtensionQueries {
       |       ORDER BY l DESC, a DESC) rn FROM f${h}h) WHERE rn = 1),
       | f${h}s AS (SELECT canon_url, reg_domain FROM (
       |     SELECT c.canon_url, c.reg_domain, row_number() OVER (
-      |       PARTITION BY c.reg_domain ORDER BY c.canon_url) rn
+      |       PARTITION BY c.host ORDER BY c.canon_url) rn
       |     FROM f${h}c c LEFT JOIN f${h}b b USING (canon_url)
       |     WHERE coalesce(b.a, 1) = 1) WHERE rn <= 4),
       | c$h AS (SELECT canon_url FROM c${h - 1}

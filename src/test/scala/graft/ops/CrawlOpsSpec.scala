@@ -133,7 +133,7 @@ class CrawlOpsSpec extends SparkSpec {
                      rules: org.apache.spark.sql.DataFrame = emptyRules,
                      redirectCap: Int = 5) =
     CrawlOps.crawlFrontierIterate(pages.toDF("canon_url", "html"),
-        seeds.toDF("canon_url"), rules, maxHops, perDomainCap = 100,
+        seeds.toDF("canon_url"), rules, maxHops, perHostCap = 100,
         redirects = redirects.toDF("canon_url", "location"),
         redirectCap = redirectCap)
       .orderBy("hop", "canon_url")

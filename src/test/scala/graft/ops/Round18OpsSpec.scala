@@ -129,6 +129,29 @@ class Round18OpsSpec extends SparkSpec {
     assert(back.getString(7) == "200")
   }
 
+  test("crawlFrontierIterate: the politeness cap is per HOST — two " +
+      "hosts on one registered domain schedule independently") {
+    def hub(host: String): (String, String) =
+      (s"https://$host/hub", "<html><body>" +
+        (0 to 5).map(k => s"""<a href="/a/$k">l</a>""").mkString +
+        "</body></html>")
+    val pages = Seq(hub("blog.example.com"), hub("shop.example.com"))
+      .toDF("canon_url", "html")
+    val seeds = pages.select("canon_url")
+    val rules = RobotsOps.parseRules(
+      Seq(("unrelated.example", "User-agent: *\nDisallow: /private\n"))
+        .toDF("reg_domain", "robots_txt"), "graftbot")
+    val out = CrawlOps.crawlFrontierIterate(pages, seeds, rules,
+      maxHops = 2)
+    val byHost = out.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 6 candidates per host, cap 4 per HOST -> 4 + 4, one domain
+    assert(byHost == Map("blog.example.com" -> 4L,
+      "shop.example.com" -> 4L))
+    assert(out.select("reg_domain").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("example.com"))
+  }
+
   test("c4KeptLinesByLang: the javascript rule stays global across " +
       "profiles") {
     val docs = Seq((1L, "ja",
