@@ -364,12 +364,16 @@ object CrawlOps {
     *
     *  - the validators of the LATEST capture (capture-date order,
     *    ties broken by `digestCol` descending — deterministic);
-    *  - `mode` — `if-none-match` when that capture carried an ETag
+    *  - `mode` — `unconditional` when the sitemap declares the URL
+    *    NEWER than its last capture (r18: a conditional cannot 304
+    *    when the change is already evidenced — `declared_newer`, the
+    *    x149 signal, threaded through the same url-keyed join family);
+    *    otherwise `if-none-match` when that capture carried an ETag
     *    (the stronger validator, RFC 9110 §13.1.1's preference),
     *    `if-modified-since` when only Last-Modified, `unconditional`
     *    when the server sent neither;
     *  - `validator` — the header value the conditional carries (NULL
-    *    for unconditional);
+    *    for either unconditional arm);
     *  - `priority` — the [[recrawlPriority]] score over the same
     *    capture history (`sitemapLastmod` passed through).
     *
@@ -395,13 +399,24 @@ object CrawlOps {
         col(lastModCol).as("__lm"))
     val pri = recrawlPriority(captures, now, urlCol, dateCol, digestCol,
       sitemapLastmod)
+    // sitemap lastmod consulted for the MODE too (r18, VERDICT r17
+    // #6): a URL whose sitemap declares content NEWER than its last
+    // capture cannot 304 — the change is already evidenced (the x149
+    // declared_newer signal, same url-keyed join family), so the plan
+    // upgrades it to an unconditional fetch (carrying a known-stale
+    // validator just invites a misbehaving cache to answer 304
+    // anyway) on top of the +10000 priority boost recrawlPriority
+    // already applies.
     latest.join(pri, Seq("url"))
       .withColumn("mode",
-        when(col("__etag").isNotNull, lit("if-none-match"))
+        when(col("declared_newer"), lit("unconditional"))
+          .when(col("__etag").isNotNull, lit("if-none-match"))
           .when(col("__lm").isNotNull, lit("if-modified-since"))
           .otherwise(lit("unconditional")))
-      .withColumn("validator", coalesce(col("__etag"), col("__lm")))
-      .select("url", "mode", "validator", "staleness_days",
-        "change_rate_bp", "priority")
+      .withColumn("validator",
+        when(col("declared_newer"), lit(null).cast("string"))
+          .otherwise(coalesce(col("__etag"), col("__lm"))))
+      .select("url", "mode", "validator", "declared_newer",
+        "staleness_days", "change_rate_bp", "priority")
   }
 }

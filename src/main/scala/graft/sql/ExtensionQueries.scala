@@ -2642,6 +2642,11 @@ object ExtensionQueries {
     // priority as x149. The x149 three-capture synthesis, with ETags
     // on a third of URLs and Last-Modified on two thirds (so every
     // mode arm is populated and etag-beats-lastmod is exercised).
+    // r18 arm (VERDICT r17 #6): every 5th URL carries a sitemap
+    // lastmod NEWER than its last capture — declared_newer upgrades
+    // it to an UNCONDITIONAL fetch (even over an ETag: a conditional
+    // cannot 304 when the change is already evidenced), drops the
+    // validator, and boosts priority by 10000.
     "x159_revalidation_plan" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val caps = d
@@ -2668,7 +2673,13 @@ object ExtensionQueries {
             concat(lit("Wed, 0"), (lit(1) + col("k") * 2).cast("string"),
               lit(" Jan 2020 00:00:00 GMT")))
             .otherwise(lit(null).cast("string")))
-      CrawlOps.revalidationPlan(caps, "2020-02-15").orderBy("url")
+      val sitemap = d.filter(col("doc_id") % 5 === 0)
+        .select(concat(lit("https://example.com/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          lit("2020-02-10").as("lastmod"))
+      CrawlOps.revalidationPlan(caps, "2020-02-15",
+          sitemapLastmod = sitemap)
+        .orderBy("url")
     },
 
     // x165 — deduplicated WARC store round trip (r17; WARC 1.1
@@ -7342,8 +7353,9 @@ object ExtensionQueries {
 
     // x159 mirror: the x149 capture synthesis with validator arms,
     // DuckDB's own latest-capture window (same date-desc digest-desc
-    // tie-break), the etag-beats-lastmod mode CASE, and the same
-    // integral priority chain (no sitemap table -> no bonus).
+    // tie-break), the declared-newer-beats-etag-beats-lastmod mode
+    // CASE, and the same integral priority chain with the +10000
+    // declared-newer bonus (every 5th URL's sitemap row).
     "x159_revalidation_plan" ->
       s"""WITH caps AS (SELECT
         |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
@@ -7375,21 +7387,30 @@ object ExtensionQueries {
         |       THEN 1 ELSE 0 END)::BIGINT n_changes,
         |     min(capture_date) f, max(capture_date) l
         |   FROM lg GROUP BY url),
-        | ag2 AS (SELECT url, n_changes,
+        | sm AS (SELECT 'https://example.com/doc/' || doc_id::VARCHAR
+        |       AS url, '2020-02-10' AS lastmod
+        |   FROM documents WHERE doc_id % 5 = 0),
+        | ag2 AS (SELECT ag.url, n_changes,
         |     date_diff('day', f::DATE, l::DATE)::BIGINT span_days,
         |     date_diff('day', l::DATE, DATE '2020-02-15')::BIGINT
-        |       staleness_days
-        |   FROM ag)
+        |       staleness_days,
+        |     (sm.lastmod IS NOT NULL AND sm.lastmod::DATE > l::DATE)
+        |       AS declared_newer
+        |   FROM ag LEFT JOIN sm USING (url))
         | SELECT a.url,
-        |   CASE WHEN l1.etag IS NOT NULL THEN 'if-none-match'
+        |   CASE WHEN a.declared_newer THEN 'unconditional'
+        |        WHEN l1.etag IS NOT NULL THEN 'if-none-match'
         |        WHEN l1.lm IS NOT NULL THEN 'if-modified-since'
         |        ELSE 'unconditional' END AS mode,
-        |   coalesce(l1.etag, l1.lm) AS validator,
+        |   CASE WHEN a.declared_newer THEN NULL
+        |        ELSE coalesce(l1.etag, l1.lm) END AS validator,
+        |   a.declared_newer,
         |   staleness_days,
         |   ((n_changes * 10000) // greatest(span_days, 1))::BIGINT
         |     change_rate_bp,
         |   (staleness_days *
-        |     ((n_changes * 10000) // greatest(span_days, 1)))::BIGINT
+        |     ((n_changes * 10000) // greatest(span_days, 1)) +
+        |     (CASE WHEN a.declared_newer THEN 10000 ELSE 0 END))::BIGINT
         |     priority
         | FROM ag2 a JOIN l1 USING (url) ORDER BY url""".stripMargin,
 

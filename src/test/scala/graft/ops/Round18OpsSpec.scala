@@ -152,6 +152,32 @@ class Round18OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("example.com"))
   }
 
+  test("revalidationPlan: a sitemap lastmod NEWER than the last " +
+      "capture upgrades the mode to unconditional (even over an ETag)" +
+      " and boosts the priority by 10000") {
+    val caps = Seq(
+      ("https://e.com/a", "2020-01-01", "d1", "W/\"v1\"", null),
+      ("https://e.com/a", "2020-01-10", "d2", "W/\"v2\"", null),
+      ("https://e.com/b", "2020-01-01", "d3", "W/\"v3\"", null),
+      ("https://e.com/b", "2020-01-10", "d4", "W/\"v4\"", null))
+      .toDF("url", "capture_date", "digest", "etag", "last_modified")
+    // a: declared newer than its last capture; b: declared OLDER
+    val sm = Seq(("https://e.com/a", "2020-01-20"),
+        ("https://e.com/b", "2020-01-05"))
+      .toDF("url", "lastmod")
+    val out = CrawlOps.revalidationPlan(caps, "2020-02-01",
+        sitemapLastmod = sm)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getLong(6))).toSeq
+    // both: 1 change / 9-day span, 22 days stale -> base 22 * 1111
+    assert(out == Seq(
+      ("https://e.com/a", "unconditional", null, true,
+        22L * 1111L + 10000L),
+      ("https://e.com/b", "if-none-match", "W/\"v4\"", false,
+        22L * 1111L)))
+  }
+
   test("c4KeptLinesByLang: the javascript rule stays global across " +
       "profiles") {
     val docs = Seq((1L, "ja",
