@@ -345,3 +345,154 @@ object DeflateLen {
     total
   }
 }
+
+/** Decompress a ZSTD body (the HTTP `zstd` content coding, RFC 8878)
+  * to its latin1-view string — JAR-GATED (the W3/W4 discipline,
+  * VERDICT r17 #7): the kernel probes the classpath for zstd-jni
+  * (`com.github.luben.zstd.ZstdInputStream` — Spark ships it for its
+  * own shuffle/parquet compression, so on any real Spark cluster the
+  * probe succeeds) and decodes for real when present; without the jar
+  * every cell is NULL — the same auditable routing miss the coding
+  * produced before the gate existed, never a classpath crash. The
+  * probe holds NO hard reference: the class loads only inside
+  * [[ZstdToString.Impl]], which is touched only after `Class.forName`
+  * succeeded. Same never-throw + [[GunzipToString.MaxDecompressedBytes]]
+  * cap contract as the gzip/deflate kernels.
+  */
+case class ZstdToString(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "zstd_to_string"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override protected def nullValueJava: String = "UTF8String"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.ZstdToString.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    ZstdToString.compute(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ZstdToString =
+    copy(child = newChild)
+}
+
+object ZstdToString {
+  /** true iff zstd-jni is on the classpath (memoized once per JVM). */
+  lazy val available: Boolean =
+    try { Class.forName("com.github.luben.zstd.ZstdInputStream"); true }
+    catch { case _: Throwable => false }
+
+  // the ONLY code holding a hard reference to the zstd classes — never
+  // touched when `available` is false, so a jar-less classpath never
+  // links it
+  private object Impl {
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try GunzipToString.drain(in) finally in.close()
+    }
+  }
+
+  def compute(bytes: Array[Byte]): UTF8String = {
+    if (!available || bytes.length == 0) return null
+    try {
+      val out = Impl.decode(bytes)
+      if (out == null) null
+      else UTF8String.fromString(Latin1View.toView(out))
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+}
+
+/** zstd-compress a LATIN1-VIEW string's bytes (RFC 8878) — the
+  * producer side of the `zstd` content coding, [[GzipBytes]]'s
+  * jar-gated sibling (fixtures and tests that ship zstd members).
+  * Same view contract (a char above 0xFF → NULL); fixed level 3 for
+  * within-JVM determinism — consumers round-trip through
+  * [[ZstdToString]] rather than comparing raw frames across zstd
+  * builds. NULL when zstd-jni is absent (the [[ZstdToString]] gate).
+  */
+case class ZstdBytes(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "zstd_bytes"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.StringType
+  override protected def nullValueJava: String = "byte[]"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.ZstdBytes.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    ZstdBytes.compute(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ZstdBytes =
+    copy(child = newChild)
+}
+
+object ZstdBytes {
+  private object Impl {
+    def encode(raw: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(raw, 3)
+  }
+
+  def compute(s: UTF8String): Array[Byte] = {
+    if (!ZstdToString.available) return null
+    val raw = Latin1View.toBytes(s.toString)
+    if (raw == null) return null
+    Impl.encode(raw)
+  }
+}
+
+/** Decompress a BROTLI body (the HTTP `br` content coding, RFC 7932)
+  * to its latin1-view string — the [[ZstdToString]] sibling, gated on
+  * commons-compress's brotli bridge AND the Google `org.brotli:dec`
+  * jar it delegates to (`BrotliUtils.isBrotliCompressionAvailable` —
+  * commons-compress itself rides the Spark classpath, the dec jar
+  * usually does not, so in this sandbox the gate reports unavailable
+  * and every cell is the auditable NULL; drop the one jar in and the
+  * SAME code decodes for real). Never-throw + size-cap contract as
+  * above.
+  */
+case class BrotliToString(child: Expression) extends ViewCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "brotli_to_string"
+  override protected def acceptedType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override protected def nullValueJava: String = "UTF8String"
+  override protected def computeCall(c: String): String =
+    s"graft.functions.BrotliToString.compute($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    BrotliToString.compute(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BrotliToString =
+    copy(child = newChild)
+}
+
+object BrotliToString {
+  /** true iff commons-compress AND the org.brotli dec jar are present
+    * (memoized once per JVM).
+    */
+  lazy val available: Boolean =
+    try {
+      Class.forName(
+        "org.apache.commons.compress.compressors.brotli.BrotliUtils")
+      Impl.probe()
+    } catch { case _: Throwable => false }
+
+  private object Impl {
+    def probe(): Boolean =
+      org.apache.commons.compress.compressors.brotli.BrotliUtils
+        .isBrotliCompressionAvailable
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      val in = new org.apache.commons.compress.compressors.brotli
+        .BrotliCompressorInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      try GunzipToString.drain(in) finally in.close()
+    }
+  }
+
+  def compute(bytes: Array[Byte]): UTF8String = {
+    if (!available || bytes.length == 0) return null
+    try {
+      val out = Impl.decode(bytes)
+      if (out == null) null
+      else UTF8String.fromString(Latin1View.toView(out))
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+}

@@ -112,10 +112,17 @@ object HttpOps {
     * over the view's exact original bytes — `encode(body, ISO-8859-1)`
     * inverts the view; both return a latin1 view of the decompressed
     * bytes, malformed streams → NULL); absent/`identity` pass through.
-    * Any other coding (`br`, `zstd` — no codec in the bare JDK) → NULL:
-    * an honest routing miss to audit, the decodeBody boundary rule.
-    * Applied AFTER de-chunking — RFC 9112 removes the transfer coding
-    * first, then RFC 9110 the content coding.
+    * `zstd` and `br` route through the JAR-GATED
+    * [[graft.functions.ZstdToString]]/[[graft.functions.BrotliToString]]
+    * kernels (r18, the W3/W4 discipline): with the codec jar on the
+    * classpath they decode for real (zstd-jni ships with Spark, so
+    * `zstd` is live on any real cluster; brotli needs the one
+    * `org.brotli:dec` jar), without it every cell is the same
+    * auditable NULL the coding produced before the gate existed. Any
+    * other coding → NULL: an honest routing miss to audit, the
+    * decodeBody boundary rule. Applied AFTER de-chunking — RFC 9112
+    * removes the transfer coding first, then RFC 9110 the content
+    * coding.
     */
   def decodeContentCoding(bodyCol: Column, ce: Column): Column = {
     def bridge(f: org.apache.spark.sql.catalyst.expressions.Expression =>
@@ -127,6 +134,8 @@ object HttpOps {
       .when(ce.isin("gzip", "x-gzip"),
         bridge(graft.functions.GunzipToString(_)))
       .when(ce === "deflate", bridge(graft.functions.InflateToString(_)))
+      .when(ce === "zstd", bridge(graft.functions.ZstdToString(_)))
+      .when(ce === "br", bridge(graft.functions.BrotliToString(_)))
       .otherwise(lit(null).cast("string"))
   }
 

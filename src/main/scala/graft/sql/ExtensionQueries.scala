@@ -2340,7 +2340,10 @@ object ExtensionQueries {
     // VERDICT r16 #1 — the one HTTP envelope layer r16 left
     // unhandled; the MAJORITY of live fetches ship gzip-coded
     // bodies). The fixture wraps each accent page's REAL UTF-8 bytes
-    // in gzip (even docs) or zlib-deflate (odd docs), ships the coded
+    // in gzip / zlib-deflate / ZSTD frames (doc_id % 3 — the zstd arm
+    // is r18: the jar-gated ZstdBytes/ZstdToString kernels are LIVE
+    // because zstd-jni rides every Spark classpath),
+    // ships the coded
     // bytes as the body's latin1 view inside plain-text WARC records,
     // and the query runs WARC parse → HTTP split (which now removes
     // the content coding after the transfer coding —
@@ -2356,7 +2359,7 @@ object ExtensionQueries {
       val routed = HttpOps.parseResponses(pages, "payload")
         .filter(col("status_code") === 200 &&
           col("content_type") === "text/html" &&
-          col("content_encoding").isin("gzip", "deflate"))
+          col("content_encoding").isin("gzip", "deflate", "zstd"))
         .select(nullif(regexp_extract(col("target_uri"),
             "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
           HttpOps.decodeBody(col("body"), col("charset")).as("html"))
@@ -3481,13 +3484,19 @@ object ExtensionQueries {
       org.apache.spark.sql.graftbridge.Bridge.column(
         mk(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
     val utf8View = decode(encode(htmlAcc, "UTF-8"), "ISO-8859-1")
-    val coded = when(col("doc_id") % 2 === 0,
+    // r18: a third arm ships REAL zstd frames — zstd-jni rides every
+    // Spark classpath, so the jar-gated kernels are live here
+    val coded = when(col("doc_id") % 3 === 0,
         bridge1(graft.functions.GzipBytes(_), utf8View))
-      .otherwise(bridge1(graft.functions.DeflateBytes(_), utf8View))
+      .when(col("doc_id") % 3 === 1,
+        bridge1(graft.functions.DeflateBytes(_), utf8View))
+      .otherwise(bridge1(graft.functions.ZstdBytes(_), utf8View))
     val base = d.select(col("doc_id"),
       (col("doc_id") / 8).cast(LongType).as("file_id"),
       decode(coded, "ISO-8859-1").as("body_view"),
-      when(col("doc_id") % 2 === 0, lit("gzip")).otherwise(lit("deflate"))
+      when(col("doc_id") % 3 === 0, lit("gzip"))
+        .when(col("doc_id") % 3 === 1, lit("deflate"))
+        .otherwise(lit("zstd"))
         .as("ce"))
     val uriC = concat(lit("https://example.com/doc/"), idStr)
     val dateC = concat(lit("2020-01-"),

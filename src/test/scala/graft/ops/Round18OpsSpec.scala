@@ -178,6 +178,46 @@ class Round18OpsSpec extends SparkSpec {
         22L * 1111L)))
   }
 
+  test("zstd content coding: the jar-gated kernel decodes for real " +
+      "when zstd-jni is present (it ships with Spark); malformed and " +
+      "empty input NULL, never throw") {
+    import graft.functions.ZstdToString
+    // Spark's own classpath carries zstd-jni — the gate must be OPEN
+    assert(ZstdToString.available,
+      "zstd-jni missing from a Spark classpath?")
+    val text = "zstd body — prêt"
+    val view = new String(text.getBytes("UTF-8"), "ISO-8859-1")
+    val raw = view.toCharArray.map(_.toByte)
+    val comp = com.github.luben.zstd.Zstd.compress(raw)
+    val got = ZstdToString.compute(comp)
+    assert(got != null && got.toString == view)
+    assert(ZstdToString.compute("garbage".getBytes("ISO-8859-1")) == null)
+    assert(ZstdToString.compute(Array.emptyByteArray) == null)
+    // and through the HTTP content-coding routing
+    val compView = comp.map(b => (b & 0xFF).toChar).mkString
+    val out = Seq(compView).toDF("b")
+      .select(HttpOps.decodeContentCoding(col("b"), lit("zstd")).as("o"))
+      .head().getString(0)
+    assert(out == view)
+  }
+
+  test("brotli content coding: the gate reports the classpath truth; " +
+      "garbage is a NULL row on either side of the gate, never a throw") {
+    import graft.functions.BrotliToString
+    val bogus = "not brotli at all".getBytes("ISO-8859-1")
+    // whichever side of the gate this classpath is on, the contract
+    // is the same observable: garbage -> NULL, no exception
+    assert(BrotliToString.compute(bogus) == null)
+    if (!BrotliToString.available) {
+      // without org.brotli:dec the routing stays the auditable NULL
+      // miss the coding produced before the gate existed
+      val out = Seq("anything").toDF("b")
+        .select(HttpOps.decodeContentCoding(col("b"), lit("br")).as("o"))
+        .head().getString(0)
+      assert(out == null)
+    }
+  }
+
   test("c4KeptLinesByLang: the javascript rule stays global across " +
       "profiles") {
     val docs = Seq((1L, "ja",
