@@ -626,6 +626,58 @@ object TextOps {
       .drop("__scores")
   }
 
+  /** SCRIPT-based language evidence for the CJK/Thai tier (r18 — the
+    * declared boundary of [[langId]]: trigram profiles are the wrong
+    * unit for space-free scripts, and with the r18 legacy-charset
+    * decode landing Japanese/Chinese/Korean pages in the corpus they
+    * need labels). The classic Unicode-script router every real
+    * pipeline runs BEFORE an n-gram model: count codepoints per script
+    * block (hiragana, katakana, hangul syllables, unified han, thai —
+    * literal BMP ranges, so one codegen'd regexp_replace per script on
+    * BOTH engines), then the standard precedence:
+    *
+    *  - any kana → `ja` (kanji alone is ambiguous, kana is not);
+    *  - else hangul → `ko`; else thai → `th`;
+    *  - else han → `zh` (the han-only default — ja/ko text without its
+    *    phonetic script is rare outside single-word fragments);
+    *  - else → `und` (latin/cyrillic/etc. — route to [[langId]]'s
+    *    trigram tier; [[langIdRouted]] is that composition).
+    *
+    * Output: per-script codepoint counts (`n_hira`, `n_kata`,
+    * `n_hangul`, `n_han`, `n_thai`) + `script_lang`. Narrow,
+    * shuffle-free, scan-fused — the [[langId]] plan shape.
+    */
+  def scriptLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def inRange(range: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), s"[$range]", ""))).cast(LongType)
+    docs
+      .withColumn("n_hira", inRange("ぁ-ゟ"))
+      .withColumn("n_kata", inRange("゠-ヿ"))
+      .withColumn("n_hangul", inRange("가-힣"))
+      .withColumn("n_han", inRange("一-鿿"))
+      .withColumn("n_thai", inRange("ก-๛"))
+      .withColumn("script_lang",
+        when(col("n_hira") + col("n_kata") > 0L, lit("ja"))
+          .when(col("n_hangul") > 0L, lit("ko"))
+          .when(col("n_thai") > 0L, lit("th"))
+          .when(col("n_han") > 0L, lit("zh"))
+          .otherwise(lit("und")))
+  }
+
+  /** The COMPLETE language router: script evidence first (space-free
+    * scripts — exact, cheap, unambiguous where it fires), the
+    * [[langId]] trigram tier for everything the script router calls
+    * `und` (latin-script languages). `pred_lang` is the routed label;
+    * both tiers' evidence columns ride along for audits. One fused
+    * narrow pass — neither tier shuffles.
+    */
+  def langIdRouted(docs: DataFrame, textCol: String = "text"): DataFrame =
+    langId(scriptLangId(docs, textCol), textCol)
+      .withColumn("pred_lang",
+        when(col("script_lang") =!= "und", col("script_lang"))
+          .otherwise(col("pred_lang")))
+
   /** Canonical text normalization — the pre-dedup step every web corpus
     * runs so that case/whitespace/punctuation noise doesn't defeat exact
     * dedup: lowercase, collapse whitespace runs to one space, trim, and

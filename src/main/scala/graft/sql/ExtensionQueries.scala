@@ -3112,6 +3112,30 @@ object ExtensionQueries {
           sum(when(col("fetched"), 1L).otherwise(0L)).as("n_fetched"),
           min("canon_url").as("first_url"))
         .orderBy("hop", "reg_domain", "host")
+    },
+
+    // x172 — the COMPLETE language router (r18 — closes x18's declared
+    // CJK boundary now that the legacy-charset decode lands CJK pages
+    // in the corpus): Unicode-SCRIPT evidence first (kana → ja, hangul
+    // → ko, thai → th, han-only → zh — exact codepoint counts per
+    // block, the unit trigrams cannot be for space-free scripts), the
+    // x18 trigram tier for latin-script text the router calls und.
+    // Six planted arms: ja (kana+kanji), ko, zh (han only), th, and
+    // the x168 en/fr texts riding the trigram tier — every route
+    // populated, both evidence tiers in the output.
+    "x172_lang_router" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val arm = col("doc_id") % 6
+      val txt = when(arm === 0, lit(langJaText))
+        .when(arm === 1, lit(langKoText))
+        .when(arm === 2, lit(langZhText))
+        .when(arm === 3, lit(langThText))
+        .when(arm === 4, lit(langEnText))
+        .otherwise(lit(langFrText))
+      TextOps.langIdRouted(d.select(col("doc_id"), txt.as("text")))
+        .select("doc_id", "n_hira", "n_kata", "n_hangul", "n_han",
+          "n_thai", "script_lang", "pred_lang", "pred_hits")
+        .orderBy("doc_id")
     }
   )
 
@@ -3126,6 +3150,10 @@ object ExtensionQueries {
     "moment prudent dans le coin du monde."
   private val langDeText = "der weg und die zeit durch den wald sind " +
     "ein stück von dem leben geworden und bleiben."
+  private val langJaText = "日本語のテキストです。ひらがなとカタカナも漢字も入っています。"
+  private val langKoText = "한국어 텍스트입니다. 웹 페이지의 내용입니다."
+  private val langZhText = "中文网页的正文内容，包含许多汉字。"
+  private val langThText = "ข้อความภาษาไทยสำหรับการทดสอบ"
   private val langFrStops =
     Seq("le", "la", "les", "de", "du", "des", "et", "un", "une", "en")
   private val langDeStops =
@@ -7860,7 +7888,56 @@ object ExtensionQueries {
         |   count(*)::BIGINT n_scheduled, 0::BIGINT n_fetched,
         |   min(canon_url) first_url
         | FROM sched WHERE rn <= 4 GROUP BY reg_domain, host
-        | ORDER BY hop, reg_domain, host""".stripMargin
+        | ORDER BY hop, reg_domain, host""".stripMargin,
+
+    // x172 mirror: the same six planted texts, per-script codepoint
+    // counts via the same literal BMP character-class ranges (RE2 and
+    // java.util.regex agree on literal ranges; both engines' length()
+    // counts codepoints on BMP text), the same script precedence, and
+    // the x18 trigram struct-argmax for the latin fall-through.
+    "x172_lang_router" -> {
+      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map {
+        case (lang, prof) =>
+          val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
+          s"struct_pack(hits := len(list_filter(tri, x -> " +
+            s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
+      }.mkString(", ")
+      def n(c: String, range: String) =
+        s"(length(text) - length(regexp_replace(text, '[$range]', " +
+          s"'', 'g')))::BIGINT $c"
+      s"""WITH d AS (SELECT doc_id,
+        |     CASE (doc_id % 6) WHEN 0 THEN '$langJaText'
+        |       WHEN 1 THEN '$langKoText'
+        |       WHEN 2 THEN '$langZhText'
+        |       WHEN 3 THEN '$langThText'
+        |       WHEN 4 THEN '$langEnText'
+        |       ELSE '$langFrText' END AS text
+        |   FROM documents),
+        | sc AS (SELECT doc_id, text,
+        |     ${n("n_hira", "ぁ-ゟ")},
+        |     ${n("n_kata", "゠-ヿ")},
+        |     ${n("n_hangul", "가-힣")},
+        |     ${n("n_han", "一-鿿")},
+        |     ${n("n_thai", "ก-๛")}
+        |   FROM d),
+        | sl AS (SELECT *,
+        |     CASE WHEN n_hira + n_kata > 0 THEN 'ja'
+        |          WHEN n_hangul > 0 THEN 'ko'
+        |          WHEN n_thai > 0 THEN 'th'
+        |          WHEN n_han > 0 THEN 'zh'
+        |          ELSE 'und' END AS script_lang
+        |   FROM sc),
+        | tr AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(text)-2,0)+1),
+        |     i -> substr(text,i::INT,3))) tri FROM d),
+        | lg AS (SELECT doc_id, list_max([$profs]) m FROM tr)
+        | SELECT s.doc_id, n_hira, n_kata, n_hangul, n_han, n_thai,
+        |   script_lang,
+        |   CASE WHEN script_lang <> 'und' THEN script_lang
+        |        WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
+        |   m.hits AS pred_hits
+        | FROM sl s JOIN lg USING (doc_id) ORDER BY s.doc_id""".stripMargin
+    }
   )
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the

@@ -218,6 +218,28 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("scriptLangId: script precedence — kana beats kanji, hangul " +
+      "beats han, han-only is zh, latin is und; langIdRouted falls " +
+      "through to the trigram tier") {
+    val docs = Seq(
+      (0L, "漢字だけでなくかなもある。"), // kanji + hiragana -> ja
+      (1L, "한자漢字도 섞인 한국어."),        // hangul + han -> ko
+      (2L, "纯中文文本。"),                  // han only -> zh
+      (3L, "ตัวอย่างข้อความ"),               // thai -> th
+      (4L, "the study of the river and the land."), // latin -> und/en
+      (5L, ""))                              // empty -> und
+      .toDF("doc_id", "text")
+    val got = TextOps.langIdRouted(docs).orderBy("doc_id")
+      .select("script_lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("ja", "ja"), ("ko", "ko"), ("zh", "zh"),
+      ("th", "th"), ("und", "en"), ("und", "und")))
+    // the counts are codepoint-exact
+    val r0 = TextOps.scriptLangId(docs).filter(col("doc_id") === 0).head()
+    assert(r0.getAs[Long]("n_han") == 2L)   // 漢字
+    assert(r0.getAs[Long]("n_hira") == 10L) // だけでなくかなもある
+  }
+
   test("c4KeptLinesByLang: the javascript rule stays global across " +
       "profiles") {
     val docs = Seq((1L, "ja",
