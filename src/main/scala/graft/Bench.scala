@@ -125,15 +125,24 @@ object Bench {
       // must DEGRADE the oracle (its design contract), not hang the bench
       val errFile = tmp.resolve("oracle_bench.err").toFile
       val outFile = tmp.resolve("oracle_bench.out").toFile
+      // 30 min covers the sf0.1 suite with lots of headroom; the sf1+
+      // co-measures need more (the r17 sf1 oracle ran 27.6 min and the
+      // suite has grown since) — override per run, never permanently
+      val timeoutMin = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_ORACLE_TIMEOUT_MIN", "30")
+      require(timeoutMin.toIntOption.exists(_ >= 1),
+        "SPARK_GRAFT_BENCH_ORACLE_TIMEOUT_MIN must be an integer >= 1 " +
+          s"(got '$timeoutMin')")
       val proc = new ProcessBuilder("python3",
         tmp.resolve("oracle_bench.py").toString, sfDir,
         tmp.resolve("oracle_sql.json").toString, reps)
         .redirectError(errFile).redirectOutput(outFile).start()
-      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      val done = proc.waitFor(timeoutMin.toLong,
+        java.util.concurrent.TimeUnit.MINUTES)
       if (!done) {
         proc.destroyForcibly()
-        System.err.println(
-          "[bench] oracle timing skipped: timed out after 30 minutes")
+        System.err.println("[bench] oracle timing skipped: timed out " +
+          s"after $timeoutMin minutes")
         None
       } else if (proc.exitValue() != 0) {
         val err = Files.readString(errFile.toPath)

@@ -397,7 +397,10 @@ object ZstdToString {
       if (out == null) null
       else UTF8String.fromString(Latin1View.toView(out))
     } catch {
+      // IOException for malformed frames; the native-backed codecs can
+      // also surface unchecked exceptions — same NULL contract
       case _: java.io.IOException => null
+      case _: RuntimeException => null
     }
   }
 }
@@ -434,7 +437,10 @@ object ZstdBytes {
     if (!ZstdToString.available) return null
     val raw = Latin1View.toBytes(s.toString)
     if (raw == null) return null
-    Impl.encode(raw)
+    // zstd-jni surfaces native failures as unchecked ZstdException —
+    // the never-throw contract turns any of them into a NULL row
+    try Impl.encode(raw)
+    catch { case _: RuntimeException => null }
   }
 }
 
@@ -492,7 +498,10 @@ object BrotliToString {
       if (out == null) null
       else UTF8String.fromString(Latin1View.toView(out))
     } catch {
+      // IOException for malformed frames; the native-backed codecs can
+      // also surface unchecked exceptions — same NULL contract
       case _: java.io.IOException => null
+      case _: RuntimeException => null
     }
   }
 }
