@@ -646,6 +646,14 @@ object TextOps {
     * Output: per-script codepoint counts (`n_hira`, `n_kata`,
     * `n_hangul`, `n_han`, `n_thai`) + `script_lang`. Narrow,
     * shuffle-free, scan-fused — the [[langId]] plan shape.
+    *
+    * Fidelity bound: all five blocks are BMP, where `length()` counts
+    * code units = codepoints on both engines; text containing
+    * SUPPLEMENTARY chars (emoji, CJK extension B) inflates the
+    * subtraction base by one per surrogate pair on the JVM side —
+    * harmless here (supplementary chars are in NO counted block, so
+    * the per-script counts stay exact; only a hypothetical
+    * supplementary RANGE would need codepoint-true counting).
     */
   def scriptLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     def inRange(range: String): Column =
