@@ -120,23 +120,39 @@ object DecodeCharset {
   // Charset instances are immutable and thread-safe (decoders are not —
   // one newDecoder per eval); memoize the label resolution so the hot
   // path is one ConcurrentHashMap read. `None` memoizes a bad label.
+  // BOUNDED (r19): labels come from untrusted page headers/meta, and a
+  // corpus can carry unbounded distinct garbage labels — past the cap
+  // new labels resolve uncached (the JVM's own Charset lookup cache
+  // still serves the supported ones) instead of growing executor
+  // memory for the JVM's lifetime. The cap is far above the ~40 labels
+  // a real crawl actually declares, so the hot path never degrades.
+  private val MaxCacheEntries = 4096
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
       String, Option[java.nio.charset.Charset]]()
 
-  private def charsetFor(label: String): java.nio.charset.Charset =
-    cache.computeIfAbsent(label, l => {
-      val name = WhatwgLabels.getOrElse(l, l)
-      try {
-        if (java.nio.charset.Charset.isSupported(name))
-          Some(java.nio.charset.Charset.forName(name))
-        else None
-      } catch {
-        // illegal charset NAME (forName throws on e.g. spaces) — the
-        // never-throw contract turns it into the NULL routing miss
-        case _: IllegalArgumentException => None
-      }
-    }).orNull
+  private def resolve(label: String): Option[java.nio.charset.Charset] = {
+    val name = WhatwgLabels.getOrElse(label, label)
+    try {
+      if (java.nio.charset.Charset.isSupported(name))
+        Some(java.nio.charset.Charset.forName(name))
+      else None
+    } catch {
+      // illegal charset NAME (forName throws on e.g. spaces) — the
+      // never-throw contract turns it into the NULL routing miss
+      case _: IllegalArgumentException => None
+    }
+  }
+
+  private def charsetFor(label: String): java.nio.charset.Charset = {
+    val hit = cache.get(label)
+    if (hit != null) return hit.orNull
+    val resolved = resolve(label)
+    // size() is approximate under concurrency — acceptable for a cap
+    // (overshoot is bounded by the thread count, not the corpus)
+    if (cache.size < MaxCacheEntries) cache.putIfAbsent(label, resolved)
+    resolved.orNull
+  }
 
   def compute(view: UTF8String, charset: UTF8String): UTF8String = {
     val raw = Latin1View.toBytes(view.toString)

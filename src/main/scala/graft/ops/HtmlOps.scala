@@ -135,10 +135,19 @@ object HtmlOps {
   def c4KeptLinesByLang(docs: DataFrame, idCol: String, htmlCol: String,
                         profiles: DataFrame,
                         langCol: String = "lang"): DataFrame = {
+    // Deterministic per-lang collapse (the soft404Flags/gopherFilterByLang
+    // discipline, r19): a duplicate lang row in `profiles` must not
+    // multiply every doc of that language through the left join.
     val prof = broadcast(profiles.select(col("lang").as(langCol),
-      col("term_chars").as("__p_term_chars"),
-      col("min_line_words").as("__p_min_line_words"),
-      col("min_line_chars").as("__p_min_line_chars")))
+        col("term_chars").as("__p_term_chars"),
+        col("min_line_words").as("__p_min_line_words"),
+        col("min_line_chars").as("__p_min_line_chars"))
+      .groupBy(langCol)
+      .agg(max(struct(col("__p_term_chars"), col("__p_min_line_words"),
+        col("__p_min_line_chars"))).as("__p"))
+      .select(col(langCol), col("__p.__p_term_chars").as("__p_term_chars"),
+        col("__p.__p_min_line_words").as("__p_min_line_words"),
+        col("__p.__p_min_line_chars").as("__p_min_line_chars")))
     docs.join(prof, Seq(langCol), "left")
       .select(col(idCol), col(langCol), col("__p_term_chars"),
         col("__p_min_line_words"), col("__p_min_line_chars"),

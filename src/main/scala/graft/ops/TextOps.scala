@@ -596,12 +596,41 @@ object TextOps {
     * documents with no profile hits are labeled "und".)
     */
   val langProfiles: Map[String, Seq[String]] = Map(
+    // latin tier (r19 broadened: it/pt/nl/pl — VERDICT r18 #4)
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ón ", " qu"),
     "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "nt ", "ent", " et", "et "),
-    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "ch ", "sch", "und"))
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "ch ", "sch", "und"),
+    "it" -> Seq(" di", "di ", " ch", "che", "lla", " il", "il ", "zio", "one", "ità"),
+    "pt" -> Seq(" de", "de ", "ão ", "ção", "os ", " os", " um", "um ", "ara", " pa"),
+    "nl" -> Seq(" he", "het", "et ", "van", " va", "een", " ee", "ijk", "ij ", "aar"),
+    "pl" -> Seq(" ni", "nie", "ie ", "ego", "go ", " pr", "prz", "rzy", " po", "ych"),
+    // per-SCRIPT tiers (r19, VERDICT r18 #2): [[langIdRouted]] restricts
+    // the argmax to the script the page is written in — ru/uk compete
+    // only under Cyrillic, ar/fa only under Arabic — so a brand name or
+    // quoted latin phrase can never steal a Cyrillic page for English
+    "ru" -> Seq(" на", "на ", " не", "ого", "го ", "ть ", "ая ", " по", "ние", "ост"),
+    "uk" -> Seq(" і ", "ння", "ськ", "ть ", "ій ", "ої ", "ів ", "іст", "ідо", " що"),
+    "ar" -> Seq(" ال", "الم", "في ", " في", "ين ", "ون ", "ها ", "ة ا", " من", "من "),
+    "fa" -> Seq(" که", "که ", " را", "را ", "ای ", "های", " می", "می ", "ده ", " با"),
+    "el" -> Seq("και", " κα", "αι ", "της", " τη", "την", " το", "το ", "ου ", "να "),
+    "he" -> Seq(" של", "של ", "ים ", " את", "את ", "ות ", "ית ", " על", "על ", " עם"),
+    "hi" -> Seq(" है", "है ", " के", "के ", " की", "की ", " मे", "में", " से", "ता "))
   require(langProfiles.values.forall(_.forall(_.length == 3)),
     "language profiles must be char trigrams")
+
+  /** The Unicode script group each profile competes under —
+    * [[langIdRouted]]'s routing key: `latn` profiles score only where
+    * [[scriptLangId]] found no dominant non-latin script; the others
+    * score only under their own script's evidence.
+    */
+  val langScript: Map[String, String] = Map(
+    "en" -> "latn", "es" -> "latn", "fr" -> "latn", "de" -> "latn",
+    "it" -> "latn", "pt" -> "latn", "nl" -> "latn", "pl" -> "latn",
+    "ru" -> "cyrl", "uk" -> "cyrl", "ar" -> "arab", "fa" -> "arab",
+    "el" -> "grek", "he" -> "hebr", "hi" -> "deva")
+  require(langScript.keySet == langProfiles.keySet,
+    "every profile language needs a script group")
 
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tri = charShingles(col(textCol), 3)
@@ -626,65 +655,160 @@ object TextOps {
       .drop("__scores")
   }
 
-  /** SCRIPT-based language evidence for the CJK/Thai tier (r18 — the
-    * declared boundary of [[langId]]: trigram profiles are the wrong
-    * unit for space-free scripts, and with the r18 legacy-charset
-    * decode landing Japanese/Chinese/Korean pages in the corpus they
-    * need labels). The classic Unicode-script router every real
-    * pipeline runs BEFORE an n-gram model: count codepoints per script
-    * block (hiragana, katakana, hangul syllables, unified han, thai —
-    * literal BMP ranges, so one codegen'd regexp_replace per script on
-    * BOTH engines), then the standard precedence:
+  /** Script evidence fires only when the script's codepoints are at
+    * least this share (basis points) of the page's NON-WHITESPACE
+    * codepoints — 3000 bp = 30%. An absolute-count precedence (the r18
+    * shape) flipped a 5,000-word English page to `ja` on ONE quoted
+    * kana phrase and misrouted it through the ja quality profile; real
+    * routers threshold on script SHARE. 30% is far below any genuinely
+    * CJK/Cyrillic/… page (typically 60–95% even with inline latin
+    * brand names and numbers) and far above any quotation (a quoted
+    * phrase in a real page is a fraction of a percent).
+    */
+  val ScriptShareBp: Long = 3000L
+
+  /** SCRIPT-based language evidence (r18, share-thresholded and
+    * extended to the non-latin alphabetic web in r19 — the declared
+    * boundary of [[langId]]: trigram profiles are the wrong unit for
+    * space-free scripts, and script evidence is the cheap exact router
+    * for every non-latin alphabet). The classic Unicode-script router
+    * every real pipeline runs BEFORE an n-gram model: count codepoints
+    * per script block (hiragana, katakana, hangul syllables, unified
+    * han incl. Extension A, thai, cyrillic, arabic, greek, hebrew,
+    * devanagari — literal BMP ranges, so one codegen'd regexp_replace
+    * per script on BOTH engines), then the precedence, each arm gated
+    * on the script holding ≥ [[ScriptShareBp]] of non-whitespace
+    * codepoints (see there — the r19 mixed-script fix):
     *
-    *  - any kana → `ja` (kanji alone is ambiguous, kana is not);
-    *  - else hangul → `ko`; else thai → `th`;
-    *  - else han → `zh` (the han-only default — ja/ko text without its
-    *    phonetic script is rare outside single-word fragments);
-    *  - else → `und` (latin/cyrillic/etc. — route to [[langId]]'s
-    *    trigram tier; [[langIdRouted]] is that composition).
+    *  - any kana AND a dominant CJK (kana+han) share → `ja` (kanji
+    *    alone is ambiguous, kana is not; the han term keeps a normal
+    *    kanji-heavy Japanese page above the share bar);
+    *  - else dominant hangul → `ko`; thai → `th`; han-only → `zh`
+    *    (ja/ko text without its phonetic script is rare outside
+    *    single-word fragments);
+    *  - else a dominant Cyrillic/Arabic/Greek/Hebrew/Devanagari share
+    *    → the SCRIPT GROUP label (`cyrl`/`arab`/`grek`/`hebr`/`deva`)
+    *    — these scripts carry several languages each, so the label
+    *    routes to the script's own trigram profiles in
+    *    [[langIdRouted]] instead of fabricating one language;
+    *  - else → `und` (latin / mixed / quotation-only evidence — route
+    *    to [[langId]]'s latin trigram tier).
     *
     * Output: per-script codepoint counts (`n_hira`, `n_kata`,
-    * `n_hangul`, `n_han`, `n_thai`) + `script_lang`. Narrow,
-    * shuffle-free, scan-fused — the [[langId]] plan shape.
+    * `n_hangul`, `n_han`, `n_thai`, `n_cyrl`, `n_arab`, `n_grek`,
+    * `n_hebr`, `n_deva`) + `script_lang`. Narrow, shuffle-free,
+    * scan-fused — the [[langId]] plan shape.
     *
-    * Fidelity bound: all five blocks are BMP, where `length()` counts
-    * code units = codepoints on both engines; text containing
-    * SUPPLEMENTARY chars (emoji, CJK extension B) inflates the
-    * subtraction base by one per surrogate pair on the JVM side —
-    * harmless here (supplementary chars are in NO counted block, so
-    * the per-script counts stay exact; only a hypothetical
-    * supplementary RANGE would need codepoint-true counting).
+    * Fidelity bound: all counted blocks are BMP (han includes
+    * Extension A, U+3400–U+4DBF — BMP, reachable via the GB18030
+    * decode path; Extension B+ is supplementary and stays out of
+    * scope), where `length()` counts code units = codepoints on both
+    * engines; text containing SUPPLEMENTARY chars (emoji, CJK
+    * extension B) inflates the subtraction base by one per surrogate
+    * pair on the JVM side — harmless here (supplementary chars are in
+    * NO counted block, so the per-script counts stay exact and the
+    * share denominator only grows, making the threshold marginally
+    * more conservative).
     */
+  /** The counted script blocks as regex character-class ranges — ONE
+    * definition, interpolated verbatim into the DuckDB mirrors (literal
+    * BMP ranges behave identically in java.util.regex and RE2). Key
+    * order is the column order of [[scriptLangId]].
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "hira" -> "ぁ-ゟ",
+    "kata" -> "゠-ヿ",
+    "hangul" -> "가-힣",
+    "han" -> "㐀-䶿一-鿿", // unified han + Extension A (both BMP)
+    "thai" -> "ก-๛",
+    "cyrl" -> "Ѐ-ӿ",
+    "arab" -> "؀-ۿ",
+    "grek" -> "Ͱ-Ͽ",
+    "hebr" -> "֐-׿",
+    "deva" -> "ऀ-ॿ")
+
   def scriptLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def inRange(range: String): Column =
+    val ranges = ScriptRanges.toMap
+    def inRange(key: String): Column =
       (length(col(textCol)) -
-        length(regexp_replace(col(textCol), s"[$range]", ""))).cast(LongType)
+        length(regexp_replace(col(textCol), s"[${ranges(key)}]", "")))
+        .cast(LongType)
+    // share gate in MULTIPLY form (n·10000 ≥ bp·n_nonspace): integer-
+    // exact on both engines, no division, no div-by-zero arm; the n>0
+    // conjunct keeps empty/whitespace-only text at `und` (0 ≥ 0 would
+    // otherwise pass the share test vacuously)
+    val nNonspace =
+      length(regexp_replace(col(textCol), "\\s", "")).cast(LongType)
+    def dominant(n: Column): Column =
+      n > 0L && n * 10000L >= lit(ScriptShareBp) * nNonspace
     docs
-      .withColumn("n_hira", inRange("ぁ-ゟ"))
-      .withColumn("n_kata", inRange("゠-ヿ"))
-      .withColumn("n_hangul", inRange("가-힣"))
-      .withColumn("n_han", inRange("一-鿿"))
-      .withColumn("n_thai", inRange("ก-๛"))
+      .withColumn("n_hira", inRange("hira"))
+      .withColumn("n_kata", inRange("kata"))
+      .withColumn("n_hangul", inRange("hangul"))
+      .withColumn("n_han", inRange("han"))
+      .withColumn("n_thai", inRange("thai"))
+      .withColumn("n_cyrl", inRange("cyrl"))
+      .withColumn("n_arab", inRange("arab"))
+      .withColumn("n_grek", inRange("grek"))
+      .withColumn("n_hebr", inRange("hebr"))
+      .withColumn("n_deva", inRange("deva"))
       .withColumn("script_lang",
-        when(col("n_hira") + col("n_kata") > 0L, lit("ja"))
-          .when(col("n_hangul") > 0L, lit("ko"))
-          .when(col("n_thai") > 0L, lit("th"))
-          .when(col("n_han") > 0L, lit("zh"))
+        when(col("n_hira") + col("n_kata") > 0L &&
+            dominant(col("n_hira") + col("n_kata") + col("n_han")),
+          lit("ja"))
+          .when(dominant(col("n_hangul")), lit("ko"))
+          .when(dominant(col("n_thai")), lit("th"))
+          .when(dominant(col("n_han")), lit("zh"))
+          .when(dominant(col("n_cyrl")), lit("cyrl"))
+          .when(dominant(col("n_arab")), lit("arab"))
+          .when(dominant(col("n_grek")), lit("grek"))
+          .when(dominant(col("n_hebr")), lit("hebr"))
+          .when(dominant(col("n_deva")), lit("deva"))
           .otherwise(lit("und")))
   }
 
-  /** The COMPLETE language router: script evidence first (space-free
-    * scripts — exact, cheap, unambiguous where it fires), the
-    * [[langId]] trigram tier for everything the script router calls
-    * `und` (latin-script languages). `pred_lang` is the routed label;
-    * both tiers' evidence columns ride along for audits. One fused
-    * narrow pass — neither tier shuffles.
+  /** The COMPLETE language router: script evidence first (exact,
+    * cheap, share-thresholded — see [[scriptLangId]]), then the
+    * trigram tier RESTRICTED to the languages of the page's script
+    * ([[langScript]]): `cyrl` pages compete only among ru/uk, `arab`
+    * among ar/fa, `grek`/`hebr`/`deva` among their single profiles,
+    * and everything else (latin/mixed) among the latin profiles — so
+    * an inline English phrase can never steal a Cyrillic page, and a
+    * quoted CJK phrase can never flip an English one (the r19 share
+    * threshold). `pred_lang` is the routed label, `pred_hits` the
+    * winning profile's hit count WITHIN the routed group (0 hits →
+    * `und`, never a fabricated winner); both tiers' evidence columns
+    * ride along for audits. One fused narrow pass — neither tier
+    * shuffles.
     */
-  def langIdRouted(docs: DataFrame, textCol: String = "text"): DataFrame =
-    langId(scriptLangId(docs, textCol), textCol)
+  def langIdRouted(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tri = charShingles(col(textCol), 3)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(
+        size(array_intersect(tri, array(prof.map(lit): _*)))
+          .cast(LongType).as("hits"),
+        lit(lang).as("lang"))
+    }
+    def groupArr(g: String): Column =
+      array(langScript.collect { case (l, s) if s == g => l }
+        .toSeq.sorted.map(lit): _*)
+    val allowed = when(col("script_lang") === "cyrl", groupArr("cyrl"))
+      .when(col("script_lang") === "arab", groupArr("arab"))
+      .when(col("script_lang") === "grek", groupArr("grek"))
+      .when(col("script_lang") === "hebr", groupArr("hebr"))
+      .when(col("script_lang") === "deva", groupArr("deva"))
+      .otherwise(groupArr("latn"))
+    scriptLangId(docs, textCol)
+      .withColumn("__m", array_max(filter(array(scored: _*),
+        s => array_contains(allowed, s.getField("lang")))))
+      .withColumn("pred_hits", col("__m").getField("hits"))
       .withColumn("pred_lang",
-        when(col("script_lang") =!= "und", col("script_lang"))
-          .otherwise(col("pred_lang")))
+        when(col("script_lang").isin("ja", "ko", "th", "zh"),
+          col("script_lang"))
+          .when(col("pred_hits") === 0L, lit("und"))
+          .otherwise(col("__m").getField("lang")))
+      .drop("__m")
+  }
 
   /** Canonical text normalization — the pre-dedup step every web corpus
     * runs so that case/whitespace/punctuation noise doesn't defeat exact
@@ -901,9 +1025,18 @@ object TextOps {
     val pcols = Seq("stop_words", "min_stop_hits", "min_words",
       "max_words", "min_word_len_centi", "max_word_len_centi",
       "min_alpha_bp")
+    // Collapse duplicate lang rows DETERMINISTICALLY (max over the whole
+    // row-struct — the soft404Flags discipline, r18): a left join on a
+    // profile table with two rows for one lang would silently MULTIPLY
+    // every doc of that language. Unique-key inputs pass through
+    // bit-identically (max of one row is that row).
     val prof = broadcast(profiles.select(
-      col("lang").as(langCol) +:
-        pcols.map(c => col(c).as(s"__p_$c")): _*))
+        col("lang").as(langCol) +:
+          pcols.map(c => col(c).as(s"__p_$c")): _*)
+      .groupBy(langCol)
+      .agg(max(struct(pcols.map(c => col(s"__p_$c")): _*)).as("__p"))
+      .select(col(langCol) +:
+        pcols.map(c => col(s"__p.__p_$c").as(s"__p_$c")): _*))
     val words = split(col(textCol), " ")
     val nWords = size(words).cast(LongType)
     val wordChars = length(regexp_replace(col(textCol), " ", "")).cast(LongType)

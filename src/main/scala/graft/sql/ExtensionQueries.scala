@@ -3114,28 +3114,97 @@ object ExtensionQueries {
         .orderBy("hop", "reg_domain", "host")
     },
 
-    // x172 — the COMPLETE language router (r18 — closes x18's declared
-    // CJK boundary now that the legacy-charset decode lands CJK pages
-    // in the corpus): Unicode-SCRIPT evidence first (kana → ja, hangul
-    // → ko, thai → th, han-only → zh — exact codepoint counts per
-    // block, the unit trigrams cannot be for space-free scripts), the
-    // x18 trigram tier for latin-script text the router calls und.
-    // Six planted arms: ja (kana+kanji), ko, zh (han only), th, and
-    // the x168 en/fr texts riding the trigram tier — every route
-    // populated, both evidence tiers in the output.
+    // x172 — the COMPLETE language router (r18, share-thresholded r19 —
+    // closes x18's declared CJK boundary now that the legacy-charset
+    // decode lands CJK pages in the corpus): Unicode-SCRIPT evidence
+    // first (kana → ja, hangul → ko, thai → th, han-only → zh — exact
+    // codepoint counts per block, each arm gated on the script holding
+    // ≥ ScriptShareBp of non-whitespace codepoints), the x18 trigram
+    // tier for text the router calls und. Seven planted arms: ja
+    // (kana+kanji), ko, zh (han only), th, the x168 en/fr texts riding
+    // the trigram tier, and (r19, VERDICT r18 #1) the MIXED-SCRIPT arm —
+    // an English page quoting one kana phrase, which the r18
+    // absolute-count precedence flipped to ja and which must now stay
+    // en — every route populated, both evidence tiers in the output.
     "x172_lang_router" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
-      val arm = col("doc_id") % 6
+      val arm = col("doc_id") % 7
       val txt = when(arm === 0, lit(langJaText))
         .when(arm === 1, lit(langKoText))
         .when(arm === 2, lit(langZhText))
         .when(arm === 3, lit(langThText))
         .when(arm === 4, lit(langEnText))
-        .otherwise(lit(langFrText))
+        .when(arm === 5, lit(langFrText))
+        .otherwise(lit(langEnMixedText))
       TextOps.langIdRouted(d.select(col("doc_id"), txt.as("text")))
         .select("doc_id", "n_hira", "n_kata", "n_hangul", "n_han",
           "n_thai", "script_lang", "pred_lang", "pred_hits")
         .orderBy("doc_id")
+    },
+
+    // x173 — the NON-LATIN alphabetic web + the broadened latin tier
+    // (r19, VERDICT r18 #2/#4): eleven planted arms — ru/uk (Cyrillic),
+    // ar/fa (Arabic), el (Greek), he (Hebrew), hi (Devanagari), and
+    // it/pt/nl/pl riding the broadened latin trigram tier — through the
+    // same router. Script evidence routes to PER-SCRIPT trigram
+    // profiles (ru/uk compete only under cyrl, ar/fa only under arab),
+    // so a latin brand name inside a Cyrillic page can never steal it
+    // for English; every route populated, the per-script counts and
+    // both tiers' evidence in the output.
+    "x173_script_router_ext" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val arm = col("doc_id") % 11
+      val txt = when(arm === 0, lit(langRuText))
+        .when(arm === 1, lit(langUkText))
+        .when(arm === 2, lit(langArText))
+        .when(arm === 3, lit(langFaText))
+        .when(arm === 4, lit(langElText))
+        .when(arm === 5, lit(langHeText))
+        .when(arm === 6, lit(langHiText))
+        .when(arm === 7, lit(langItText))
+        .when(arm === 8, lit(langPtText))
+        .when(arm === 9, lit(langNlText))
+        .otherwise(lit(langPlText))
+      TextOps.langIdRouted(d.select(col("doc_id"), txt.as("text")))
+        .select("doc_id", "n_cyrl", "n_arab", "n_grek", "n_hebr",
+          "n_deva", "script_lang", "pred_lang", "pred_hits")
+        .orderBy("doc_id")
+    },
+
+    // x174 — language-aware Gopher over the NON-LATIN web (r19, the
+    // x168 funnel re-run where it matters most): ru/ar/en arms labeled
+    // by the REAL router (langIdRouted — script tier, not trigram),
+    // filtered once under the English-only config and once under
+    // per-language profiles. The English config eats BOTH non-latin
+    // arms twice over — their stopword probes miss AND the [a-zA-Z]
+    // alphabetic-word floor reads every Cyrillic/Arabic word as
+    // non-alphabetic — so their profiles set min_alpha_bp 0 and their
+    // own stopword probes; the funnel proves the fallback no longer
+    // eats them. Profiles broadcast; the corpus never shuffles.
+    "x174_lang_gopher_ext" -> { (s, dir) =>
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val txt = when(col("doc_id") % 3 === 0, lit(langEnText))
+        .when(col("doc_id") % 3 === 1, lit(langRuText))
+        .otherwise(lit(langArText))
+      val docs = d.select(col("doc_id"), txt.as("text"))
+      val lang = TextOps.langIdRouted(docs)
+        .select(col("doc_id"), col("text"), col("pred_lang").as("lang"))
+      val profiles = Seq(
+        ("en", TextOps.GopherStopProbe, 2L, 10L, 100000L, 300L, 1000L, 8000L),
+        ("ru", langRuStops, 2L, 10L, 100000L, 250L, 1000L, 0L),
+        ("ar", langArStops, 2L, 10L, 100000L, 250L, 1000L, 0L))
+        .toDF("lang", "stop_words", "min_stop_hits", "min_words",
+          "max_words", "min_word_len_centi", "max_word_len_centi",
+          "min_alpha_bp")
+      val eng = TextOps.gopherFilter(lang, "text", minWords = 10L)
+        .filter(col("keep"))
+      val aware = TextOps.gopherFilterByLang(lang, profiles)
+        .filter(col("keep"))
+      StatOps.funnelReportBy(
+          Seq("raw" -> lang, "english_cfg" -> eng, "lang_aware" -> aware),
+          size(split(col("text"), " ")), "lang")
+        .orderBy("stage_idx", "lang")
     }
   )
 
@@ -3154,10 +3223,47 @@ object ExtensionQueries {
   private val langKoText = "한국어 텍스트입니다. 웹 페이지의 내용입니다."
   private val langZhText = "中文网页的正文内容，包含许多汉字。"
   private val langThText = "ข้อความภาษาไทยสำหรับการทดสอบ"
+
+  /** The r19 router fixtures (x172 mixed arm, x173, x174): one planted
+    * text per routed language, hand-built so its own profile strictly
+    * beats every other profile IN ITS SCRIPT GROUP (ties lose to the
+    * lexicographically-larger lang, so strict wins are required), and
+    * the mixed-script arm — the x168 en text quoting one kana phrase,
+    * whose CJK share (5 of ~90 non-space codepoints ≈ 550 bp) sits far
+    * under ScriptShareBp so the router must keep it `en`.
+    */
+  private val langEnMixedText = "the quick study of the river and the " +
+    "stone that people said ありがとう one day have kept with care over time."
+  private val langItText = "il lavoro di questa organizzazione che si " +
+    "trova nella villa era una grande visione per il territorio."
+  private val langPtText = "uma grande parte de tudo para o futuro da " +
+    "cidade foi um processo de organização para todos os grupos."
+  private val langNlText = "het werk van een aantal mensen in het " +
+    "gebouw was een goede zaak voor de wijk en de maatschappij."
+  private val langPlText = "nie ma czasu na nie i na pytanie o tego " +
+    "rodzaju sprawy przy pracy gdzie wszystko jest teraz inne."
+  private val langRuText = "это новое сообщение на русском языке не " +
+    "только для проверки работы но и для оценки качества на сайте."
+  private val langUkText = "це нове повідомлення українською мовою і " +
+    "багато інших текстів що існують для перевірки якості роботи."
+  private val langArText = "هذا النص الجديد في الموقع من أجل الاختبار " +
+    "والتحقق من جودة المحتوى في كل مكان."
+  private val langFaText = "این متن جدید برای آزمایش است که می تواند " +
+    "کیفیت های مختلف را در همه جا نشان دهد."
+  private val langElText = "αυτό είναι ένα νέο κείμενο για τον έλεγχο " +
+    "και την αξιολόγηση της ποιότητας του περιεχομένου."
+  private val langHeText = "זהו טקסט חדש של המערכת שבו יש את כל המילים " +
+    "הדרושות לבדיקה של האיכות ושל התוכן."
+  private val langHiText = "यह एक नया पाठ है जो सभी के लिए हिंदी में लिखा " +
+    "गया है और इसका उपयोग जाँच के लिए होता है।"
   private val langFrStops =
     Seq("le", "la", "les", "de", "du", "des", "et", "un", "une", "en")
   private val langDeStops =
     Seq("der", "die", "und", "das", "von", "mit", "den", "dem", "ein", "zu")
+  private val langRuStops =
+    Seq("и", "в", "на", "не", "для", "но", "это", "что", "как", "по")
+  private val langArStops =
+    Seq("في", "من", "على", "هذا", "أن", "إلى", "كل", "عن", "مع", "أو")
   private val langEnHtml = "<html><body>" +
     "<p>this line has enough words to pass.</p>" +
     "<p>too short.</p>" +
@@ -3493,9 +3599,11 @@ object ExtensionQueries {
   }
 
   /** The Content-Encoding synthesis for x150: the accent page's REAL
-    * UTF-8 bytes, content-coded — even docs gzip
-    * ([[graft.functions.GzipBytes]] over the UTF-8 view), odd docs
-    * zlib-deflate ([[graft.functions.DeflateBytes]]) — with the coded
+    * UTF-8 bytes, content-coded three ways on `doc_id % 3` — 0 → gzip
+    * ([[graft.functions.GzipBytes]] over the UTF-8 view), 1 →
+    * zlib-deflate ([[graft.functions.DeflateBytes]]), 2 → zstd
+    * ([[graft.functions.ZstdBytes]], live because zstd-jni rides the
+    * Spark classpath) — with the coded
     * bytes as the body's latin1 view, `Content-Encoding` declared, and
     * `Content-Length` = the coded BYTE count (the view's char count).
     * Plain-text WARC framing (the warcCharsetFixture shape). Returns
@@ -7890,55 +7998,216 @@ object ExtensionQueries {
         | FROM sched WHERE rn <= 4 GROUP BY reg_domain, host
         | ORDER BY hop, reg_domain, host""".stripMargin,
 
-    // x172 mirror: the same six planted texts, per-script codepoint
-    // counts via the same literal BMP character-class ranges (RE2 and
-    // java.util.regex agree on literal ranges; both engines' length()
-    // counts codepoints on BMP text), the same script precedence, and
-    // the x18 trigram struct-argmax for the latin fall-through.
+    // x172 mirror: the same seven planted texts (incl. the r19
+    // mixed-script arm), per-script codepoint counts via the same
+    // literal BMP character-class ranges (RE2 and java.util.regex
+    // agree on literal ranges; both engines' length() counts
+    // codepoints on BMP text), the same SHARE-gated script precedence
+    // (multiply form — integer-exact), and the x18 trigram
+    // struct-argmax over the LATIN profile group for the
+    // fall-through (no non-latin-alphabet arm is planted here — x173
+    // exercises the per-script routing).
     "x172_lang_router" -> {
-      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map {
-        case (lang, prof) =>
-          val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
-          s"struct_pack(hits := len(list_filter(tri, x -> " +
-            s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
-      }.mkString(", ")
-      def n(c: String, range: String) =
-        s"(length(text) - length(regexp_replace(text, '[$range]', " +
-          s"'', 'g')))::BIGINT $c"
       s"""WITH d AS (SELECT doc_id,
-        |     CASE (doc_id % 6) WHEN 0 THEN '$langJaText'
+        |     CASE (doc_id % 7) WHEN 0 THEN '$langJaText'
         |       WHEN 1 THEN '$langKoText'
         |       WHEN 2 THEN '$langZhText'
         |       WHEN 3 THEN '$langThText'
         |       WHEN 4 THEN '$langEnText'
-        |       ELSE '$langFrText' END AS text
+        |       WHEN 5 THEN '$langFrText'
+        |       ELSE '$langEnMixedText' END AS text
         |   FROM documents),
-        | sc AS (SELECT doc_id, text,
-        |     ${n("n_hira", "ぁ-ゟ")},
-        |     ${n("n_kata", "゠-ヿ")},
-        |     ${n("n_hangul", "가-힣")},
-        |     ${n("n_han", "一-鿿")},
-        |     ${n("n_thai", "ก-๛")}
-        |   FROM d),
-        | sl AS (SELECT *,
-        |     CASE WHEN n_hira + n_kata > 0 THEN 'ja'
-        |          WHEN n_hangul > 0 THEN 'ko'
-        |          WHEN n_thai > 0 THEN 'th'
-        |          WHEN n_han > 0 THEN 'zh'
-        |          ELSE 'und' END AS script_lang
-        |   FROM sc),
+        | $scriptLangCtesSql,
         | tr AS (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id, list_max([$profs]) m FROM tr)
+        | lg AS (SELECT doc_id,
+        |     list_max([${triProfsSql(latinLangs)}]) m FROM tr)
         | SELECT s.doc_id, n_hira, n_kata, n_hangul, n_han, n_thai,
         |   script_lang,
-        |   CASE WHEN script_lang <> 'und' THEN script_lang
+        |   CASE WHEN script_lang IN ('ja','ko','th','zh')
+        |          THEN script_lang
         |        WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
         |   m.hits AS pred_hits
         | FROM sl s JOIN lg USING (doc_id) ORDER BY s.doc_id""".stripMargin
+    },
+
+    // x173 mirror: the same eleven planted texts, the same share-gated
+    // script CASE, and the PER-GROUP trigram argmax — one list_max per
+    // script group, routed by the script label exactly like
+    // langIdRouted's allowed-set filter.
+    "x173_script_router_ext" -> {
+      s"""WITH d AS (SELECT doc_id,
+        |     CASE (doc_id % 11) WHEN 0 THEN '$langRuText'
+        |       WHEN 1 THEN '$langUkText'
+        |       WHEN 2 THEN '$langArText'
+        |       WHEN 3 THEN '$langFaText'
+        |       WHEN 4 THEN '$langElText'
+        |       WHEN 5 THEN '$langHeText'
+        |       WHEN 6 THEN '$langHiText'
+        |       WHEN 7 THEN '$langItText'
+        |       WHEN 8 THEN '$langPtText'
+        |       WHEN 9 THEN '$langNlText'
+        |       ELSE '$langPlText' END AS text
+        |   FROM documents),
+        | $scriptLangCtesSql,
+        | tr AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(text)-2,0)+1),
+        |     i -> substr(text,i::INT,3))) tri FROM d),
+        | lg AS (SELECT doc_id,
+        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
+        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
+        |     list_max([${triProfsSql(groupLangs("grek"))}]) mg,
+        |     list_max([${triProfsSql(groupLangs("hebr"))}]) mh,
+        |     list_max([${triProfsSql(groupLangs("deva"))}]) md,
+        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
+        | r AS (SELECT s.*,
+        |     CASE s.script_lang WHEN 'cyrl' THEN mc WHEN 'arab' THEN ma
+        |       WHEN 'grek' THEN mg WHEN 'hebr' THEN mh
+        |       WHEN 'deva' THEN md ELSE ml END AS m
+        |   FROM sl s JOIN lg USING (doc_id))
+        | SELECT doc_id, n_cyrl, n_arab, n_grek, n_hebr, n_deva,
+        |   script_lang,
+        |   CASE WHEN script_lang IN ('ja','ko','th','zh')
+        |          THEN script_lang
+        |        WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
+        |   m.hits AS pred_hits
+        | FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    // x174 mirror: the x168 funnel arithmetic with the lang labels
+    // coming from the ROUTER (share-gated script CASE + per-group
+    // trigram argmax) and a profile table that carries min_alpha_bp —
+    // the ru/ar profiles set it to 0 because the [a-zA-Z] alphabetic
+    // floor reads every non-latin word as non-alphabetic.
+    "x174_lang_gopher_ext" -> {
+      def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+      val engArr = sqlArr(TextOps.GopherStopProbe)
+      s"""WITH d AS (SELECT doc_id,
+        |     CASE (doc_id % 3) WHEN 0 THEN '$langEnText'
+        |       WHEN 1 THEN '$langRuText'
+        |       ELSE '$langArText' END AS text
+        |   FROM documents),
+        | $scriptLangCtesSql,
+        | tr AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(text)-2,0)+1),
+        |     i -> substr(text,i::INT,3))) tri FROM d),
+        | lg AS (SELECT doc_id,
+        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
+        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
+        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
+        | l AS (SELECT s.doc_id, s.text,
+        |     CASE WHEN s.script_lang IN ('ja','ko','th','zh')
+        |            THEN s.script_lang
+        |          WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
+        |   FROM (SELECT s.*,
+        |       CASE s.script_lang WHEN 'cyrl' THEN mc
+        |         WHEN 'arab' THEN ma ELSE ml END AS m
+        |     FROM sl s JOIN lg USING (doc_id)) s),
+        | prof AS (SELECT * FROM (VALUES
+        |     ('en', $engArr, 2, 10, 300, 8000),
+        |     ('ru', ${sqlArr(langRuStops)}, 2, 10, 250, 0),
+        |     ('ar', ${sqlArr(langArStops)}, 2, 10, 250, 0))
+        |   p(lang, stop_words, min_stop_hits, min_words,
+        |     min_word_len_centi, min_alpha_bp)),
+        | sig AS (SELECT doc_id, text, lang,
+        |     len(string_split(text, ' '))::BIGINT n_words,
+        |     floor(len(replace(text, ' ', ''))::DOUBLE * 100
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT wl,
+        |     floor((len(string_split(text, ' '))
+        |         - len(list_distinct(string_split(text, ' '))))::DOUBLE
+        |       * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT dup_bp,
+        |     floor(len(list_filter(string_split(text, ' '),
+        |         w -> len(regexp_replace(w, '[^a-zA-Z]', '', 'g')) > 0))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT alpha_bp,
+        |     floor((len(text) - len(regexp_replace(text, '[#…]', '', 'g')))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT sym_bp,
+        |     len(list_filter(list_distinct(string_split(text, ' ')),
+        |       w -> list_contains($engArr, w)))::BIGINT eng_stops
+        |   FROM l),
+        | aware AS (SELECT s.*,
+        |     len(list_filter(list_distinct(string_split(s.text, ' ')),
+        |       w -> list_contains(coalesce(p.stop_words, $engArr), w)))
+        |       ::BIGINT lang_stops,
+        |     coalesce(p.min_stop_hits, 2) msh,
+        |     coalesce(p.min_words, 50) mw,
+        |     coalesce(p.min_word_len_centi, 300) mwl,
+        |     coalesce(p.min_alpha_bp, 8000) mab
+        |   FROM sig s LEFT JOIN prof p USING (lang)),
+        | keng AS (SELECT * FROM sig
+        |   WHERE n_words >= 10 AND n_words <= 100000
+        |     AND wl BETWEEN 300 AND 1000 AND dup_bp <= 3000
+        |     AND alpha_bp >= 8000 AND sym_bp <= 1000 AND eng_stops >= 2),
+        | kaw AS (SELECT * FROM aware
+        |   WHERE n_words >= mw AND n_words <= 100000
+        |     AND wl >= mwl AND wl <= 1000 AND dup_bp <= 3000
+        |     AND alpha_bp >= mab AND sym_bp <= 1000
+        |     AND lang_stops >= msh)
+        | SELECT 0::BIGINT stage_idx, 'raw' AS stage, lang,
+        |     count(*)::BIGINT n_docs, sum(n_words)::BIGINT n_tokens
+        |   FROM sig GROUP BY lang
+        | UNION ALL SELECT 1::BIGINT, 'english_cfg', lang,
+        |     count(*)::BIGINT, sum(n_words)::BIGINT FROM keng GROUP BY lang
+        | UNION ALL SELECT 2::BIGINT, 'lang_aware', lang,
+        |     count(*)::BIGINT, sum(n_words)::BIGINT FROM kaw GROUP BY lang
+        | ORDER BY stage_idx, lang""".stripMargin
     }
   )
+
+  /** The struct_pack trigram-score list for the given profile
+    * languages over CTE column `tri` — the x18 scoring, restricted to
+    * a script group (langIdRouted's allowed-set filter). ONE
+    * definition for x18/x168/x172/x173/x174.
+    */
+  private def triProfsSql(langs: Seq[String]): String =
+    TextOps.langProfiles.toSeq.filter(p => langs.contains(p._1))
+      .sortBy(_._1).map { case (lang, prof) =>
+        val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
+        s"struct_pack(hits := len(list_filter(tri, x -> " +
+          s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
+      }.mkString(", ")
+
+  private def latinLangs: Seq[String] = groupLangs("latn")
+  private def groupLangs(g: String): Seq[String] =
+    TextOps.langScript.collect { case (l, s) if s == g => l }.toSeq.sorted
+
+  /** The script-count + share-gated script-label CTE pair (`sc`, `sl`)
+    * over a CTE `d(doc_id, text)` — scriptLangId's mirror: the same
+    * literal ranges (TextOps.ScriptRanges — ONE definition), the same
+    * multiply-form share gate, the same precedence. `\\s` differs
+    * between the engines only at U+000B (java counts it whitespace,
+    * RE2 does not) — no fixture carries a vertical tab.
+    */
+  private def scriptLangCtesSql: String = {
+    val r = TextOps.ScriptRanges.toMap
+    def n(c: String) =
+      s"(length(text) - length(regexp_replace(text, '[${r(c)}]', " +
+        s"'', 'g')))::BIGINT n_$c"
+    val bp = TextOps.ScriptShareBp
+    def dom(expr: String) = s"$expr > 0 AND ($expr)*10000 >= $bp*ns"
+    s"""sc AS (SELECT doc_id, text,
+      |     ${n("hira")}, ${n("kata")}, ${n("hangul")}, ${n("han")},
+      |     ${n("thai")}, ${n("cyrl")}, ${n("arab")}, ${n("grek")},
+      |     ${n("hebr")}, ${n("deva")},
+      |     length(regexp_replace(text, '\\s', '', 'g'))::BIGINT ns
+      |   FROM d),
+      | sl AS (SELECT *,
+      |     CASE WHEN n_hira + n_kata > 0
+      |            AND ${dom("(n_hira + n_kata + n_han)")} THEN 'ja'
+      |          WHEN ${dom("n_hangul")} THEN 'ko'
+      |          WHEN ${dom("n_thai")} THEN 'th'
+      |          WHEN ${dom("n_han")} THEN 'zh'
+      |          WHEN ${dom("n_cyrl")} THEN 'cyrl'
+      |          WHEN ${dom("n_arab")} THEN 'arab'
+      |          WHEN ${dom("n_grek")} THEN 'grek'
+      |          WHEN ${dom("n_hebr")} THEN 'hebr'
+      |          WHEN ${dom("n_deva")} THEN 'deva'
+      |          ELSE 'und' END AS script_lang
+      |   FROM sc)""".stripMargin
+  }
 
   /** One unrolled REDIRECT-following hop for the x152 mirror, over the
     * previous crawled set `c{h-1}` and depth-carrying frontier

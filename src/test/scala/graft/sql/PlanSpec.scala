@@ -709,11 +709,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x169: the line-rule profile table broadcasts; the explode and " +
-      "rules stay narrow (no hash shuffle at all)") {
+      "rules stay narrow (the only hash exchange is the r19 " +
+      "language-count-sized duplicate-profile collapse below the " +
+      "BroadcastExchange — the corpus never shuffles)") {
     val p = plan(ExtensionQueries.queries, "x169_c4_lang_lines")
     assert(p.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"the line stage shuffled:\n$p")
+    // every hash exchange keys on the profile table's lang column (the
+    // dedup collapse); the exploded line stage itself must stay narrow
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("lang")),
+      s"the line stage shuffled on a non-lang key: $keys\n$p")
   }
 }
