@@ -270,6 +270,23 @@ object HttpOps {
         coalesce(sniffed, declared))
       .otherwise(declared)
 
+  /** PDF text extraction over a LATIN1-VIEW body — the
+    * `application/pdf` route out of [[effectiveMediaType]] (r19,
+    * VERDICT r18 #3): until now the x162 sniff detected PDFs only to
+    * drop them. Routes the view's exact original bytes through the
+    * pure-JDK [[graft.functions.PdfToText]] kernel (FlateDecode
+    * content streams + the Tj/TJ/'/" text-showing walk — see the
+    * kernel scaladoc for the operator policy and fidelity bounds);
+    * non-PDF bytes and malformed documents surface as the NULL row.
+    * Compose: `when(effectiveMediaType(…) === "application/pdf",
+    * pdfText(col("body")))`.
+    */
+  def pdfText(bodyView: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PdfToText(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          encode(bodyView, "ISO-8859-1"))))
+
   /** Split a frame's `msgCol` HTTP response messages into the columns
     * downstream extraction routes on: `status_code`, `content_type`,
     * `charset`, `location` (redirect target), `transfer_encoding`,

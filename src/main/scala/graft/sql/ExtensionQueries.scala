@@ -3205,6 +3205,73 @@ object ExtensionQueries {
           Seq("raw" -> lang, "english_cfg" -> eng, "lang_aware" -> aware),
           size(split(col("text"), " ")), "lang")
         .orderBy("stage_idx", "lang")
+    },
+
+    // x175 — PDF text extraction (r19, VERDICT r18 #3; the x150
+    // row-identity convention — DuckDB cannot inflate a content
+    // stream, so the oracle recomputes every TARGET independently):
+    // four arms per doc through the REAL envelope route — sniff →
+    // effectiveMediaType → pdfText. Arm 0: a FlateDecode content
+    // stream (REAL zlib bytes via DeflateBytes) with Tj/T* text ops;
+    // arm 1: a filterless raw stream with a TJ kerning array and the
+    // \( \) \\ escapes; arm 2: a stream DECLARED /FlateDecode whose
+    // bytes do not inflate — the malformed document, whose text must
+    // be the auditable NULL; arm 3: the LYING SERVER — a real PDF
+    // served as text/html, which the signature override must still
+    // route to the PDF tier. No xref tables are synthesized: the
+    // kernel's stream scan (its documented contract) never consults
+    // them.
+    "x175_pdf_extract" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val arm = col("doc_id") % 4
+      def bridge1(mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+          org.apache.spark.sql.catalyst.expressions.Expression,
+          c: Column): Column =
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          mk(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+      val contentTj = concat(lit("BT /F1 12 Tf 72 720 Td (Report "), idS,
+        lit(" first line.) Tj T* (Second line with accents: café "), idS,
+        lit(".) Tj ET"))
+      val contentLying = concat(
+        lit("BT /F1 12 Tf 72 720 Td (Hidden report "), idS,
+        lit(" behind a lying header.) Tj ET"))
+      val contentTJ = concat(
+        lit("BT 72 720 Td [(Table ) 20 (of) -20 ( contents)] TJ T* " +
+          "(Escaped \\(parens\\) and backslash \\\\ here "), idS,
+        lit(".) Tj ET"))
+      // stream payload view: real zlib bytes (arm 0/3), the raw ops
+      // (arm 1), or garbage under a /FlateDecode declaration (arm 2)
+      val flateView = decode(bridge1(graft.functions.DeflateBytes(_),
+        when(arm === 3, contentLying).otherwise(contentTj)), "ISO-8859-1")
+      val streamView = when(arm === 1, contentTJ)
+        .when(arm === 2, lit("this is not a deflate stream at all"))
+        .otherwise(flateView)
+      val filterDecl = when(arm === 1, lit(""))
+        .otherwise(lit(" /Filter /FlateDecode"))
+      val pdf = concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n" +
+          "endobj\n2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n" +
+          "endobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents " +
+          "4 0 R >>\nendobj\n4 0 obj\n<< /Length "),
+        length(streamView).cast("string"), filterDecl,
+        lit(" >>\nstream\n"), streamView,
+        lit("\nendstream\nendobj\n%%EOF"))
+      val ct = when(arm === 3, lit("text/html"))
+        .otherwise(lit("application/pdf"))
+      val msgs = d.select(col("doc_id"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n"), pdf).as("msg"))
+      HttpOps.parseResponses(msgs, "msg")
+        .select(col("doc_id"), col("content_type").as("declared"),
+          HttpOps.effectiveMediaType(col("content_type"),
+            HttpOps.sniffMediaType(col("body"))).as("final_type"),
+          col("body"))
+        .withColumn("pdf_text",
+          when(col("final_type") === "application/pdf",
+            HttpOps.pdfText(col("body"))))
+        .select("doc_id", "declared", "final_type", "pdf_text")
+        .orderBy("doc_id")
     }
   )
 
@@ -8154,7 +8221,31 @@ object ExtensionQueries {
         | UNION ALL SELECT 2::BIGINT, 'lang_aware', lang,
         |     count(*)::BIGINT, sum(n_words)::BIGINT FROM kaw GROUP BY lang
         | ORDER BY stage_idx, lang""".stripMargin
-    }
+    },
+
+    // x175 mirror: the extracted text is the Spark side's to PROVE
+    // (DuckDB cannot inflate a FlateDecode stream) — the oracle
+    // recomputes each arm's TARGET text independently (the x150
+    // row-identity convention): the same Tj/T* line pair, the TJ
+    // concatenation with its escapes resolved by hand, NULL for the
+    // malformed-Flate arm, and the lying-server arm's text under its
+    // text/html declaration.
+    "x175_pdf_extract" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 3 THEN 'text/html'
+        |      ELSE 'application/pdf' END AS declared,
+        | 'application/pdf' AS final_type,
+        | CASE doc_id % 4
+        |   WHEN 0 THEN 'Report ' || doc_id::VARCHAR || ' first line.'
+        |     || chr(10) || 'Second line with accents: café '
+        |     || doc_id::VARCHAR || '.'
+        |   WHEN 1 THEN 'Table of contents' || chr(10)
+        |     || 'Escaped (parens) and backslash \ here '
+        |     || doc_id::VARCHAR || '.'
+        |   WHEN 2 THEN NULL
+        |   ELSE 'Hidden report ' || doc_id::VARCHAR
+        |     || ' behind a lying header.' END AS pdf_text
+        | FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** The struct_pack trigram-score list for the given profile
