@@ -3272,8 +3272,169 @@ object ExtensionQueries {
             HttpOps.pdfText(col("body"))))
         .select("doc_id", "declared", "final_type", "pdf_text")
         .orderBy("doc_id")
+    },
+
+    // x176 — the FIRST-MILE → TRAINING-MANIFEST capstone (r19, VERDICT
+    // r18 #7): the whole r15–r19 stack in ONE oracle-gated composite —
+    // `.warc.gz` (per-record gzip members) → HTTP envelope (gzip
+    // content coding on even docs, chunked transfer coding on odd) →
+    // charset decode (ja pages travel as REAL shift_jis bytes; en/fr
+    // as UTF-8) → the r19 language router (script tier for ja, trigram
+    // tier for en/fr) → language-aware C4 line rules (ja profile:
+    // 。-terminal, 1-word lines) → language-aware Gopher (ja profile:
+    // alpha floor 0, wide word-len band) → OPH near-dup dedup over
+    // char-6 shingles at 0.9 (each (lang, doc_id div 6) group plants
+    // an EXACT duplicate pair; the md5 group token keeps cross-group
+    // Jaccard ~0.5, far under threshold) → token-budget mixture
+    // (en .4 / fr .3 / ja .3 — chars as the token proxy, the honest
+    // unit a space-free script shares) → GPT-style sequence packing.
+    // Output: the per-(stage, lang) funnel — extracted / quality /
+    // deduped / mixture / packed — doc counts and token sums, the
+    // integration proof that the tiers compose without a seam. Every
+    // fifth doc plants a "too short." page that the quality tier must
+    // eat in every language. Oracle = the independently-recomputed
+    // chain over the PLAINTEXT synthesis (the x139/x150 convention:
+    // DuckDB cannot gunzip, dechunk, or decode shift_jis — funnel
+    // identity proves the envelope tiers were lossless).
+    "x176_first_mile_capstone" -> { (s, dir) =>
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val l3 = col("doc_id") % 3
+      val isShort = col("doc_id") % 5 === 4
+      val md5g = md5(expr("doc_id div 6").cast("string"))
+      def bridge1(mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+          org.apache.spark.sql.catalyst.expressions.Expression,
+          c: Column): Column =
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          mk(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+      // line 1 as the DECLARED-CHARSET byte view: the ja paragraph's
+      // real windows-31j bytes (shift_jis superset — the WHATWG label),
+      // the fr paragraph's real UTF-8 bytes; ASCII is identity in both
+      val line1View = when(isShort, lit("too short."))
+        .when(l3 === 0, lit(capEnPara))
+        .when(l3 === 1, decode(encode(lit(capFrPara), "UTF-8"), "ISO-8859-1"))
+        .otherwise(lit(sjisView(capJaPara)))
+      val htmlView = concat(lit("<html><body><p>"), line1View,
+        lit("</p><p>ref "), md5g,
+        lit(" end.</p><p>" + capJsLine + "</p></body></html>"))
+      val cs = when(l3 === 2, lit("shift_jis")).otherwise(lit("utf-8"))
+      val gzView = decode(bridge1(graft.functions.GzipBytes(_), htmlView),
+        "ISO-8859-1")
+      val c1 = substring(htmlView, 1, 64)
+      val c2 = substring(htmlView, 65, Int.MaxValue - 64)
+      val chunked = concat(
+        hex(length(c1)), lit("\r\n"), c1, lit("\r\n"),
+        hex(length(c2)), lit("\r\n"), c2, lit("\r\n0\r\n\r\n"))
+      val httpMsg = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="), cs,
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\r\nContent-Encoding: gzip\r\nContent-Length: "),
+            length(gzView).cast("string"), lit("\r\n\r\n"), gzView))
+          .otherwise(concat(
+            lit("\r\nTransfer-Encoding: chunked\r\n\r\n"), chunked)))
+      val uriC = concat(lit("https://example.com/doc/"), idS)
+      val base = d.select(col("doc_id"),
+        (col("doc_id") / 8).cast(LongType).as("file_id"),
+        httpMsg.as("__http"))
+      val info = base.select(col("file_id")).distinct()
+        .select(col("file_id"), lit(-1L).as("ord_doc"),
+          warcRecordSynth("warcinfo", lit(null).cast("string"),
+            lit("2020-01-01T00:00:00Z"),
+            lit("software: graft-synth/1.0")).as("r"))
+      val resp = base
+        .select(col("file_id"), col("doc_id").as("ord_doc"),
+          warcRecordSynth("response", uriC, lit("2020-03-01T00:00:00Z"),
+            col("__http")).as("r"))
+      val files = info.unionByName(resp)
+        .select(col("file_id"), col("ord_doc"),
+          WarcOps.gzipMember(col("r")).as("g"))
+        .groupBy("file_id")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("ord_doc"), col("g"))))
+            .getField("g"),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x)).as("gz"))
+      // ---- the engine chain under test ----
+      val pages = WarcOps.responses(
+        files.select(col("file_id"),
+          WarcOps.gunzipText(col("gz")).as("content")),
+        "file_id", "content")
+      val routed = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200 &&
+          col("content_type") === "text/html")
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          HttpOps.decodeBody(col("body"), col("charset")).as("html"))
+      val labeled = TextOps.langIdRouted(
+          routed.withColumn("ptext", HtmlOps.htmlToText(col("html"))),
+          "ptext")
+        .select(col("doc_id"), col("html"), col("pred_lang").as("lang"))
+      val c4Profiles = Seq(("ja", Seq("。", "."), 1L, 3L))
+        .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
+      val lines = HtmlOps.c4KeptLinesByLang(labeled, "doc_id", "html",
+        c4Profiles)
+      val docsText = lines.groupBy(col("doc_id"), col("lang"))
+        .agg(concat_ws("\n", array_sort(collect_list(
+            struct(col("line_no"), col("line")))).getField("line"))
+          .as("text"))
+        .withColumn("n_tokens", length(col("text")).cast(LongType))
+        .localCheckpoint()
+      val gProfiles = Seq(
+        ("en", TextOps.GopherStopProbe, 2L, 10L, 100000L, 300L, 1000L, 8000L),
+        ("fr", capFrStops, 2L, 10L, 100000L, 250L, 1000L, 8000L),
+        ("ja", Seq("の"), 0L, 1L, 100000L, 1L, 100000L, 0L))
+        .toDF("lang", "stop_words", "min_stop_hits", "min_words",
+          "max_words", "min_word_len_centi", "max_word_len_centi",
+          "min_alpha_bp")
+      val quality = TextOps.gopherFilterByLang(docsText, gProfiles)
+        .filter(col("keep"))
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint()
+      val pairs = DedupOps.nearDupPairs(quality, "doc_id",
+        TextOps.charShingles(col("text"), 6), 0.9, oph = true)
+      val dropd = DedupOps.connectedComponents(pairs)
+        .filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"))
+      val deduped = quality.join(dropd, Seq("doc_id"), "left_anti")
+      val mix = SampleOps.tokenBudgetMixture(deduped, "doc_id", "lang",
+          "n_tokens", Seq("en" -> 0.4, "fr" -> 0.3, "ja" -> 0.3))
+        .select("doc_id", "lang", "n_tokens")
+        .localCheckpoint()
+      val packed = SampleOps.packSequences(
+          mix.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 128)
+        .join(mix.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("n_tokens", col("n_toks"))
+      StatOps.funnelReportBy(Seq(
+          "extracted" -> docsText, "quality" -> quality,
+          "deduped" -> deduped, "mixture" -> mix, "packed" -> packed),
+          col("n_tokens"), "lang")
+        .orderBy("stage_idx", "lang")
     }
   )
+
+  /** The capstone fixture texts (x176) — the x168/x172 paragraphs for
+    * en/fr (already verified to win their trigram routes with margin),
+    * a long-enough ja paragraph that the CJK share stays dominant over
+    * the page's latin ref/boilerplate lines, and the shared boilerplate
+    * line the C4 javascript rule must eat. ONE definition each,
+    * interpolated verbatim into the oracle.
+    */
+  private def capEnPara = langEnText
+  private def capFrPara = langFrText
+  private def capFrStops = langFrStops
+  private val capJaPara = "これは日本語で書かれた長い記事でありたくさんの" +
+    "文字と内容を含んでいますまた本文はとても豊富で読みやすいです。"
+  private val capJsLine = "please enable javascript to continue now."
+
+  /** The latin1 VIEW of a string's windows-31j (WHATWG shift_jis)
+    * bytes — computed once at plan-definition time on the driver, so
+    * the fixture ships REAL legacy-charset bytes without an in-plan
+    * encoder (Spark's `encode` stops at the UTF families).
+    */
+  private def sjisView(s: String): String =
+    new String(s.getBytes("windows-31j"), "ISO-8859-1")
 
   /** The x168/x169 language fixtures — ONE definition each, mirrored
     * verbatim in the oracle SQL (interpolated, so they cannot drift).
@@ -8245,7 +8406,161 @@ object ExtensionQueries {
         |   WHEN 2 THEN NULL
         |   ELSE 'Hidden report ' || doc_id::VARCHAR
         |     || ' behind a lying header.' END AS pdf_text
-        | FROM documents ORDER BY doc_id""".stripMargin
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // x176 mirror: the independently-recomputed chain over the
+    // PLAINTEXT synthesis — DuckDB cannot gunzip the members, dechunk
+    // the transfer coding, or decode the shift_jis bytes, so funnel
+    // identity proves those tiers were lossless (the x139/x150
+    // convention). Every downstream stage IS mirrored for real: the
+    // share-gated router (scriptLangCtesSql + per-group trigram
+    // argmax), the hand-derived kept-line set (line2 always survives,
+    // line1 survives except on the short arm, the javascript line
+    // never does — the C4 rules resolved against this fixture), the
+    // Gopher profile arithmetic, OPH banding + exact verify at 9000 bp
+    // over char-6 shingles, recursive reachability, the token-budget
+    // mixture rates, and the x94 packing prefix sums.
+    "x176_first_mile_capstone" -> {
+      def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+      val engArr = sqlArr(TextOps.GopherStopProbe)
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id % 3 l3,
+        |     (doc_id % 5 = 4) sh0, md5((doc_id // 6)::VARCHAR) g
+        |   FROM documents),
+        | dd AS (SELECT doc_id, l3, sh0,
+        |     CASE WHEN sh0 THEN 'too short.'
+        |          WHEN l3 = 0 THEN '$capEnPara'
+        |          WHEN l3 = 1 THEN '$capFrPara'
+        |          ELSE '$capJaPara' END AS line1,
+        |     'ref ' || g || ' end.' AS line2,
+        |     '$capJsLine' AS line3
+        |   FROM d0),
+        | d AS (SELECT doc_id,
+        |     line1 || chr(10) || line2 || chr(10) || line3 || chr(10)
+        |       AS text
+        |   FROM dd),
+        | $scriptLangCtesSql,
+        | tr AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(text)-2,0)+1),
+        |     i -> substr(text,i::INT,3))) tri FROM d),
+        | lg AS (SELECT doc_id,
+        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
+        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
+        |     list_max([${triProfsSql(groupLangs("grek"))}]) mg,
+        |     list_max([${triProfsSql(groupLangs("hebr"))}]) mh,
+        |     list_max([${triProfsSql(groupLangs("deva"))}]) md,
+        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
+        | lbl AS (SELECT s.doc_id,
+        |     CASE WHEN s.script_lang IN ('ja','ko','th','zh')
+        |            THEN s.script_lang
+        |          WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
+        |   FROM (SELECT s.*,
+        |       CASE s.script_lang WHEN 'cyrl' THEN mc WHEN 'arab' THEN ma
+        |         WHEN 'grek' THEN mg WHEN 'hebr' THEN mh
+        |         WHEN 'deva' THEN md ELSE ml END AS m
+        |     FROM sl s JOIN lg USING (doc_id)) s),
+        | ext AS (SELECT dd.doc_id, lbl.lang,
+        |     CASE WHEN dd.sh0 THEN dd.line2
+        |          ELSE dd.line1 || chr(10) || dd.line2 END AS text,
+        |     length(CASE WHEN dd.sh0 THEN dd.line2
+        |          ELSE dd.line1 || chr(10) || dd.line2 END)::BIGINT
+        |       AS n_tokens
+        |   FROM dd JOIN lbl USING (doc_id)),
+        | prof AS (SELECT * FROM (VALUES
+        |     ('en', $engArr, 2, 10, 300, 1000, 8000),
+        |     ('fr', ${sqlArr(capFrStops)}, 2, 10, 250, 1000, 8000),
+        |     ('ja', ['の'], 0, 1, 1, 100000, 0))
+        |   p(lang, stop_words, min_stop_hits, min_words, mwl_min,
+        |     mwl_max, min_alpha)),
+        | sig AS (SELECT doc_id, lang, text, n_tokens,
+        |     len(string_split(text, ' '))::BIGINT n_words,
+        |     floor(len(replace(text, ' ', ''))::DOUBLE * 100
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT wl,
+        |     floor((len(string_split(text, ' '))
+        |         - len(list_distinct(string_split(text, ' '))))::DOUBLE
+        |       * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT dup_bp,
+        |     floor(len(list_filter(string_split(text, ' '),
+        |         w -> len(regexp_replace(w, '[^a-zA-Z]', '', 'g')) > 0))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT alpha_bp,
+        |     floor((len(text) - len(regexp_replace(text, '[#…]', '', 'g')))
+        |         ::DOUBLE * 10000
+        |       / len(string_split(text, ' '))::DOUBLE)::BIGINT sym_bp
+        |   FROM ext),
+        | q AS (SELECT s.doc_id, s.lang, s.text, s.n_tokens
+        |   FROM sig s LEFT JOIN prof p USING (lang)
+        |   WHERE s.n_words >= coalesce(p.min_words, 50)
+        |     AND s.n_words <= 100000
+        |     AND s.wl >= coalesce(p.mwl_min, 300)
+        |     AND s.wl <= coalesce(p.mwl_max, 1000)
+        |     AND s.dup_bp <= 3000
+        |     AND s.alpha_bp >= coalesce(p.min_alpha, 8000)
+        |     AND s.sym_bp <= 1000
+        |     AND len(list_filter(list_distinct(string_split(s.text, ' ')),
+        |       w -> list_contains(coalesce(p.stop_words, $engArr), w)))
+        |       >= coalesce(p.min_stop_hits, 2)),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(text)-5,0)+1),
+        |     i -> substr(text,i::INT,6)))) s FROM q),
+        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | $ophBsigSql,
+        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a
+        |   JOIN bsig b
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
+        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
+        |   JOIN sh a ON a.doc_id = cd.i
+        |   JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
+        |   GROUP BY 1, 2),
+        | p AS (SELECT i, j FROM inter
+        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |   WHERE floor(c::DOUBLE * 10000
+        |     / (na.n + nb.n - c)::DOUBLE) >= 9000),
+        | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        | reach AS (SELECT a, b FROM e
+        |   UNION
+        |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
+        |   HAVING least(a, min(b)) < a),
+        | surv AS (SELECT q.* FROM q WHERE NOT EXISTS
+        |   (SELECT 1 FROM dropd WHERE dropd.doc_id = q.doc_id)),
+        | wt AS (SELECT * FROM (VALUES ('en', 0.4::DOUBLE),
+        |     ('fr', 0.3::DOUBLE), ('ja', 0.3::DOUBLE)) w(dom, w)),
+        | cnt AS (SELECT lang, sum(n_tokens) tk2 FROM surv GROUP BY 1),
+        | jx AS (SELECT dom, w, coalesce(tk2, 0) tk2 FROM wt
+        |   LEFT JOIN cnt ON lang = dom),
+        | tmin AS (SELECT min(tk2::DOUBLE / w) tt FROM jx),
+        | r AS (SELECT dom, floor(10000 * w * tt / tk2::DOUBLE)::BIGINT rate
+        |   FROM jx, tmin WHERE tk2 > 0),
+        | mix AS (SELECT s.doc_id, s.lang, s.n_tokens FROM surv s
+        |   JOIN r ON s.lang = r.dom
+        |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000 < r.rate),
+        | sto AS (SELECT doc_id, lang, n_tokens n,
+        |     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       ::BIGINT st
+        |   FROM mix),
+        | x AS (SELECT doc_id, lang, n, st,
+        |     unnest(range(st // 128, (st + n - 1) // 128 + 1)) seq_id
+        |   FROM sto WHERE n > 0),
+        | spans AS (SELECT lang,
+        |     (least(st + n, seq_id*128 + 128)
+        |       - greatest(st, seq_id*128))::BIGINT n_toks
+        |   FROM x)
+        | SELECT 0::BIGINT stage_idx, 'extracted' AS stage, lang,
+        |     count(*)::BIGINT n_docs, sum(n_tokens)::BIGINT n_tokens
+        |   FROM ext GROUP BY lang
+        | UNION ALL SELECT 1::BIGINT, 'quality', lang,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM q GROUP BY lang
+        | UNION ALL SELECT 2::BIGINT, 'deduped', lang,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM surv GROUP BY lang
+        | UNION ALL SELECT 3::BIGINT, 'mixture', lang,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM mix GROUP BY lang
+        | UNION ALL SELECT 4::BIGINT, 'packed', lang,
+        |     count(*)::BIGINT, sum(n_toks)::BIGINT FROM spans GROUP BY lang
+        | ORDER BY stage_idx, lang""".stripMargin
+    }
   )
 
   /** The struct_pack trigram-score list for the given profile
