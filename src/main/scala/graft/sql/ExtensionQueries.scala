@@ -3315,8 +3315,15 @@ object ExtensionQueries {
         .when(l3 === 0, lit(capEnPara))
         .when(l3 === 1, decode(encode(lit(capFrPara), "UTF-8"), "ISO-8859-1"))
         .otherwise(lit(sjisView(capJaPara)))
+      // line 2 carries the group token TWICE (md5 + its reverse): the
+      // group-unique shingle mass then rivals the shared paragraph's,
+      // which keeps the OPH hot-bucket (the all-minima-from-the-shared-
+      // paragraph signature) small — without it, cross-group banding
+      // collisions grow a bucket that both engines must pay
+      // quadratically to verify (measured: the DuckDB mirror blew past
+      // the bench window at sf0.1 before this)
       val htmlView = concat(lit("<html><body><p>"), line1View,
-        lit("</p><p>ref "), md5g,
+        lit("</p><p>ref "), md5g, lit(" "), reverse(md5g),
         lit(" end.</p><p>" + capJsLine + "</p></body></html>"))
       val cs = when(l3 === 2, lit("shift_jis")).otherwise(lit("utf-8"))
       val gzView = decode(bridge1(graft.functions.GzipBytes(_), htmlView),
@@ -3391,8 +3398,16 @@ object ExtensionQueries {
         .filter(col("keep"))
         .select("doc_id", "lang", "text", "n_tokens")
         .localCheckpoint()
+      // maxBucket 100: the shared paragraph makes one band signature
+      // (all four minima from the paragraph's shingles) corpus-hot —
+      // the exact bucket class the cap exists for at 100 TB. Planted
+      // pairs are identical docs, so they collide in ALL four bands
+      // and the probability every one of them is the hot signature is
+      // ~(0.09)^4 — each pair keeps a private small bucket and is
+      // found; the cap only sheds the quadratic cross-group bucket.
       val pairs = DedupOps.nearDupPairs(quality, "doc_id",
-        TextOps.charShingles(col("text"), 6), 0.9, oph = true)
+        TextOps.charShingles(col("text"), 6), 0.9, oph = true,
+        maxBucket = 100)
       val dropd = DedupOps.connectedComponents(pairs)
         .filter(col("comp") < col("id"))
         .select(col("id").as("doc_id"))
@@ -4302,7 +4317,14 @@ object ExtensionQueries {
     * the classic fragment. Internal columns use `jj` so the fragment
     * composes with oracles that bind `j` elsewhere.
     */
-  private lazy val ophBsigSql =
+  private lazy val ophBsigSql = ophBsigSqlWith(graft.ops.DedupOps.DefaultMaxBucket)
+
+  /** [[ophBsigSql]] with an explicit hot-bucket cap — for gates that
+    * pass a non-default `maxBucket` to the engine (x176's boilerplate-
+    * heavy fixture), so the mirror drops exactly the buckets the
+    * engine drops.
+    */
+  private def ophBsigSqlWith(maxBucket: Int) =
     s"""mh1 AS (SELECT doc_id,
       |     ('0x' || substr(md5(s), 1, 15))::BIGINT h FROM sh),
       | bkt AS (SELECT doc_id, h % 16 jj, min(h) m FROM mh1 GROUP BY 1, 2),
@@ -4315,7 +4337,7 @@ object ExtensionQueries {
       |     string_agg(m::VARCHAR, '|' ORDER BY jj) sig
       |   FROM dens GROUP BY 1, 2),
       | okb AS (SELECT band, sig FROM bsig GROUP BY band, sig
-      |   HAVING count(*) <= ${graft.ops.DedupOps.DefaultMaxBucket})""".stripMargin
+      |   HAVING count(*) <= $maxBucket)""".stripMargin
 
   private val word3gramShingles =
     """WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -4756,20 +4778,20 @@ object ExtensionQueries {
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x18_lang_id" -> {
-      // struct list_max ≙ Spark array_max: field-order comparison, ties
-      // break on the lexicographically-largest lang.
-      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
-        val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
-        s"struct_pack(hits := len(list_filter(tri, x -> list_contains($arr, x)))::BIGINT, lang := '$lang')"
-      }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+      // relational trigram scoring (triScoreCtesSql — r19): struct max
+      // ≙ Spark array_max (field-order comparison, ties break on the
+      // lexicographically-largest lang); a doc with NO profile hits
+      // joins nothing → the 'und' arm, exactly the all-zero argmax.
+      s"""WITH tr AS (SELECT doc_id, list_distinct(list_transform(
          |   range(1, greatest(len(text)-2,0)+1), i -> substr(text,i::INT,3))) tri
          |  FROM documents),
-         | s AS (SELECT doc_id, list_max([$profs]) m FROM t)
-         | SELECT doc_id,
-         |   CASE WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
-         |   m.hits AS pred_hits
-         | FROM s ORDER BY doc_id""".stripMargin
+         | $triScoreCtesSql
+         | SELECT tr.doc_id,
+         |   CASE WHEN mm.m.hits IS NULL THEN 'und'
+         |        ELSE mm.m.lang END AS pred_lang,
+         |   coalesce(mm.m.hits, 0)::BIGINT AS pred_hits
+         | FROM tr LEFT JOIN mm ON mm.doc_id = tr.doc_id
+         | ORDER BY tr.doc_id""".stripMargin
     },
 
     "x19_fingerprint" ->
@@ -8081,12 +8103,7 @@ object ExtensionQueries {
     // langId, an inline profile VALUES table, the Gopher signal
     // arithmetic (all integral), and the three funnel stages unioned.
     "x168_lang_gopher" -> {
-      val profs = TextOps.langProfiles.toSeq.sortBy(_._1).map {
-        case (lang, prof) =>
-          val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
-          s"struct_pack(hits := len(list_filter(tri, x -> " +
-            s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
-      }.mkString(", ")
+      // relational trigram scoring (triScoreCtesSql — r19)
       def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
       val engArr = sqlArr(TextOps.GopherStopProbe)
       s"""WITH d AS (SELECT doc_id,
@@ -8097,10 +8114,11 @@ object ExtensionQueries {
         | tr AS (SELECT doc_id, text, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id, text, list_max([$profs]) m FROM tr),
-        | l AS (SELECT doc_id, text,
-        |     CASE WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
-        |   FROM lg),
+        | $triScoreCtesSql,
+        | l AS (SELECT tr.doc_id, tr.text,
+        |     CASE WHEN mm.m.hits IS NULL THEN 'und'
+        |          ELSE mm.m.lang END AS lang
+        |   FROM tr LEFT JOIN mm ON mm.doc_id = tr.doc_id),
         | prof AS (SELECT * FROM (VALUES
         |     ('en', $engArr, 2, 10, 300),
         |     ('fr', ${sqlArr(langFrStops)}, 2, 10, 250),
@@ -8249,15 +8267,17 @@ object ExtensionQueries {
         | tr AS (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id,
-        |     list_max([${triProfsSql(latinLangs)}]) m FROM tr)
+        | $triScoreCtesSql
         | SELECT s.doc_id, n_hira, n_kata, n_hangul, n_han, n_thai,
         |   script_lang,
-        |   CASE WHEN script_lang IN ('ja','ko','th','zh')
-        |          THEN script_lang
-        |        WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
-        |   m.hits AS pred_hits
-        | FROM sl s JOIN lg USING (doc_id) ORDER BY s.doc_id""".stripMargin
+        |   CASE WHEN s.script_lang IN ('ja','ko','th','zh')
+        |          THEN s.script_lang
+        |        WHEN hg.m.hits IS NULL THEN 'und'
+        |        ELSE hg.m.lang END AS pred_lang,
+        |   coalesce(hg.m.hits, 0)::BIGINT AS pred_hits
+        | FROM sl s LEFT JOIN hitg hg ON hg.doc_id = s.doc_id
+        |   AND hg.grp = $routedGrpSql
+        | ORDER BY s.doc_id""".stripMargin
     },
 
     // x173 mirror: the same eleven planted texts, the same share-gated
@@ -8282,25 +8302,17 @@ object ExtensionQueries {
         | tr AS (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id,
-        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
-        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
-        |     list_max([${triProfsSql(groupLangs("grek"))}]) mg,
-        |     list_max([${triProfsSql(groupLangs("hebr"))}]) mh,
-        |     list_max([${triProfsSql(groupLangs("deva"))}]) md,
-        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
-        | r AS (SELECT s.*,
-        |     CASE s.script_lang WHEN 'cyrl' THEN mc WHEN 'arab' THEN ma
-        |       WHEN 'grek' THEN mg WHEN 'hebr' THEN mh
-        |       WHEN 'deva' THEN md ELSE ml END AS m
-        |   FROM sl s JOIN lg USING (doc_id))
-        | SELECT doc_id, n_cyrl, n_arab, n_grek, n_hebr, n_deva,
+        | $triScoreCtesSql
+        | SELECT s.doc_id, n_cyrl, n_arab, n_grek, n_hebr, n_deva,
         |   script_lang,
-        |   CASE WHEN script_lang IN ('ja','ko','th','zh')
-        |          THEN script_lang
-        |        WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS pred_lang,
-        |   m.hits AS pred_hits
-        | FROM r ORDER BY doc_id""".stripMargin
+        |   CASE WHEN s.script_lang IN ('ja','ko','th','zh')
+        |          THEN s.script_lang
+        |        WHEN hg.m.hits IS NULL THEN 'und'
+        |        ELSE hg.m.lang END AS pred_lang,
+        |   coalesce(hg.m.hits, 0)::BIGINT AS pred_hits
+        | FROM sl s LEFT JOIN hitg hg ON hg.doc_id = s.doc_id
+        |   AND hg.grp = $routedGrpSql
+        | ORDER BY s.doc_id""".stripMargin
     },
 
     // x174 mirror: the x168 funnel arithmetic with the lang labels
@@ -8320,18 +8332,14 @@ object ExtensionQueries {
         | tr AS (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id,
-        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
-        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
-        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
+        | $triScoreCtesSql,
         | l AS (SELECT s.doc_id, s.text,
         |     CASE WHEN s.script_lang IN ('ja','ko','th','zh')
         |            THEN s.script_lang
-        |          WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
-        |   FROM (SELECT s.*,
-        |       CASE s.script_lang WHEN 'cyrl' THEN mc
-        |         WHEN 'arab' THEN ma ELSE ml END AS m
-        |     FROM sl s JOIN lg USING (doc_id)) s),
+        |          WHEN hg.m.hits IS NULL THEN 'und'
+        |          ELSE hg.m.lang END AS lang
+        |   FROM sl s LEFT JOIN hitg hg ON hg.doc_id = s.doc_id
+        |     AND hg.grp = $routedGrpSql),
         | prof AS (SELECT * FROM (VALUES
         |     ('en', $engArr, 2, 10, 300, 8000),
         |     ('ru', ${sqlArr(langRuStops)}, 2, 10, 250, 0),
@@ -8431,7 +8439,7 @@ object ExtensionQueries {
         |          WHEN l3 = 0 THEN '$capEnPara'
         |          WHEN l3 = 1 THEN '$capFrPara'
         |          ELSE '$capJaPara' END AS line1,
-        |     'ref ' || g || ' end.' AS line2,
+        |     'ref ' || g || ' ' || reverse(g) || ' end.' AS line2,
         |     '$capJsLine' AS line3
         |   FROM d0),
         | d AS (SELECT doc_id,
@@ -8442,23 +8450,15 @@ object ExtensionQueries {
         | tr AS (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-2,0)+1),
         |     i -> substr(text,i::INT,3))) tri FROM d),
-        | lg AS (SELECT doc_id,
-        |     list_max([${triProfsSql(groupLangs("cyrl"))}]) mc,
-        |     list_max([${triProfsSql(groupLangs("arab"))}]) ma,
-        |     list_max([${triProfsSql(groupLangs("grek"))}]) mg,
-        |     list_max([${triProfsSql(groupLangs("hebr"))}]) mh,
-        |     list_max([${triProfsSql(groupLangs("deva"))}]) md,
-        |     list_max([${triProfsSql(latinLangs)}]) ml FROM tr),
+        | $triScoreCtesSql,
         | lbl AS (SELECT s.doc_id,
         |     CASE WHEN s.script_lang IN ('ja','ko','th','zh')
         |            THEN s.script_lang
-        |          WHEN m.hits = 0 THEN 'und' ELSE m.lang END AS lang
-        |   FROM (SELECT s.*,
-        |       CASE s.script_lang WHEN 'cyrl' THEN mc WHEN 'arab' THEN ma
-        |         WHEN 'grek' THEN mg WHEN 'hebr' THEN mh
-        |         WHEN 'deva' THEN md ELSE ml END AS m
-        |     FROM sl s JOIN lg USING (doc_id)) s),
-        | ext AS (SELECT dd.doc_id, lbl.lang,
+        |          WHEN hg.m.hits IS NULL THEN 'und'
+        |          ELSE hg.m.lang END AS lang
+        |   FROM sl s LEFT JOIN hitg hg ON hg.doc_id = s.doc_id
+        |     AND hg.grp = $routedGrpSql),
+        | ext AS MATERIALIZED (SELECT dd.doc_id, lbl.lang,
         |     CASE WHEN dd.sh0 THEN dd.line2
         |          ELSE dd.line1 || chr(10) || dd.line2 END AS text,
         |     length(CASE WHEN dd.sh0 THEN dd.line2
@@ -8487,7 +8487,7 @@ object ExtensionQueries {
         |         ::DOUBLE * 10000
         |       / len(string_split(text, ' '))::DOUBLE)::BIGINT sym_bp
         |   FROM ext),
-        | q AS (SELECT s.doc_id, s.lang, s.text, s.n_tokens
+        | q AS MATERIALIZED (SELECT s.doc_id, s.lang, s.text, s.n_tokens
         |   FROM sig s LEFT JOIN prof p USING (lang)
         |   WHERE s.n_words >= coalesce(p.min_words, 50)
         |     AND s.n_words <= 100000
@@ -8499,30 +8499,32 @@ object ExtensionQueries {
         |     AND len(list_filter(list_distinct(string_split(s.text, ' ')),
         |       w -> list_contains(coalesce(p.stop_words, $engArr), w)))
         |       >= coalesce(p.min_stop_hits, 2)),
-        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        | shl AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
         |     range(1, greatest(len(text)-5,0)+1),
-        |     i -> substr(text,i::INT,6)))) s FROM q),
-        | n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | $ophBsigSql,
-        | cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bsig a
-        |   JOIN bsig b
+        |     i -> substr(text,i::INT,6))) l FROM q),
+        | sh AS (SELECT doc_id, unnest(l) s FROM shl),
+        | ${ophBsigSqlWith(100)},
+        | cand AS MATERIALIZED (SELECT DISTINCT a.doc_id i, b.doc_id j
+        |   FROM bsig a JOIN bsig b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |   JOIN okb ON okb.band = a.band AND okb.sig = a.sig),
-        | inter AS (SELECT cd.i, cd.j, count(*) c FROM cand cd
-        |   JOIN sh a ON a.doc_id = cd.i
-        |   JOIN sh b ON b.doc_id = cd.j AND b.s = a.s
-        |   GROUP BY 1, 2),
-        | p AS (SELECT i, j FROM inter
-        |   JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-        |   WHERE floor(c::DOUBLE * 10000
-        |     / (na.n + nb.n - c)::DOUBLE) >= 9000),
+        | -- candidate-driven verify: per-pair list_intersect, never an
+        | -- s-keyed shingle join (the fixture's shared paragraph makes
+        | -- every paragraph shingle corpus-hot, and a planner driving
+        | -- the verify from the shingle table explodes quadratically)
+        | p AS MATERIALIZED (SELECT cd.i, cd.j FROM cand cd
+        |   JOIN shl la ON la.doc_id = cd.i
+        |   JOIN shl lb ON lb.doc_id = cd.j
+        |   WHERE floor(len(list_intersect(la.l, lb.l))::DOUBLE * 10000
+        |     / (len(la.l) + len(lb.l)
+        |        - len(list_intersect(la.l, lb.l)))::DOUBLE) >= 9000),
         | e AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
         | reach AS (SELECT a, b FROM e
         |   UNION
         |   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
         | dropd AS (SELECT a AS doc_id FROM reach GROUP BY a
         |   HAVING least(a, min(b)) < a),
-        | surv AS (SELECT q.* FROM q WHERE NOT EXISTS
+        | surv AS MATERIALIZED (SELECT q.* FROM q WHERE NOT EXISTS
         |   (SELECT 1 FROM dropd WHERE dropd.doc_id = q.doc_id)),
         | wt AS (SELECT * FROM (VALUES ('en', 0.4::DOUBLE),
         |     ('fr', 0.3::DOUBLE), ('ja', 0.3::DOUBLE)) w(dom, w)),
@@ -8532,7 +8534,7 @@ object ExtensionQueries {
         | tmin AS (SELECT min(tk2::DOUBLE / w) tt FROM jx),
         | r AS (SELECT dom, floor(10000 * w * tt / tk2::DOUBLE)::BIGINT rate
         |   FROM jx, tmin WHERE tk2 > 0),
-        | mix AS (SELECT s.doc_id, s.lang, s.n_tokens FROM surv s
+        | mix AS MATERIALIZED (SELECT s.doc_id, s.lang, s.n_tokens FROM surv s
         |   JOIN r ON s.lang = r.dom
         |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
         |     % 10000 < r.rate),
@@ -8568,17 +8570,52 @@ object ExtensionQueries {
     * a script group (langIdRouted's allowed-set filter). ONE
     * definition for x18/x168/x172/x173/x174.
     */
-  private def triProfsSql(langs: Seq[String]): String =
-    TextOps.langProfiles.toSeq.filter(p => langs.contains(p._1))
-      .sortBy(_._1).map { case (lang, prof) =>
-        val arr = prof.map(p => s"'$p'").mkString("[", ",", "]")
-        s"struct_pack(hits := len(list_filter(tri, x -> " +
-          s"list_contains($arr, x)))::BIGINT, lang := '$lang')"
-      }.mkString(", ")
+  /** The RELATIONAL trigram-scoring CTE chain over a CTE
+    * `tr(doc_id, tri)` (r19): explode the distinct trigrams once, ONE
+    * hash join against the (lang, trigram) profile rows, count per
+    * (doc, lang), then the struct argmax — globally (`mm`) and per
+    * script GROUP (`hitg`, langIdRouted's allowed-set rule). Value-
+    * identical to the per-doc list-scoring form (trigrams and profile
+    * rows are both distinct, so the join count IS the intersection
+    * size; max over (hits, lang) structs breaks ties on the
+    * lexicographically-larger lang exactly like Spark's array_max),
+    * but ~30× faster in DuckDB at sf0.1 — the per-doc list-lambda form
+    * paid 15 langs × |tri| lambda evaluations per document and
+    * dominated the whole oracle suite.
+    */
+  private def triScoreCtesSql: String =
+    s"""trx AS (SELECT doc_id, unnest(tri) g FROM tr),
+      | prf AS (SELECT * FROM (VALUES
+      |     ${triProfileRowsSql(TextOps.langProfiles.keys.toSeq)})
+      |   p(lang, g)),
+      | lgrp AS (SELECT * FROM (VALUES $langGroupRowsSql) l(lang, grp)),
+      | hits AS (SELECT doc_id, lang, count(*) h FROM trx
+      |   JOIN prf USING (g) GROUP BY 1, 2),
+      | mm AS (SELECT doc_id,
+      |     max(struct_pack(hits := h, lang := lang)) m
+      |   FROM hits GROUP BY 1),
+      | hitg AS (SELECT h.doc_id, l.grp,
+      |     max(struct_pack(hits := h.h, lang := h.lang)) m
+      |   FROM hits h JOIN lgrp l USING (lang) GROUP BY 1, 2)""".stripMargin
 
-  private def latinLangs: Seq[String] = groupLangs("latn")
-  private def groupLangs(g: String): Seq[String] =
-    TextOps.langScript.collect { case (l, s) if s == g => l }.toSeq.sorted
+  private def triProfileRowsSql(langs: Seq[String]): String =
+    TextOps.langProfiles.toSeq.filter(p => langs.contains(p._1))
+      .sortBy(_._1)
+      .flatMap { case (lang, prof) => prof.map(g => s"('$lang', '$g')") }
+      .mkString(", ")
+
+  private def langGroupRowsSql: String =
+    TextOps.langScript.toSeq.sorted
+      .map { case (l, g) => s"('$l', '$g')" }.mkString(", ")
+
+  /** The routing-group key for a row `s` carrying `script_lang` —
+    * langIdRouted's allowed-set rule as SQL.
+    */
+  // def, not val: this object's oracle map initializes before later
+  // vals, and a forward val reference interpolates as null (observed)
+  private def routedGrpSql: String =
+    "CASE WHEN s.script_lang IN ('cyrl','arab','grek','hebr','deva') " +
+      "THEN s.script_lang ELSE 'latn' END"
 
   /** The script-count + share-gated script-label CTE pair (`sc`, `sl`)
     * over a CTE `d(doc_id, text)` — scriptLangId's mirror: the same

@@ -722,4 +722,38 @@ class PlanSpec extends SparkSpec {
     assert(keys.forall(_.startsWith("lang")),
       s"the line stage shuffled on a non-lang key: $keys\n$p")
   }
+
+  test("x173: the extended router is one narrow scan-fused pass — no " +
+      "hash exchange, no join (the group filter is a plan-time " +
+      "literal array)") {
+    val p = plan(ExtensionQueries.queries, "x173_script_router_ext")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the router shuffled:\n$p")
+    assert(!p.contains("Join"), s"the router planned a join:\n$p")
+  }
+
+  test("x174: the non-latin Gopher funnel keeps the x168 shape — " +
+      "profiles broadcast, every hash exchange on the lang key") {
+    val p = plan(ExtensionQueries.queries, "x174_lang_gopher_ext")
+    assert(!p.contains("SortMergeJoin"), s"profile join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("lang")),
+      s"the corpus shuffled on a non-lang key: $keys\n$p")
+  }
+
+  test("x176: the capstone plans no cartesian product and broadcasts " +
+      "its profile tables; the only unkeyed exchange is the fixture " +
+      "spread") {
+    val p = plan(ExtensionQueries.queries, "x176_first_mile_capstone")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"profile joins did not broadcast:\n$p")
+    // dedup banding/verify and the funnel legitimately shuffle on their
+    // keys; a RoundRobin exchange beyond the single fixture spread
+    // would mean a stage lost its partitioner
+    val rr = "RoundRobinPartitioning".r.findAllMatchIn(p).size
+    assert(rr <= 1, s"unexpected unkeyed exchanges ($rr):\n$p")
+  }
 }
