@@ -3367,15 +3367,23 @@ object ExtensionQueries {
         files.select(col("file_id"),
           WarcOps.gunzipText(col("gz")).as("content")),
         "file_id", "content")
+      // MATERIALIZE at the decode+extract boundary (the x125
+      // multi-consumer discipline, here against Catalyst's
+      // CollapseProject): the router evaluates ~25 expressions over
+      // `ptext`, and without a barrier each one inlines its OWN copy
+      // of the gunzip → envelope-split → charset-decode → tag-strip
+      // chain — measured 80 s of a 130 s run at sf0.1; with the one
+      // page-count-sized checkpoint the router stage is seconds
+      val body = HttpOps.decodeBody(col("body"), col("charset"))
       val routed = HttpOps.parseResponses(pages, "payload")
         .filter(col("status_code") === 200 &&
           col("content_type") === "text/html")
         .select(nullif(regexp_extract(col("target_uri"),
             "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
-          HttpOps.decodeBody(col("body"), col("charset")).as("html"))
-      val labeled = TextOps.langIdRouted(
-          routed.withColumn("ptext", HtmlOps.htmlToText(col("html"))),
-          "ptext")
+          body.as("html"),
+          HtmlOps.htmlToText(body).as("ptext"))
+        .localCheckpoint()
+      val labeled = TextOps.langIdRouted(routed, "ptext")
         .select(col("doc_id"), col("html"), col("pred_lang").as("lang"))
       val c4Profiles = Seq(("ja", Seq("。", "."), 1L, 3L))
         .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
