@@ -3172,28 +3172,36 @@ object ExtensionQueries {
     },
 
     // x174 — language-aware Gopher over the NON-LATIN web (r19, the
-    // x168 funnel re-run where it matters most): ru/ar/en arms labeled
-    // by the REAL router (langIdRouted — script tier, not trigram),
-    // filtered once under the English-only config and once under
-    // per-language profiles. The English config eats BOTH non-latin
-    // arms twice over — their stopword probes miss AND the [a-zA-Z]
-    // alphabetic-word floor reads every Cyrillic/Arabic word as
-    // non-alphabetic — so their profiles set min_alpha_bp 0 and their
-    // own stopword probes; the funnel proves the fallback no longer
-    // eats them. Profiles broadcast; the corpus never shuffles.
+    // x168 funnel re-run where it matters most): en/ru/ar/el/he/hi
+    // arms labeled by the REAL router (langIdRouted — script tier,
+    // not trigram), filtered once under the English-only config and
+    // once under per-language profiles. The English config eats EVERY
+    // non-latin arm twice over — their stopword probes miss AND the
+    // [a-zA-Z] alphabetic-word floor reads every Cyrillic/Arabic/
+    // Greek/Hebrew/Devanagari word as non-alphabetic — so their
+    // profiles set min_alpha_bp 0 and their own stopword probes; the
+    // funnel proves the fallback no longer eats any of them.
+    // Profiles broadcast; the corpus never shuffles.
     "x174_lang_gopher_ext" -> { (s, dir) =>
       import s.implicits._
       val d = spread(t(s, dir, "documents"))
-      val txt = when(col("doc_id") % 3 === 0, lit(langEnText))
-        .when(col("doc_id") % 3 === 1, lit(langRuText))
-        .otherwise(lit(langArText))
+      val arm = col("doc_id") % 6
+      val txt = when(arm === 0, lit(langEnText))
+        .when(arm === 1, lit(langRuText))
+        .when(arm === 2, lit(langArText))
+        .when(arm === 3, lit(langElText))
+        .when(arm === 4, lit(langHeText))
+        .otherwise(lit(langHiText))
       val docs = d.select(col("doc_id"), txt.as("text"))
       val lang = TextOps.langIdRouted(docs)
         .select(col("doc_id"), col("text"), col("pred_lang").as("lang"))
       val profiles = Seq(
         ("en", TextOps.GopherStopProbe, 2L, 10L, 100000L, 300L, 1000L, 8000L),
         ("ru", langRuStops, 2L, 10L, 100000L, 250L, 1000L, 0L),
-        ("ar", langArStops, 2L, 10L, 100000L, 250L, 1000L, 0L))
+        ("ar", langArStops, 2L, 10L, 100000L, 250L, 1000L, 0L),
+        ("el", langElStops, 2L, 10L, 100000L, 250L, 1000L, 0L),
+        ("he", langHeStops, 2L, 10L, 100000L, 250L, 1000L, 0L),
+        ("hi", langHiStops, 2L, 10L, 100000L, 250L, 1000L, 0L))
         .toDF("lang", "stop_words", "min_stop_hits", "min_words",
           "max_words", "min_word_len_centi", "max_word_len_centi",
           "min_alpha_bp")
@@ -3515,6 +3523,12 @@ object ExtensionQueries {
     Seq("и", "в", "на", "не", "для", "но", "это", "что", "как", "по")
   private val langArStops =
     Seq("في", "من", "على", "هذا", "أن", "إلى", "كل", "عن", "مع", "أو")
+  private val langElStops =
+    Seq("και", "το", "της", "για", "τον", "την", "είναι", "με", "να", "του")
+  private val langHeStops =
+    Seq("של", "את", "על", "עם", "כל", "זה", "גם", "או", "אם", "יש")
+  private val langHiStops =
+    Seq("है", "के", "में", "से", "और", "यह", "का", "की", "को", "पर")
   private val langEnHtml = "<html><body>" +
     "<p>this line has enough words to pass.</p>" +
     "<p>too short.</p>" +
@@ -8332,9 +8346,12 @@ object ExtensionQueries {
       def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
       val engArr = sqlArr(TextOps.GopherStopProbe)
       s"""WITH d AS (SELECT doc_id,
-        |     CASE (doc_id % 3) WHEN 0 THEN '$langEnText'
+        |     CASE (doc_id % 6) WHEN 0 THEN '$langEnText'
         |       WHEN 1 THEN '$langRuText'
-        |       ELSE '$langArText' END AS text
+        |       WHEN 2 THEN '$langArText'
+        |       WHEN 3 THEN '$langElText'
+        |       WHEN 4 THEN '$langHeText'
+        |       ELSE '$langHiText' END AS text
         |   FROM documents),
         | $scriptLangCtesSql,
         | tr AS (SELECT doc_id, list_distinct(list_transform(
@@ -8351,7 +8368,10 @@ object ExtensionQueries {
         | prof AS (SELECT * FROM (VALUES
         |     ('en', $engArr, 2, 10, 300, 8000),
         |     ('ru', ${sqlArr(langRuStops)}, 2, 10, 250, 0),
-        |     ('ar', ${sqlArr(langArStops)}, 2, 10, 250, 0))
+        |     ('ar', ${sqlArr(langArStops)}, 2, 10, 250, 0),
+        |     ('el', ${sqlArr(langElStops)}, 2, 10, 250, 0),
+        |     ('he', ${sqlArr(langHeStops)}, 2, 10, 250, 0),
+        |     ('hi', ${sqlArr(langHiStops)}, 2, 10, 250, 0))
         |   p(lang, stop_words, min_stop_hits, min_words,
         |     min_word_len_centi, min_alpha_bp)),
         | sig AS (SELECT doc_id, text, lang,
