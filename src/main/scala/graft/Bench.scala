@@ -35,9 +35,11 @@ object Bench {
     math.min(run(), run())
   }
 
-  /** Time each oracle SQL in DuckDB over the same parquet (best-of-reps,
-    * default 2 — the round-4 baseline methodology), returning a JSON
-    * fragment `"oracle_total":…,"oracle_queries":{…}` or None when DuckDB
+  /** Time each oracle SQL in DuckDB over the same parquet
+    * (MEDIAN-of-reps, default 3 — the same steady-state statistic the
+    * Spark side headlines since r20, so the gate ratio compares like
+    * with like), returning a JSON fragment
+    * `"oracle_total":…,"oracle_queries":{…}` or None when DuckDB
     * is unavailable (zero-egress containers without the driver toolchain)
     * or disabled via SPARK_GRAFT_BENCH_ORACLE=0.
     */
@@ -90,17 +92,21 @@ object Bench {
           |    print(f"probe skipped: {e}", file=sys.stderr)
           |out = {}
           |for name in sorted(qs):
-          |    best = None
+          |    # median of reps — the Spark side's r20 headline statistic,
+          |    # mirrored so the gate ratio compares like with like
+          |    times = []
           |    try:
           |        for _ in range(reps):
           |            t0 = time.perf_counter()
           |            con.execute(qs[name]).fetchall()
-          |            dt = time.perf_counter() - t0
-          |            best = dt if best is None else min(best, dt)
+          |            times.append(time.perf_counter() - t0)
           |    except Exception as e:
           |        print(f"skipping query {name}: {e}", file=sys.stderr)
           |        continue
-          |    out[name] = best
+          |    times.sort()
+          |    mid = len(times) // 2
+          |    out[name] = (times[mid] if len(times) % 2 == 1
+          |                 else (times[mid - 1] + times[mid]) / 2)
           |if not out:
           |    # an all-skipped run must DEGRADE (no oracle number), not
           |    # report oracle_total 0 as if it were a measurement
@@ -114,7 +120,7 @@ object Bench {
           |rec["oracle_queries"] = out
           |print(json.dumps(rec))
           |""".stripMargin)
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "2")
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORACLE_REPS", "3")
       // named failure like SPARK_GRAFT_BENCH_REPS — reps <= 0 would leave
       // best = None in python and die as an anonymous TypeError
       require(reps.toIntOption.exists(_ >= 1),
@@ -305,26 +311,27 @@ object Bench {
     // parse failure this line exists to avoid.
     def num(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    val qs = results.map { case (k, mn, _, _) => s""""$k":${num(mn, 4)}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val meanTotal = results.map(_._3).sum
-    // Per-rep per-query times + per-query MEDIAN (r19, VERDICT r18 #5):
-    // two consecutive rounds the judge had to cross-check best-of-N
-    // window outliers against sf1 by hand — with the raw reps in the
-    // artifact, one loaded-window rep is visible without leaving the
-    // file, and the median is the robust headline a reader can
-    // recompute totals from. File artifact only (the stdout headline
-    // stays bounded — the r07/r11 tail-capture lesson).
+    // Per-query MEDIAN is the headline statistic (r20, VERDICT r19 #6):
+    // best-of-N systematically picks each query's luckiest window, so
+    // two rounds running the judge had to adjudicate outlier reps by
+    // hand; the median is the steady-state number a reader can trust
+    // directly (the oracle side mirrors it — same statistic, both
+    // engines). Best-of stays in the artifact as `best_total` and the
+    // raw reps as `query_reps`, so the old headline is recomputable.
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val qMed = results.map { case (k, _, _, ts) => (k, median(ts)) }
+    val medianTotal = qMed.map(_._2).sum
+    val qs = qMed.map { case (k, m) => s""""$k":${num(m, 4)}""" }
+      .mkString("{", ",", "}")
+    val bestTotal = results.map(_._2).sum
+    val meanTotal = results.map(_._3).sum
     val repsDetail = results.map { case (k, _, _, ts) =>
       s""""$k":[${ts.map(num(_, 4)).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val medianTotal = results.map(r => median(r._4)).sum
     val gcSec = (gcMillis - gc0) / 1e3
     // fixed-work host calibration, measured in the SAME JVM state the
     // suite just ran in (post-timed-pass, post-reclaim)
@@ -347,15 +354,10 @@ object Bench {
     // (round 7 lesson: the ~2.5KB oracle_queries fragment pushed the head
     // of the line out of the driver's bounded TAIL capture window →
     // BENCH_r07 "parsed": null). Full detail goes only to the file.
-    val oracleTotal = oracleFrag
-      .flatMap(f => "\"oracle_total\"\\s*:\\s*([0-9.eE+-]+)".r
+    def oracleScalar(key: String): Option[(String, String)] = oracleFrag
+      .flatMap(f => ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r
         .findFirstMatchIn(f).map(_.group(1)))
-      .map(v => s""","oracle_total":$v""").getOrElse("")
-    // the oracle's own pinned-probe reading rides along the same way
-    val probeOracle = oracleFrag
-      .flatMap(f => "\"probe_oracle_sec\"\\s*:\\s*([0-9.eE+-]+)".r
-        .findFirstMatchIn(f).map(_.group(1)))
-      .map(v => s""","probe_oracle_sec":$v""").getOrElse("")
+      .map(key -> _)
     // The oracle script SKIPS queries DuckDB can't run (per-query try) —
     // those stay in the Spark total, so value/oracle_total would compare
     // mismatched sets exactly like the Spark-failure case handled above.
@@ -367,39 +369,61 @@ object Bench {
       if (i < 0) Set.empty[String]
       else "\"([^\"]+)\"\\s*:".r.findAllMatchIn(f.substring(i + 16))
         .map(_.group(1)).toSet
-    }
-    val matchedFrag = oracleNames
-      .filter(ns => ns.nonEmpty && ns != results.map(_._1).toSet)
-      .map { ns =>
-        val mv = results.filter(r => ns(r._1)).map(_._2).sum
-        val missing = results.map(_._1).filterNot(ns)
-          .map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","oracle_matched_value":${num(mv, 4)},"oracle_missing":$missing"""
-      }.getOrElse("")
+    }.filter(ns => ns.nonEmpty && ns != results.map(_._1).toSet)
+    // the matched Spark total uses the same per-query MEDIAN the
+    // headline does — one statistic everywhere
+    val matchedPairs: Seq[(String, String)] = oracleNames.map { ns =>
+      Seq("oracle_matched_value" ->
+        num(qMed.filter(r => ns(r._1)).map(_._2).sum, 4),
+        "oracle_missing" -> qMed.map(_._1).filterNot(ns)
+          .map("\"" + _ + "\"").mkString("[", ",", "]"))
+    }.getOrElse(Nil)
+    // Every artifact line serializes ONCE from an ordered key→rawJson
+    // pair list (r20, ADVICE r19 #3) — no string surgery on an
+    // already-serialized line, so a key reordering can never silently
+    // produce malformed JSON.
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val failedPair: Seq[(String, String)] =
+      if (failed.isEmpty) Nil
+      else Seq("failed" -> failed.map(n => "\"" + n + "\"")
+        .mkString("[", ",", "]"))
     // Compact headline line — printed LAST so the driver's tail capture
     // always contains it whole. Extra diagnostic keys (mean_total vs value
     // = noise spread; gc_sec = collector pressure) ride along; the driver
     // reads metric/value/queries and ignores the rest.
-    val failedFrag =
-      if (failed.isEmpty) ""
-      else failed.map(n => "\"" + n + "\"")
-        .mkString(",\"failed\":[", ",", "]")
-    val line = s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
-      s""""queries":$qs,"reps":$reps,"mean_total":${num(meanTotal, 4)},""" +
-      s""""gc_sec":${num(gcSec, 3)},"gc_timed_sec":${num(gcTimedMs / 1e3, 3)},""" +
-      s""""heap_mb":$heapUsedMb,"probe_sec":${num(probe, 4)}$probeOracle""" +
-      s"""$oracleTotal$matchedFrag$failedFrag,"sf":$sfJ}"""
-    // Full artifact (compact keys + the whole per-query oracle map) is
-    // persisted to a file the judge can read in full: sbt prefixes stdout
-    // with [info], which broke the driver's parse in round 1.
-    val oracleQueriesFrag = oracleFrag
-      .flatMap(f => { val i = f.indexOf("\"oracle_queries\"")
-        if (i < 0) None else Some("," + f.substring(i)) })
-      .getOrElse("")
-    val fullLine = line.dropRight(s""","sf":$sfJ}""".length) +
-      s""","median_total":${num(medianTotal, 4)}""" +
-      s""","query_reps":$repsDetail""" +
-      oracleQueriesFrag + s""","sf":$sfJ}"""
+    val corePairs: Seq[(String, String)] = Seq(
+      "metric" -> "\"total\"",
+      "value" -> num(medianTotal, 4),
+      "unit" -> "\"sec\"",
+      "headline" -> "\"median_of_reps\"",
+      "queries" -> qs,
+      "reps" -> reps.toString,
+      "median_total" -> num(medianTotal, 4),
+      "best_total" -> num(bestTotal, 4),
+      "mean_total" -> num(meanTotal, 4),
+      "gc_sec" -> num(gcSec, 3),
+      "gc_timed_sec" -> num(gcTimedMs / 1e3, 3),
+      "heap_mb" -> heapUsedMb.toString,
+      "probe_sec" -> num(probe, 4)) ++
+      oracleScalar("probe_oracle_sec") ++ oracleScalar("oracle_total") ++
+      matchedPairs ++ failedPair
+    val sfPair = Seq("sf" -> sfJ)
+    val line = obj(corePairs ++ sfPair)
+    // Full artifact (compact keys + per-rep detail + the whole per-query
+    // oracle map) is persisted to a file the judge can read in full: sbt
+    // prefixes stdout with [info], which broke the driver's parse in
+    // round 1.
+    val oracleQueriesPair: Seq[(String, String)] = oracleFrag
+      .flatMap { f =>
+        val i = f.indexOf("\"oracle_queries\"")
+        // the fragment is `"oracle_queries": {...}` — value starts at `:`
+        if (i < 0) None
+        else Some("oracle_queries" ->
+          f.substring(f.indexOf(':', i + 16) + 1).trim)
+      }.toSeq
+    val fullLine = obj(corePairs ++
+      Seq("query_reps" -> repsDetail) ++ oracleQueriesPair ++ sfPair)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     // an unwritable output path must not take the stdout headline down
     // with it — the two artifacts are independent channels
@@ -416,19 +440,22 @@ object Bench {
     // oracle-missing/failed keys: the full lists on the first line and in
     // the file artifact grow with the suite, which is the exact unbounded-
     // line failure this summary exists to avoid.
-    val matchedCountFrag = oracleNames
-      .filter(ns => ns.nonEmpty && ns != results.map(_._1).toSet)
-      .map { ns =>
-        val mv = results.filter(r => ns(r._1)).map(_._2).sum
-        s""","oracle_matched_value":${num(mv, 4)},""" +
-          s""""n_oracle_missing":${results.map(_._1).count(n => !ns(n))}"""
-      }.getOrElse("")
-    val failedCountFrag =
-      if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
-    println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"probe_sec":${num(probe, 4)}""" +
-      s"""$probeOracle$oracleTotal$matchedCountFrag$failedCountFrag,""" +
-      s""""sf":$sfJ}""")
+    val matchedCountPairs: Seq[(String, String)] = oracleNames.map { ns =>
+      Seq("oracle_matched_value" ->
+        num(qMed.filter(r => ns(r._1)).map(_._2).sum, 4),
+        "n_oracle_missing" -> qMed.map(_._1).count(n => !ns(n)).toString)
+    }.getOrElse(Nil)
+    val failedCountPair: Seq[(String, String)] =
+      if (failed.isEmpty) Nil else Seq("n_failed" -> failed.size.toString)
+    println(obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> num(medianTotal, 4),
+      "unit" -> "\"sec\"",
+      "headline" -> "\"median_of_reps\"",
+      "n_queries" -> results.size.toString,
+      "probe_sec" -> num(probe, 4)) ++
+      oracleScalar("probe_oracle_sec") ++ oracleScalar("oracle_total") ++
+      matchedCountPairs ++ failedCountPair ++ sfPair))
     spark.stop()
   }
 }

@@ -148,9 +148,17 @@ object DecodeCharset {
     val hit = cache.get(label)
     if (hit != null) return hit.orNull
     val resolved = resolve(label)
-    // size() is approximate under concurrency — acceptable for a cap
-    // (overshoot is bounded by the thread count, not the corpus)
-    if (cache.size < MaxCacheEntries) cache.putIfAbsent(label, resolved)
+    // RESOLVED labels always cache (r20, ADVICE r19): their key space
+    // is the JDK registry's finite alias set (+ the WHATWG table), so
+    // they cannot grow unboundedly — and a garbage flood that fills
+    // the cap must not leave every legitimate NEW label paying the
+    // throw-and-catch Charset lookup per row for the JVM's lifetime.
+    // Only UNRESOLVABLE labels (unbounded untrusted garbage — the
+    // class the cap exists for) count against the cap. size() is
+    // approximate under concurrency — acceptable (overshoot is
+    // bounded by the thread count, not the corpus).
+    if (resolved.isDefined || cache.size < MaxCacheEntries)
+      cache.putIfAbsent(label, resolved)
     resolved.orNull
   }
 

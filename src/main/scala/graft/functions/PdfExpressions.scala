@@ -22,13 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  1. signature: input must start `%PDF-`, else NULL (not a PDF);
   *  2. stream scan: each `stream` keyword (preceded by `>>` or
-  *     whitespace, followed by the spec's EOL) up to its `endstream`;
-  *     the governing dictionary is the BALANCED `<< … >>` immediately
-  *     before the keyword. `/FlateDecode` streams inflate (zlib, raw
-  *     retry — the InflateToString discipline, shared size cap);
-  *     filterless streams are taken raw; any OTHER filter
-  *     (DCTDecode images, LZW, crypt) skips the stream — images are
-  *     not text;
+  *     whitespace, followed by the spec's EOL); the governing
+  *     dictionary is the BALANCED `<< … >>` immediately before the
+  *     keyword. Stream data is framed by the dict's DIRECT `/Length`
+  *     when it parses as an integer AND `endstream` actually follows
+  *     the declared span (ISO 32000-1 §7.3.8.2 — r20, ADVICE r19:
+  *     binary Flate data legitimately contains the bytes `endstream`,
+  *     and a literal scan truncated such streams); an indirect
+  *     (`N G R`) or lying `/Length` falls back to the `endstream`
+  *     scan. `/FlateDecode` streams inflate (zlib, raw retry — the
+  *     InflateToString discipline, shared size cap); filterless
+  *     streams are taken raw; any OTHER filter (DCTDecode images,
+  *     LZW, crypt) skips the stream — images are not text;
   *  3. operator walk over each decoded stream: literal strings
   *     `(…)` (balanced parens, the `\( \) \\ \n \r \t \b \f`
   *     escapes, octal `\ddd`, escaped-EOL continuation) buffer as
@@ -37,23 +42,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *     any other operator clears pending (strings in non-text roles
   *     never leak into the output). TJ kerning numbers are ignored —
   *     spacing inside a PDF comes from the strings themselves.
+  *     A string (literal OR hex) opening with the `FE FF` byte-order
+  *     mark is a UTF-16BE text string (ISO 32000-1 §7.9.2.2) and
+  *     decodes as such — the tier that makes non-latin PDFs extract
+  *     real text without CMap machinery (r20, VERDICT r19 #3).
   *
   * Deliberate fidelity bounds (documented, the heuristic-tier rule):
-  * bytes map to chars as latin1 (exact for Standard/WinAnsi-encoded
-  * latin text — the overwhelmingly common case; subsetted fonts with
-  * custom CMaps need the font's ToUnicode table, a full PDF reader's
-  * job); hex strings `<…>` are skipped (they are CMap-coded in
-  * practice — emitting them would be mojibake, worse than absence);
-  * xref tables are not consulted (the stream scan sees every content
-  * stream regardless); object streams (`/Type /ObjStm`, themselves
-  * compressed containers of other objects) are not unpacked.
+  * BOM-less bytes map to chars as latin1 (exact for Standard/WinAnsi-
+  * encoded latin text — the overwhelmingly common case; subsetted
+  * fonts with custom CMaps need the font's ToUnicode table, a full
+  * PDF reader's job); hex strings `<…>` WITHOUT the UTF-16BE BOM are
+  * skipped (they are CMap-coded in practice — emitting them would be
+  * mojibake, worse than absence); xref tables are not consulted (the
+  * stream scan sees every content stream regardless); object streams
+  * (`/Type /ObjStm`, themselves compressed containers of other
+  * objects) are not unpacked.
   *
-  * Never-throw contract: non-PDF input, a `stream` with no
-  * `endstream`, an unbalanced dictionary, a declared-Flate stream
-  * that does not inflate, or a decompressed size past the shared cap
-  * → NULL (the honest malformed-document miss, auditable as a row);
-  * a well-formed PDF with no text operators → the empty string
-  * (a real answer: "this PDF has no extractable text").
+  * Never-throw contract, degrading PER STREAM (r20, ADVICE r19 — one
+  * bad stream must not erase a document whose other streams extracted
+  * fine): a stream with no recoverable framing, an unbalanced
+  * dictionary, a declared-Flate stream that does not inflate, or a
+  * decompressed size past the shared cap SKIPS that stream; the
+  * document returns NULL only when at least one stream failed AND no
+  * text was extracted at all (the honest malformed-document miss,
+  * auditable as a row — a single-stream garbage document still reads
+  * NULL, never a silent ""). Non-PDF input → NULL; a well-formed PDF
+  * with no text operators → the empty string (a real answer: "this
+  * PDF has no extractable text").
   */
 case class PdfToText(child: Expression) extends ViewCodecExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -110,6 +125,56 @@ object PdfToText {
       else k -= 1
     }
     null
+  }
+
+  /** The dict's DIRECT `/Length` value, or -1 when absent, indirect
+    * (`N G R` — resolving it needs the xref machinery this tier
+    * deliberately omits), or not an int.
+    */
+  private val LengthRe =
+    "/Length\\s+(\\d{1,9})(\\s+\\d+\\s+R)?".r
+  private def directLength(dict: String): Int =
+    LengthRe.findFirstMatchIn(dict) match {
+      case Some(m) if m.group(2) == null => m.group(1).toInt
+      case _ => -1
+    }
+
+  /** ISO 32000-1 §7.9.2.2: a text string opening with the `FE FF`
+    * byte-order mark is UTF-16BE — decode it (odd trailing byte →
+    * U+FFFD via the JDK decoder, never a throw); BOM-less strings
+    * keep their latin1 view.
+    */
+  private def utf16beIfBom(s: String): String =
+    if (s.length >= 2 && s.charAt(0) == 'þ' && s.charAt(1) == 'ÿ') {
+      val bytes = new Array[Byte](s.length - 2)
+      var i = 0
+      while (i < bytes.length) { bytes(i) = s.charAt(i + 2).toByte; i += 1 }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    } else s
+
+  /** One hex PDF string starting at the `<` at `i` (whitespace between
+    * digits allowed per §7.3.4.3; an odd final digit pads with 0);
+    * returns (rawBytesAsLatin1Chars, indexAfterClose) or null when
+    * unterminated or containing a non-hex, non-whitespace char.
+    */
+  private def hexString(s: String, i: Int): (String, Int) = {
+    val out = new java.lang.StringBuilder
+    var hi = -1
+    var k = i + 1
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '>') {
+        if (hi >= 0) out.append((hi << 4).toChar) // odd count: pad 0
+        return (out.toString, k + 1)
+      }
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.append(((hi << 4) | d).toChar); hi = -1 }
+      } else if (!Character.isWhitespace(c)) return null
+      k += 1
+    }
+    null // unterminated
   }
 
   /** One literal PDF string starting at the `(` at `i`; returns
@@ -170,14 +235,21 @@ object PdfToText {
       if (c == '(') {
         literalString(stream, k) match {
           case null => k = stream.length // unterminated: stop this stream
-          case (str, next) => pending += str; k = next
+          case (str, next) => pending += utf16beIfBom(str); k = next
         }
       } else if (c == '<') {
-        // hex string (skipped — see fidelity bounds) or dict delimiter
+        // dict delimiter, or hex string: UTF-16BE-BOM'd hex strings
+        // decode (§7.9.2.2); BOM-less ones are CMap-coded in practice
+        // and stay skipped (see fidelity bounds)
         if (k + 1 < stream.length && stream.charAt(k + 1) == '<') k += 2
-        else {
-          val close = stream.indexOf('>', k + 1)
-          k = if (close < 0) stream.length else close + 1
+        else hexString(stream, k) match {
+          case null =>
+            val close = stream.indexOf('>', k + 1)
+            k = if (close < 0) stream.length else close + 1
+          case (raw, next) =>
+            if (raw.length >= 2 && raw.charAt(0) == 'þ' &&
+                raw.charAt(1) == 'ÿ') pending += utf16beIfBom(raw)
+            k = next
         }
       } else if (c == '\'') { break(); flush(); k += 1 }
       else if (c == '"') { break(); flush(); k += 1 }
@@ -202,6 +274,7 @@ object PdfToText {
     val s = Latin1View.toView(bytes)
     if (!s.startsWith("%PDF-")) return null
     val out = new java.lang.StringBuilder
+    var anyFailed = false // per-stream degradation (see the scaladoc)
     var idx = 0
     var i = s.indexOf("stream", idx)
     while (i >= 0) {
@@ -215,25 +288,54 @@ object PdfToText {
         (s.charAt(j) == '\r' && j + 1 < s.length && s.charAt(j + 1) == '\n'))
       if (precedes && eolOk) {
         j += (if (s.charAt(j) == '\r') 2 else 1)
-        val end = s.indexOf("endstream", j)
-        if (end < 0) return null // malformed: unterminated stream
-        var dataEnd = end
-        // strip the EOL before `endstream` (it belongs to the framing)
-        if (dataEnd > j && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-        if (dataEnd > j && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
         val dict = dictBefore(s, i)
-        if (dict == null) return null // malformed: no governing dict
-        if (dict.contains("/FlateDecode")) {
-          val raw = inflate(bytes, j, dataEnd - j)
-          if (raw == null) return null // declared Flate, does not inflate
-          extractOps(Latin1View.toView(raw), out)
-        } else if (!dict.contains("/Filter")) {
-          extractOps(s.substring(j, dataEnd), out)
-        } // other filters: not text — skip
-        idx = end + 9
+        // frame by the dict's direct /Length FIRST (binary Flate data
+        // legitimately contains the bytes `endstream`); trust it only
+        // when `endstream` actually follows the declared span — a
+        // lying /Length falls back to the scan
+        var dataEnd = -1
+        var resume = -1
+        val len = if (dict == null) -1 else directLength(dict)
+        if (len >= 0 && j.toLong + len <= s.length) {
+          var k = j + len
+          if (k < s.length && s.charAt(k) == '\r') k += 1
+          if (k < s.length && s.charAt(k) == '\n') k += 1
+          if (s.startsWith("endstream", k)) {
+            dataEnd = j + len
+            resume = k + 9
+          }
+        }
+        if (dataEnd < 0) {
+          val end = s.indexOf("endstream", j)
+          if (end < 0) {
+            // unterminated stream: nothing after it can be framed
+            anyFailed = true
+            idx = s.length
+          } else {
+            dataEnd = end
+            // strip the EOL before `endstream` (framing, not data)
+            if (dataEnd > j && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+            if (dataEnd > j && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+            resume = end + 9
+          }
+        }
+        if (dataEnd >= 0) {
+          if (dict == null) anyFailed = true // no governing dict
+          else if (dict.contains("/FlateDecode")) {
+            val raw = inflate(bytes, j, dataEnd - j)
+            if (raw == null) anyFailed = true // declared Flate, no inflate
+            else extractOps(Latin1View.toView(raw), out)
+          } else if (!dict.contains("/Filter")) {
+            extractOps(s.substring(j, dataEnd), out)
+          } // other filters: not text — skip
+          idx = resume
+        }
       } else idx = i + 6
       i = s.indexOf("stream", idx)
     }
+    // a document where something failed AND nothing was extracted is a
+    // malformed-document miss, not an honest empty answer
+    if (anyFailed && out.length == 0) return null
     // trailing framing newlines are noise; interior structure is real
     var n = out.length
     while (n > 0 && (out.charAt(n - 1) == '\n' || out.charAt(n - 1) == '\r'))

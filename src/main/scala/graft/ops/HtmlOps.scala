@@ -100,6 +100,38 @@ object HtmlOps {
     }
   }
 
+  /** SHIPPED per-language C4 line-rule profile rows (r20, VERDICT r19
+    * #4) — `(lang, term_chars, min_line_words, min_line_chars)`, the
+    * [[c4KeptLinesByLang]] `profiles` schema, covering the scripts the
+    * r19 router labels whose sentence punctuation the English defaults
+    * silently eat:
+    *
+    *  - ja/zh — 。！？ terminals plus the CJK close quotes; space-free,
+    *    so the word rule drops to 1 and a 3-char floor substitutes;
+    *  - el — the Greek question mark IS the semicolon (U+037E, typed
+    *    as ASCII `;` on real pages — both accepted) and the ano teleia
+    *    `·` serves as the colon/semicolon terminal;
+    *  - he — standard terminals plus the sof pasuq `׃`;
+    *  - hi — the danda `।` and double danda `॥` end Devanagari
+    *    sentences (ASCII `.` also circulates);
+    *  - ar — the Arabic question mark `؟` and the Urdu-script full
+    *    stop `۔` alongside the ASCII terminals.
+    *
+    * Space-delimited scripts keep C4's 3-word floor. Korean uses the
+    * ASCII terminals (the English defaults are already correct); Thai
+    * writes without sentence-final punctuation at all, so a terminal-
+    * char rule is the wrong instrument there — a th row is deliberately
+    * absent rather than wrong. ONE definition, interpolated verbatim
+    * into the x177 oracle mirror.
+    */
+  val c4LineProfiles: Seq[(String, Seq[String], Long, Long)] = Seq(
+    ("ja", Seq("。", "！", "？", "」", "."), 1L, 3L),
+    ("zh", Seq("。", "！", "？", "”", "."), 1L, 3L),
+    ("el", Seq(".", "!", ";", ";", "·", "\""), 3L, 1L),
+    ("he", Seq(".", "!", "?", "\"", "׃"), 3L, 1L),
+    ("hi", Seq("।", "॥", ".", "!", "?"), 3L, 1L),
+    ("ar", Seq(".", "!", "؟", "۔", "\""), 3L, 1L))
+
   /** LANGUAGE-AWARE C4 line retention (the CCNet discipline, VERDICT
     * r17 #2): the [[c4KeptLines]] rules with the language-sensitive
     * parameters read from a per-language `profiles` table joined on the

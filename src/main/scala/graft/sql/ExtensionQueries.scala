@@ -3218,7 +3218,7 @@ object ExtensionQueries {
     // x175 — PDF text extraction (r19, VERDICT r18 #3; the x150
     // row-identity convention — DuckDB cannot inflate a content
     // stream, so the oracle recomputes every TARGET independently):
-    // four arms per doc through the REAL envelope route — sniff →
+    // five arms per doc through the REAL envelope route — sniff →
     // effectiveMediaType → pdfText. Arm 0: a FlateDecode content
     // stream (REAL zlib bytes via DeflateBytes) with Tj/T* text ops;
     // arm 1: a filterless raw stream with a TJ kerning array and the
@@ -3226,13 +3226,17 @@ object ExtensionQueries {
     // bytes do not inflate — the malformed document, whose text must
     // be the auditable NULL; arm 3: the LYING SERVER — a real PDF
     // served as text/html, which the signature override must still
-    // route to the PDF tier. No xref tables are synthesized: the
-    // kernel's stream scan (its documented contract) never consults
-    // them.
+    // route to the PDF tier; arm 4 (r20, VERDICT r19 #3): UTF-16BE
+    // text strings — a literal string and a hex string both opening
+    // with the FE FF BOM (ISO 32000-1 §7.9.2.2), carrying REAL
+    // Japanese text that must decode, not mojibake, plus a BOM-less
+    // latin literal on the same page (the two regimes coexist). No
+    // xref tables are synthesized: the kernel's stream scan (its
+    // documented contract) never consults them.
     "x175_pdf_extract" -> { (s, dir) =>
       val d = spread(t(s, dir, "documents"))
       val idS = col("doc_id").cast("string")
-      val arm = col("doc_id") % 4
+      val arm = col("doc_id") % 5
       def bridge1(mk: org.apache.spark.sql.catalyst.expressions.Expression =>
           org.apache.spark.sql.catalyst.expressions.Expression,
           c: Column): Column =
@@ -3248,14 +3252,19 @@ object ExtensionQueries {
         lit("BT 72 720 Td [(Table ) 20 (of) -20 ( contents)] TJ T* " +
           "(Escaped \\(parens\\) and backslash \\\\ here "), idS,
         lit(".) Tj ET"))
+      val contentU16 = concat(
+        lit("BT /F1 12 Tf 72 720 Td (" + u16beView(pdfJaHeadline) +
+          ") Tj T* (Latin tail "), idS,
+        lit(".) Tj T* <" + u16beHex(pdfJaSecond) + "> Tj ET"))
       // stream payload view: real zlib bytes (arm 0/3), the raw ops
-      // (arm 1), or garbage under a /FlateDecode declaration (arm 2)
+      // (arm 1/4), or garbage under a /FlateDecode declaration (arm 2)
       val flateView = decode(bridge1(graft.functions.DeflateBytes(_),
         when(arm === 3, contentLying).otherwise(contentTj)), "ISO-8859-1")
       val streamView = when(arm === 1, contentTJ)
+        .when(arm === 4, contentU16)
         .when(arm === 2, lit("this is not a deflate stream at all"))
         .otherwise(flateView)
-      val filterDecl = when(arm === 1, lit(""))
+      val filterDecl = when(arm === 1 || arm === 4, lit(""))
         .otherwise(lit(" /Filter /FlateDecode"))
       val pdf = concat(
         lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n" +
@@ -3442,6 +3451,35 @@ object ExtensionQueries {
           "deduped" -> deduped, "mixture" -> mix, "packed" -> packed),
           col("n_tokens"), "lang")
         .orderBy("stage_idx", "lang")
+    },
+
+    // x177 — C4 line-rule profiles for the non-latin script tier (r20,
+    // VERDICT r19 #4; the x169 pattern widened): el/he/hi/ar pages
+    // through c4KeptLinesByLang with the SHIPPED
+    // [[graft.ops.HtmlOps.c4LineProfiles]] table — the Greek question
+    // mark (;), the sof pasuq (׃), the danda (।), and the Arabic
+    // question mark (؟) all end real sentences that the English
+    // terminal-punctuation rule silently eats (exactly the way ja
+    // lines were eaten before x169). Each arm also plants an
+    // ASCII-period line (kept under BOTH rule sets — the profile must
+    // not break the common case), the too-short line, and the
+    // javascript boilerplate (dropped everywhere). The en control arm
+    // carries no profile row, proving the defaults fallback.
+    "x177_c4_script_lines" -> { (s, dir) =>
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val arm = col("doc_id") % 5
+      val docs = d.select(col("doc_id"),
+        when(arm === 0, lit("el")).when(arm === 1, lit("he"))
+          .when(arm === 2, lit("hi")).when(arm === 3, lit("ar"))
+          .otherwise(lit("en")).as("lang"),
+        when(arm === 0, lit(c4ElHtml)).when(arm === 1, lit(c4HeHtml))
+          .when(arm === 2, lit(c4HiHtml)).when(arm === 3, lit(c4ArHtml))
+          .otherwise(lit(langEnHtml)).as("html"))
+      val profiles = graft.ops.HtmlOps.c4LineProfiles
+        .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
+      HtmlOps.c4KeptLinesByLang(docs, "doc_id", "html", profiles)
+        .orderBy("doc_id", "line_no")
     }
   )
 
@@ -3466,6 +3504,61 @@ object ExtensionQueries {
     */
   private def sjisView(s: String): String =
     new String(s.getBytes("windows-31j"), "ISO-8859-1")
+
+  /** The latin1 VIEW of a text's UTF-16BE bytes WITH the FE FF BOM —
+    * the ISO 32000-1 §7.9.2.2 text-string encoding the x175 UTF-16BE
+    * arm plants (driver-side constant, like [[sjisView]]). The x175
+    * fixture texts are chosen with no 0x28/0x29/0x5C/0x0A/0x0D bytes
+    * in their UTF-16BE form, so the literal-string escapes never fire.
+    */
+  private def u16beView(s: String): String =
+    new String(("\uFEFF" + s).getBytes("UTF-16BE"), "ISO-8859-1")
+
+  /** The same BOM + UTF-16BE bytes as uppercase hex digits — the PDF
+    * hex-string (`<…>`) form of [[u16beView]].
+    */
+  private def u16beHex(s: String): String =
+    ("\uFEFF" + s).getBytes("UTF-16BE")
+      .map(b => f"${b & 0xFF}%02X").mkString
+
+  /** The x175 arm-4 fixture texts — ONE definition each, mirrored
+    * verbatim into the oracle's recomputed targets.
+    */
+  private val pdfJaHeadline = "見出し: 日本語のページです。"
+  private val pdfJaSecond = "第二行です。"
+
+  /** The x177 per-script C4 fixtures (r20, VERDICT r19 #4, the x169
+    * pattern): per script, one sentence ending in the script's OWN
+    * terminal character — which the English defaults silently eat —
+    * and one ending in the ASCII period both rule sets keep; plus the
+    * global too-short and javascript lines every arm must drop. ONE
+    * definition each, interpolated into the oracle.
+    */
+  private def scriptArmHtml(qLine: String, okLine: String): String =
+    "<html><body><p>" + qLine + "</p><p>" + okLine + "</p>" +
+      "<p>too short.</p>" +
+      "<p>please enable javascript to continue now.</p></body></html>"
+  private val c4ElHtml = scriptArmHtml(
+    "πού είναι το νέο κείμενο για τον έλεγχο της ποιότητας;",
+    "αυτό είναι ένα καλό κείμενο για όλους.")
+  private val c4HeHtml = scriptArmHtml(
+    "זהו משפט חדש של המערכת לבדיקת האיכות של התוכן׃",
+    "זהו טקסט טוב לבדיקה של הכל.")
+  private val c4HiHtml = scriptArmHtml(
+    "यह एक नया वाक्य है जो जाँच के लिए लिखा गया है।",
+    "यह एक अच्छा वाक्य है.")
+  private val c4ArHtml = scriptArmHtml(
+    "هل هذا النص الجديد مفيد للتحقق من الجودة؟",
+    "هذا نص جيد للاختبار.")
+
+  /** [[graft.ops.HtmlOps.c4LineProfiles]] as DuckDB VALUES rows — the
+    * ONE shipped profile definition, interpolated so the mirror cannot
+    * drift from the engine's table.
+    */
+  private def c4ProfileRowsSql: String = graft.ops.HtmlOps.c4LineProfiles
+    .map { case (l, tc, mw, mc) =>
+      s"('$l', [${tc.map(c => "'" + c + "'").mkString(",")}], $mw, $mc)"
+    }.mkString(", ")
 
   /** The x168/x169 language fixtures — ONE definition each, mirrored
     * verbatim in the oracle SQL (interpolated, so they cannot drift).
@@ -8421,25 +8514,30 @@ object ExtensionQueries {
     },
 
     // x175 mirror: the extracted text is the Spark side's to PROVE
-    // (DuckDB cannot inflate a FlateDecode stream) — the oracle
-    // recomputes each arm's TARGET text independently (the x150
-    // row-identity convention): the same Tj/T* line pair, the TJ
-    // concatenation with its escapes resolved by hand, NULL for the
-    // malformed-Flate arm, and the lying-server arm's text under its
-    // text/html declaration.
+    // (DuckDB cannot inflate a FlateDecode stream or walk the BOM'd
+    // string decode) — the oracle recomputes each arm's TARGET text
+    // independently (the x150 row-identity convention): the same
+    // Tj/T* line pair, the TJ concatenation with its escapes resolved
+    // by hand, NULL for the malformed-Flate arm, the lying-server
+    // arm's text under its text/html declaration, and the UTF-16BE
+    // arm's REAL Japanese lines (interpolated from the one fixture
+    // definition) around the BOM-less latin tail.
     "x175_pdf_extract" ->
-      """SELECT doc_id,
-        | CASE WHEN doc_id % 4 = 3 THEN 'text/html'
+      s"""SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 3 THEN 'text/html'
         |      ELSE 'application/pdf' END AS declared,
         | 'application/pdf' AS final_type,
-        | CASE doc_id % 4
+        | CASE doc_id % 5
         |   WHEN 0 THEN 'Report ' || doc_id::VARCHAR || ' first line.'
         |     || chr(10) || 'Second line with accents: café '
         |     || doc_id::VARCHAR || '.'
         |   WHEN 1 THEN 'Table of contents' || chr(10)
-        |     || 'Escaped (parens) and backslash \ here '
+        |     || 'Escaped (parens) and backslash \\ here '
         |     || doc_id::VARCHAR || '.'
         |   WHEN 2 THEN NULL
+        |   WHEN 4 THEN '$pdfJaHeadline' || chr(10)
+        |     || 'Latin tail ' || doc_id::VARCHAR || '.' || chr(10)
+        |     || '$pdfJaSecond'
         |   ELSE 'Hidden report ' || doc_id::VARCHAR
         |     || ' behind a lying header.' END AS pdf_text
         | FROM documents ORDER BY doc_id""".stripMargin,
@@ -8590,7 +8688,37 @@ object ExtensionQueries {
         | UNION ALL SELECT 4::BIGINT, 'packed', lang,
         |     count(*)::BIGINT, sum(n_toks)::BIGINT FROM spans GROUP BY lang
         | ORDER BY stage_idx, lang""".stripMargin
-    }
+    },
+
+    // x177 mirror: the x169 mirror widened — the same five-arm page
+    // synthesis, the shared strip/line CTEs, then the language-
+    // parameterized line rules over the SHIPPED profile table
+    // (c4ProfileRowsSql interpolates HtmlOps.c4LineProfiles verbatim,
+    // so engine and mirror read the one definition).
+    "x177_c4_script_lines" ->
+      s"""WITH d0 AS (SELECT doc_id,
+        |     CASE (doc_id % 5) WHEN 0 THEN 'el' WHEN 1 THEN 'he'
+        |       WHEN 2 THEN 'hi' WHEN 3 THEN 'ar' ELSE 'en' END AS lang,
+        |     CASE (doc_id % 5) WHEN 0 THEN '$c4ElHtml'
+        |       WHEN 1 THEN '$c4HeHtml' WHEN 2 THEN '$c4HiHtml'
+        |       WHEN 3 THEN '$c4ArHtml' ELSE '$langEnHtml' END AS html
+        |   FROM documents),
+        | h2 AS (SELECT doc_id, html FROM d0),
+        | ${htmlStripCtesSql("h2")},
+        | prof AS (SELECT * FROM (VALUES $c4ProfileRowsSql)
+        |   p(lang, term_chars, min_line_words, min_line_chars)),
+        | lx AS (SELECT ln.doc_id, d0.lang, ln.line_no, ln.line
+        |   FROM ln JOIN d0 USING (doc_id)),
+        | keptl AS (SELECT lx.doc_id, lx.lang, lx.line_no, lx.line
+        |   FROM lx LEFT JOIN prof p USING (lang)
+        |   WHERE list_contains(coalesce(p.term_chars, ['.','!','?','"']),
+        |       substr(line, length(line), 1))
+        |     AND len(string_split(line, ' ')) >=
+        |       coalesce(p.min_line_words, 3)
+        |     AND length(line) >= coalesce(p.min_line_chars, 1)
+        |     AND NOT contains(lower(line), 'javascript'))
+        | SELECT doc_id, lang, line_no, line FROM keptl
+        | ORDER BY doc_id, line_no""".stripMargin
   )
 
   /** The struct_pack trigram-score list for the given profile

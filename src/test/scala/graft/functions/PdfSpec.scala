@@ -65,6 +65,46 @@ class PdfSpec extends AnyFunSuite {
       "<< /Length", "<< /Filter /DCTDecode /Length")) == "")
   }
 
+  test("UTF-16BE literal string: FE FF BOM decodes real non-latin text " +
+      "(r20, VERDICT r19 #3)") {
+    val BOM = "\uFEFF"
+    val txt = "日本語の見出しです。"
+    val view = new String((BOM + txt).getBytes("UTF-16BE"), "ISO-8859-1")
+    val got = extract(pdfWithRaw("BT (" + view + ") Tj ET"))
+    assert(got == txt)
+  }
+
+  test("UTF-16BE hex string decodes; BOM-less hex stays skipped") {
+    val got = extract(pdfWithRaw(
+      "BT <FEFF00480065006C006C006F0021> Tj <48656C6C6F> Tj " +
+        "(tail.) Tj ET"))
+    assert(got == "Hello!tail.")
+  }
+
+  test("/Length framing survives literal 'endstream' bytes inside the " +
+      "data (r20, ADVICE r19)") {
+    val got = extract(pdfWithRaw(
+      "BT (Before line.) Tj T* (endstream inside data.) Tj ET"))
+    assert(got == "Before line.\nendstream inside data.")
+  }
+
+  test("indirect /Length (N G R) falls back to the endstream scan") {
+    val content = "BT (Indirect ok.) Tj ET"
+    val pdf = "%PDF-1.4\n4 0 obj\n<< /Length 5 0 R >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF"
+    assert(extract(pdf) == "Indirect ok.")
+  }
+
+  test("per-stream degradation: one bad Flate stream skips, the good " +
+      "stream still extracts (r20, ADVICE r19)") {
+    val good = "BT (Survivor text.) Tj ET"
+    val pdf = "%PDF-1.4\n1 0 obj\n<< /Length 7 /Filter /FlateDecode >>\n" +
+      "stream\ngarbage\nendstream\nendobj\n2 0 obj\n<< /Length " +
+      good.length + " >>\nstream\n" + good +
+      "\nendstream\nendobj\n%%EOF"
+    assert(extract(pdf) == "Survivor text.")
+  }
+
   test("property: %PDF--prefixed random bytes never throw (200 seeded " +
       "trials)") {
     val rnd = new scala.util.Random(19)
