@@ -439,6 +439,92 @@ object WarcOps {
       .drop("__rk", "__orig_uri")
   }
 
+  /** CDX(J) index records for a WARC store (r20, VERDICT r19 #5 — the
+    * artifact that makes the [[dedupStoreRecords]] store SEEKABLE, and
+    * the fourth leg of the Common Crawl artifact family after
+    * WARC/WAT/WET): one index line per record,
+    *
+    * {{{ <urlkey> <timestamp14> <json> }}}
+    *
+    * — the pywb/OpenWayback CDXJ convention: `urlkey` is the SURT key
+    * ([[graft.ops.UrlOps.surtKey]] — host-reversed so one site's
+    * captures sort contiguously), `timestamp14` is the WARC-Date's
+    * digits (`yyyyMMddHHmmss`), and the JSON object carries `url`,
+    * `digest`, `mime`, `status`, `offset`, `length`, `filename` — the
+    * fields a replay/refetch consumer needs to seek straight to one
+    * record without scanning the file.
+    *
+    * Input: one row per record BEFORE file concatenation —
+    * `(fileCol, ordCols…, recordCol, uriCol, dateCol, digestCol)` —
+    * with `ordCols` the exact sort the caller concatenates by, so the
+    * computed offsets address the assembled file. `offset`/`length`
+    * are CHARACTER positions in the latin1 view (= byte offsets into
+    * an uncompressed store — the module's byte-faithful convention;
+    * indexing `.warc.gz` member offsets would need the compressed
+    * framing, a documented bound). `filename` is
+    * `<fileCol>.warc`.
+    *
+    * Output: input keys + `urlkey`, `cdxj_ts`, `offset`, `rec_length`,
+    * `cdxj` (the full line).
+    *
+    * Scale shape: ONE fileCol-keyed shuffle serves the offset prefix
+    * sum (records-per-file-sized windows — the same key the store
+    * grouping itself shuffles by); everything else is a narrow map.
+    */
+  def cdxjRecords(records: DataFrame, fileCol: String,
+                  ordCols: Seq[String], recordCol: String = "record",
+                  uriCol: String = "url", dateCol: String = "capture_date",
+                  digestCol: String = "digest",
+                  mime: Column = lit("text/html"),
+                  status: Column = lit(200L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(fileCol).orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPos = records
+      .withColumn("rec_length", length(col(recordCol)).cast(LongType))
+      .withColumn("offset",
+        coalesce(sum(col("rec_length")).over(w), lit(0L)))
+    withPos
+      .withColumn("urlkey", UrlOps.surtKey(col(uriCol)))
+      .withColumn("cdxj_ts",
+        substring(regexp_replace(col(dateCol), "[^0-9]", ""), 1, 14))
+      .withColumn("cdxj", concat_ws(" ",
+        col("urlkey"), col("cdxj_ts"),
+        to_json(struct(
+          col(uriCol).as("url"), col(digestCol).as("digest"),
+          mime.as("mime"), status.cast(LongType).as("status"),
+          col("offset"), col("rec_length").as("length"),
+          concat(col(fileCol).cast("string"), lit(".warc"))
+            .as("filename")))))
+  }
+
+  /** Parse CDXJ lines ([[cdxjRecords]]' output format) back to typed
+    * columns — the consumer direction: `urlkey`, `cdxj_ts`, and the
+    * JSON block's `url/digest/mime/status/offset/rec_length/filename`.
+    * A malformed line yields NULL fields (from_json's rule), never a
+    * dead stage. Narrow map — no shuffle.
+    */
+  def parseCdxj(lines: DataFrame, lineCol: String): DataFrame = {
+    val schema = "url STRING, digest STRING, mime STRING, " +
+      "status BIGINT, offset BIGINT, length BIGINT, filename STRING"
+    lines
+      .withColumn("urlkey",
+        nullif(regexp_extract(col(lineCol), "^(\\S+) ", 1), lit("")))
+      .withColumn("cdxj_ts",
+        nullif(regexp_extract(col(lineCol), "^\\S+ (\\S+) ", 1), lit("")))
+      .withColumn("__m", from_json(
+        regexp_extract(col(lineCol), "^\\S+ \\S+ (.*)$", 1),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)))
+      .withColumn("url", col("__m.url"))
+      .withColumn("digest", col("__m.digest"))
+      .withColumn("mime", col("__m.mime"))
+      .withColumn("status", col("__m.status"))
+      .withColumn("offset", col("__m.offset"))
+      .withColumn("rec_length", col("__m.length"))
+      .withColumn("filename", col("__m.filename"))
+      .drop("__m")
+  }
+
   /** Resolve `revisit` records to the capture they duplicate — WARC
     * 1.1 §6.7.2: a crawler that re-fetches a URL and finds the payload
     * unchanged (or finds the SAME payload at a different URL) writes a

@@ -3480,6 +3480,65 @@ object ExtensionQueries {
         .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
       HtmlOps.c4KeptLinesByLang(docs, "doc_id", "html", profiles)
         .orderBy("doc_id", "line_no")
+    },
+
+    // x178 — CDX(J) index round trip with a REAL SEEK (r20, VERDICT
+    // r19 #5 — the artifact that makes the x165 dedup store seekable,
+    // completing the WARC/WAT/WET/CDX Common Crawl artifact family):
+    // the x165 capture synthesis → dedup store records → cdxjRecords
+    // (SURT urlkey, 14-digit timestamp, JSON with offset/length/
+    // filename) → parse the lines BACK → use the recovered
+    // offset/length to substring the assembled file content and
+    // re-parse THAT SLICE as a WARC record. seek_ok ties the loop:
+    // the seeked record's length_ok, target URI, and payload digest
+    // must all match the index row — the proof a replay consumer can
+    // jump straight to one capture without scanning the file.
+    "x178_cdxj_index" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val caps = d
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .withColumn("url", concat(lit("https://example.com/doc/"),
+          col("doc_id").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-01-"),
+          lpad((lit(1) + col("doc_id") % 9 + col("k") * 7)
+            .cast("string"), 2, "0")))
+        .withColumn("version",
+          when(col("doc_id") % 3 === 0, col("k"))
+            .when(col("doc_id") % 3 === 1,
+              when(col("k") >= 2, lit(1)).otherwise(lit(0)))
+            .otherwise(lit(0)))
+        .withColumn("payload", concat(lit("Body v"),
+          col("version").cast("string"), lit(" of doc "),
+          col("doc_id").cast("string"), lit(".")))
+        .withColumn("digest", md5(col("payload")))
+      val recs = WarcOps.dedupStoreRecords(caps)
+        .withColumn("file_id", expr("doc_id div 8"))
+      val idx = WarcOps.cdxjRecords(recs, "file_id", Seq("doc_id", "k"))
+      val files = recs.groupBy("file_id")
+        .agg(concat_ws("", array_sort(collect_list(
+            struct(col("doc_id"), col("k"), col("record"))))
+          .getField("record")).as("content"))
+      val parsed = WarcOps.parseCdxj(
+        idx.select(col("file_id"), col("doc_id"), col("k"), col("cdxj")),
+        "cdxj")
+      val sliced = parsed.join(files, Seq("file_id"))
+        .select((col("doc_id") * 3 + col("k")).as("rid"),
+          col("content").substr(col("offset").cast("int") + lit(1),
+            col("rec_length").cast("int")).as("slice"))
+      val reparsed = WarcOps.parseRecords(sliced, "rid", "slice")
+        .select(col("rid"), col("warc_type").as("rec_type"),
+          col("target_uri").as("seek_uri"),
+          col("payload_digest").as("seek_digest"),
+          col("payload").as("seek_payload"), col("length_ok"))
+      parsed.withColumn("rid", col("doc_id") * 3 + col("k"))
+        .join(reparsed, Seq("rid"))
+        .withColumn("seek_ok", col("length_ok") &&
+          col("seek_uri") === col("url") &&
+          col("seek_digest") === col("digest"))
+        .select("doc_id", "k", "urlkey", "cdxj_ts", "url", "mime",
+          "status", "offset", "rec_length", "digest", "rec_type",
+          "seek_payload", "seek_ok")
+        .orderBy("doc_id", "k")
     }
   )
 
@@ -8718,7 +8777,69 @@ object ExtensionQueries {
         |     AND length(line) >= coalesce(p.min_line_chars, 1)
         |     AND NOT contains(lower(line), 'javascript'))
         | SELECT doc_id, lang, line_no, line FROM keptl
-        | ORDER BY doc_id, line_no""".stripMargin
+        | ORDER BY doc_id, line_no""".stripMargin,
+
+    // x178 mirror: the store strings and the seek are the Spark
+    // side's to prove — the oracle CONSTRUCTS the same records
+    // (x165's synthesis + the dedupStoreRecords head layout, CRLF
+    // via chr(13)||chr(10)) and recomputes every index field
+    // independently: the window prefix-sum offsets over the same
+    // (file, doc, k) order, the SURT urlkey constant-folded for the
+    // fixture host, the digit-only timestamp, and the seeked record's
+    // expected type/payload; seek_ok true by construction.
+    "x178_cdxj_index" ->
+      s"""WITH xc AS (SELECT doc_id, t.k,
+        |     'https://example.com/doc/' || doc_id::VARCHAR AS url,
+        |     '2020-01-' ||
+        |       lpad((1 + (doc_id % 9) + t.k * 7)::VARCHAR, 2, '0')
+        |       AS capture_date,
+        |     (CASE WHEN doc_id % 3 = 0 THEN t.k
+        |           WHEN doc_id % 3 = 1 THEN
+        |             (CASE WHEN t.k >= 2 THEN 1 ELSE 0 END)
+        |           ELSE 0 END) AS ver
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+        | xp AS (SELECT doc_id, k, url, capture_date,
+        |     'Body v' || ver::VARCHAR || ' of doc ' ||
+        |       doc_id::VARCHAR || '.' AS payload
+        |   FROM xc),
+        | xr AS (SELECT *, md5(payload) AS digest,
+        |     row_number() OVER (PARTITION BY md5(payload)
+        |       ORDER BY capture_date, url) AS rn
+        |   FROM xp),
+        | nlx AS (SELECT chr(13) || chr(10) AS nl),
+        | xrec AS (SELECT doc_id, k, url, capture_date, digest, rn,
+        |     payload,
+        |     'WARC/1.0' || nl || 'WARC-Type: ' ||
+        |       (CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END) ||
+        |       nl || 'WARC-Target-URI: ' || url ||
+        |       nl || 'WARC-Date: ' || capture_date ||
+        |       nl || 'WARC-Payload-Digest: ' || digest ||
+        |       (CASE WHEN rn = 1
+        |         THEN nl || 'Content-Length: ' ||
+        |           length(payload)::VARCHAR || nl || nl || payload ||
+        |           nl || nl
+        |         ELSE nl || 'WARC-Refers-To-Target-URI: ' || url ||
+        |           nl || 'Content-Length: 0' || nl || nl || nl || nl
+        |        END) AS record
+        |   FROM xr CROSS JOIN nlx),
+        | xoff AS (SELECT *,
+        |     length(record)::BIGINT AS rec_length,
+        |     coalesce(sum(length(record)) OVER (
+        |       PARTITION BY (doc_id // 8) ORDER BY doc_id, k
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       ::BIGINT AS "offset"
+        |   FROM xrec)
+        | SELECT doc_id, k,
+        |   'com,example)/doc/' || doc_id::VARCHAR AS urlkey,
+        |   replace(capture_date, '-', '') AS cdxj_ts,
+        |   url, 'text/html' AS mime, 200::BIGINT AS status,
+        |   "offset", rec_length, digest,
+        |   CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+        |     AS rec_type,
+        |   CASE WHEN rn = 1 THEN payload ELSE '' END AS seek_payload,
+        |   true AS seek_ok
+        | FROM xoff ORDER BY doc_id, k""".stripMargin
   )
 
   /** The struct_pack trigram-score list for the given profile
