@@ -162,11 +162,15 @@ object HtmlOps {
     * explode and every rule stay narrow — one fused scan stage, the
     * [[keptLineStage]] shape (plan-gated in the query tier).
     *
-    * Output: `(idCol, langCol, line_no, line)` survivors.
+    * Output: `(idCol, langCol, carry…, line_no, line)` survivors —
+    * `carry` columns (a provenance key like the page's source format)
+    * ride the narrow map, the [[keptLineStage]] convention, so a
+    * caller never needs a corpus-sized re-join to recover them.
     */
   def c4KeptLinesByLang(docs: DataFrame, idCol: String, htmlCol: String,
                         profiles: DataFrame,
-                        langCol: String = "lang"): DataFrame = {
+                        langCol: String = "lang",
+                        carry: Seq[String] = Nil): DataFrame = {
     // Deterministic per-lang collapse (the soft404Flags/gopherFilterByLang
     // discipline, r19): a duplicate lang row in `profiles` must not
     // multiply every doc of that language through the left join.
@@ -180,15 +184,16 @@ object HtmlOps {
       .select(col(langCol), col("__p.__p_term_chars").as("__p_term_chars"),
         col("__p.__p_min_line_words").as("__p_min_line_words"),
         col("__p.__p_min_line_chars").as("__p_min_line_chars")))
+    val keys = Seq(col(idCol), col(langCol)) ++ carry.map(col)
     docs.join(prof, Seq(langCol), "left")
-      .select(col(idCol), col(langCol), col("__p_term_chars"),
+      .select(keys ++ Seq(col("__p_term_chars"),
         col("__p_min_line_words"), col("__p_min_line_chars"),
         posexplode(split(htmlToText(col(htmlCol)), "\n"))
-          .as(Seq("line_no", "__raw")))
-      .select(col(idCol), col(langCol), col("__p_term_chars"),
+          .as(Seq("line_no", "__raw"))): _*)
+      .select(keys ++ Seq(col("__p_term_chars"),
         col("__p_min_line_words"), col("__p_min_line_chars"),
         col("line_no").cast(LongType).as("line_no"),
-        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line"))
+        trim(regexp_replace(col("__raw"), "\\s+", " ")).as("line")): _*)
       .filter(
         array_contains(
           coalesce(col("__p_term_chars"),
@@ -199,7 +204,7 @@ object HtmlOps {
         length(col("line")) >=
           coalesce(col("__p_min_line_chars"), lit(1L)) &&
         !lower(col("line")).contains("javascript"))
-      .select(col(idCol), col(langCol), col("line_no"), col("line"))
+      .select(keys ++ Seq(col("line_no"), col("line")): _*)
   }
 
   /** The shared line stage of [[c4KeptLines]] and [[domainCleanPages]]:

@@ -3305,14 +3305,22 @@ object ExtensionQueries {
     // Jaccard ~0.5, far under threshold) → token-budget mixture
     // (en .4 / fr .3 / ja .3 — chars as the token proxy, the honest
     // unit a space-free script shares) → GPT-style sequence packing.
-    // Output: the per-(stage, lang) funnel — extracted / quality /
-    // deduped / mixture / packed — doc counts and token sums, the
-    // integration proof that the tiers compose without a seam. Every
-    // fifth doc plants a "too short." page that the quality tier must
-    // eat in every language. Oracle = the independently-recomputed
-    // chain over the PLAINTEXT synthesis (the x139/x150 convention:
-    // DuckDB cannot gunzip, dechunk, or decode shift_jis — funnel
-    // identity proves the envelope tiers were lossless).
+    // r20 (VERDICT r19 #2): two of every eight docs travel as
+    // application/pdf — the x162 media-type route sends them through
+    // the x175 PdfToText kernel (the ja paragraph as a UTF-16BE hex
+    // string) instead of the charset/HTML tier, and the SAME
+    // router→C4→Gopher→dedup→mixture→packing chain consumes the
+    // result; a pdf doc can be near-dup-dropped against an html doc
+    // (cross-format dedup). Output: the per-(stage, lang/src-cohort)
+    // funnel — extracted / quality / deduped / mixture / packed — doc
+    // counts and token sums, the integration proof that the tiers
+    // compose without a seam, with the `…/pdf` cohorts surviving to
+    // `packed` read straight off the rows. Every fifth doc plants a
+    // "too short." page that the quality tier must eat in every
+    // language. Oracle = the independently-recomputed chain over the
+    // PLAINTEXT synthesis (the x139/x150 convention: DuckDB cannot
+    // gunzip, dechunk, decode shift_jis, or walk a PDF stream —
+    // funnel identity proves the envelope tiers were lossless).
     "x176_first_mile_capstone" -> { (s, dir) =>
       import s.implicits._
       val d = spread(t(s, dir, "documents"))
@@ -3342,16 +3350,41 @@ object ExtensionQueries {
       val htmlView = concat(lit("<html><body><p>"), line1View,
         lit("</p><p>ref "), md5g, lit(" "), reverse(md5g),
         lit(" end.</p><p>" + capJsLine + "</p></body></html>"))
+      // the PDF slice (r20, VERDICT r19 #2): two of every eight docs
+      // — one on the gzip coding, one on the chunked coding — travel
+      // as application/pdf instead of HTML, carrying the SAME two
+      // content lines as PDF text operators (no js boilerplate — a
+      // PDF has no "enable javascript" chrome): en/fr/short line1 as
+      // a latin1 literal string, the ja paragraph as a UTF-16BE HEX
+      // string (the x175 arm-4 tier — a PDF is how non-latin text
+      // actually reaches a crawl without a charset header)
+      val isPdf = (col("doc_id") % 8).isin(2, 5)
+      val pdfLine1Tok = when(isShort, lit("(too short.)"))
+        .when(l3 === 0, lit("(" + capEnPara + ")"))
+        .when(l3 === 1, lit("(" + capFrPara + ")"))
+        .otherwise(lit("<" + u16beHex(capJaPara) + ">"))
+      val pdfContent = concat(lit("BT "), pdfLine1Tok,
+        lit(" Tj T* (ref "), md5g, lit(" "), reverse(md5g),
+        lit(" end.) Tj ET"))
+      val pdfView = concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n" +
+          "endobj\n4 0 obj\n<< /Length "),
+        length(pdfContent).cast("string"),
+        lit(" >>\nstream\n"), pdfContent,
+        lit("\nendstream\nendobj\n%%EOF"))
+      val bodyView = when(isPdf, pdfView).otherwise(htmlView)
       val cs = when(l3 === 2, lit("shift_jis")).otherwise(lit("utf-8"))
-      val gzView = decode(bridge1(graft.functions.GzipBytes(_), htmlView),
+      val gzView = decode(bridge1(graft.functions.GzipBytes(_), bodyView),
         "ISO-8859-1")
-      val c1 = substring(htmlView, 1, 64)
-      val c2 = substring(htmlView, 65, Int.MaxValue - 64)
+      val c1 = substring(bodyView, 1, 64)
+      val c2 = substring(bodyView, 65, Int.MaxValue - 64)
       val chunked = concat(
         hex(length(c1)), lit("\r\n"), c1, lit("\r\n"),
         hex(length(c2)), lit("\r\n"), c2, lit("\r\n0\r\n\r\n"))
+      val ctHdr = when(isPdf, lit("application/pdf"))
+        .otherwise(concat(lit("text/html; charset="), cs))
       val httpMsg = concat(
-        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="), cs,
+        lit("HTTP/1.1 200 OK\r\nContent-Type: "), ctHdr,
         when(col("doc_id") % 2 === 0,
           concat(lit("\r\nContent-Encoding: gzip\r\nContent-Length: "),
             length(gzView).cast("string"), lit("\r\n\r\n"), gzView))
@@ -3392,21 +3425,33 @@ object ExtensionQueries {
       // chain — measured 80 s of a 130 s run at sf0.1; with the one
       // page-count-sized checkpoint the router stage is seconds
       val body = HttpOps.decodeBody(col("body"), col("charset"))
+      // the media-type ROUTE (x162's effectiveMediaType): html decodes
+      // through the charset tier, pdf through the PdfToText kernel —
+      // the extracted text then joins ONE downstream chain, with the
+      // source format carried as provenance (`src`) so the funnel can
+      // show the PDF slice surviving to `packed`
+      val mt = HttpOps.effectiveMediaType(col("content_type"),
+        HttpOps.sniffMediaType(col("body")))
+      val extracted = when(mt === "application/pdf",
+        HttpOps.pdfText(col("body"))).otherwise(body)
       val routed = HttpOps.parseResponses(pages, "payload")
         .filter(col("status_code") === 200 &&
-          col("content_type") === "text/html")
+          mt.isin("text/html", "application/pdf"))
         .select(nullif(regexp_extract(col("target_uri"),
             "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
-          body.as("html"),
-          HtmlOps.htmlToText(body).as("ptext"))
+          when(mt === "application/pdf", lit("pdf"))
+            .otherwise(lit("html")).as("src"),
+          extracted.as("html"),
+          HtmlOps.htmlToText(extracted).as("ptext"))
         .localCheckpoint()
       val labeled = TextOps.langIdRouted(routed, "ptext")
-        .select(col("doc_id"), col("html"), col("pred_lang").as("lang"))
+        .select(col("doc_id"), col("html"), col("src"),
+          col("pred_lang").as("lang"))
       val c4Profiles = Seq(("ja", Seq("。", "."), 1L, 3L))
         .toDF("lang", "term_chars", "min_line_words", "min_line_chars")
       val lines = HtmlOps.c4KeptLinesByLang(labeled, "doc_id", "html",
-        c4Profiles)
-      val docsText = lines.groupBy(col("doc_id"), col("lang"))
+        c4Profiles, carry = Seq("src"))
+      val docsText = lines.groupBy(col("doc_id"), col("lang"), col("src"))
         .agg(concat_ws("\n", array_sort(collect_list(
             struct(col("line_no"), col("line")))).getField("line"))
           .as("text"))
@@ -3421,7 +3466,7 @@ object ExtensionQueries {
           "min_alpha_bp")
       val quality = TextOps.gopherFilterByLang(docsText, gProfiles)
         .filter(col("keep"))
-        .select("doc_id", "lang", "text", "n_tokens")
+        .select("doc_id", "lang", "src", "text", "n_tokens")
         .localCheckpoint()
       // maxBucket 100: the shared paragraph makes one band signature
       // (all four minima from the paragraph's shingles) corpus-hot —
@@ -3439,18 +3484,25 @@ object ExtensionQueries {
       val deduped = quality.join(dropd, Seq("doc_id"), "left_anti")
       val mix = SampleOps.tokenBudgetMixture(deduped, "doc_id", "lang",
           "n_tokens", Seq("en" -> 0.4, "fr" -> 0.3, "ja" -> 0.3))
-        .select("doc_id", "lang", "n_tokens")
+        .select("doc_id", "lang", "src", "n_tokens")
         .localCheckpoint()
       val packed = SampleOps.packSequences(
           mix.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", seqLen = 128)
-        .join(mix.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(mix.select(col("doc_id"), col("lang"), col("src")),
+          Seq("doc_id"))
         .withColumn("n_tokens", col("n_toks"))
+      // the funnel reports per (lang, source-format) cohort — the
+      // integration proof VERDICT r19 #2 asked for reads straight off
+      // the `…/pdf` rows surviving every stage to `packed`
+      def coh(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "cohort", concat_ws("/", col("lang"), col("src")))
       StatOps.funnelReportBy(Seq(
-          "extracted" -> docsText, "quality" -> quality,
-          "deduped" -> deduped, "mixture" -> mix, "packed" -> packed),
-          col("n_tokens"), "lang")
-        .orderBy("stage_idx", "lang")
+          "extracted" -> coh(docsText), "quality" -> coh(quality),
+          "deduped" -> coh(deduped), "mixture" -> coh(mix),
+          "packed" -> coh(packed)),
+          col("n_tokens"), "cohort")
+        .orderBy("stage_idx", "cohort")
     },
 
     // x177 — C4 line-rule profiles for the non-latin script tier (r20,
@@ -8617,9 +8669,11 @@ object ExtensionQueries {
       def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
       val engArr = sqlArr(TextOps.GopherStopProbe)
       s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id % 3 l3,
-        |     (doc_id % 5 = 4) sh0, md5((doc_id // 6)::VARCHAR) g
+        |     (doc_id % 5 = 4) sh0, md5((doc_id // 6)::VARCHAR) g,
+        |     CASE WHEN (doc_id % 8) IN (2, 5) THEN 'pdf' ELSE 'html'
+        |       END AS src
         |   FROM documents),
-        | dd AS (SELECT doc_id, l3, sh0,
+        | dd AS (SELECT doc_id, l3, sh0, src,
         |     CASE WHEN sh0 THEN 'too short.'
         |          WHEN l3 = 0 THEN '$capEnPara'
         |          WHEN l3 = 1 THEN '$capFrPara'
@@ -8627,9 +8681,14 @@ object ExtensionQueries {
         |     'ref ' || g || ' ' || reverse(g) || ' end.' AS line2,
         |     '$capJsLine' AS line3
         |   FROM d0),
+        | -- router input = the EXTRACTED text: html pages carry the js
+        | -- boilerplate line and htmlToText's trailing newline; the
+        | -- pdf slice has neither (pdfText trims framing newlines and
+        | -- a PDF carries no "enable javascript" chrome)
         | d AS (SELECT doc_id,
-        |     line1 || chr(10) || line2 || chr(10) || line3 || chr(10)
-        |       AS text
+        |     CASE WHEN src = 'pdf' THEN line1 || chr(10) || line2
+        |       ELSE line1 || chr(10) || line2 || chr(10) || line3
+        |         || chr(10) END AS text
         |   FROM dd),
         | $scriptLangCtesSql,
         | tr AS (SELECT doc_id, list_distinct(list_transform(
@@ -8643,7 +8702,7 @@ object ExtensionQueries {
         |          ELSE hg.m.lang END AS lang
         |   FROM sl s LEFT JOIN hitg hg ON hg.doc_id = s.doc_id
         |     AND hg.grp = $routedGrpSql),
-        | ext AS MATERIALIZED (SELECT dd.doc_id, lbl.lang,
+        | ext AS MATERIALIZED (SELECT dd.doc_id, lbl.lang, dd.src,
         |     CASE WHEN dd.sh0 THEN dd.line2
         |          ELSE dd.line1 || chr(10) || dd.line2 END AS text,
         |     length(CASE WHEN dd.sh0 THEN dd.line2
@@ -8656,7 +8715,7 @@ object ExtensionQueries {
         |     ('ja', ['の'], 0, 1, 1, 100000, 0))
         |   p(lang, stop_words, min_stop_hits, min_words, mwl_min,
         |     mwl_max, min_alpha)),
-        | sig AS (SELECT doc_id, lang, text, n_tokens,
+        | sig AS (SELECT doc_id, lang, src, text, n_tokens,
         |     len(string_split(text, ' '))::BIGINT n_words,
         |     floor(len(replace(text, ' ', ''))::DOUBLE * 100
         |       / len(string_split(text, ' '))::DOUBLE)::BIGINT wl,
@@ -8672,7 +8731,8 @@ object ExtensionQueries {
         |         ::DOUBLE * 10000
         |       / len(string_split(text, ' '))::DOUBLE)::BIGINT sym_bp
         |   FROM ext),
-        | q AS MATERIALIZED (SELECT s.doc_id, s.lang, s.text, s.n_tokens
+        | q AS MATERIALIZED (SELECT s.doc_id, s.lang, s.src, s.text,
+        |     s.n_tokens
         |   FROM sig s LEFT JOIN prof p USING (lang)
         |   WHERE s.n_words >= coalesce(p.min_words, 50)
         |     AND s.n_words <= 100000
@@ -8719,34 +8779,40 @@ object ExtensionQueries {
         | tmin AS (SELECT min(tk2::DOUBLE / w) tt FROM jx),
         | r AS (SELECT dom, floor(10000 * w * tt / tk2::DOUBLE)::BIGINT rate
         |   FROM jx, tmin WHERE tk2 > 0),
-        | mix AS MATERIALIZED (SELECT s.doc_id, s.lang, s.n_tokens FROM surv s
+        | mix AS MATERIALIZED (SELECT s.doc_id, s.lang, s.src, s.n_tokens
+        |   FROM surv s
         |   JOIN r ON s.lang = r.dom
         |   WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
         |     % 10000 < r.rate),
-        | sto AS (SELECT doc_id, lang, n_tokens n,
+        | sto AS (SELECT doc_id, lang, src, n_tokens n,
         |     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |       ::BIGINT st
         |   FROM mix),
-        | x AS (SELECT doc_id, lang, n, st,
+        | x AS (SELECT doc_id, lang, src, n, st,
         |     unnest(range(st // 128, (st + n - 1) // 128 + 1)) seq_id
         |   FROM sto WHERE n > 0),
-        | spans AS (SELECT lang,
+        | spans AS (SELECT lang, src,
         |     (least(st + n, seq_id*128 + 128)
         |       - greatest(st, seq_id*128))::BIGINT n_toks
         |   FROM x)
-        | SELECT 0::BIGINT stage_idx, 'extracted' AS stage, lang,
+        | SELECT 0::BIGINT stage_idx, 'extracted' AS stage,
+        |     lang || '/' || src AS cohort,
         |     count(*)::BIGINT n_docs, sum(n_tokens)::BIGINT n_tokens
-        |   FROM ext GROUP BY lang
-        | UNION ALL SELECT 1::BIGINT, 'quality', lang,
-        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM q GROUP BY lang
-        | UNION ALL SELECT 2::BIGINT, 'deduped', lang,
-        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM surv GROUP BY lang
-        | UNION ALL SELECT 3::BIGINT, 'mixture', lang,
-        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM mix GROUP BY lang
-        | UNION ALL SELECT 4::BIGINT, 'packed', lang,
-        |     count(*)::BIGINT, sum(n_toks)::BIGINT FROM spans GROUP BY lang
-        | ORDER BY stage_idx, lang""".stripMargin
+        |   FROM ext GROUP BY lang, src
+        | UNION ALL SELECT 1::BIGINT, 'quality', lang || '/' || src,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM q
+        |   GROUP BY lang, src
+        | UNION ALL SELECT 2::BIGINT, 'deduped', lang || '/' || src,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM surv
+        |   GROUP BY lang, src
+        | UNION ALL SELECT 3::BIGINT, 'mixture', lang || '/' || src,
+        |     count(*)::BIGINT, sum(n_tokens)::BIGINT FROM mix
+        |   GROUP BY lang, src
+        | UNION ALL SELECT 4::BIGINT, 'packed', lang || '/' || src,
+        |     count(*)::BIGINT, sum(n_toks)::BIGINT FROM spans
+        |   GROUP BY lang, src
+        | ORDER BY stage_idx, cohort""".stripMargin
     },
 
     // x177 mirror: the x169 mirror widened — the same five-arm page
