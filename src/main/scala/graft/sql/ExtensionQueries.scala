@@ -3429,16 +3429,29 @@ object ExtensionQueries {
       // through the charset tier, pdf through the PdfToText kernel —
       // the extracted text then joins ONE downstream chain, with the
       // source format carried as provenance (`src`) so the funnel can
-      // show the PDF slice surviving to `packed`
+      // show the PDF slice surviving to `packed`.
+      // TWO materialization boundaries here (the r19 CollapseProject
+      // lesson, measured again in r20): the route needs the media type
+      // in a filter plus three projections, and each copy would inline
+      // its OWN gunzip→dechunk envelope chain (~8 copies — x176 went
+      // 11.5 s → 33.5 s when the route was first fused). Boundary 1
+      // materializes the parsed envelope (body + headers); the route
+      // and decode then run over STORED columns, and boundary 2 (the
+      // pre-existing one) materializes the extracted text for the
+      // ~25-expression router fan-out downstream.
+      val envelope = HttpOps.parseResponses(pages, "payload")
+        .filter(col("status_code") === 200)
+        .select(nullif(regexp_extract(col("target_uri"),
+            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+          col("content_type"), col("charset"), col("body"))
+        .localCheckpoint()
       val mt = HttpOps.effectiveMediaType(col("content_type"),
         HttpOps.sniffMediaType(col("body")))
       val extracted = when(mt === "application/pdf",
         HttpOps.pdfText(col("body"))).otherwise(body)
-      val routed = HttpOps.parseResponses(pages, "payload")
-        .filter(col("status_code") === 200 &&
-          mt.isin("text/html", "application/pdf"))
-        .select(nullif(regexp_extract(col("target_uri"),
-            "/doc/([0-9]+)$", 1), lit("")).cast(LongType).as("doc_id"),
+      val routed = envelope
+        .filter(mt.isin("text/html", "application/pdf"))
+        .select(col("doc_id"),
           when(mt === "application/pdf", lit("pdf"))
             .otherwise(lit("html")).as("src"),
           extracted.as("html"),
