@@ -105,6 +105,44 @@ class PdfSpec extends AnyFunSuite {
     assert(extract(pdf) == "Survivor text.")
   }
 
+  test("property: any latin1 text round-trips through an escaped " +
+      "literal string (200 seeded trials)") {
+    val rnd = new scala.util.Random(20)
+    val pool = (' ' to '~').mkString + "()\\\n\t" + "áéÿ×÷"
+    (1 to 200).foreach { _ =>
+      val raw = Seq.fill(rnd.nextInt(60))(
+        pool(rnd.nextInt(pool.length))).mkString
+      // the §7.3.4.2 escapes a writer must apply; everything else is raw
+      val esc = raw.replace("\\", "\\\\")
+        .replace("(", "\\(").replace(")", "\\)")
+      val got = extract(pdfWithRaw("BT (" + esc + ") Tj ET"))
+      val want = raw.replaceAll("[\r\n]+$", "") // framing-trim contract
+      assert(got == want, s"raw=${raw.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("property: any BMP text round-trips through a UTF-16BE hex " +
+      "string (200 seeded trials)") {
+    val rnd = new scala.util.Random(21)
+    // surrogate-free pools across the scripts the engine routes
+    val pools = Seq(
+      ('a' to 'z').mkString, "àâçéèêëîïôùûüÿ",
+      "日本語の見出しですページ第二行中文内容",
+      "αβγδεζηθικλμνξο", "אבגדהוזחטיכלמנ", "ابتثجحخدذرزسشص",
+      "कखगघङचछजझञटठडढण", "0123456789 .,!?")
+    (1 to 200).foreach { _ =>
+      val raw = Seq.fill(1 + rnd.nextInt(40)) {
+        val p = pools(rnd.nextInt(pools.length))
+        p(rnd.nextInt(p.length))
+      }.mkString
+      val BOM = "\uFEFF"
+      val hexStr = (BOM + raw).getBytes("UTF-16BE")
+        .map(b => f"${b & 0xFF}%02X").mkString
+      val got = extract(pdfWithRaw("BT <" + hexStr + "> Tj ET"))
+      assert(got == raw.replaceAll("[\r\n]+$", ""))
+    }
+  }
+
   test("property: %PDF--prefixed random bytes never throw (200 seeded " +
       "trials)") {
     val rnd = new scala.util.Random(19)

@@ -56,6 +56,50 @@ class Round20OpsSpec extends SparkSpec {
     assert(back(1).getString(8) == "0.warc")
   }
 
+  test("property: random-payload store → index → SEEK recovers every " +
+      "response payload byte-for-byte (30 docs, seeded)") {
+    val rnd = new scala.util.Random(22)
+    val pool = ('a' to 'z').mkString + ('0' to '9').mkString + " .,"
+    val caps = (0 until 30).flatMap { i =>
+      val p0 = Seq.fill(1 + rnd.nextInt(80))(
+        pool(rnd.nextInt(pool.length))).mkString
+      // even docs: second capture unchanged (a revisit); odd: changed
+      val p1 = if (i % 2 == 0) p0
+        else Seq.fill(1 + rnd.nextInt(80))(
+          pool(rnd.nextInt(pool.length))).mkString
+      Seq((i.toLong, 0L, s"https://ex.com/d/$i", "2020-01-01", p0),
+        (i.toLong, 1L, s"https://ex.com/d/$i", "2020-01-02", p1))
+    }.toDF("doc_id", "k", "url", "capture_date", "payload")
+      .withColumn("digest", md5(col("payload")))
+    val recs = WarcOps.dedupStoreRecords(caps)
+      .withColumn("file_id", expr("doc_id div 8"))
+    val idx = WarcOps.cdxjRecords(recs, "file_id", Seq("doc_id", "k"))
+    val files = recs.groupBy("file_id")
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("doc_id"), col("k"), col("record"))))
+        .getField("record")).as("content"))
+    val sliced = WarcOps.parseCdxj(
+        idx.select(col("file_id"), col("doc_id"), col("k"), col("cdxj")),
+        "cdxj")
+      .join(files, Seq("file_id"))
+      .select((col("doc_id") * 2 + col("k")).as("rid"),
+        col("content").substr(col("offset").cast("int") + lit(1),
+          col("rec_length").cast("int")).as("slice"))
+    val reparsed = WarcOps.parseRecords(sliced, "rid", "slice")
+    assert(reparsed.count() == 60L) // exactly one record per seek
+    assert(reparsed.filter(!col("length_ok")).count() == 0L)
+    val joined = reparsed
+      .select((col("rid") / 2).cast("long").as("doc_id"),
+        (col("rid") % 2).as("k"), col("warc_type"), col("payload"))
+      .join(caps.withColumnRenamed("payload", "want"),
+        Seq("doc_id", "k"))
+    assert(joined.filter(col("warc_type") === "response" &&
+      col("payload") =!= col("want")).count() == 0L)
+    // even docs' second capture must be a body-less revisit
+    assert(joined.filter(col("doc_id") % 2 === 0 && col("k") === 1)
+      .filter(col("warc_type") =!= "revisit").count() == 0L)
+  }
+
   test("parseCdxj: a malformed line degrades to NULL fields, never a " +
       "dead stage") {
     val got = WarcOps.parseCdxj(
