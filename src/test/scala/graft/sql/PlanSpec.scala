@@ -756,4 +756,25 @@ class PlanSpec extends SparkSpec {
     val rr = "RoundRobinPartitioning".r.findAllMatchIn(p).size
     assert(rr <= 1, s"unexpected unkeyed exchanges ($rr):\n$p")
   }
+
+  test("x177: the shipped C4 profile table broadcasts; the corpus " +
+      "never shuffles before the line explode") {
+    val p = plan(ExtensionQueries.queries, "x177_c4_script_lines")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"profile join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("x178: every CDXJ join stays keyed (no cartesian product) and " +
+      "the offset window is file-partitioned, never global") {
+    val p = plan(ExtensionQueries.queries, "x178_cdxj_index")
+    assert(!p.contains("CartesianProduct"), p)
+    // the offset prefix sum must ride the file key — a global window
+    // here would serialize the whole store through one partition
+    assert(p.contains("windowspecdefinition(file_id"),
+      s"offset window not file-keyed:\n$p")
+    assert(p.contains("hashpartitioning(file_id"),
+      s"no file-keyed exchange feeding the window:\n$p")
+  }
 }
