@@ -3604,6 +3604,62 @@ object ExtensionQueries {
           "status", "offset", "rec_length", "digest", "rec_type",
           "seek_payload", "seek_ok")
         .orderBy("doc_id", "k")
+    },
+
+    // x179 — SORTED CDXJ shards + the SURT range scan (r20, the claim
+    // x178's urlkey exists for, proven: host-label REVERSAL makes one
+    // registered domain's captures — root AND subdomains —
+    // lexicographically contiguous, so a sorted index answers "every
+    // capture of example-1.com and its hosts" as ONE prefix range
+    // with no full scan). Three host arms per doc (www. — which the
+    // canonical form strips — blog., shop.) across four registered
+    // domains, two captures each; index lines sort into per-shard
+    // files by (urlkey, timestamp), the files split back into lines,
+    // and the gate (a) proves every shard's line order is
+    // non-decreasing (sorted_ok, computed for real with a lag window)
+    // and (b) answers the example-1 range scan by urlkey prefix,
+    // row-identical to the oracle's independent recomputation.
+    "x179_cdxj_range_scan" -> { (s, dir) =>
+      val d = spread(t(s, dir, "documents"))
+      val idS = col("doc_id").cast("string")
+      val m = (col("doc_id") % 4).cast("string")
+      val sub = when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("blog."))
+        .otherwise(lit("shop."))
+      val caps = d
+        .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("k"))
+        .withColumn("url", concat(lit("https://"), sub,
+          lit("example-"), m, lit(".com/doc/"), idS, lit("/"),
+          col("k").cast("string")))
+        .withColumn("capture_date", concat(lit("2020-02-0"),
+          (col("k") + 1).cast("string")))
+        .withColumn("payload", concat(lit("Cap "),
+          col("k").cast("string"), lit(" of doc "), idS, lit(".")))
+        .withColumn("digest", md5(col("payload")))
+      val recs = WarcOps.dedupStoreRecords(caps)
+        .withColumn("file_id", expr("doc_id div 8"))
+      val idx = WarcOps.cdxjRecords(recs, "file_id", Seq("doc_id", "k"))
+      val shards = idx.groupBy("file_id")
+        .agg(concat_ws("\n", array_sort(collect_list(
+            struct(col("urlkey"), col("cdxj_ts"), col("cdxj"))))
+          .getField("cdxj")).as("content"))
+      val lines = shards.select(col("file_id"),
+        posexplode(split(col("content"), "\n"))
+          .as(Seq("line_no", "line")))
+      val parsed = WarcOps.parseCdxj(lines, "line")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("file_id").orderBy("line_no")
+      val key = concat_ws(" ", col("urlkey"), col("cdxj_ts"))
+      val sortedOk = parsed
+        .withColumn("__prev", lag(key, 1).over(w))
+        .groupBy("file_id")
+        .agg(min(col("__prev").isNull || col("__prev") <= key)
+          .as("sorted_ok"))
+      parsed
+        .filter(col("urlkey").startsWith("com,example-1"))
+        .join(sortedOk, Seq("file_id"))
+        .select("file_id", "urlkey", "cdxj_ts", "url", "sorted_ok")
+        .orderBy("file_id", "urlkey", "cdxj_ts")
     }
   )
 
@@ -8918,7 +8974,37 @@ object ExtensionQueries {
         |     AS rec_type,
         |   CASE WHEN rn = 1 THEN payload ELSE '' END AS seek_payload,
         |   true AS seek_ok
-        | FROM xoff ORDER BY doc_id, k""".stripMargin
+        | FROM xoff ORDER BY doc_id, k""".stripMargin,
+
+    // x179 mirror: the range-scan TARGET recomputed independently —
+    // the SURT keys by the same host-reversal CASE (www strips in the
+    // canonical form; blog/shop reverse under the registered domain),
+    // the digit-only timestamps, and the example-1 prefix filter;
+    // sorted_ok true is the target the Spark side's lag-window proof
+    // must land on (the x150 row-identity convention — DuckDB never
+    // sees the shard files).
+    "x179_cdxj_range_scan" ->
+      """WITH rc AS (SELECT doc_id, t.k,
+        |     (doc_id % 4)::VARCHAR AS m,
+        |     CASE WHEN doc_id % 3 = 0 THEN 'www.'
+        |          WHEN doc_id % 3 = 1 THEN 'blog.' ELSE 'shop.' END
+        |       AS sub
+        |   FROM documents
+        |   CROSS JOIN (SELECT unnest([0, 1]) AS k) t),
+        | ru AS (SELECT doc_id, k, (doc_id // 8) AS file_id,
+        |     'https://' || sub || 'example-' || m || '.com/doc/' ||
+        |       doc_id::VARCHAR || '/' || k::VARCHAR AS url,
+        |     (CASE WHEN sub = 'www.' THEN 'com,example-' || m || ')'
+        |           WHEN sub = 'blog.'
+        |             THEN 'com,example-' || m || ',blog)'
+        |           ELSE 'com,example-' || m || ',shop)' END)
+        |       || '/doc/' || doc_id::VARCHAR || '/' || k::VARCHAR
+        |       AS urlkey,
+        |     '2020020' || (k + 1)::VARCHAR AS cdxj_ts
+        |   FROM rc)
+        | SELECT file_id, urlkey, cdxj_ts, url, true AS sorted_ok
+        | FROM ru WHERE starts_with(urlkey, 'com,example-1')
+        | ORDER BY file_id, urlkey, cdxj_ts""".stripMargin
   )
 
   /** The struct_pack trigram-score list for the given profile
