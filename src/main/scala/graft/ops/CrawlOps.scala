@@ -84,12 +84,17 @@ object CrawlOps {
     val corpusUrls = corpus.select("canon_url").distinct()
     val redirs = Option(redirects).map(_.select(
       col(urlCol).as("canon_url"), col("location").as("__loc")))
-    // a 3xx answer IS a successful fetch — both outcome tables count
-    val fetchable = redirs match {
+    // a 3xx answer IS a successful fetch — both outcome tables count.
+    // localCheckpoint: every hop probes this set for the fetched flag,
+    // and without the barrier each hop's job re-ran the corpus-wide
+    // scan + distinct from scratch (maxHops corpus passes for one
+    // URL-column set — r20, guide §2.4/§5; URL-only rows, the same
+    // bounded-metadata class as the per-hop frontier checkpoints).
+    val fetchable = (redirs match {
       case Some(r) =>
         corpusUrls.unionByName(r.select("canon_url")).distinct()
       case None => corpusUrls
-    }
+    }).withColumn("fetched", lit(true)).localCheckpoint()
     var crawled = seeds.select(col(urlCol).as("canon_url")).distinct()
       .localCheckpoint()
     var frontier = crawled.withColumn("__rdepth", lit(0))
@@ -139,16 +144,21 @@ object CrawlOps {
       // `shop.example.com` are different servers and must not share
       // one budget (robots groups are per-authority too); the
       // registered domain stays in the output for rollups
+      // the fetched flag attaches BEFORE the politeness window (r20):
+      // the candidate stream is already partitioned on canon_url from
+      // the dedup aggregate, so the fetchable probe joins without
+      // re-exchanging it; placed after the host window it forced one
+      // extra canon_url shuffle of the scheduled rows per hop. The cap
+      // neither reads nor changes the flag, so the output is identical.
       val scheduled = RobotsOps
         .allowedFlags(cand, rules,
           Seq("canon_url", "host", "reg_domain", "__rdepth"))
         .filter(col("allowed")).drop("allowed")
+        .join(fetchable, Seq("canon_url"), "left")
+        .withColumn("fetched", coalesce(col("fetched"), lit(false)))
         .withColumn("__rn", row_number().over(
           Window.partitionBy("host").orderBy("canon_url")))
         .filter(col("__rn") <= perHostCap).drop("__rn")
-        .join(fetchable.withColumn("fetched", lit(true)),
-          Seq("canon_url"), "left")
-        .withColumn("fetched", coalesce(col("fetched"), lit(false)))
         .withColumn("hop", lit(hop))
         .localCheckpoint()
       out = if (out == null) scheduled else out.unionByName(scheduled)

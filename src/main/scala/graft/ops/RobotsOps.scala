@@ -187,16 +187,28 @@ object RobotsOps {
                    keyCols: Seq[String],
                    domainCol: String = "reg_domain",
                    pathCol: String = "match_path"): DataFrame = {
-    val joined = urls
+    // Rules collapse to ONE array row per domain BEFORE touching the URL
+    // stream (r20): the old shape joined the raw rule rows (multiplying
+    // every URL by its domain's rule count) and then groupBy'd the URL
+    // key to pick the longest match — a corpus-sized shuffle per call,
+    // paid once per hop inside the crawl loops. Aggregating the RULES
+    // side (domain-count-sized — one tiny shuffle) and evaluating the
+    // longest-match fold as array expressions makes admission a
+    // domain-keyed join + narrow map: zero URL-keyed exchanges. Same
+    // winner: max over matching rules of (raw value length, is_allow),
+    // no match (or no domain row) = allowed — RFC 9309 §2.2.2.
+    val ruleArr = rules
+      .groupBy(col("reg_domain").as(domainCol))
+      .agg(collect_list(struct(col("prefix"), col("is_allow")))
+        .as("__rules"))
+    urls
       .select((keyCols :+ domainCol :+ pathCol).distinct.map(col): _*)
-      .join(rules.withColumnRenamed("reg_domain", domainCol),
-        Seq(domainCol), "left")
-      .withColumn("hit", col("prefix").isNotNull &&
-        ruleMatches(col(pathCol), col("prefix")))
-    joined.groupBy(keyCols.map(col): _*)
-      .agg(max(when(col("hit"),
-        struct(length(col("prefix")).as("l"),
-          col("is_allow").cast("int").as("a")))).as("best"))
+      .join(ruleArr, Seq(domainCol), "left")
+      .withColumn("best", array_max(transform(
+        filter(col("__rules"),
+          r => ruleMatches(col(pathCol), r.getField("prefix"))),
+        r => struct(length(r.getField("prefix")).as("l"),
+          r.getField("is_allow").cast("int").as("a")))))
       .select(keyCols.map(col) :+
         (col("best").isNull || col("best.a") === 1).as("allowed"): _*)
   }
