@@ -20,9 +20,15 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** 60-bit deterministic hash (cross-engine reproducible, see above). */
+  /** 60-bit deterministic hash (cross-engine reproducible, see above).
+    * Evaluated by the fused [[graft.functions.Hash60]] kernel (r20) —
+    * bit-identical to `conv(substring(md5(c), 1, 15), 16, 10)` (the
+    * DuckDB mirror spelling) without materializing the hex string per
+    * eval; the explicit binary cast is the same UTF-8 byte view `md5`
+    * itself hashed.
+    */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    bridge(graft.functions.Hash60(expr0(c.cast(BinaryType))))
 
   /** Ratio → basis points as BIGINT: floor(10000 * num / den). */
   def bp(num: Column, den: Column): Column =

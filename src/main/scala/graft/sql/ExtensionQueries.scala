@@ -51,6 +51,27 @@ object ExtensionQueries {
     if (nFiles > 0 && nFiles < math.max(p / 2, 2)) df.repartition(p) else df
   }
 
+  /** Respread an ASSEMBLED container table (one row per synthesized
+    * .warc/.warc.gz file) across the session's cores before its decode
+    * chain (r20, guide §2.5's unsplittable-gzip remedy). The
+    * groupBy(file_id) that builds these files moves only a few MB, so
+    * AQE's byte-based coalescing narrows the post-shuffle stage to 1-2
+    * partitions — and the whole downstream kernel cascade
+    * (gunzip → WARC split → HTTP envelope → charset/PDF → html→text)
+    * plus every localCheckpoint inherits that width, serializing the
+    * compute-heavy decode on 1-2 of the session's cores (measured on
+    * x176 at sf0.1: the four decode/router stages ran 1-2 tasks each —
+    * ~5.4 s of a 13.6 s run on a 32-core session). Decompression
+    * fan-out is exactly the cost AQE's byte model cannot see; one cheap
+    * round-robin exchange of file-count-sized rows right after assembly
+    * restores compute-proportional width at any scale
+    * (defaultParallelism), and values are untouched — every downstream
+    * stage is keyed or per-row.
+    */
+  private def respread(files: DataFrame): DataFrame =
+    files.repartition(
+      files.sparkSession.sparkContext.defaultParallelism)
+
   /** Per-(application, sf-dir) memo of BOUNDED driver-side artifacts the
     * composite ANN gates share — the brute-force truth set (queries×k rows)
     * and the trained codebook (k×dim floats). x61+x62+x63 each re-derived
@@ -2757,11 +2778,16 @@ object ExtensionQueries {
         .withColumn("digest", md5(col("payload")))
       val recs = WarcOps.dedupStoreRecords(caps)
         .withColumn("file_id", expr("doc_id div 8"))
-      val files = recs.groupBy("file_id")
+      val files = respread(recs.groupBy("file_id")
         .agg(concat_ws("", array_sort(collect_list(
             struct(col("doc_id"), col("k"), col("record"))))
-          .getField("record")).as("content"))
+          .getField("record")).as("content")))
+      // parsed feeds THREE consumers (the response rows, the revisit
+      // resolution, and the revisit payload join) — without the barrier
+      // the synth+assembly+parse chain re-ran per consumer (r20, the
+      // x125 multi-consumer discipline; fixture-file-count-sized rows)
       val parsed = WarcOps.parseRecords(files, "file_id", "content")
+        .localCheckpoint()
       val resp = parsed.filter(col("warc_type") === "response")
       val responses = resp.select(col("target_uri").as("url"),
         col("warc_date").as("capture_date"),
@@ -2842,10 +2868,10 @@ object ExtensionQueries {
           concat(lit("https://example.com/doc/"),
             col("doc_id").cast("string")),
           lit("2020-02-01T00:00:00Z"), col("text")).as("r"))
-      val files = wet.groupBy("file_id")
+      val files = respread(wet.groupBy("file_id")
         .agg(concat_ws("", array_sort(collect_list(
             struct(col("doc_id"), col("r")))).getField("r"))
-          .as("content"))
+          .as("content")))
       WarcOps.parseRecords(files, "file_id", "content")
         .filter(col("warc_type") === "conversion")
         .select(nullif(regexp_extract(col("target_uri"),
@@ -3056,10 +3082,10 @@ object ExtensionQueries {
         WarcOps.watRecord(col("uri"), lit("2020-03-01T00:00:00Z"),
           to_json(struct(col("uri"), col("title"), col("links"),
             col("headers")))).as("r"))
-      val files = wat.groupBy("file_id")
+      val files = respread(wat.groupBy("file_id")
         .agg(concat_ws("", array_sort(collect_list(
             struct(col("doc_id"), col("r")))).getField("r"))
-          .as("content"))
+          .as("content")))
       WarcOps.parseRecords(files, "file_id", "content")
         .filter(col("warc_type") === "metadata")
         .withColumn("j", HttpOps.decodeBody(col("payload"), lit("utf-8")))
@@ -3403,7 +3429,7 @@ object ExtensionQueries {
         .select(col("file_id"), col("doc_id").as("ord_doc"),
           warcRecordSynth("response", uriC, lit("2020-03-01T00:00:00Z"),
             col("__http")).as("r"))
-      val files = info.unionByName(resp)
+      val files = respread(info.unionByName(resp)
         .select(col("file_id"), col("ord_doc"),
           WarcOps.gzipMember(col("r")).as("g"))
         .groupBy("file_id")
@@ -3411,7 +3437,7 @@ object ExtensionQueries {
           array_sort(collect_list(struct(col("ord_doc"), col("g"))))
             .getField("g"),
           lit(Array.emptyByteArray),
-          (acc, x) => concat(acc, x)).as("gz"))
+          (acc, x) => concat(acc, x)).as("gz")))
       // ---- the engine chain under test ----
       val pages = WarcOps.responses(
         files.select(col("file_id"),
@@ -3576,13 +3602,22 @@ object ExtensionQueries {
           col("version").cast("string"), lit(" of doc "),
           col("doc_id").cast("string"), lit(".")))
         .withColumn("digest", md5(col("payload")))
+      // recs feeds BOTH the index and the assembled files — checkpoint
+      // once (r20, the x125 multi-consumer discipline) so the
+      // digest-window store synthesis runs once, not per consumer.
+      // `parsed` (two consumers) is deliberately NOT checkpointed: the
+      // file-keyed offset window must stay visible in the final plan
+      // (the x178 plan gate asserts the window is file-partitioned),
+      // and re-running the narrow cdxj parse over the checkpointed recs
+      // is cheap.
       val recs = WarcOps.dedupStoreRecords(caps)
         .withColumn("file_id", expr("doc_id div 8"))
+        .localCheckpoint()
       val idx = WarcOps.cdxjRecords(recs, "file_id", Seq("doc_id", "k"))
-      val files = recs.groupBy("file_id")
+      val files = respread(recs.groupBy("file_id")
         .agg(concat_ws("", array_sort(collect_list(
             struct(col("doc_id"), col("k"), col("record"))))
-          .getField("record")).as("content"))
+          .getField("record")).as("content")))
       val parsed = WarcOps.parseCdxj(
         idx.select(col("file_id"), col("doc_id"), col("k"), col("cdxj")),
         "cdxj")
@@ -3639,14 +3674,16 @@ object ExtensionQueries {
       val recs = WarcOps.dedupStoreRecords(caps)
         .withColumn("file_id", expr("doc_id div 8"))
       val idx = WarcOps.cdxjRecords(recs, "file_id", Seq("doc_id", "k"))
-      val shards = idx.groupBy("file_id")
+      val shards = respread(idx.groupBy("file_id")
         .agg(concat_ws("\n", array_sort(collect_list(
             struct(col("urlkey"), col("cdxj_ts"), col("cdxj"))))
-          .getField("cdxj")).as("content"))
+          .getField("cdxj")).as("content")))
       val lines = shards.select(col("file_id"),
         posexplode(split(col("content"), "\n"))
           .as(Seq("line_no", "line")))
-      val parsed = WarcOps.parseCdxj(lines, "line")
+      // parsed feeds the sortedness window AND the range filter —
+      // one checkpoint, one parse (the x125 multi-consumer discipline)
+      val parsed = WarcOps.parseCdxj(lines, "line").localCheckpoint()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("file_id").orderBy("line_no")
       val key = concat_ws(" ", col("urlkey"), col("cdxj_ts"))
@@ -3912,11 +3949,11 @@ object ExtensionQueries {
           concat(lit("GET /doc/"), idStr, lit(" HTTP/1.1"))).as("r"))
     val resp = base.select(col("file_id"), col("doc_id").as("ord_doc"),
       lit(1).as("sub"), record("response", uriC, dateC, col("html")).as("r"))
-    info.unionByName(req).unionByName(resp)
+    respread(info.unionByName(req).unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("sub"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The `.warc.gz`+HTTP synthesis for x139 — the BYTE/HTTP-faithful
@@ -3961,7 +3998,7 @@ object ExtensionQueries {
     val resp = base.withColumn("__http", httpMsg)
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
-    info.unionByName(resp)
+    respread(info.unionByName(resp)
       .select(col("file_id"), col("ord_doc"),
         WarcOps.gzipMember(col("r")).as("g"))
       .groupBy("file_id")
@@ -3969,7 +4006,7 @@ object ExtensionQueries {
         array_sort(collect_list(struct(col("ord_doc"), col("g"))))
           .getField("g"),
         lit(Array.emptyByteArray),
-        (acc, x) => concat(acc, x)).as("gz"))
+        (acc, x) => concat(acc, x)).as("gz")))
   }
 
   /** The chunked-HTTP synthesis for x144: each doc's x127 page split at
@@ -4013,11 +4050,11 @@ object ExtensionQueries {
     val resp = base.withColumn("__http", httpMsg)
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
-    info.unionByName(resp)
+    respread(info.unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The revisit synthesis for x146 — docs grouped by 3: head stores
@@ -4051,11 +4088,11 @@ object ExtensionQueries {
       .otherwise(
         warcRecordSynth("revisit", uriC, dateC, lit(""),
           concat(digest, refers)))
-    base.select(col("file_id"), col("doc_id").as("ord_doc"), rec.as("r"))
+    respread(base.select(col("file_id"), col("doc_id").as("ord_doc"), rec.as("r"))
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The accented-page line appended for x147/x139 — ONE definition,
@@ -4129,11 +4166,11 @@ object ExtensionQueries {
     val resp = base.withColumn("__http", httpMsg)
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
-    info.unionByName(resp)
+    respread(info.unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The Content-Encoding synthesis for x150: the accent page's REAL
@@ -4189,11 +4226,11 @@ object ExtensionQueries {
     val resp = base.withColumn("__http", httpMsg)
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
-    info.unionByName(resp)
+    respread(info.unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The robots-META synthesis for x153 — seven arms on `doc_id % 7`
@@ -4328,11 +4365,11 @@ object ExtensionQueries {
     val resp = base.withColumn("__http", httpMsg)
       .select(col("file_id"), col("doc_id").as("ord_doc"),
         warcRecordSynth("response", uriC, dateC, col("__http")).as("r"))
-    info.unionByName(resp)
+    respread(info.unionByName(resp)
       .groupBy("file_id")
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("ord_doc"), col("r")))).getField("r"))
-        .as("content"))
+        .as("content")))
   }
 
   /** The x140 HTTP response-message synthesis — four envelope shapes

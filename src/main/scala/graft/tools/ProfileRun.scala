@@ -40,8 +40,14 @@ object ProfileRun {
           val si = sc.stageInfo
           val ms = (for (a <- si.completionTime; b <- si.submissionTime)
             yield a - b).getOrElse(-1L)
-          stageMs += ((si.stageId, si.name.takeWhile(_ != '\n').take(90),
-            ms, si.numTasks))
+          // first graft frame in the callsite stack, so a stage maps to
+          // the operator that created it; executorRunTime distinguishes
+          // "one slow task" from "lots of total CPU"
+          val where = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools.Profile"))
+            .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(110)
+          val cpuMs = si.taskMetrics.executorRunTime
+          stageMs += ((si.stageId, s"cpu=${cpuMs}ms $where", ms, si.numTasks))
         }
     }
     spark.sparkContext.addSparkListener(listener)
