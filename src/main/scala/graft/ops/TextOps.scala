@@ -281,56 +281,34 @@ object TextOps {
     * (`div`), so the oracle matches bit-for-bit. Docs shorter than n
     * words emit no row for that n; empty docs emit nothing.
     *
-    * Plan: ONE pass over the text builds every (n, gram) occurrence via a
-    * fused transform/slice projection (no re-scan per n), then TWO
-    * map-side-combinable aggregations — the (doc, n, gram) count and a
-    * (doc, n) `min(struct(-cnt, gram))` argmax + conditional sum. No
-    * window, no sort: both shuffles condense map-side and the second
-    * carries one row per (doc, n). All shuffles doc-scoped, rows ∝
-    * (maxN − minN + 1) × tokens.
+    * Plan (r20, guide §2.3/§2.4): ONE narrow per-row kernel
+    * ([[graft.functions.TopNgramStats]]) computes every n's
+    * (top gram, count, dup char mass) in a single pass over the token
+    * array, then a tiny per-doc explode of (maxN − minN + 1) structs.
+    * ZERO exchanges — the previous shape exploded corpus × 9 positional
+    * gram STRINGS through two doc-keyed aggregation shuffles for what is
+    * a pure per-row function of the document (every byte of every
+    * 2..10-gram crossed the wire twice). Same winner, tie rule (binary
+    * UTF-8 order), char accounting (code points), and emitted row set —
+    * equivalence is regression-tested against the aggregation form over
+    * adversarial docs (`Round13cOpsSpec`) and the x97 oracle.
     */
   def topNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
                        minN: Int = 2, maxN: Int = 10): DataFrame = {
     require(minN >= 1 && minN <= maxN,
       s"topNgramCoverage: need 1 <= minN <= maxN (got $minN..$maxN)")
-    val w = col("__w")
-    // per-n positional grams; the size guard dodges Spark's DESCENDING
-    // sequence(1, 0) on short docs (the LmOps.bigrams hazard)
-    def gramStructs(n: Int): Column = {
-      val grams = when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          k => concat_ws(" ", slice(w, k, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-      transform(grams, g => struct(lit(n).cast(LongType).as("n"), g.as("g")))
-    }
-    val occurrences = docs
+    docs
       .filter(length(col(textCol)) > 0)
-      .withColumn("__w", split(col(textCol), " "))
       .select(col(idCol), length(col(textCol)).cast(LongType).as("__len"),
-        explode(flatten(array((minN to maxN).map(gramStructs): _*))).as("__x"))
-      .select(col(idCol), col("__len"),
-        col("__x.n").as("n"), col("__x.g").as("g"))
-    val counts = occurrences
-      .groupBy(col(idCol), col("__len"), col("n"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("glen", length(col("g")).cast(LongType))
-    // argmax-by-count with the lexicographic tie via ONE struct ordering:
-    // min(struct(-cnt, gram)) = largest count, then smallest gram —
-    // map-side combinable, where a row_number window would re-shuffle and
-    // sort every gram row
-    counts
-      .groupBy(col(idCol), col("__len"), col("n"))
-      .agg(
-        min(struct((-col("cnt")).as("nc"), col("g"), col("glen"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(lit(0L)))
-          .as("dupc"))
-      .withColumn("cnt", -col("top.nc"))
-      .withColumn("glen", col("top.glen"))
-      .select(col(idCol), col("n"), col("top.g").as("top_gram"),
-        col("cnt").as("top_cnt"),
-        least(expr("(cnt * glen * 10000) div __len"), lit(10000L)).as("top_bp"),
-        least(expr("(dupc * 10000) div __len"), lit(10000L)).as("dup_bp"))
+        explode(bridge(graft.functions.TopNgramStats(
+          expr0(col(textCol)), minN, maxN))).as("__t"))
+      .select(col(idCol), col("__t.n").as("n"),
+        col("__t.g").as("top_gram"), col("__t.cnt").as("top_cnt"),
+        least(expr("(__t.cnt * __t.glen * 10000) div __len"), lit(10000L))
+          .as("top_bp"),
+        least(expr("(__t.dupc * 10000) div __len"), lit(10000L))
+          .as("dup_bp"))
   }
 
   /** Compression-ratio quality signal (Gopher §A.1.1): DEFLATE-compressed

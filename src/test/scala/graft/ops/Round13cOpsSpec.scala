@@ -108,6 +108,60 @@ class Round13cOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("topNgramCoverage: the r20 per-row kernel is row-identical to the " +
+      "aggregation form on adversarial docs") {
+    // the aggregation shape the kernel replaced (r20) — kept here as the
+    // equivalence oracle: same winner, tie rule, char accounting
+    def aggForm(docs: org.apache.spark.sql.DataFrame, minN: Int,
+                maxN: Int): org.apache.spark.sql.DataFrame = {
+      val w = col("__w")
+      def gramStructs(n: Int) = transform(
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            k => concat_ws(" ", slice(w, k, lit(n)))))
+          .otherwise(array().cast("array<string>")),
+        g => struct(lit(n).cast("long").as("n"), g.as("g")))
+      docs.filter(length(col("text")) > 0)
+        .withColumn("__w", split(col("text"), " "))
+        .select(col("doc_id"), length(col("text")).cast("long").as("__len"),
+          explode(flatten(array((minN to maxN).map(gramStructs): _*))).as("__x"))
+        .select(col("doc_id"), col("__len"),
+          col("__x.n").as("n"), col("__x.g").as("g"))
+        .groupBy(col("doc_id"), col("__len"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("glen", length(col("g")).cast("long"))
+        .groupBy(col("doc_id"), col("__len"), col("n"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("g"), col("glen"))).as("top"),
+          sum(when(col("cnt") >= 2, col("cnt") * col("glen"))
+            .otherwise(lit(0L))).as("dupc"))
+        .withColumn("cnt", -col("top.nc"))
+        .withColumn("glen", col("top.glen"))
+        .select(col("doc_id"), col("n"), col("top.g").as("top_gram"),
+          col("cnt").as("top_cnt"),
+          least(expr("(cnt * glen * 10000) div __len"), lit(10000L)).as("top_bp"),
+          least(expr("(dupc * 10000) div __len"), lit(10000L)).as("dup_bp"))
+    }
+    val docs = Seq(
+      (1L, "ab cd ab cd ab"),
+      (2L, "x x x"),
+      (3L, "a"), // 1 token: no rows
+      (4L, "a b  c a b"), // double space → empty token (split -1 keeps it)
+      (5L, "日本 語 日本 語 テスト"), // multi-byte, repeated bigram
+      (6L, "𝄞 � 𝄞 �"), // astral vs BMP tie class
+      (7L, "z y x w v u t s r q p o n m"), // all-distinct long doc
+      (8L, "t t t t t t t t t t t t"), // one token repeated
+      (9L, " leading and trailing "), // boundary empties
+      (10L, "aa b aa b c aa b aa b c d")
+    ).toDF("doc_id", "text")
+    val a = aggForm(docs, 2, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val k = TextOps.topNgramCoverage(docs, minN = 2, maxN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(k == a)
+  }
+
   // --------------------------------------------------- shuffleOrder
 
   test("shuffleOrder: a permutation with exact round-robin shard balance") {

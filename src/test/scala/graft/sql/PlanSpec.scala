@@ -179,13 +179,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"codebook shuffled the corpus:\n$p")
   }
 
-  test("x97: n-gram coverage is aggregation-only — no join, no window") {
+  test("x97: n-gram coverage is one narrow kernel pass — no join, no " +
+      "window, no gram exchange") {
     val p = plan(ExtensionQueries.queries, "x97_topgram_coverage")
-    // the min(struct) argmax replaced the per-gram row_number window: the
-    // plan must be scan → explode → two combining hash aggregations
     assert(!p.contains("Window"), s"argmax regressed to a window:\n$p")
     assert(!p.contains("Join"), s"coverage planned a join:\n$p")
-    assert(p.contains("HashAggregate"), p)
+    // r20: the per-row TopNgramStats kernel replaced the two doc-keyed
+    // aggregation shuffles that carried corpus × 9 positional gram
+    // strings — the only exchange left is the output orderBy's range
+    // partition; a hashpartitioning exchange means the gram blowup came
+    // back
+    assert(p.contains("top_ngram_stats"), s"kernel not in plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gram-level exchange crept back:\n$p")
   }
 
   test("x98: shuffle order rides the prefix-sum broadcast, no merge join") {
