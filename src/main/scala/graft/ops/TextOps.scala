@@ -231,8 +231,12 @@ object TextOps {
       .otherwise(array().cast(ArrayType(LongType)))
     val pos = docs.select(col(idCol).as("__wid"),
       posexplode(shArr).as(Seq("p", "h")))
-    val key = concat(lpad(col("h").cast("string"), 19, "0"),
-      lpad(col("p").cast("string"), 8, "0"))
+    // the (hash, pos) window-min key is a STRUCT (r20): struct ordering
+    // is (h asc, p asc) — exactly the zero-padded string key this
+    // replaces, without building and re-parsing a 27-char string per
+    // token position (the posLimit pad-width guard above stays: it is a
+    // documented, spec-exercised input bound)
+    val key = struct(col("h"), col("p"))
     val byDoc = Window.partitionBy("__wid")
     val frame = byDoc.orderBy("p").rowsBetween(Window.currentRow, w - 1)
     pos
@@ -240,8 +244,8 @@ object TextOps {
       .withColumn("__wmin", min(key).over(frame))
       .filter(col("p") <= col("__maxp") - (w - 1))
       .select(col("__wid"),
-        substring(col("__wmin"), 20, 8).cast(LongType).as("pos"),
-        substring(col("__wmin"), 1, 19).cast(LongType).as("fp"))
+        col("__wmin.p").cast(LongType).as("pos"),
+        col("__wmin.h").as("fp"))
       .distinct()
       .withColumnRenamed("__wid", idCol)
   }
