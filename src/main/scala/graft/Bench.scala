@@ -431,6 +431,27 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] failed to write $outFile: ${e.getMessage}") }
     println(line)
+    // Per-query medians as BOUNDED chunk lines (r21, VERDICT r20 #1): the
+    // full line above grows with the suite and its HEAD falls out of the
+    // driver's bounded TAIL capture (r20: `per_query` empty, `n_common` 0
+    // — the whole round-over-round comparison had to be reconstructed by
+    // hand from truncated tails). Re-emitting the same medians as many
+    // small `per_query_part` lines keeps every individual line far below
+    // any plausible capture window, so each line that lands in the tail
+    // parses whole and the driver can merge the parts it sees. Purely
+    // additive output — the timed path, the full line, and the final
+    // summary line are unchanged.
+    val partSize = 12
+    val parts = qMed.grouped(partSize).toSeq
+    parts.zipWithIndex.foreach { case (grp, i) =>
+      println(obj(Seq(
+        "metric" -> "\"per_query_part\"",
+        "part" -> (i + 1).toString,
+        "parts" -> parts.size.toString,
+        "headline" -> "\"median_of_reps\"",
+        "queries" -> grp.map { case (k, m) => s""""$k":${num(m, 4)}""" }
+          .mkString("{", ",", "}")) ++ sfPair))
+    }
     // The per-query map alone is ~2 KB at 72 queries, which has pushed the
     // line's HEAD out of the driver's bounded tail capture twice (r07, r11
     // both landed "parsed": null). Emit a second, ~150-byte summary line

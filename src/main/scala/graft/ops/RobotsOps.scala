@@ -177,16 +177,30 @@ object RobotsOps {
       .otherwise(regexp_like(path, re))
   }
 
+  /** Rules collapsed to ONE `(domainCol, __rules)` array row per domain —
+    * the shape [[allowedFlags]] joins against. Exposed (r21) so an
+    * ITERATING caller (the crawl loops) can collapse + materialize the
+    * rules ONCE instead of re-running the aggregation on every hop; pass
+    * the result to [[allowedFlagsCollapsed]].
+    */
+  def collapseRules(rules: DataFrame,
+                    domainCol: String = "reg_domain"): DataFrame =
+    rules
+      .groupBy(col("reg_domain").as(domainCol))
+      .agg(collect_list(struct(col("prefix"), col("is_allow")))
+        .as("__rules"))
+
   /** Per-URL admission flags against a [[parseRules]] table:
     * `(keyCols..., allowed)` — one row per input row (the caller's
-    * `keyCols` must be unique). Longest matching rule wins ([[ruleMatches]]
+    * `keyCols` must be unique — duplicate-key rows pass through
+    * duplicated, r20). Longest matching rule wins ([[ruleMatches]]
     * pattern semantics, raw value length as priority); `Allow` wins
     * length ties; no match = allowed.
     */
   def allowedFlags(urls: DataFrame, rules: DataFrame,
                    keyCols: Seq[String],
                    domainCol: String = "reg_domain",
-                   pathCol: String = "match_path"): DataFrame = {
+                   pathCol: String = "match_path"): DataFrame =
     // Rules collapse to ONE array row per domain BEFORE touching the URL
     // stream (r20): the old shape joined the raw rule rows (multiplying
     // every URL by its domain's rule count) and then groupBy'd the URL
@@ -197,10 +211,16 @@ object RobotsOps {
     // domain-keyed join + narrow map: zero URL-keyed exchanges. Same
     // winner: max over matching rules of (raw value length, is_allow),
     // no match (or no domain row) = allowed — RFC 9309 §2.2.2.
-    val ruleArr = rules
-      .groupBy(col("reg_domain").as(domainCol))
-      .agg(collect_list(struct(col("prefix"), col("is_allow")))
-        .as("__rules"))
+    allowedFlagsCollapsed(urls, collapseRules(rules, domainCol), keyCols,
+      domainCol, pathCol)
+
+  /** [[allowedFlags]] over a PRE-COLLAPSED [[collapseRules]] table —
+    * the iterating-caller entry point (r21, VERDICT r20 #4).
+    */
+  def allowedFlagsCollapsed(urls: DataFrame, ruleArr: DataFrame,
+                            keyCols: Seq[String],
+                            domainCol: String = "reg_domain",
+                            pathCol: String = "match_path"): DataFrame =
     urls
       .select((keyCols :+ domainCol :+ pathCol).distinct.map(col): _*)
       .join(ruleArr, Seq(domainCol), "left")
@@ -211,7 +231,6 @@ object RobotsOps {
           r.getField("is_allow").cast("int").as("a")))))
       .select(keyCols.map(col) :+
         (col("best").isNull || col("best.a") === 1).as("allowed"): _*)
-  }
 
   /** Convenience: the admitted subset of `urls` (all original columns),
     * via [[allowedFlags]] + a key join.

@@ -24,11 +24,29 @@ object TextOps {
     * Evaluated by the fused [[graft.functions.Hash60]] kernel (r20) —
     * bit-identical to `conv(substring(md5(c), 1, 15), 16, 10)` (the
     * DuckDB mirror spelling) without materializing the hex string per
-    * eval; the explicit binary cast is the same UTF-8 byte view `md5`
-    * itself hashed.
+    * eval. The cast chain goes THROUGH StringType (r21, ADVICE r20 #4):
+    * string/binary inputs round-trip byte-identically (the UTF-8 view
+    * `md5` itself hashed, and the string cast is a no-op the optimizer
+    * removes), while a non-string atomic input hashes its canonical
+    * STRING rendering — the old `md5` implicit-cast semantics — instead
+    * of silently hashing a raw big-endian byte encoding no oracle
+    * mirror computes.
     */
   def hash60(c: Column): Column =
-    bridge(graft.functions.Hash60(expr0(c.cast(BinaryType))))
+    bridge(graft.functions.Hash60(
+      expr0(c.cast(StringType).cast(BinaryType))))
+
+  /** Raw 16-byte digest of `md5(salt || c)` — the binary MinHash-band
+    * fast path ([[graft.functions.Md5Salted]], r21): bitwise the
+    * `unhex` of the hex spelling `md5(concat(lit(salt), c))`, with the
+    * same min()-ordering (unsigned lexicographic ≡ hex lexicographic —
+    * see the kernel scaladoc for the proof obligations and
+    * `Md5SaltedSpec` for the property tests). Same StringType-first
+    * cast discipline as [[hash60]].
+    */
+  def md5Salted(salt: String, c: Column): Column =
+    bridge(graft.functions.Md5Salted(salt,
+      expr0(c.cast(StringType).cast(BinaryType))))
 
   /** Ratio → basis points as BIGINT: floor(10000 * num / den). */
   def bp(num: Column, den: Column): Column =
@@ -192,11 +210,15 @@ object TextOps {
     * (declared — the reference algorithm's boundary choice varies;
     * sub-window docs belong to exact dedup anyway).
     *
-    * Cross-engine contract: the window min compares a ZERO-PADDED DECIMAL
-    * concat of (hash, pos) — lexicographic order equals numeric order for
-    * fixed-width non-negative integers, so DuckDB's string `min()`
-    * reproduces the selection bit-for-bit (no struct-ordering or argmin
-    * tie-rule dependence).
+    * Cross-engine contract (r20/r21, ADVICE r20 #1): the Spark side
+    * compares a `struct(h, p)` window-min key, whose (h asc, p asc)
+    * ordering equals the DuckDB mirror's min over a ZERO-PADDED DECIMAL
+    * concat of (hash, pos) — lexicographic order equals numeric order
+    * for fixed-width non-negative integers. `posLimit` exists to KEEP
+    * that equivalence: it bounds positions to the mirror's 8-digit pad,
+    * so a doc the pad would misorder fails loudly on BOTH engines'
+    * behalf. Do not remove the guard just because the struct key itself
+    * needs no pad.
     *
     * Scale shape: one narrow gram projection + ONE doc-keyed shuffle for
     * the two windows (frame-min and per-doc max share the partition);
@@ -211,12 +233,13 @@ object TextOps {
     require(posLimit >= 1 && posLimit <= 100000000L,
       s"posLimit must be in [1, 1e8] (got $posLimit)")
     val toks = split(col(textCol), " ")
-    // the (hash,pos) window-min key zero-pads pos to 8 decimal digits;
-    // lexicographic = numeric ONLY for positions ≤ 99,999,999, so a doc
-    // whose gram count EXCEEDS posLimit (positions run 0..grams−1 — a doc
-    // with exactly posLimit grams still fits the pad) fails LOUDLY here
-    // instead of silently misordering the selection (lower posLimit only
-    // in tests to exercise the failure path)
+    // the ORACLE's (hash,pos) window-min key zero-pads pos to 8 decimal
+    // digits (the Spark side uses the struct key below, which needs no
+    // pad); lexicographic = numeric ONLY for positions ≤ 99,999,999, so
+    // a doc whose gram count EXCEEDS posLimit (positions run 0..grams−1
+    // — a doc with exactly posLimit grams still fits the pad) fails
+    // LOUDLY here instead of silently diverging from the string-keyed
+    // mirror (lower posLimit only in tests to exercise the failure path)
     val grams = size(toks).cast(LongType) - (k - 1)
     // guarded: sequence(0, n) DESCENDS for n < 0 (the duplicatedSpans trap)
     val shArr = when(grams > posLimit,
